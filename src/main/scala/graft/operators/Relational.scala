@@ -1,0 +1,319 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.{QueryPack, Tables}
+
+/** Relational core: scans, filters/projections (SURVEY §2.2-2.3), joins
+  * (§2.4 gap-fill), aggregations (§2.5), sorts/limits/top-k/set ops (§2.7).
+  *
+  * Oracle-parity notes:
+  *  - Double summation across partitions is order-dependent in the last
+  *    ulp; every SUM over a double measure is computed in DECIMAL(18,4)
+  *    (exact, associative) and rounded back to double on BOTH the Spark
+  *    and the DuckDB side, so hashes are deterministic.
+  *  - Timestamps never appear raw in outputs; they are formatted to
+  *    strings (identical rendering in Spark and DuckDB).
+  */
+object Relational extends QueryPack {
+
+  /** Exact sum of a double measure: decimal in, rounded double out. */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    round(sum(c.cast(DecimalType(18, 4))), scale).cast("double")
+
+  private def davg(c: Column, scale: Int = 4): Column =
+    round(sum(c.cast(DecimalType(18, 4))).cast("double") / count(lit(1)), scale)
+
+  // --- q1: TPC-H Q1-style pricing summary (scan + filter + agg) -----------
+  def q1Agg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        dsum($"l_quantity").as("sum_qty"),
+        dsum($"l_extendedprice").as("sum_base_price"),
+        round(sum(($"l_extendedprice".cast(DecimalType(18, 4)) *
+          (lit(BigDecimal(1)) - $"l_discount".cast(DecimalType(18, 4))))), 2)
+          .cast("double").as("sum_disc_price"),
+        davg($"l_quantity").as("avg_qty"),
+        davg($"l_discount", 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  // --- q2: filter + projection (pushdown surface) -------------------------
+  def q2FilterProject(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.part(s, dir)
+      .filter($"p_size" >= 10 && $"p_type".contains("BRASS"))
+      .select($"p_partkey", $"p_name", $"p_size",
+        round($"p_retailprice".cast(DecimalType(18, 4)) * lit(BigDecimal("1.1")), 2)
+          .cast("double").as("marked_up"))
+  }
+
+  // --- q3: multi-way broadcast join + agg (customer x orders x nation) ----
+  def q3Join(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    // nation/customer are tiny relative to orders at every SF: broadcast
+    // both so the probe side streams without a shuffle.
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy($"n_name")
+      .agg(
+        dsum($"o_totalprice").as("revenue"),
+        count(lit(1)).as("n_orders"))
+  }
+
+  // --- q4: semi join (orders having at least one high-qty line) -----------
+  def q4Semi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val big = Tables.lineitem(s, dir).filter($"l_quantity" > 45)
+      .select($"l_orderkey")
+    Tables.orders(s, dir)
+      .join(big, $"o_orderkey" === big("l_orderkey"), "left_semi")
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"))
+  }
+
+  // --- q5: anti join (customers with no orders) ---------------------------
+  def q5Anti(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir).select($"o_custkey")
+    Tables.customer(s, dir)
+      .join(o, $"c_custkey" === o("o_custkey"), "left_anti")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_cust"), dsum($"c_acctbal").as("bal"))
+  }
+
+  // --- q6: global top-k (order by + limit; O4/O1) -------------------------
+  def q6TopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // TakeOrderedAndProject: per-partition top-k then k-way merge on the
+    // driver — no global sort shuffle.
+    Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_custkey",
+        $"o_totalprice", $"o_orderpriority")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      .limit(10)
+  }
+
+  // --- q7: distinct + count distinct (A1) ---------------------------------
+  def q7Distinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_partkey").as("n_parts"),
+        countDistinct($"l_suppkey").as("n_supps"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  // --- q8: set ops (union / intersect / except; §2.7) ---------------------
+  def q8SetOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fromOrders = Tables.orders(s, dir).select($"o_custkey".as("custkey"))
+    val highBal = Tables.customer(s, dir).filter($"c_acctbal" > 5000)
+      .select($"c_custkey".as("custkey"))
+    val both = fromOrders.intersect(highBal)
+    val either = fromOrders.union(highBal).distinct()
+    val onlyOrders = fromOrders.distinct().except(highBal)
+    both.withColumn("src", lit("both"))
+      .union(either.withColumn("src", lit("either")))
+      .union(onlyOrders.withColumn("src", lit("only_orders")))
+      .groupBy($"src").agg(count(lit(1)).as("n"))
+  }
+
+  // --- q9: rollup (grouping sets; §2.5 note) ------------------------------
+  def q9Rollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(dsum($"l_extendedprice").as("total"), count(lit(1)).as("n"))
+  }
+
+  // --- q10: window functions (§2.6): rank per group + lag ------------------
+  def q10Window(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 2)
+      .select($"o_custkey", $"rn", $"o_orderkey", $"o_totalprice")
+  }
+
+  // --- q11: scalar functions (§2.12) --------------------------------------
+  def q11Scalar(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.part(s, dir)
+      .select(
+        $"p_partkey",
+        upper(substring($"p_brand", 1, 5)).as("brand5"),
+        length($"p_name").as("name_len"),
+        concat_ws("/", $"p_brand", $"p_type").as("brand_type"),
+        regexp_replace($"p_type", "[aeiou]", "").as("consonants"),
+        round(abs(sin($"p_size".cast("double"))), 6).as("sin_size"))
+      .filter($"p_partkey" % 7 === 0)
+  }
+
+  // --- q12: conditional / null handling (F2/F3) ---------------------------
+  def q12Conditional(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .select($"c_custkey",
+        when($"c_acctbal" < 0, lit("debt"))
+          .when($"c_acctbal" < 5000, lit("low"))
+          .otherwise(lit("high")).as("bal_band"),
+        coalesce(nullif($"c_mktsegment", lit("MACHINERY")), lit("OTHER"))
+          .as("seg"))
+      .groupBy($"bal_band", $"seg").agg(count(lit(1)).as("n"))
+  }
+
+  // --- q13: date/time bucketing on events (§2.12 timestamps) --------------
+  def q13TimeBucket(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(
+        date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        $"event_type")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("total_value"))
+  }
+
+  // --- q14: correlated-style agg-then-join (avg per group vs rows) --------
+  def q14HavingJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+    // "price > 2 * segment average" expressed as price * n > 2 * total so
+    // every comparison stays in exact decimal/integer arithmetic — a
+    // double average could flip a boundary row between engines.
+    val avgBySeg = o.join(broadcast(Tables.customer(s, dir)),
+        $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(sum($"o_totalprice".cast(DecimalType(18, 4))).as("seg_sum"),
+        count(lit(1)).as("seg_n"))
+    // broadcast the 5-row per-segment aggregate back against orders
+    o.join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+      .join(broadcast(avgBySeg), Seq("c_mktsegment"))
+      .filter($"o_totalprice".cast(DecimalType(18, 4)) * $"seg_n" >
+        $"seg_sum" * 2)
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_big"), dsum($"o_totalprice").as("big_total"))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg"            -> (q1Agg _),
+    "q2_filter_project" -> (q2FilterProject _),
+    "q3_join"           -> (q3Join _),
+    "q4_semi_join"      -> (q4Semi _),
+    "q5_anti_join"      -> (q5Anti _),
+    "q6_topk"           -> (q6TopK _),
+    "q7_distinct"       -> (q7Distinct _),
+    "q8_set_ops"        -> (q8SetOps _),
+    "q9_rollup"         -> (q9Rollup _),
+    "q10_window"        -> (q10Window _),
+    "q11_scalar"        -> (q11Scalar _),
+    "q12_conditional"   -> (q12Conditional _),
+    "q13_time_bucket"   -> (q13TimeBucket _),
+    "q14_having_join"   -> (q14HavingJoin _),
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+        | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+        | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS sum_disc_price,
+        | ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+        | ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+        | COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_filter_project" ->
+      """SELECT p_partkey, p_name, p_size,
+        | CAST(ROUND(CAST(p_retailprice AS DECIMAL(18,4)) * CAST(1.1 AS DECIMAL(18,4)), 2) AS DOUBLE) AS marked_up
+        |FROM part WHERE p_size >= 10 AND p_type LIKE '%BRASS%'""".stripMargin,
+    "q3_join" ->
+      """SELECT n_name,
+        | CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "q4_semi_join" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        | CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+        |FROM orders WHERE EXISTS (
+        |  SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderstatus""".stripMargin,
+    "q5_anti_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_cust,
+        | CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS bal
+        |FROM customer WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q6_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q7_distinct" ->
+      """SELECT l_returnflag,
+        | COUNT(DISTINCT l_partkey) AS n_parts,
+        | COUNT(DISTINCT l_suppkey) AS n_supps,
+        | COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q8_set_ops" ->
+      """WITH fo AS (SELECT o_custkey AS custkey FROM orders),
+        | hb AS (SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000),
+        | tagged AS (
+        |  SELECT custkey, 'both' AS src FROM (SELECT custkey FROM fo INTERSECT SELECT custkey FROM hb)
+        |  UNION ALL
+        |  SELECT custkey, 'either' AS src FROM (SELECT custkey FROM fo UNION SELECT custkey FROM hb)
+        |  UNION ALL
+        |  SELECT custkey, 'only_orders' AS src FROM (SELECT custkey FROM fo EXCEPT SELECT custkey FROM hb))
+        |SELECT src, COUNT(*) AS n FROM tagged GROUP BY src""".stripMargin,
+    "q9_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total,
+        | COUNT(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q10_window" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        | FROM orders) t WHERE rn <= 2""".stripMargin,
+    "q11_scalar" ->
+      """SELECT p_partkey,
+        | UPPER(SUBSTR(p_brand, 1, 5)) AS brand5,
+        | LENGTH(p_name) AS name_len,
+        | CONCAT_WS('/', p_brand, p_type) AS brand_type,
+        | REGEXP_REPLACE(p_type, '[aeiou]', '', 'g') AS consonants,
+        | ROUND(ABS(SIN(CAST(p_size AS DOUBLE))), 6) AS sin_size
+        |FROM part WHERE p_partkey % 7 = 0""".stripMargin,
+    "q12_conditional" ->
+      """SELECT CASE WHEN c_acctbal < 0 THEN 'debt'
+        |  WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS bal_band,
+        | COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), 'OTHER') AS seg,
+        | COUNT(*) AS n
+        |FROM customer GROUP BY 1, 2""".stripMargin,
+    "q13_time_bucket" ->
+      """SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        | event_type, COUNT(*) AS n,
+        | CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q14_having_join" ->
+      """WITH seg AS (
+        |  SELECT c_mktsegment, SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS seg_sum,
+        |    COUNT(*) AS seg_n
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY c_mktsegment)
+        |SELECT c.c_mktsegment, COUNT(*) AS n_big,
+        | CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS big_total
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN seg sa ON c.c_mktsegment = sa.c_mktsegment
+        |WHERE CAST(o.o_totalprice AS DECIMAL(18,4)) * sa.seg_n > sa.seg_sum * 2
+        |GROUP BY c.c_mktsegment""".stripMargin,
+  )
+}
