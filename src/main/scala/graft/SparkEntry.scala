@@ -13,6 +13,7 @@ object SparkEntry {
 
   private def packs: Seq[QueryPack] = Seq(
     graft.operators.Relational,
+    graft.operators.GeoQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftGlue, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graft.{GeohashApproxDistanceExpr, GeohashDecodeExpr, GeohashEncodeExpr, HaversineKmExpr}
+
+/** Column-API + SQL surface for the geo expressions. */
+object geo {
+  private def col(e: Expression): Column = GraftGlue.column(e)
+  private def ex(c: Column): Expression = GraftGlue.expression(c)
+
+  def geohash_encode(lat: Column, lon: Column, precision: Int = 12): Column =
+    col(GeohashEncodeExpr(ex(lat), ex(lon), Literal(precision)))
+
+  def geohash_decode(h: Column): Column = col(GeohashDecodeExpr(ex(h)))
+
+  /** pygeohash-table approximate distance in meters (SURVEY §2.8 G2). */
+  def geohash_approx_distance(h1: Column, h2: Column): Column =
+    col(GeohashApproxDistanceExpr(ex(h1), ex(h2)))
+
+  def haversine_km(lat1: Column, lon1: Column,
+                   lat2: Column, lon2: Column): Column =
+    col(HaversineKmExpr(ex(lat1), ex(lon1), ex(lat2), ex(lon2)))
+
+  private val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "geohash_encode" -> { es =>
+      val p = if (es.size >= 3) es(2) else Literal(12)
+      GeohashEncodeExpr(es(0), es(1), p)
+    },
+    "geohash_decode" -> { es => GeohashDecodeExpr(es.head) },
+    "geohash_approx_distance" -> { es =>
+      GeohashApproxDistanceExpr(es(0), es(1))
+    },
+    "haversine_km" -> { es =>
+      HaversineKmExpr(es(0), es(1), es(2), es(3))
+    },
+  )
+
+  /** Imperative registration for sessions not built with
+    * [[GraftExtensions]] (e.g. the driver-owned Verify session).
+    * Idempotent.
+    */
+  def register(spark: SparkSession): Unit = sqlFunctions.foreach {
+    case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+  }
+}
+
+/** `SparkSession.builder().withExtensions(new GraftExtensions)` or config
+  * `spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("geohash_encode"),
+      new ExpressionInfo(classOf[GeohashEncodeExpr].getName, "geohash_encode"),
+      (es: Seq[Expression]) => GeohashEncodeExpr(es(0), es(1),
+        if (es.size >= 3) es(2) else Literal(12))))
+    e.injectFunction((FunctionIdentifier("geohash_decode"),
+      new ExpressionInfo(classOf[GeohashDecodeExpr].getName, "geohash_decode"),
+      (es: Seq[Expression]) => GeohashDecodeExpr(es.head)))
+    e.injectFunction((FunctionIdentifier("geohash_approx_distance"),
+      new ExpressionInfo(classOf[GeohashApproxDistanceExpr].getName,
+        "geohash_approx_distance"),
+      (es: Seq[Expression]) => GeohashApproxDistanceExpr(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("haversine_km"),
+      new ExpressionInfo(classOf[HaversineKmExpr].getName, "haversine_km"),
+      (es: Seq[Expression]) => HaversineKmExpr(es(0), es(1), es(2), es(3))))
+  }
+}

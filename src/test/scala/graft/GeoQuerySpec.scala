@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.Geo
+import graft.functions.geo
+import org.apache.spark.sql.functions._
+
+/** End-to-end geo pipeline against the reference's own materialized
+  * geoindex (read-only under /root/reference/results/geoindex) — the
+  * de-facto golden dataset: 67,180 records in 2,413 3-char-prefix
+  * partitions, with the two captured nearest-airport answers
+  * (`Assignment_3.ipynb:687, 732`).
+  */
+class GeoQuerySpec extends SparkTestBase {
+  val refIndex = "/root/reference/results/geoindex"
+
+  lazy val routes = Geo.readRoutes(spark, refIndex).cache()
+
+  test("reads the full reference geoindex") {
+    assert(routes.count() == 67180L)
+  }
+
+  test("re-encoding lat/lon reproduces every stored reference geohash") {
+    val mismatches = routes
+      .filter(col("geohash").isNotNull)
+      .filter(geo.geohash_encode(col("src_airport.latitude"),
+        col("src_airport.longitude")) =!= col("geohash"))
+      .count()
+    assert(mismatches == 0L)
+  }
+
+  test("3-char prefix partitioning reproduces the reference's 2413 buckets") {
+    val n = routes.filter(col("geohash").isNotNull)
+      .select(substring(col("geohash"), 1, 3)).distinct().count()
+    assert(n == 2413L)
+  }
+
+  test("golden: nearest airport full-scan (Eppley / Astrakhan)") {
+    val enriched = Geo.enrichGeohash(routes.drop("geohash"))
+    assert(Geo.nearestAirport(enriched, 41.1499988, -95.91779)
+      == "Eppley Airfield")
+    assert(Geo.nearestAirport(enriched, 46.2832984924, 48.0063018799)
+      == "Astrakhan Airport")
+  }
+
+  test("golden: pruned index query matches full scan and prunes partitions") {
+    val tmp = java.nio.file.Files.createTempDirectory("geoidx").toString
+    Geo.writeGeoIndex(routes.drop("geohash"), tmp)
+
+    // partition pruning reaches the file source
+    val prefixes = graft.functions.Geohash.neighbors(
+      graft.functions.Geohash.encode(41.1499988, -95.91779, 3))
+    val plan = Geo.readGeoIndex(spark, tmp)
+      .filter(col("g3").isin(prefixes: _*))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("g3"),
+      s"expected partition filters in plan:\n$plan")
+
+    assert(Geo.nearestAirportPruned(spark, tmp, 41.1499988, -95.91779)
+      == "Eppley Airfield")
+    assert(Geo.nearestAirportPruned(spark, tmp, 46.2832984924, 48.0063018799)
+      == "Astrakhan Airport")
+  }
+
+  test("SQL registration: geo functions usable from spark.sql") {
+    geo.register(spark)
+    val row = spark.sql(
+      """SELECT geohash_encode(42.6D, -5.6D, 5) AS h,
+        |  geohash_approx_distance('bcd3u', 'bc83n') AS d,
+        |  round(haversine_km(48.8566D, 2.3522D, 51.5074D, -0.1278D)) AS hv,
+        |  geohash_decode('ezs42').lat AS dlat""".stripMargin).head()
+    assert(row.getString(0) == "ezs42")
+    assert(row.getDouble(1) == 625441d)
+    assert(row.getDouble(2) == 344d)
+    assert(math.abs(row.getDouble(3) - 42.6) < 0.05)
+  }
+}
