@@ -1,0 +1,184 @@
+package graft.ops.text
+
+/** Native-JVM text parsing (SURVEY §2.11 M1/M2, §2.1 S3).
+  *
+  * The reference does this with Python `email.Parser` + BeautifulSoup +
+  * chardet inside a PySpark UDF (`Assignment 4.py:104-122, 402-434`) —
+  * every row crosses the JVM↔Python boundary twice. Here the parsers are
+  * small pure-Scala functions used from Scala UDFs: rows never leave the
+  * executor JVM and the surrounding projections stay codegen'd.
+  */
+object EmailParser {
+
+  /** The reference's 19 output columns (`Assignment 4.py:42-62`), `-`
+    * normalized to `_` (P6) — `Message_D` is the reference's own
+    * spelling for Message-ID, kept for parity.
+    */
+  case class ParsedEmail(
+      payload: Option[String], text: Option[String],
+      Message_D: Option[String], Date: Option[String],
+      From: Option[String], To: Option[String], Subject: Option[String],
+      Mime_Version: Option[String], Content_Type: Option[String],
+      Content_Transfer_Encoding: Option[String], X_From: Option[String],
+      X_To: Option[String], X_cc: Option[String], X_bcc: Option[String],
+      X_Folder: Option[String], X_Origin: Option[String],
+      X_FileName: Option[String], Cc: Option[String], Bcc: Option[String])
+
+  /** RFC-2822-style header block parse: `Name: value` lines up to the
+    * first blank line, folded continuation lines (leading whitespace)
+    * appended. Returns (headers lowercased-key map, body).
+    */
+  def splitMessage(raw: String): (Map[String, String], String) = {
+    val lines = raw.split("\r?\n", -1)
+    val headers = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var lastKey: String = null
+    var i = 0
+    var done = false
+    while (i < lines.length && !done) {
+      val line = lines(i)
+      if (line.isEmpty) { done = true }
+      else if ((line.charAt(0) == ' ' || line.charAt(0) == '\t') &&
+        lastKey != null) {
+        headers(lastKey) = headers(lastKey) + " " + line.trim
+        i += 1
+      } else {
+        val c = line.indexOf(':')
+        if (c > 0) {
+          lastKey = line.substring(0, c).trim.toLowerCase
+          headers(lastKey) = line.substring(c + 1).trim
+          i += 1
+        } else done = true // not a header line: body starts here
+      }
+    }
+    val bodyStart = if (done && i < lines.length && lines(i).isEmpty) i + 1 else i
+    (headers.toMap, lines.drop(bodyStart).mkString("\n"))
+  }
+
+  /** M1 intended semantics: parse headers + body, strip HTML from the
+    * body for `text`, keep the raw body as `payload`.
+    */
+  def parseEmail(raw: String): ParsedEmail = {
+    if (raw == null) return ParsedEmail(None, None, None, None, None, None,
+      None, None, None, None, None, None, None, None, None, None, None,
+      None, None)
+    val (h, body) = splitMessage(raw.trim)
+    def g(k: String): Option[String] = h.get(k)
+    ParsedEmail(
+      payload = Some(body),
+      text = Some(HtmlStrip.stripHtml(body)),
+      Message_D = g("message-id"),
+      Date = g("date"),
+      From = g("from"),
+      To = g("to"),
+      Subject = g("subject"),
+      Mime_Version = g("mime-version"),
+      Content_Type = g("content-type"),
+      Content_Transfer_Encoding = g("content-transfer-encoding"),
+      X_From = g("x-from"),
+      X_To = g("x-to"),
+      X_cc = g("x-cc"),
+      X_bcc = g("x-bcc"),
+      X_Folder = g("x-folder"),
+      X_Origin = g("x-origin"),
+      X_FileName = g("x-filename"),
+      Cc = g("cc"),
+      Bcc = g("bcc"))
+  }
+
+  /** S3: charset-sniffing decode — try strict UTF-8, fall back to
+    * Latin-1 (total: every byte sequence decodes). The reference uses
+    * chardet; for its corpus (ASCII/Latin-1/UTF-8 mail) this heuristic
+    * is behavior-equivalent and dependency-free.
+    */
+  def decodeBest(bytes: Array[Byte]): String = {
+    if (bytes == null) return null
+    try {
+      val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+    } catch {
+      case _: java.nio.charset.CharacterCodingException =>
+        new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    }
+  }
+}
+
+/** M2: HTML → text, replacing BeautifulSoup.get_text()
+  * (`Assignment 4.py:402-409`): drop tags/comments, drop
+  * script/style content, decode entities. Plain text passes through
+  * unchanged (same as bs4 on non-HTML input).
+  */
+object HtmlStrip {
+
+  private val namedEntities: Map[String, String] = Map(
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
+    "apos" -> "'", "nbsp" -> " ", "copy" -> "©",
+    "reg" -> "®", "trade" -> "™", "mdash" -> "—",
+    "ndash" -> "–", "hellip" -> "…")
+
+  def decodeEntities(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val semi = s.indexOf(';', i + 1)
+        if (semi > i && semi - i <= 10) {
+          val name = s.substring(i + 1, semi)
+          if (name.startsWith("#")) {
+            val num = name.substring(1)
+            val cp = try {
+              if (num.startsWith("x") || num.startsWith("X"))
+                Integer.parseInt(num.substring(1), 16)
+              else Integer.parseInt(num)
+            } catch { case _: NumberFormatException => -1 }
+            if (cp >= 0 && Character.isValidCodePoint(cp)) {
+              sb.appendCodePoint(cp); i = semi + 1
+            } else { sb.append(c); i += 1 }
+          } else namedEntities.get(name.toLowerCase) match {
+            case Some(rep) => sb.append(rep); i = semi + 1
+            case None => sb.append(c); i += 1
+          }
+        } else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Single-pass tag stripper: removes `<...>` spans (incl. multi-line
+    * tags and `<!-- -->` comments), drops script/style bodies.
+    */
+  def stripHtml(s: String): String = {
+    if (s == null) return null
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    var skipUntil: String = null // closing tag whose content is dropped
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '<') {
+        if (s.regionMatches(i, "<!--", 0, 4)) {
+          val end = s.indexOf("-->", i + 4)
+          i = if (end < 0) s.length else end + 3
+        } else {
+          val end = s.indexOf('>', i + 1)
+          if (end < 0) { i = s.length } // unterminated tag: bs4 drops it
+          else {
+            val tag = s.substring(i + 1, end).trim.toLowerCase
+            val name = tag.takeWhile(ch => ch.isLetterOrDigit)
+            if (skipUntil == null && (name == "script" || name == "style")
+              && !tag.startsWith("/") && !tag.endsWith("/"))
+              skipUntil = "/" + name
+            else if (skipUntil != null && tag.startsWith(skipUntil))
+              skipUntil = null
+            i = end + 1
+          }
+        }
+      } else {
+        if (skipUntil == null) sb.append(c)
+        i += 1
+      }
+    }
+    decodeEntities(sb.toString)
+  }
+}

@@ -1,0 +1,125 @@
+package graft
+
+import graft.ops.text.{EmailParser, HtmlStrip, ParseEmails}
+import org.apache.spark.sql.functions._
+
+/** M1-M6 against the reference's two inline golden messages
+  * (`Assignment 4.py:228-394`, stored as test resources).
+  */
+class EmailSpec extends SparkTestBase {
+
+  def fixture(name: String): String = {
+    val in = getClass.getResourceAsStream(s"/$name.txt")
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  lazy val plainMsg = fixture("plain_msg_example")
+  lazy val htmlMsg = fixture("html_msg_example")
+
+  test("plain golden: all 19 header/body fields") {
+    val p = EmailParser.parseEmail(plainMsg)
+    assert(p.Message_D.contains("<6742786.1075845426893.JavaMail.evans@thyme>"))
+    assert(p.Date.contains("Thu, 7 Jun 2001 11:05:33 -0700 (PDT)"))
+    assert(p.From.contains("jeffrey.hammad@enron.com"))
+    assert(p.To.contains("andy.zipper@enron.com"))
+    assert(p.Subject.contains("Thanks for the interview"))
+    assert(p.Mime_Version.contains("1.0"))
+    assert(p.Content_Type.contains("text/plain; charset=us-ascii"))
+    assert(p.Content_Transfer_Encoding.contains("7bit"))
+    assert(p.X_From.exists(_.startsWith("Hammad, Jeffrey")))
+    assert(p.X_To.exists(_.startsWith("Zipper, Andy")))
+    assert(p.X_cc.contains(""))
+    assert(p.X_Folder.contains("\\Zipper, Andy\\Zipper, Andy\\Inbox"))
+    assert(p.X_Origin.contains("ZIPPER-A"))
+    assert(p.X_FileName.contains("Zipper, Andy.pst"))
+    assert(p.text.exists(_.contains(
+      "Thanks for giving me the opportunity to meet with you")))
+    assert(p.payload == p.text) // no HTML in the plain message
+  }
+
+  test("html golden: text is tag-stripped, entity-decoded") {
+    val p = EmailParser.parseEmail(htmlMsg)
+    assert(p.From.contains("insynconline.6jy5ympb.d@insync-palm.com"))
+    assert(p.Subject.contains("Last chance for special offer on Palm OS Upgrade!"))
+    val text = p.text.get
+    assert(!text.contains("<"), "tags must be stripped")
+    assert(text.contains("Dear THERESA"))
+    assert(text.contains("Palm OS® v4.1 Upgrade")) // &#174; decoded
+    assert(text.contains("Copyright© 2001 Palm, Inc.")) // &#169; decoded
+    assert(p.payload.get.contains("<html>")) // payload keeps raw body
+  }
+
+  test("header folding and missing headers") {
+    val (h, body) = EmailParser.splitMessage(
+      "Subject: a folded\n  subject line\nFrom: x@y\n\nbody here")
+    assert(h("subject") == "a folded subject line")
+    assert(h("from") == "x@y")
+    assert(body == "body here")
+    val p = EmailParser.parseEmail("From: a@b\n\nhi")
+    assert(p.Bcc.isEmpty && p.Cc.isEmpty && p.To.isEmpty)
+  }
+
+  test("parser never throws on arbitrary bytes") {
+    val rnd = new scala.util.Random(7)
+    (1 to 200).foreach { _ =>
+      val junk = new String(Array.fill(rnd.nextInt(500))(
+        (rnd.nextInt(90) + 32).toChar))
+      EmailParser.parseEmail(junk) // must not throw
+      HtmlStrip.stripHtml(junk)
+    }
+    assert(EmailParser.parseEmail(null).From.isEmpty)
+    assert(HtmlStrip.stripHtml(null) == null)
+  }
+
+  test("charset sniffing: utf-8 strict, latin-1 fallback") {
+    val utf8 = "héllo ☃".getBytes("UTF-8")
+    assert(EmailParser.decodeBest(utf8) == "héllo ☃")
+    val latin1 = "café".getBytes("ISO-8859-1")
+    assert(EmailParser.decodeBest(latin1) == "café")
+    // invalid utf-8 continuation byte: must not throw
+    assert(EmailParser.decodeBest(Array(0x68, 0xE9, 0x21).map(_.toByte))
+      == "hé!")
+  }
+
+  test("script/style content dropped, comments removed") {
+    val s = "a<script>var x=1;</script>b<style>p{}</style>c<!-- hidden -->d"
+    assert(HtmlStrip.stripHtml(s) == "abcd")
+  }
+
+  test("full pipeline: transformer + tokenizer + countvectorizer on goldens") {
+    import spark.implicits._
+    val df = Seq(
+      ("hammad-j", "msg1", plainMsg),
+      ("staab-t", "msg2", htmlMsg)
+    ).toDF("username", "id", "original_msg")
+
+    val model = ParseEmails.emailPipeline().fit(df)
+    val result = model.transform(df)
+    assert(result.columns.contains("words") &&
+      result.columns.contains("features"))
+    val rows = result.select("id", "words", "features").collect()
+    assert(rows.length == 2)
+    val words = rows.find(_.getString(0) == "msg1").get
+      .getSeq[String](1)
+    assert(words.contains("thanks")) // lowercased tokens
+    val vec = rows.head.getAs[org.apache.spark.ml.linalg.Vector](2)
+    assert(vec.numNonzeros > 0)
+  }
+
+  test("maildir ingest: username/id derived from paths, charset-safe read") {
+    val root = java.nio.file.Files.createTempDirectory("maildir")
+    val sub = root.resolve("lay-k/inbox"); java.nio.file.Files.createDirectories(sub)
+    java.nio.file.Files.write(sub.resolve("1."), plainMsg.getBytes("UTF-8"))
+    java.nio.file.Files.write(sub.resolve("2."),
+      "From: a@b\n\ncafé".getBytes("ISO-8859-1"))
+    val df = ParseEmails.readMaildir(spark, root.toString)
+    val rows = df.collect()
+    assert(rows.length == 2)
+    assert(rows.forall(_.getAs[String]("username") == "lay-k"))
+    assert(rows.map(_.getAs[String]("id")).toSet ==
+      Set("lay-k/inbox/1.", "lay-k/inbox/2."))
+    val parsed = ParseEmails.parseEmails(df)
+    assert(parsed.filter(col("text").contains("café")).count() == 1)
+  }
+}
