@@ -14,6 +14,9 @@ object SparkEntry {
   private def packs: Seq[QueryPack] = Seq(
     graft.operators.Relational,
     graft.operators.GeoQueries,
+    graft.operators.TextAnalysis,
+    graft.operators.Dedup,
+    graft.operators.Similarity,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -51,3 +51,26 @@ trait QueryPack {
   def queries: Map[String, (SparkSession, String) => DataFrame]
   def oracleSql: Map[String, String]
 }
+
+/** Cross-engine deterministic rounding.
+  *
+  * Spark's round(double) rounds the exact binary expansion
+  * (BigDecimal HALF_UP); DuckDB's multiplies by 10^s first, which can
+  * round UP at decimal half-points (e.g. 353/400*0.5+0.5 = 0.94125 →
+  * 0.9413 in DuckDB, 0.9412 in Spark). Snapping to DECIMAL(28,10)
+  * before the visible rounding makes both engines agree: the
+  * double→decimal conversion lands on the same 10-decimal value in
+  * both, and decimal rounding is exact HALF_UP everywhere.
+  * Use `dround`/`sqlDround` for every rounded ratio in query outputs.
+  */
+object Exact {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.round
+  import org.apache.spark.sql.types.DecimalType
+
+  def dround(c: Column, s: Int): Column =
+    round(c.cast(DecimalType(28, 10)), s).cast("double")
+
+  def sqlDround(e: String, s: Int): String =
+    s"CAST(ROUND(CAST(($e) AS DECIMAL(28,10)), $s) AS DOUBLE)"
+}

@@ -1,0 +1,209 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{QueryPack, Tables}
+
+/** Deduplication operators for training-data pipelines (builder-prompt
+  * first-class requirement): exact hash dedup, MinHash+LSH banding,
+  * SimHash, and rare-n-gram Jaccard — all over `documents`, all with
+  * DuckDB oracles (hash functions are md5-derived so both engines
+  * compute identical values).
+  *
+  * Scale design: every stage keys its shuffle on a hash (md5 group,
+  * LSH band bucket, rare gram), so work distributes evenly; candidate
+  * pairs are generated from bucket joins, never an all-pairs cross
+  * join. The only quadratic step is per-bucket, and LSH band width
+  * bounds bucket size on real corpora.
+  */
+object Dedup extends QueryPack {
+
+  /** Distinct (doc_id, token). */
+  private def docTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("tok"))
+
+  // --- q25: exact dedup by content hash (A-grade baseline) ---------------
+  def q25Exact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .groupBy(md5($"text").as("fp"))
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .groupBy(($"n_copies" > 1).as("is_dup_group"))
+      .agg(count(lit(1)).as("n_groups"), sum($"n_copies").as("n_docs"))
+  }
+
+  /** MinHash signature column i: min over tokens of md5(i || '#' || tok).
+    * md5 on identical strings is identical across engines, so signatures
+    * (and the DuckDB oracle) match exactly.
+    */
+  private val K = 6 // 3 bands x 2 rows
+
+  // --- q26: MinHash + LSH banding near-dup pairs --------------------------
+  def q26MinHashLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dt = docTokens(Tables.documents(s, dir)).cache()
+
+    val sigCols = (0 until K).map(i =>
+      min(md5(concat(lit(s"$i#"), $"tok"))).as(s"m$i"))
+    val sigs = dt.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
+
+    // 3 bands of 2 rows: bucket key = band hash
+    val bands = sigs.select($"doc_id", explode(array(
+      struct(lit(0).as("b"), md5(concat($"m0", $"m1")).as("bk")),
+      struct(lit(1).as("b"), md5(concat($"m2", $"m3")).as("bk")),
+      struct(lit(2).as("b"), md5(concat($"m4", $"m5")).as("bk"))
+    )).as("band")).select($"doc_id", $"band.b", $"band.bk")
+
+    // candidate pairs: same band bucket (shuffle keyed on (b, bk))
+    val l = bands.as("l"); val r = bands.as("r")
+    val cand = l.join(r, $"l.b" === $"r.b" && $"l.bk" === $"r.bk" &&
+        $"l.doc_id" < $"r.doc_id")
+      .select($"l.doc_id".as("i"), $"r.doc_id".as("j")).distinct()
+
+    // exact Jaccard, computed only for candidates. Filter on the RAW
+    // ratio (identical IEEE division in both engines), round only for
+    // display — filtering on the rounded value would disagree with the
+    // oracle on boundary values.
+    val sizes = dt.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+    val ta = dt.toDF("i", "tok"); val tb = dt.toDF("j2", "tokb")
+    val inter = cand.join(ta, "i")
+      .join(tb, $"j" === $"j2" && $"tok" === $"tokb")
+      .groupBy($"i", $"j").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("i", "si"), "i")
+      .join(sizes.toDF("j", "sj"), "j")
+      .withColumn("rawjac", $"inter" / ($"si" + $"sj" - $"inter"))
+      .filter($"rawjac" >= 0.7)
+      .select($"i", $"j", graft.core.Exact.dround($"rawjac", 4).as("jaccard"))
+  }
+
+  // --- q27: SimHash + small-hamming near-dup pairs ------------------------
+  /** 48-bit SimHash from md5-derived 60-bit token hashes; near-dups =
+    * pairs with hamming distance <= 3. Fully SQL-expressible (bit ops +
+    * hex cast exist in both engines). (32 bits / hamming 6 flagged half
+    * of all pairs on this shared-vocabulary corpus — too coarse.)
+    */
+  def q27SimHash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dt = docTokens(Tables.documents(s, dir))
+      .withColumn("hv", conv(substring(md5($"tok"), 1, 15), 16, 10)
+        .cast("long"))
+    val bits = dt.select($"doc_id", $"hv",
+        explode(sequence(lit(0), lit(47))).as("b"))
+      .withColumn("w", when(expr("(shiftright(hv, b) & 1) = 1"), 1)
+        .otherwise(-1))
+      .groupBy($"doc_id", $"b").agg(sum($"w").as("sw"))
+    val sims = bits.groupBy($"doc_id")
+      .agg(sum(when($"sw" > 0, expr("shiftleft(cast(1 as bigint), b)"))
+        .otherwise(0L)).as("simhash"))
+    val a = sims.toDF("i", "sa"); val b = sims.toDF("j", "sb")
+    a.join(b, $"i" < $"j" && expr("bit_count(sa ^ sb) <= 3"))
+      .select($"i", $"j", expr("bit_count(sa ^ sb)").as("hamming"))
+  }
+
+  // --- q28: rare character-8-gram candidate pairs + Jaccard ---------------
+  def q28NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val grams = docs
+      .select($"doc_id", explode(sequence(lit(1), length($"text") - 7))
+        .as("g"), $"text")
+      .select($"doc_id", expr("substring(text, g, 8)").as("gram"))
+      .distinct().cache()
+    // rare grams only (global df <= 4) as candidate keys: bounds the
+    // per-key join fan-out regardless of corpus size
+    val rare = grams.groupBy($"gram").agg(count(lit(1)).as("df"))
+      .filter($"df" <= 4 && $"df" >= 2).select($"gram")
+    val rg = grams.join(rare, "gram")
+    val cand = rg.toDF("gram", "i").join(rg.toDF("gram", "j"), "gram")
+      .filter($"i" < $"j").select($"i", $"j").distinct()
+    val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+    val ga = grams.toDF("i", "grama"); val gb = grams.toDF("j2", "gramb")
+    val inter = cand.join(ga, "i")
+      .join(gb, $"j" === $"j2" && $"grama" === $"gramb")
+      .groupBy($"i", $"j").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("i", "si"), "i")
+      .join(sizes.toDF("j", "sj"), "j")
+      .withColumn("rawjac", $"inter" / ($"si" + $"sj" - $"inter"))
+      .filter($"rawjac" >= 0.3)
+      .select($"i", $"j", graft.core.Exact.dround($"rawjac", 4).as("jaccard"))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_dedup_exact"     -> (q25Exact _),
+    "q26_dedup_minhash"   -> (q26MinHashLsh _),
+    "q27_dedup_simhash"   -> (q27SimHash _),
+    "q28_dedup_ngram"     -> (q28NgramJaccard _),
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q25_dedup_exact" ->
+      """WITH g AS (SELECT md5(text) fp, MIN(doc_id) keep_id, COUNT(*) n_copies
+        | FROM documents GROUP BY 1)
+        |SELECT n_copies > 1 AS is_dup_group, COUNT(*) AS n_groups,
+        | SUM(n_copies) AS n_docs
+        |FROM g GROUP BY 1""".stripMargin,
+    "q26_dedup_minhash" ->
+      """WITH dt AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS tok
+        |  FROM documents),
+        |sig AS (SELECT doc_id,
+        |  MIN(md5('0#'||tok)) m0, MIN(md5('1#'||tok)) m1,
+        |  MIN(md5('2#'||tok)) m2, MIN(md5('3#'||tok)) m3,
+        |  MIN(md5('4#'||tok)) m4, MIN(md5('5#'||tok)) m5
+        | FROM dt GROUP BY doc_id),
+        |bands AS (
+        | SELECT doc_id, 0 b, md5(m0||m1) bk FROM sig UNION ALL
+        | SELECT doc_id, 1 b, md5(m2||m3) bk FROM sig UNION ALL
+        | SELECT doc_id, 2 b, md5(m4||m5) bk FROM sig),
+        |cand AS (SELECT DISTINCT l.doc_id i, r.doc_id j
+        | FROM bands l JOIN bands r
+        |  ON l.b = r.b AND l.bk = r.bk AND l.doc_id < r.doc_id),
+        |sizes AS (SELECT doc_id, COUNT(*) sz FROM dt GROUP BY 1),
+        |inter AS (SELECT c.i, c.j, COUNT(*) inter FROM cand c
+        |  JOIN dt a ON a.doc_id = c.i JOIN dt b2 ON b2.doc_id = c.j
+        |   AND a.tok = b2.tok
+        |  GROUP BY c.i, c.j)
+        |SELECT it.i, it.j,
+        | CAST(ROUND(CAST((it.inter / (si.sz + sj.sz - it.inter)) AS DECIMAL(28,10)), 4) AS DOUBLE) AS jaccard
+        |FROM inter it JOIN sizes si ON it.i = si.doc_id
+        |JOIN sizes sj ON it.j = sj.doc_id
+        |WHERE it.inter / (si.sz + sj.sz - it.inter) >= 0.7""".stripMargin,
+    "q27_dedup_simhash" ->
+      """WITH dt AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS tok
+        |  FROM documents),
+        |hv AS (SELECT doc_id,
+        |  CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS hv FROM dt),
+        |bits AS (SELECT doc_id, b,
+        |  SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) sw
+        | FROM hv, generate_series(0, 47) t(b) GROUP BY doc_id, b),
+        |sims AS (SELECT doc_id,
+        |  SUM(CASE WHEN sw > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+        |    AS simhash
+        | FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id i, b.doc_id j,
+        | bit_count(xor(a.simhash, b.simhash)) AS hamming
+        |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+    "q28_dedup_ngram" ->
+      """WITH grams AS (SELECT DISTINCT doc_id, substr(text, g, 8) AS gram
+        |  FROM documents, generate_series(1, 4096) t(g)
+        |  WHERE g <= length(text) - 7),
+        |rare AS (SELECT gram FROM grams GROUP BY gram
+        |  HAVING COUNT(*) <= 4 AND COUNT(*) >= 2),
+        |rg AS (SELECT g.doc_id, g.gram FROM grams g JOIN rare r USING (gram)),
+        |cand AS (SELECT DISTINCT a.doc_id i, b.doc_id j FROM rg a
+        |  JOIN rg b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, COUNT(*) sz FROM grams GROUP BY 1),
+        |inter AS (SELECT c.i, c.j, COUNT(*) inter FROM cand c
+        |  JOIN grams a ON a.doc_id = c.i
+        |  JOIN grams b2 ON b2.doc_id = c.j AND a.gram = b2.gram
+        |  GROUP BY c.i, c.j)
+        |SELECT it.i, it.j,
+        | CAST(ROUND(CAST((it.inter / (si.sz + sj.sz - it.inter)) AS DECIMAL(28,10)), 4) AS DOUBLE) AS jaccard
+        |FROM inter it JOIN sizes si ON it.i = si.doc_id
+        |JOIN sizes sj ON it.j = sj.doc_id
+        |WHERE it.inter / (si.sz + sj.sz - it.inter) >= 0.3""".stripMargin,
+  )
+}

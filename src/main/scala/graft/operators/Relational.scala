@@ -23,7 +23,8 @@ object Relational extends QueryPack {
     round(sum(c.cast(DecimalType(18, 4))), scale).cast("double")
 
   private def davg(c: Column, scale: Int = 4): Column =
-    round(sum(c.cast(DecimalType(18, 4))).cast("double") / count(lit(1)), scale)
+    graft.core.Exact.dround(
+      sum(c.cast(DecimalType(18, 4))).cast("double") / count(lit(1)), scale)
 
   // --- q1: TPC-H Q1-style pricing summary (scan + filter + agg) -----------
   def q1Agg(s: SparkSession, dir: String): DataFrame = {
@@ -227,8 +228,8 @@ object Relational extends QueryPack {
         | CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
         | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
         | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS sum_disc_price,
-        | ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
-        | ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+        | CAST(ROUND(CAST((CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)) AS DECIMAL(28,10)), 4) AS DOUBLE) AS avg_qty,
+        | CAST(ROUND(CAST((CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)) AS DECIMAL(28,10)), 6) AS DOUBLE) AS avg_disc,
         | COUNT(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,

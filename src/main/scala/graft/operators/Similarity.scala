@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{QueryPack, Tables}
+
+/** Similarity search over the embedding column (builder-prompt
+  * first-class requirement): brute-force cosine top-k as the exactness
+  * baseline, sign-LSH bucketing as the scale path, and embedding-cosine
+  * near-duplicate pairs.
+  *
+  * Dot products run as `aggregate(zip_with(...))` — sequential
+  * index-order double accumulation, bit-identical to DuckDB's
+  * list_dot_product, so cosines hash-match the oracle exactly.
+  *
+  * Scale: brute-force is one broadcast of the query vector and a
+  * linear scan (TakeOrderedAndProject keeps top-k per partition, no
+  * global sort); sign-LSH pre-buckets candidates so the scan touches
+  * only matching buckets; near-dup pairing joins on bucket keys,
+  * never a full cross join.
+  */
+object Similarity extends QueryPack {
+
+  /** embedding: array<float> → array<double> (analysis-exact). */
+  private def vec(c: Column): Column = transform(c, _.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** 8-bit sign-LSH bucket of the first 8 dimensions. */
+  def signBucket(v: Column): Column =
+    concat((1 to 8).map(i =>
+      when(element_at(v, i) >= 0f, "1").otherwise("0")): _*)
+
+  // --- q29: brute-force cosine top-k against a query vector --------------
+  def q29BruteTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val q = broadcast(emb.filter($"vec_id" === 0)
+      .select(vec($"embedding").as("qv")))
+    emb.filter($"vec_id" =!= 0)
+      .crossJoin(q)
+      .withColumn("cos", cosine(vec($"embedding"), $"qv"))
+      .select($"vec_id", $"label", round($"cos", 6).as("cos"))
+      .orderBy(round($"cos", 6).desc, $"vec_id".asc)
+      .limit(10)
+  }
+
+  // --- q30: sign-LSH bucket statistics (the ANN scale path) --------------
+  def q30LshBuckets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // norm snapped to DECIMAL(18,6) before summing: double partial sums
+    // are partition-order-dependent, decimal sums are exact/associative
+    Tables.embeddings(s, dir)
+      .withColumn("bucket", signBucket($"embedding"))
+      .withColumn("norm", sqrt(dot(vec($"embedding"), vec($"embedding")))
+        .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"),
+        round(sum($"norm").cast("double") / count(lit(1)), 4).as("avg_norm"))
+      .filter($"n" >= 3)
+  }
+
+  /** Bucketed ANN: search only the query's sign bucket — the scale
+    * path (not in the oracle set: used by SimilaritySpec to measure
+    * recall against q29's exact answer).
+    */
+  def annInBucket(s: SparkSession, dir: String, queryId: Long, k: Int): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val q = broadcast(emb.filter($"vec_id" === queryId)
+      .select(vec($"embedding").as("qv"),
+        signBucket($"embedding").as("qbucket")))
+    emb.filter($"vec_id" =!= queryId)
+      .withColumn("bucket", signBucket($"embedding"))
+      .crossJoin(q)
+      .filter($"bucket" === $"qbucket")
+      .withColumn("cos", cosine(vec($"embedding"), $"qv"))
+      .select($"vec_id", round($"cos", 6).as("cos"))
+      .orderBy($"cos".desc, $"vec_id".asc)
+      .limit(k)
+  }
+
+  // --- q31: embedding-cosine near-duplicate pairs (bucketed) --------------
+  def q31EmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+      .withColumn("bucket", signBucket($"embedding"))
+      .select($"vec_id", $"bucket", vec($"embedding").as("v"))
+    val a = emb.toDF("i", "bucket", "va")
+    val b = emb.toDF("j", "bucket", "vb")
+    a.join(b, Seq("bucket"))
+      .filter($"i" < $"j")
+      .withColumn("cos", cosine($"va", $"vb"))
+      .filter($"cos" >= 0.5)
+      .select($"i", $"j", round($"cos", 6).as("cos"))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q29_ann_brute_topk"   -> (q29BruteTopK _),
+    "q30_ann_lsh_buckets"  -> (q30LshBuckets _),
+    "q31_embedding_neardup" -> (q31EmbeddingNearDup _),
+  )
+
+  private val sqlDot =
+    "list_dot_product(CAST(%s AS DOUBLE[]), CAST(%s AS DOUBLE[]))"
+  private def cosSql(a: String, b: String): String =
+    s"(${sqlDot.format(a, b)} / (SQRT(${sqlDot.format(a, a)}) * " +
+      s"SQRT(${sqlDot.format(b, b)})))"
+  private val bucketSql = (1 to 8).map(i =>
+    s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END").mkString("||")
+
+  override def oracleSql: Map[String, String] = Map(
+    "q29_ann_brute_topk" ->
+      s"""SELECT e.vec_id, e.label,
+         | ROUND(${cosSql("e.embedding", "q.embedding")}, 6) AS cos
+         |FROM embeddings e CROSS JOIN
+         | (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+         |WHERE e.vec_id != 0
+         |ORDER BY ROUND(${cosSql("e.embedding", "q.embedding")}, 6) DESC,
+         | e.vec_id ASC LIMIT 10""".stripMargin,
+    "q30_ann_lsh_buckets" ->
+      s"""SELECT $bucketSql AS bucket, COUNT(*) AS n,
+         | ROUND(CAST(SUM(CAST(SQRT(${sqlDot.format("embedding", "embedding")})
+         |   AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS avg_norm
+         |FROM embeddings GROUP BY 1 HAVING COUNT(*) >= 3""".stripMargin,
+    "q31_embedding_neardup" ->
+      s"""WITH e AS (SELECT vec_id, embedding, $bucketSql AS bucket
+         |  FROM embeddings)
+         |SELECT a.vec_id i, b.vec_id j,
+         | ROUND(${cosSql("a.embedding", "b.embedding")}, 6) AS cos
+         |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.5""".stripMargin,
+  )
+}

@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{QueryPack, Tables}
+import graft.ops.text.ParseEmails
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: language-ID (stopword-vote heuristic), quality
+  * scoring, token statistics, document fingerprinting — plus the email
+  * parser and HTML stripper exercised end-to-end with DuckDB oracles by
+  * round-tripping synthetic messages built from document rows.
+  *
+  * All are single-pass, shuffle-free per-row transforms (the group-bys
+  * aggregate tiny result cardinalities): at 100 TB they scale linearly
+  * with input splits.
+  */
+object TextAnalysis extends QueryPack {
+
+  // --- q19: email parse round-trip (M1 at the query surface) -------------
+  def q19EmailParse(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("msg", concat(
+        lit("Message-ID: <"), $"doc_id", lit("@x>\n"),
+        lit("From: u"), $"doc_id", lit("@example.com\n"),
+        lit("Subject: doc "), $"doc_id", lit("\n\n"), $"text"))
+      .withColumn("parsed", ParseEmails.parseEmailUdf($"msg"))
+      .select($"doc_id",
+        $"parsed.From".as("from_addr"),
+        $"parsed.Subject".as("subject"),
+        $"parsed.Message_D".as("message_id"),
+        ($"parsed.text" === $"text").as("text_roundtrip"))
+  }
+
+  // --- q20: HTML strip round-trip (M2 at the query surface) --------------
+  def q20HtmlStrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("html", concat(
+        lit("<html><body bgcolor=\"#fff\"><p>"), $"text",
+        lit("</p><!-- hidden --><script>var x=1;</script></body></html>")))
+      .select($"doc_id",
+        ParseEmails.stripHtmlUdf($"html").as("stripped"))
+  }
+
+  // --- q21: token statistics --------------------------------------------
+  def q21TokenStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("toks", split($"text", " "))
+      .select($"doc_id",
+        size($"toks").as("n_tokens"),
+        size(array_distinct($"toks")).as("n_distinct"),
+        length(regexp_replace($"text", " ", "")).as("n_token_chars"),
+        graft.core.Exact.dround(
+          length(regexp_replace($"text", " ", "")).cast("double") /
+            size($"toks"), 4).as("avg_token_len"))
+  }
+
+  private val stopwords = Seq("the", "a", "and", "of", "to", "in", "is", "it")
+
+  // --- q22: quality score (length + stopword-density heuristic) ----------
+  def q22Quality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+    Tables.documents(s, dir)
+      .withColumn("toks", split($"text", " "))
+      .withColumn("n_stop",
+        expr(s"size(filter(toks, x -> x IN ($stopList)))"))
+      .select($"doc_id",
+        $"n_stop",
+        graft.core.Exact.dround(
+          least(lit(1.0), $"n_chars" / 400.0) * 0.5 +
+            (lit(1.0) - $"n_stop" / size($"toks")) * 0.5, 4)
+          .as("quality"))
+  }
+
+  /** Stopword vote sets for the language-ID heuristic. On this synthetic
+    * corpus every language shares one vocabulary, so votes measure the
+    * heuristic's determinism, not linguistic accuracy.
+    */
+  private val langMarkers = Map(
+    "en" -> Seq("the", "and", "of", "is"),
+    "de" -> Seq("der", "und", "das", "ist"),
+    "fr" -> Seq("le", "et", "la", "est"))
+
+  // --- q23: language-ID by stopword votes --------------------------------
+  def q23LangId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def hits(lang: String) = {
+      val list = langMarkers(lang).map(w => s"'$w'").mkString(", ")
+      expr(s"size(filter(split(text, ' '), x -> x IN ($list)))")
+    }
+    Tables.documents(s, dir)
+      .withColumn("en_h", hits("en"))
+      .withColumn("de_h", hits("de"))
+      .withColumn("fr_h", hits("fr"))
+      .withColumn("pred",
+        when($"en_h" >= $"de_h" && $"en_h" >= $"fr_h", "en")
+          .when($"de_h" >= $"fr_h", "de").otherwise("fr"))
+      .groupBy($"lang", $"pred")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  // --- q24: exact-content fingerprint -------------------------------------
+  def q24Fingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        md5($"text").as("fp"),
+        md5(concat_ws(" ", array_sort(array_distinct(split($"text", " ")))))
+          .as("fp_token_set"))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q19_email_parse" -> (q19EmailParse _),
+    "q20_html_strip"  -> (q20HtmlStrip _),
+    "q21_token_stats" -> (q21TokenStats _),
+    "q22_quality"     -> (q22Quality _),
+    "q23_lang_id"     -> (q23LangId _),
+    "q24_fingerprint" -> (q24Fingerprint _),
+  )
+
+  private val stopListSql = stopwords.map(w => s"'$w'").mkString(", ")
+
+  override def oracleSql: Map[String, String] = Map(
+    "q19_email_parse" ->
+      """SELECT doc_id,
+        | 'u' || doc_id || '@example.com' AS from_addr,
+        | 'doc ' || doc_id AS subject,
+        | '<' || doc_id || '@x>' AS message_id,
+        | TRUE AS text_roundtrip
+        |FROM documents""".stripMargin,
+    "q20_html_strip" ->
+      "SELECT doc_id, text AS stripped FROM documents",
+    "q21_token_stats" ->
+      """SELECT doc_id,
+        | len(string_split(text, ' ')) AS n_tokens,
+        | len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        | length(replace(text, ' ', '')) AS n_token_chars,
+        | CAST(ROUND(CAST((CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |   / len(string_split(text, ' '))) AS DECIMAL(28,10)), 4) AS DOUBLE) AS avg_token_len
+        |FROM documents""".stripMargin,
+    "q22_quality" ->
+      s"""SELECT doc_id,
+         | len(list_filter(string_split(text, ' '),
+         |   x -> x IN ($stopListSql))) AS n_stop,
+         | CAST(ROUND(CAST((LEAST(CAST(1.0 AS DOUBLE), n_chars / CAST(400.0 AS DOUBLE)) * CAST(0.5 AS DOUBLE) +
+         |   (CAST(1.0 AS DOUBLE) - len(list_filter(string_split(text, ' '),
+         |     x -> x IN ($stopListSql)))
+         |    / len(string_split(text, ' '))) * CAST(0.5 AS DOUBLE)) AS DECIMAL(28,10)), 4) AS DOUBLE) AS quality
+         |FROM documents""".stripMargin,
+    "q23_lang_id" ->
+      """WITH scored AS (SELECT lang,
+        |  len(list_filter(string_split(text,' '),
+        |    x -> x IN ('the','and','of','is'))) AS en_h,
+        |  len(list_filter(string_split(text,' '),
+        |    x -> x IN ('der','und','das','ist'))) AS de_h,
+        |  len(list_filter(string_split(text,' '),
+        |    x -> x IN ('le','et','la','est'))) AS fr_h
+        | FROM documents)
+        |SELECT lang,
+        | CASE WHEN en_h >= de_h AND en_h >= fr_h THEN 'en'
+        |      WHEN de_h >= fr_h THEN 'de' ELSE 'fr' END AS pred,
+        | COUNT(*) AS n
+        |FROM scored GROUP BY 1, 2""".stripMargin,
+    "q24_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp,
+        | md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+        |   AS fp_token_set
+        |FROM documents""".stripMargin,
+  )
+}

@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Dedup / similarity / text-analysis semantics beyond the oracle gate:
+  * known-answer checks and the ANN scale path's recall.
+  */
+class PipelineOpsSpec extends SparkTestBase {
+
+  test("minhash LSH finds the token-set-identical pairs") {
+    // sf0.001 documents contain pairs with identical token SETS
+    // (reordered near-duplicates): jaccard 1.0 must surface
+    val pairs = Dedup.q26MinHashLsh(spark, sfDir).collect()
+    assert(pairs.nonEmpty, "expected near-dup candidates")
+    assert(pairs.exists(_.getAs[Double]("jaccard") == 1.0),
+      "token-set-identical pairs must score jaccard 1.0")
+    // LSH candidates are a superset check: identical signature ⇒ banded
+    pairs.foreach(r => assert(r.getAs[Double]("jaccard") >= 0.7))
+  }
+
+  test("simhash: identical token sets get identical simhash (hamming 0)") {
+    val res = Dedup.q27SimHash(spark, sfDir)
+    assert(res.filter(col("hamming") === 0).count() > 0)
+  }
+
+  test("ann bucket search: bucketed results are true cosines, bounded by exact max") {
+    val brute = Similarity.q29BruteTopK(spark, sfDir).collect()
+    val bruteMax = brute.map(_.getAs[Double]("cos")).max
+    val bucketed = Similarity.annInBucket(spark, sfDir, 0L, 10).collect()
+    assert(bucketed.nonEmpty, "query bucket must contain candidates")
+    // bucketed is a subset search: its cosines can never beat the
+    // exact maximum, and any shared vec_id must carry the same cosine
+    bucketed.foreach(r => assert(r.getAs[Double]("cos") <= bruteMax))
+    val bruteMap = brute.map(r =>
+      r.getAs[Long]("vec_id") -> r.getAs[Double]("cos")).toMap
+    bucketed.foreach { r =>
+      bruteMap.get(r.getAs[Long]("vec_id")).foreach(c =>
+        assert(c == r.getAs[Double]("cos")))
+    }
+  }
+
+  test("exact dedup groups: total docs preserved") {
+    val rows = Dedup.q25Exact(spark, sfDir).collect()
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    val expected = graft.core.Tables.documents(spark, sfDir).count()
+    assert(total == expected)
+  }
+
+  test("language-id counts cover all documents") {
+    val n = TextAnalysis.q23LangId(spark, sfDir).agg(sum("n")).head().getLong(0)
+    assert(n == graft.core.Tables.documents(spark, sfDir).count())
+  }
+
+  test("fingerprints: token-set fp collides for reordered docs, fp does not") {
+    val fp = TextAnalysis.q24Fingerprint(spark, sfDir)
+    val nDocs = fp.count()
+    assert(fp.select("fp").distinct().count() == nDocs)
+    assert(fp.select("fp_token_set").distinct().count() < nDocs,
+      "expected reordered near-duplicates to share token-set fingerprint")
+  }
+}
