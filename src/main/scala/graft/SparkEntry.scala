@@ -17,6 +17,7 @@ object SparkEntry {
     graft.operators.TextAnalysis,
     graft.operators.Dedup,
     graft.operators.Similarity,
+    graft.operators.Anomaly,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.core.{Exact, QueryPack, Tables}
+
+/** Statistical anomaly detection over the `events` stream table — the
+  * engine's north-star capability (SURVEY §2.5/§2.11 M10: the
+  * reference's VAE stands in for "anomaly detection"; the engine
+  * contract is an anomaly-score/flag surface with pluggable scorers;
+  * model-based scorers live in graft.ops.anomaly).
+  *
+  * Exactness design: `value` has 2-decimal precision, so it is scaled
+  * to int `v4 = round(value*10^4)` and every z-score predicate is
+  * evaluated in exact integer arithmetic —
+  *   |v - mean| > k·sigma  ⟺  (v4·n − S)² > k²·(n·Q − S²)
+  * with S=Σv4, Q=Σv4² (DECIMAL(38,0) on Spark, HUGEINT in DuckDB).
+  * Float z-scores are display-only. This makes outlier sets
+  * bit-reproducible across engines AND across partitionings — a
+  * property double arithmetic cannot give at any scale.
+  */
+object Anomaly extends QueryPack {
+
+  private def v4(c: Column): Column = round(c * 10000).cast("long")
+  private val D38 = DecimalType(38, 0)
+
+  // --- q32: global z-score outliers per event_type (|z| > 3) -------------
+  def q32ZScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir).withColumn("v4", v4($"value"))
+    val stats = ev.groupBy($"event_type".as("et"))
+      .agg(count(lit(1)).as("n"), sum($"v4").as("sv"),
+        sum($"v4" * $"v4").as("q"))
+    val j = ev.join(broadcast(stats), $"event_type" === $"et")
+    val lhs = ($"v4" * $"n" - $"sv").cast(D38)
+    val rhs = ($"n".cast(D38) * $"q".cast(D38) -
+      $"sv".cast(D38) * $"sv".cast(D38))
+    j.filter(lhs * lhs > rhs * lit(9))
+      .select($"event_id", $"event_type", $"value",
+        Exact.dround(lhs.cast("double") / sqrt(rhs.cast("double")), 4)
+          .as("z"))
+  }
+
+  // --- q33: tumbling-window stats + in-window outlier counts --------------
+  def q33WindowStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir).withColumn("v4", v4($"value"))
+      .withColumn("w", window($"ts", "10 minutes"))
+    val stats = ev.groupBy($"w".as("win"), $"event_type".as("et"))
+      .agg(count(lit(1)).as("n"), sum($"v4").as("sv"),
+        sum($"v4" * $"v4").as("q"))
+    val j = ev.join(broadcast(stats), $"w" === $"win" &&
+      $"event_type" === $"et")
+    val lhs = ($"v4" * $"n" - $"sv").cast(D38)
+    val rhs = ($"n".cast(D38) * $"q".cast(D38) -
+      $"sv".cast(D38) * $"sv".cast(D38))
+    j.groupBy($"w", $"event_type")
+      .agg(max($"n").as("n"),
+        sum(when(lhs * lhs > rhs * lit(4), 1).otherwise(0))
+          .as("n_outliers"),
+        Exact.dround(max($"sv").cast("double") / 10000.0 / max($"n"), 4)
+          .as("avg_value"))
+      .select(date_format($"w.start", "yyyy-MM-dd HH:mm:ss")
+        .as("window_start"), $"event_type", $"n", $"n_outliers",
+        $"avg_value")
+  }
+
+  // --- q34: rolling-frame z-score per user (streamable shape) -------------
+  def q34Rolling(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(-10, -1)
+    val ev = Tables.events(s, dir).withColumn("v4", v4($"value"))
+      .withColumn("nf", count(lit(1)).over(w))
+      .withColumn("sf", sum($"v4").over(w))
+      .withColumn("qf", sum($"v4" * $"v4").over(w))
+    val lhs = ($"v4" * $"nf" - $"sf").cast(D38)
+    val rhs = ($"nf".cast(D38) * $"qf".cast(D38) -
+      $"sf".cast(D38) * $"sf".cast(D38))
+    ev.filter($"nf" >= 5 && lhs * lhs > rhs * lit(4))
+      .select($"event_id", $"user_id", $"value",
+        Exact.dround($"sf".cast("double") / 10000.0 / $"nf", 4)
+          .as("rolling_avg"))
+  }
+
+  // --- q35: robust stats (median / MAD) per event_type --------------------
+  def q35RobustStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir).withColumn("v4", v4($"value"))
+    val med = ev.groupBy($"event_type".as("et"))
+      .agg(expr("percentile(v4, 0.5)").as("med4"))
+    Tables.events(s, dir).withColumn("v4", v4($"value"))
+      .join(broadcast(med), $"event_type" === $"et")
+      .withColumn("dev", abs($"v4" - $"med4"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        Exact.dround(max($"med4") / 10000.0, 4).as("median_value"),
+        Exact.dround(expr("percentile(dev, 0.5)") / 10000.0, 4).as("mad"))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q32_anomaly_zscore"  -> (q32ZScore _),
+    "q33_anomaly_window"  -> (q33WindowStats _),
+    "q34_anomaly_rolling" -> (q34Rolling _),
+    "q35_anomaly_robust"  -> (q35RobustStats _),
+  )
+
+  private val v4Sql = "CAST(ROUND(value * 10000) AS BIGINT)"
+
+  override def oracleSql: Map[String, String] = Map(
+    "q32_anomaly_zscore" ->
+      s"""WITH ev AS (SELECT event_id, event_type, value,
+         |  $v4Sql AS v4 FROM events),
+         |st AS (SELECT event_type et, COUNT(*) n, SUM(v4) sv,
+         |  SUM(v4*v4) q FROM ev GROUP BY 1)
+         |SELECT event_id, event_type, value,
+         | CAST(ROUND(CAST((CAST(CAST(v4 AS HUGEINT)*n - sv AS DOUBLE) /
+         |   SQRT(CAST((CAST(n AS HUGEINT)*q - CAST(sv AS HUGEINT)*sv) AS DOUBLE)))
+         |   AS DECIMAL(28,10)), 4) AS DOUBLE) AS z
+         |FROM ev JOIN st ON event_type = et
+         |WHERE (CAST(v4 AS HUGEINT)*n - sv)*(CAST(v4 AS HUGEINT)*n - sv) >
+         |  (CAST(n AS HUGEINT)*q - CAST(sv AS HUGEINT)*sv) * 9""".stripMargin,
+    "q33_anomaly_window" ->
+      s"""WITH ev AS (SELECT time_bucket(INTERVAL '10 minutes', ts) wb,
+         |  event_type, $v4Sql AS v4 FROM events),
+         |st AS (SELECT wb wbs, event_type et, COUNT(*) n, SUM(v4) sv,
+         |  SUM(v4*v4) q FROM ev GROUP BY 1, 2)
+         |SELECT STRFTIME(wb, '%Y-%m-%d %H:%M:%S') AS window_start,
+         | event_type, MAX(n) AS n,
+         | SUM(CASE WHEN (CAST(v4 AS HUGEINT)*n - sv)*(CAST(v4 AS HUGEINT)*n - sv) >
+         |   (CAST(n AS HUGEINT)*q - CAST(sv AS HUGEINT)*sv) * 4
+         |  THEN 1 ELSE 0 END) AS n_outliers,
+         | CAST(ROUND(CAST((CAST(MAX(sv) AS DOUBLE) / 10000.0 / MAX(n))
+         |   AS DECIMAL(28,10)), 4) AS DOUBLE) AS avg_value
+         |FROM ev JOIN st ON wb = wbs AND event_type = et
+         |GROUP BY 1, 2""".stripMargin,
+    "q34_anomaly_rolling" ->
+      s"""WITH ev AS (SELECT event_id, user_id, ts, value, $v4Sql AS v4
+         |  FROM events),
+         |fr AS (SELECT event_id, user_id, value, v4,
+         |  COUNT(*) OVER w AS nf, SUM(v4) OVER w AS sf,
+         |  SUM(v4*v4) OVER w AS qf
+         | FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+         |   ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
+         |SELECT event_id, user_id, value,
+         | CAST(ROUND(CAST((CAST(sf AS DOUBLE) / 10000.0 / nf)
+         |   AS DECIMAL(28,10)), 4) AS DOUBLE) AS rolling_avg
+         |FROM fr WHERE nf >= 5 AND
+         | (CAST(v4 AS HUGEINT)*nf - sf)*(CAST(v4 AS HUGEINT)*nf - sf) >
+         |   (CAST(nf AS HUGEINT)*qf - CAST(sf AS HUGEINT)*sf) * 4""".stripMargin,
+    "q35_anomaly_robust" ->
+      s"""WITH ev AS (SELECT event_type, $v4Sql AS v4 FROM events),
+         |med AS (SELECT event_type et, quantile_cont(v4, 0.5) med4
+         |  FROM ev GROUP BY 1)
+         |SELECT event_type, COUNT(*) AS n,
+         | CAST(ROUND(CAST((MAX(med4) / 10000.0) AS DECIMAL(28,10)), 4)
+         |   AS DOUBLE) AS median_value,
+         | CAST(ROUND(CAST((quantile_cont(ABS(v4 - med4), 0.5) / 10000.0)
+         |   AS DECIMAL(28,10)), 4) AS DOUBLE) AS mad
+         |FROM ev JOIN med ON event_type = et
+         |GROUP BY event_type""".stripMargin,
+  )
+}

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming anomaly surface (SURVEY §2.10 K4 — the consumer
+  * side the reference never built; semantics follow Structured
+  * Streaming defaults: late rows beyond the watermark are dropped).
+  *
+  * Sources are pluggable `readStream` DataFrames: files in tests,
+  * `.format("kafka")` in deployment (connector jar is a deploy-time
+  * dependency; see [[Replay.kafkaSinkOptions]]).
+  */
+object AnomalyStream {
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class Welford(n: Long, mean: Double, m2: Double) {
+    def add(x: Double): Welford = {
+      val n1 = n + 1
+      val d = x - mean
+      val m = mean + d / n1
+      Welford(n1, m, m2 + d * (x - m))
+    }
+    def std: Double = if (n < 2) 0.0 else math.sqrt(m2 / n)
+  }
+
+  case class Hit(event_id: Long, event_type: String, user_id: Long,
+      value: Double, z: Double)
+
+  /** Watermarked tumbling-window aggregation — the streaming twin of
+    * batch q33. Append mode: a window emits once its watermark passes.
+    */
+  def windowedStats(events: DataFrame, watermark: String = "10 minutes",
+      window_ : String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"),
+        max(col("value")).as("max_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total"), col("max_value"))
+
+  /** Per-key streaming z-score detector: running Welford mean/variance
+    * per (event_type), emitting events whose |z| exceeds `k` once at
+    * least `minN` observations back the estimate. State is O(1) per
+    * key — at cluster scale keys shard across executors' state stores.
+    */
+  def zscoreDetector(events: Dataset[Event], k: Double = 3.0,
+      minN: Long = 10): Dataset[Hit] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[Welford, Hit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[Event], state: GroupState[Welford]) =>
+          var st = state.getOption.getOrElse(Welford(0, 0.0, 0.0))
+          val hits = scala.collection.mutable.ArrayBuffer.empty[Hit]
+          // deterministic within-batch order
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            if (st.n >= minN && st.std > 0) {
+              val z = math.abs(e.value - st.mean) / st.std
+              if (z > k) hits += Hit(e.event_id, key, e.user_id, e.value, z)
+            }
+            st = st.add(e.value)
+          }
+          state.update(st)
+          hits.iterator
+      }
+  }
+}

@@ -1,0 +1,114 @@
+package graft
+
+import graft.streaming.{AnomalyStream, Replay}
+import graft.streaming.AnomalyStream.{Event, Hit}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkTestBase {
+
+  private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+
+  test("windowed stats stream: watermark closes windows, late rows dropped") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = AnomalyStream.windowedStats(input.toDF(),
+        watermark = "1 minutes", window_ = "1 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("winstats").start()
+    try {
+      // batch 1: two windows of data, advancing event time far enough
+      input.addData(
+        Event(1, ts(10), 1, "click", 1.0),
+        Event(2, ts(20), 1, "click", 3.0),
+        Event(3, ts(70), 2, "click", 5.0))
+      q.processAllAvailable()
+      // batch 2: advance watermark past window [0,60); then a LATE row
+      input.addData(Event(4, ts(400), 1, "click", 7.0))
+      q.processAllAvailable()
+      input.addData(Event(5, ts(15), 9, "click", 100.0)) // late: dropped
+      input.addData(Event(6, ts(500), 1, "click", 9.0))
+      q.processAllAvailable()
+      val rows = spark.table("winstats").collect()
+      val w0 = rows.find(_.getAs[java.sql.Timestamp]("window_start")
+        .getTime == 0L)
+      assert(w0.isDefined, s"window [0,60) must have emitted: ${rows.toSeq}")
+      assert(w0.get.getAs[Long]("n") == 2L,
+        "late row must NOT be counted in the closed window")
+      assert(w0.get.getAs[Double]("total") == 4.0)
+    } finally q.stop()
+  }
+
+  test("streaming z-score detector: flags the planted outlier, keeps state across batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = AnomalyStream.zscoreDetector(input.toDS(), k = 3.0, minN = 10)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("zhits").start()
+    try {
+      // batch 1: 20 normal observations (value ~ 10 +- 1)
+      input.addData((1 to 20).map(i =>
+        Event(i, ts(i * 10), 1, "click", 10.0 + (i % 3) - 1)): _*)
+      q.processAllAvailable()
+      assert(spark.table("zhits").count() == 0, "no outliers yet")
+      // batch 2: a wild outlier + one normal
+      input.addData(Event(100, ts(2000), 1, "click", 50.0),
+        Event(101, ts(2010), 1, "click", 10.0))
+      q.processAllAvailable()
+      val hits = spark.table("zhits").as[Hit].collect()
+      assert(hits.map(_.event_id).toSet == Set(100L),
+        s"exactly the planted outlier: ${hits.toSeq}")
+      assert(hits.head.z > 3.0)
+    } finally q.stop()
+  }
+
+  test("replay: ascending order, pruned per-offset batches, pacing preserved") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("replay").toString + "/data"
+    // write partitions out of order to prove replay sorts
+    Seq((3, "c"), (4, "d")).toDF("id", "payload").withColumn("t", lit(2.5))
+      .union(Seq((1, "a")).toDF("id", "payload").withColumn("t", lit(0.5)))
+      .union(Seq((2, "b")).toDF("id", "payload").withColumn("t", lit(1.5)))
+      .write.partitionBy("t").parquet(base)
+
+    val sent = scala.collection.mutable.ArrayBuffer.empty[(Double, Set[String])]
+    val t0 = System.nanoTime()
+    val log = Replay.replay(spark, base, speedup = 5.0) { (df, t) =>
+      sent += ((t, df.select("payload").collect().map(_.getString(0)).toSet))
+    }
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(log.map(_._1) == Seq(0.5, 1.5, 2.5), "ascending t order")
+    assert(log.map(_._2) == Seq(1L, 1L, 2L))
+    assert(sent.map(_._2) == Seq(Set("a"), Set("b"), Set("c", "d")))
+    // total gaps = 2.5s at speedup 5 => ~500ms of sleeping minimum
+    assert(elapsedMs >= 450, s"pacing must wait, took ${elapsedMs}ms")
+
+    // kafka message shaping (producer wiring minus the broker)
+    val kdf = Replay.toKafkaJson(
+      Seq((1, "a")).toDF("id", "payload").withColumn("t", lit(0.5)), "id")
+    val row = kdf.head()
+    assert(kdf.columns.toSeq == Seq("key", "value"))
+    assert(row.getString(0) == "1")
+    assert(row.getString(1).contains("\"payload\":\"a\""))
+  }
+
+  test("scorers: kmeans/pca/zscore all emit the anomaly_score contract") {
+    import graft.ops.anomaly.Scorers
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val km = Scorers.kmeansDistance(emb, "embedding", k = 4)
+    assert(km.columns.contains("anomaly_score"))
+    assert(km.filter(col("anomaly_score") < 0).count() == 0)
+    val pca = Scorers.pcaReconstructionError(emb, "embedding", k = 8)
+    assert(pca.columns.contains("anomaly_score"))
+    assert(pca.filter(col("anomaly_score") < 0).count() == 0)
+    // z-score scorer on events flags the same global outliers as q32
+    val ev = graft.core.Tables.events(spark, sfDir)
+    val scored = Scorers.zscore(ev, "value", Seq("event_type"))
+    val flagged = scored.filter(col("anomaly_score") > 3).count()
+    val q32 = graft.operators.Anomaly.q32ZScore(spark, sfDir).count()
+    assert(flagged == q32,
+      s"batch scorer ($flagged) and exact-arithmetic q32 ($q32) must agree")
+  }
+}
