@@ -18,6 +18,7 @@ object SparkEntry {
     graft.operators.Dedup,
     graft.operators.Similarity,
     graft.operators.Anomaly,
+    graft.operators.Alignment,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{Exact, QueryPack, Tables}
+
+/** As-of (time-series alignment) join — SURVEY §2.4/§7.4: absent from
+  * both the reference and Spark's builtin joins; required for
+  * time-series parity (the reference's replay implicitly aligns
+  * locations/accelerations streams by time).
+  *
+  * Implementation composes built-ins (preference order (a) of the
+  * builder contract): tag left probes and right state rows, union,
+  * then one window pass per key ordered by (time, tag) carrying
+  * `last(right_value, ignoreNulls)` — each probe row sees the most
+  * recent right row at-or-before its timestamp.
+  *
+  * Scale: ONE shuffle on the join key (the union sorts within key
+  * partitions); no range explosion, no per-row subqueries. The same
+  * plan shape Flink/QuestDB use for as-of merges.
+  */
+object AsOfJoin {
+
+  /** Left rows gain `asof_<c>` for each carried right column: the value
+    * from the latest right row with rightTime <= leftTime, per key.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String,
+      carry: Seq[String]): DataFrame = {
+    val lCols = left.columns
+    // tag=1 for probes so they sort AFTER state rows at equal times
+    // (ties: a right row AT the probe time matches, per ASOF <= spec)
+    val l = left.withColumn("__tag", lit(1))
+      .withColumn("__t", col(leftTime))
+    val r0 = right.select(
+      (col(key).as(key) +: col(rightTime).as("__t") +:
+        carry.map(c => col(c).as(s"__c_$c"))): _*)
+      .withColumn("__tag", lit(0))
+    val lAligned = l.select(
+      (col(key) +: col("__t") +: col("__tag") +:
+        carry.map(c => lit(null).cast(r0.schema(s"__c_$c").dataType)
+          .as(s"__c_$c"))) ++
+        lCols.filterNot(_ == key).map(c => col(c)): _*)
+    val rAligned = r0.select(
+      (col(key) +: col("__t") +: col("__tag") +:
+        carry.map(c => col(s"__c_$c"))) ++
+        lCols.filterNot(_ == key)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__t"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val merged = lAligned.union(rAligned)
+    val withCarry = carry.foldLeft(merged) { (df, c) =>
+      df.withColumn(s"asof_$c",
+        last(col(s"__c_$c"), ignoreNulls = true).over(w))
+    }
+    withCarry.filter(col("__tag") === 1)
+      .select(lCols.map(col) ++ carry.map(c => col(s"asof_$c")): _*)
+  }
+}
+
+/** Query-surface operators: as-of join, JSON validation, multimodal
+  * plumbing over the test tables.
+  */
+object Alignment extends QueryPack {
+
+  // --- q36: as-of join — each click sees the latest error before it ------
+  def q36AsOf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts", $"value")
+    val errors = ev.filter($"event_type" === "error")
+      .select($"user_id", $"ts", $"event_id".as("err_id"), $"value")
+    AsOfJoin.asofJoin(clicks, errors, "user_id", "ts", "ts",
+        Seq("err_id"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_clicks"),
+        count($"asof_err_id").as("n_with_prior_error"),
+        max($"asof_err_id").as("max_err_id"))
+  }
+
+  // --- q37: JSON validation / extraction (F1 at the query surface) -------
+  def q37JsonValidate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("k", LongType)))
+    Tables.events(s, dir)
+      .withColumn("parsed", from_json($"props", schema))
+      .withColumn("valid", $"parsed".isNotNull && $"parsed.k".isNotNull)
+      .groupBy($"valid", ($"parsed.k" % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Multimodal decode STUB (builder contract: the image/audio libs are
+    * not in this container — the decode is a deterministic fake; the
+    * Spark-side plumbing — binary column, partition-batched decode,
+    * output schema — is real). kind from doc_id, dims from byte stats.
+    */
+  case class MediaMeta(doc_id: Long, kind: String, n_bytes: Int,
+      width: Int, height: Int)
+
+  // --- q38: partition-batched media metadata extraction -------------------
+  def q38MediaMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bin = Tables.documents(s, dir)
+      .select($"doc_id", encode($"text", "utf-8").as("bytes"))
+      .as[(Long, Array[Byte])]
+    // mapPartitions: rows decode in batches per partition (the Scala
+    // analog of mapInPandas batch shape — a real decoder would init
+    // its codec once per partition here)
+    bin.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val kind = (id % 3) match {
+          case 0 => "image"; case 1 => "audio"; case _ => "video"
+        }
+        // STUB decode: dimensions derived deterministically from bytes
+        val w = 64 + (bytes.length * 7 + (bytes.headOption.getOrElse(0: Byte) & 0xff)) % 1857
+        val h = 64 + (bytes.length * 13) % 1017
+        MediaMeta(id, kind, bytes.length, w, h)
+      }
+    }.toDF()
+  }
+
+  // --- q39: frame sampling (video-style strided byte slicing) -------------
+  def q39FrameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", $"text",
+        explode(sequence(lit(0), lit(3))).as("frame_idx"))
+      .withColumn("off", expr("frame_idx * (length(text) div 4) + 1"))
+      .filter($"off" + 15 <= length($"text"))
+      .select($"doc_id", $"frame_idx",
+        expr("substring(text, off, 16)").as("frame"))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_asof_join"     -> (q36AsOf _),
+    "q37_json_validate" -> (q37JsonValidate _),
+    "q38_media_meta"    -> (q38MediaMeta _),
+    "q39_frame_sample"  -> (q39FrameSample _),
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q36_asof_join" ->
+      """WITH clicks AS (SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'click'),
+        |errors AS (SELECT user_id, ts, event_id err_id FROM events
+        |  WHERE event_type = 'error')
+        |SELECT c.user_id, COUNT(*) AS n_clicks,
+        | COUNT(e.err_id) AS n_with_prior_error,
+        | MAX(e.err_id) AS max_err_id
+        |FROM clicks c ASOF LEFT JOIN errors e
+        |  ON c.user_id = e.user_id AND e.ts <= c.ts
+        |GROUP BY c.user_id""".stripMargin,
+    "q37_json_validate" ->
+      """SELECT (json_extract(props, '$.k') IS NOT NULL) AS valid,
+        | CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+        | COUNT(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q38_media_meta" ->
+      """SELECT doc_id,
+        | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |   ELSE 'video' END AS kind,
+        | length(text) AS n_bytes,
+        | 64 + (length(text) * 7 + ascii(substr(text, 1, 1))) % 1857 AS width,
+        | 64 + (length(text) * 13) % 1017 AS height
+        |FROM documents""".stripMargin,
+    "q39_frame_sample" ->
+      """SELECT doc_id, frame_idx,
+        | substr(text, off, 16) AS frame
+        |FROM (SELECT doc_id, text, g AS frame_idx,
+        |   g * (length(text) // 4) + 1 AS off
+        |  FROM documents, generate_series(0, 3) t(g))
+        |WHERE off + 15 <= length(text)""".stripMargin,
+  )
+}

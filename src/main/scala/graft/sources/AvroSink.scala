@@ -1,0 +1,115 @@
+package graft.sources
+
+import org.apache.avro.{Schema, SchemaBuilder}
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
+
+/** Avro container sink/source (SURVEY §2.9 W2) built directly on the
+  * avro-core library that ships with Spark (no spark-avro module in
+  * this image). The writer runs per-partition on executors — each task
+  * streams its rows into one container file, so the sink scales with
+  * input splits exactly like the builtin parquet writer.
+  *
+  * The Avro schema is GENERATED from the DataFrame's StructType
+  * (SURVEY §1.3: one canonical schema, renderings derived) — the
+  * reference hand-maintained a 140-line Avro schema with type bugs
+  * (`Assignment_3.ipynb:286-430`, lat/long as `long`, §1.4).
+  */
+object AvroSink {
+
+  def toAvroSchema(st: StructType, name: String = "record",
+      ns: String = "graft"): Schema = {
+    def field(dt: DataType, fieldName: String): Schema = dt match {
+      case s: StructType => toAvroSchema(s, fieldName, ns)
+      case ArrayType(et, _) => Schema.createArray(nullable(field(et, fieldName)))
+      case IntegerType => Schema.create(Schema.Type.INT)
+      case LongType => Schema.create(Schema.Type.LONG)
+      case DoubleType => Schema.create(Schema.Type.DOUBLE)
+      case FloatType => Schema.create(Schema.Type.FLOAT)
+      case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+      case BinaryType => Schema.create(Schema.Type.BYTES)
+      case _ => Schema.create(Schema.Type.STRING)
+    }
+    def nullable(s: Schema): Schema =
+      Schema.createUnion(List(Schema.create(Schema.Type.NULL), s).asJava)
+    val fields = st.fields.map { f =>
+      new Schema.Field(f.name, nullable(field(f.dataType, f.name)),
+        null, Schema.Field.NULL_DEFAULT_VALUE)
+    }
+    Schema.createRecord(name, null, ns, false, fields.toList.asJava)
+  }
+
+  private def toAvro(value: Any, dt: DataType, schema: Schema): Any =
+    (value, dt) match {
+      case (null, _) => null
+      case (r: Row, s: StructType) =>
+        val recSchema = nonNull(schema)
+        val rec = new GenericData.Record(recSchema)
+        s.fields.zipWithIndex.foreach { case (f, i) =>
+          rec.put(f.name, toAvro(r.get(i), f.dataType,
+            recSchema.getField(f.name).schema()))
+        }
+        rec
+      case (seq: scala.collection.Seq[_], ArrayType(et, _)) =>
+        val el = nonNull(schema).getElementType
+        seq.map(v => toAvro(v, et, el)).asJava
+      case (s: String, _) => s
+      case (v, _) => v
+    }
+
+  private def nonNull(s: Schema): Schema =
+    if (s.getType == Schema.Type.UNION)
+      s.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
+    else s
+
+  /** Executor-side partitioned write: `out/part-NNNNN.avro` per task. */
+  def write(df: DataFrame, out: String): Unit = {
+    val st = df.schema
+    val schemaJson = toAvroSchema(st, "row").toString
+    new java.io.File(out).mkdirs()
+    df.rdd.mapPartitionsWithIndex { (idx, rows) =>
+      if (rows.hasNext) {
+        val schema = new Schema.Parser().parse(schemaJson)
+        val writer = new DataFileWriter[GenericRecord](
+          new GenericDatumWriter[GenericRecord](schema))
+        val f = new java.io.File(out, f"part-$idx%05d.avro")
+        writer.create(schema, f)
+        rows.foreach { r =>
+          writer.append(toAvro(r, st, schema).asInstanceOf[GenericRecord])
+        }
+        writer.close()
+        Iterator.single(1)
+      } else Iterator.empty
+    }.count(): Unit
+  }
+
+  private def fromAvro(value: Any, dt: DataType): Any = (value, dt) match {
+    case (null, _) => null
+    case (r: GenericRecord, s: StructType) =>
+      Row.fromSeq(s.fields.toSeq.map(f => fromAvro(r.get(f.name), f.dataType)))
+    case (l: java.util.List[_], ArrayType(et, _)) =>
+      l.asScala.toSeq.map(v => fromAvro(v, et))
+    case (u: org.apache.avro.util.Utf8, _) => u.toString
+    case (v, _) => v
+  }
+
+  /** Driver-side reader for verification/roundtrip (container files are
+    * splittable; a production source would register a DataSourceV2 —
+    * parquet remains the engine's primary at-rest format).
+    */
+  def read(spark: SparkSession, dir: String, st: StructType): DataFrame = {
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".avro")).sortBy(_.getName)
+    val rows = files.flatMap { f =>
+      val reader = new DataFileReader[GenericRecord](f,
+        new GenericDatumReader[GenericRecord]())
+      val out = reader.iterator().asScala
+        .map(r => fromAvro(r, st).asInstanceOf[Row]).toList
+      reader.close(); out
+    }
+    spark.createDataFrame(rows.toList.asJava, st)
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import graft.core.RouteSchema
+import graft.operators.Geo
+import graft.sources.{AvroSink, Ingest, ProtoSink, ProtoWire}
+import org.apache.spark.sql.functions._
+
+class SinksSpec extends SparkTestBase {
+
+  // the d/ subtree holds ~10k reference records across many gz files
+  lazy val routes = Geo.readRoutes(spark,
+    "/root/reference/results/geoindex/d").cache()
+
+  test("avro sink: executor-partitioned write, lossless roundtrip") {
+    val out = java.nio.file.Files.createTempDirectory("avro").toString
+    val sample = routes.limit(200).cache()
+    AvroSink.write(sample, out)
+    assert(new java.io.File(out).listFiles().exists(_.getName.endsWith(".avro")))
+    val back = AvroSink.read(spark, out, sample.schema)
+    assert(back.count() == sample.count())
+    // content equality via symmetric except on a projection
+    val proj = Seq("airline.airline_id", "src_airport.name",
+      "src_airport.latitude", "equipment", "codeshare", "geohash")
+    val a = sample.select(proj.map(col): _*)
+    val b = back.select(proj.map(col): _*)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
+  test("avro schema generation fixes the reference's type bugs") {
+    val s = AvroSink.toAvroSchema(RouteSchema.routeSchema, "route")
+    val str = s.toString
+    // latitude must be double (avro ref schema wrongly declared long)
+    assert(str.contains("\"name\":\"latitude\",\"type\":[\"null\",\"double\"]"))
+  }
+
+  test("protobuf wire sink: roundtrip count + field-level decode + snappy") {
+    val out = java.nio.file.Files.createTempDirectory("pb").toString
+    val sample = routes.limit(500).cache()
+    val n = sample.count()
+    assert(n == 500L, s"need a full limit batch, got $n")
+    ProtoSink.write(sample, out, snappy = false)
+    assert(ProtoSink.readRouteCount(out) == n)
+    val outS = java.nio.file.Files.createTempDirectory("pbs").toString
+    ProtoSink.write(sample, outS, snappy = true)
+    assert(ProtoSink.readRouteCount(outS) == n)
+    // snappy actually compresses
+    def size(d: String) = new java.io.File(d).listFiles().map(_.length).sum
+    assert(size(outS) < size(out))
+
+    // field-level: first route's airline name survives the wire
+    val row = sample.head()
+    val bytes = ProtoSink.routeBytes(row)
+    val airlineMsg = ProtoWire.decode(bytes)
+      .find(t => t._1 == 1 && t._2 == 2).get._3.asInstanceOf[Array[Byte]]
+    val name = ProtoWire.decode(airlineMsg)
+      .find(t => t._1 == 2).map(t =>
+        new String(t._3.asInstanceOf[Array[Byte]], "UTF-8"))
+    assert(name == Option(row.getStruct(0).getString(1)))
+    // airline active (field 8) present with default false semantics
+    assert(ProtoWire.decode(airlineMsg).exists(_._1 == 8))
+  }
+
+  test("varint encoding matches protobuf spec vectors") {
+    val o = new java.io.ByteArrayOutputStream()
+    ProtoWire.writeVarint(o, 300L)
+    assert(o.toByteArray.toSeq == Seq(0xAC.toByte, 0x02.toByte)) // spec example
+  }
+
+  test("F1 validation: corrupt rows route, missing required fields flagged") {
+    val dir = java.nio.file.Files.createTempDirectory("val").toString
+    val lines = Seq(
+      """{"airline": {"airline_id": 1, "name": "A", "active": true}, "src_airport": {"airport_id": 7, "name": "X", "latitude": 1.5, "longitude": 2.5}, "codeshare": false, "equipment": ["73W"]}""",
+      """{"airline": {"airline_id": 2, "name": "B", "active": false}, "src_airport": {"airport_id": 8, "name": "Y", "latitude": 3.5, "longitude": 4.5}, "codeshare": true, "equipment": []}""",
+      """this is not json at all {{{""",
+      """{"airline": {"airline_id": 3, "name": "C"}, "src_airport": {"airport_id": 9, "name": "Z", "longitude": 9.9}, "codeshare": false}"""
+    )
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "rows.jsonl"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val df = Ingest.readJsonValidated(spark, dir, RouteSchema.routeSchema,
+      Seq("src_airport", "src_airport.latitude", "src_airport.longitude"))
+    val (ok, bad) = Ingest.validateAndSplit(df)
+    assert(ok.count() == 2)
+    assert(bad.count() == 2)
+    // the unparseable line keeps its raw text for error routing
+    assert(bad.filter(col(Ingest.CorruptCol).contains("not json")).count() == 1)
+    // the missing-latitude row is invalid but parsed (airline_id present)
+    assert(bad.filter(col("airline.airline_id") === 3).count() == 1)
+  }
+
+  test("JSON-Schema rendering from the canonical StructType") {
+    val js = RouteSchema.toJsonSchema()
+    assert(js.contains("\"latitude\": {\"type\": \"number\"}"))
+    assert(js.contains("\"equipment\": {\"type\": \"array\""))
+    // parses as JSON (oracle-side sanity via the driver's python is
+    // out of scope here; structural spot checks suffice)
+    assert(js.startsWith("{") && js.endsWith("}"))
+  }
+}
