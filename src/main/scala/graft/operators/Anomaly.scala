@@ -88,11 +88,12 @@ object Anomaly extends QueryPack {
   // --- q35: robust stats (median / MAD) per event_type --------------------
   def q35RobustStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ev = Tables.events(s, dir).withColumn("v4", v4($"value"))
-    val med = ev.groupBy($"event_type".as("et"))
-      .agg(expr("percentile(v4, 0.5)").as("med4"))
+    // median via a window keyed like the final groupBy: the aggregation
+    // reuses the window's hash partitioning, so the whole query is one
+    // scan + one exchange (a join-back would re-read the source)
+    val wm = Window.partitionBy($"event_type")
     Tables.events(s, dir).withColumn("v4", v4($"value"))
-      .join(broadcast(med), $"event_type" === $"et")
+      .withColumn("med4", expr("percentile(v4, 0.5)").over(wm))
       .withColumn("dev", abs($"v4" - $"med4"))
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n"),

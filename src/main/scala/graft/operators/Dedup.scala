@@ -55,11 +55,15 @@ object Dedup extends QueryPack {
       struct(lit(2).as("b"), md5(concat($"m4", $"m5")).as("bk"))
     )).as("band")).select($"doc_id", $"band.b", $"band.bk")
 
-    // candidate pairs: same band bucket (shuffle keyed on (b, bk))
-    val l = bands.as("l"); val r = bands.as("r")
-    val cand = l.join(r, $"l.b" === $"r.b" && $"l.bk" === $"r.bk" &&
-        $"l.doc_id" < $"r.doc_id")
-      .select($"l.doc_id".as("i"), $"r.doc_id".as("j")).distinct()
+    // Star-shaped candidates: each doc pairs only with its bucket's
+    // min-id REPRESENTATIVE, not with every bucket member — O(N)
+    // candidates instead of O(cluster²). (All-pairs banding explodes on
+    // duplicate-heavy corpora: 8.5M candidate pairs at sf0.1 here; the
+    // star shape yields ≤ 3N and the same keep/dup cluster links.)
+    val reps = bands.groupBy($"b", $"bk").agg(min($"doc_id").as("i"))
+    val cand = bands.join(reps, Seq("b", "bk"))
+      .filter($"doc_id" > $"i")
+      .select($"i", $"doc_id".as("j")).distinct()
 
     // exact Jaccard, computed only for candidates. Filter on the RAW
     // ratio (identical IEEE division in both engines), round only for
@@ -106,11 +110,13 @@ object Dedup extends QueryPack {
   def q28NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
+    // per-doc gram dedup happens LOCALLY (array_distinct before the
+    // explode) — a global .distinct() here would shuffle the full
+    // ~560·N gram stream for nothing
     val grams = docs
-      .select($"doc_id", explode(sequence(lit(1), length($"text") - 7))
-        .as("g"), $"text")
-      .select($"doc_id", expr("substring(text, g, 8)").as("gram"))
-      .distinct().cache()
+      .select($"doc_id", explode(array_distinct(expr(
+        "transform(sequence(1, length(text) - 7), g -> substring(text, g, 8))")))
+        .as("gram")).cache()
     // rare grams only (global df <= 4) as candidate keys: bounds the
     // per-key join fan-out regardless of corpus size
     val rare = grams.groupBy($"gram").agg(count(lit(1)).as("df"))
@@ -146,7 +152,10 @@ object Dedup extends QueryPack {
         | SUM(n_copies) AS n_docs
         |FROM g GROUP BY 1""".stripMargin,
     "q26_dedup_minhash" ->
-      """WITH dt AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS tok
+      // MATERIALIZED CTEs force the staged join order: without them
+      // DuckDB starts from the token-token self join (114s at sf0.1
+      // vs 0.3s staged)
+      """WITH dt AS MATERIALIZED (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS tok
         |  FROM documents),
         |sig AS (SELECT doc_id,
         |  MIN(md5('0#'||tok)) m0, MIN(md5('1#'||tok)) m1,
@@ -157,14 +166,16 @@ object Dedup extends QueryPack {
         | SELECT doc_id, 0 b, md5(m0||m1) bk FROM sig UNION ALL
         | SELECT doc_id, 1 b, md5(m2||m3) bk FROM sig UNION ALL
         | SELECT doc_id, 2 b, md5(m4||m5) bk FROM sig),
-        |cand AS (SELECT DISTINCT l.doc_id i, r.doc_id j
-        | FROM bands l JOIN bands r
-        |  ON l.b = r.b AND l.bk = r.bk AND l.doc_id < r.doc_id),
+        |reps AS (SELECT b, bk, MIN(doc_id) i FROM bands GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT r.i, bd.doc_id j
+        | FROM bands bd JOIN reps r USING (b, bk)
+        | WHERE bd.doc_id > r.i),
+        |ctok AS MATERIALIZED (SELECT c.i, c.j, a.tok
+        | FROM cand c JOIN dt a ON a.doc_id = c.i),
         |sizes AS (SELECT doc_id, COUNT(*) sz FROM dt GROUP BY 1),
-        |inter AS (SELECT c.i, c.j, COUNT(*) inter FROM cand c
-        |  JOIN dt a ON a.doc_id = c.i JOIN dt b2 ON b2.doc_id = c.j
-        |   AND a.tok = b2.tok
-        |  GROUP BY c.i, c.j)
+        |inter AS (SELECT ct.i, ct.j, COUNT(*) inter FROM ctok ct
+        |  JOIN dt b2 ON b2.doc_id = ct.j AND b2.tok = ct.tok
+        |  GROUP BY ct.i, ct.j)
         |SELECT it.i, it.j,
         | CAST(ROUND(CAST((it.inter / (si.sz + sj.sz - it.inter)) AS DECIMAL(28,10)), 4) AS DOUBLE) AS jaccard
         |FROM inter it JOIN sizes si ON it.i = si.doc_id
