@@ -205,7 +205,33 @@ object Relational extends QueryPack {
       .agg(count(lit(1)).as("n_big"), dsum($"o_totalprice").as("big_total"))
   }
 
+  // --- q40: range (theta) join against an inline tier table --------------
+  def q40RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // tiny bounds relation → broadcast nested-loop; at scale a range
+    // join partitions by bucketized bounds instead
+    val tiers = Seq(("small", 0.0, 1000.0), ("mid", 1000.0, 50000.0),
+      ("large", 50000.0, 1e18)).toDF("tier", "lo", "hi")
+    Tables.orders(s, dir)
+      .join(broadcast(tiers), $"o_totalprice" >= $"lo" &&
+        $"o_totalprice" < $"hi")
+      .groupBy($"tier")
+      .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"))
+  }
+
+  // --- q41: group-to-list aggregation (A2) --------------------------------
+  def q41GroupLists(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), $"c_custkey" === $"o_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(sort_array(collect_set($"o_orderpriority")).as("priorities"),
+        count(lit(1)).as("n"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_range_join"    -> (q40RangeJoin _),
+    "q41_group_lists"   -> (q41GroupLists _),
     "q1_agg"            -> (q1Agg _),
     "q2_filter_project" -> (q2FilterProject _),
     "q3_join"           -> (q3Join _),
@@ -223,6 +249,20 @@ object Relational extends QueryPack {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q40_range_join" ->
+      """WITH tiers(tier, lo, hi) AS (VALUES
+        | ('small', 0.0, 1000.0), ('mid', 1000.0, 50000.0),
+        | ('large', 50000.0, 1e18))
+        |SELECT tier, COUNT(*) AS n,
+        | CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+        |FROM orders JOIN tiers ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY tier""".stripMargin,
+    "q41_group_lists" ->
+      """SELECT c_mktsegment,
+        | list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+        | COUNT(*) AS n
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
