@@ -41,10 +41,15 @@ object geo {
     * [[GraftExtensions]] (e.g. the driver-owned Verify session).
     * Idempotent.
     */
-  def register(spark: SparkSession): Unit = sqlFunctions.foreach {
-    case (name, builder) =>
+  def register(spark: SparkSession): Unit = {
+    sqlFunctions.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, builder, "built-in")
+    }
+    val rule = org.apache.spark.sql.graft.GeohashPrecisionPushdown
+    if (!spark.experimental.extraOptimizations.contains(rule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ rule
   }
 }
 
@@ -53,6 +58,8 @@ object geo {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ =>
+      org.apache.spark.sql.graft.GeohashPrecisionPushdown)
     e.injectFunction((FunctionIdentifier("geohash_encode"),
       new ExpressionInfo(classOf[GeohashEncodeExpr].getName, "geohash_encode"),
       (es: Seq[Expression]) => GeohashEncodeExpr(es(0), es(1),

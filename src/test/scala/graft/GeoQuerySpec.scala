@@ -61,6 +61,27 @@ class GeoQuerySpec extends SparkTestBase {
       == "Astrakhan Airport")
   }
 
+  test("optimizer rule: geohash precision pushes down through substring") {
+    geo.register(spark)
+    val pts = spark.range(3)
+      .selectExpr("cast(id as double) + 42.1 as lat",
+        "cast(id as double) - 5.9 as lon")
+    val df = pts.select(
+      substring(geo.geohash_encode(col("lat"), col("lon"), 12), 1, 5)
+        .as("g5"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("geohash_encode(") &&
+      optimized.contains(", 5)"),
+      s"precision must push down:\n$optimized")
+    assert(!optimized.contains("substring"), optimized)
+    // semantics preserved vs the unrewritten 12-char encode
+    val full = pts.select(
+      substring(geo.geohash_encode(col("lat"), col("lon"), 12), 1, 5)
+        .as("g5"), geo.geohash_encode(col("lat"), col("lon"), 5).as("d5"))
+      .collect()
+    full.foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+
   test("SQL registration: geo functions usable from spark.sql") {
     geo.register(spark)
     val row = spark.sql(
