@@ -64,6 +64,45 @@ object Similarity extends QueryPack {
       .filter($"n" >= 3)
   }
 
+  /** IVF (inverted-file) ANN: k-means coarse quantizer; a query scans
+    * only the `nprobe` nearest centroid cells. The index is a
+    * DataFrame keyed by cell — at scale, written
+    * `partitionBy("cell")` so a probe is a partition-pruned scan.
+    */
+  /** (indexed embeddings with a `cell` column, centroids table). At
+    * scale the index is written `partitionBy("cell")` so probes are
+    * partition-pruned scans; centroids (k rows) broadcast everywhere.
+    */
+  def ivfIndex(emb: DataFrame, k: Int,
+      seed: Long = 7L): (DataFrame, DataFrame) = {
+    import org.apache.spark.ml.functions.array_to_vector
+    import emb.sparkSession.implicits._
+    val feat = emb.withColumn("__f",
+      array_to_vector(col("embedding").cast("array<double>")))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(k).setSeed(seed).setFeaturesCol("__f").fit(feat)
+    val indexed = model.transform(feat)
+      .withColumnRenamed("prediction", "cell").drop("__f")
+    val centroids = model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toArray.toSeq) }
+      .toDF("cell", "centroid")
+    (indexed, centroids)
+  }
+
+  def ivfSearch(index: DataFrame, centroids: DataFrame,
+      queryVec: Seq[Double], nprobe: Int, topK: Int): DataFrame = {
+    import index.sparkSession.implicits._
+    val qv = array(queryVec.map(lit): _*)
+    val cells = centroids
+      .withColumn("csim", cosine($"centroid", qv))
+      .orderBy($"csim".desc).limit(nprobe).select($"cell")
+    index.join(broadcast(cells), "cell")
+      .withColumn("cos", cosine(vec($"embedding"), qv))
+      .select($"vec_id", round($"cos", 6).as("cos"))
+      .orderBy($"cos".desc, $"vec_id".asc)
+      .limit(topK)
+  }
+
   /** Bucketed ANN: search only the query's sign bucket — the scale
     * path (not in the oracle set: used by SimilaritySpec to measure
     * recall against q29's exact answer).

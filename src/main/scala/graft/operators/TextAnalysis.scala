@@ -44,7 +44,9 @@ object TextAnalysis extends QueryPack {
         ParseEmails.stripHtmlUdf($"html").as("stripped"))
   }
 
-  // --- q21: token statistics --------------------------------------------
+  // --- q21: token statistics (whitespace + BPE-ish subword units) --------
+  private val subtokenRe = "[aeiou]+|[^aeiou ]+"
+
   def q21TokenStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
@@ -52,6 +54,8 @@ object TextAnalysis extends QueryPack {
       .select($"doc_id",
         size($"toks").as("n_tokens"),
         size(array_distinct($"toks")).as("n_distinct"),
+        size(expr(s"regexp_extract_all(text, '$subtokenRe', 0)"))
+          .as("n_subtokens"),
         length(regexp_replace($"text", " ", "")).as("n_token_chars"),
         graft.core.Exact.dround(
           length(regexp_replace($"text", " ", "")).cast("double") /
@@ -113,7 +117,31 @@ object TextAnalysis extends QueryPack {
           .as("fp_token_set"))
   }
 
+  // --- q42: winnowing fingerprint (MOSS-style, w=8 over char 8-grams) -----
+  /** Rolling-window document fingerprinting: hash every 8-gram, keep
+    * the minimum hash of each 8-wide window — the classic winnowing
+    * selection (guarantees shared fingerprints for sufficiently long
+    * shared substrings). Gram hashes are md5-derived so the whole
+    * pipeline is cross-engine deterministic.
+    */
+  def q42Winnow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val grams = Tables.documents(s, dir)
+      .select($"doc_id", posexplode(expr(
+        "transform(sequence(1, length(text) - 7), g -> substring(text, g, 8))")))
+      .select($"doc_id", $"pos",
+        conv(substring(md5($"col"), 1, 15), 16, 10).cast("long").as("hv"))
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+      .rowsBetween(0, 7)
+    grams.withColumn("wmin", min($"hv").over(w))
+      .groupBy($"doc_id")
+      .agg(countDistinct($"wmin").as("n_fingerprints"),
+        min($"wmin").as("min_fp"), max($"wmin").as("max_fp"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q42_winnow_fingerprint" -> (q42Winnow _),
     "q19_email_parse" -> (q19EmailParse _),
     "q20_html_strip"  -> (q20HtmlStrip _),
     "q21_token_stats" -> (q21TokenStats _),
@@ -125,6 +153,18 @@ object TextAnalysis extends QueryPack {
   private val stopListSql = stopwords.map(w => s"'$w'").mkString(", ")
 
   override def oracleSql: Map[String, String] = Map(
+    "q42_winnow_fingerprint" ->
+      """WITH grams AS (SELECT doc_id, g AS pos,
+        |  CAST(('0x' || substr(md5(substr(text, g, 8)), 1, 15)) AS BIGINT) hv
+        | FROM documents, generate_series(1, 4096) t(g)
+        | WHERE g <= length(text) - 7),
+        |wm AS (SELECT doc_id,
+        |  MIN(hv) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) wmin
+        | FROM grams)
+        |SELECT doc_id, COUNT(DISTINCT wmin) AS n_fingerprints,
+        | MIN(wmin) AS min_fp, MAX(wmin) AS max_fp
+        |FROM wm GROUP BY doc_id""".stripMargin,
     "q19_email_parse" ->
       """SELECT doc_id,
         | 'u' || doc_id || '@example.com' AS from_addr,
@@ -138,6 +178,7 @@ object TextAnalysis extends QueryPack {
       """SELECT doc_id,
         | len(string_split(text, ' ')) AS n_tokens,
         | len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        | len(regexp_extract_all(text, '[aeiou]+|[^aeiou ]+')) AS n_subtokens,
         | length(replace(text, ' ', '')) AS n_token_chars,
         | CAST(ROUND(CAST((CAST(length(replace(text, ' ', '')) AS DOUBLE)
         |   / len(string_split(text, ' '))) AS DECIMAL(28,10)), 4) AS DOUBLE) AS avg_token_len

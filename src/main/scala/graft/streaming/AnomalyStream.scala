@@ -43,6 +43,18 @@ object AnomalyStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total"), col("max_value"))
 
+  /** Streaming exact dedup for document pipelines: content fingerprint
+    * + `dropDuplicatesWithinWatermark` — duplicate payloads arriving
+    * within the watermark horizon emit once, and fingerprint state is
+    * EVICTED once the watermark passes (bounded state; a plain
+    * dropDuplicates would grow state forever at 100 TB/day).
+    */
+  def dedupStream(docs: DataFrame, textCol: String, tsCol: String,
+      horizon: String = "10 minutes"): DataFrame =
+    docs.withColumn("fp", md5(col(textCol)))
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Per-key streaming z-score detector: running Welford mean/variance
     * per (event_type), emitting events whose |z| exceeds `k` once at
     * least `minN` observations back the estimate. State is O(1) per

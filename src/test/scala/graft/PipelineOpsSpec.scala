@@ -40,6 +40,27 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("ivf ann: probing more cells improves or preserves recall, full probe = exact") {
+    import graft.core.Tables
+    val emb = Tables.embeddings(spark, sfDir)
+    val (index, centroids) = Similarity.ivfIndex(emb, k = 8)
+    assert(index.select("cell").distinct().count() <= 8)
+    val q = emb.filter(col("vec_id") === 0)
+      .selectExpr("cast(embedding as array<double>)").head()
+      .getSeq[Double](0)
+    val exact = Similarity.q29BruteTopK(spark, sfDir).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    def recall(nprobe: Int) = {
+      val got = Similarity.ivfSearch(
+        index.filter(col("vec_id") =!= 0), centroids, q, nprobe, 10)
+        .collect().map(_.getAs[Long]("vec_id")).toSet
+      (got & exact).size
+    }
+    val r1 = recall(1); val r4 = recall(4); val rAll = recall(8)
+    assert(r4 >= r1, s"recall must not degrade with more probes ($r1 -> $r4)")
+    assert(rAll == 10, s"probing every cell must equal exact top-10, got $rAll")
+  }
+
   test("exact dedup groups: total docs preserved") {
     val rows = Dedup.q25Exact(spark, sfDir).collect()
     val total = rows.map(_.getAs[Long]("n_docs")).sum

@@ -94,6 +94,27 @@ class StreamingSpec extends SparkTestBase {
     assert(row.getString(1).contains("\"payload\":\"a\""))
   }
 
+  test("streaming dedup: duplicate payloads within the watermark emit once") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val q = AnomalyStream.dedupStream(
+        input.toDF().toDF("ts", "text"), "text", "ts", "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      input.addData((ts(10), "doc A"), (ts(20), "doc B"), (ts(30), "doc A"))
+      q.processAllAvailable()
+      // same payload again in a later batch, still inside the horizon
+      input.addData((ts(40), "doc A"), (ts(50), "doc C"))
+      q.processAllAvailable()
+      val texts = spark.table("dedup_out").collect()
+        .map(_.getAs[String]("text")).toSeq
+      assert(texts.sorted == Seq("doc A", "doc B", "doc C"),
+        s"each payload exactly once: $texts")
+    } finally q.stop()
+  }
+
   test("scorers: kmeans/pca/zscore all emit the anomaly_score contract") {
     import graft.ops.anomaly.Scorers
     val emb = graft.core.Tables.embeddings(spark, sfDir)
