@@ -205,6 +205,14 @@ object Relational extends QueryPack {
       .agg(count(lit(1)).as("n_big"), dsum($"o_totalprice").as("big_total"))
   }
 
+  // --- q43: cube (full grouping-set lattice over two dims) ----------------
+  def q43Cube(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"))
+  }
+
   // --- q40: range (theta) join against an inline tier table --------------
   def q40RangeJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -232,6 +240,7 @@ object Relational extends QueryPack {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_range_join"    -> (q40RangeJoin _),
     "q41_group_lists"   -> (q41GroupLists _),
+    "q43_cube"          -> (q43Cube _),
     "q1_agg"            -> (q1Agg _),
     "q2_filter_project" -> (q2FilterProject _),
     "q3_join"           -> (q3Join _),
@@ -263,6 +272,10 @@ object Relational extends QueryPack {
         | COUNT(*) AS n
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_mktsegment""".stripMargin,
+    "q43_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        | CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,

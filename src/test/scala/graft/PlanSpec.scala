@@ -42,6 +42,32 @@ class PlanSpec extends SparkTestBase {
       p.contains("BroadcastExchange"), p.take(2000))
   }
 
+  test("bucketed tables join without a shuffle exchange") {
+    import spark.implicits._
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      graft.core.Tables.orders(spark, sfDir)
+        .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .mode("overwrite").saveAsTable("orders_b")
+      graft.core.Tables.customer(spark, sfDir)
+        .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .mode("overwrite").saveAsTable("customer_b")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("orders_b")
+        .join(spark.table("customer_b"), $"o_custkey" === $"c_custkey")
+      val p = plan(joined)
+      // co-located bucketed join: sort-merge with NO shuffle exchange
+      assert(p.contains("SortMergeJoin"), p.take(1500))
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n${p.take(2000)}")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+    }
+  }
+
   test("whole-stage codegen covers the scan->filter->project spine (q2)") {
     // formatted plans mark codegen stages with *(n)
     val p = plan(Relational.q2FilterProject(spark, sfDir))
