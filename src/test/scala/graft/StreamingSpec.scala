@@ -94,6 +94,37 @@ class StreamingSpec extends SparkTestBase {
     assert(row.getString(1).contains("\"payload\":\"a\""))
   }
 
+  test("session windows: gap-based sessionization with watermark") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = input.toDF()
+      .withWatermark("ts", "1 minutes")
+      .groupBy(session_window($"ts", "30 seconds"), $"user_id")
+      .agg(count(lit(1)).as("n"), sum($"value").as("total"))
+      .select($"session_window.start".as("start"),
+        $"session_window.end".as("end"), $"user_id", $"n", $"total")
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sessions").start()
+    try {
+      // user 1: events at t=0,20,40 chain one session (gaps < 30s);
+      // then t=200 starts a new session; advance watermark via t=600
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0), Event(2, ts(20), 1, "click", 1.0),
+        Event(3, ts(40), 1, "click", 1.0), Event(4, ts(200), 1, "click", 5.0))
+      q.processAllAvailable()
+      input.addData(Event(9, ts(600), 2, "click", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("sessions")
+        .filter($"user_id" === 1).collect()
+      assert(rows.length == 2, s"two sessions expected: ${rows.toSeq}")
+      val first = rows.minBy(_.getAs[java.sql.Timestamp]("start").getTime)
+      assert(first.getAs[Long]("n") == 3)
+      // session extends 30s past the last event
+      assert(first.getAs[java.sql.Timestamp]("end").getTime == 70000L)
+    } finally q.stop()
+  }
+
   test("streaming dedup: duplicate payloads within the watermark emit once") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
