@@ -135,11 +135,29 @@ object Alignment extends QueryPack {
         expr("substring(text, off, 16)").as("frame"))
   }
 
+  // --- q44: media feature-extract + resize (stub decode, real plumbing) --
+  /** Feature vector = 4-bin byte-class histogram; "resize" = stride-8
+    * downsample of the payload. Both deterministic stand-ins for codec
+    * feature extraction (no media libs offline), both cross-engine
+    * checkable.
+    */
+  def q44MediaFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def bin(re: String) = length(regexp_replace($"text", re, ""))
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        array(bin("[^a-g]"), bin("[^h-n]"), bin("[^o-u]"), bin("[^v-z]"))
+          .as("features"),
+        expr("concat_ws('', transform(sequence(1, length(text), 8), " +
+          "g -> substring(text, g, 1)))").as("thumb"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_asof_join"     -> (q36AsOf _),
     "q37_json_validate" -> (q37JsonValidate _),
     "q38_media_meta"    -> (q38MediaMeta _),
     "q39_frame_sample"  -> (q39FrameSample _),
+    "q44_media_features" -> (q44MediaFeatures _),
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -166,6 +184,15 @@ object Alignment extends QueryPack {
         | length(text) AS n_bytes,
         | 64 + (length(text) * 7 + ascii(substr(text, 1, 1))) % 1857 AS width,
         | 64 + (length(text) * 13) % 1017 AS height
+        |FROM documents""".stripMargin,
+    "q44_media_features" ->
+      """SELECT doc_id,
+        | [length(regexp_replace(text, '[^a-g]', '', 'g')),
+        |  length(regexp_replace(text, '[^h-n]', '', 'g')),
+        |  length(regexp_replace(text, '[^o-u]', '', 'g')),
+        |  length(regexp_replace(text, '[^v-z]', '', 'g'))] AS features,
+        | array_to_string(list_transform(generate_series(1, length(text), 8),
+        |   g -> substr(text, g, 1)), '') AS thumb
         |FROM documents""".stripMargin,
     "q39_frame_sample" ->
       """SELECT doc_id, frame_idx,
