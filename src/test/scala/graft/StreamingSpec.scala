@@ -94,6 +94,51 @@ class StreamingSpec extends SparkTestBase {
     assert(row.getString(1).contains("\"payload\":\"a\""))
   }
 
+  test("welford aggregator matches builtin moments, merges across partitions") {
+    import spark.implicits._
+    import graft.ops.anomaly.WelfordAggregator
+    val ev = graft.core.Tables.events(spark, sfDir)
+    val vals = ev.select($"value").as[Double].repartition(7) // force merge
+    val w = vals.select(WelfordAggregator.stats).head()
+    val ref = ev.agg(avg($"value"), stddev_pop($"value"), count(lit(1)))
+      .head()
+    assert(w.n == ref.getLong(2))
+    assert(math.abs(w.mean - ref.getDouble(0)) < 1e-9)
+    assert(math.abs(w.stddev - ref.getDouble(1)) < 1e-9)
+    // stability: huge offset, tiny variance — naive sum-of-squares dies
+    val shifted = vals.map(_ + 1e9)
+    val ws = shifted.select(WelfordAggregator.stats).head()
+    assert(math.abs(ws.stddev - w.stddev) < 1e-3,
+      s"stddev must survive a 1e9 offset: ${ws.stddev} vs ${w.stddev}")
+  }
+
+  test("stream-stream join: clicks enrich with errors inside the time bound") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val errors = MemoryStream[Event]
+    val c = clicks.toDF().withWatermark("ts", "1 minutes")
+      .selectExpr("event_id AS click_id", "user_id", "ts AS cts")
+    val e = errors.toDF().withWatermark("ts", "1 minutes")
+      .selectExpr("event_id AS err_id", "user_id AS euser", "ts AS ets")
+    val joined = c.join(e,
+      expr("user_id = euser AND ets BETWEEN cts - INTERVAL 30 SECONDS AND cts"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin").start()
+    try {
+      clicks.addData(Event(1, ts(100), 1, "click", 0))
+      errors.addData(Event(50, ts(80), 1, "error", 0))   // within 30s
+      errors.addData(Event(51, ts(10), 1, "error", 0))   // too old
+      clicks.addData(Event(2, ts(500), 9, "click", 0))   // advance wm
+      errors.addData(Event(52, ts(500), 8, "error", 0))
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin").collect()
+      assert(rows.map(r => (r.getAs[Long]("click_id"),
+        r.getAs[Long]("err_id"))).toSet == Set((1L, 50L)),
+        s"only the in-window pair joins: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("session windows: gap-based sessionization with watermark") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
