@@ -97,6 +97,39 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(n == graft.core.Tables.documents(spark, sfDir).count())
   }
 
+  test("typed Dataset path: groupByKey + Welford TypedColumn per event type") {
+    import spark.implicits._
+    import graft.ops.anomaly.{WelfordAggregator, WelfordStats}
+    val ev = graft.core.Tables.events(spark, sfDir)
+    val byType: Map[String, WelfordStats] = ev
+      .select($"event_type", $"value").as[(String, Double)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(WelfordAggregator.stats)
+      .collect().toMap
+    assert(byType.nonEmpty)
+    val ref = ev.groupBy($"event_type")
+      .agg(avg($"value")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    byType.foreach { case (k, st) =>
+      assert(math.abs(st.mean - ref(k)) < 1e-9, s"mean mismatch for $k")
+    }
+  }
+
+  test("csv and orc round-trip through the standard source surface") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val tmp = java.nio.file.Files.createTempDirectory("fmt").toString
+    docs.write.option("header", "true").mode("overwrite")
+      .csv(s"$tmp/csv")
+    docs.write.mode("overwrite").orc(s"$tmp/orc")
+    val csvBack = spark.read.option("header", "true")
+      .schema(docs.schema).csv(s"$tmp/csv")
+    val orcBack = spark.read.orc(s"$tmp/orc")
+    assert(csvBack.count() == docs.count())
+    assert(orcBack.count() == docs.count())
+    assert(orcBack.exceptAll(docs).count() == 0)
+  }
+
   test("fingerprints: token-set fp collides for reordered docs, fp does not") {
     val fp = TextAnalysis.q24Fingerprint(spark, sfDir)
     val nDocs = fp.count()
