@@ -42,6 +42,26 @@ class GeoQuerySpec extends SparkTestBase {
       == "Astrakhan Airport")
   }
 
+  test("index build reproduces the reference's per-prefix record counts exactly") {
+    import org.apache.spark.sql.functions.input_file_name
+    // input_file_name() is empty on cached data, and CacheManager
+    // substitutes the cached relation for ANY read of the same path —
+    // so drop caches for this test (later tests re-materialize lazily)
+    spark.catalog.clearCache()
+    val refCounts = Geo.readRoutes(spark, refIndex)
+      .withColumn("g3", regexp_extract(input_file_name(), "([0-9a-z]{1,3})\\.jsonl\\.gz$", 1))
+      .groupBy("g3").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // our side: rebuild from raw records via enrichment + bucketing
+    val ourCounts = Geo.enrichGeohash(routes.drop("geohash"))
+      .filter(col("geohash").isNotNull)
+      .groupBy(substring(col("geohash"), 1, 3).as("g3")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ourCounts.size == 2413)
+    assert(ourCounts == refCounts,
+      s"prefix count mismatches: ${(ourCounts.toSet diff refCounts.toSet).take(3)}")
+  }
+
   test("golden: pruned index query matches full scan and prunes partitions") {
     val tmp = java.nio.file.Files.createTempDirectory("geoidx").toString
     Geo.writeGeoIndex(routes.drop("geohash"), tmp)
