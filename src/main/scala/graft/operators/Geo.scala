@@ -28,6 +28,16 @@ object Geo {
       .schema(RouteSchema.routeSchema)
       .json(path)
 
+  /** Typed form: compile-time field checks via the canonical case
+    * classes (`Dataset[Route]` where type safety helps; DataFrame for
+    * dynamic-schema operators).
+    */
+  def readRoutesTyped(spark: SparkSession,
+      path: String): org.apache.spark.sql.Dataset[RouteSchema.Route] = {
+    import spark.implicits._
+    readRoutes(spark, path).as[RouteSchema.Route]
+  }
+
   /** G1/P5: add a 12-char geohash of the source airport. Explicit
     * null guards — the reference's Python truthiness drops lat/lon 0.0
     * (a bug, SURVEY §2.2 F2); intended semantics keep them.

@@ -102,6 +102,16 @@ class GeoQuerySpec extends SparkTestBase {
     full.foreach(r => assert(r.getString(0) == r.getString(1)))
   }
 
+  test("typed Dataset[Route]: compile-checked field access on a subtree") {
+    val ds = Geo.readRoutesTyped(spark, s"$refIndex/b/b1")
+    val names = ds
+      .filter(_.src_airport.exists(_.latitude.exists(_ > 50)))
+      .map(_.src_airport.flatMap(_.name).getOrElse(""))(
+        org.apache.spark.sql.Encoders.STRING)
+      .collect()
+    assert(names.contains("Adak Airport"))
+  }
+
   test("SQL registration: geo functions usable from spark.sql") {
     geo.register(spark)
     val row = spark.sql(
