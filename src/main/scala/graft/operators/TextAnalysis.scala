@@ -140,8 +140,48 @@ object TextAnalysis extends QueryPack {
         min($"wmin").as("min_fp"), max($"wmin").as("max_fp"))
   }
 
+  // --- q45: deterministic stratified sampling ------------------------------
+  /** Reproducible ~20% sample per language stratum: membership =
+    * md5-derived bucket of doc_id — re-runs, engines, and partitionings
+    * all select the SAME rows (a training-data pipeline requirement
+    * rand()-based sampling cannot meet).
+    */
+  def q45Sample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("bucket",
+        conv(substring(md5($"doc_id".cast("string")), 1, 6), 16, 10)
+          .cast("long") % 100)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when($"bucket" < 20, 1).otherwise(0)).as("n_sampled"),
+        min(when($"bucket" < 20, $"doc_id")).as("first_sampled_id"))
+  }
+
+  // --- q46: unigram-surprisal quality score --------------------------------
+  /** Mean token surprisal −ln p(tok) under the corpus unigram model —
+    * the statistical quality/perplexity proxy training pipelines use
+    * for filtering. Corpus counts broadcast back against tokens.
+    */
+  def q46Surprisal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+    val tf = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+    val total = toks.count().toDouble
+    toks.join(broadcast(tf), "tok")
+      .withColumn("surprisal", -log($"cnt" / total))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        graft.core.Exact.dround(
+          sum($"surprisal".cast(org.apache.spark.sql.types.DecimalType(28, 10)))
+            .cast("double") / count(lit(1)), 4).as("mean_surprisal"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_winnow_fingerprint" -> (q42Winnow _),
+    "q45_sample_stratified"  -> (q45Sample _),
+    "q46_surprisal"          -> (q46Surprisal _),
     "q19_email_parse" -> (q19EmailParse _),
     "q20_html_strip"  -> (q20HtmlStrip _),
     "q21_token_stats" -> (q21TokenStats _),
@@ -153,6 +193,26 @@ object TextAnalysis extends QueryPack {
   private val stopListSql = stopwords.map(w => s"'$w'").mkString(", ")
 
   override def oracleSql: Map[String, String] = Map(
+    "q45_sample_stratified" ->
+      """WITH b AS (SELECT lang, doc_id,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+        |    % 100 AS bucket
+        | FROM documents)
+        |SELECT lang, COUNT(*) AS n_total,
+        | SUM(CASE WHEN bucket < 20 THEN 1 ELSE 0 END) AS n_sampled,
+        | MIN(CASE WHEN bucket < 20 THEN doc_id END) AS first_sampled_id
+        |FROM b GROUP BY lang""".stripMargin,
+    "q46_surprisal" ->
+      """WITH toks AS MATERIALIZED (SELECT doc_id,
+        |  unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT tok, COUNT(*) cnt FROM toks GROUP BY tok),
+        |tot AS (SELECT CAST(COUNT(*) AS DOUBLE) total FROM toks)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        | CAST(ROUND(CAST((CAST(SUM(CAST(-LN(cnt / total) AS DECIMAL(28,10)))
+        |   AS DOUBLE) / COUNT(*)) AS DECIMAL(28,10)), 4) AS DOUBLE)
+        |   AS mean_surprisal
+        |FROM toks JOIN tf USING (tok) CROSS JOIN tot
+        |GROUP BY doc_id""".stripMargin,
     "q42_winnow_fingerprint" ->
       """WITH grams AS (SELECT doc_id, g AS pos,
         |  CAST(('0x' || substr(md5(substr(text, g, 8)), 1, 15)) AS BIGINT) hv
