@@ -50,11 +50,18 @@ object Replay {
     * kafka connector jar is resolved at runtime by format name — this
     * module has no compile-time Kafka dependency (none ships in this
     * image); tests use a collecting sink instead.
+    *
+    * `keyCol = null` assigns random UUID keys, the reference's default
+    * (`uuid.uuid4().hex` per message, `Week#8_Assignment.ipynb:170`).
     */
-  def toKafkaJson(df: DataFrame, keyCol: String): DataFrame =
+  def toKafkaJson(df: DataFrame, keyCol: String): DataFrame = {
+    val key = Option(keyCol)
+      .map(c => col(c).cast("string"))
+      .getOrElse(expr("uuid()"))
     df.select(
-      col(keyCol).cast("string").as("key"),
+      key.as("key"),
       to_json(struct(df.columns.map(col): _*)).as("value"))
+  }
 
   def kafkaSinkOptions(servers: String, topic: String): Map[String, String] =
     Map("kafka.bootstrap.servers" -> servers, "topic" -> topic)

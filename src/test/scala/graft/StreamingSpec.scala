@@ -92,6 +92,11 @@ class StreamingSpec extends SparkTestBase {
     assert(kdf.columns.toSeq == Seq("key", "value"))
     assert(row.getString(0) == "1")
     assert(row.getString(1).contains("\"payload\":\"a\""))
+    // reference default: per-message uuid4 keys
+    val urow = Replay.toKafkaJson(
+      Seq((1, "a")).toDF("id", "payload"), null).head()
+    assert(urow.getString(0).matches(
+      "[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"))
   }
 
   test("welford aggregator matches builtin moments, merges across partitions") {
