@@ -196,6 +196,37 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("checkpoint recovery: detector state survives a query restart") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val input = MemoryStream[Event]
+    // memory sink cannot recover; the file sink checkpoints offsets +
+    // operator state
+    def start() = AnomalyStream.zscoreDetector(input.toDS(), k = 3.0, minN = 10)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .format("parquet").option("path", s"$base/out").start()
+
+    val q1 = start()
+    // 20 calm observations build the state, then STOP the query
+    input.addData((1 to 20).map(i =>
+      Event(i, ts(i * 10), 1, "click", 10.0 + (i % 3) - 1)): _*)
+    q1.processAllAvailable()
+    q1.stop()
+
+    // restart from the checkpoint: the outlier must be judged against
+    // the RECOVERED mean/variance, not a cold state (minN would
+    // suppress it if state were lost)
+    val q2 = start()
+    input.addData(Event(100, ts(2000), 1, "click", 55.0))
+    q2.processAllAvailable()
+    val hits = spark.read.parquet(s"$base/out").collect()
+    assert(hits.map(_.getAs[Long]("event_id")).toSet == Set(100L),
+      s"outlier must be flagged from recovered state: ${hits.toSeq}")
+    q2.stop()
+  }
+
   test("scorers: kmeans/pca/zscore all emit the anomaly_score contract") {
     import graft.ops.anomaly.Scorers
     val emb = graft.core.Tables.embeddings(spark, sfDir)
