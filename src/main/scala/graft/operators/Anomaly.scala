@@ -101,7 +101,32 @@ object Anomaly extends QueryPack {
         Exact.dround(expr("percentile(dev, 0.5)") / 10000.0, 4).as("mad"))
   }
 
+  // --- q47: seasonal baseline (hour-of-day slot) outliers ------------------
+  /** Telemetry seasonality: each event compares against the statistics
+    * of its own (event_type, hour-of-day) slot — a spike at 3am is
+    * anomalous even if normal for the 2pm slot. Same exact-integer
+    * predicate machinery as q32.
+    */
+  def q47Seasonal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .withColumn("v4", v4($"value"))
+      .withColumn("hod", hour($"ts"))
+    val stats = ev.groupBy($"event_type".as("et"), $"hod".as("h"))
+      .agg(count(lit(1)).as("n"), sum($"v4").as("sv"),
+        sum($"v4" * $"v4").as("q"))
+    val j = ev.join(broadcast(stats), $"event_type" === $"et" &&
+      $"hod" === $"h")
+    val lhs = ($"v4" * $"n" - $"sv").cast(D38)
+    val rhs = ($"n".cast(D38) * $"q".cast(D38) -
+      $"sv".cast(D38) * $"sv".cast(D38))
+    j.filter($"n" >= 30 && lhs * lhs > rhs * lit(9))
+      .groupBy($"event_type", $"hod")
+      .agg(count(lit(1)).as("n_outliers"), max($"value").as("max_value"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q47_anomaly_seasonal" -> (q47Seasonal _),
     "q32_anomaly_zscore"  -> (q32ZScore _),
     "q33_anomaly_window"  -> (q33WindowStats _),
     "q34_anomaly_rolling" -> (q34Rolling _),
@@ -111,6 +136,18 @@ object Anomaly extends QueryPack {
   private val v4Sql = "CAST(ROUND(value * 10000) AS BIGINT)"
 
   override def oracleSql: Map[String, String] = Map(
+    "q47_anomaly_seasonal" ->
+      s"""WITH ev AS (SELECT event_type, value, $v4Sql AS v4,
+         |  EXTRACT(hour FROM ts) AS hod FROM events),
+         |st AS (SELECT event_type et, hod h, COUNT(*) n, SUM(v4) sv,
+         |  SUM(v4*v4) q FROM ev GROUP BY 1, 2)
+         |SELECT event_type, hod, COUNT(*) AS n_outliers,
+         | MAX(value) AS max_value
+         |FROM ev JOIN st ON event_type = et AND hod = h
+         |WHERE n >= 30 AND
+         | (CAST(v4 AS HUGEINT)*n - sv)*(CAST(v4 AS HUGEINT)*n - sv) >
+         |  (CAST(n AS HUGEINT)*q - CAST(sv AS HUGEINT)*sv) * 9
+         |GROUP BY 1, 2""".stripMargin,
     "q32_anomaly_zscore" ->
       s"""WITH ev AS (SELECT event_id, event_type, value,
          |  $v4Sql AS v4 FROM events),

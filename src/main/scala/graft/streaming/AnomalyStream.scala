@@ -55,6 +55,46 @@ object AnomalyStream {
       .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark("fp")
 
+  case class Ewma(mean: Double, varEst: Double, n: Long) {
+    def add(x: Double, alpha: Double): Ewma = {
+      if (n == 0) Ewma(x, 0.0, 1)
+      else {
+        val d = x - mean
+        val m = mean + alpha * d
+        // West's EWMA variance recurrence
+        Ewma(m, (1 - alpha) * (varEst + alpha * d * d), n + 1)
+      }
+    }
+    def std: Double = math.sqrt(math.max(0, varEst))
+  }
+
+  /** EWMA detector: exponentially weighted mean/variance per key —
+    * adapts to drifting baselines where Welford's all-history moments
+    * go stale (level shifts, diurnal drift). Same O(1) state and
+    * emission contract as [[zscoreDetector]].
+    */
+  def ewmaDetector(events: Dataset[Event], alpha: Double = 0.05,
+      k: Double = 3.0, minN: Long = 10): Dataset[Hit] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[Ewma, Hit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[Event], state: GroupState[Ewma]) =>
+          var st = state.getOption.getOrElse(Ewma(0.0, 0.0, 0L))
+          val hits = scala.collection.mutable.ArrayBuffer.empty[Hit]
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            if (st.n >= minN && st.std > 0) {
+              val z = math.abs(e.value - st.mean) / st.std
+              if (z > k) hits += Hit(e.event_id, key, e.user_id, e.value, z)
+            }
+            st = st.add(e.value, alpha)
+          }
+          state.update(st)
+          hits.iterator
+      }
+  }
+
   /** Per-key streaming z-score detector: running Welford mean/variance
     * per (event_type), emitting events whose |z| exceeds `k` once at
     * least `minN` observations back the estimate. State is O(1) per

@@ -196,6 +196,34 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("ewma detector: adapts to level shift where all-history stats lag") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = AnomalyStream.ewmaDetector(input.toDS(), alpha = 0.3,
+        k = 3.0, minN = 10)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ewma_hits").start()
+    try {
+      // regime 1 around 10, then a level shift to 50 held long enough
+      // for EWMA to adapt, then a spike relative to the NEW level
+      input.addData((1 to 15).map(i =>
+        Event(i, ts(i * 10), 1, "c", 10.0 + (i % 3) - 1)): _*)
+      q.processAllAvailable()
+      input.addData((16 to 40).map(i =>
+        Event(i, ts(i * 10), 1, "c", 50.0 + (i % 3) - 1)): _*)
+      q.processAllAvailable()
+      input.addData(Event(100, ts(2000), 1, "c", 90.0))
+      q.processAllAvailable()
+      val ids = spark.table("ewma_hits").collect()
+        .map(_.getAs[Long]("event_id")).toSet
+      // the shift start is flagged (it IS anomalous vs regime 1) and
+      // the later spike is flagged vs the ADAPTED baseline
+      assert(ids.contains(100L), s"spike vs adapted baseline: $ids")
+      assert(ids.contains(16L), s"level-shift onset flagged: $ids")
+    } finally q.stop()
+  }
+
   test("checkpoint recovery: detector state survives a query restart") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
