@@ -23,6 +23,14 @@ object geo {
                    lat2: Column, lon2: Column): Column =
     col(HaversineKmExpr(ex(lat1), ex(lon1), ex(lat2), ex(lon2)))
 
+  /** Grouped top-k without sorting each group (bounded-heap
+    * TypedImperativeAggregate): array of the k largest (ord, payload)
+    * pairs, ord desc / payload asc.
+    */
+  def top_k_by(ord: Column, payload: Column, k: Int): Column =
+    col(org.apache.spark.sql.graft.TopKByAggregate(ex(ord), ex(payload), k)
+      .toAggregateExpression())
+
   private val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "geohash_encode" -> { es =>
       val p = if (es.size >= 3) es(2) else Literal(12)

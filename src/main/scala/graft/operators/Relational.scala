@@ -205,6 +205,24 @@ object Relational extends QueryPack {
       .agg(count(lit(1)).as("n_big"), dsum($"o_totalprice").as("big_total"))
   }
 
+  // --- q48: grouped top-k via the native bounded-heap aggregate -----------
+  /** The TypedImperativeAggregate path (TopKByAggregate): top-3 orders
+    * per segment with NO per-group sort — map-side partial heaps merge
+    * before the shuffle, unlike the window+rank idiom.
+    */
+  def q48TopKPerGroup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)),
+        $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(graft.functions.geo.top_k_by($"o_totalprice",
+        $"o_orderkey".cast("string"), 3).as("top"))
+      .select($"c_mktsegment", explode($"top").as("e"))
+      .select($"c_mktsegment", $"e.ord".as("o_totalprice"),
+        $"e.payload".as("o_orderkey"))
+  }
+
   // --- q43: cube (full grouping-set lattice over two dims) ----------------
   def q43Cube(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -241,6 +259,7 @@ object Relational extends QueryPack {
     "q40_range_join"    -> (q40RangeJoin _),
     "q41_group_lists"   -> (q41GroupLists _),
     "q43_cube"          -> (q43Cube _),
+    "q48_topk_per_group" -> (q48TopKPerGroup _),
     "q1_agg"            -> (q1Agg _),
     "q2_filter_project" -> (q2FilterProject _),
     "q3_join"           -> (q3Join _),
@@ -276,6 +295,14 @@ object Relational extends QueryPack {
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
         | CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q48_topk_per_group" ->
+      """SELECT c_mktsegment, o_totalprice, o_orderkey FROM (
+        | SELECT c_mktsegment, o_totalprice,
+        |  CAST(o_orderkey AS VARCHAR) AS o_orderkey,
+        |  ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |    ORDER BY o_totalprice DESC, CAST(o_orderkey AS VARCHAR) ASC) rn
+        | FROM orders JOIN customer ON o_custkey = c_custkey) t
+        |WHERE rn <= 3""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
