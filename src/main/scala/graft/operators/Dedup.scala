@@ -152,7 +152,35 @@ object Dedup extends QueryPack {
       .select($"i", $"j", graft.core.Exact.dround($"rawjac", 4).as("jaccard"))
   }
 
+  // --- q49: edit-distance near-dup verification on rare-gram candidates ---
+  /** Fuzzy dedup: rare-8-gram candidates verified with exact
+    * Levenshtein, keeping pairs whose distance is <= 30% of the longer
+    * text (integer predicate `lev*10 <= 3*max(len)`, no float
+    * boundary). Candidates bound the O(len²) DP to ~N pairs — never
+    * run edit distance all-pairs.
+    */
+  def q49EditDistance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val grams = docs
+      .select($"doc_id", explode(array_distinct(expr(
+        "transform(sequence(1, length(text) - 7), g -> substring(text, g, 8))")))
+        .as("gram"))
+    val rare = grams.groupBy($"gram").agg(count(lit(1)).as("df"))
+      .filter($"df" <= 4 && $"df" >= 2).select($"gram")
+    val rg = grams.join(rare, "gram")
+    val cand = rg.toDF("gram", "i").join(rg.toDF("gram", "j"), "gram")
+      .filter($"i" < $"j").select($"i", $"j").distinct()
+    val da = docs.select($"doc_id".as("i"), $"text".as("ta"))
+    val db = docs.select($"doc_id".as("j"), $"text".as("tb"))
+    cand.join(da, "i").join(db, "j")
+      .withColumn("lev", levenshtein($"ta", $"tb"))
+      .filter($"lev" * 10 <= greatest(length($"ta"), length($"tb")) * 3)
+      .select($"i", $"j", $"lev")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_dedup_editdist"  -> (q49EditDistance _),
     "q25_dedup_exact"     -> (q25Exact _),
     "q26_dedup_minhash"   -> (q26MinHashLsh _),
     "q27_dedup_simhash"   -> (q27SimHash _),
@@ -160,6 +188,20 @@ object Dedup extends QueryPack {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q49_dedup_editdist" ->
+      """WITH grams AS MATERIALIZED (SELECT DISTINCT doc_id, substr(text, g, 8) AS gram
+        |  FROM documents, generate_series(1, 4096) t(g)
+        |  WHERE g <= length(text) - 7),
+        |rare AS (SELECT gram FROM grams GROUP BY gram
+        |  HAVING COUNT(*) <= 4 AND COUNT(*) >= 2),
+        |rg AS (SELECT g.doc_id, g.gram FROM grams g JOIN rare r USING (gram)),
+        |cand AS (SELECT DISTINCT a.doc_id i, b.doc_id j FROM rg a
+        |  JOIN rg b ON a.gram = b.gram AND a.doc_id < b.doc_id)
+        |SELECT i, j, levenshtein(da.text, db.text) AS lev
+        |FROM cand JOIN documents da ON da.doc_id = i
+        |JOIN documents db ON db.doc_id = j
+        |WHERE levenshtein(da.text, db.text) * 10 <=
+        |  GREATEST(length(da.text), length(db.text)) * 3""".stripMargin,
     "q25_dedup_exact" ->
       """WITH g AS (SELECT md5(text) fp, MIN(doc_id) keep_id, COUNT(*) n_copies
         | FROM documents GROUP BY 1)
