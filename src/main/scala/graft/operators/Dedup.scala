@@ -165,7 +165,7 @@ object Dedup extends QueryPack {
     val grams = docs
       .select($"doc_id", explode(array_distinct(expr(
         "transform(sequence(1, length(text) - 7), g -> substring(text, g, 8))")))
-        .as("gram"))
+        .as("gram")).cache()
     val rare = grams.groupBy($"gram").agg(count(lit(1)).as("df"))
       .filter($"df" <= 4 && $"df" >= 2).select($"gram")
     val rg = grams.join(rare, "gram")
@@ -174,8 +174,15 @@ object Dedup extends QueryPack {
     val da = docs.select($"doc_id".as("i"), $"text".as("ta"))
     val db = docs.select($"doc_id".as("j"), $"text".as("tb"))
     cand.join(da, "i").join(db, "j")
-      .withColumn("lev", levenshtein($"ta", $"tb"))
-      .filter($"lev" * 10 <= greatest(length($"ta"), length($"tb")) * 3)
+      // lev >= |len_a - len_b|: semantics-free prefilter
+      .filter(abs(length($"ta") - length($"tb")) * 10 <=
+        greatest(length($"ta"), length($"tb")) * 3)
+      // thresholded levenshtein runs the banded O(len·k) DP — exact
+      // for lev <= k, -1 beyond (and -1 rows fail the filter anyway)
+      .withColumn("lev", expr(
+        "levenshtein(ta, tb, cast(floor(greatest(length(ta), length(tb)) * 0.3) as int))"))
+      .filter($"lev" >= 0 &&
+        $"lev" * 10 <= greatest(length($"ta"), length($"tb")) * 3)
       .select($"i", $"j", $"lev")
   }
 
@@ -200,7 +207,9 @@ object Dedup extends QueryPack {
         |SELECT i, j, levenshtein(da.text, db.text) AS lev
         |FROM cand JOIN documents da ON da.doc_id = i
         |JOIN documents db ON db.doc_id = j
-        |WHERE levenshtein(da.text, db.text) * 10 <=
+        |WHERE ABS(length(da.text) - length(db.text)) * 10 <=
+        |  GREATEST(length(da.text), length(db.text)) * 3
+        | AND levenshtein(da.text, db.text) * 10 <=
         |  GREATEST(length(da.text), length(db.text)) * 3""".stripMargin,
     "q25_dedup_exact" ->
       """WITH g AS (SELECT md5(text) fp, MIN(doc_id) keep_id, COUNT(*) n_copies
