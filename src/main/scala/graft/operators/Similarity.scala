@@ -35,6 +35,11 @@ object Similarity extends QueryPack {
     concat((1 to 8).map(i =>
       when(element_at(v, i) >= 0f, "1").otherwise("0")): _*)
 
+  /** 8-bit sign-LSH bucket of dimensions 8b+1..8b+8 (band b). */
+  def signBand(v: Column, b: Int): Column =
+    concat((8 * b + 1 to 8 * b + 8).map(i =>
+      when(element_at(v, i) >= 0f, "1").otherwise("0")): _*)
+
   // --- q29: brute-force cosine top-k against a query vector --------------
   def q29BruteTopK(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -123,16 +128,31 @@ object Similarity extends QueryPack {
       .limit(k)
   }
 
-  // --- q31: embedding-cosine near-duplicate pairs (bucketed) --------------
+  // --- q31: embedding-cosine near-duplicate links (star-bucketed) ---------
+  /** Near-duplicate links doc↔bucket-representative over 3 sign-LSH
+    * bands (24 bucket bits total, OR'd across bands) — the same
+    * star-shaped link pattern as MinHash/SimHash dedup (q26/q27).
+    * Candidates are ≤ bands×N links (each vector pairs only with its
+    * band-bucket representative), never per-bucket all-pairs: the
+    * previous all-pairs form had only 2⁸ possible buckets, so pairs
+    * grew O(N²/256) concentrated on the hottest reducer — 10,000× the
+    * work at 100× data. Links sharing several bands dedupe via
+    * distinct before the (broadcast-able) embedding re-join.
+    */
   def q31EmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
-      .withColumn("bucket", signBucket($"embedding"))
-      .select($"vec_id", $"bucket", vec($"embedding").as("v"))
-    val a = emb.toDF("i", "bucket", "va")
-    val b = emb.toDF("j", "bucket", "vb")
-    a.join(b, Seq("bucket"))
-      .filter($"i" < $"j")
+    val bands = emb.select($"vec_id", explode(array((0 until 3).map(b =>
+      struct(lit(b).as("band"), signBand($"embedding", b).as("bk"))): _*))
+      .as("bb")).select($"vec_id", $"bb.band", $"bb.bk")
+    val reps = bands.groupBy($"band", $"bk")
+      .agg(min($"vec_id").as("i"))
+    val cand = bands.join(reps, Seq("band", "bk"))
+      .filter($"vec_id" > $"i")
+      .select($"i", $"vec_id".as("j")).distinct()
+    val va = emb.select($"vec_id".as("i"), vec($"embedding").as("va"))
+    val vb = emb.select($"vec_id".as("j"), vec($"embedding").as("vb"))
+    cand.join(va, "i").join(vb, "j")
       .withColumn("cos", cosine($"va", $"vb"))
       .filter($"cos" >= 0.5)
       .select($"i", $"j", round($"cos", 6).as("cos"))
@@ -151,6 +171,8 @@ object Similarity extends QueryPack {
       s"SQRT(${sqlDot.format(b, b)})))"
   private val bucketSql = (1 to 8).map(i =>
     s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END").mkString("||")
+  private val bandSql = (1 to 8).map(i =>
+    s"CASE WHEN embedding[8*b+$i] >= 0 THEN '1' ELSE '0' END").mkString("||")
 
   override def oracleSql: Map[String, String] = Map(
     "q29_ann_brute_topk" ->
@@ -167,11 +189,15 @@ object Similarity extends QueryPack {
          |   AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS avg_norm
          |FROM embeddings GROUP BY 1 HAVING COUNT(*) >= 3""".stripMargin,
     "q31_embedding_neardup" ->
-      s"""WITH e AS (SELECT vec_id, embedding, $bucketSql AS bucket
-         |  FROM embeddings)
-         |SELECT a.vec_id i, b.vec_id j,
+      s"""WITH bands AS (SELECT vec_id, b, $bandSql AS bk
+         |  FROM embeddings, generate_series(0, 2) t(b)),
+         |reps AS (SELECT b, bk, MIN(vec_id) i FROM bands GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT r.i, bd.vec_id j
+         |  FROM bands bd JOIN reps r USING (b, bk) WHERE bd.vec_id > r.i)
+         |SELECT c.i, c.j,
          | ROUND(${cosSql("a.embedding", "b.embedding")}, 6) AS cos
-         |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |FROM cand c JOIN embeddings a ON a.vec_id = c.i
+         |JOIN embeddings b ON b.vec_id = c.j
          |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.5""".stripMargin,
   )
 }

@@ -161,16 +161,19 @@ object TextAnalysis extends QueryPack {
   // --- q46: unigram-surprisal quality score --------------------------------
   /** Mean token surprisal −ln p(tok) under the corpus unigram model —
     * the statistical quality/perplexity proxy training pipelines use
-    * for filtering. Corpus counts broadcast back against tokens.
+    * for filtering. The corpus total is a 1-row aggregate cross-joined
+    * in (no driver-side action), and the term-frequency table joins by
+    * shuffle on `tok` — at 100 TB the vocabulary is tens of GB, far too
+    * big to broadcast; AQE may still pick broadcast at small SFs.
     */
   def q46Surprisal(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val toks = Tables.documents(s, dir)
       .select($"doc_id", explode(split($"text", " ")).as("tok"))
     val tf = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
-    val total = toks.count().toDouble
-    toks.join(broadcast(tf), "tok")
-      .withColumn("surprisal", -log($"cnt" / total))
+    val tot = toks.agg(count(lit(1)).cast("double").as("total"))
+    toks.join(tf, "tok").crossJoin(tot)
+      .withColumn("surprisal", -log($"cnt" / $"total"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         graft.core.Exact.dround(
@@ -199,7 +202,7 @@ object TextAnalysis extends QueryPack {
         |    % 100 AS bucket
         | FROM documents)
         |SELECT lang, COUNT(*) AS n_total,
-        | SUM(CASE WHEN bucket < 20 THEN 1 ELSE 0 END) AS n_sampled,
+        | CAST(SUM(CASE WHEN bucket < 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
         | MIN(CASE WHEN bucket < 20 THEN doc_id END) AS first_sampled_id
         |FROM b GROUP BY lang""".stripMargin,
     "q46_surprisal" ->

@@ -6,17 +6,30 @@ Usage: after `sbt "runMain graft.Verify <sfDir> <outDir>"`, run
   python3 tools/check.py <sfDir> <outDir>
 
 Compares each <outDir>/<name> parquet against the oracle SQL in
-<outDir>/oracle_sql.json run by DuckDB over the sfDir tables; column
-order normalized by name, row order by sorting all cells.
+<outDir>/oracle_sql.json run by DuckDB over the sfDir tables.
+
+IMPORTANT: canonicalization goes through pandas dtypes, exactly like the
+driver's comparator, NOT through Python repr of raw fetchall() values.
+Round 1 lesson: DuckDB SUM(integer) returns HUGEINT which pandas
+renders float64 (15.0 != Spark's int64 15), and raw array cells crash
+pandas sort_values — a repr()-based local gate passes both cases that
+the driver fails.
 """
 import sys, os, json, math
 import duckdb
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
 def norm_cell(v):
+    # numpy scalar -> python scalar so int64 renders "15", float64 "15.0"
+    if hasattr(v, "item"):
+        try:
+            v = v.item()
+        except Exception:
+            pass
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -24,13 +37,17 @@ def norm_cell(v):
     return repr(v)
 
 
-def canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        out.append(tuple(norm_cell(r[i]) for i in order))
-    out.sort()
-    return sorted(c for c in cols), out
+def canon(df):
+    """Mimic the driver: sort columns by name, sort_values over all
+    columns (raises TypeError on unhashable cells like arrays — that is
+    the point), then render each cell via its pandas dtype."""
+    cols = sorted(df.columns)
+    df = df[cols]
+    if len(df):
+        df = df.sort_values(by=cols)  # raises on ndarray cells, like driver
+    rows = [tuple(norm_cell(v) for v in rec) for rec in df.itertuples(index=False)]
+    rows.sort()
+    return cols, rows
 
 
 def main(sf_dir, out_dir):
@@ -45,25 +62,26 @@ def main(sf_dir, out_dir):
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
     for name in names:
-        res = con.execute(
-            f"SELECT * FROM '{os.path.join(out_dir, name)}/*.parquet'")
-        got_cols = [d[0] for d in res.description]
-        got = res.fetchall()
+        got_df = con.execute(
+            f"SELECT * FROM '{os.path.join(out_dir, name)}/*.parquet'").df()
         if name not in oracles:
-            status = "ROWS_ONLY" if len(got) > 0 else "ROWS_ONLY_EMPTY!"
+            status = "ROWS_ONLY" if len(got_df) > 0 else "ROWS_ONLY_EMPTY!"
             n_rowsonly += 1
-            print(f"{status:18s} {name} rows={len(got)}")
+            print(f"{status:18s} {name} rows={len(got_df)}")
             continue
         try:
-            ores = con.execute(oracles[name])
-            exp_cols = [d[0] for d in ores.description]
-            exp = ores.fetchall()
+            exp_df = con.execute(oracles[name]).df()
         except Exception as e:
             n_fail += 1
             print(f"{'ORACLE_ERROR':18s} {name}: {e}")
             continue
-        gc, gr = canon(got, got_cols)
-        ec, er = canon(exp, exp_cols)
+        try:
+            gc, gr = canon(got_df)
+            ec, er = canon(exp_df)
+        except Exception as e:
+            n_fail += 1
+            print(f"{'CANON_ERROR':18s} {name}: {type(e).__name__}: {e}")
+            continue
         if gc != ec:
             n_fail += 1
             print(f"{'SCHEMA_MISMATCH':18s} {name}: spark={gc} duckdb={ec}")
