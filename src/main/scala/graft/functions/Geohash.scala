@@ -21,8 +21,10 @@ object Geohash {
     a
   }
 
-  /** pygeohash `_PRECISION`: meters for a common prefix of n chars. */
-  private final val PrefixMeters: Array[Double] = Array(
+  /** pygeohash `_PRECISION`: meters for a common prefix of n chars.
+    * Public so oracle SQL builders can emit the same table.
+    */
+  final val PrefixMeters: Array[Double] = Array(
     20000000d, 5003530d, 625441d, 123264d, 19545d, 3803d, 610d,
     118d, 19d, 3.71d, 0.6d)
 

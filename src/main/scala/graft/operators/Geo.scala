@@ -116,14 +116,40 @@ object Geo {
     nearestAirportPruned(readGeoIndex(spark, indexPath), lat, lon)
 
   /** Pruned nearest over a shared index DataFrame: one job on the
-    * 3×3-neighborhood scan (the aggregate returns a null row for an
-    * empty neighborhood rather than running a separate isEmpty probe),
-    * full-scan fallback only for empty cells (open ocean).
+    * 3×3-neighborhood scan, full-scan fallback whenever the CENTER cell
+    * is empty. The center-cell test is what makes pruning exact: any
+    * airport outside the block shares ≤2 geohash chars with the query,
+    * so a center-cell candidate (≥3 shared chars, strictly smaller
+    * adist bucket) beats it — but a neighbor-cell candidate may share
+    * ≤2 chars itself and LOSE to an out-of-block airport under the
+    * adist-first ranking, so neighbors alone cannot confirm the answer.
+    * The center-occupancy flag rides the same single aggregate (no
+    * separate isEmpty probe).
     */
   def nearestAirportPruned(idx: DataFrame, lat: Double,
       lon: Double): String = {
-    val prefixes = Geohash.neighbors(Geohash.encode(lat, lon, 3))
-    nearestAirportOpt(idx.filter(col("g3").isin(prefixes: _*)), lat, lon)
-      .getOrElse(nearestAirport(idx, lat, lon))
+    val center = Geohash.encode(lat, lon, 3)
+    val prefixes = Geohash.neighbors(center)
+    val qh = Geohash.encode(lat, lon)
+    val row = idx.filter(col("g3").isin(prefixes: _*))
+      .filter(col("geohash").isNotNull)
+      .select(
+        geo.geohash_approx_distance(lit(qh), col("geohash")).as("adist"),
+        geo.haversine_km(lit(lat), lit(lon),
+          col("src_airport.latitude"), col("src_airport.longitude"))
+          .as("hdist"),
+        col("src_airport.name").as("name"),
+        (col("g3") === center).as("in_center"))
+      .agg(min(struct(col("adist"), col("hdist"), col("name"))).as("m"),
+        max(col("in_center")).as("center_hit"))
+      .take(1).headOption
+    val centerHit = row.exists(r =>
+      !r.isNullAt(r.fieldIndex("center_hit")) &&
+        r.getBoolean(r.fieldIndex("center_hit")))
+    val name = if (centerHit)
+      row.flatMap(r => Option(r.getStruct(r.fieldIndex("m")))
+        .flatMap(s => Option(s.getString(2))))
+    else None
+    name.getOrElse(nearestAirport(idx, lat, lon))
   }
 }

@@ -139,17 +139,24 @@ object Similarity extends QueryPack {
     * work at 100× data. Links sharing several bands dedupe via
     * distinct before the (broadcast-able) embedding re-join.
     */
-  def q31EmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val emb = Tables.embeddings(s, dir)
-    val bands = emb.select($"vec_id", explode(array((0 until 3).map(b =>
+  /** Candidate links (i=band-bucket representative, j=member): at most
+    * bands×N rows by construction — the O(N) bound PlanSpec asserts.
+    */
+  def nearDupCandidates(emb: DataFrame, nBands: Int = 3): DataFrame = {
+    import emb.sparkSession.implicits._
+    val bands = emb.select($"vec_id", explode(array((0 until nBands).map(b =>
       struct(lit(b).as("band"), signBand($"embedding", b).as("bk"))): _*))
       .as("bb")).select($"vec_id", $"bb.band", $"bb.bk")
     val reps = bands.groupBy($"band", $"bk")
       .agg(min($"vec_id").as("i"))
-    val cand = bands.join(reps, Seq("band", "bk"))
+    bands.join(reps, Seq("band", "bk"))
       .filter($"vec_id" > $"i")
       .select($"i", $"vec_id".as("j")).distinct()
+  }
+
+  def embeddingNearDup(emb: DataFrame): DataFrame = {
+    import emb.sparkSession.implicits._
+    val cand = nearDupCandidates(emb)
     val va = emb.select($"vec_id".as("i"), vec($"embedding").as("va"))
     val vb = emb.select($"vec_id".as("j"), vec($"embedding").as("vb"))
     cand.join(va, "i").join(vb, "j")
@@ -157,6 +164,9 @@ object Similarity extends QueryPack {
       .filter($"cos" >= 0.5)
       .select($"i", $"j", round($"cos", 6).as("cos"))
   }
+
+  def q31EmbeddingNearDup(s: SparkSession, dir: String): DataFrame =
+    embeddingNearDup(Tables.embeddings(s, dir))
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_ann_brute_topk"   -> (q29BruteTopK _),

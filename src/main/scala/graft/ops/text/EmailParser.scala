@@ -54,8 +54,90 @@ object EmailParser {
     (headers.toMap, lines.drop(bodyStart).mkString("\n"))
   }
 
-  /** M1 intended semantics: parse headers + body, strip HTML from the
-    * body for `text`, keep the raw body as `payload`.
+  /** RFC 2045 boundary parameter of a Content-Type value. */
+  def boundaryOf(contentType: String): Option[String] =
+    "(?i)boundary\\s*=\\s*(?:\"([^\"]*)\"|([^;\\s]+))".r
+      .findFirstMatchIn(contentType)
+      .map(m => Option(m.group(1)).getOrElse(m.group(2)))
+
+  /** Quoted-printable decode (soft line breaks removed, =XX bytes),
+    * then charset-sniffed to a string.
+    */
+  def decodeQuotedPrintable(s: String): String = {
+    val in = s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val out = new java.io.ByteArrayOutputStream(in.length)
+    def hex(b: Byte): Int = Character.digit(b.toChar, 16)
+    var i = 0
+    while (i < in.length) {
+      val b = in(i)
+      if (b == '=' && i + 1 < in.length && in(i + 1) == '\n') i += 2
+      else if (b == '=' && i + 2 < in.length && in(i + 1) == '\r' &&
+        in(i + 2) == '\n') i += 3
+      else if (b == '=' && i + 2 < in.length && hex(in(i + 1)) >= 0 &&
+        hex(in(i + 2)) >= 0) {
+        out.write(hex(in(i + 1)) * 16 + hex(in(i + 2))); i += 3
+      } else { out.write(b.toInt); i += 1 }
+    }
+    decodeBest(out.toByteArray)
+  }
+
+  /** Apply a part's Content-Transfer-Encoding (7bit/8bit pass through,
+    * quoted-printable and base64 decode — `get_content()` semantics).
+    */
+  def decodeTransfer(body: String, enc: Option[String]): String =
+    enc.map(_.trim.toLowerCase).getOrElse("") match {
+      case "base64" =>
+        try decodeBest(java.util.Base64.getMimeDecoder
+          .decode(body.replaceAll("\\s", "")))
+        catch { case _: IllegalArgumentException => body }
+      case "quoted-printable" => decodeQuotedPrintable(body)
+      case _ => body
+    }
+
+  /** M1 multipart walk: decoded leaf part bodies, in order. A
+    * multipart Content-Type splits the body on its boundary lines
+    * (`--boundary` … `--boundary--`), parses each part's own header
+    * block, and recurses (nested multiparts flatten); leaves decode per
+    * their Content-Transfer-Encoding. Non-multipart yields the one
+    * decoded body. Matches the reference's intended `get_payload()`
+    * walk (`Assignment 4.py:415-421` — its own walk loses all but the
+    * last part to a typo and never strips per part).
+    */
+  def partBodies(headers: Map[String, String], body: String): Seq[String] = {
+    val bnd = headers.get("content-type")
+      .filter(_.toLowerCase.startsWith("multipart"))
+      .flatMap(boundaryOf)
+    bnd match {
+      case None =>
+        Seq(decodeTransfer(body, headers.get("content-transfer-encoding")))
+      case Some(b) =>
+        val delim = "--" + b
+        val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+        var cur: StringBuilder = null
+        var ended = false
+        for (line <- body.split("\r?\n", -1) if !ended) {
+          val t = line.trim
+          if (t == delim + "--") {
+            if (cur != null) parts += cur.result(); cur = null; ended = true
+          } else if (t == delim) {
+            if (cur != null) parts += cur.result()
+            cur = new StringBuilder
+          } else if (cur != null) {
+            if (cur.nonEmpty) cur += '\n'
+            cur ++= line
+          }
+        }
+        if (cur != null) parts += cur.result()
+        parts.toSeq.flatMap { p =>
+          val (ph, pb) = splitMessage(p)
+          partBodies(ph, pb)
+        }
+    }
+  }
+
+  /** M1 intended semantics: parse headers + body; `text` is the
+    * HTML-stripped concatenation of the decoded (multipart-walked) leaf
+    * parts; `payload` keeps the raw top-level body.
     */
   def parseEmail(raw: String): ParsedEmail = {
     if (raw == null) return ParsedEmail(None, None, None, None, None, None,
@@ -65,7 +147,8 @@ object EmailParser {
     def g(k: String): Option[String] = h.get(k)
     ParsedEmail(
       payload = Some(body),
-      text = Some(HtmlStrip.stripHtml(body)),
+      text = Some(partBodies(h, body).map(HtmlStrip.stripHtml)
+        .mkString("\n")),
       Message_D = g("message-id"),
       Date = g("date"),
       From = g("from"),

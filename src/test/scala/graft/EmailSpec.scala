@@ -50,6 +50,72 @@ class EmailSpec extends SparkTestBase {
     assert(p.payload.get.contains("<html>")) // payload keeps raw body
   }
 
+  test("multipart MIME: boundary split, per-part decode, concatenated text") {
+    // multipart fixture built from the html golden's body wrapped in a
+    // boundary, plus a base64 and a quoted-printable plain part
+    val htmlBody = EmailParser.splitMessage(htmlMsg.trim)._2
+    val b64 = java.util.Base64.getEncoder.encodeToString(
+      "binary-decoded part".getBytes("UTF-8"))
+    val msg =
+      s"""Message-ID: <multi@x>
+         |From: multi@example.com
+         |Subject: multipart test
+         |MIME-Version: 1.0
+         |Content-Type: multipart/alternative; boundary="BNDRY42"
+         |
+         |preamble to be ignored
+         |--BNDRY42
+         |Content-Type: text/plain; charset=us-ascii
+         |Content-Transfer-Encoding: quoted-printable
+         |
+         |qp caf=C3=A9 line=
+         | continues
+         |--BNDRY42
+         |Content-Type: text/plain
+         |Content-Transfer-Encoding: base64
+         |
+         |$b64
+         |--BNDRY42
+         |Content-Type: text/html
+         |
+         |$htmlBody
+         |--BNDRY42--
+         |epilogue to be ignored""".stripMargin
+    val p = EmailParser.parseEmail(msg)
+    val text = p.text.get
+    assert(text.contains("qp café line continues"), "quoted-printable part")
+    assert(text.contains("binary-decoded part"), "base64 part")
+    assert(text.contains("Dear THERESA") && !text.contains("<html"),
+      "html part must be walked and stripped")
+    assert(!text.contains("BNDRY42") && !text.contains("preamble") &&
+      !text.contains("epilogue"), "boundary markers must not leak into text")
+    assert(p.payload.get.contains("--BNDRY42"), "payload keeps the raw body")
+    // nested multipart flattens
+    val nested =
+      s"""Content-Type: multipart/mixed; boundary=outer
+         |
+         |--outer
+         |Content-Type: multipart/alternative; boundary=inner
+         |
+         |--inner
+         |
+         |inner part one
+         |--inner
+         |
+         |inner part two
+         |--inner--
+         |--outer
+         |
+         |outer part
+         |--outer--""".stripMargin
+    val (nh, nb) = EmailParser.splitMessage(nested)
+    assert(EmailParser.partBodies(nh, nb) ==
+      Seq("inner part one", "inner part two", "outer part"))
+    // non-multipart messages are untouched by the walk
+    assert(EmailParser.parseEmail(plainMsg).payload ==
+      EmailParser.parseEmail(plainMsg).text)
+  }
+
   test("header folding and missing headers") {
     val (h, body) = EmailParser.splitMessage(
       "Subject: a folded\n  subject line\nFrom: x@y\n\nbody here")

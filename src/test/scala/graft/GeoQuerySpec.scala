@@ -81,6 +81,40 @@ class GeoQuerySpec extends SparkTestBase {
       == "Astrakhan Airport")
   }
 
+  test("pruned nearest falls back when the center cell is empty (adist divergence)") {
+    import graft.functions.Geohash
+    import spark.implicits._
+    // find a query point whose 3-char cell sits on a 2-char parent edge
+    // (so the 3x3 block crosses into a different 2-char parent)
+    val (qLat, qLon) = (0 until 1000).iterator.map { k =>
+      (-60.0 + (k % 25) * 5.0, -170.0 + (k / 25) * 8.5)
+    }.find { case (la, lo) =>
+      val c = Geohash.encode(la, lo, 3)
+      Geohash.neighbors(c).exists(_.take(2) != c.take(2))
+    }.get
+    val center = Geohash.encode(qLat, qLon, 3)
+    val block = Geohash.neighbors(center).toSet
+    val nbr = block.find(_.take(2) != center.take(2)).get
+    // a cell sharing the 2-char parent but OUTSIDE the 3x3 block
+    val cousin = "0123456789bcdefghjkmnpqrstuvwxyz"
+      .map(ch => center.take(2) + ch)
+      .find(c => c != center && !block.contains(c)).get
+    val (aLat, aLon) = Geohash.decode(nbr)
+    val (bLat, bLon) = Geohash.decode(cousin)
+    val df = Seq(("InBlockNeighbor", aLat, aLon), ("TwoCharCousin", bLat, bLon))
+      .toDF("nm", "la", "lo")
+      .selectExpr(
+        "named_struct('name', nm, 'latitude', la, 'longitude', lo) AS src_airport")
+    // adist-first ranking: the out-of-block cousin shares 2 geohash chars
+    // with the query, the in-block neighbor at most 1 — the cousin is the
+    // true nearest, and only the center-empty fallback can find it
+    val full = Geo.nearestAirport(Geo.enrichGeohash(df), qLat, qLon)
+    assert(full == "TwoCharCousin")
+    val tmp = java.nio.file.Files.createTempDirectory("geodiv").toString
+    Geo.writeGeoIndex(df, tmp)
+    assert(Geo.nearestAirportPruned(spark, tmp, qLat, qLon) == full)
+  }
+
   test("optimizer rule: geohash precision pushes down through substring") {
     geo.register(spark)
     val pts = spark.range(3)

@@ -61,6 +61,31 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(rAll == 10, s"probing every cell must equal exact top-10, got $rAll")
   }
 
+  test("embedding near-dup: finds planted duplicates, candidates bounded O(N)") {
+    import spark.implicits._
+    // planted corpus: vec 1 & 2 identical (cos 1.0), vec 3 the negation
+    // (cos -1.0, must not link), plus deterministic noise vectors
+    val rnd = new scala.util.Random(42)
+    def noise() = Array.fill(64)(rnd.nextFloat() * 2 - 1)
+    val base = Array.fill(64)(rnd.nextFloat() * 2 - 1)
+    val rows = Seq(
+      (1L, base), (2L, base.clone()), (3L, base.map(-_))) ++
+      (4L to 200L).map(i => (i, noise()))
+    val emb = rows.toDF("vec_id", "embedding")
+    val links = Similarity.embeddingNearDup(emb).collect()
+    assert(links.exists(r => r.getAs[Long]("i") == 1L &&
+      r.getAs[Long]("j") == 2L && r.getAs[Double]("cos") == 1.0),
+      "identical vectors must link to their bucket representative")
+    assert(!links.exists(r => r.getAs[Long]("j") == 3L &&
+      r.getAs[Long]("i") == 1L), "negated vector must not pass cos>=0.5")
+    // scale invariant: star links are <= bands x N by construction —
+    // the O(N) bound that replaced the O(N^2/256) all-pairs form
+    val n = emb.count()
+    assert(Similarity.nearDupCandidates(emb).count() <= 3 * n)
+    val embReal = graft.core.Tables.embeddings(spark, sfDir)
+    assert(Similarity.nearDupCandidates(embReal).count() <= 3 * embReal.count())
+  }
+
   test("exact dedup groups: total docs preserved") {
     val rows = Dedup.q25Exact(spark, sfDir).collect()
     val total = rows.map(_.getAs[Long]("n_docs")).sum
