@@ -72,8 +72,13 @@ object Relational extends QueryPack {
   // --- q4: semi join (orders having at least one high-qty line) -----------
   def q4Semi(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // distinct before the semi join: dedup shrinks the probe relation
+    // (~10% of lineitem filters to ~¼ as many distinct orderkeys), the
+    // join reuses the distinct's hash partitioning on the same key, and
+    // AQE sees the post-shuffle size — small enough, it converts the
+    // semi join to broadcast at runtime.
     val big = Tables.lineitem(s, dir).filter($"l_quantity" > 45)
-      .select($"l_orderkey")
+      .select($"l_orderkey").distinct()
     Tables.orders(s, dir)
       .join(big, $"o_orderkey" === big("l_orderkey"), "left_semi")
       .groupBy($"o_orderstatus")
@@ -114,18 +119,29 @@ object Relational extends QueryPack {
   }
 
   // --- q8: set ops (union / intersect / except; §2.7) ---------------------
+  /** One shuffle: tag each input with membership flags, aggregate
+    * bool-or per custkey, then derive all three set-op classes from the
+    * flags. The literal intersect/union/except form ran three separate
+    * distinct passes — 3 scans + 5 shuffles over the same two inputs.
+    * Classes emit a row only when non-empty, matching the set-op form.
+    */
   def q8SetOps(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val fromOrders = Tables.orders(s, dir).select($"o_custkey".as("custkey"))
-    val highBal = Tables.customer(s, dir).filter($"c_acctbal" > 5000)
-      .select($"c_custkey".as("custkey"))
-    val both = fromOrders.intersect(highBal)
-    val either = fromOrders.union(highBal).distinct()
-    val onlyOrders = fromOrders.distinct().except(highBal)
-    both.withColumn("src", lit("both"))
-      .union(either.withColumn("src", lit("either")))
-      .union(onlyOrders.withColumn("src", lit("only_orders")))
-      .groupBy($"src").agg(count(lit(1)).as("n"))
+    val tagged = Tables.orders(s, dir)
+      .select($"o_custkey".as("custkey"),
+        lit(true).as("fo"), lit(false).as("hb"))
+      .union(Tables.customer(s, dir).filter($"c_acctbal" > 5000)
+        .select($"c_custkey".as("custkey"),
+          lit(false).as("fo"), lit(true).as("hb")))
+    tagged.groupBy($"custkey")
+      .agg(max($"fo").as("fo"), max($"hb").as("hb"))
+      .agg(
+        sum(when($"fo" && $"hb", 1L).otherwise(0L)).as("both"),
+        count(lit(1)).as("either"),
+        sum(when($"fo" && !$"hb", 1L).otherwise(0L)).as("only_orders"))
+      .selectExpr("stack(3, 'both', both, 'either', either, " +
+        "'only_orders', only_orders) AS (src, n)")
+      .filter($"n" > 0)
   }
 
   // --- q9: rollup (grouping sets; §2.5 note) ------------------------------

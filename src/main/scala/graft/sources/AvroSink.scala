@@ -57,6 +57,12 @@ object AvroSink {
         val el = nonNull(schema).getElementType
         seq.map(v => toAvro(v, et, el)).asJava
       case (s: String, _) => s
+      case (b: Array[Byte], _) => java.nio.ByteBuffer.wrap(b)
+      // any type mapped to Avro STRING (Timestamp/Date/Decimal/...) must
+      // be stringified here — the raw object would ClassCastException
+      // inside GenericDatumWriter at write time
+      case (v, _) if nonNull(schema).getType == Schema.Type.STRING =>
+        v.toString
       case (v, _) => v
     }
 
@@ -92,7 +98,15 @@ object AvroSink {
       Row.fromSeq(s.fields.toSeq.map(f => fromAvro(r.get(f.name), f.dataType)))
     case (l: java.util.List[_], ArrayType(et, _)) =>
       l.asScala.toSeq.map(v => fromAvro(v, et))
+    case (u: org.apache.avro.util.Utf8, TimestampType) =>
+      java.sql.Timestamp.valueOf(u.toString)
+    case (u: org.apache.avro.util.Utf8, DateType) =>
+      java.sql.Date.valueOf(u.toString)
+    case (u: org.apache.avro.util.Utf8, _: DecimalType) =>
+      new java.math.BigDecimal(u.toString)
     case (u: org.apache.avro.util.Utf8, _) => u.toString
+    case (bb: java.nio.ByteBuffer, _) =>
+      val a = new Array[Byte](bb.remaining()); bb.get(a); a
     case (v, _) => v
   }
 

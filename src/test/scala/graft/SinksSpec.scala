@@ -26,6 +26,27 @@ class SinksSpec extends SparkTestBase {
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
   }
 
+  test("avro sink: timestamp/date/decimal/binary columns survive the roundtrip") {
+    // these all map to Avro STRING/BYTES — the writer must stringify/
+    // wrap, not hand GenericDatumWriter the raw JVM object
+    val df = spark.sql(
+      """SELECT TIMESTAMP '2024-03-01 12:34:56.789' AS ts,
+        |  DATE '2024-03-01' AS d,
+        |  CAST(12345.6789 AS DECIMAL(18,4)) AS dec,
+        |  CAST('bytes!' AS BINARY) AS bin,
+        |  42L AS id""".stripMargin)
+    val out = java.nio.file.Files.createTempDirectory("avrots").toString
+    AvroSink.write(df, out)
+    val back = AvroSink.read(spark, out, df.schema)
+    val (exp, got) = (df.head(), back.head())
+    assert(got.getTimestamp(0) == exp.getTimestamp(0))
+    assert(got.getDate(1).toString == exp.getDate(1).toString)
+    assert(got.getDecimal(2).compareTo(exp.getDecimal(2)) == 0)
+    assert(java.util.Arrays.equals(got.getAs[Array[Byte]](3),
+      exp.getAs[Array[Byte]](3)))
+    assert(got.getLong(4) == 42L)
+  }
+
   test("avro schema generation fixes the reference's type bugs") {
     val s = AvroSink.toAvroSchema(RouteSchema.routeSchema, "route")
     val str = s.toString
