@@ -168,21 +168,45 @@ object EmailParser {
       Bcc = g("bcc"))
   }
 
-  /** S3: charset-sniffing decode — try strict UTF-8, fall back to
-    * Latin-1 (total: every byte sequence decodes). The reference uses
-    * chardet; for its corpus (ASCII/Latin-1/UTF-8 mail) this heuristic
-    * is behavior-equivalent and dependency-free.
+  /** S3: charset-sniffing decode — BOM first (UTF-8/UTF-16 LE/BE), then
+    * a null-byte distribution sniff for BOM-less UTF-16 (chardet's
+    * strongest non-BOM signal: ASCII-heavy UTF-16 text has ~half its
+    * bytes 0x00, parked on one parity), then strict UTF-8, then Latin-1
+    * (total: every byte sequence decodes). The reference uses chardet;
+    * for mail corpora this covers the encodings chardet actually
+    * distinguishes without the dependency.
     */
   def decodeBest(bytes: Array[Byte]): String = {
     if (bytes == null) return null
+    import java.nio.charset.StandardCharsets._
+    def is(b: Int, v: Int) = bytes.length > b && (bytes(b) & 0xff) == v
+    if (is(0, 0xef) && is(1, 0xbb) && is(2, 0xbf))
+      return new String(bytes, 3, bytes.length - 3, UTF_8)
+    if (is(0, 0xff) && is(1, 0xfe))
+      return new String(bytes, 2, bytes.length - 2, UTF_16LE)
+    if (is(0, 0xfe) && is(1, 0xff))
+      return new String(bytes, 2, bytes.length - 2, UTF_16BE)
+    if (bytes.length >= 4) {
+      val n = math.min(bytes.length, 4096)
+      var evenNul = 0; var oddNul = 0; var i = 0
+      while (i < n) {
+        if (bytes(i) == 0) { if (i % 2 == 0) evenNul += 1 else oddNul += 1 }
+        i += 1
+      }
+      // one parity nearly all NUL, the other nearly none → UTF-16
+      if (oddNul * 3 > n && evenNul * 20 < n)
+        return new String(bytes, UTF_16LE)
+      if (evenNul * 3 > n && oddNul * 20 < n)
+        return new String(bytes, UTF_16BE)
+    }
     try {
-      val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      val dec = UTF_8.newDecoder()
         .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
         .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
       dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
     } catch {
       case _: java.nio.charset.CharacterCodingException =>
-        new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+        new String(bytes, ISO_8859_1)
     }
   }
 }

@@ -148,6 +148,26 @@ class EmailSpec extends SparkTestBase {
       == "hé!")
   }
 
+  test("charset sniffing: BOMs and BOM-less UTF-16 detected") {
+    import java.nio.charset.StandardCharsets._
+    val s = "Hello, wörld — café"
+    def bom(b: Array[Byte], payload: Array[Byte]) = b ++ payload
+    assert(EmailParser.decodeBest(
+      bom(Array(0xEF, 0xBB, 0xBF).map(_.toByte), s.getBytes(UTF_8))) == s)
+    assert(EmailParser.decodeBest(
+      bom(Array(0xFF, 0xFE).map(_.toByte), s.getBytes(UTF_16LE))) == s)
+    assert(EmailParser.decodeBest(
+      bom(Array(0xFE, 0xFF).map(_.toByte), s.getBytes(UTF_16BE))) == s)
+    // BOM-less UTF-16: null-byte parity sniff (previously mojibake'd)
+    assert(EmailParser.decodeBest("plain ascii text".getBytes(UTF_16LE))
+      == "plain ascii text")
+    assert(EmailParser.decodeBest("plain ascii text".getBytes(UTF_16BE))
+      == "plain ascii text")
+    // ascii/utf-8/latin-1 behavior unchanged
+    assert(EmailParser.decodeBest(s.getBytes(UTF_8)) == s)
+    assert(EmailParser.decodeBest("café".getBytes(ISO_8859_1)) == "café")
+  }
+
   test("script/style content dropped, comments removed") {
     val s = "a<script>var x=1;</script>b<style>p{}</style>c<!-- hidden -->d"
     assert(HtmlStrip.stripHtml(s) == "abcd")

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Relational, Similarity}
+import graft.operators.{Alignment, Anomaly, Relational, Similarity, TextAnalysis}
 
 /** Physical-plan audits: the 100 TB design properties the queries rely
   * on must be visible in the executed plan, not assumed — filter
@@ -66,6 +66,41 @@ class PlanSpec extends SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS orders_b")
       spark.sql("DROP TABLE IF EXISTS customer_b")
     }
+  }
+
+  test("q38: media metadata stays in codegen — no object deserialization") {
+    val p = plan(Alignment.q38MediaMeta(spark, sfDir))
+    assert(!p.contains("DeserializeToObject") && !p.contains("MapPartitions"),
+      p.take(2000))
+    assert(p.contains("*(1)"), p.take(1500))
+  }
+
+  test("q35: no unframed window over event_type — medians broadcast back") {
+    val p = plan(Anomaly.q35RobustStats(spark, sfDir))
+    assert(!p.contains("Window"),
+      s"q35 must not window-partition whole event types:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q46: no broadcast hint on the vocabulary, no driver-side total") {
+    // the unigram table grows with the corpus — a broadcast HINT on it
+    // OOMs at 100 TB (the planner may still choose broadcast at toy SFs
+    // from size estimates; that adapts with scale, a hint does not)
+    val qe = TextAnalysis.q46Surprisal(spark, sfDir).queryExecution
+    assert(!qe.optimizedPlan.toString.contains("strategy=broadcast"),
+      qe.optimizedPlan.toString.take(2000))
+    // corpus total must be a 1-row aggregate cross-joined in, not a
+    // collected literal (which would mean a driver action mid-query)
+    assert(qe.optimizedPlan.toString.contains("Join Cross"),
+      qe.optimizedPlan.toString.take(2000))
+  }
+
+  test("q8: set-op classes derive from one aggregation, not three passes") {
+    val p = plan(Relational.q8SetOps(spark, sfDir))
+    val nAggExchanges = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(nAggExchanges <= 1,
+      s"expected a single custkey shuffle, got $nAggExchanges:\n${p.take(2500)}")
   }
 
   test("whole-stage codegen covers the scan->filter->project spine (q2)") {
