@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftGlue, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.graft.{GeohashApproxDistanceExpr, GeohashDecodeExpr, GeohashEncodeExpr, HaversineKmExpr}
+import org.apache.spark.sql.graft.{DotProductExpr, GeohashApproxDistanceExpr, GeohashDecodeExpr, GeohashEncodeExpr, HaversineKmExpr}
 
 /** Column-API + SQL surface for the geo expressions. */
 object geo {
@@ -31,6 +31,12 @@ object geo {
     col(org.apache.spark.sql.graft.TopKByAggregate(ex(ord), ex(payload), k)
       .toAggregateExpression())
 
+  /** Codegen'd vector dot product (similarity/ANN hot path; SURVEY
+    * §2.13) — same accumulation order as DuckDB `list_dot_product`.
+    */
+  def dot_product(a: Column, b: Column): Column =
+    col(DotProductExpr(ex(a), ex(b)))
+
   private val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "geohash_encode" -> { es =>
       val p = if (es.size >= 3) es(2) else Literal(12)
@@ -43,6 +49,7 @@ object geo {
     "haversine_km" -> { es =>
       HaversineKmExpr(es(0), es(1), es(2), es(3))
     },
+    "dot_product" -> { es => DotProductExpr(es(0), es(1)) },
   )
 
   /** Imperative registration for sessions not built with
@@ -82,5 +89,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("haversine_km"),
       new ExpressionInfo(classOf[HaversineKmExpr].getName, "haversine_km"),
       (es: Seq[Expression]) => HaversineKmExpr(es(0), es(1), es(2), es(3))))
+    e.injectFunction((FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProductExpr].getName, "dot_product"),
+      (es: Seq[Expression]) => DotProductExpr(es(0), es(1))))
   }
 }

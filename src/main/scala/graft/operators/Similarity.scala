@@ -24,8 +24,11 @@ object Similarity extends QueryPack {
   /** embedding: array<float> → array<double> (analysis-exact). */
   private def vec(c: Column): Column = transform(c, _.cast("double"))
 
+  /** Codegen'd Catalyst expression — the `aggregate(zip_with(...))`
+    * form is semantically identical but interpreted per element.
+    */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+    graft.functions.geo.dot_product(a, b)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))

@@ -61,6 +61,39 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(rAll == 10, s"probing every cell must equal exact top-10, got $rAll")
   }
 
+  test("dot_product expression: bit-parity with the zip_with form, codegen'd") {
+    import spark.implicits._
+    import graft.functions.geo
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 200).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextDouble() * 2 - 1)))
+    val df = rows.toDF("id", "v")
+    val both = df.select(
+      geo.dot_product($"v", $"v").as("native"),
+      aggregate(zip_with($"v", $"v", _ * _), lit(0.0), _ + _).as("declarative"))
+    // bit-identical, not approximately equal: same left-to-right order
+    assert(both.filter($"native" =!= $"declarative").count() == 0)
+    // stays inside whole-stage codegen (parquet-backed scan: local
+    // relations constant-fold into LocalTableScan and prove nothing)
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+      .select(geo.dot_product(
+        expr("cast(embedding as array<double>)"),
+        expr("cast(embedding as array<double>)")))
+    assert(emb.queryExecution.executedPlan.toString.contains("*(1)"))
+    // null propagation matches zip_with: length mismatch and null elements
+    geo.register(spark)
+    val r = spark.sql(
+      """SELECT dot_product(array(1.0d, 2.0d), array(3.0d)) AS mismatch,
+        |  dot_product(array(1.0d, cast(null as double)), array(1.0d, 1.0d)) AS nullel,
+        |  dot_product(cast(null as array<double>), array(1.0d)) AS nullarr""".stripMargin)
+      .head()
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+    // float arrays implicit-cast like any builtin
+    val f = Seq((1L, Array(1.0f, 2.0f))).toDF("id", "fv")
+      .select(geo.dot_product($"fv", $"fv")).head().getDouble(0)
+    assert(f == 5.0)
+  }
+
   test("embedding near-dup: finds planted duplicates, candidates bounded O(N)") {
     import spark.implicits._
     // planted corpus: vec 1 & 2 identical (cos 1.0), vec 3 the negation
