@@ -110,20 +110,25 @@ object AvroSink {
     case (v, _) => v
   }
 
-  /** Driver-side reader for verification/roundtrip (container files are
-    * splittable; a production source would register a DataSourceV2 —
-    * parquet remains the engine's primary at-rest format).
+  /** Distributed reader: the driver only lists file paths; each task
+    * opens and decodes its container files on an executor, so read
+    * parallelism scales with file count exactly like the write side.
+    * (A production source would register a DataSourceV2 for pushdown;
+    * parquet remains the engine's primary at-rest format.)
     */
   def read(spark: SparkSession, dir: String, st: StructType): DataFrame = {
-    val files = new java.io.File(dir).listFiles()
+    val paths = new java.io.File(dir).listFiles()
       .filter(_.getName.endsWith(".avro")).sortBy(_.getName)
-    val rows = files.flatMap { f =>
-      val reader = new DataFileReader[GenericRecord](f,
-        new GenericDatumReader[GenericRecord]())
-      val out = reader.iterator().asScala
-        .map(r => fromAvro(r, st).asInstanceOf[Row]).toList
-      reader.close(); out
-    }
-    spark.createDataFrame(rows.toList.asJava, st)
+      .map(_.getAbsolutePath).toSeq
+    val rows = spark.sparkContext
+      .parallelize(paths, math.max(1, math.min(paths.size, 32)))
+      .flatMap { p =>
+        val reader = new DataFileReader[GenericRecord](new java.io.File(p),
+          new GenericDatumReader[GenericRecord]())
+        val out = reader.iterator().asScala
+          .map(r => fromAvro(r, st).asInstanceOf[Row]).toList
+        reader.close(); out
+      }
+    spark.createDataFrame(rows, st)
   }
 }

@@ -119,6 +119,23 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(Similarity.nearDupCandidates(embReal).count() <= 3 * embReal.count())
   }
 
+  test("ivf index: partitionBy(cell) write prunes probed cells at the scan") {
+    import graft.core.Tables
+    val emb = Tables.embeddings(spark, sfDir)
+    val (index, _) = Similarity.ivfIndex(emb, k = 8)
+    val out = java.nio.file.Files.createTempDirectory("ivf").toString
+    index.selectExpr("vec_id", "cast(embedding as array<double>) as embedding",
+      "cell").write.partitionBy("cell").mode("overwrite").parquet(out)
+    val onDisk = spark.read.option("basePath", out).parquet(out)
+    val probe = onDisk.filter(col("cell").isin(0, 1))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"probe must prune cell partitions:\n${plan.take(1500)}")
+    // pruned probe reads exactly the probed cells' rows
+    val expected = index.filter(col("cell").isin(0, 1)).count()
+    assert(probe.count() == expected && expected > 0)
+  }
+
   test("exact dedup groups: total docs preserved") {
     val rows = Dedup.q25Exact(spark, sfDir).collect()
     val total = rows.map(_.getAs[Long]("n_docs")).sum
