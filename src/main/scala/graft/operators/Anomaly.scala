@@ -51,7 +51,12 @@ object Anomaly extends QueryPack {
     val stats = ev.groupBy($"w".as("win"), $"event_type".as("et"))
       .agg(count(lit(1)).as("n"), sum($"v4").as("sv"),
         sum($"v4" * $"v4").as("q"))
-    val j = ev.join(broadcast(stats), $"w" === $"win" &&
+    // no broadcast hint: stats keys are (window × event_type), which
+    // grows with the data's time span — unbounded at 100 TB, unlike the
+    // domain-bounded per-type tables q32/q35/q47 broadcast. The shuffle
+    // join co-partitions both sides on the same keys; AQE still picks
+    // broadcast at small SFs.
+    val j = ev.join(stats, $"w" === $"win" &&
       $"event_type" === $"et")
     val lhs = ($"v4" * $"n" - $"sv").cast(D38)
     val rhs = ($"n".cast(D38) * $"q".cast(D38) -

@@ -59,9 +59,11 @@ object Relational extends QueryPack {
     val o = Tables.orders(s, dir)
     val c = Tables.customer(s, dir)
     val n = Tables.nation(s, dir)
-    // nation/customer are tiny relative to orders at every SF: broadcast
-    // both so the probe side streams without a shuffle.
-    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    // nation is domain-bounded (25 rows) — always broadcast. customer
+    // GROWS with the dataset, so no hint: the planner/AQE broadcasts it
+    // while it fits and degrades to a shuffle join at scale instead of
+    // OOMing the executors.
+    o.join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy($"n_name")
       .agg(
@@ -207,13 +209,15 @@ object Relational extends QueryPack {
     // "price > 2 * segment average" expressed as price * n > 2 * total so
     // every comparison stays in exact decimal/integer arithmetic — a
     // double average could flip a boundary row between engines.
-    val avgBySeg = o.join(broadcast(Tables.customer(s, dir)),
+    // customer joins carry no broadcast hint (it grows with the data;
+    // AQE broadcasts while small) — the 5-row per-segment aggregate is
+    // the side that must always broadcast
+    val avgBySeg = o.join(Tables.customer(s, dir),
         $"o_custkey" === $"c_custkey")
       .groupBy($"c_mktsegment")
       .agg(sum($"o_totalprice".cast(DecimalType(18, 4))).as("seg_sum"),
         count(lit(1)).as("seg_n"))
-    // broadcast the 5-row per-segment aggregate back against orders
-    o.join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+    o.join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
       .join(broadcast(avgBySeg), Seq("c_mktsegment"))
       .filter($"o_totalprice".cast(DecimalType(18, 4)) * $"seg_n" >
         $"seg_sum" * 2)
@@ -229,8 +233,7 @@ object Relational extends QueryPack {
   def q48TopKPerGroup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.orders(s, dir)
-      .join(broadcast(Tables.customer(s, dir)),
-        $"o_custkey" === $"c_custkey")
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
       .groupBy($"c_mktsegment")
       .agg(graft.functions.geo.top_k_by($"o_totalprice",
         $"o_orderkey".cast("string"), 3).as("top"))

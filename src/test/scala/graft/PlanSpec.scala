@@ -95,6 +95,13 @@ class PlanSpec extends SparkTestBase {
       qe.optimizedPlan.toString.take(2000))
   }
 
+  test("q33: no broadcast hint on the time-growing window-stats table") {
+    // (window × event_type) cardinality grows with the data's time span
+    val p = Anomaly.q33WindowStats(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    assert(!p.contains("strategy=broadcast"), p.take(2000))
+  }
+
   test("q8: set-op classes derive from one aggregation, not three passes") {
     val p = plan(Relational.q8SetOps(spark, sfDir))
     val nAggExchanges = p.linesIterator
