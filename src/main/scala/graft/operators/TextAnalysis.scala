@@ -107,6 +107,48 @@ object TextAnalysis extends QueryPack {
       .agg(count(lit(1)).as("n"))
   }
 
+  // --- char-n-gram language profiles (Cavnar–Trenkle) ---------------------
+  /** Learn per-language character-trigram rank profiles from a labeled
+    * corpus: the classic n-gram lang-ID, expressed as one aggregation +
+    * one rank window. The profile table is domain-bounded (|languages|
+    * × topK rows) — always broadcastable, unlike a vocabulary.
+    */
+  def langProfiles(docs: DataFrame, topK: Int = 300): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .select($"lang", explode(expr(
+        "transform(sequence(1, length(text) - 2), g -> substring(text, g, 3))"))
+        .as("tri"))
+      .groupBy($"lang", $"tri").agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"lang").orderBy($"cnt".desc, $"tri".asc)))
+      .filter($"rk" <= topK)
+      .select($"lang".as("plang"), $"tri", $"rk")
+  }
+
+  /** Classify by out-of-place rank distance against the profiles: for
+    * each document trigram found in a profile, score `topK - rk`
+    * (frequent profile grams weigh most); argmax language wins (struct
+    * max — equal scores resolve to the lexicographically greatest tag,
+    * deterministic under any partitioning). One explode + one broadcast
+    * join + two aggregations — no per-language loop, linear in corpus
+    * size.
+    */
+  def langIdNgram(docs: DataFrame, profiles: DataFrame,
+      topK: Int = 300): DataFrame = {
+    import docs.sparkSession.implicits._
+    val tris = docs.select($"doc_id", explode(expr(
+      "transform(sequence(1, length(text) - 2), g -> substring(text, g, 3))"))
+      .as("tri"))
+    tris.join(broadcast(profiles), "tri")
+      .groupBy($"doc_id", $"plang")
+      .agg(sum(lit(topK) - $"rk").as("score"))
+      .groupBy($"doc_id")
+      .agg(max(struct($"score", $"plang".as("l"))).as("m"))
+      .select($"doc_id", $"m.l".as("pred_lang"), $"m.score".as("score"))
+  }
+
   // --- q24: exact-content fingerprint -------------------------------------
   def q24Fingerprint(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

@@ -167,6 +167,35 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(err < 0.05, s"HLL err $err (exact=$exact approx=$approx)")
   }
 
+  test("n-gram language profiles: learned profiles classify held-out text") {
+    import spark.implicits._
+    val train = Seq(
+      ("en", "the quick brown fox jumps over the lazy dog and then the dog sleeps"),
+      ("en", "she sells sea shells by the sea shore and the shells are sea shells"),
+      ("de", "der schnelle braune fuchs springt über den faulen hund und schläft"),
+      ("de", "die würde des menschen ist unantastbar und das ist gut so"),
+      ("fr", "le renard brun rapide saute par dessus le chien paresseux"),
+      ("fr", "la liberté consiste à pouvoir faire tout ce qui ne nuit pas"))
+      .toDF("lang", "text")
+    val profiles = TextAnalysis.langProfiles(train, topK = 120).cache()
+    // profile table is domain-bounded: <= |langs| x topK rows
+    assert(profiles.count() <= 3 * 120)
+    val test = Seq(
+      (1L, "the dog and the fox are lazy", "en"),
+      (2L, "der hund und der fuchs schläft", "de"),
+      (3L, "le chien et le renard paresseux", "fr"))
+      .toDF("doc_id", "text", "expected")
+    val pred = TextAnalysis.langIdNgram(test, profiles, topK = 120)
+      .join(test, "doc_id")
+    assert(pred.filter($"pred_lang" =!= $"expected").count() == 0,
+      pred.collect().mkString("\n"))
+    // deterministic under repartitioning
+    val again = TextAnalysis.langIdNgram(test.repartition(7), profiles, 120)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == pred.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap)
+  }
+
   test("language-id counts cover all documents") {
     val n = TextAnalysis.q23LangId(spark, sfDir).agg(sum("n")).head().getLong(0)
     assert(n == graft.core.Tables.documents(spark, sfDir).count())
