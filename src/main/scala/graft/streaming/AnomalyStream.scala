@@ -43,6 +43,31 @@ object AnomalyStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total"), col("max_value"))
 
+  /** Watermarked stream-stream interval join — the streaming analog of
+    * the batch as-of join (q36): each click joins the errors the same
+    * user raised in the preceding `horizon`. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so
+    * buffered state is evicted as watermarks advance (an unbounded
+    * stream-stream join would hold both streams' history forever).
+    * Inner join: Spark's append-mode contract for stream-stream joins
+    * with watermarked interval conditions.
+    */
+  def clickErrorJoin(clicks: DataFrame, errors: DataFrame,
+      horizon: String = "10 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", horizon)
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val e = errors.withWatermark("ts", horizon)
+      .select(col("event_id").as("err_id"), col("user_id").as("err_user"),
+        col("ts").as("err_ts"))
+    c.join(e,
+      col("user_id") === col("err_user") &&
+        col("err_ts") <= col("click_ts") &&
+        col("err_ts") >= col("click_ts") - expr(s"INTERVAL $horizon"))
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("err_id"), col("err_ts"))
+  }
+
   /** Streaming exact dedup for document pipelines: content fingerprint
     * + `dropDuplicatesWithinWatermark` — duplicate payloads arriving
     * within the watermark horizon emit once, and fingerprint state is

@@ -122,12 +122,8 @@ class StreamingSpec extends SparkTestBase {
     implicit val sc = spark.sqlContext
     val clicks = MemoryStream[Event]
     val errors = MemoryStream[Event]
-    val c = clicks.toDF().withWatermark("ts", "1 minutes")
-      .selectExpr("event_id AS click_id", "user_id", "ts AS cts")
-    val e = errors.toDF().withWatermark("ts", "1 minutes")
-      .selectExpr("event_id AS err_id", "user_id AS euser", "ts AS ets")
-    val joined = c.join(e,
-      expr("user_id = euser AND ets BETWEEN cts - INTERVAL 30 SECONDS AND cts"))
+    val joined = AnomalyStream.clickErrorJoin(
+      clicks.toDF(), errors.toDF(), horizon = "30 seconds")
     val q = joined.writeStream.outputMode("append")
       .format("memory").queryName("ssjoin").start()
     try {
