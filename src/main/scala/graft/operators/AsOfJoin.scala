@@ -56,7 +56,7 @@ object AsOfJoin {
         last(col(s"__c_$c"), ignoreNulls = true).over(w))
     }
     withCarry.filter(col("__tag") === 1)
-      .select(lCols.map(col) ++ carry.map(c => col(s"asof_$c")): _*)
+      .select((lCols.map(col) ++ carry.map(c => col(s"asof_$c"))).toIndexedSeq: _*)
   }
 }
 

@@ -22,7 +22,7 @@ object SkewJoin {
     // different rows still scatter (a random salt would break retry
     // determinism; hashing only the key would not spread at all)
     val salted = probe.withColumn("__salt",
-      pmod(xxhash64(probe.columns.map(col): _*), lit(nSalts)))
+      pmod(xxhash64(probe.columns.toIndexedSeq.map(col): _*), lit(nSalts)))
     val replicated = build
       .withColumn("__salt", explode(sequence(lit(0), lit(nSalts - 1))))
       .withColumn("__salt", col("__salt").cast("long"))

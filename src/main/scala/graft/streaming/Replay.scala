@@ -60,7 +60,7 @@ object Replay {
       .getOrElse(expr("uuid()"))
     df.select(
       key.as("key"),
-      to_json(struct(df.columns.map(col): _*)).as("value"))
+      to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
   }
 
   def kafkaSinkOptions(servers: String, topic: String): Map[String, String] =
