@@ -47,6 +47,40 @@ class SinksSpec extends SparkTestBase {
     assert(got.getLong(4) == 42L)
   }
 
+  test("compaction: write sizing collapses a fragmented dataset") {
+    import graft.sources.Compaction
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val frag = java.nio.file.Files.createTempDirectory("frag").toString
+    docs.repartition(64).write.mode("overwrite").parquet(frag) // 64 shards
+    def nFiles(p: String) = new java.io.File(p).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(nFiles(frag) == 64)
+    val out = java.nio.file.Files.createTempDirectory("compact").toString
+    Compaction.compactParquet(spark, frag, out, targetMB = 256)
+    // 500 small docs ≪ 256MB: everything collapses into one file
+    assert(nFiles(out) == 1, s"expected 1 compacted file, got ${nFiles(out)}")
+    val back = spark.read.parquet(out)
+    assert(back.count() == docs.count())
+    assert(back.exceptAll(docs).count() == 0)
+  }
+
+  test("schema evolution: mergeSchema unifies writes with added columns") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("evolve").toString
+    // epoch 1: original schema; epoch 2: adds a quality column
+    docs.limit(100).write.parquet(s"$dir/e=1")
+    docs.limit(50).withColumn("quality", length(col("text")) / 100.0)
+      .write.parquet(s"$dir/e=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.contains("quality"))
+    assert(merged.count() == 150)
+    // epoch-1 rows read the evolved column as null
+    assert(merged.filter(col("e") === 1 && col("quality").isNotNull)
+      .count() == 0)
+    assert(merged.filter(col("e") === 2 && col("quality").isNull).count() == 0)
+  }
+
   test("avro schema generation fixes the reference's type bugs") {
     val s = AvroSink.toAvroSchema(RouteSchema.routeSchema, "route")
     val str = s.toString
