@@ -23,10 +23,14 @@ object Compaction {
     */
   def sizedForWrite(df: DataFrame, targetMB: Int = 256): DataFrame = {
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val parts = math.max(1,
-      (bytes / (BigInt(targetMB) * 1024 * 1024)).toInt +
-        (if (bytes % (BigInt(targetMB) * 1024 * 1024) > 0) 1 else 0))
-    df.repartition(parts)
+    val target = BigInt(targetMB) * 1024 * 1024
+    // stats default to a huge sentinel when no source can be sized —
+    // cap the partition count so an unknown estimate degrades to the
+    // session's shuffle parallelism instead of a million-task shuffle
+    val cap = BigInt(math.max(df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt, 1) * 16)
+    val raw = bytes / target + (if (bytes % target > 0) 1 else 0)
+    df.repartition(raw.min(cap).max(1).toInt)
   }
 
   /** Compact a parquet directory in place-adjacent: read, resize,
