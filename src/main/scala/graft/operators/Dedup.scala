@@ -96,14 +96,19 @@ object Dedup extends QueryPack {
     val dt = docTokens(Tables.documents(s, dir))
       .withColumn("hv", conv(substring(md5($"tok"), 1, 15), 16, 10)
         .cast("long"))
-    val bits = dt.select($"doc_id", $"hv",
-        explode(sequence(lit(0), lit(47))).as("b"))
-      .withColumn("w", when(expr("(shiftright(hv, b) & 1) = 1"), 1)
-        .otherwise(-1))
-      .groupBy($"doc_id", $"b").agg(sum($"w").as("sw"))
-    val sims = bits.groupBy($"doc_id")
-      .agg(sum(when($"sw" > 0, expr("shiftleft(cast(1 as bigint), b)"))
-        .otherwise(0L)).as("simhash"))
+    // one aggregation with 48 sum columns (bit b of the simhash =
+    // sign of Σ±1 over token-hash bit b): the naive form explodes every
+    // token row 48× before aggregating — 48× the shuffle volume for the
+    // same 48 numbers. Map-side partial aggregation compacts each
+    // partition to one 48-long row per doc before the exchange.
+    val bitSums = (0 until 48).map(b =>
+      sum(when(expr(s"(shiftright(hv, $b) & 1) = 1"), 1)
+        .otherwise(-1)).as(s"s$b"))
+    val sims = dt.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select($"doc_id",
+        (0 until 48).map(b =>
+          when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
     val bands = sims.select($"doc_id", $"simhash",
         explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("key", expr("shiftright(simhash, 12 * band) & 4095"))
