@@ -201,12 +201,24 @@ object TextAnalysis extends QueryPack {
   }
 
   // --- q46: unigram-surprisal quality score --------------------------------
+  /** Tokens in the broadcast head (bounded, so safe at any corpus size). */
+  private[graft] val SurprisalHeadSize = 50000
+
   /** Mean token surprisal −ln p(tok) under the corpus unigram model —
     * the statistical quality/perplexity proxy training pipelines use
     * for filtering. The corpus total is a 1-row aggregate cross-joined
-    * in (no driver-side action), and the term-frequency table joins by
-    * shuffle on `tok` — at 100 TB the vocabulary is tens of GB, far too
-    * big to broadcast; AQE may still pick broadcast at small SFs.
+    * in (no driver-side action).
+    *
+    * Skew design: token frequencies are Zipf-distributed, so a plain
+    * shuffle join of instances against the term-frequency table sends
+    * every occurrence of "the" — billions of rows at 100 TB — to one
+    * reducer. Instead the top-[[SurprisalHeadSize]] tokens by df (a
+    * BOUNDED set, a few MB regardless of corpus size) broadcast-join,
+    * and only the Zipf tail — where every key is rare by construction —
+    * takes the shuffle join. The tf aggregation itself is safe either
+    * way: map-side partial aggregation compacts hot keys before the
+    * exchange. The tail's tf reuses the head's tf exchange
+    * (ReusedExchange), so de-skewing costs no extra aggregation pass.
     */
   def q46Surprisal(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -214,7 +226,14 @@ object TextAnalysis extends QueryPack {
       .select($"doc_id", explode(split($"text", " ")).as("tok"))
     val tf = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
     val tot = toks.agg(count(lit(1)).cast("double").as("total"))
-    toks.join(tf, "tok").crossJoin(tot)
+    // deterministic head membership (tok tie-break) — routing does not
+    // change any output value, but plans must be partition-invariant
+    val head = tf.orderBy($"cnt".desc, $"tok").limit(SurprisalHeadSize)
+    val headHits = toks.join(broadcast(head), Seq("tok"))
+    val tailHits = toks
+      .join(broadcast(head.select($"tok")), Seq("tok"), "left_anti")
+      .join(tf, Seq("tok"))
+    headHits.unionByName(tailHits).crossJoin(tot)
       .withColumn("surprisal", -log($"cnt" / $"total"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_tokens"),

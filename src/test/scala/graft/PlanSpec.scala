@@ -82,17 +82,23 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
-  test("q46: no broadcast hint on the vocabulary, no driver-side total") {
-    // the unigram table grows with the corpus — a broadcast HINT on it
-    // OOMs at 100 TB (the planner may still choose broadcast at toy SFs
-    // from size estimates; that adapts with scale, a hint does not)
+  test("q46: Zipf head broadcasts, unbounded tail vocab shuffles, no driver total") {
     val qe = TextAnalysis.q46Surprisal(spark, sfDir).queryExecution
-    assert(!qe.optimizedPlan.toString.contains("strategy=broadcast"),
-      qe.optimizedPlan.toString.take(2000))
+    val opt = qe.optimizedPlan.toString
+    // exactly the two BOUNDED head joins (inner hit + anti route) carry
+    // broadcast hints; the tail's tf join must NOT be hinted — the full
+    // unigram table grows with the corpus and a hint on it OOMs at
+    // 100 TB (the planner may still pick broadcast at toy SFs from size
+    // estimates; that adapts with scale, a hint does not)
+    val hinted = "strategy=broadcast".r.findAllIn(opt).length
+    assert(hinted == 2, s"expected 2 head broadcast hints, got $hinted:\n${opt.take(2500)}")
+    // head membership is top-k by df: a bounded TakeOrdered, never a
+    // global sort of the vocabulary
+    val phys = plan(TextAnalysis.q46Surprisal(spark, sfDir))
+    assert(phys.contains("TakeOrderedAndProject"), phys.take(2000))
     // corpus total must be a 1-row aggregate cross-joined in, not a
     // collected literal (which would mean a driver action mid-query)
-    assert(qe.optimizedPlan.toString.contains("Join Cross"),
-      qe.optimizedPlan.toString.take(2000))
+    assert(opt.contains("Join Cross"), opt.take(2000))
   }
 
   test("q33: no broadcast hint on the time-growing window-stats table") {
