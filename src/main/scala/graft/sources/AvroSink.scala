@@ -3,6 +3,9 @@ package graft.sources
 import org.apache.avro.{Schema, SchemaBuilder}
 import org.apache.avro.file.{DataFileReader, DataFileWriter}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.mapred.FsInput
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 import scala.jdk.CollectionConverters._
@@ -71,18 +74,28 @@ object AvroSink {
       s.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
     else s
 
-  /** Executor-side partitioned write: `out/part-NNNNN.avro` per task. */
+  /** Executor-side partitioned write: `out/part-NNNNN.avro` per task.
+    * All paths resolve through the Hadoop FileSystem API, so `out` may
+    * be local, `file:`, `hdfs://`, or `s3a://` — same contract as the
+    * builtin sinks.
+    */
   def write(df: DataFrame, out: String): Unit = {
     val st = df.schema
     val schemaJson = toAvroSchema(st, "row").toString
-    new java.io.File(out).mkdirs()
+    val outPath = new Path(out)
+    outPath.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+      .mkdirs(outPath)
     df.rdd.mapPartitionsWithIndex { (idx, rows) =>
       if (rows.hasNext) {
         val schema = new Schema.Parser().parse(schemaJson)
+        val part = new Path(out, f"part-$idx%05d.avro")
+        // executor-local Configuration: tasks pick up cluster defaults
+        // from the classpath (core-site.xml); Configuration itself is
+        // not serializable, so it cannot ride in from the driver
+        val os = part.getFileSystem(new Configuration()).create(part, true)
         val writer = new DataFileWriter[GenericRecord](
           new GenericDatumWriter[GenericRecord](schema))
-        val f = new java.io.File(out, f"part-$idx%05d.avro")
-        writer.create(schema, f)
+        writer.create(schema, os)
         rows.foreach { r =>
           writer.append(toAvro(r, st, schema).asInstanceOf[GenericRecord])
         }
@@ -117,17 +130,31 @@ object AvroSink {
     * parquet remains the engine's primary at-rest format.)
     */
   def read(spark: SparkSession, dir: String, st: StructType): DataFrame = {
-    val paths = new java.io.File(dir).listFiles()
-      .filter(_.getName.endsWith(".avro")).sortBy(_.getName)
-      .map(_.getAbsolutePath).toSeq
+    // Hadoop FS listing (not java.io.File): works for file:, hdfs://,
+    // s3a:// — the driver touches only metadata, never file bytes
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val paths = fs.listStatus(dirPath)
+      .map(_.getPath).filter(_.getName.endsWith(".avro"))
+      .sortBy(_.getName).map(_.toString).toSeq
     val rows = spark.sparkContext
       .parallelize(paths, math.max(1, math.min(paths.size, 32)))
       .flatMap { p =>
-        val reader = new DataFileReader[GenericRecord](new java.io.File(p),
+        val reader = new DataFileReader[GenericRecord](
+          new FsInput(new Path(p), new Configuration()),
           new GenericDatumReader[GenericRecord]())
-        val out = reader.iterator().asScala
-          .map(r => fromAvro(r, st).asInstanceOf[Row]).toList
-        reader.close(); out
+        // stream records through — never materialize a container in
+        // memory (a single .avro file can be GBs); close on exhaustion
+        new Iterator[Row] {
+          private var open = true
+          def hasNext: Boolean = open && {
+            val h = reader.hasNext
+            if (!h) { reader.close(); open = false }
+            h
+          }
+          def next(): Row =
+            fromAvro(reader.next(), st).asInstanceOf[Row]
+        }
       }
     spark.createDataFrame(rows, st)
   }

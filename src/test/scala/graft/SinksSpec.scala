@@ -26,6 +26,17 @@ class SinksSpec extends SparkTestBase {
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
   }
 
+  test("avro sink: write and read resolve through the Hadoop FS layer (file: URI)") {
+    // a scheme-qualified URI never resolves through java.io.File — this
+    // drives the same FileSystem dispatch an s3a:// or hdfs:// path takes
+    val out = "file://" + java.nio.file.Files.createTempDirectory("avrofs")
+    val sample = routes.limit(50)
+    AvroSink.write(sample, out)
+    val back = AvroSink.read(spark, out, sample.schema)
+    assert(back.count() == sample.count())
+    assert(back.select("geohash").exceptAll(sample.select("geohash")).count() == 0)
+  }
+
   test("avro sink: timestamp/date/decimal/binary columns survive the roundtrip") {
     // these all map to Avro STRING/BYTES — the writer must stringify/
     // wrap, not hand GenericDatumWriter the raw JVM object
