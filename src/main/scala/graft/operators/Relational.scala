@@ -205,24 +205,29 @@ object Relational extends QueryPack {
   // --- q14: correlated-style agg-then-join (avg per group vs rows) --------
   def q14HavingJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val o = Tables.orders(s, dir)
     // "price > 2 * segment average" expressed as price * n > 2 * total so
     // every comparison stays in exact decimal/integer arithmetic — a
     // double average could flip a boundary row between engines.
     // customer joins carry no broadcast hint (it grows with the data;
     // AQE broadcasts while small) — the 5-row per-segment aggregate is
-    // the side that must always broadcast
-    val avgBySeg = o.join(Tables.customer(s, dir),
-        $"o_custkey" === $"c_custkey")
+    // the side that must always broadcast.
+    // The broadcast-back pattern needs two passes over orders⨝customer;
+    // rather than scan+join twice, the narrow (segment, exact-price)
+    // projection — two columns, a fraction of the input — persists
+    // memory-or-disk and feeds both passes. The bench/verify harness
+    // releases the blocks after the query (Bench.runScoped).
+    val oc = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment",
+        $"o_totalprice".cast(DecimalType(18, 4)).as("price"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val avgBySeg = oc.groupBy($"c_mktsegment")
+      .agg(sum($"price").as("seg_sum"), count(lit(1)).as("seg_n"))
+    oc.join(broadcast(avgBySeg), Seq("c_mktsegment"))
+      .filter($"price" * $"seg_n" > $"seg_sum" * 2)
       .groupBy($"c_mktsegment")
-      .agg(sum($"o_totalprice".cast(DecimalType(18, 4))).as("seg_sum"),
-        count(lit(1)).as("seg_n"))
-    o.join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
-      .join(broadcast(avgBySeg), Seq("c_mktsegment"))
-      .filter($"o_totalprice".cast(DecimalType(18, 4)) * $"seg_n" >
-        $"seg_sum" * 2)
-      .groupBy($"c_mktsegment")
-      .agg(count(lit(1)).as("n_big"), dsum($"o_totalprice").as("big_total"))
+      .agg(count(lit(1)).as("n_big"),
+        round(sum($"price"), 2).cast("double").as("big_total"))
   }
 
   // --- q48: grouped top-k via the native bounded-heap aggregate -----------

@@ -117,6 +117,13 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(Similarity.nearDupCandidates(emb).count() <= 3 * n)
     val embReal = graft.core.Tables.embeddings(spark, sfDir)
     assert(Similarity.nearDupCandidates(embReal).count() <= 3 * embReal.count())
+    // growth regression: at 4N (replicated ids — every bucket saturated,
+    // the worst case for a banding scheme) candidates stay ≤ bands×4N.
+    // The all-pairs form this replaced would grow 16× here, not 4×.
+    val nReal = embReal.count()
+    val emb4 = (0 until 4).map(i => embReal.withColumn("vec_id",
+      $"vec_id" + lit(i.toLong * 10000000L))).reduce(_ unionByName _)
+    assert(Similarity.nearDupCandidates(emb4).count() <= 3 * 4 * nReal)
   }
 
   test("ivf index: partitionBy(cell) write prunes probed cells at the scan") {

@@ -108,6 +108,30 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("strategy=broadcast"), p.take(2000))
   }
 
+  test("q14: orders⨝customer happens once — second pass reads the persisted frame") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    // AQE off so the operator tree is walkable (query stages hide
+    // children from collect); the property itself is AQE-independent
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Relational.q14HavingJoin(spark, sfDir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan
+      // every base-table access in the outer plan goes through the
+      // persisted frame — no direct re-scan of orders or customer
+      assert(plan.collect { case f: FileSourceScanExec => f }.isEmpty,
+        s"base tables must be read via the persisted frame:\n${plan.toString.take(2500)}")
+      val memScans = plan.collect { case m: InMemoryTableScanExec => m }
+      assert(memScans.size == 2, s"expected both passes cached, got ${memScans.size}")
+      // ONE shared relation => the join materialized exactly once
+      assert(memScans.map(_.relation.cacheBuilder).distinct.size == 1)
+    } finally {
+      spark.catalog.clearCache()
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
   test("q8: set-op classes derive from one aggregation, not three passes") {
     val p = plan(Relational.q8SetOps(spark, sfDir))
     val nAggExchanges = p.linesIterator
