@@ -72,6 +72,56 @@ object Similarity extends QueryPack {
       .filter($"n" >= 3)
   }
 
+  /** Deterministic 8-bit grid cell (sign bits of dims 1..8) — an
+    * oracle-able coarse quantizer. k-means IVF ([[ivfIndex]]) has no
+    * DuckDB twin, so its CORRECTNESS story is recall-spec-only; the
+    * grid variant computes identical cells in both engines and gives
+    * the probe-pruned ANN path a full hash-checked row (q50).
+    */
+  def gridCell(v: Column): Column =
+    (1 to 8).map(i =>
+      when(element_at(v, i) >= 0f, lit(1 << (i - 1))).otherwise(lit(0)))
+      .reduce(_ + _)
+
+  /** Hamming-1 probe set: the query's cell plus its 8 one-bit flips. */
+  def gridProbeCells(qcell: Int): Seq[Int] =
+    qcell +: (0 until 8).map(b => qcell ^ (1 << b))
+
+  // --- q50: grid-cell ANN — probe cells within hamming 1 of the query ----
+  /** Probes 9 of 256 cells via the bit_count filter; the on-disk form
+    * ([[gridSearch]] over a `partitionBy("cell")` index) turns the same
+    * probe set into an IN-list partition-pruned scan.
+    */
+  def q50AnnGridCell(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val q = broadcast(emb.filter($"vec_id" === 0)
+      .select(vec($"embedding").as("qv"), gridCell($"embedding").as("qcell")))
+    emb.filter($"vec_id" =!= 0)
+      .withColumn("cell", gridCell($"embedding"))
+      .crossJoin(q)
+      .filter(bit_count($"cell".bitwiseXOR($"qcell")) <= 1)
+      .withColumn("cos", cosine(vec($"embedding"), $"qv"))
+      .select($"vec_id", $"cell", round($"cos", 6).as("cos"))
+      .orderBy(round($"cos", 6).desc, $"vec_id".asc)
+      .limit(10)
+  }
+
+  /** Serving-path probe over a `partitionBy("cell")` grid index: the
+    * 9-value IN list prunes at the scan (asserted by PipelineOpsSpec),
+    * so a probe reads ~9/256ths of the index regardless of its size.
+    */
+  def gridSearch(index: DataFrame, queryVec: Seq[Double], qcell: Int,
+      topK: Int): DataFrame = {
+    import index.sparkSession.implicits._
+    val qv = array(queryVec.map(lit): _*)
+    index.filter($"cell".isin(gridProbeCells(qcell): _*))
+      .withColumn("cos", cosine(vec($"embedding"), qv))
+      .select($"vec_id", round($"cos", 6).as("cos"))
+      .orderBy($"cos".desc, $"vec_id".asc)
+      .limit(topK)
+  }
+
   /** IVF (inverted-file) ANN: k-means coarse quantizer; a query scans
     * only the `nprobe` nearest centroid cells. The index is a
     * DataFrame keyed by cell — at scale, written
@@ -175,6 +225,7 @@ object Similarity extends QueryPack {
     "q29_ann_brute_topk"   -> (q29BruteTopK _),
     "q30_ann_lsh_buckets"  -> (q30LshBuckets _),
     "q31_embedding_neardup" -> (q31EmbeddingNearDup _),
+    "q50_ann_grid_cell"    -> (q50AnnGridCell _),
   )
 
   private val sqlDot =
@@ -186,6 +237,9 @@ object Similarity extends QueryPack {
     s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END").mkString("||")
   private val bandSql = (1 to 8).map(i =>
     s"CASE WHEN embedding[8*b+$i] >= 0 THEN '1' ELSE '0' END").mkString("||")
+  private val cellSql = (1 to 8).map(i =>
+    s"(CASE WHEN embedding[$i] >= 0 THEN ${1 << (i - 1)} ELSE 0 END)")
+    .mkString(" + ")
 
   override def oracleSql: Map[String, String] = Map(
     "q29_ann_brute_topk" ->
@@ -212,5 +266,16 @@ object Similarity extends QueryPack {
          |FROM cand c JOIN embeddings a ON a.vec_id = c.i
          |JOIN embeddings b ON b.vec_id = c.j
          |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.5""".stripMargin,
+    "q50_ann_grid_cell" ->
+      s"""WITH cells AS (SELECT vec_id, embedding, $cellSql AS cell
+         |  FROM embeddings),
+         |q AS (SELECT embedding AS qemb, cell AS qcell FROM cells
+         |  WHERE vec_id = 0)
+         |SELECT c.vec_id, c.cell,
+         | ROUND(${cosSql("c.embedding", "q.qemb")}, 6) AS cos
+         |FROM cells c CROSS JOIN q
+         |WHERE c.vec_id != 0 AND bit_count(xor(c.cell, q.qcell)) <= 1
+         |ORDER BY ROUND(${cosSql("c.embedding", "q.qemb")}, 6) DESC,
+         | c.vec_id ASC LIMIT 10""".stripMargin,
   )
 }

@@ -143,6 +143,33 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(probe.count() == expected && expected > 0)
   }
 
+  test("grid-cell ANN: partitioned index probe prunes to <=9 cells, matches q50") {
+    import graft.core.Tables
+    val emb = Tables.embeddings(spark, sfDir)
+    val index = emb.filter(col("vec_id") =!= 0)
+      .withColumn("cell", Similarity.gridCell(col("embedding")))
+    val out = java.nio.file.Files.createTempDirectory("grid").toString
+    index.selectExpr("vec_id", "cast(embedding as array<double>) as embedding",
+      "cell").write.partitionBy("cell").mode("overwrite").parquet(out)
+    val onDisk = spark.read.option("basePath", out).parquet(out)
+    val Array(qRow) = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"),
+        Similarity.gridCell(col("embedding"))).collect()
+    val (qv, qcell) = (qRow.getSeq[Double](0), qRow.getInt(1))
+    val probe = Similarity.gridSearch(onDisk, qv, qcell, topK = 10)
+    // the IN-list probe reaches the scan as a partition filter
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"grid probe must prune cell partitions:\n${plan.take(1500)}")
+    assert(Similarity.gridProbeCells(qcell).size == 9)
+    // serving path returns the same vectors the oracle-checked q50 does
+    val got = probe.collect().map(r =>
+      (r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))).toSeq
+    val expected = Similarity.q50AnnGridCell(spark, sfDir).collect().map(r =>
+      (r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))).toSeq
+    assert(got == expected)
+  }
+
   test("exact dedup groups: total docs preserved") {
     val rows = Dedup.q25Exact(spark, sfDir).collect()
     val total = rows.map(_.getAs[Long]("n_docs")).sum
