@@ -49,11 +49,14 @@ object AnomalyStream {
     * watermarks and the join condition bounds event-time distance, so
     * buffered state is evicted as watermarks advance (an unbounded
     * stream-stream join would hold both streams' history forever).
-    * Inner join: Spark's append-mode contract for stream-stream joins
-    * with watermarked interval conditions.
+    *
+    * `joinType` "inner" (default) emits only matched pairs as they
+    * arrive; "left_outer" additionally emits each unmatched click —
+    * with null err columns — once the watermark proves no qualifying
+    * error can still arrive (i.e. at state eviction, not immediately).
     */
   def clickErrorJoin(clicks: DataFrame, errors: DataFrame,
-      horizon: String = "10 minutes"): DataFrame = {
+      horizon: String = "10 minutes", joinType: String = "inner"): DataFrame = {
     val c = clicks.withWatermark("ts", horizon)
       .select(col("event_id").as("click_id"), col("user_id"),
         col("ts").as("click_ts"))
@@ -63,7 +66,8 @@ object AnomalyStream {
     c.join(e,
       col("user_id") === col("err_user") &&
         col("err_ts") <= col("click_ts") &&
-        col("err_ts") >= col("click_ts") - expr(s"INTERVAL $horizon"))
+        col("err_ts") >= col("click_ts") - expr(s"INTERVAL $horizon"),
+      joinType)
       .select(col("click_id"), col("user_id"), col("click_ts"),
         col("err_id"), col("err_ts"))
   }

@@ -58,6 +58,36 @@ class SinksSpec extends SparkTestBase {
     assert(got.getLong(4) == 42L)
   }
 
+  test("partition-aware compaction: 2-level tree compacts per leaf, lossless") {
+    import graft.sources.Compaction
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .withColumn("b", (col("doc_id") % 2).cast("int"))
+    val in = java.nio.file.Files.createTempDirectory("pfrag").toString
+    docs.repartition(8).write.partitionBy("lang", "b")
+      .mode("overwrite").parquet(in) // up to 8 files per leaf
+    val out = java.nio.file.Files.createTempDirectory("pcompact").toString
+    val plan = Compaction.compactPartitioned(spark, in, out, targetMB = 256)
+    assert(plan.nonEmpty && plan.forall(_._1.matches("lang=[^/]+/b=\\d")),
+      s"leaves must be the 2-level partition dirs: $plan")
+    // per-partition file counts land ON the per-leaf target
+    plan.foreach { case (rel, nf) =>
+      val n = new java.io.File(s"$out/$rel").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(n == nf, s"$rel: $n files, target $nf")
+    }
+    // layout preserved: partition discovery + pruning behave as on `in`
+    val back = spark.read.parquet(out)
+    val pruned = back.filter(col("lang") === "en" && col("b") === 0)
+      .queryExecution.executedPlan.toString
+    assert(pruned.contains("PartitionFilters") && pruned.contains("lang"),
+      pruned.take(1500))
+    // lossless round-trip, full column set
+    val cols = docs.columns.sorted.toSeq
+    val a = docs.select(cols.map(c => col(c).cast("string")): _*)
+    val b = back.select(cols.map(c => col(c).cast("string")): _*)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
   test("compaction: write sizing collapses a fragmented dataset") {
     import graft.sources.Compaction
     val docs = graft.core.Tables.documents(spark, sfDir)

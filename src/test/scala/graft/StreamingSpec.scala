@@ -140,6 +140,50 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join: unmatched clicks emit nulls at eviction") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val errors = MemoryStream[Event]
+    val joined = AnomalyStream.clickErrorJoin(
+      clicks.toDF(), errors.toDF(), horizon = "30 seconds",
+      joinType = "left_outer")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssouter").start()
+    try {
+      clicks.addData(Event(1, ts(100), 1, "click", 0)) // has an error
+      errors.addData(Event(50, ts(80), 1, "error", 0))
+      clicks.addData(Event(2, ts(110), 2, "click", 0)) // user 2: NO error
+      q.processAllAvailable()
+      // outer rows must NOT emit while a qualifying error could still
+      // arrive — click 2 is withheld until the watermark passes it
+      def snapshot() = spark.table("ssouter").collect().map { r =>
+        (r.getAs[Long]("click_id"),
+          if (r.isNullAt(r.fieldIndex("err_id"))) None
+          else Some(r.getAs[Long]("err_id")))
+      }.toSet
+      assert(!snapshot().exists(_._1 == 2L),
+        s"click 2 must be withheld until eviction: ${snapshot()}")
+      // advance BOTH watermarks far past click 2 + horizon, twice —
+      // outer results emit on the batch after state eviction
+      clicks.addData(Event(3, ts(1000), 9, "click", 0))
+      errors.addData(Event(60, ts(1000), 8, "error", 0))
+      q.processAllAvailable()
+      clicks.addData(Event(4, ts(1100), 9, "click", 0))
+      errors.addData(Event(61, ts(1100), 8, "error", 0))
+      q.processAllAvailable()
+      assert(snapshot().contains((1L, Some(50L))), s"matched pair: ${snapshot()}")
+      assert(snapshot().contains((2L, None)),
+        s"unmatched click emits with null err columns: ${snapshot()}")
+      // an error for click 2 arriving AFTER eviction is late by the
+      // watermark contract: no retroactive match appears
+      errors.addData(Event(70, ts(115), 2, "error", 0))
+      q.processAllAvailable()
+      assert(!snapshot().contains((2L, Some(70L))),
+        s"late error must not retro-match an evicted click: ${snapshot()}")
+    } finally q.stop()
+  }
+
   test("session windows: gap-based sessionization with watermark") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
