@@ -171,10 +171,14 @@ object EmailParser {
   /** S3: charset-sniffing decode — BOM first (UTF-8/UTF-16 LE/BE), then
     * a null-byte distribution sniff for BOM-less UTF-16 (chardet's
     * strongest non-BOM signal: ASCII-heavy UTF-16 text has ~half its
-    * bytes 0x00, parked on one parity), then strict UTF-8, then Latin-1
-    * (total: every byte sequence decodes). The reference uses chardet;
-    * for mail corpora this covers the encodings chardet actually
-    * distinguishes without the dependency.
+    * bytes 0x00, parked on one parity), then strict UTF-8, then
+    * Shift-JIS (structural validity + kana/kanji payoff), then the
+    * Cyrillic single-byte family (KOI8-R vs windows-1251, told apart
+    * by case-band distribution — the same signal chardet's
+    * distribution models key on), then Latin-1 (total: every byte
+    * sequence decodes). The reference uses chardet
+    * (`Assignment 4.py:104-122`); this covers the encodings mail
+    * corpora actually hit without the dependency.
     */
   def decodeBest(bytes: Array[Byte]): String = {
     if (bytes == null) return null
@@ -206,8 +210,56 @@ object EmailParser {
       dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
     } catch {
       case _: java.nio.charset.CharacterCodingException =>
-        new String(bytes, ISO_8859_1)
+        tryShiftJis(bytes)
+          .orElse(tryCyrillic(bytes))
+          .getOrElse(new String(bytes, ISO_8859_1))
     }
+  }
+
+  /** Shift-JIS: strict decode must succeed AND the multi-byte payload
+    * must actually be Japanese (kana/CJK/full-width). Structural
+    * validity alone is too weak — stray Latin-1 accents often form
+    * valid lead+trail pairs; requiring the decoded non-ASCII chars to
+    * land in Japanese blocks is the precision chardet gets from its
+    * SJIS distribution table.
+    */
+  private def tryShiftJis(bytes: Array[Byte]): Option[String] = {
+    val sjis = java.nio.charset.Charset.forName("Shift_JIS")
+    val s =
+      try {
+        val dec = sjis.newDecoder()
+          .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+          .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+        dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+      } catch { case _: java.nio.charset.CharacterCodingException => return None }
+    val nonAscii = s.filter(_ >= 0x80)
+    val japanese = nonAscii.count { c =>
+      (c >= 0x3040 && c <= 0x30ff) || // hiragana + katakana
+      (c >= 0x4e00 && c <= 0x9fff) || // CJK unified
+      (c >= 0xff00 && c <= 0xffef) || // full/half-width forms
+      (c >= 0x3000 && c <= 0x303f)    // CJK punctuation
+    }
+    if (nonAscii.nonEmpty && japanese * 10 >= nonAscii.length * 8) Some(s)
+    else None
+  }
+
+  /** KOI8-R / windows-1251: both map the 0xC0-0xFF band to Cyrillic
+    * letters, so "dense high bytes, nearly all in the letter bands"
+    * identifies the family; the two are told apart by WHERE running
+    * text's lowercase mass sits — KOI8-R puts lowercase in 0xC0-0xDF,
+    * cp1251 in 0xE0-0xFF (exactly inverted).
+    */
+  private def tryCyrillic(bytes: Array[Byte]): Option[String] = {
+    val high = bytes.filter(b => (b & 0x80) != 0).map(_ & 0xff)
+    if (high.length < 8 || high.length * 4 < bytes.length) return None
+    val letters = high.count(b => b >= 0xc0 ||
+      b == 0xa3 || b == 0xb3 || // KOI8 ё/Ё
+      b == 0xb8 || b == 0xa8)   // cp1251 ё/Ё
+    if (letters * 10 < high.length * 9) return None
+    val loBand = high.count(b => b >= 0xc0 && b <= 0xdf)
+    val hiBand = high.count(b => b >= 0xe0)
+    val cs = if (loBand >= hiBand) "KOI8-R" else "windows-1251"
+    Some(new String(bytes, java.nio.charset.Charset.forName(cs)))
   }
 }
 

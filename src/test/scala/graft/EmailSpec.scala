@@ -168,6 +168,22 @@ class EmailSpec extends SparkTestBase {
     assert(EmailParser.decodeBest("café".getBytes(ISO_8859_1)) == "café")
   }
 
+  test("charset sniffing: Shift-JIS and the Cyrillic single-byte family") {
+    val ja = "日本語のテキストです。こんにちは世界。"
+    assert(EmailParser.decodeBest(ja.getBytes("Shift_JIS")) == ja)
+    // mixed ascii + japanese, the common mail shape
+    val mixed = s"Subject line: $ja (priority 1)"
+    assert(EmailParser.decodeBest(mixed.getBytes("Shift_JIS")) == mixed)
+    val ru = "Это письмо написано по-русски. Привет, мир!"
+    assert(EmailParser.decodeBest(ru.getBytes("KOI8-R")) == ru)
+    assert(EmailParser.decodeBest(ru.getBytes("windows-1251")) == ru)
+    // sparse accents must stay Latin-1, not misread as SJIS/Cyrillic
+    val fr = "café crème: déjà vu, naïveté, garçon"
+    assert(EmailParser.decodeBest(fr.getBytes("ISO-8859-1")) == fr)
+    // utf-8 Russian is still won by the strict utf-8 pass
+    assert(EmailParser.decodeBest(ru.getBytes("UTF-8")) == ru)
+  }
+
   test("script/style content dropped, comments removed") {
     val s = "a<script>var x=1;</script>b<style>p{}</style>c<!-- hidden -->d"
     assert(HtmlStrip.stripHtml(s) == "abcd")
