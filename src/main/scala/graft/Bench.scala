@@ -50,7 +50,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_ONLY=q42_winnow_fingerprint,q49_dedup_editdist narrows
+    // the run while iterating on one query; unset = full suite (driver).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     if (warmup) queries.foreach { case (_, fn) =>
       try runScoped(spark, fn(spark, sfDir)) catch { case _: Throwable => () }
     }

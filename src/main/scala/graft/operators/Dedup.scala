@@ -167,9 +167,12 @@ object Dedup extends QueryPack {
   def q49EditDistance(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
+    // grams shuffle as 8-byte xxhash64 longs, exactly as in q28 — the
+    // gram text never reaches the output (only (i, j, lev) does), so
+    // the internal representation is free to be the cheap one
     val grams = docs
       .select($"doc_id", explode(array_distinct(expr(
-        "transform(sequence(1, length(text) - 7), g -> substring(text, g, 8))")))
+        "transform(sequence(1, length(text) - 7), g -> xxhash64(substring(text, g, 8)))")))
         .as("gram")).cache()
     val rare = grams.groupBy($"gram").agg(count(lit(1)).as("df"))
       .filter($"df" <= 4 && $"df" >= 2).select($"gram")

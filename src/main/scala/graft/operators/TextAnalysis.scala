@@ -168,18 +168,29 @@ object TextAnalysis extends QueryPack {
     */
   def q42Winnow(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val grams = Tables.documents(s, dir)
-      .select($"doc_id", posexplode(expr(
-        "transform(sequence(1, length(text) - 7), g -> substring(text, g, 8))")))
-      .select($"doc_id", $"pos",
-        conv(substring(md5($"col"), 1, 15), 16, 10).cast("long").as("hv"))
-    val w = Window.partitionBy($"doc_id").orderBy($"pos")
-      .rowsBetween(0, 7)
-    grams.withColumn("wmin", min($"hv").over(w))
-      .groupBy($"doc_id")
-      .agg(countDistinct($"wmin").as("n_fingerprints"),
-        min($"wmin").as("min_fp"), max($"wmin").as("max_fp"))
+    // Entirely narrow: the gram hashes and their 8-wide window minima
+    // are computed INSIDE each row with higher-order array functions —
+    // no explode, no per-doc window sort, no exchange anywhere. The
+    // earlier posexplode + Window form shuffled ~n_chars rows per doc
+    // to do per-key sorted scans; per-row `slice`+`array_min` does the
+    // same O(8n) work data-local, so the whole query is one map stage
+    // at any corpus size.
+    Tables.documents(s, dir)
+      .withColumn("hvs", expr(
+        """transform(sequence(1, length(text) - 7),
+          |  g -> cast(conv(substring(md5(substring(text, g, 8)), 1, 15), 16, 10) as bigint))""".stripMargin))
+      // one window min per gram position, the last 7 truncated —
+      // element_at past the end is null and least() skips nulls,
+      // matching ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING exactly.
+      // least-of-8 element_at beats slice+array_min: no per-window
+      // array allocation.
+      .withColumn("wmins", expr(
+        ("transform(sequence(1, size(hvs)), i -> least(" +
+          (0 until 8).map(o => s"try_element_at(hvs, i + $o)").mkString(", ") +
+          "))")))
+      .select($"doc_id",
+        size(array_distinct($"wmins")).cast("long").as("n_fingerprints"),
+        array_min($"wmins").as("min_fp"), array_max($"wmins").as("max_fp"))
   }
 
   // --- q45: deterministic stratified sampling ------------------------------

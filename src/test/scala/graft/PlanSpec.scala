@@ -101,6 +101,17 @@ class PlanSpec extends SparkTestBase {
     assert(opt.contains("Join Cross"), opt.take(2000))
   }
 
+  test("q42: winnowing is one narrow map stage — no exchange anywhere") {
+    // the window minima are computed inside each row (higher-order
+    // array functions), so the whole fingerprint pass must plan with
+    // zero shuffles: at 100 TB the alternative (posexplode + per-doc
+    // Window) shuffles ~n_chars rows per document just to sort them
+    // back into the order they started in
+    val p = plan(TextAnalysis.q42Winnow(spark, sfDir))
+    assert(!p.contains("Exchange"),
+      s"q42 must not shuffle:\n${p.take(2000)}")
+  }
+
   test("q33: no broadcast hint on the time-growing window-stats table") {
     // (window × event_type) cardinality grows with the data's time span
     val p = Anomaly.q33WindowStats(spark, sfDir)
