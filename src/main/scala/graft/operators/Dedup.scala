@@ -40,7 +40,10 @@ object Dedup extends QueryPack {
   private val K = 6 // 3 bands x 2 rows
 
   // --- q26: MinHash + LSH banding near-dup pairs --------------------------
-  def q26MinHashLsh(s: SparkSession, dir: String): DataFrame = {
+  /** Verified near-dup links (i < j, raw Jaccard >= 0.7) — the shared
+    * tail of q26 (pair output) and q51 (connected-component clusters).
+    */
+  private def minhashLinks(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val dt = docTokens(Tables.documents(s, dir)).cache()
 
@@ -79,7 +82,84 @@ object Dedup extends QueryPack {
       .join(sizes.toDF("j", "sj"), "j")
       .withColumn("rawjac", $"inter" / ($"si" + $"sj" - $"inter"))
       .filter($"rawjac" >= 0.7)
+  }
+
+  def q26MinHashLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    minhashLinks(s, dir)
       .select($"i", $"j", graft.core.Exact.dround($"rawjac", 4).as("jaccard"))
+  }
+
+  // --- q51: near-dup links -> connected-component cluster assignment ------
+  /** The step pair links alone don't give a pipeline: WHICH doc to keep.
+    * Components of the undirected link graph get cluster_id = the
+    * component's min doc_id; is_keep marks the canonical survivor.
+    *
+    * Algorithm: iterative min-label propagation (each round, every node
+    * takes the min label among itself and its neighbors) — the
+    * standard distributed CC formulation; each round is one join +
+    * one aggregation on the edge list, and rounds = graph diameter.
+    * LSH dedup graphs are unions of band-bucket STARS (every member
+    * links to the bucket's min-id representative), so the diameter —
+    * and the round count — stays small (a chain of b overlapping
+    * buckets has diameter ~2b; observed convergence here is 2-3
+    * rounds). For adversarial long-chain graphs the published fix is
+    * alternating large-star/small-star (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14) — same per-round
+    * shape, logarithmic round bound — which this loop's structure
+    * (rewrite edges, re-aggregate) extends to directly.
+    *
+    * The driver-side loop is the iterative-algorithm exception to the
+    * no-driver-actions rule: each iteration's `isEmpty` is a
+    * convergence test (exactly how GraphX/Pregel terminates), not a
+    * data movement — per-node state never leaves the cluster.
+    */
+  def q51DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val links = minhashLinks(s, dir).select($"i", $"j")
+    val edges = links
+      .unionByName(links.select($"j".as("i"), $"i".as("j")))
+      .cache()
+    // Each round ends in an EAGER localCheckpoint: the round's plan
+    // references `labels` four times (directly, via nbrMin, and twice
+    // through the hop self-join), so without lineage TRUNCATION the
+    // logical plan grows 4^rounds copies of the whole MinHash pipeline
+    // and Catalyst analysis itself OOMs by round 3. cache() does not
+    // truncate lineage; localCheckpoint does (and on a cluster,
+    // checkpoint(dir) is the executor-loss-safe spelling of the same
+    // thing).
+    var labels = edges.select($"i".as("node")).distinct()
+      .select($"node", $"node".as("lab")).localCheckpoint(true)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 32) {
+      // hop: take the min label among self + neighbors (one edge step)
+      val nbrMin = edges.join(labels, edges("j") === labels("node"))
+        .groupBy(edges("i").as("node")).agg(min($"lab").as("nlab"))
+      val hop = labels.join(nbrMin, Seq("node"), "left")
+        .select($"node", $"lab".as("old"),
+          least($"lab", coalesce($"nlab", $"lab")).as("lab1"))
+      // jump: pointer-double through the label's OWN label —
+      // lab(lab(x)) — collapsing chains exponentially, so rounds are
+      // O(log diameter) instead of O(diameter). Every label is itself
+      // a node id, so the self-join is total.
+      val next = hop.as("a")
+        .join(hop.select($"node".as("ln"), $"lab1".as("llab")).as("b"),
+          $"a.lab1" === $"b.ln", "left")
+        .select($"node",
+          least($"lab1", coalesce($"llab", $"lab1")).as("lab"), $"old")
+        .localCheckpoint(true)
+      // next is materialized data now — the convergence test scans it,
+      // nothing upstream
+      converged = next.filter($"lab" < $"old").isEmpty
+      labels = next.select($"node", $"lab")
+      rounds += 1
+    }
+    if (sys.env.contains("SPARK_GRAFT_DEBUG"))
+      Console.err.println(s"[q51] converged after $rounds rounds")
+    edges.unpersist()
+    labels.select($"node".as("doc_id"), $"lab".as("cluster_id"),
+      ($"node" === $"lab").as("is_keep"))
   }
 
   // --- q27: SimHash near-dup links via pigeonhole banding -----------------
@@ -200,6 +280,7 @@ object Dedup extends QueryPack {
     "q26_dedup_minhash"   -> (q26MinHashLsh _),
     "q27_dedup_simhash"   -> (q27SimHash _),
     "q28_dedup_ngram"     -> (q28NgramJaccard _),
+    "q51_dedup_clusters"  -> (q51DedupClusters _),
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -277,6 +358,43 @@ object Dedup extends QueryPack {
         |SELECT c.i, c.j, bit_count(xor(a.simhash, c.sb)) AS hamming
         |FROM cand c JOIN sims a ON a.doc_id = c.i
         |WHERE bit_count(xor(a.simhash, c.sb)) <= 3""".stripMargin,
+    "q51_dedup_clusters" ->
+      // the q26 link pipeline verbatim, then a recursive label closure:
+      // every label reachable from a node is enumerated and the MIN
+      // taken — the same fixpoint the Spark loop converges to
+      """WITH RECURSIVE dt AS MATERIALIZED (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS tok
+        |  FROM documents),
+        |sig AS (SELECT doc_id,
+        |  MIN(md5('0#'||tok)) m0, MIN(md5('1#'||tok)) m1,
+        |  MIN(md5('2#'||tok)) m2, MIN(md5('3#'||tok)) m3,
+        |  MIN(md5('4#'||tok)) m4, MIN(md5('5#'||tok)) m5
+        | FROM dt GROUP BY doc_id),
+        |bands AS (
+        | SELECT doc_id, 0 b, md5(m0||m1) bk FROM sig UNION ALL
+        | SELECT doc_id, 1 b, md5(m2||m3) bk FROM sig UNION ALL
+        | SELECT doc_id, 2 b, md5(m4||m5) bk FROM sig),
+        |reps AS (SELECT b, bk, MIN(doc_id) i FROM bands GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT r.i, bd.doc_id j
+        | FROM bands bd JOIN reps r USING (b, bk)
+        | WHERE bd.doc_id > r.i),
+        |ctok AS MATERIALIZED (SELECT c.i, c.j, a.tok
+        | FROM cand c JOIN dt a ON a.doc_id = c.i),
+        |sizes AS (SELECT doc_id, COUNT(*) sz FROM dt GROUP BY 1),
+        |inter AS (SELECT ct.i, ct.j, COUNT(*) inter FROM ctok ct
+        |  JOIN dt b2 ON b2.doc_id = ct.j AND b2.tok = ct.tok
+        |  GROUP BY ct.i, ct.j),
+        |links AS (SELECT it.i, it.j
+        | FROM inter it JOIN sizes si ON it.i = si.doc_id
+        | JOIN sizes sj ON it.j = sj.doc_id
+        | WHERE it.inter / (si.sz + sj.sz - it.inter) >= 0.7),
+        |edges AS (SELECT i, j FROM links UNION ALL SELECT j, i FROM links),
+        |rec(node, lab) AS (
+        | SELECT DISTINCT i, i FROM edges
+        | UNION
+        | SELECT e.j, r.lab FROM rec r JOIN edges e ON e.i = r.node)
+        |SELECT node AS doc_id, MIN(lab) AS cluster_id,
+        | node = MIN(lab) AS is_keep
+        |FROM rec GROUP BY node""".stripMargin,
     "q28_dedup_ngram" ->
       """WITH grams AS (SELECT DISTINCT doc_id, substr(text, g, 8) AS gram
         |  FROM documents, generate_series(1, 4096) t(g)

@@ -19,6 +19,30 @@ class PipelineOpsSpec extends SparkTestBase {
     pairs.foreach(r => assert(r.getAs[Double]("jaccard") >= 0.7))
   }
 
+  test("dedup clusters: valid CC of the link graph, one keeper per cluster") {
+    val labels = Dedup.q51DedupClusters(spark, sfDir).cache()
+    val links = Dedup.q26MinHashLsh(spark, sfDir).select("i", "j")
+    try {
+      // exactly one is_keep per cluster, and it IS the cluster_id
+      val perCluster = labels.groupBy("cluster_id")
+        .agg(sum(when(col("is_keep"), 1).otherwise(0)).as("keeps"),
+          min("doc_id").as("min_id")).collect()
+      assert(perCluster.nonEmpty)
+      perCluster.foreach { r =>
+        assert(r.getAs[Long]("keeps") == 1L, s"cluster $r keeper count")
+        assert(r.getAs[Long]("min_id") == r.getAs[Long]("cluster_id"),
+          s"cluster_id must be the component's min doc_id: $r")
+      }
+      // no link crosses clusters: both endpoints of every verified pair
+      // carry the same label (CC soundness over every edge)
+      val la = labels.select(col("doc_id").as("i"), col("cluster_id").as("ci"))
+      val lb = labels.select(col("doc_id").as("j"), col("cluster_id").as("cj"))
+      val crossing = links.join(la, "i").join(lb, "j")
+        .filter(col("ci") =!= col("cj")).count()
+      assert(crossing == 0L, s"$crossing links cross cluster boundaries")
+    } finally labels.unpersist()
+  }
+
   test("simhash: identical token sets get identical simhash (hamming 0)") {
     val res = Dedup.q27SimHash(spark, sfDir)
     assert(res.filter(col("hamming") === 0).count() > 0)
