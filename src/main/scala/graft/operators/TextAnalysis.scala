@@ -193,6 +193,49 @@ object TextAnalysis extends QueryPack {
         array_min($"wmins").as("min_fp"), array_max($"wmins").as("max_fp"))
   }
 
+  // --- q52: Gopher-style repetition quality metrics ------------------------
+  /** Count of the most frequent element of `arr`: sort, then the longest
+    * run of equal neighbors — computed INSIDE the row by `aggregate`,
+    * no explode/shuffle. (The relational spelling — explode + two
+    * groupBys — shuffles every n-gram instance; per-row costs O(n log n)
+    * data-local and the whole query plans as one map stage.)
+    */
+  private def maxRunSql(arr: String): String =
+    s"""aggregate(array_sort($arr),
+       |  named_struct('prev', cast(null as string), 'run', cast(0 as bigint), 'best', cast(0 as bigint)),
+       |  (a, x) -> named_struct('prev', x,
+       |    'run',  CASE WHEN x <=> a.prev THEN a.run + 1 ELSE cast(1 as bigint) END,
+       |    'best', greatest(a.best, CASE WHEN x <=> a.prev THEN a.run + 1 ELSE cast(1 as bigint) END)),
+       |  a -> a.best)""".stripMargin
+
+  /** Repetition filters from the Gopher data pipeline (Rae et al. 2021,
+    * §A1.1): documents dominated by a single repeated word, bigram, or
+    * duplicated trigrams are boilerplate/spam, not prose. Fractions are
+    * instance-count based; `keep` applies the thresholds on the RAW
+    * ratios (IEEE-identical in both engines), rounding only for display.
+    */
+  def q52Repetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("ws", split($"text", " "))
+      .withColumn("bg", expr(
+        "transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))
+      .withColumn("tg", expr(
+        "transform(sequence(1, size(ws) - 2), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1), ' ', element_at(ws, i + 2)))"))
+      .withColumn("top_w",  expr(maxRunSql("ws")))
+      .withColumn("top_bg", expr(maxRunSql("bg")))
+      .withColumn("dup_tg", size($"tg") - size(array_distinct($"tg")))
+      .withColumn("rw", $"top_w" / size($"ws"))
+      .withColumn("rb", $"top_bg" / size($"bg"))
+      .withColumn("rt", $"dup_tg" / size($"tg"))
+      .select($"doc_id",
+        size($"ws").cast("long").as("n_words"),
+        graft.core.Exact.dround($"rw", 4).as("top_word_frac"),
+        graft.core.Exact.dround($"rb", 4).as("top_bigram_frac"),
+        graft.core.Exact.dround($"rt", 4).as("dup_trigram_frac"),
+        ($"rw" <= 0.20 && $"rb" <= 0.18 && $"rt" <= 0.30).as("keep"))
+  }
+
   // --- q45: deterministic stratified sampling ------------------------------
   /** Reproducible ~20% sample per language stratum: membership =
     * md5-derived bucket of doc_id — re-runs, engines, and partitionings
@@ -257,6 +300,7 @@ object TextAnalysis extends QueryPack {
     "q42_winnow_fingerprint" -> (q42Winnow _),
     "q45_sample_stratified"  -> (q45Sample _),
     "q46_surprisal"          -> (q46Surprisal _),
+    "q52_repetition"         -> (q52Repetition _),
     "q19_email_parse" -> (q19EmailParse _),
     "q20_html_strip"  -> (q20HtmlStrip _),
     "q21_token_stats" -> (q21TokenStats _),
@@ -288,6 +332,26 @@ object TextAnalysis extends QueryPack {
         |   AS mean_surprisal
         |FROM toks JOIN tf USING (tok) CROSS JOIN tot
         |GROUP BY doc_id""".stripMargin,
+    "q52_repetition" ->
+      s"""WITH wx AS (SELECT doc_id, string_split(text, ' ') ws,
+        |  len(string_split(text, ' ')) nw FROM documents),
+        |words AS (SELECT doc_id, unnest(ws) tok FROM wx),
+        |big AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] bg
+        |  FROM wx, generate_series(1, 4096) t(i) WHERE i <= nw - 1),
+        |tri AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] tg
+        |  FROM wx, generate_series(1, 4096) t(i) WHERE i <= nw - 2),
+        |wstat AS (SELECT doc_id, MAX(c) topw FROM
+        |  (SELECT doc_id, tok, COUNT(*) c FROM words GROUP BY 1, 2) GROUP BY 1),
+        |bstat AS (SELECT doc_id, MAX(c) topb, CAST(SUM(c) AS BIGINT) nb FROM
+        |  (SELECT doc_id, bg, COUNT(*) c FROM big GROUP BY 1, 2) GROUP BY 1),
+        |tstat AS (SELECT doc_id, COUNT(*) nt, COUNT(DISTINCT tg) dt FROM tri GROUP BY 1)
+        |SELECT wx.doc_id, nw AS n_words,
+        | ${graft.core.Exact.sqlDround("topw / nw", 4)} AS top_word_frac,
+        | ${graft.core.Exact.sqlDround("topb / nb", 4)} AS top_bigram_frac,
+        | ${graft.core.Exact.sqlDround("(nt - dt) / nt", 4)} AS dup_trigram_frac,
+        | (topw / nw <= 0.20 AND topb / nb <= 0.18 AND (nt - dt) / nt <= 0.30) AS keep
+        |FROM wx JOIN wstat USING (doc_id) JOIN bstat USING (doc_id)
+        |JOIN tstat USING (doc_id)""".stripMargin,
     "q42_winnow_fingerprint" ->
       """WITH grams AS (SELECT doc_id, g AS pos,
         |  CAST(('0x' || substr(md5(substr(text, g, 8)), 1, 15)) AS BIGINT) hv

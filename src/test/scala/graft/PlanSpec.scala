@@ -112,6 +112,14 @@ class PlanSpec extends SparkTestBase {
       s"q42 must not shuffle:\n${p.take(2000)}")
   }
 
+  test("q52: repetition metrics are one narrow map stage — no exchange") {
+    // top-n-gram counts come from an in-row sort + longest-run
+    // aggregate, not explode + groupBy: zero shuffles at any corpus size
+    val p = plan(TextAnalysis.q52Repetition(spark, sfDir))
+    assert(!p.contains("Exchange"),
+      s"q52 must not shuffle:\n${p.take(2000)}")
+  }
+
   test("q33: no broadcast hint on the time-growing window-stats table") {
     // (window × event_type) cardinality grows with the data's time span
     val p = Anomaly.q33WindowStats(spark, sfDir)
