@@ -202,6 +202,38 @@ object Relational extends QueryPack {
       .agg(count(lit(1)).as("n"), dsum($"value").as("total_value"))
   }
 
+  // --- q53: gap-based sessionization (batch session windows) --------------
+  /** Classic clickstream sessionization: a user's events belong to one
+    * session until a silence longer than 30 minutes, at which point a
+    * new session starts. lag() marks session OPENERS, a running sum
+    * turns markers into per-user session ordinals, and one aggregation
+    * produces the session facts.
+    *
+    * Scale properties: everything after the scan keys on user_id — the
+    * window sort and the (user_id, sid) aggregation both run inside ONE
+    * hash exchange (HashPartitioning(user_id) satisfies the grouping's
+    * clustering requirement, so Catalyst plans no second shuffle;
+    * PlanSpec asserts it). Timestamps stay epoch-micros integers: gap
+    * comparison and session bounds never touch floats, so engine parity
+    * is exact. Ordering ties break on event_id (unique), making lag()
+    * deterministic under any partitioning.
+    */
+  def q53Sessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"), $"value")
+      .withColumn("opener",
+        when(lag($"us", 1).over(w).isNull ||
+          $"us" - lag($"us", 1).over(w) > 1800000000L, 1).otherwise(0))
+      .withColumn("sid", sum($"opener").over(wRun))
+      .groupBy($"user_id", $"sid")
+      .agg(min($"us").as("start_us"), max($"us").as("end_us"),
+        count(lit(1)).as("n_events"), dsum($"value").as("total_value"))
+  }
+
   // --- q14: correlated-style agg-then-join (avg per group vs rows) --------
   def q14HavingJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -299,6 +331,7 @@ object Relational extends QueryPack {
     "q11_scalar"        -> (q11Scalar _),
     "q12_conditional"   -> (q12Conditional _),
     "q13_time_bucket"   -> (q13TimeBucket _),
+    "q53_sessionize"    -> (q53Sessionize _),
     "q14_having_join"   -> (q14HavingJoin _),
   )
 
@@ -406,6 +439,20 @@ object Relational extends QueryPack {
         | COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), 'OTHER') AS seg,
         | COUNT(*) AS n
         |FROM customer GROUP BY 1, 2""".stripMargin,
+    "q53_sessionize" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) us, value FROM events),
+        |f AS (SELECT user_id, event_id, us, value,
+        |  CASE WHEN LAG(us) OVER w IS NULL OR us - LAG(us) OVER w > 1800000000
+        |       THEN 1 ELSE 0 END opener
+        | FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s2 AS (SELECT user_id, us, value,
+        |  SUM(opener) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) sid
+        | FROM f)
+        |SELECT user_id, CAST(sid AS BIGINT) AS sid,
+        | MIN(us) AS start_us, MAX(us) AS end_us, COUNT(*) AS n_events,
+        | CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+        |FROM s2 GROUP BY 1, 2""".stripMargin,
     "q13_time_bucket" ->
       """SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         | event_type, COUNT(*) AS n,

@@ -112,6 +112,16 @@ class PlanSpec extends SparkTestBase {
       s"q42 must not shuffle:\n${p.take(2000)}")
   }
 
+  test("q53: sessionize runs in ONE user_id exchange — window sort and " +
+    "session aggregation share it") {
+    // HashPartitioning(user_id) satisfies the (user_id, sid) grouping's
+    // clustering requirement, so the session aggregation must NOT add a
+    // second shuffle on top of the window's
+    val p = plan(Relational.q53Sessionize(spark, sfDir))
+    val n = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(n == 1, s"expected one user_id exchange, got $n:\n${p.take(2500)}")
+  }
+
   test("q52: repetition metrics are one narrow map stage — no exchange") {
     // top-n-gram counts come from an in-row sort + longest-run
     // aggregate, not explode + groupBy: zero shuffles at any corpus size
