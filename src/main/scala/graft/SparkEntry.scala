@@ -19,6 +19,7 @@ object SparkEntry {
     graft.operators.Similarity,
     graft.operators.Anomaly,
     graft.operators.Alignment,
+    graft.operators.Pipeline,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

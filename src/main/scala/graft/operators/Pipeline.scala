@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{QueryPack, Tables}
+
+/** Corpus-assembly operators a training-data pipeline runs AFTER
+  * cleaning and dedup: packing documents into fixed-token-budget
+  * training sequences, and screening the training split for benchmark
+  * contamination. Both are driven by deterministic md5 bucketing (the
+  * same scheme as q45's stratified sample), so results are identical
+  * across engines, re-runs, and partitionings.
+  */
+object Pipeline extends QueryPack {
+
+  /** Tokens per packed training sequence. */
+  private[operators] val SeqLen = 4096L
+
+  /** Parallel packing shards. Packing is inherently a sequential scan —
+    * the position of every document depends on all documents before
+    * it — so the scalable form shards the corpus deterministically and
+    * packs within each shard (exactly how production pipelines pack:
+    * shard, then concatenate per shard). 64 shards here; at 100 TB the
+    * shard count scales with the cluster, not the data semantics.
+    */
+  private[operators] val PackShards = 64L
+
+  // --- q54: pack documents into fixed-token-budget sequences --------------
+  /** Greedy concatenation packing: within a shard, documents
+    * concatenate in doc_id order and a document belongs to the sequence
+    * where it STARTS (documents may straddle sequence boundaries —
+    * standard for LLM pretraining, where attention masks handle the
+    * joins). seq = floor(exclusive-running-token-sum / SeqLen).
+    *
+    * One exchange total: the shard hash partitioning feeds the window's
+    * running sum AND the (shard, seq) aggregation (PlanSpec asserts).
+    */
+  def q54Pack(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"shard").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        (conv(substring(md5($"doc_id".cast("string")), 1, 6), 16, 10)
+          .cast("long") % PackShards).as("shard"),
+        size(split($"text", " ")).cast("long").as("n_tok"))
+      .withColumn("cum_before", coalesce(sum($"n_tok").over(w), lit(0L)))
+      .withColumn("seq", floor($"cum_before" / SeqLen))
+      .groupBy($"shard", $"seq")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("seq_tokens"),
+        min($"doc_id").as("first_doc_id"))
+  }
+
+  // --- q55: benchmark-contamination screen (13-gram overlap) ---------------
+  /** Train/eval overlap detection, GPT-3 appendix-C style: an eval
+    * document is contaminated when it shares any 13-token n-gram with a
+    * training document. The eval split is q45's deterministic 20%
+    * md5-bucket sample; the train split is the complement — the screen
+    * therefore needs no second corpus.
+    *
+    * Scale shape: shingles shuffle as md5 hashes; n-grams with training
+    * df > 16 are dropped BEFORE the join (boilerplate n-grams carry no
+    * contamination signal — production screens drop them for the same
+    * reason Lee et al. drop common n-grams — and the cap bounds the
+    * per-key join fan-out regardless of corpus size).
+    */
+  def q55Contamination(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .withColumn("bucket",
+        conv(substring(md5($"doc_id".cast("string")), 1, 6), 16, 10)
+          .cast("long") % 100)
+    val shingles = docs
+      // the tokenization is hoisted OUT of the lambda: a split() left
+      // inside the transform body re-tokenizes the document once per
+      // shingle position (~40x per doc — measured 3.5s -> 2.0s at
+      // sf0.1). The CASE guard matters because sequence(1, n-12)
+      // DESCENDS when n < 13 and slice then sees start 0.
+      .withColumn("w", split($"text", " "))
+      .select($"doc_id", $"bucket", explode(array_distinct(expr(
+        """CASE WHEN size(w) >= 13
+          |  THEN transform(sequence(1, size(w) - 12),
+          |    i -> md5(array_join(slice(w, i, 13), ' ')))
+          |  ELSE array() END""".stripMargin)))
+        .as("sh"))
+    val eval_ = shingles.filter($"bucket" < 20).select($"doc_id".as("eval_id"), $"sh")
+    val train = shingles.filter($"bucket" >= 20).select($"doc_id".as("train_id"), $"sh")
+    val rare = train.groupBy($"sh").agg(count(lit(1)).as("df"))
+      .filter($"df" <= 16).select($"sh")
+    eval_.join(train.join(rare, "sh"), "sh")
+      .select($"eval_id", $"train_id").distinct()
+      .groupBy($"eval_id")
+      .agg(count(lit(1)).as("n_train_overlaps"),
+        min($"train_id").as("example_train_id"))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_pack"          -> (q54Pack _),
+    "q55_contamination" -> (q55Contamination _),
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q54_pack" ->
+      """WITH d AS (SELECT doc_id,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 64 AS shard,
+        |  len(string_split(text, ' ')) AS n_tok FROM documents),
+        |c AS (SELECT doc_id, shard, n_tok,
+        |  COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) cum_before
+        | FROM d)
+        |SELECT shard, CAST(FLOOR(cum_before / 4096) AS BIGINT) AS seq,
+        | COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS seq_tokens,
+        | MIN(doc_id) AS first_doc_id
+        |FROM c GROUP BY 1, 2""".stripMargin,
+    "q55_contamination" ->
+      """WITH ws AS (SELECT doc_id,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100 AS bucket,
+        |  string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, bucket,
+        |  md5(array_to_string(w[i:i+12], ' ')) AS sh
+        | FROM ws, generate_series(1, 4096) t(i) WHERE i <= len(w) - 12),
+        |ev AS (SELECT doc_id eval_id, sh FROM sh WHERE bucket < 20),
+        |tr AS (SELECT doc_id train_id, sh FROM sh WHERE bucket >= 20),
+        |rare AS (SELECT sh FROM tr GROUP BY sh HAVING COUNT(*) <= 16),
+        |pairs AS (SELECT DISTINCT eval_id, train_id
+        | FROM ev JOIN tr USING (sh) JOIN rare USING (sh))
+        |SELECT eval_id, COUNT(*) AS n_train_overlaps,
+        | MIN(train_id) AS example_train_id
+        |FROM pairs GROUP BY 1""".stripMargin,
+  )
+}

@@ -122,6 +122,13 @@ class PlanSpec extends SparkTestBase {
     assert(n == 1, s"expected one user_id exchange, got $n:\n${p.take(2500)}")
   }
 
+  test("q54: packing runs in ONE shard exchange — running sum and " +
+    "sequence aggregation share it") {
+    val p = plan(graft.operators.Pipeline.q54Pack(spark, sfDir))
+    val n = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(n == 1, s"expected one shard exchange, got $n:\n${p.take(2500)}")
+  }
+
   test("q52: repetition metrics are one narrow map stage — no exchange") {
     // top-n-gram counts come from an in-row sort + longest-run
     // aggregate, not explode + groupBy: zero shuffles at any corpus size
