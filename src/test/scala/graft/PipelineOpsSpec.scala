@@ -43,6 +43,46 @@ class PipelineOpsSpec extends SparkTestBase {
     } finally labels.unpersist()
   }
 
+  test("q54 packing conserves the corpus: every doc and token lands in " +
+    "exactly one (shard, seq)") {
+    import graft.operators.Pipeline
+    val packed = Pipeline.q54Pack(spark, sfDir).collect()
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect()
+    assert(packed.map(_.getAs[Long]("n_docs")).sum == docs.length.toLong)
+    assert(packed.map(_.getAs[Long]("seq_tokens")).sum ==
+      docs.map(_.getAs[Long]("n")).sum)
+    // per shard: sequence ordinals are contiguous from 0 (a hole would
+    // mean a sequence the trainer never materializes)
+    packed.groupBy(_.getAs[Long]("shard")).foreach { case (sh, rows) =>
+      val seqs = rows.map(_.getAs[Long]("seq")).sorted
+      assert(seqs.head == 0L && seqs.zipWithIndex.forall { case (s, i) => s == i },
+        s"shard $sh has non-contiguous sequences: ${seqs.toSeq}")
+    }
+  }
+
+  test("q55 contamination: overlaps are real 13-gram matches across a " +
+    "disjoint train/eval split") {
+    import graft.operators.Pipeline
+    val hits = Pipeline.q55Contamination(spark, sfDir).collect()
+    assert(hits.nonEmpty, "corpus plants near-duplicates; the 20% sample " +
+      "must catch at least one cross-split pair")
+    // the example train doc must genuinely share a 13-token window with
+    // the eval doc — recomputed directly from the texts
+    val texts = graft.core.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    def grams(t: String): Set[String] =
+      t.split(" ").sliding(13).filter(_.length == 13).map(_.mkString(" ")).toSet
+    hits.foreach { r =>
+      val e = r.getAs[Long]("eval_id"); val t = r.getAs[Long]("example_train_id")
+      assert(e != t, "a doc cannot contaminate itself across disjoint splits")
+      assert(grams(texts(e)).intersect(grams(texts(t))).nonEmpty,
+        s"eval $e and train $t report overlap but share no 13-gram")
+    }
+  }
+
   test("simhash: identical token sets get identical simhash (hamming 0)") {
     val res = Dedup.q27SimHash(spark, sfDir)
     assert(res.filter(col("hamming") === 0).count() > 0)
