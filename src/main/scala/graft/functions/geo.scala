@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftGlue, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.graft.{DotProductExpr, GeohashApproxDistanceExpr, GeohashDecodeExpr, GeohashEncodeExpr, HaversineKmExpr}
+import org.apache.spark.sql.graft.{DotProductExpr, GeohashApproxDistanceExpr, GeohashDecodeExpr, GeohashEncodeExpr, HaversineKmExpr, Md5Prefix60Expr}
 
 /** Column-API + SQL surface for the geo expressions. */
 object geo {
@@ -37,6 +37,12 @@ object geo {
   def dot_product(a: Column, b: Column): Column =
     col(DotProductExpr(ex(a), ex(b)))
 
+  /** Codegen'd 60-bit md5 prefix as a long — equal to
+    * `conv(substring(md5(x), 1, 15), 16, 10)` without the hex render
+    * (fingerprint/SimHash hot path).
+    */
+  def md5_prefix60(s: Column): Column = col(Md5Prefix60Expr(ex(s)))
+
   private val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "geohash_encode" -> { es =>
       val p = if (es.size >= 3) es(2) else Literal(12)
@@ -50,6 +56,7 @@ object geo {
       HaversineKmExpr(es(0), es(1), es(2), es(3))
     },
     "dot_product" -> { es => DotProductExpr(es(0), es(1)) },
+    "md5_prefix60" -> { es => Md5Prefix60Expr(es.head) },
   )
 
   /** Imperative registration for sessions not built with
@@ -92,5 +99,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProductExpr].getName, "dot_product"),
       (es: Seq[Expression]) => DotProductExpr(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("md5_prefix60"),
+      new ExpressionInfo(classOf[Md5Prefix60Expr].getName, "md5_prefix60"),
+      (es: Seq[Expression]) => Md5Prefix60Expr(es.head)))
   }
 }

@@ -174,8 +174,9 @@ object Dedup extends QueryPack {
   def q27SimHash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val dt = docTokens(Tables.documents(s, dir))
-      .withColumn("hv", conv(substring(md5($"tok"), 1, 15), 16, 10)
-        .cast("long"))
+      // codegen'd digest-byte prefix — same value as
+      // conv(substring(md5(tok), 1, 15), 16, 10), minus the hex render
+      .withColumn("hv", graft.functions.geo.md5_prefix60($"tok"))
     // one aggregation with 48 sum columns (bit b of the simhash =
     // sign of Σ±1 over token-hash bit b): the naive form explodes every
     // token row 48× before aggregating — 48× the shuffle volume for the

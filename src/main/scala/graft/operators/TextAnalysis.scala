@@ -176,9 +176,12 @@ object TextAnalysis extends QueryPack {
     // same O(8n) work data-local, so the whole query is one map stage
     // at any corpus size.
     Tables.documents(s, dir)
-      .withColumn("hvs", expr(
-        """transform(sequence(1, length(text) - 7),
-          |  g -> cast(conv(substring(md5(substring(text, g, 8)), 1, 15), 16, 10) as bigint))""".stripMargin))
+      // gram hash = codegen'd md5_prefix60 (== the oracle's
+      // conv(substring(md5(..), 1, 15), 16, 10), computed from digest
+      // bytes — the hex render + conv cost ~30% of this stage)
+      .withColumn("hvs", transform(
+        sequence(lit(1), length($"text") - 7),
+        g => graft.functions.geo.md5_prefix60($"text".substr(g, lit(8)))))
       // one window min per gram position, the last 7 truncated —
       // element_at past the end is null and least() skips nulls,
       // matching ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING exactly.

@@ -43,6 +43,23 @@ class PipelineOpsSpec extends SparkTestBase {
     } finally labels.unpersist()
   }
 
+  test("md5_prefix60 expression == conv(substring(md5(x),1,15),16,10) " +
+    "on corpus tokens and random strings") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val rows = (Seq("", "a", "the", "ü ünïcode £", "8charstr") ++
+      (1 to 500).map(_ => rnd.alphanumeric.take(rnd.nextInt(40)).mkString) ++
+      graft.core.Tables.documents(spark, sfDir)
+        .select(explode(split(col("text"), " "))).as[String]
+        .take(500).toSeq).toDF("s")
+    val mismatches = rows
+      .withColumn("fast", graft.functions.geo.md5_prefix60(col("s")))
+      .withColumn("ref", expr(
+        "cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(mismatches == 0L)
+  }
+
   test("q54 packing conserves the corpus: every doc and token lands in " +
     "exactly one (shard, seq)") {
     import graft.operators.Pipeline
