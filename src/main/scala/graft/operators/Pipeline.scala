@@ -95,9 +95,62 @@ object Pipeline extends QueryPack {
         min($"train_id").as("example_train_id"))
   }
 
+  // --- q56: mixture-weight token-budget sampling ---------------------------
+  /** Data-mixing stage: select documents per language against fixed
+    * mixture weights (en 40%, others 15% of a 1000-token budget) in a
+    * deterministic pseudo-random order (md5 of doc_id). A document is
+    * selected iff the tokens of every document BEFORE it in that order
+    * still leave room for it — a pure per-document predicate, no
+    * sequential keep/skip dependence.
+    *
+    * Scale shape: the naive spelling windows over lang — five reducers
+    * own the whole corpus (classic skew). Instead the global running
+    * sum DECOMPOSES: per-(lang, bucket) token sums aggregate into a
+    * tiny bounded table whose bucket-prefix sums broadcast back, and
+    * the within-bucket remainder is a window over (lang, bucket) —
+    * 5x1024 balanced partitions. cum_before(doc) = broadcast prefix +
+    * local window, exactly the number the one-reducer form computes.
+    */
+  private[operators] val MixBuckets = 1024L
+
+  def q56Mixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, dir)
+      .select($"doc_id", $"lang",
+        size(split($"text", " ")).cast("long").as("n"),
+        md5($"doc_id".cast("string")).as("h"))
+      .withColumn("bucket",
+        conv(substring($"h", 1, 6), 16, 10).cast("long") % MixBuckets)
+    // phase A: bounded (lang, bucket) token sums -> bucket-prefix sums
+    val wPrefix = Window.partitionBy($"lang").orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixes = d.groupBy($"lang", $"bucket").agg(sum($"n").as("bs"))
+      .withColumn("prefix", coalesce(sum($"bs").over(wPrefix), lit(0L)))
+      .select($"lang", $"bucket", $"prefix")
+    // phase B: within-bucket running sum + the broadcast global prefix
+    val wLocal = Window.partitionBy($"lang", $"bucket")
+      .orderBy($"h", $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.join(broadcast(prefixes), Seq("lang", "bucket"))
+      .withColumn("cum_before",
+        $"prefix" + coalesce(sum($"n").over(wLocal), lit(0L)))
+      .withColumn("quota",
+        when($"lang" === "en", 400L).otherwise(150L))
+      .groupBy($"lang")
+      .agg(max($"quota").as("quota"),
+        sum(when($"cum_before" + $"n" <= $"quota", 1).otherwise(0))
+          .as("n_sel"),
+        sum(when($"cum_before" + $"n" <= $"quota", $"n").otherwise(0L))
+          .as("tok_sel"),
+        min(when($"cum_before" + $"n" <= $"quota", $"doc_id"))
+          .as("first_doc_id"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_pack"          -> (q54Pack _),
     "q55_contamination" -> (q55Contamination _),
+    "q56_mixture"       -> (q56Mixture _),
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -113,6 +166,25 @@ object Pipeline extends QueryPack {
         | COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS seq_tokens,
         | MIN(doc_id) AS first_doc_id
         |FROM c GROUP BY 1, 2""".stripMargin,
+    "q56_mixture" ->
+      // the one-reducer spelling: a single per-lang cumsum over the
+      // SAME total order (bucket, h, doc_id) the two-phase Spark form
+      // decomposes — identical cum_before, identical selection
+      """WITH d AS (SELECT doc_id, lang,
+        |  len(string_split(text, ' ')) n,
+        |  md5(CAST(doc_id AS VARCHAR)) h,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 1024 AS bucket
+        | FROM documents),
+        |c AS (SELECT *, COALESCE(SUM(n) OVER (PARTITION BY lang
+        |    ORDER BY bucket, h, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) cum_before
+        | FROM d),
+        |q AS (SELECT *, CASE WHEN lang = 'en' THEN 400 ELSE 150 END quota FROM c)
+        |SELECT lang, CAST(MAX(quota) AS BIGINT) AS quota,
+        | CAST(SUM(CASE WHEN cum_before + n <= quota THEN 1 ELSE 0 END) AS BIGINT) AS n_sel,
+        | CAST(SUM(CASE WHEN cum_before + n <= quota THEN n ELSE 0 END) AS BIGINT) AS tok_sel,
+        | MIN(CASE WHEN cum_before + n <= quota THEN doc_id END) AS first_doc_id
+        |FROM q GROUP BY lang""".stripMargin,
     "q55_contamination" ->
       """WITH ws AS (SELECT doc_id,
         |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100 AS bucket,

@@ -129,6 +129,18 @@ class PlanSpec extends SparkTestBase {
     assert(n == 1, s"expected one shard exchange, got $n:\n${p.take(2500)}")
   }
 
+  test("q56: the corpus-side window partitions on (lang, bucket), never " +
+    "lang alone, and bucket prefixes broadcast back") {
+    // a lang-only window would put the whole corpus on 5 reducers; only
+    // the BOUNDED per-bucket aggregate may window by lang alone
+    val p = plan(graft.operators.Pipeline.q56Mixture(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    val specs = "windowspecdefinition\\(([^)]*)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.exists(s => s.contains("lang") && s.contains("bucket")),
+      s"corpus window must partition by (lang, bucket):\n${specs.mkString("\n")}")
+  }
+
   test("q52: repetition metrics are one narrow map stage — no exchange") {
     // top-n-gram counts come from an in-row sort + longest-run
     // aggregate, not explode + groupBy: zero shuffles at any corpus size
