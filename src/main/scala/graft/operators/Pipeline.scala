@@ -147,13 +147,80 @@ object Pipeline extends QueryPack {
           .as("first_doc_id"))
   }
 
+  // --- q57: end-to-end corpus recipe (compose the library's own ops) ------
+  /** The full clean-corpus pass a pipeline user actually runs, composed
+    * from this library's operators rather than re-implemented: exact
+    * dedup survivors (md5 canonical min-id) ∩ quality filter
+    * (q22's score ≥ 0.5) ∩ repetition filter (q52's keep) → per-lang
+    * corpus stats. Every stage joins on doc_id, so after the first
+    * exchange the joins reuse the same hash partitioning; the final
+    * per-lang rollup is a 5-row aggregate.
+    */
+  def q57CorpusRecipe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val keepExact = docs.groupBy(md5($"text").as("fp"))
+      .agg(min($"doc_id").as("doc_id")).select($"doc_id")
+    val quality = TextAnalysis.q22Quality(s, dir).select($"doc_id", $"quality")
+    // persist() is an OPTIMIZER BARRIER here, not a speed hack: the
+    // keep filter below would otherwise be alias-substituted through
+    // q52's projection layers (PushDownPredicates), re-inlining the
+    // n-gram sort/aggregate expressions into an interpreted predicate
+    // that re-splits the text per element — measured 0.8s -> 8.8s for
+    // the rep branch alone. The materialized (doc_id, keep) frame is
+    // two narrow columns; the harness unpersists after each run (same
+    // scoped-cache rule as q26/q28/q49).
+    val rep = TextAnalysis.q52Repetition(s, dir)
+      .select($"doc_id", $"keep").persist()
+    docs.select($"doc_id", $"lang",
+        size(split($"text", " ")).cast("long").as("n_tok"))
+      .join(keepExact, Seq("doc_id"), "left_semi")
+      .join(quality, "doc_id").filter($"quality" >= 0.5)
+      .join(rep, "doc_id").filter($"keep")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"),
+        min($"doc_id").as("first_kept"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_pack"          -> (q54Pack _),
     "q55_contamination" -> (q55Contamination _),
     "q56_mixture"       -> (q56Mixture _),
+    "q57_corpus_recipe" -> (q57CorpusRecipe _),
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q57_corpus_recipe" ->
+      s"""WITH ke AS (SELECT MIN(doc_id) doc_id FROM documents GROUP BY md5(text)),
+        |q AS (SELECT doc_id,
+        |  CAST(ROUND(CAST((LEAST(CAST(1.0 AS DOUBLE), n_chars / CAST(400.0 AS DOUBLE)) * CAST(0.5 AS DOUBLE) +
+        |    (CAST(1.0 AS DOUBLE) - len(list_filter(string_split(text, ' '),
+        |      x -> x IN (${TextAnalysis.stopListSql})))
+        |     / len(string_split(text, ' '))) * CAST(0.5 AS DOUBLE)) AS DECIMAL(28,10)), 4) AS DOUBLE) AS quality
+        | FROM documents),
+        |wx AS (SELECT doc_id, string_split(text, ' ') ws,
+        |  len(string_split(text, ' ')) nw FROM documents),
+        |words AS (SELECT doc_id, unnest(ws) tok FROM wx),
+        |big AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] bg
+        |  FROM wx, generate_series(1, 4096) t(i) WHERE i <= nw - 1),
+        |tri AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] tg
+        |  FROM wx, generate_series(1, 4096) t(i) WHERE i <= nw - 2),
+        |wstat AS (SELECT doc_id, MAX(c) topw FROM
+        |  (SELECT doc_id, tok, COUNT(*) c FROM words GROUP BY 1, 2) GROUP BY 1),
+        |bstat AS (SELECT doc_id, MAX(c) topb, CAST(SUM(c) AS BIGINT) nb FROM
+        |  (SELECT doc_id, bg, COUNT(*) c FROM big GROUP BY 1, 2) GROUP BY 1),
+        |tstat AS (SELECT doc_id, COUNT(*) nt, COUNT(DISTINCT tg) dt FROM tri GROUP BY 1),
+        |rep AS (SELECT wx.doc_id,
+        |  (topw / nw <= 0.20 AND topb / nb <= 0.18 AND (nt - dt) / nt <= 0.30) AS keep
+        | FROM wx JOIN wstat USING (doc_id) JOIN bstat USING (doc_id)
+        | JOIN tstat USING (doc_id))
+        |SELECT lang, COUNT(*) AS n_docs,
+        | CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        | MIN(doc_id) AS first_kept
+        |FROM documents JOIN ke USING (doc_id) JOIN q USING (doc_id)
+        |JOIN rep USING (doc_id)
+        |WHERE quality >= 0.5 AND keep
+        |GROUP BY lang""".stripMargin,
     "q54_pack" ->
       """WITH d AS (SELECT doc_id,
         |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 64 AS shard,

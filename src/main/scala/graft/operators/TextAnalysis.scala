@@ -312,7 +312,7 @@ object TextAnalysis extends QueryPack {
     "q24_fingerprint" -> (q24Fingerprint _),
   )
 
-  private val stopListSql = stopwords.map(w => s"'$w'").mkString(", ")
+  private[operators] val stopListSql = stopwords.map(w => s"'$w'").mkString(", ")
 
   override def oracleSql: Map[String, String] = Map(
     "q45_sample_stratified" ->
