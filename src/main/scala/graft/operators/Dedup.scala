@@ -128,8 +128,12 @@ object Dedup extends QueryPack {
     // truncate lineage; localCheckpoint does (and on a cluster,
     // checkpoint(dir) is the executor-loss-safe spelling of the same
     // thing).
-    var labels = edges.select($"i".as("node")).distinct()
-      .select($"node", $"node".as("lab")).localCheckpoint(true)
+    // init = hop 1 fused into node-set construction: every node appears
+    // on the i side of the symmetric edge list, so one aggregation
+    // yields min(self, neighbors) — one full loop round saved
+    var labels = edges.groupBy($"i").agg(min($"j").as("mj"))
+      .select($"i".as("node"), least($"i", $"mj").as("lab"))
+      .localCheckpoint(true)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 32) {
