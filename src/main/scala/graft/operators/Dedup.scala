@@ -116,18 +116,32 @@ object Dedup extends QueryPack {
     */
   def q51DedupClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val links = minhashLinks(s, dir).select($"i", $"j")
-    val edges = links
-      .unionByName(links.select($"j".as("i"), $"i".as("j")))
+    connectedComponents(minhashLinks(s, dir).select($"i", $"j"))
+      .select($"node".as("doc_id"), $"lab".as("cluster_id"),
+        ($"node" === $"lab").as("is_keep"))
+  }
+
+  /** Connected components of an undirected graph given as (i, j) link
+    * rows (each pair once, either orientation): returns (node, lab)
+    * where lab = the component's min node id. Library surface — q51
+    * applies it to MinHash links; any link source (SimHash, embedding
+    * bands, exact groups) composes the same way.
+    *
+    * Each round ends in an EAGER localCheckpoint: the round's plan
+    * references `labels` four times (directly, via nbrMin, and twice
+    * through the hop self-join), so without lineage TRUNCATION the
+    * logical plan grows 4^rounds copies of the upstream pipeline and
+    * Catalyst analysis itself OOMs by round 3. cache() does not
+    * truncate lineage; localCheckpoint does (and on a cluster,
+    * checkpoint(dir) is the executor-loss-safe spelling of the same
+    * thing).
+    */
+  def connectedComponents(links: DataFrame, maxRounds: Int = 48): DataFrame = {
+    val s = links.sparkSession
+    import s.implicits._
+    val edges = links.toDF("i", "j")
+      .unionByName(links.toDF("j", "i").select($"i", $"j"))
       .cache()
-    // Each round ends in an EAGER localCheckpoint: the round's plan
-    // references `labels` four times (directly, via nbrMin, and twice
-    // through the hop self-join), so without lineage TRUNCATION the
-    // logical plan grows 4^rounds copies of the whole MinHash pipeline
-    // and Catalyst analysis itself OOMs by round 3. cache() does not
-    // truncate lineage; localCheckpoint does (and on a cluster,
-    // checkpoint(dir) is the executor-loss-safe spelling of the same
-    // thing).
     // init = hop 1 fused into node-set construction: every node appears
     // on the i side of the symmetric edge list, so one aggregation
     // yields min(self, neighbors) — one full loop round saved
@@ -136,7 +150,7 @@ object Dedup extends QueryPack {
       .localCheckpoint(true)
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 32) {
+    while (!converged && rounds < maxRounds) {
       // hop: take the min label among self + neighbors (one edge step)
       val nbrMin = edges.join(labels, edges("j") === labels("node"))
         .groupBy(edges("i").as("node")).agg(min($"lab").as("nlab"))
@@ -160,10 +174,9 @@ object Dedup extends QueryPack {
       rounds += 1
     }
     if (sys.env.contains("SPARK_GRAFT_DEBUG"))
-      Console.err.println(s"[q51] converged after $rounds rounds")
+      Console.err.println(s"[cc] converged after $rounds rounds")
     edges.unpersist()
-    labels.select($"node".as("doc_id"), $"lab".as("cluster_id"),
-      ($"node" === $"lab").as("is_keep"))
+    labels
   }
 
   // --- q27: SimHash near-dup links via pigeonhole banding -----------------

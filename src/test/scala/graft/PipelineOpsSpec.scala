@@ -100,6 +100,23 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("connectedComponents: adversarial 64-node chain converges " +
+    "logarithmically, disjoint components stay separate") {
+    import spark.implicits._
+    // a path graph is the worst case for plain min-propagation (label 0
+    // crawls one hop per round, diameter = 63); pointer-jumping must
+    // close it within 10 rounds — maxRounds=10 means a slower algorithm
+    // returns WRONG labels here, which the asserts catch
+    val chain = (0L until 63L).map(k => (k, k + 1))
+    val island = Seq((100L, 101L), (101L, 102L))
+    val labels = Dedup.connectedComponents(
+        (chain ++ island).toDF("i", "j"), maxRounds = 10)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("lab")).toMap
+    (0L to 63L).foreach(n => assert(labels(n) == 0L, s"chain node $n"))
+    (100L to 102L).foreach(n => assert(labels(n) == 100L, s"island node $n"))
+    assert(labels.size == 67)
+  }
+
   test("simhash: identical token sets get identical simhash (hamming 0)") {
     val res = Dedup.q27SimHash(spark, sfDir)
     assert(res.filter(col("hamming") === 0).count() > 0)
