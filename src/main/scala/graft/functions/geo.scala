@@ -43,6 +43,15 @@ object geo {
     */
   def md5_prefix60(s: Column): Column = col(Md5Prefix60Expr(ex(s)))
 
+  /** Misra-Gries frequent-items sketch (mergeable, bounded state):
+    * array<struct<item, cnt>> of the <= capacity retained counters,
+    * (cnt desc, item asc)-sorted. Exact when capacity >= distinct
+    * items; undercounts by <= n/capacity beyond that.
+    */
+  def freq_items(c: Column, capacity: Int): Column =
+    col(org.apache.spark.sql.graft.FreqItemsAggregate(ex(c), capacity)
+      .toAggregateExpression())
+
   private val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "geohash_encode" -> { es =>
       val p = if (es.size >= 3) es(2) else Literal(12)

@@ -239,6 +239,26 @@ object TextAnalysis extends QueryPack {
         ($"rw" <= 0.20 && $"rb" <= 0.18 && $"rt" <= 0.30).as("keep"))
   }
 
+  // --- q58: per-language heavy hitters via the Misra–Gries sketch ----------
+  /** Top-5 tokens per language through `freq_items` (bounded-state
+    * sketch) instead of a full groupBy(token).count: the sketch caps
+    * per-group state at 256 counters no matter how many distinct
+    * tokens the corpus has, and merges map-side like any aggregate.
+    * On this corpus (31-token vocabulary) the sketch is in its exact
+    * regime, which is what the oracle checks; the sub-capacity
+    * undercount bound is spec-tested separately.
+    */
+  def q58HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"lang", explode(split($"text", " ")).as("tok"))
+      .groupBy($"lang")
+      .agg(graft.functions.geo.freq_items($"tok", 256).as("fi"))
+      .select($"lang", posexplode(slice($"fi", 1, 5)))
+      .select($"lang", ($"pos" + 1).cast("long").as("rank"),
+        $"col.item".as("token"), $"col.cnt".as("cnt"))
+  }
+
   // --- q45: deterministic stratified sampling ------------------------------
   /** Reproducible ~20% sample per language stratum: membership =
     * md5-derived bucket of doc_id — re-runs, engines, and partitionings
@@ -304,6 +324,7 @@ object TextAnalysis extends QueryPack {
     "q45_sample_stratified"  -> (q45Sample _),
     "q46_surprisal"          -> (q46Surprisal _),
     "q52_repetition"         -> (q52Repetition _),
+    "q58_heavy_hitters"      -> (q58HeavyHitters _),
     "q19_email_parse" -> (q19EmailParse _),
     "q20_html_strip"  -> (q20HtmlStrip _),
     "q21_token_stats" -> (q21TokenStats _),
@@ -335,6 +356,17 @@ object TextAnalysis extends QueryPack {
         |   AS mean_surprisal
         |FROM toks JOIN tf USING (tok) CROSS JOIN tot
         |GROUP BY doc_id""".stripMargin,
+    "q58_heavy_hitters" ->
+      // exact counts — valid against the sketch because 31 distinct
+      // tokens < capacity 256 (the sketch's exact regime)
+      """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) tok FROM documents),
+        |c AS (SELECT lang, tok, COUNT(*) cnt FROM t GROUP BY 1, 2),
+        |r AS (SELECT lang, tok, cnt,
+        |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, tok) rk
+        | FROM c)
+        |SELECT lang, CAST(rk AS BIGINT) AS rank, tok AS token,
+        | CAST(cnt AS BIGINT) AS cnt
+        |FROM r WHERE rk <= 5""".stripMargin,
     "q52_repetition" ->
       s"""WITH wx AS (SELECT doc_id, string_split(text, ' ') ws,
         |  len(string_split(text, ' ')) nw FROM documents),

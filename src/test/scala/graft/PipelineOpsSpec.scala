@@ -100,6 +100,33 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("freq_items: exact when capacity >= distinct; MG undercount bound " +
+    "and heavy-hitter survival when over capacity") {
+    import spark.implicits._
+    import graft.functions.geo.freq_items
+    // exact regime: 3 distinct items, capacity 8 — counts are exact
+    val exact = Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c")
+    val ex = exact.toDF("x").repartition(4)
+      .agg(freq_items($"x", 8).as("fi"))
+      .select(explode($"fi").as("e"))
+      .select($"e.item", $"e.cnt").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ex == Map("a" -> 5L, "b" -> 3L, "c" -> 2L))
+    // over capacity: 400 occurrences of the heavy item in n=1000, 600
+    // distinct fillers, capacity 8. MG guarantees the retained count
+    // undercounts by at most n/capacity = 125, so the heavy item MUST
+    // survive with cnt in [275, 400] — across partition merges too
+    val heavy = Seq.fill(400)("HH") ++ (1 to 600).map(i => s"f$i")
+    val mg = heavy.toDF("x").repartition(8)
+      .agg(freq_items($"x", 8).as("fi"))
+      .select(explode($"fi").as("e"))
+      .select($"e.item", $"e.cnt").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mg.size <= 8, s"capacity violated: ${mg.size}")
+    assert(mg.contains("HH"), s"heavy hitter evicted: $mg")
+    assert(mg("HH") >= 400L - 125L && mg("HH") <= 400L, s"bound: ${mg("HH")}")
+  }
+
   test("connectedComponents: adversarial 64-node chain converges " +
     "logarithmically, disjoint components stay separate") {
     import spark.implicits._
