@@ -64,20 +64,47 @@ object TextAnalysis extends QueryPack {
 
   private val stopwords = Seq("the", "a", "and", "of", "to", "in", "is", "it")
 
+  /** Stateless per-document corpus-filter columns over ANY frame
+    * carrying `text` and `n_chars` — pure projections with no
+    * aggregation or shuffle, so the SAME transform runs on batch
+    * tables and Structured Streaming sources (StreamingSpec drives it
+    * on a MemoryStream). Adds: toks, n_stop, quality (q22's score),
+    * n_words, top_word_frac, top_bigram_frac, dup_trigram_frac, rep_keep
+    * (q52's flag). q22/q52 are this transform plus a column selection.
+    */
+  def corpusFilterCols(df: DataFrame): DataFrame = {
+    val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+    df
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_stop",
+        expr(s"size(filter(toks, x -> x IN ($stopList)))"))
+      .withColumn("quality", graft.core.Exact.dround(
+        least(lit(1.0), col("n_chars") / 400.0) * 0.5 +
+          (lit(1.0) - col("n_stop") / size(col("toks"))) * 0.5, 4))
+      .withColumn("bg", expr(
+        "transform(sequence(1, size(toks) - 1), i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+      .withColumn("tg", expr(
+        "transform(sequence(1, size(toks) - 2), i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2)))"))
+      .withColumn("top_w",  expr(maxRunSql("toks")))
+      .withColumn("top_bg", expr(maxRunSql("bg")))
+      .withColumn("dup_tg", size(col("tg")) - size(array_distinct(col("tg"))))
+      .withColumn("rw", col("top_w") / size(col("toks")))
+      .withColumn("rb", col("top_bg") / size(col("bg")))
+      .withColumn("rt", col("dup_tg") / size(col("tg")))
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      .withColumn("top_word_frac", graft.core.Exact.dround(col("rw"), 4))
+      .withColumn("top_bigram_frac", graft.core.Exact.dround(col("rb"), 4))
+      .withColumn("dup_trigram_frac", graft.core.Exact.dround(col("rt"), 4))
+      .withColumn("rep_keep",
+        col("rw") <= 0.20 && col("rb") <= 0.18 && col("rt") <= 0.30)
+      .drop("bg", "tg", "top_w", "top_bg", "dup_tg", "rw", "rb", "rt")
+  }
+
   // --- q22: quality score (length + stopword-density heuristic) ----------
   def q22Quality(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val stopList = stopwords.map(w => s"'$w'").mkString(", ")
-    Tables.documents(s, dir)
-      .withColumn("toks", split($"text", " "))
-      .withColumn("n_stop",
-        expr(s"size(filter(toks, x -> x IN ($stopList)))"))
-      .select($"doc_id",
-        $"n_stop",
-        graft.core.Exact.dround(
-          least(lit(1.0), $"n_chars" / 400.0) * 0.5 +
-            (lit(1.0) - $"n_stop" / size($"toks")) * 0.5, 4)
-          .as("quality"))
+    corpusFilterCols(Tables.documents(s, dir))
+      .select($"doc_id", $"n_stop", $"quality")
   }
 
   /** Stopword vote sets for the language-ID heuristic. On this synthetic
@@ -219,24 +246,9 @@ object TextAnalysis extends QueryPack {
     */
   def q52Repetition(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, dir)
-      .withColumn("ws", split($"text", " "))
-      .withColumn("bg", expr(
-        "transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))
-      .withColumn("tg", expr(
-        "transform(sequence(1, size(ws) - 2), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1), ' ', element_at(ws, i + 2)))"))
-      .withColumn("top_w",  expr(maxRunSql("ws")))
-      .withColumn("top_bg", expr(maxRunSql("bg")))
-      .withColumn("dup_tg", size($"tg") - size(array_distinct($"tg")))
-      .withColumn("rw", $"top_w" / size($"ws"))
-      .withColumn("rb", $"top_bg" / size($"bg"))
-      .withColumn("rt", $"dup_tg" / size($"tg"))
-      .select($"doc_id",
-        size($"ws").cast("long").as("n_words"),
-        graft.core.Exact.dround($"rw", 4).as("top_word_frac"),
-        graft.core.Exact.dround($"rb", 4).as("top_bigram_frac"),
-        graft.core.Exact.dround($"rt", 4).as("dup_trigram_frac"),
-        ($"rw" <= 0.20 && $"rb" <= 0.18 && $"rt" <= 0.30).as("keep"))
+    corpusFilterCols(Tables.documents(s, dir))
+      .select($"doc_id", $"n_words", $"top_word_frac",
+        $"top_bigram_frac", $"dup_trigram_frac", $"rep_keep".as("keep"))
   }
 
   // --- q58: per-language heavy hitters via the Misra–Gries sketch ----------

@@ -9,6 +9,39 @@ class StreamingSpec extends SparkTestBase {
 
   private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
 
+  test("corpus filters are pure projections: the SAME batch transform + " +
+    "watermark dedup runs on a stream") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // (doc_id, text, n_chars, ts) — the documents shape as a stream
+    val input = MemoryStream[(Long, String, Long, java.sql.Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "n_chars", "ts")
+    val cleaned = graft.operators.TextAnalysis.corpusFilterCols(docs)
+      .filter(col("quality") >= 0.5 && col("rep_keep"))
+      .withColumn("fp", md5(col("text")))
+      .withWatermark("ts", "1 minutes")
+      .dropDuplicatesWithinWatermark("fp")
+      .select("doc_id", "text")
+    val q = cleaned.writeStream.outputMode("append")
+      .format("memory").queryName("corpus_stream").start()
+    try {
+      val good = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+      val spam = Seq.fill(40)("spam").mkString(" ")
+      input.addData(
+        (1L, good, good.length.toLong, ts(0)),
+        (2L, spam, spam.length.toLong, ts(1)),   // repetition-rejected
+        (3L, good, good.length.toLong, ts(2)))   // duplicate of 1 in-watermark
+      q.processAllAvailable()
+      val out = spark.table("corpus_stream").collect()
+      // exactly ONE of the two identical docs survives (which one is
+      // batch-internal arrival order, not contract) and the spam none
+      assert(out.length == 1 &&
+        Set(1L, 3L).contains(out.head.getAs[Long]("doc_id")) &&
+        out.head.getAs[String]("text") == good,
+        s"expected one good doc, spam filtered, dup deduped: ${out.toSeq}")
+    } finally q.stop()
+  }
+
   test("windowed stats stream: watermark closes windows, late rows dropped") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
