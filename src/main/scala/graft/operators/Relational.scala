@@ -234,6 +234,28 @@ object Relational extends QueryPack {
         count(lit(1)).as("n_events"), dsum($"value").as("total_value"))
   }
 
+  // --- q59: pivot (crosstab) with an explicit value list ------------------
+  /** Daily event counts pivoted into one column per event type.
+    * The value list is EXPLICIT: `pivot(col)` without values runs a
+    * blocking distinct+collect over the pivot column first (a full
+    * extra pass at 100 TB, and output width then depends on the data);
+    * with the list, the pivot is a single conditional aggregation —
+    * same plan shape as the oracle's SUM(CASE ...) spelling. Missing
+    * (day, type) combos surface as NULL counts from pivot and are
+    * coalesced to 0 to match SQL semantics.
+    */
+  def q59Pivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(s, dir)
+      .withColumn("day", date_format(date_trunc("day", $"ts"), "yyyy-MM-dd"))
+      .groupBy($"day")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .select($"day" +: types.map(t =>
+        coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+  }
+
   // --- q14: correlated-style agg-then-join (avg per group vs rows) --------
   def q14HavingJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -332,6 +354,7 @@ object Relational extends QueryPack {
     "q12_conditional"   -> (q12Conditional _),
     "q13_time_bucket"   -> (q13TimeBucket _),
     "q53_sessionize"    -> (q53Sessionize _),
+    "q59_pivot"         -> (q59Pivot _),
     "q14_having_join"   -> (q14HavingJoin _),
   )
 
@@ -439,6 +462,14 @@ object Relational extends QueryPack {
         | COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), 'OTHER') AS seg,
         | COUNT(*) AS n
         |FROM customer GROUP BY 1, 2""".stripMargin,
+    "q59_pivot" ->
+      """SELECT STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS day,
+        | CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        | CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+        | CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        | CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        | CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+        |FROM events GROUP BY 1""".stripMargin,
     "q53_sessionize" ->
       """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) us, value FROM events),
         |f AS (SELECT user_id, event_id, us, value,
