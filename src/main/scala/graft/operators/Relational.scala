@@ -256,6 +256,22 @@ object Relational extends QueryPack {
         coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
   }
 
+  // --- q60: unpivot/melt back to long form ---------------------------------
+  /** The inverse reshape: q59's wide daily counts melt back to
+    * (day, event_type, n) rows — `unpivot` is a generator projection
+    * (each input row fans out to five, no shuffle beyond q59's own
+    * aggregation), and zero-count combinations survive the round trip,
+    * which a plain GROUP BY re-aggregation would lose.
+    */
+  def q60Unpivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    q59Pivot(s, dir)
+      .unpivot(Array($"day"), types.map(t => col(s"n_$t")).toArray,
+        "event_type", "n")
+      .withColumn("event_type", expr("substring(event_type, 3)"))
+  }
+
   // --- q14: correlated-style agg-then-join (avg per group vs rows) --------
   def q14HavingJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -355,6 +371,7 @@ object Relational extends QueryPack {
     "q13_time_bucket"   -> (q13TimeBucket _),
     "q53_sessionize"    -> (q53Sessionize _),
     "q59_pivot"         -> (q59Pivot _),
+    "q60_unpivot"       -> (q60Unpivot _),
     "q14_having_join"   -> (q14HavingJoin _),
   )
 
@@ -462,6 +479,18 @@ object Relational extends QueryPack {
         | COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), 'OTHER') AS seg,
         | COUNT(*) AS n
         |FROM customer GROUP BY 1, 2""".stripMargin,
+    "q60_unpivot" ->
+      """WITH p AS (
+        | SELECT STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS day,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+        | FROM events GROUP BY 1)
+        |SELECT day, substr(event_type, 3) AS event_type, n
+        |FROM p UNPIVOT (n FOR event_type IN
+        |  (n_click, n_error, n_purchase, n_signup, n_view))""".stripMargin,
     "q59_pivot" ->
       """SELECT STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS day,
         | CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
