@@ -292,6 +292,35 @@ object Dedup extends QueryPack {
       .select($"i", $"j", $"lev")
   }
 
+  // --- q61: incremental dedup of a new batch against the corpus -----------
+  /** The ingestion-time dedup every production pipeline runs: a NEW
+    * batch of documents (here the deterministic md5-bucket >= 80 slice)
+    * dedups against the already-ingested corpus (bucket < 80) by
+    * content fingerprint, plus intra-batch exact dedup. Survivors =
+    * batch docs whose fingerprint is unseen in the corpus AND that are
+    * their fingerprint's canonical (min doc_id) within the batch.
+    *
+    * Scale shape: the corpus side reduces to its DISTINCT fingerprints
+    * before the anti-join (at ingestion time that set IS the persisted
+    * fingerprint index — fp-bucketed, so the anti-join co-locates);
+    * both the anti-join and the intra-batch canonical groupBy key on
+    * the fingerprint hash, evenly distributed by construction.
+    */
+  def q61IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .withColumn("bucket",
+        conv(substring(md5($"doc_id".cast("string")), 1, 6), 16, 10)
+          .cast("long") % 100)
+      .withColumn("fp", md5($"text"))
+    val corpusFps = docs.filter($"bucket" < 80).select($"fp").distinct()
+    docs.filter($"bucket" >= 80)
+      .join(corpusFps, Seq("fp"), "left_anti")
+      .groupBy($"fp").agg(min($"doc_id").as("doc_id"),
+        count(lit(1)).as("n_batch_copies"))
+      .select($"doc_id", $"fp", $"n_batch_copies")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_dedup_editdist"  -> (q49EditDistance _),
     "q25_dedup_exact"     -> (q25Exact _),
@@ -299,6 +328,7 @@ object Dedup extends QueryPack {
     "q27_dedup_simhash"   -> (q27SimHash _),
     "q28_dedup_ngram"     -> (q28NgramJaccard _),
     "q51_dedup_clusters"  -> (q51DedupClusters _),
+    "q61_incr_dedup"      -> (q61IncrementalDedup _),
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -376,6 +406,15 @@ object Dedup extends QueryPack {
         |SELECT c.i, c.j, bit_count(xor(a.simhash, c.sb)) AS hamming
         |FROM cand c JOIN sims a ON a.doc_id = c.i
         |WHERE bit_count(xor(a.simhash, c.sb)) <= 3""".stripMargin,
+    "q61_incr_dedup" ->
+      """WITH d AS (SELECT doc_id, text, md5(text) fp,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100 AS bucket
+        | FROM documents),
+        |corpus AS (SELECT DISTINCT fp FROM d WHERE bucket < 80),
+        |batch AS (SELECT * FROM d WHERE bucket >= 80)
+        |SELECT MIN(doc_id) AS doc_id, fp, COUNT(*) AS n_batch_copies
+        |FROM batch WHERE fp NOT IN (SELECT fp FROM corpus)
+        |GROUP BY fp""".stripMargin,
     "q51_dedup_clusters" ->
       // the q26 link pipeline verbatim, then a recursive label closure:
       // every label reachable from a node is enumerated and the MIN

@@ -142,6 +142,13 @@ class PipelineOpsSpec extends SparkTestBase {
     (0L to 63L).foreach(n => assert(labels(n) == 0L, s"chain node $n"))
     (100L to 102L).foreach(n => assert(labels(n) == 100L, s"island node $n"))
     assert(labels.size == 67)
+    // 8x the diameter must cost ~3 more rounds, not 8x: 512 nodes
+    // within 13 rounds is only reachable with the jump step
+    val big = Dedup.connectedComponents(
+        (0L until 511L).map(k => (k, k + 1)).toDF("i", "j"), maxRounds = 13)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("lab"))
+    assert(big.length == 512 && big.forall(_._2 == 0L),
+      "512-chain did not converge within 13 rounds")
   }
 
   test("simhash: identical token sets get identical simhash (hamming 0)") {
