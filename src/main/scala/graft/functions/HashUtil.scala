@@ -23,10 +23,99 @@ object HashUtil {
   def md5Prefix60(s: UTF8String): Long = {
     val d = md5.get()
     d.reset()
-    val b = d.digest(s.getBytes)
+    prefix60(d.digest(s.getBytes))
+  }
+
+  private def md5Prefix60(bytes: Array[Byte], off: Int, len: Int): Long = {
+    val d = md5.get()
+    d.reset()
+    d.update(bytes, off, len)
+    prefix60(d.digest())
+  }
+
+  private def prefix60(b: Array[Byte]): Long = {
     var v = 0L
     var i = 0
     while (i < 7) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
     (v << 4) | ((b(7) >> 4) & 0xfL)
+  }
+
+  private val Xxh64Seed = 42L // Spark's xxhash64() seed
+
+  /** xxhash64 of every `gramLen`-char gram of `s`, first-occurrence
+    * deduped — value-identical to
+    * `array_distinct(transform(sequence(1, length(s)-gramLen+1),
+    *   g -> xxhash64(substring(s, g, gramLen))))`
+    * but computed in one pass with zero per-gram allocation on ASCII
+    * text (char index == byte index, hash in place).
+    */
+  def gramHashesDistinct(s: UTF8String,
+      gramLen: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val nChars = s.numChars()
+    val n = nChars - gramLen + 1
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    if (n > 0) {
+      if (s.numBytes() == nChars) {
+        val base = s.getBaseObject
+        val off = s.getBaseOffset
+        var g = 0
+        while (g < n) {
+          seen.add(XXH64.hashUnsafeBytes(base, off + g, gramLen, Xxh64Seed))
+          g += 1
+        }
+      } else {
+        var g = 0
+        while (g < n) {
+          val sub = s.substringSQL(g + 1, gramLen)
+          seen.add(XXH64.hashUnsafeBytes(
+            sub.getBaseObject, sub.getBaseOffset, sub.numBytes, Xxh64Seed))
+          g += 1
+        }
+      }
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Winnowing fingerprint stats of the char-8-gram md5Prefix60 stream:
+    * (distinct count, min, max) of the 8-wide trailing-truncated window
+    * minima — value-identical to the q42 oracle's windowed form, one
+    * pass, no per-gram string allocation on ASCII text.
+    */
+  def winnowStats(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val nChars = s.numChars()
+    val n = nChars - 7
+    if (n <= 0)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](0L, null, null))
+    val hv = new Array[Long](n)
+    if (s.numBytes() == nChars) {
+      val bytes = s.getBytes // one copy per document
+      var g = 0
+      while (g < n) { hv(g) = md5Prefix60(bytes, g, 8); g += 1 }
+    } else {
+      var g = 0
+      while (g < n) { hv(g) = md5Prefix60(s.substringSQL(g + 1, 8)); g += 1 }
+    }
+    val seen = new java.util.HashSet[java.lang.Long]()
+    var minFp = Long.MaxValue
+    var maxFp = Long.MinValue
+    var i = 0
+    while (i < n) {
+      var m = hv(i)
+      var k = i + 1
+      val end = math.min(i + 7, n - 1)
+      while (k <= end) { if (hv(k) < m) m = hv(k); k += 1 }
+      seen.add(m)
+      if (m < minFp) minFp = m
+      if (m > maxFp) maxFp = m
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](seen.size.toLong, minFp, maxFp))
   }
 }

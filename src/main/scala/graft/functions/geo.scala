@@ -43,6 +43,15 @@ object geo {
     */
   def md5_prefix60(s: Column): Column = col(Md5Prefix60Expr(ex(s)))
 
+  /** One-pass deduped char-n-gram xxhash64 stream (dedup hot path). */
+  def gram_hashes(s: Column, gramLen: Int): Column =
+    col(org.apache.spark.sql.graft.GramHashesExpr(ex(s), gramLen))
+
+  /** One-pass winnowing fingerprint stats:
+    * struct(n_fingerprints, min_fp, max_fp). */
+  def winnow_stats(s: Column): Column =
+    col(org.apache.spark.sql.graft.WinnowStatsExpr(ex(s)))
+
   /** Misra-Gries frequent-items sketch (mergeable, bounded state):
     * array<struct<item, cnt>> of the <= capacity retained counters,
     * (cnt desc, item asc)-sorted. Exact when capacity >= distinct

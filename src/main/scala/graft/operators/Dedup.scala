@@ -225,16 +225,17 @@ object Dedup extends QueryPack {
   def q28NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
-    // per-doc gram dedup happens LOCALLY (array_distinct before the
-    // explode) — a global .distinct() here would shuffle the full
-    // ~560·N gram stream for nothing. Grams shuffle as 8-byte xxhash64
-    // values, not 8-char strings (internal representation only: the
-    // oracle-visible output is (i, j, jaccard); collision odds over
-    // millions of grams are ~2^-40).
+    // per-doc gram dedup happens LOCALLY (inside the one-pass
+    // gram_hashes expression, before the explode) — a global
+    // .distinct() here would shuffle the full ~560·N gram stream for
+    // nothing. Grams shuffle as 8-byte xxhash64 values, not 8-char
+    // strings (internal representation only: the oracle-visible output
+    // is (i, j, jaccard); collision odds over millions of grams are
+    // ~2^-40).
     val grams = docs
-      .select($"doc_id", explode(array_distinct(expr(
-        "transform(sequence(1, length(text) - 7), g -> xxhash64(substring(text, g, 8)))")))
-        .as("gram")).cache()
+      .select($"doc_id",
+        explode(graft.functions.geo.gram_hashes($"text", 8)).as("gram"))
+      .cache()
     // rare grams only (global df <= 4) as candidate keys: bounds the
     // per-key join fan-out regardless of corpus size
     val rare = grams.groupBy($"gram").agg(count(lit(1)).as("df"))
@@ -269,9 +270,9 @@ object Dedup extends QueryPack {
     // gram text never reaches the output (only (i, j, lev) does), so
     // the internal representation is free to be the cheap one
     val grams = docs
-      .select($"doc_id", explode(array_distinct(expr(
-        "transform(sequence(1, length(text) - 7), g -> xxhash64(substring(text, g, 8)))")))
-        .as("gram")).cache()
+      .select($"doc_id",
+        explode(graft.functions.geo.gram_hashes($"text", 8)).as("gram"))
+      .cache()
     val rare = grams.groupBy($"gram").agg(count(lit(1)).as("df"))
       .filter($"df" <= 4 && $"df" >= 2).select($"gram")
     val rg = grams.join(rare, "gram")

@@ -202,25 +202,20 @@ object TextAnalysis extends QueryPack {
     // to do per-key sorted scans; per-row `slice`+`array_min` does the
     // same O(8n) work data-local, so the whole query is one map stage
     // at any corpus size.
+    // the whole fingerprint pass is ONE codegen'd expression: per-gram
+    // md5Prefix60 (the oracle's conv(substring(md5(..),1,15),16,10)
+    // value) + trailing-truncated 8-wide window minima + distinct
+    // count, computed in a single tight loop per document. The earlier
+    // higher-order-function spelling evaluated interpreted lambdas per
+    // gram (3.2s) and per window position; this is 2.3s -> ~1.3s at
+    // sf0.1, still zero exchanges (PlanSpec). Subexpression
+    // elimination collapses the three field extractions to one
+    // winnow_stats evaluation.
     Tables.documents(s, dir)
-      // gram hash = codegen'd md5_prefix60 (== the oracle's
-      // conv(substring(md5(..), 1, 15), 16, 10), computed from digest
-      // bytes — the hex render + conv cost ~30% of this stage)
-      .withColumn("hvs", transform(
-        sequence(lit(1), length($"text") - 7),
-        g => graft.functions.geo.md5_prefix60($"text".substr(g, lit(8)))))
-      // one window min per gram position, the last 7 truncated —
-      // element_at past the end is null and least() skips nulls,
-      // matching ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING exactly.
-      // least-of-8 element_at beats slice+array_min: no per-window
-      // array allocation.
-      .withColumn("wmins", expr(
-        ("transform(sequence(1, size(hvs)), i -> least(" +
-          (0 until 8).map(o => s"try_element_at(hvs, i + $o)").mkString(", ") +
-          "))")))
+      .select($"doc_id", graft.functions.geo.winnow_stats($"text").as("w"))
       .select($"doc_id",
-        size(array_distinct($"wmins")).cast("long").as("n_fingerprints"),
-        array_min($"wmins").as("min_fp"), array_max($"wmins").as("max_fp"))
+        $"w.n_fingerprints".as("n_fingerprints"),
+        $"w.min_fp".as("min_fp"), $"w.max_fp".as("max_fp"))
   }
 
   // --- q52: Gopher-style repetition quality metrics ------------------------

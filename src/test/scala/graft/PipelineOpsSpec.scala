@@ -60,6 +60,33 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(mismatches == 0L)
   }
 
+  test("gram_hashes / winnow_stats == their SQL spellings, ASCII and " +
+    "unicode (non-ASCII takes the per-gram fallback path)") {
+    import spark.implicits._
+    import graft.functions.geo.{gram_hashes, winnow_stats}
+    val rnd = new scala.util.Random(7)
+    val rows = (Seq("", "short", "exactly8", "ascii text of moderate length",
+      "ünïcode — ünïcode — ünïcode tëxt lòng énough för grams") ++
+      (1 to 200).map(_ => rnd.alphanumeric.take(8 + rnd.nextInt(60)).mkString))
+      .toDF("s").filter(length(col("s")) >= 8)
+    val gMismatch = rows
+      .withColumn("fast", gram_hashes(col("s"), 8))
+      .withColumn("ref", expr(
+        "array_distinct(transform(sequence(1, length(s) - 7), g -> xxhash64(substring(s, g, 8))))"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(gMismatch == 0L, "gram_hashes diverges from the SQL spelling")
+    val wMismatch = rows
+      .withColumn("w", winnow_stats(col("s")))
+      .withColumn("hvs", expr(
+        "transform(sequence(1, length(s) - 7), g -> cast(conv(substring(md5(substring(s, g, 8)), 1, 15), 16, 10) as bigint))"))
+      .withColumn("wmins", expr(
+        "transform(sequence(1, size(hvs)), i -> array_min(slice(hvs, i, 8)))"))
+      .filter(col("w.n_fingerprints") =!= size(array_distinct(col("wmins"))).cast("long") ||
+        col("w.min_fp") =!= expr("array_min(wmins)") ||
+        col("w.max_fp") =!= expr("array_max(wmins)")).count()
+    assert(wMismatch == 0L, "winnow_stats diverges from the SQL spelling")
+  }
+
   test("q54 packing conserves the corpus: every doc and token lands in " +
     "exactly one (shard, seq)") {
     import graft.operators.Pipeline
