@@ -81,6 +81,50 @@ object HashUtil {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** md5Prefix60 of every `n`-token shingle (tokens = split on single
+    * space, windows joined with the same space), first-occurrence
+    * deduped. Because the separator is the split character, a joined
+    * window IS the original substring between its first token's start
+    * and its last token's end — so on ASCII text every shingle hashes
+    * in place with zero string building. Value-identical to
+    * md5Prefix60(array_join(slice(split(text,' '), i, n), ' ')).
+    */
+  def tokenShingleHashes(s: UTF8String,
+      n: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val ascii = s.numBytes() == s.numChars()
+    // token start offsets in CHARS (split(' ') semantics: empty tokens
+    // between consecutive separators are tokens too)
+    val str = if (ascii) null else s.toString
+    val bytes = if (ascii) s.getBytes else null
+    val len = if (ascii) bytes.length else str.length
+    val starts = new scala.collection.mutable.ArrayBuffer[Int]()
+    starts += 0
+    var i = 0
+    while (i < len) {
+      val c = if (ascii) bytes(i).toChar else str.charAt(i)
+      if (c == ' ') starts += i + 1
+      i += 1
+    }
+    val t = starts.length
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var w = 0
+    while (w <= t - n) {
+      val from = starts(w)
+      // end of token w+n-1: next start minus separator, or text end
+      val to = if (w + n < t) starts(w + n) - 1 else len
+      val h =
+        if (ascii) md5Prefix60(bytes, from, to - from)
+        else md5Prefix60(UTF8String.fromString(str.substring(from, to)))
+      seen.add(h)
+      w += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next().longValue(); k += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Winnowing fingerprint stats of the char-8-gram md5Prefix60 stream:
     * (distinct count, min, max) of the 8-wide trailing-truncated window
     * minima — value-identical to the q42 oracle's windowed form, one

@@ -47,6 +47,10 @@ object geo {
   def gram_hashes(s: Column, gramLen: Int): Column =
     col(org.apache.spark.sql.graft.GramHashesExpr(ex(s), gramLen))
 
+  /** One-pass deduped n-token shingle md5Prefix60 stream. */
+  def token_shingle_hashes(s: Column, n: Int): Column =
+    col(org.apache.spark.sql.graft.TokenShingleHashesExpr(ex(s), n))
+
   /** One-pass winnowing fingerprint stats:
     * struct(n_fingerprints, min_fp, max_fp). */
   def winnow_stats(s: Column): Column =

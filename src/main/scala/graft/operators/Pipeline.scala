@@ -71,19 +71,17 @@ object Pipeline extends QueryPack {
       .withColumn("bucket",
         conv(substring(md5($"doc_id".cast("string")), 1, 6), 16, 10)
           .cast("long") % 100)
+    // shingles come from the one-pass token_shingle_hashes expression:
+    // a 13-token window joined by the split separator IS the original
+    // substring between its first token's start and last token's end,
+    // so every shingle hashes IN PLACE — no per-window string build,
+    // no interpreted lambda (2.0s -> ~1s at sf0.1). Shingles shuffle
+    // as md5-prefix longs; equality classes match the oracle's
+    // md5(string) join up to the accepted ~2^-40 collision odds.
     val shingles = docs
-      // the tokenization is hoisted OUT of the lambda: a split() left
-      // inside the transform body re-tokenizes the document once per
-      // shingle position (~40x per doc — measured 3.5s -> 2.0s at
-      // sf0.1). The CASE guard matters because sequence(1, n-12)
-      // DESCENDS when n < 13 and slice then sees start 0.
-      .withColumn("w", split($"text", " "))
-      .select($"doc_id", $"bucket", explode(array_distinct(expr(
-        """CASE WHEN size(w) >= 13
-          |  THEN transform(sequence(1, size(w) - 12),
-          |    i -> md5(array_join(slice(w, i, 13), ' ')))
-          |  ELSE array() END""".stripMargin)))
-        .as("sh"))
+      .select($"doc_id", $"bucket",
+        explode(graft.functions.geo.token_shingle_hashes($"text", 13))
+          .as("sh"))
     val eval_ = shingles.filter($"bucket" < 20).select($"doc_id".as("eval_id"), $"sh")
     val train = shingles.filter($"bucket" >= 20).select($"doc_id".as("train_id"), $"sh")
     val rare = train.groupBy($"sh").agg(count(lit(1)).as("df"))

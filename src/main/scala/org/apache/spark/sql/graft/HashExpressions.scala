@@ -53,6 +53,29 @@ case class GramHashesExpr(child: Expression, gramLen: Int)
     copy(child = c)
 }
 
+/** One-pass deduped n-token shingle md5Prefix60 stream (see
+  * [[graft.functions.HashUtil.tokenShingleHashes]]) — contamination-
+  * screen hot path.
+  */
+case class TokenShingleHashesExpr(child: Expression, n: Int)
+  extends UnaryExpression with ImplicitCastInputTypes {
+
+  require(n > 0)
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "token_shingle_hashes"
+
+  override protected def nullSafeEval(s: Any): Any =
+    graft.functions.HashUtil.tokenShingleHashes(s.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s =>
+      s"graft.functions.HashUtil.tokenShingleHashes($s, $n)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** One-pass winnowing fingerprint stats (see
   * [[graft.functions.HashUtil.winnowStats]]): struct(n_fingerprints,
   * min_fp, max_fp) of the 8-wide window minima over the char-8-gram

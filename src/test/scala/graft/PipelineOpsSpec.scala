@@ -85,6 +85,17 @@ class PipelineOpsSpec extends SparkTestBase {
         col("w.min_fp") =!= expr("array_min(wmins)") ||
         col("w.max_fp") =!= expr("array_max(wmins)")).count()
     assert(wMismatch == 0L, "winnow_stats diverges from the SQL spelling")
+    // token shingles: in-place hash == md5_prefix60 of the joined window
+    val w = split(col("s"), " ")
+    val sMismatch = rows
+      .withColumn("fast", graft.functions.geo.token_shingle_hashes(col("s"), 3))
+      .withColumn("ref", when(size(w) >= 3,
+        array_distinct(transform(sequence(lit(1), size(w) - 2),
+          i => graft.functions.geo.md5_prefix60(
+            array_join(slice(w, i, lit(3)), " ")))))
+        .otherwise(array().cast("array<bigint>")))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(sMismatch == 0L, "token_shingle_hashes diverges from the SQL spelling")
   }
 
   test("q54 packing conserves the corpus: every doc and token lands in " +
