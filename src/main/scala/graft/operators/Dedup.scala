@@ -293,6 +293,28 @@ object Dedup extends QueryPack {
       .select($"i", $"j", $"lev")
   }
 
+  // --- q62: multi-signal dedup clusters (MinHash ∪ SimHash links) ----------
+  /** Production near-dup clustering rarely trusts one signal:
+    * token-set MinHash catches reorderings, SimHash catches small
+    * bit-level drifts — their UNION is the link graph. Because
+    * [[connectedComponents]] takes any (i, j) link frame, the
+    * composition is one union; duplicate edges between the two signals
+    * are harmless to min-label propagation (no distinct shuffle
+    * needed).
+    */
+  def q62MultiLinkClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // each link pipeline materializes as its OWN job before the union:
+    // fused into one plan, the two branches lose their standalone AQE
+    // shapes and the combined materialization measured ~2.5x the sum
+    // of the parts (9.8s vs ~4s at sf0.1)
+    val mh = q26MinHashLsh(s, dir).select($"i", $"j").localCheckpoint(true)
+    val sh = q27SimHash(s, dir).select($"i", $"j").localCheckpoint(true)
+    connectedComponents(mh.unionByName(sh))
+      .select($"node".as("doc_id"), $"lab".as("cluster_id"),
+        ($"node" === $"lab").as("is_keep"))
+  }
+
   // --- q61: incremental dedup of a new batch against the corpus -----------
   /** The ingestion-time dedup every production pipeline runs: a NEW
     * batch of documents (here the deterministic md5-bucket >= 80 slice)
@@ -330,6 +352,7 @@ object Dedup extends QueryPack {
     "q28_dedup_ngram"     -> (q28NgramJaccard _),
     "q51_dedup_clusters"  -> (q51DedupClusters _),
     "q61_incr_dedup"      -> (q61IncrementalDedup _),
+    "q62_multilink_clusters" -> (q62MultiLinkClusters _),
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -407,6 +430,62 @@ object Dedup extends QueryPack {
         |SELECT c.i, c.j, bit_count(xor(a.simhash, c.sb)) AS hamming
         |FROM cand c JOIN sims a ON a.doc_id = c.i
         |WHERE bit_count(xor(a.simhash, c.sb)) <= 3""".stripMargin,
+    "q62_multilink_clusters" ->
+      // the q26 link chain ∪ the q27 link chain over a shared token
+      // CTE, then the same recursive label closure as q51
+      """WITH RECURSIVE dt AS MATERIALIZED (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS tok
+        |  FROM documents),
+        |sig AS (SELECT doc_id,
+        |  MIN(md5('0#'||tok)) m0, MIN(md5('1#'||tok)) m1,
+        |  MIN(md5('2#'||tok)) m2, MIN(md5('3#'||tok)) m3,
+        |  MIN(md5('4#'||tok)) m4, MIN(md5('5#'||tok)) m5
+        | FROM dt GROUP BY doc_id),
+        |mbands AS (
+        | SELECT doc_id, 0 b, md5(m0||m1) bk FROM sig UNION ALL
+        | SELECT doc_id, 1 b, md5(m2||m3) bk FROM sig UNION ALL
+        | SELECT doc_id, 2 b, md5(m4||m5) bk FROM sig),
+        |mreps AS (SELECT b, bk, MIN(doc_id) i FROM mbands GROUP BY 1, 2),
+        |mcand AS (SELECT DISTINCT r.i, bd.doc_id j
+        | FROM mbands bd JOIN mreps r USING (b, bk)
+        | WHERE bd.doc_id > r.i),
+        |ctok AS MATERIALIZED (SELECT c.i, c.j, a.tok
+        | FROM mcand c JOIN dt a ON a.doc_id = c.i),
+        |sizes AS (SELECT doc_id, COUNT(*) sz FROM dt GROUP BY 1),
+        |inter AS (SELECT ct.i, ct.j, COUNT(*) inter FROM ctok ct
+        |  JOIN dt b2 ON b2.doc_id = ct.j AND b2.tok = ct.tok
+        |  GROUP BY ct.i, ct.j),
+        |mlinks AS (SELECT it.i, it.j
+        | FROM inter it JOIN sizes si ON it.i = si.doc_id
+        | JOIN sizes sj ON it.j = sj.doc_id
+        | WHERE it.inter / (si.sz + sj.sz - it.inter) >= 0.7),
+        |hv AS (SELECT doc_id,
+        |  CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS hv FROM dt),
+        |bits AS (SELECT doc_id, b,
+        |  SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) sw
+        | FROM hv, generate_series(0, 47) t(b) GROUP BY doc_id, b),
+        |sims AS MATERIALIZED (SELECT doc_id,
+        |  SUM(CASE WHEN sw > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+        |    AS simhash
+        | FROM bits GROUP BY doc_id),
+        |sbands AS (SELECT doc_id, simhash, b AS band,
+        |  (simhash >> (12 * b)) & 4095 AS key
+        | FROM sims, generate_series(0, 3) t(b)),
+        |sreps AS (SELECT band, key, MIN(doc_id) i FROM sbands GROUP BY 1, 2),
+        |scand AS (SELECT DISTINCT r.i, bd.doc_id j, bd.simhash sb
+        | FROM sbands bd JOIN sreps r USING (band, key)
+        | WHERE bd.doc_id > r.i),
+        |slinks AS (SELECT c.i, c.j
+        | FROM scand c JOIN sims a ON a.doc_id = c.i
+        | WHERE bit_count(xor(a.simhash, c.sb)) <= 3),
+        |links AS (SELECT i, j FROM mlinks UNION ALL SELECT i, j FROM slinks),
+        |edges AS (SELECT i, j FROM links UNION ALL SELECT j, i FROM links),
+        |rec(node, lab) AS (
+        | SELECT DISTINCT i, i FROM edges
+        | UNION
+        | SELECT e.j, r.lab FROM rec r JOIN edges e ON e.i = r.node)
+        |SELECT node AS doc_id, MIN(lab) AS cluster_id,
+        | node = MIN(lab) AS is_keep
+        |FROM rec GROUP BY node""".stripMargin,
     "q61_incr_dedup" ->
       """WITH d AS (SELECT doc_id, text, md5(text) fp,
         |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100 AS bucket
