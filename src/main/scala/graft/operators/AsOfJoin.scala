@@ -173,8 +173,11 @@ object Alignment extends QueryPack {
         concat_ws(",",
           array(bin("[^a-g]"), bin("[^h-n]"), bin("[^o-u]"), bin("[^v-z]")))
           .as("features"),
-        expr("concat_ws('', transform(sequence(1, length(text), 8), " +
-          "g -> substring(text, g, 1)))").as("thumb"))
+        // empty payloads: Spark's sequence(1, 0, 8) throws where the
+        // oracle's generate_series yields an empty list — guard to ''
+        expr("CASE WHEN length(text) = 0 THEN '' ELSE concat_ws('', " +
+          "transform(sequence(1, length(text), 8), " +
+          "g -> substring(text, g, 1))) END").as("thumb"))
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -217,8 +220,9 @@ object Alignment extends QueryPack {
         |   length(regexp_replace(text, '[^h-n]', '', 'g')),
         |   length(regexp_replace(text, '[^o-u]', '', 'g')),
         |   length(regexp_replace(text, '[^v-z]', '', 'g'))], ',') AS features,
-        | array_to_string(list_transform(generate_series(1, length(text), 8),
-        |   g -> substr(text, g, 1)), '') AS thumb
+        | COALESCE(array_to_string(list_transform(
+        |   generate_series(1, length(text), 8),
+        |   g -> substr(text, g, 1)), ''), '') AS thumb
         |FROM documents""".stripMargin,
     "q39_frame_sample" ->
       """SELECT doc_id, frame_idx,

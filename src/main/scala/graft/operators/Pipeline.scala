@@ -209,9 +209,10 @@ object Pipeline extends QueryPack {
         |  (SELECT doc_id, bg, COUNT(*) c FROM big GROUP BY 1, 2) GROUP BY 1),
         |tstat AS (SELECT doc_id, COUNT(*) nt, COUNT(DISTINCT tg) dt FROM tri GROUP BY 1),
         |rep AS (SELECT wx.doc_id,
-        |  (topw / nw <= 0.20 AND topb / nb <= 0.18 AND (nt - dt) / nt <= 0.30) AS keep
-        | FROM wx JOIN wstat USING (doc_id) JOIN bstat USING (doc_id)
-        | JOIN tstat USING (doc_id))
+        |  (topw / nw <= 0.20 AND COALESCE(topb / nb, 0) <= 0.18
+        |    AND COALESCE((nt - dt) / nt, 0) <= 0.30) AS keep
+        | FROM wx JOIN wstat USING (doc_id) LEFT JOIN bstat USING (doc_id)
+        | LEFT JOIN tstat USING (doc_id))
         |SELECT lang, COUNT(*) AS n_docs,
         | CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
         | MIN(doc_id) AS first_kept

@@ -71,6 +71,14 @@ object TextAnalysis extends QueryPack {
     * on a MemoryStream). Adds: toks, n_stop, quality (q22's score),
     * n_words, top_word_frac, top_bigram_frac, dup_trigram_frac, rep_keep
     * (q52's flag). q22/q52 are this transform plus a column selection.
+    *
+    * Short-document semantics: a document with fewer than 2 (3) tokens
+    * has no bigrams (trigrams) — `sequence(1, 0)` in Spark is the
+    * DESCENDING array `[1, 0]` and `element_at(toks, 0)` throws, so the
+    * n-gram builds are guarded and an absent n-gram population counts
+    * as ZERO repetition (fraction 0.0, never NULL/NaN): a 1-word
+    * document cannot be bigram spam. The oracle mirrors this with
+    * LEFT JOIN + COALESCE(frac, 0).
     */
   def corpusFilterCols(df: DataFrame): DataFrame = {
     val stopList = stopwords.map(w => s"'$w'").mkString(", ")
@@ -82,15 +90,17 @@ object TextAnalysis extends QueryPack {
         least(lit(1.0), col("n_chars") / 400.0) * 0.5 +
           (lit(1.0) - col("n_stop") / size(col("toks"))) * 0.5, 4))
       .withColumn("bg", expr(
-        "transform(sequence(1, size(toks) - 1), i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+        "CASE WHEN size(toks) >= 2 THEN transform(sequence(1, size(toks) - 1), i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) ELSE CAST(array() AS ARRAY<STRING>) END"))
       .withColumn("tg", expr(
-        "transform(sequence(1, size(toks) - 2), i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2)))"))
+        "CASE WHEN size(toks) >= 3 THEN transform(sequence(1, size(toks) - 2), i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2))) ELSE CAST(array() AS ARRAY<STRING>) END"))
       .withColumn("top_w",  expr(maxRunSql("toks")))
       .withColumn("top_bg", expr(maxRunSql("bg")))
       .withColumn("dup_tg", size(col("tg")) - size(array_distinct(col("tg"))))
       .withColumn("rw", col("top_w") / size(col("toks")))
-      .withColumn("rb", col("top_bg") / size(col("bg")))
-      .withColumn("rt", col("dup_tg") / size(col("tg")))
+      .withColumn("rb", when(size(col("bg")) > 0,
+        col("top_bg") / size(col("bg"))).otherwise(lit(0.0)))
+      .withColumn("rt", when(size(col("tg")) > 0,
+        col("dup_tg") / size(col("tg"))).otherwise(lit(0.0)))
       .withColumn("n_words", size(col("toks")).cast("long"))
       .withColumn("top_word_frac", graft.core.Exact.dround(col("rw"), 4))
       .withColumn("top_bigram_frac", graft.core.Exact.dround(col("rb"), 4))
@@ -145,7 +155,9 @@ object TextAnalysis extends QueryPack {
     import org.apache.spark.sql.expressions.Window
     docs
       .select($"lang", explode(expr(
-        "transform(sequence(1, length(text) - 2), g -> substring(text, g, 3))"))
+        // guard: sequence(1, 0) is DESCENDING in Spark — a <3-char text
+        // would silently emit garbage trigrams instead of none
+        "CASE WHEN length(text) >= 3 THEN transform(sequence(1, length(text) - 2), g -> substring(text, g, 3)) ELSE CAST(array() AS ARRAY<STRING>) END"))
         .as("tri"))
       .groupBy($"lang", $"tri").agg(count(lit(1)).as("cnt"))
       .withColumn("rk", row_number().over(
@@ -166,7 +178,7 @@ object TextAnalysis extends QueryPack {
       topK: Int = 300): DataFrame = {
     import docs.sparkSession.implicits._
     val tris = docs.select($"doc_id", explode(expr(
-      "transform(sequence(1, length(text) - 2), g -> substring(text, g, 3))"))
+      "CASE WHEN length(text) >= 3 THEN transform(sequence(1, length(text) - 2), g -> substring(text, g, 3)) ELSE CAST(array() AS ARRAY<STRING>) END"))
       .as("tri"))
     tris.join(broadcast(profiles), "tri")
       .groupBy($"doc_id", $"plang")
@@ -211,7 +223,13 @@ object TextAnalysis extends QueryPack {
     // sf0.1, still zero exchanges (PlanSpec). Subexpression
     // elimination collapses the three field extractions to one
     // winnow_stats evaluation.
+    // Texts shorter than one 8-gram have no fingerprints: the oracle's
+    // generate_series emits no gram rows for them, so they contribute
+    // no output row — filter them BEFORE the expression (the predicate
+    // pushes to the parquet scan) instead of emitting a
+    // (doc_id, 0, NULL, NULL) row the oracle never produces.
     Tables.documents(s, dir)
+      .filter(length($"text") >= 8)
       .select($"doc_id", graft.functions.geo.winnow_stats($"text").as("w"))
       .select($"doc_id",
         $"w.n_fingerprints".as("n_fingerprints"),
@@ -389,11 +407,12 @@ object TextAnalysis extends QueryPack {
         |tstat AS (SELECT doc_id, COUNT(*) nt, COUNT(DISTINCT tg) dt FROM tri GROUP BY 1)
         |SELECT wx.doc_id, nw AS n_words,
         | ${graft.core.Exact.sqlDround("topw / nw", 4)} AS top_word_frac,
-        | ${graft.core.Exact.sqlDround("topb / nb", 4)} AS top_bigram_frac,
-        | ${graft.core.Exact.sqlDround("(nt - dt) / nt", 4)} AS dup_trigram_frac,
-        | (topw / nw <= 0.20 AND topb / nb <= 0.18 AND (nt - dt) / nt <= 0.30) AS keep
-        |FROM wx JOIN wstat USING (doc_id) JOIN bstat USING (doc_id)
-        |JOIN tstat USING (doc_id)""".stripMargin,
+        | ${graft.core.Exact.sqlDround("COALESCE(topb / nb, 0)", 4)} AS top_bigram_frac,
+        | ${graft.core.Exact.sqlDround("COALESCE((nt - dt) / nt, 0)", 4)} AS dup_trigram_frac,
+        | (topw / nw <= 0.20 AND COALESCE(topb / nb, 0) <= 0.18
+        |   AND COALESCE((nt - dt) / nt, 0) <= 0.30) AS keep
+        |FROM wx JOIN wstat USING (doc_id) LEFT JOIN bstat USING (doc_id)
+        |LEFT JOIN tstat USING (doc_id)""".stripMargin,
     "q42_winnow_fingerprint" ->
       """WITH grams AS (SELECT doc_id, g AS pos,
         |  CAST(('0x' || substr(md5(substr(text, g, 8)), 1, 15)) AS BIGINT) hv

@@ -438,6 +438,46 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(orcBack.exceptAll(docs).count() == 0)
   }
 
+  test("short documents (0/1/2 tokens): corpus filters apply " +
+    "zero-repetition semantics instead of crashing") {
+    import spark.implicits._
+    // real-input edge the synthetic corpus lacks: sequence(1, 0) is the
+    // DESCENDING [1, 0] in Spark, so unguarded n-gram builds throw
+    // INVALID_INDEX_OF_ZERO on any document under 3 tokens
+    val texts = Seq(
+      (1L, ""), (2L, "hello"), (3L, "a b"), (4L, "x y z"),
+      (5L, "the quick brown fox jumps over one lazy dog sentence here"))
+    val docs = texts.map { case (id, t) => (id, t, "en", "synth", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("shortdocs").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rep = TextAnalysis.q52Repetition(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rep.size == 5, "every document gets a repetition row")
+    // 1-token doc: the whole text is the top word; no bigram/trigram
+    // population means ZERO repetition, not NULL/NaN/crash
+    assert(rep(2L).getAs[Double]("top_word_frac") == 1.0)
+    assert(rep(2L).getAs[Double]("top_bigram_frac") == 0.0)
+    assert(rep(2L).getAs[Double]("dup_trigram_frac") == 0.0)
+    assert(!rep(2L).getAs[Boolean]("keep"))
+    // 2-token doc: exactly one bigram (frac 1.0), still no trigrams
+    assert(rep(3L).getAs[Double]("top_bigram_frac") == 1.0)
+    assert(rep(3L).getAs[Double]("dup_trigram_frac") == 0.0)
+    // empty text tokenizes to [""] — same 1-token semantics
+    assert(rep(1L).getAs[Long]("n_words") == 1L)
+    // 3-token doc exercises the first populated-trigram row
+    assert(rep(4L).getAs[Double]("dup_trigram_frac") == 0.0)
+    // quality (q22) is defined for every document, short or not
+    assert(TextAnalysis.q22Quality(spark, tmp).count() == 5)
+    // winnowing (q42) emits rows ONLY for docs holding >= one 8-gram —
+    // matching the oracle, which generates no gram rows for them
+    val w = TextAnalysis.q42Winnow(spark, tmp).collect()
+    assert(w.map(_.getAs[Long]("doc_id")).toSet == Set(5L))
+    assert(w.head.getAs[Long]("n_fingerprints") > 0L)
+    // the composed corpus recipe (q57) runs end-to-end over short docs
+    assert(graft.operators.Pipeline.q57CorpusRecipe(spark, tmp).count() >= 0L)
+  }
+
   test("fingerprints: token-set fp collides for reordered docs, fp does not") {
     val fp = TextAnalysis.q24Fingerprint(spark, sfDir)
     val nDocs = fp.count()

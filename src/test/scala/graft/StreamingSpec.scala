@@ -30,7 +30,8 @@ class StreamingSpec extends SparkTestBase {
       input.addData(
         (1L, good, good.length.toLong, ts(0)),
         (2L, spam, spam.length.toLong, ts(1)),   // repetition-rejected
-        (3L, good, good.length.toLong, ts(2)))   // duplicate of 1 in-watermark
+        (3L, good, good.length.toLong, ts(2)),   // duplicate of 1 in-watermark
+        (4L, "hi", 2L, ts(3)))                   // 1-token doc: must not crash
       q.processAllAvailable()
       val out = spark.table("corpus_stream").collect()
       // exactly ONE of the two identical docs survives (which one is
