@@ -9,10 +9,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - one unmeasured warmup execution per query first (whole-stage
   *     codegen compilation + JIT dominate cold runs — q35 is 4.5s cold
   *     vs 0.5s steady-state); SPARK_GRAFT_WARMUP=0 measures cold.
-  *   - each query is then timed SPARK_GRAFT_REPS times (default 3) and
-  *     the MIN is reported: min-of-N is robust to GC pauses and a
-  *     contended host, where a single shot random-walks (observed
-  *     28–76s totals across rounds on byte-identical code).
+  *   - each query is then timed SPARK_GRAFT_REPS times (default 3).
+  *     The headline per-query number and total stay MIN (robust to GC
+  *     pauses and a contended host, where a single shot random-walks:
+  *     observed 28–76s totals across rounds on byte-identical code);
+  *     every rep and the median are ALSO emitted (`reps_sec`,
+  *     `queries_median`, `total_median`) so cross-run deltas can be
+  *     judged against the run's own spread — min-of-3 alone still
+  *     swung individual queries ~9x on a contended host.
   *   - every execution — warmup and measured — runs through
   *     [[runScoped]], which materializes via the `noop` v2 sink and
   *     clears the cache manager afterwards, so one query's pinned
@@ -59,24 +63,38 @@ object Bench {
     if (warmup) queries.foreach { case (_, fn) =>
       try runScoped(spark, fn(spark, sfDir)) catch { case _: Throwable => () }
     }
-    // a query that throws records the -1.0 sentinel, never a wall time —
-    // bench output must not silently include failed queries
-    val results = queries.map { case (name, fn) =>
+    // a query that throws records an empty rep list (rendered as the
+    // -1.0 sentinel), never a wall time — bench output must not
+    // silently include failed queries
+    val results: Seq[(String, Seq[Double])] = queries.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         runScoped(spark, fn(spark, sfDir))
         (System.nanoTime() - t0) / 1e9
       }
-      val best = try (1 to reps).map(_ => once()).min
-                 catch { case _: Throwable => -1.0 }
-      name -> best
+      val times = try (1 to reps).map(_ => once()).toSeq
+                  catch { case _: Throwable => Seq.empty[Double] }
+      name -> times
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    def obj(f: Seq[Double] => Double): String = results
+      .map { case (k, v) => "\"" + k + "\":" + (if (v.isEmpty) -1.0 else f(v)) }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val qs = obj(_.min)
+    val qsMed = obj(median)
+    val repsJson = results
+      .map { case (k, v) => "\"" + k + "\":" + v.mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, v) if v.isEmpty => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","reps":$reps,"timing":"min"}""")
+    val ok = results.filter(_._2.nonEmpty)
+    val total = ok.map(_._2.min).sum
+    val totalMed = ok.map(r => median(r._2)).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"total_median":$totalMed,"reps_sec":$repsJson,"errors":$errs,"sf":"$sfDir","reps":$reps,"timing":"min"}""")
     spark.stop()
   }
 }

@@ -43,9 +43,16 @@ object Dedup extends QueryPack {
   /** Verified near-dup links (i < j, raw Jaccard >= 0.7) — the shared
     * tail of q26 (pair output) and q51 (connected-component clusters).
     */
-  private def minhashLinks(s: SparkSession, dir: String): DataFrame = {
+  private def minhashLinks(s: SparkSession, dir: String): DataFrame =
+    minhashLinksFrom(docTokens(Tables.documents(s, dir)).cache())
+
+  /** q26's link pipeline over a CALLER-OWNED (doc_id, tok) frame: q26
+    * caches its own scan; q62 passes one shared cached frame to both
+    * signal pipelines so the corpus is scanned and exploded once.
+    */
+  private def minhashLinksFrom(dt: DataFrame): DataFrame = {
+    val s = dt.sparkSession
     import s.implicits._
-    val dt = docTokens(Tables.documents(s, dir)).cache()
 
     val sigCols = (0 until K).map(i =>
       min(md5(concat(lit(s"$i#"), $"tok"))).as(s"m$i"))
@@ -144,7 +151,11 @@ object Dedup extends QueryPack {
       .cache()
     // init = hop 1 fused into node-set construction: every node appears
     // on the i side of the symmetric edge list, so one aggregation
-    // yields min(self, neighbors) — one full loop round saved
+    // yields min(self, neighbors) — one full loop round saved.
+    // (A pointer-jump at init was measured and reverted: the observed
+    // link graphs still need one change round + one confirmation round
+    // with or without it — round floor is diameter-bound, and the extra
+    // self-join exchange bought nothing.)
     var labels = edges.groupBy($"i").agg(min($"j").as("mj"))
       .select($"i".as("node"), least($"i", $"mj").as("lab"))
       .localCheckpoint(true)
@@ -188,9 +199,16 @@ object Dedup extends QueryPack {
     * all-pairs hamming join is O(N²) (the naive form compares 12.5M
     * pairs at just 5k docs).
     */
-  def q27SimHash(s: SparkSession, dir: String): DataFrame = {
+  def q27SimHash(s: SparkSession, dir: String): DataFrame =
+    simHashLinksFrom(docTokens(Tables.documents(s, dir)))
+
+  /** q27's link pipeline over a caller-owned (doc_id, tok) frame (see
+    * [[minhashLinksFrom]] — q62 shares one cached frame across both).
+    */
+  private def simHashLinksFrom(dt0: DataFrame): DataFrame = {
+    val s = dt0.sparkSession
     import s.implicits._
-    val dt = docTokens(Tables.documents(s, dir))
+    val dt = dt0
       // codegen'd digest-byte prefix — same value as
       // conv(substring(md5(tok), 1, 15), 16, 10), minus the hex render
       .withColumn("hv", graft.functions.geo.md5_prefix60($"tok"))
@@ -304,12 +322,18 @@ object Dedup extends QueryPack {
     */
   def q62MultiLinkClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // each link pipeline materializes as its OWN job before the union:
-    // fused into one plan, the two branches lose their standalone AQE
-    // shapes and the combined materialization measured ~2.5x the sum
-    // of the parts (9.8s vs ~4s at sf0.1)
-    val mh = q26MinHashLsh(s, dir).select($"i", $"j").localCheckpoint(true)
-    val sh = q27SimHash(s, dir).select($"i", $"j").localCheckpoint(true)
+    // ONE shared cached token frame feeds both signal pipelines: the
+    // corpus is scanned and exploded once instead of once per signal
+    // (the former shape re-read documents + re-split text in each
+    // branch — a full extra scan + explode + exchange for free).
+    val dt = docTokens(Tables.documents(s, dir)).cache()
+    // each link pipeline still materializes as its OWN job before the
+    // union: fused into one plan, the two branches lose their
+    // standalone AQE shapes and the combined materialization measured
+    // ~2.5x the sum of the parts (9.8s vs ~4s at sf0.1)
+    val mh = minhashLinksFrom(dt).select($"i", $"j").localCheckpoint(true)
+    val sh = simHashLinksFrom(dt).select($"i", $"j").localCheckpoint(true)
+    dt.unpersist()
     connectedComponents(mh.unionByName(sh))
       .select($"node".as("doc_id"), $"lab".as("cluster_id"),
         ($"node" === $"lab").as("is_keep"))
