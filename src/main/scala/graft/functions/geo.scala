@@ -65,6 +65,14 @@ object geo {
     col(org.apache.spark.sql.graft.FreqItemsAggregate(ex(c), capacity)
       .toAggregateExpression())
 
+  /** Weighted variant: each row contributes `weight` (e.g. token count)
+    * instead of 1; undercount bound becomes totalWeight/(capacity+1).
+    * Null or non-positive weights skip the row.
+    */
+  def freq_items(c: Column, weight: Column, capacity: Int): Column =
+    col(org.apache.spark.sql.graft.FreqItemsAggregate(ex(c), ex(weight),
+      capacity).toAggregateExpression())
+
   private val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "geohash_encode" -> { es =>
       val p = if (es.size >= 3) es(2) else Literal(12)

@@ -143,13 +143,22 @@ object AvroSink {
         val reader = new DataFileReader[GenericRecord](
           new FsInput(new Path(p), new Configuration()),
           new GenericDatumReader[GenericRecord]())
+        openHandles.incrementAndGet()
+        var closed = false
+        def closeOnce(): Unit = if (!closed) {
+          closed = true; reader.close(); openHandles.decrementAndGet(): Unit
+        }
+        // a downstream limit/take abandons this iterator mid-stream and
+        // the exhaustion path below never runs — the task-completion
+        // hook is what keeps the FsInput from leaking on the executor
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
         // stream records through — never materialize a container in
         // memory (a single .avro file can be GBs); close on exhaustion
         new Iterator[Row] {
-          private var open = true
-          def hasNext: Boolean = open && {
+          def hasNext: Boolean = !closed && {
             val h = reader.hasNext
-            if (!h) { reader.close(); open = false }
+            if (!h) closeOnce()
             h
           }
           def next(): Row =
@@ -158,4 +167,10 @@ object AvroSink {
       }
     spark.createDataFrame(rows, st)
   }
+
+  /** Per-JVM count of avro containers currently open in [[read]]
+    * tasks. Returns to 0 after every job on each executor (and so
+    * globally in local mode, which is what the leak spec asserts).
+    */
+  val openHandles = new java.util.concurrent.atomic.AtomicLong(0)
 }

@@ -29,17 +29,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * oracle checks (31-token corpus vs capacity 256); the sub-capacity
   * approximation guarantee is spec-tested separately.
   *
+  * `weight` generalizes to weighted heavy hitters (e.g. domains
+  * weighted by token count): each row contributes `weight` instead of
+  * 1, and the undercount bound becomes W/(capacity+1) over total
+  * weight W. Rows with null or non-positive weight are skipped.
+  *
   * Output: array<struct<item string, cnt long>> of the retained
   * counters, (cnt desc, item asc)-sorted for determinism.
   */
 case class FreqItemsAggregate(
-    child: Expression, capacity: Int,
+    child: Expression, weight: Expression, capacity: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[FreqItemsBuffer] {
 
   require(capacity > 0, "capacity must be positive")
 
-  override def children: Seq[Expression] = Seq(child)
+  override def children: Seq[Expression] = Seq(child, weight)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("item", StringType),
@@ -51,7 +56,13 @@ case class FreqItemsAggregate(
 
   override def update(buf: FreqItemsBuffer, input: InternalRow): FreqItemsBuffer = {
     val v = child.eval(input)
-    if (v != null) buf.add(v.asInstanceOf[UTF8String].toString, 1L)
+    if (v != null) {
+      val w = weight.eval(input)
+      if (w != null) {
+        val by = w.asInstanceOf[Number].longValue()
+        if (by > 0) buf.add(v.asInstanceOf[UTF8String].toString, by)
+      }
+    }
     buf
   }
 
@@ -97,7 +108,13 @@ case class FreqItemsAggregate(
     copy(inputAggBufferOffset = o)
   override protected def withNewChildrenInternal(
       cs: IndexedSeq[Expression]): FreqItemsAggregate =
-    copy(child = cs(0))
+    copy(child = cs(0), weight = cs(1))
+}
+
+object FreqItemsAggregate {
+  /** Unweighted sketch: every row contributes 1. */
+  def apply(child: Expression, capacity: Int): FreqItemsAggregate =
+    FreqItemsAggregate(child, Literal(1L), capacity)
 }
 
 /** At most `capacity` counters; decrement-all on overflow (update path)
@@ -106,16 +123,23 @@ case class FreqItemsAggregate(
 final class FreqItemsBuffer(capacity: Int) {
   val counters = new scala.collection.mutable.HashMap[String, Long]
 
-  /** Single-occurrence MG update. */
+  /** Weighted MG update: conceptually insert (item, by) as a
+    * (capacity+1)-th counter, then subtract the minimum over all
+    * capacity+1 counters from every one and drop zeros — at least one
+    * counter zeroes, so <= capacity survive, and total decrement stays
+    * <= W/(capacity+1). With by=1 this is the classic decrement-all
+    * step (the min of positive counters capped at 1 is 1).
+    */
   def add(item: String, by: Long): Unit = {
     if (counters.contains(item) || counters.size < capacity)
       counters.update(item, counters.getOrElse(item, 0L) + by)
     else {
-      // decrement all; drop zeros (classic MG overflow step)
-      val dead = List.newBuilder[String]
-      counters.mapValuesInPlace((_, c) => c - 1)
-      counters.foreach { case (k, c) => if (c <= 0) dead += k }
-      dead.result().foreach(counters.remove)
+      val d = math.min(by, counters.valuesIterator.min)
+      counters.mapValuesInPlace((_, c) => c - d)
+      counters.filterInPlace((_, c) => c > 0)
+      // weight not absorbed by the decrement lands in a freed slot
+      val rem = by - d
+      if (rem > 0) counters.update(item, rem)
     }
   }
 

@@ -165,6 +165,50 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(mg("HH") >= 400L - 125L && mg("HH") <= 400L, s"bound: ${mg("HH")}")
   }
 
+  test("freq_items weighted: exact weighted counts under capacity; " +
+    "undercount bound over total weight when over capacity") {
+    import spark.implicits._
+    import graft.functions.geo.freq_items
+    // exact regime: per-item weights sum; null/non-positive rows skip
+    val ex = Seq(("a", 5L), ("b", 2L), ("a", 7L), ("c", 1L), ("b", 4L),
+        ("a", 0L), ("c", -3L))
+      .toDF("x", "w").repartition(3)
+      .agg(freq_items($"x", $"w", 8).as("fi"))
+      .select(explode($"fi").as("e")).select($"e.item", $"e.cnt")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ex == Map("a" -> 12L, "b" -> 6L, "c" -> 1L))
+    // over capacity: seeded weighted stream through 4 buffers, merged
+    // the way the aggregate merges (addRaw + trim); the weighted MG
+    // guarantee is est <= true and true - est <= W/(capacity+1), and
+    // anything heavier than that bound must survive the merges
+    val rnd = new scala.util.Random(42)
+    val stream = (1 to 2000).map { _ =>
+      val item = if (rnd.nextInt(100) < 30) "HH" else s"f${rnd.nextInt(400)}"
+      (item, 1L + rnd.nextInt(9))
+    }
+    val exact = stream.groupMapReduce(_._1)(_._2)(_ + _)
+    val cap = 16
+    val bound = stream.map(_._2).sum / (cap + 1)
+    val merged = stream.grouped(500).map { chunk =>
+      val b = new org.apache.spark.sql.graft.FreqItemsBuffer(cap)
+      chunk.foreach { case (i, w) => b.add(i, w) }
+      b
+    }.reduce { (a, b) =>
+      b.counters.foreach { case (i, c) => a.addRaw(i, c) }
+      a.trim(); a
+    }
+    assert(merged.counters.size <= cap, s"capacity violated: ${merged.counters.size}")
+    merged.counters.foreach { case (i, c) =>
+      assert(c <= exact(i), s"$i overcounted: $c > ${exact(i)}")
+      assert(exact(i) - c <= bound, s"$i undercounts by ${exact(i) - c} > $bound")
+    }
+    exact.foreach { case (i, w) =>
+      if (w > bound)
+        assert(merged.counters.contains(i), s"heavy item $i ($w > $bound) evicted")
+    }
+    assert(merged.counters.contains("HH"))
+  }
+
   test("connectedComponents: adversarial 64-node chain converges " +
     "logarithmically, disjoint components stay separate") {
     import spark.implicits._

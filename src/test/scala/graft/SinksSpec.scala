@@ -58,6 +58,19 @@ class SinksSpec extends SparkTestBase {
     assert(got.getLong(4) == 42L)
   }
 
+  test("avro read: a limit abandons the iterator mid-file; the task hook still closes the handle") {
+    val out = java.nio.file.Files.createTempDirectory("avroleak").toString
+    val sample = routes.limit(200).coalesce(1) // one container, 200 records
+    AvroSink.write(sample, out)
+    val one = AvroSink.read(spark, out, sample.schema).limit(1).collect()
+    assert(one.length == 1)
+    assert(AvroSink.openHandles.get() == 0,
+      "abandoned reader leaked its FsInput (exhaustion close never ran)")
+    // the exhaustion path balances the counter too
+    assert(AvroSink.read(spark, out, sample.schema).count() == 200)
+    assert(AvroSink.openHandles.get() == 0)
+  }
+
   test("partition-aware compaction: 2-level tree compacts per leaf, lossless") {
     import graft.sources.Compaction
     val docs = graft.core.Tables.documents(spark, sfDir)
