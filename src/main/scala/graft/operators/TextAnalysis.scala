@@ -284,6 +284,78 @@ object TextAnalysis extends QueryPack {
         $"col.item".as("token"), $"col.cnt".as("cnt"))
   }
 
+  // --- q63: PII detection + redaction --------------------------------------
+  /** The synthetic corpus carries no natural PII, so the query plants
+    * deterministic email / phone / IPv4 strings keyed off doc_id (the
+    * same construction the DuckDB oracle performs — q19's synthesis
+    * pattern) and then runs [[graft.ops.text.Pii]] detect + redact over
+    * the contaminated text. Counts are over the original text; the
+    * redacted output is hash-compared byte-for-byte, so the oracle
+    * checks the replacement spans too, not just the match counts.
+    * Per-row regexp transforms: shuffle-free, linear at 100 TB.
+    */
+  def q63PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.text.Pii
+    Tables.documents(s, dir)
+      .withColumn("t", concat($"text",
+        when($"doc_id" % 3 === 0, concat(lit(" reach me at u"), $"doc_id",
+          lit("@mail.example.com ok"))).otherwise(lit("")),
+        when($"doc_id" % 4 === 0, concat(lit(" call +1-555-"),
+          lpad(($"doc_id" % 1000).cast("string"), 3, "0"),
+          lit("-0199 soon"))).otherwise(lit("")),
+        when($"doc_id" % 5 === 0, concat(lit(" from host 10."),
+          $"doc_id" % 256, lit(".0.42 today"))).otherwise(lit(""))))
+      .select($"doc_id",
+        Pii.countEmails($"t").cast("long").as("n_emails"),
+        Pii.countPhones($"t").cast("long").as("n_phones"),
+        Pii.countIpv4($"t").cast("long").as("n_ips"),
+        Pii.redact($"t").as("redacted"))
+  }
+
+  // --- q64: weighted heavy hitters (value-weighted Misra–Gries) ------------
+  /** Event types ranked by total transacted value through the WEIGHTED
+    * `freq_items` path: each event contributes its value in cents
+    * (decimal-exact in both engines) instead of 1. Five distinct types
+    * < capacity 64 puts the sketch in its exact regime, so the DuckDB
+    * weighted-sum oracle checks the weighted update + merge end-to-end;
+    * the sub-capacity W/(capacity+1) bound is spec-tested. The sketch's
+    * (cnt desc, item asc) output order doubles as the rank.
+    */
+  def q64HeavyWeighted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select($"event_type",
+        ($"value".cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long").as("w"))
+      .agg(graft.functions.geo.freq_items($"event_type", $"w", 64).as("fi"))
+      .select(posexplode($"fi"))
+      .select(($"pos" + 1).cast("long").as("rank"),
+        $"col.item".as("event_type"), $"col.cnt".as("weight_cents"))
+  }
+
+  // --- q65: per-language document-length quantiles --------------------------
+  /** Exact interpolated quantiles of n_chars per language — the corpus
+    * profile a mixture designer reads before setting packing/truncation
+    * lengths. `percentile` (exact, per-group sort) matches DuckDB's
+    * quantile_cont definition for the oracle; at 100 TB swap in
+    * `approx_percentile(n_chars, p, accuracy)` — same plan shape, fixed
+    * sketch memory per group instead of a sort, and the group count
+    * (languages) is tiny either way.
+    */
+  def q65LengthQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.core.Exact.dround
+    Tables.documents(s, dir)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n"),
+        dround(expr("percentile(n_chars, 0.25)"), 4).as("p25"),
+        dround(expr("percentile(n_chars, 0.50)"), 4).as("p50"),
+        dround(expr("percentile(n_chars, 0.75)"), 4).as("p75"),
+        dround(expr("percentile(n_chars, 0.90)"), 4).as("p90"),
+        dround(expr("percentile(n_chars, 0.99)"), 4).as("p99"))
+  }
+
   // --- q45: deterministic stratified sampling ------------------------------
   /** Reproducible ~20% sample per language stratum: membership =
     * md5-derived bucket of doc_id — re-runs, engines, and partitionings
@@ -350,6 +422,9 @@ object TextAnalysis extends QueryPack {
     "q46_surprisal"          -> (q46Surprisal _),
     "q52_repetition"         -> (q52Repetition _),
     "q58_heavy_hitters"      -> (q58HeavyHitters _),
+    "q63_pii_redact"         -> (q63PiiRedact _),
+    "q64_heavy_weighted"     -> (q64HeavyWeighted _),
+    "q65_length_quantiles"   -> (q65LengthQuantiles _),
     "q19_email_parse" -> (q19EmailParse _),
     "q20_html_strip"  -> (q20HtmlStrip _),
     "q21_token_stats" -> (q21TokenStats _),
@@ -425,6 +500,45 @@ object TextAnalysis extends QueryPack {
         |SELECT doc_id, COUNT(DISTINCT wmin) AS n_fingerprints,
         | MIN(wmin) AS min_fp, MAX(wmin) AS max_fp
         |FROM wm GROUP BY doc_id""".stripMargin,
+    "q63_pii_redact" -> {
+      import graft.ops.text.Pii
+      s"""WITH c AS (SELECT doc_id, text
+        | || CASE WHEN doc_id % 3 = 0 THEN ' reach me at u' || doc_id
+        |      || '@mail.example.com ok' ELSE '' END
+        | || CASE WHEN doc_id % 4 = 0 THEN ' call +1-555-'
+        |      || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+        |      || '-0199 soon' ELSE '' END
+        | || CASE WHEN doc_id % 5 = 0 THEN ' from host 10.'
+        |      || (doc_id % 256) || '.0.42 today' ELSE '' END AS t
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(t, '${Pii.EmailRe}')) AS BIGINT) AS n_emails,
+        | CAST(len(regexp_extract_all(t, '${Pii.PhoneRe}')) AS BIGINT) AS n_phones,
+        | CAST(len(regexp_extract_all(t, '${Pii.Ipv4Re}')) AS BIGINT) AS n_ips,
+        | regexp_replace(regexp_replace(regexp_replace(t,
+        |   '${Pii.EmailRe}', '[EMAIL]', 'g'),
+        |   '${Pii.PhoneRe}', '[PHONE]', 'g'),
+        |   '${Pii.Ipv4Re}', '[IP]', 'g') AS redacted
+        |FROM c""".stripMargin
+    },
+    "q64_heavy_weighted" ->
+      // exact weighted sums — valid against the sketch because 5
+      // distinct event types < capacity 64 (the exact regime)
+      """WITH w AS (SELECT event_type,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS w FROM events),
+        |c AS (SELECT event_type, CAST(SUM(w) AS BIGINT) AS weight_cents
+        |  FROM w GROUP BY 1)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY weight_cents DESC, event_type)
+        |    AS BIGINT) AS rank,
+        | event_type, weight_cents FROM c""".stripMargin,
+    "q65_length_quantiles" ->
+      s"""SELECT lang, COUNT(*) AS n,
+        | ${graft.core.Exact.sqlDround("quantile_cont(n_chars, 0.25)", 4)} AS p25,
+        | ${graft.core.Exact.sqlDround("quantile_cont(n_chars, 0.50)", 4)} AS p50,
+        | ${graft.core.Exact.sqlDround("quantile_cont(n_chars, 0.75)", 4)} AS p75,
+        | ${graft.core.Exact.sqlDround("quantile_cont(n_chars, 0.90)", 4)} AS p90,
+        | ${graft.core.Exact.sqlDround("quantile_cont(n_chars, 0.99)", 4)} AS p99
+        |FROM documents GROUP BY lang""".stripMargin,
     "q19_email_parse" ->
       """SELECT doc_id,
         | 'u' || doc_id || '@example.com' AS from_addr,

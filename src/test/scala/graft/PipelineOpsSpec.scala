@@ -165,6 +165,39 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(mg("HH") >= 400L - 125L && mg("HH") <= 400L, s"bound: ${mg("HH")}")
   }
 
+  test("pii redact: emails/phones/ips counted and replaced; clean and " +
+    "adversarial near-miss text untouched") {
+    import spark.implicits._
+    import graft.ops.text.Pii
+    val rows = Seq(
+      // two emails, one phone, one ip in a single document
+      ("a@b.com wrote to c.d+tag@sub.example.org call (044) 123-4567 " +
+        "from 192.168.0.1 done", 2L, 1L, 1L),
+      // near-misses: bare @, short digit run, 3-octet dotted number,
+      // version strings — none should match
+      ("user @ host 12345 v1.2.3 10.0.42 nothing", 0L, 0L, 0L),
+      ("plain prose with no contact information at all", 0L, 0L, 0L),
+      ("+1-555-000-0199", 0L, 1L, 0L),
+      ("", 0L, 0L, 0L))
+    val got = rows.map(_._1).toDF("t")
+      .select(Pii.countEmails($"t").cast("long"),
+        Pii.countPhones($"t").cast("long"),
+        Pii.countIpv4($"t").cast("long"),
+        Pii.redact($"t")).collect()
+    rows.zip(got).foreach { case ((t, e, p, i), r) =>
+      assert(r.getLong(0) == e, s"emails in <$t>: ${r.getLong(0)}")
+      assert(r.getLong(1) == p, s"phones in <$t>: ${r.getLong(1)}")
+      assert(r.getLong(2) == i, s"ips in <$t>: ${r.getLong(2)}")
+      val red = r.getString(3)
+      assert(!red.matches(s".*${Pii.EmailRe}.*"), s"email survives: $red")
+      if (e + p + i == 0) assert(red == t, s"clean text modified: <$red>")
+    }
+    val redacted = got.head.getString(3)
+    assert(redacted ==
+      "[EMAIL] wrote to [EMAIL] call [PHONE] from [IP] done",
+      s"unexpected redaction: $redacted")
+  }
+
   test("freq_items weighted: exact weighted counts under capacity; " +
     "undercount bound over total weight when over capacity") {
     import spark.implicits._
