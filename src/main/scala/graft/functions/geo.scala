@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftGlue, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.graft.{DotProductExpr, GeohashApproxDistanceExpr, GeohashDecodeExpr, GeohashEncodeExpr, HaversineKmExpr, Md5Prefix60Expr}
+import org.apache.spark.sql.graft.{DotProductExpr, GeohashApproxDistanceExpr, GeohashDecodeExpr, GeohashEncodeExpr, HaversineKmExpr, Md5Prefix60Expr, NfcNormalizeExpr}
 
 /** Column-API + SQL surface for the geo expressions. */
 object geo {
@@ -42,6 +42,12 @@ object geo {
     * (fingerprint/SimHash hot path).
     */
   def md5_prefix60(s: Column): Column = col(Md5Prefix60Expr(ex(s)))
+
+  /** Unicode NFC normalization (codegen'd, ASCII fast path) — matches
+    * DuckDB `nfc_normalize`.
+    */
+  def nfc_normalize(c: Column): Column =
+    col(org.apache.spark.sql.graft.NfcNormalizeExpr(ex(c)))
 
   /** One-pass deduped char-n-gram xxhash64 stream (dedup hot path). */
   def gram_hashes(s: Column, gramLen: Int): Column =
@@ -87,6 +93,7 @@ object geo {
     },
     "dot_product" -> { es => DotProductExpr(es(0), es(1)) },
     "md5_prefix60" -> { es => Md5Prefix60Expr(es.head) },
+    "nfc_normalize" -> { es => NfcNormalizeExpr(es.head) },
   )
 
   /** Imperative registration for sessions not built with
@@ -132,5 +139,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("md5_prefix60"),
       new ExpressionInfo(classOf[Md5Prefix60Expr].getName, "md5_prefix60"),
       (es: Seq[Expression]) => Md5Prefix60Expr(es.head)))
+    e.injectFunction((FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalizeExpr].getName, "nfc_normalize"),
+      (es: Seq[Expression]) => NfcNormalizeExpr(es.head)))
   }
 }

@@ -356,6 +356,38 @@ object TextAnalysis extends QueryPack {
         dround(expr("percentile(n_chars, 0.99)"), 4).as("p99"))
   }
 
+  // --- q66: unicode/whitespace text normalization ---------------------------
+  /** Control chars minus keep-worthy \t and \n; \r dies here so CRLF
+    * collapses to LF. Same literal feeds both engines' regex.
+    */
+  private[graft] val CtrlClass = "[\\x00-\\x08\\x0B-\\x1F\\x7F]"
+
+  /** NFC normalize (custom codegen'd expression — Spark has no builtin
+    * normalizer), strip C0 controls, collapse space/tab runs, trim.
+    * The canonical pre-dedup cleaning stage: decomposed "e"+U+0301 and
+    * precomposed "é" must fingerprint identically downstream.
+    */
+  def normalizeText(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    trim(regexp_replace(regexp_replace(
+      graft.functions.geo.nfc_normalize(c),
+      lit(CtrlClass), lit("")), lit("[ \\t]+"), lit(" ")))
+
+  /** The corpus is clean ASCII, so the query appends a deterministic
+    * messy tail (decomposed accent, BEL/VT controls, space/tab runs —
+    * all BMP, where Spark's UTF-16 length == DuckDB's codepoint count)
+    * and both engines clean the same bytes. Per-row, shuffle-free.
+    */
+  private[graft] val MessyTail =
+    " cafe\u0301\u0007bell\u000Bvt  double  spaces\tand\ttabs "
+
+  def q66Normalize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val raw = concat($"text", lit(MessyTail))
+    Tables.documents(s, dir)
+      .select($"doc_id", normalizeText(raw).as("cleaned"),
+        (length(raw) - length(normalizeText(raw))).cast("long").as("n_removed"))
+  }
+
   // --- q45: deterministic stratified sampling ------------------------------
   /** Reproducible ~20% sample per language stratum: membership =
     * md5-derived bucket of doc_id — re-runs, engines, and partitionings
@@ -425,6 +457,7 @@ object TextAnalysis extends QueryPack {
     "q63_pii_redact"         -> (q63PiiRedact _),
     "q64_heavy_weighted"     -> (q64HeavyWeighted _),
     "q65_length_quantiles"   -> (q65LengthQuantiles _),
+    "q66_normalize"          -> (q66Normalize _),
     "q19_email_parse" -> (q19EmailParse _),
     "q20_html_strip"  -> (q20HtmlStrip _),
     "q21_token_stats" -> (q21TokenStats _),
@@ -531,6 +564,19 @@ object TextAnalysis extends QueryPack {
         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY weight_cents DESC, event_type)
         |    AS BIGINT) AS rank,
         | event_type, weight_cents FROM c""".stripMargin,
+    "q66_normalize" ->
+      // the messy tail rides into the SQL literal verbatim (same Scala
+      // constant), so both engines clean identical bytes; length() =
+      // UTF-16 units in Spark vs codepoints in DuckDB agrees because
+      // the corpus + tail are BMP-only
+      s"""WITH c AS (SELECT doc_id, text || '$MessyTail' AS t FROM documents)
+        |SELECT doc_id,
+        | trim(regexp_replace(regexp_replace(nfc_normalize(t),
+        |   '$CtrlClass', '', 'g'), '[ \t]+', ' ', 'g')) AS cleaned,
+        | CAST(length(t) - length(trim(regexp_replace(regexp_replace(
+        |   nfc_normalize(t), '$CtrlClass', '', 'g'), '[ \t]+', ' ', 'g')))
+        |   AS BIGINT) AS n_removed
+        |FROM c""".stripMargin,
     "q65_length_quantiles" ->
       s"""SELECT lang, COUNT(*) AS n,
         | ${graft.core.Exact.sqlDround("quantile_cont(n_chars, 0.25)", 4)} AS p25,

@@ -165,6 +165,32 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(mg("HH") >= 400L - 125L && mg("HH") <= 400L, s"bound: ${mg("HH")}")
   }
 
+  test("nfc_normalize: composes decomposed accents; ASCII fast path; " +
+    "normalizeText strips controls and collapses whitespace") {
+    import spark.implicits._
+    import graft.functions.geo.nfc_normalize
+    val rows = Seq(
+      "café",   // decomposed e + U+0301 -> precomposed é
+      "café",    // already NFC — unchanged
+      "plain ascii",  // fast path: numBytes == numChars, no conversion
+      "Å ring", // A + combining ring -> Å
+      "")
+    val got = rows.toDF("s").select(nfc_normalize($"s")).as[String].collect()
+    assert(got.toSeq == Seq("café", "café", "plain ascii",
+      "Å ring", ""))
+    // SQL registration surface
+    graft.functions.geo.register(spark)
+    rows.take(1).toDF("s").createOrReplaceTempView("nfc_t")
+    assert(spark.sql("SELECT nfc_normalize(s) FROM nfc_t")
+      .as[String].head() == "café")
+    // full cleaning stage: NFC + control strip + [ \t]+ collapse + trim
+    val cleaned = Seq(" xyz  a\tb\té\r\n")
+      .toDF("text")
+      .select(graft.operators.TextAnalysis.normalizeText($"text"))
+      .as[String].head()
+    assert(cleaned == "xyz a b é\n", s"got <$cleaned>")
+  }
+
   test("pii redact: emails/phones/ips counted and replaced; clean and " +
     "adversarial near-miss text untouched") {
     import spark.implicits._
