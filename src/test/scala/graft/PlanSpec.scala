@@ -188,6 +188,31 @@ class PlanSpec extends SparkTestBase {
       s"expected a single custkey shuffle, got $nAggExchanges:\n${p.take(2500)}")
   }
 
+  test("q63/q66: PII redaction and normalization are narrow map stages " +
+    "inside whole-stage codegen — no exchange, no object path") {
+    // chained regexps and the NFC expression are per-row: any Exchange
+    // or DeserializeToObject here would mean the cleaning stage costs a
+    // shuffle of the full corpus at 100 TB
+    Seq(TextAnalysis.q63PiiRedact(spark, sfDir),
+        TextAnalysis.q66Normalize(spark, sfDir)).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("Exchange"), s"must not shuffle:\n${p.take(2000)}")
+      assert(!p.contains("DeserializeToObject") && !p.contains("BatchEvalPython"),
+        p.take(2000))
+      assert(p.contains("*(1)"), p.take(1500))
+    }
+  }
+
+  test("q64: weighted sketch rides the two-phase aggregate — partial " +
+    "(map-side) before the single final exchange") {
+    val p = plan(TextAnalysis.q64HeavyWeighted(spark, sfDir))
+    val n = p.linesIterator.count(_.contains("Exchange"))
+    // global aggregate: one SinglePartition exchange, nothing else
+    assert(n == 1, s"expected one exchange, got $n:\n${p.take(2500)}")
+    assert(p.contains("partial_freq_items") || p.contains("ObjectHashAggregate"),
+      s"sketch must aggregate partially map-side:\n${p.take(2500)}")
+  }
+
   test("whole-stage codegen covers the scan->filter->project spine (q2)") {
     // formatted plans mark codegen stages with *(n)
     val p = plan(Relational.q2FilterProject(spark, sfDir))

@@ -43,6 +43,26 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("normalize + pii redact are stateless projections: run unchanged " +
+    "on a stream") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val norm = graft.operators.TextAnalysis.normalizeText($"text")
+    val out = input.toDF().toDF("doc_id", "text")
+      .select($"doc_id", norm.as("cleaned"),
+        graft.ops.text.Pii.redact(norm).as("redacted"))
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("norm_stream").start()
+    try {
+      input.addData((1L, "mail a@b.com  now"), (2L, "cafe\u0301  x"))
+      q.processAllAvailable()
+      val rows = spark.table("norm_stream").orderBy("doc_id").collect()
+      assert(rows(0).getString(2) == "mail [EMAIL] now", rows(0).toString)
+      assert(rows(1).getString(1) == "café x", rows(1).toString)
+    } finally q.stop()
+  }
+
   test("windowed stats stream: watermark closes windows, late rows dropped") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
