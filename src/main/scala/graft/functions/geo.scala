@@ -43,6 +43,19 @@ object geo {
     */
   def md5_prefix60(s: Column): Column = col(Md5Prefix60Expr(ex(s)))
 
+  /** Bloom-filter build over a long-typed key column (SURVEY §2.13
+    * sketch family): fixed `numBits` of state however many keys, bits
+    * partition-invariant (merge is OR). Pair with [[might_contain]].
+    */
+  def bloom_agg(c: Column, numBits: Int, numHashes: Int): Column =
+    col(org.apache.spark.sql.graft.BloomFilterAggregate(
+      ex(c.cast("long")), numBits, numHashes).toAggregateExpression())
+
+  /** Codegen'd probe of a serialized bloom sketch; no false negatives. */
+  def might_contain(bloom: Column, v: Column): Column =
+    col(org.apache.spark.sql.graft.MightContainExpr(
+      ex(bloom), ex(v.cast("long"))))
+
   /** Unicode NFC normalization (codegen'd, ASCII fast path) — matches
     * DuckDB `nfc_normalize`.
     */

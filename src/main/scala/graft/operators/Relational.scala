@@ -97,6 +97,35 @@ object Relational extends QueryPack {
       .agg(count(lit(1)).as("n_cust"), dsum($"c_acctbal").as("bal"))
   }
 
+  // --- q67: bloom-prefiltered semi join ------------------------------------
+  /** The runtime-filter pattern for when the filter side has too many
+    * ROWS to broadcast but its fixed-size bloom SKETCH (here 2^20 bits
+    * = 128 KiB however many keys) still fits on every executor: build
+    * the bloom in one pass over the keys, probe the fact side BEFORE
+    * its shuffle, and let the exact semi join that follows remove the
+    * bloom's false positives — results identical to the plain semi
+    * join (no false negatives by construction), the exchange shrunk by
+    * the prefilter's selectivity. The sketch rides in as a 1-row
+    * broadcast cross join, so the whole plan stays declarative — no
+    * driver-side collect of the filter. AQE's own injected runtime
+    * filters cover some shuffle joins; this is the same capability as
+    * an explicit composable operator (e.g. one sketch prefiltering
+    * several scans). PlanSpec pins the prefilter below the exchange.
+    */
+  def q67BloomSemi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.geo.{bloom_agg, might_contain}
+    val keys = Tables.customer(s, dir)
+      .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val bloom = keys.agg(bloom_agg($"c_custkey", 1 << 20, 5).as("bf"))
+    Tables.orders(s, dir)
+      .join(broadcast(bloom))
+      .filter(might_contain($"bf", $"o_custkey"))
+      .join(keys, $"o_custkey" === keys("c_custkey"), "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("total"))
+  }
+
   // --- q6: global top-k (order by + limit; O4/O1) -------------------------
   def q6TopK(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -360,6 +389,7 @@ object Relational extends QueryPack {
     "q2_filter_project" -> (q2FilterProject _),
     "q3_join"           -> (q3Join _),
     "q4_semi_join"      -> (q4Semi _),
+    "q67_bloom_semi"    -> (q67BloomSemi _),
     "q5_anti_join"      -> (q5Anti _),
     "q6_topk"           -> (q6TopK _),
     "q7_distinct"       -> (q7Distinct _),
@@ -424,6 +454,14 @@ object Relational extends QueryPack {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
+    "q67_bloom_semi" ->
+      // the bloom prefilter admits false positives only, and the exact
+      // semi join removes them — so the oracle is the PLAIN semi join
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        | CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+        |FROM orders WHERE o_custkey IN (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |GROUP BY o_orderpriority""".stripMargin,
     "q4_semi_join" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
         | CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total

@@ -213,6 +213,25 @@ class PlanSpec extends SparkTestBase {
       s"sketch must aggregate partially map-side:\n${p.take(2500)}")
   }
 
+  test("q67: bloom prefilter sits below the semi-join exchange") {
+    // with broadcast off (the regime the operator exists for), the
+    // orders side must be filtered by might_contain BEFORE its shuffle:
+    // that is the whole point — the exchange carries only the
+    // bloom-surviving rows
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan(Relational.q67BloomSemi(spark, sfDir))
+      val lines = p.linesIterator.toSeq
+      val probe = lines.indexWhere(_.contains("might_contain"))
+      val exch = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+      assert(probe >= 0, s"no bloom probe in plan:\n${p.take(2000)}")
+      assert(exch >= 0 && probe > exch,
+        s"bloom probe must be below (after) the exchange in tree order, " +
+          s"i.e. evaluated before the shuffle: probe@$probe exch@$exch\n${p.take(2500)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("whole-stage codegen covers the scan->filter->project spine (q2)") {
     // formatted plans mark codegen stages with *(n)
     val p = plan(Relational.q2FilterProject(spark, sfDir))

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Relational
+import org.apache.spark.sql.functions.{count, lit}
 
 class RelationalSpec extends SparkTestBase {
 
@@ -33,5 +34,39 @@ class RelationalSpec extends SparkTestBase {
   test("every query key has an oracle") {
     val missing = Relational.queries.keySet -- Relational.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle: $missing")
+  }
+
+  test("bloom sketch: no false negatives, FP rate within bound, bits " +
+    "invariant under repartitioning, q67 equals the plain semi join") {
+    import spark.implicits._
+    import graft.functions.geo.{bloom_agg, might_contain}
+    val keys = (0L until 3000L).map(_ * 7L + 1L)
+    def bloomOf(parts: Int): Array[Byte] =
+      keys.toDF("k").repartition(parts)
+        .agg(bloom_agg($"k", 1 << 18, 5)).head().getAs[Array[Byte]](0)
+    val bf = bloomOf(4)
+    // merge is OR: the serialized bits cannot depend on partitioning
+    assert(java.util.Arrays.equals(bf, bloomOf(13)),
+      "bloom bits must be partition-invariant")
+    // no false negatives — every inserted key probes true
+    val misses = keys.toDF("k")
+      .filter(!might_contain(lit(bf), $"k")).count()
+    assert(misses == 0L, s"$misses inserted keys probed false")
+    // FP bound: 3k keys in 2^18 bits, k=5 → theoretical FP ~ 2e-6;
+    // assert a lenient 1% over 100k known non-members
+    val fps = (0L until 100000L).map(_ * 7L + 3L).toDF("k")
+      .filter(might_contain(lit(bf), $"k")).count()
+    assert(fps < 1000L, s"false-positive rate too high: $fps / 100000")
+    // end-to-end: the prefiltered semi join returns exactly the plain
+    // semi join's rows (the bloom only prunes, never drops matches)
+    val viaBloom = Relational.q67BloomSemi(spark, sfDir)
+    val keys2 = graft.core.Tables.customer(spark, sfDir)
+      .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val o = graft.core.Tables.orders(spark, sfDir)
+    val plain = o.join(keys2, o("o_custkey") === keys2("c_custkey"), "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+    val a = viaBloom.select("o_orderpriority", "n_orders")
+    assert(a.exceptAll(plain).count() == 0 && plain.exceptAll(a).count() == 0)
   }
 }
