@@ -388,6 +388,40 @@ object TextAnalysis extends QueryPack {
         (length(raw) - length(normalizeText(raw))).cast("long").as("n_removed"))
   }
 
+  // --- q68: per-source domain cap ------------------------------------------
+  /** "Keep at most K documents per source" — the domain-balance stage
+    * of a corpus recipe (a handful of crawl domains otherwise dominate
+    * the mixture). Selection is deterministic: smallest K md5-derived
+    * keys per source, so re-runs and engines agree row-for-row.
+    *
+    * Scale shape: the naive spelling is row_number() over
+    * (PARTITION BY source ORDER BY md5), which SORTS every source's
+    * full partition just to keep K — a hot domain (30% of a 100 TB
+    * crawl is one host) pins its whole partition on one reducer. This
+    * instead rides [[TopKByAggregate]]: bounded K-entry heaps, map-side
+    * partials, one aggregate exchange, no full sort anywhere. ord is
+    * the NEGATED 60-bit md5 prefix as double — heap keeps "largest
+    * ord" = smallest md5; neighbor gaps at any plausible corpus size
+    * dwarf the 2^8 ulp at 2^60, so the double round-trip cannot reorder
+    * (the oracle ranks by the same exact BIGINT prefix).
+    */
+  def q68DomainCap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.geo.{md5_prefix60, top_k_by}
+    // 15 < the ~25 docs/source at the smallest SF, so the cap BINDS at
+    // every scale the gate runs — a non-truncating cap tests nothing
+    val K = 15
+    Tables.documents(s, dir)
+      .select($"source",
+        (-md5_prefix60($"doc_id".cast("string"))).cast("double").as("ord"),
+        $"doc_id".cast("string").as("payload"))
+      .groupBy($"source")
+      .agg(top_k_by($"ord", $"payload", K).as("keep"))
+      .select($"source", posexplode($"keep"))
+      .select($"source", ($"pos" + 1).cast("long").as("rank"),
+        $"col.payload".cast("long").as("doc_id"))
+  }
+
   // --- q45: deterministic stratified sampling ------------------------------
   /** Reproducible ~20% sample per language stratum: membership =
     * md5-derived bucket of doc_id — re-runs, engines, and partitionings
@@ -458,6 +492,7 @@ object TextAnalysis extends QueryPack {
     "q64_heavy_weighted"     -> (q64HeavyWeighted _),
     "q65_length_quantiles"   -> (q65LengthQuantiles _),
     "q66_normalize"          -> (q66Normalize _),
+    "q68_domain_cap"         -> (q68DomainCap _),
     "q19_email_parse" -> (q19EmailParse _),
     "q20_html_strip"  -> (q20HtmlStrip _),
     "q21_token_stats" -> (q21TokenStats _),
@@ -564,6 +599,16 @@ object TextAnalysis extends QueryPack {
         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY weight_cents DESC, event_type)
         |    AS BIGINT) AS rank,
         | event_type, weight_cents FROM c""".stripMargin,
+    "q68_domain_cap" ->
+      // ranks by the same exact 60-bit md5 prefix the engine's heap
+      // orders on (negated there, so its top-K = smallest prefixes)
+      """WITH r AS (SELECT source, doc_id,
+        |  ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT), doc_id) AS rk
+        | FROM documents)
+        |SELECT source, CAST(rk AS BIGINT) AS rank, doc_id
+        |FROM r WHERE rk <= 15""".stripMargin,
     "q66_normalize" ->
       // the messy tail rides into the SQL literal verbatim (same Scala
       // constant), so both engines clean identical bytes; length() =

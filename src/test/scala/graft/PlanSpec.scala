@@ -213,6 +213,20 @@ class PlanSpec extends SparkTestBase {
       s"sketch must aggregate partially map-side:\n${p.take(2500)}")
   }
 
+  test("q68: domain cap is a bounded-heap aggregate — no sort, no window, " +
+    "one exchange") {
+    // the naive row_number() spelling sorts every source's full
+    // partition to keep 15 rows; the heap aggregate must plan with
+    // exactly the one source exchange and zero Sort/Window operators
+    val p = plan(TextAnalysis.q68DomainCap(spark, sfDir))
+    assert(!p.contains("Window") && !p.contains("Sort "),
+      s"q68 must not sort whole domains:\n${p.take(2500)}")
+    val n = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(n == 1, s"expected one source exchange, got $n:\n${p.take(2500)}")
+    assert(p.contains("partial_top_k_by") || p.contains("ObjectHashAggregate"),
+      s"heap must aggregate partially map-side:\n${p.take(2500)}")
+  }
+
   test("q67: bloom prefilter sits below the semi-join exchange") {
     // with broadcast off (the regime the operator exists for), the
     // orders side must be filtered by might_contain BEFORE its shuffle:
