@@ -92,7 +92,18 @@ object geo {
     col(org.apache.spark.sql.graft.FreqItemsAggregate(ex(c), ex(weight),
       capacity).toAggregateExpression())
 
-  private val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+  /** Sketch/heap aggregates take size parameters as integer literals
+    * in SQL (`freq_items(tok, 256)`); anything non-foldable is a user
+    * error worth a clear message, not an analysis mystery.
+    */
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+    case Literal(v: Long, org.apache.spark.sql.types.LongType) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private[functions] val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "geohash_encode" -> { es =>
       val p = if (es.size >= 3) es(2) else Literal(12)
       GeohashEncodeExpr(es(0), es(1), p)
@@ -107,6 +118,37 @@ object geo {
     "dot_product" -> { es => DotProductExpr(es(0), es(1)) },
     "md5_prefix60" -> { es => Md5Prefix60Expr(es.head) },
     "nfc_normalize" -> { es => NfcNormalizeExpr(es.head) },
+    // aggregates: the analyzer wraps a bare AggregateFunction returned
+    // from a registry builder in its AggregateExpression
+    "freq_items" -> { es =>
+      if (es.size >= 3)
+        org.apache.spark.sql.graft.FreqItemsAggregate(es(0), es(1),
+          intArg(es(2), "freq_items capacity"))
+      else org.apache.spark.sql.graft.FreqItemsAggregate(es(0),
+        intArg(es(1), "freq_items capacity"))
+    },
+    "top_k_by" -> { es =>
+      org.apache.spark.sql.graft.TopKByAggregate(es(0), es(1),
+        intArg(es(2), "top_k_by k"))
+    },
+    "bloom_agg" -> { es =>
+      org.apache.spark.sql.graft.BloomFilterAggregate(es(0),
+        intArg(es(1), "bloom_agg numBits"), intArg(es(2), "bloom_agg numHashes"))
+    },
+    "might_contain" -> { es =>
+      org.apache.spark.sql.graft.MightContainExpr(es(0), es(1))
+    },
+    "gram_hashes" -> { es =>
+      org.apache.spark.sql.graft.GramHashesExpr(es(0),
+        intArg(es(1), "gram_hashes gramLen"))
+    },
+    "token_shingle_hashes" -> { es =>
+      org.apache.spark.sql.graft.TokenShingleHashesExpr(es(0),
+        intArg(es(1), "token_shingle_hashes n"))
+    },
+    "winnow_stats" -> { es =>
+      org.apache.spark.sql.graft.WinnowStatsExpr(es.head)
+    },
   )
 
   /** Imperative registration for sessions not built with
@@ -132,28 +174,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ =>
       org.apache.spark.sql.graft.GeohashPrecisionPushdown)
-    e.injectFunction((FunctionIdentifier("geohash_encode"),
-      new ExpressionInfo(classOf[GeohashEncodeExpr].getName, "geohash_encode"),
-      (es: Seq[Expression]) => GeohashEncodeExpr(es(0), es(1),
-        if (es.size >= 3) es(2) else Literal(12))))
-    e.injectFunction((FunctionIdentifier("geohash_decode"),
-      new ExpressionInfo(classOf[GeohashDecodeExpr].getName, "geohash_decode"),
-      (es: Seq[Expression]) => GeohashDecodeExpr(es.head)))
-    e.injectFunction((FunctionIdentifier("geohash_approx_distance"),
-      new ExpressionInfo(classOf[GeohashApproxDistanceExpr].getName,
-        "geohash_approx_distance"),
-      (es: Seq[Expression]) => GeohashApproxDistanceExpr(es(0), es(1))))
-    e.injectFunction((FunctionIdentifier("haversine_km"),
-      new ExpressionInfo(classOf[HaversineKmExpr].getName, "haversine_km"),
-      (es: Seq[Expression]) => HaversineKmExpr(es(0), es(1), es(2), es(3))))
-    e.injectFunction((FunctionIdentifier("dot_product"),
-      new ExpressionInfo(classOf[DotProductExpr].getName, "dot_product"),
-      (es: Seq[Expression]) => DotProductExpr(es(0), es(1))))
-    e.injectFunction((FunctionIdentifier("md5_prefix60"),
-      new ExpressionInfo(classOf[Md5Prefix60Expr].getName, "md5_prefix60"),
-      (es: Seq[Expression]) => Md5Prefix60Expr(es.head)))
-    e.injectFunction((FunctionIdentifier("nfc_normalize"),
-      new ExpressionInfo(classOf[NfcNormalizeExpr].getName, "nfc_normalize"),
-      (es: Seq[Expression]) => NfcNormalizeExpr(es.head)))
+    // one registry: whatever geo.register offers imperatively, the
+    // extension offers at session build (scalars AND aggregates — the
+    // analyzer wraps a bare AggregateFunction from a builder)
+    geo.sqlFunctions.foreach { case (name, builder) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name), builder))
+    }
   }
 }

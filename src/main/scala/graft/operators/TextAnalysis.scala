@@ -422,6 +422,28 @@ object TextAnalysis extends QueryPack {
         $"col.payload".cast("long").as("doc_id"))
   }
 
+  // --- q69: overlapping token-window chunking -------------------------------
+  /** RAG/pretraining chunking: 64-token windows at stride 48 (16-token
+    * overlap), the prep stage between cleaning and embedding/packing.
+    * Starts are a data-independent arithmetic sequence over the token
+    * count, so the whole transform is a narrow explode — zero shuffles,
+    * output ≈ n_tokens/stride rows per document at any corpus size.
+    * The final short window keeps its natural length (chunk_tokens
+    * reports it); downstream packing (q54) or padding owns alignment.
+    */
+  def q69Chunk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val win = 64; val stride = 48
+    Tables.documents(s, dir)
+      .withColumn("toks", split($"text", " "))
+      .select($"doc_id", $"toks",
+        explode(expr(s"sequence(1, size(toks), $stride)")).as("st"))
+      .select($"doc_id",
+        expr(s"(st - 1) div $stride").cast("long").as("chunk_id"),
+        expr(s"array_join(slice(toks, st, $win), ' ')").as("chunk"),
+        least(lit(win), size($"toks") - $"st" + 1).cast("long").as("chunk_tokens"))
+  }
+
   // --- q45: deterministic stratified sampling ------------------------------
   /** Reproducible ~20% sample per language stratum: membership =
     * md5-derived bucket of doc_id — re-runs, engines, and partitionings
@@ -493,6 +515,7 @@ object TextAnalysis extends QueryPack {
     "q65_length_quantiles"   -> (q65LengthQuantiles _),
     "q66_normalize"          -> (q66Normalize _),
     "q68_domain_cap"         -> (q68DomainCap _),
+    "q69_chunk"              -> (q69Chunk _),
     "q19_email_parse" -> (q19EmailParse _),
     "q20_html_strip"  -> (q20HtmlStrip _),
     "q21_token_stats" -> (q21TokenStats _),
@@ -599,6 +622,15 @@ object TextAnalysis extends QueryPack {
         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY weight_cents DESC, event_type)
         |    AS BIGINT) AS rank,
         | event_type, weight_cents FROM c""".stripMargin,
+    "q69_chunk" ->
+      """WITH wx AS (SELECT doc_id, string_split(text, ' ') ws,
+        |  len(string_split(text, ' ')) nw FROM documents),
+        |st AS (SELECT doc_id, ws, nw, i FROM wx,
+        |  generate_series(1, 4096, 48) t(i) WHERE i <= nw)
+        |SELECT doc_id, CAST((i - 1) // 48 AS BIGINT) AS chunk_id,
+        | array_to_string(ws[i : i + 63], ' ') AS chunk,
+        | CAST(LEAST(64, nw - i + 1) AS BIGINT) AS chunk_tokens
+        |FROM st""".stripMargin,
     "q68_domain_cap" ->
       // ranks by the same exact 60-bit md5 prefix the engine's heap
       // orders on (negated there, so its top-K = smallest prefixes)

@@ -29,9 +29,11 @@ import org.apache.spark.sql.types._
 case class BloomFilterAggregate(
     child: Expression, numBits: Int, numHashes: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Long]] {
+  extends TypedImperativeAggregate[Array[Long]] with ImplicitCastInputTypes {
 
   require(numBits >= 64, "numBits must be at least one word")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
   require(numHashes > 0 && numHashes <= 16, "numHashes in [1, 16]")
 
   private def numWords: Int = (numBits + 63) / 64

@@ -40,10 +40,11 @@ import org.apache.spark.unsafe.types.UTF8String
 case class FreqItemsAggregate(
     child: Expression, weight: Expression, capacity: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[FreqItemsBuffer] {
+  extends TypedImperativeAggregate[FreqItemsBuffer] with ImplicitCastInputTypes {
 
   require(capacity > 0, "capacity must be positive")
 
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, LongType)
   override def children: Seq[Expression] = Seq(child, weight)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StructType(Seq(

@@ -27,9 +27,11 @@ import org.apache.spark.unsafe.types.UTF8String
 case class TopKByAggregate(
     ord: Expression, payload: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[TopKBuffer] {
+  extends TypedImperativeAggregate[TopKBuffer] with ImplicitCastInputTypes {
 
   require(k > 0, "k must be positive")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType, StringType)
 
   override def children: Seq[Expression] = Seq(ord, payload)
   override def nullable: Boolean = false

@@ -165,6 +165,64 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(mg("HH") >= 400L - 125L && mg("HH") <= 400L, s"bound: ${mg("HH")}")
   }
 
+  test("q69 chunking: stride overlap is exact and chunks reconstruct " +
+    "the document losslessly") {
+    import spark.implicits._
+    val chunks = TextAnalysis.q69Chunk(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    val texts = graft.core.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(chunks.keySet == texts.keySet, "every document chunks")
+    chunks.foreach { case (id, rows) =>
+      val byId = rows.sortBy(_.getAs[Long]("chunk_id"))
+        .map(r => (r.getAs[String]("chunk").split(" "),
+          r.getAs[Long]("chunk_tokens")))
+      byId.foreach { case (toks, n) => assert(toks.length == n.toInt) }
+      // consecutive full chunks overlap by exactly win-stride = 16
+      byId.sliding(2).filter(_.length == 2).foreach { pair =>
+        val (a, b) = (pair(0)._1, pair(1)._1)
+        if (a.length == 64)
+          assert(a.drop(48).sameElements(b.take(16)),
+            s"doc $id: overlap mismatch")
+      }
+      // first `stride` tokens of each chunk + the tail of the last
+      // chunk stitch the original text back together
+      val stitched = (byId.init.flatMap(_._1.take(48)) ++ byId.last._1)
+        .mkString(" ")
+      assert(stitched == texts(id), s"doc $id does not reconstruct")
+    }
+  }
+
+  test("SQL surface: sketch and heap aggregates callable from spark.sql") {
+    import spark.implicits._
+    graft.functions.geo.register(spark)
+    Seq(("a", 3L), ("b", 1L), ("a", 2L)).toDF("x", "w")
+      .createOrReplaceTempView("sql_sketch_t")
+    val unweighted = spark.sql(
+      """SELECT e.item, e.cnt FROM
+        |  (SELECT explode(freq_items(x, 8)) AS e FROM sql_sketch_t)""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(unweighted == Map("a" -> 2L, "b" -> 1L))
+    val weighted = spark.sql(
+      """SELECT e.item, e.cnt FROM
+        |  (SELECT explode(freq_items(x, w, 8)) AS e FROM sql_sketch_t)""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(weighted == Map("a" -> 5L, "b" -> 1L))
+    val topk = spark.sql(
+      // implicit casts: w is BIGINT (ord wants double), x is the payload
+      "SELECT top_k_by(w, x, 1) AS t FROM sql_sketch_t")
+      .selectExpr("t[0].payload").as[String].head()
+    assert(topk == "a")
+    (1L to 100L).toDF("k").createOrReplaceTempView("sql_bloom_t")
+    val probes = spark.sql(
+      """SELECT might_contain(bf, 42), might_contain(bf, 5000) FROM
+        |  (SELECT bloom_agg(k, 4096, 4) AS bf FROM sql_bloom_t)""".stripMargin)
+      .head()
+    assert(probes.getBoolean(0), "inserted key must probe true")
+    assert(!probes.getBoolean(1), "4k bits / 100 keys: far miss must probe false")
+  }
+
   test("nfc_normalize: composes decomposed accents; ASCII fast path; " +
     "normalizeText strips controls and collapses whitespace") {
     import spark.implicits._
