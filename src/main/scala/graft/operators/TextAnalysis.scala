@@ -444,6 +444,43 @@ object TextAnalysis extends QueryPack {
         least(lit(win), size($"toks") - $"st" + 1).cast("long").as("chunk_tokens"))
   }
 
+  // --- q70: vocabulary encoding (token → id, bounded broadcast map) --------
+  /** Token-to-id encoding against a corpus-derived vocabulary — the
+    * step between chunking and tensorization. The vocab is CAPPED
+    * (top-[[VocabSize]] tokens by frequency, deterministic tie-break),
+    * so the id map is a bounded structure that broadcasts to every row
+    * as a 1-row cross join; each document then encodes with one
+    * in-row `transform` + map lookup — no per-token-instance join, no
+    * shuffle proportional to corpus size (only the tf aggregate's one
+    * exchange). Out-of-vocabulary tokens encode as 0. VocabSize sits
+    * below the corpus's 31 distinct tokens so OOV is genuinely
+    * exercised at every scale factor. The row_number that assigns ids
+    * runs on the already-LIMITed vocab frame — a bounded single
+    * partition by construction, not a corpus-wide sort.
+    */
+  private[graft] val VocabSize = 20
+
+  def q70TokenIds(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(s, dir)
+      .select(explode(split($"text", " ")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("cnt"))
+    val vocab = tf.orderBy($"cnt".desc, $"tok").limit(VocabSize)
+      .withColumn("id",
+        row_number().over(Window.orderBy($"cnt".desc, $"tok")).cast("long"))
+    val vmap = vocab
+      .agg(map_from_entries(collect_list(struct($"tok", $"id"))).as("vm"))
+    Tables.documents(s, dir)
+      .crossJoin(broadcast(vmap))
+      .select($"doc_id",
+        // id list serialized to a string: the driver's pandas
+        // comparator cannot hash raw array cells (q41 precedent)
+        expr("""array_join(transform(split(text, ' '),
+          t -> cast(coalesce(element_at(vm, t), 0L) as string)), ',')""")
+          .as("ids"))
+  }
+
   // --- q45: deterministic stratified sampling ------------------------------
   /** Reproducible ~20% sample per language stratum: membership =
     * md5-derived bucket of doc_id — re-runs, engines, and partitionings
@@ -516,6 +553,7 @@ object TextAnalysis extends QueryPack {
     "q66_normalize"          -> (q66Normalize _),
     "q68_domain_cap"         -> (q68DomainCap _),
     "q69_chunk"              -> (q69Chunk _),
+    "q70_token_ids"          -> (q70TokenIds _),
     "q19_email_parse" -> (q19EmailParse _),
     "q20_html_strip"  -> (q20HtmlStrip _),
     "q21_token_stats" -> (q21TokenStats _),
@@ -622,6 +660,20 @@ object TextAnalysis extends QueryPack {
         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY weight_cents DESC, event_type)
         |    AS BIGINT) AS rank,
         | event_type, weight_cents FROM c""".stripMargin,
+    "q70_token_ids" ->
+      s"""WITH tf AS (SELECT tok, COUNT(*) cnt FROM
+        |  (SELECT unnest(string_split(text, ' ')) tok FROM documents) GROUP BY 1),
+        |v AS (SELECT tok, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok)
+        |    AS BIGINT) id
+        |  FROM tf ORDER BY cnt DESC, tok LIMIT $VocabSize),
+        |docs AS (SELECT doc_id, string_split(text, ' ') ws,
+        |  len(string_split(text, ' ')) nw FROM documents),
+        |tok AS (SELECT doc_id, i, ws[i] AS tok FROM docs,
+        |  generate_series(1, 4096) t(i) WHERE i <= nw)
+        |SELECT doc_id,
+        | array_to_string(list(CAST(COALESCE(v.id, 0) AS VARCHAR) ORDER BY i), ',')
+        |   AS ids
+        |FROM tok LEFT JOIN v USING (tok) GROUP BY doc_id""".stripMargin,
     "q69_chunk" ->
       """WITH wx AS (SELECT doc_id, string_split(text, ' ') ws,
         |  len(string_split(text, ' ')) nw FROM documents),

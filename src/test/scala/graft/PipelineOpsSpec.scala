@@ -194,6 +194,30 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q70 token ids: in-vocab tokens round-trip through the id map, " +
+    "OOV encodes 0, encoding is partition-invariant") {
+    import spark.implicits._
+    val enc = TextAnalysis.q70TokenIds(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("ids")).toMap
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    // rebuild the expected vocab (top-VocabSize by count desc, tok asc)
+    val counts = docs.values.flatMap(_.split(" "))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val vocab = counts.toSeq.sortBy { case (t, c) => (-c, t) }
+      .take(TextAnalysis.VocabSize).map(_._1).zipWithIndex
+      .map { case (t, i) => t -> (i + 1L) }.toMap
+    assert(counts.size > TextAnalysis.VocabSize,
+      "corpus must have OOV tokens for this test to mean anything")
+    docs.foreach { case (id, text) =>
+      val expected = text.split(" ").map(t => vocab.getOrElse(t, 0L))
+      assert(enc(id) == expected.mkString(","), s"doc $id encodes wrong")
+    }
+    assert(enc.values.exists(_.split(",").contains("0")),
+      "some documents must contain OOV (id 0) tokens")
+  }
+
   test("SQL surface: sketch and heap aggregates callable from spark.sql") {
     import spark.implicits._
     graft.functions.geo.register(spark)
