@@ -231,6 +231,41 @@ object Relational extends QueryPack {
       .agg(count(lit(1)).as("n"), dsum($"value").as("total_value"))
   }
 
+  // --- q71: time-series resample + forward fill ----------------------------
+  /** Regularize an irregular event stream onto an hourly grid with
+    * last-observation-carried-forward — the alignment step before any
+    * grid-based anomaly model (the reference's domain). The raw stream
+    * first aggregates map-side into the (type × hour) grid, so the
+    * per-type ffill window runs over a frame bounded by the TIME SPAN
+    * (720 slots per 30 days per type), never by event volume — the
+    * only full-partition-per-key window in the engine, and it is
+    * data-volume-independent by construction. The spine derives from a
+    * 1-row bounds aggregate cross-joined in (no driver action); hours
+    * with no observations carry n_events = 0 and the ffilled value
+    * (null until a type's first observation, same as the oracle).
+    */
+  def q71ResampleFfill(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val b = Tables.events(s, dir)
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("h"))
+      .agg(davg($"value", 2).as("v"), count(lit(1)).as("n_events"))
+    val bounds = Tables.events(s, dir)
+      .agg(date_trunc("hour", min($"ts")).as("lo"),
+        date_trunc("hour", max($"ts")).as("hi"))
+    val spine = b.select($"event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select($"event_type",
+        explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
+    val w = Window.partitionBy($"event_type").orderBy($"h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(b, Seq("event_type", "h"), "left")
+      .select($"event_type",
+        date_format($"h", "yyyy-MM-dd HH:mm:ss").as("hour"),
+        coalesce($"n_events", lit(0L)).as("n_events"),
+        last($"v", ignoreNulls = true).over(w).as("v_ffill"))
+  }
+
   // --- q53: gap-based sessionization (batch session windows) --------------
   /** Classic clickstream sessionization: a user's events belong to one
     * session until a silence longer than 30 minutes, at which point a
@@ -399,6 +434,7 @@ object Relational extends QueryPack {
     "q11_scalar"        -> (q11Scalar _),
     "q12_conditional"   -> (q12Conditional _),
     "q13_time_bucket"   -> (q13TimeBucket _),
+    "q71_resample_ffill" -> (q71ResampleFfill _),
     "q53_sessionize"    -> (q53Sessionize _),
     "q59_pivot"         -> (q59Pivot _),
     "q60_unpivot"       -> (q60Unpivot _),
@@ -556,6 +592,22 @@ object Relational extends QueryPack {
         | event_type, COUNT(*) AS n,
         | CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q71_resample_ffill" ->
+      """WITH b AS (SELECT event_type, DATE_TRUNC('hour', ts) h,
+        |  CAST(ROUND(CAST((CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+        |    / COUNT(*)) AS DECIMAL(28,10)), 2) AS DOUBLE) AS v,
+        |  COUNT(*) n_events FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT DATE_TRUNC('hour', min(ts)) lo,
+        |  DATE_TRUNC('hour', max(ts)) hi FROM events),
+        |spine AS (SELECT event_type,
+        |  unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+        | FROM (SELECT DISTINCT event_type FROM events), bounds)
+        |SELECT s.event_type, STRFTIME(s.h, '%Y-%m-%d %H:%M:%S') AS hour,
+        | CAST(COALESCE(b.n_events, 0) AS BIGINT) AS n_events,
+        | LAST_VALUE(b.v IGNORE NULLS) OVER (PARTITION BY s.event_type
+        |   ORDER BY s.h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS v_ffill
+        |FROM spine s LEFT JOIN b ON s.event_type = b.event_type AND s.h = b.h""".stripMargin,
     "q14_having_join" ->
       """WITH seg AS (
         |  SELECT c_mktsegment, SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS seg_sum,

@@ -36,6 +36,25 @@ class RelationalSpec extends SparkTestBase {
     assert(missing.isEmpty, s"queries without oracle: $missing")
   }
 
+  test("q71 resample: complete hourly grid, event conservation, no ffill " +
+    "gap after a type's first observation") {
+    val r = Relational.q71ResampleFfill(spark, sfDir).collect()
+    val perType = r.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    assert(perType.values.toSet.size == 1,
+      s"every type must span the same grid: $perType")
+    val total = graft.core.Tables.events(spark, sfDir).count()
+    assert(r.map(_.getAs[Long]("n_events")).sum == total,
+      "every raw event lands in exactly one grid slot")
+    r.groupBy(_.getString(0)).foreach { case (t, rows) =>
+      val vs = rows.sortBy(_.getAs[String]("hour"))
+        .map(row => Option(row.get(3)))
+      val first = vs.indexWhere(_.isDefined)
+      assert(first >= 0, s"type $t never observes a value")
+      assert(vs.drop(first).forall(_.isDefined),
+        s"type $t: ffill must never go null after the first observation")
+    }
+  }
+
   test("bloom sketch: no false negatives, FP rate within bound, bits " +
     "invariant under repartitioning, q67 equals the plain semi join") {
     import spark.implicits._
