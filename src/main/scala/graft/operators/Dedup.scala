@@ -190,6 +190,79 @@ object Dedup extends QueryPack {
     labels
   }
 
+  // --- q73: repeated-passage detection (cross-document passage dedup) -----
+  /** C4/RefinedWeb-style passage dedup: tile every document into
+    * non-overlapping [[PassageWin]]-token windows and surface passages
+    * recurring in >= 2 DISTINCT documents — boilerplate headers,
+    * license blocks, templated spam that document-level dedup
+    * (q25/q26) misses because the surrounding text differs.
+    *
+    * Scale shape: tiling is a narrow in-row transform (zero exchanges,
+    * ~n_tokens/win rows per doc); recurrence counting is a TWO-LEVEL
+    * aggregation — (passage, doc_id) first, so within-doc repeats
+    * collapse in the map-side partial before the passage-level rollup —
+    * and both shuffles key on the passage (evenly hash-distributed).
+    * At 100 TB the group key becomes a 128-bit passage digest with
+    * min(passage) carried as the exemplar: same plan, narrower key.
+    */
+  private[graft] val PassageWin = 8
+
+  def q73PassageDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = PassageWin
+    Tables.documents(s, dir)
+      .withColumn("toks", split($"text", " "))
+      .select($"doc_id", explode(expr(
+        s"""CASE WHEN size(toks) >= $w
+           | THEN transform(sequence(1, size(toks) - $w + 1, $w),
+           |   st -> array_join(slice(toks, st, $w), ' '))
+           | ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+        .as("passage"))
+      .groupBy($"passage", $"doc_id").agg(count(lit(1)).as("n"))
+      .groupBy($"passage")
+      .agg(count(lit(1)).as("n_docs"), sum($"n").as("n_occurrences"),
+        min($"doc_id").as("first_doc_id"))
+      .filter($"n_docs" >= 2)
+  }
+
+  // --- q74: canonical-document selection per near-dup cluster --------------
+  /** The dedup DECISION stage: q51 labels clusters, this picks which
+    * copy to KEEP — the member with the highest quality score (q22's
+    * length + stopword-density heuristic), ties to the smallest
+    * doc_id. One row per near-dup cluster.
+    *
+    * Scale shape: one shuffle joins labels to quality on doc_id, then
+    * ONE aggregation — the argmax rides max(struct(quality, -doc_id))
+    * struct ordering, so there is no per-cluster sort, no window, and
+    * no max-then-equality-join second pass (that spelling reads the
+    * cluster frame twice and shuffles three times).
+    */
+  def q74ClusterCanonical(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val clusters = connectedComponents(
+      minhashLinks(s, dir).select($"i", $"j"))
+      .select($"node".as("doc_id"), $"lab".as("cluster_id"))
+    val quality = TextAnalysis
+      .corpusFilterCols(Tables.documents(s, dir))
+      .select($"doc_id", $"quality")
+    canonicalPerCluster(clusters.join(quality, "doc_id"))
+  }
+
+  /** Argmax-by-quality over (cluster_id, doc_id, quality) rows —
+    * library surface: any cluster assignment (q51 MinHash, q62
+    * multi-signal, exact-hash groups) composes with any per-doc score.
+    * Ties break to the smallest doc_id via the negated-id struct field.
+    */
+  def canonicalPerCluster(cq: DataFrame): DataFrame = {
+    val s = cq.sparkSession
+    import s.implicits._
+    cq.groupBy($"cluster_id")
+      .agg(count(lit(1)).as("n_docs"),
+        max(struct($"quality", (-$"doc_id").as("negid"))).as("best"))
+      .select($"cluster_id", (-$"best.negid").as("canonical_doc_id"),
+        $"n_docs", $"best.quality".as("quality"))
+  }
+
   // --- q27: SimHash near-dup links via pigeonhole banding -----------------
   /** 48-bit SimHash from md5-derived 60-bit token hashes. Near-dup
     * LINKS (doc ↔ band-bucket representative, verified hamming <= 3).
@@ -377,7 +450,47 @@ object Dedup extends QueryPack {
     "q51_dedup_clusters"  -> (q51DedupClusters _),
     "q61_incr_dedup"      -> (q61IncrementalDedup _),
     "q62_multilink_clusters" -> (q62MultiLinkClusters _),
+    "q73_passage_dedup"   -> (q73PassageDedup _),
+    "q74_cluster_canonical" -> (q74ClusterCanonical _),
   )
+
+  /** The q26 MinHash link chain + CC label closure as composable SQL
+    * fragments: q51 is chain + closure + label select; q74 appends the
+    * quality argmax on top of the same text.
+    */
+  private val MinhashLinksChainSql =
+    """dt AS MATERIALIZED (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS tok
+      |  FROM documents),
+      |sig AS (SELECT doc_id,
+      |  MIN(md5('0#'||tok)) m0, MIN(md5('1#'||tok)) m1,
+      |  MIN(md5('2#'||tok)) m2, MIN(md5('3#'||tok)) m3,
+      |  MIN(md5('4#'||tok)) m4, MIN(md5('5#'||tok)) m5
+      | FROM dt GROUP BY doc_id),
+      |bands AS (
+      | SELECT doc_id, 0 b, md5(m0||m1) bk FROM sig UNION ALL
+      | SELECT doc_id, 1 b, md5(m2||m3) bk FROM sig UNION ALL
+      | SELECT doc_id, 2 b, md5(m4||m5) bk FROM sig),
+      |reps AS (SELECT b, bk, MIN(doc_id) i FROM bands GROUP BY 1, 2),
+      |cand AS (SELECT DISTINCT r.i, bd.doc_id j
+      | FROM bands bd JOIN reps r USING (b, bk)
+      | WHERE bd.doc_id > r.i),
+      |ctok AS MATERIALIZED (SELECT c.i, c.j, a.tok
+      | FROM cand c JOIN dt a ON a.doc_id = c.i),
+      |sizes AS (SELECT doc_id, COUNT(*) sz FROM dt GROUP BY 1),
+      |inter AS (SELECT ct.i, ct.j, COUNT(*) inter FROM ctok ct
+      |  JOIN dt b2 ON b2.doc_id = ct.j AND b2.tok = ct.tok
+      |  GROUP BY ct.i, ct.j),
+      |links AS (SELECT it.i, it.j
+      | FROM inter it JOIN sizes si ON it.i = si.doc_id
+      | JOIN sizes sj ON it.j = sj.doc_id
+      | WHERE it.inter / (si.sz + sj.sz - it.inter) >= 0.7)""".stripMargin
+
+  private val CcClosureSql =
+    """edges AS (SELECT i, j FROM links UNION ALL SELECT j, i FROM links),
+      |rec(node, lab) AS (
+      | SELECT DISTINCT i, i FROM edges
+      | UNION
+      | SELECT e.j, r.lab FROM rec r JOIN edges e ON e.i = r.node)""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
     "q49_dedup_editdist" ->
@@ -523,39 +636,42 @@ object Dedup extends QueryPack {
       // the q26 link pipeline verbatim, then a recursive label closure:
       // every label reachable from a node is enumerated and the MIN
       // taken — the same fixpoint the Spark loop converges to
-      """WITH RECURSIVE dt AS MATERIALIZED (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS tok
-        |  FROM documents),
-        |sig AS (SELECT doc_id,
-        |  MIN(md5('0#'||tok)) m0, MIN(md5('1#'||tok)) m1,
-        |  MIN(md5('2#'||tok)) m2, MIN(md5('3#'||tok)) m3,
-        |  MIN(md5('4#'||tok)) m4, MIN(md5('5#'||tok)) m5
-        | FROM dt GROUP BY doc_id),
-        |bands AS (
-        | SELECT doc_id, 0 b, md5(m0||m1) bk FROM sig UNION ALL
-        | SELECT doc_id, 1 b, md5(m2||m3) bk FROM sig UNION ALL
-        | SELECT doc_id, 2 b, md5(m4||m5) bk FROM sig),
-        |reps AS (SELECT b, bk, MIN(doc_id) i FROM bands GROUP BY 1, 2),
-        |cand AS (SELECT DISTINCT r.i, bd.doc_id j
-        | FROM bands bd JOIN reps r USING (b, bk)
-        | WHERE bd.doc_id > r.i),
-        |ctok AS MATERIALIZED (SELECT c.i, c.j, a.tok
-        | FROM cand c JOIN dt a ON a.doc_id = c.i),
-        |sizes AS (SELECT doc_id, COUNT(*) sz FROM dt GROUP BY 1),
-        |inter AS (SELECT ct.i, ct.j, COUNT(*) inter FROM ctok ct
-        |  JOIN dt b2 ON b2.doc_id = ct.j AND b2.tok = ct.tok
-        |  GROUP BY ct.i, ct.j),
-        |links AS (SELECT it.i, it.j
-        | FROM inter it JOIN sizes si ON it.i = si.doc_id
-        | JOIN sizes sj ON it.j = sj.doc_id
-        | WHERE it.inter / (si.sz + sj.sz - it.inter) >= 0.7),
-        |edges AS (SELECT i, j FROM links UNION ALL SELECT j, i FROM links),
-        |rec(node, lab) AS (
-        | SELECT DISTINCT i, i FROM edges
-        | UNION
-        | SELECT e.j, r.lab FROM rec r JOIN edges e ON e.i = r.node)
-        |SELECT node AS doc_id, MIN(lab) AS cluster_id,
-        | node = MIN(lab) AS is_keep
-        |FROM rec GROUP BY node""".stripMargin,
+      s"""WITH RECURSIVE $MinhashLinksChainSql,
+         |$CcClosureSql
+         |SELECT node AS doc_id, MIN(lab) AS cluster_id,
+         | node = MIN(lab) AS is_keep
+         |FROM rec GROUP BY node""".stripMargin,
+    "q73_passage_dedup" ->
+      // stride-8 tiling via fixed generate_series + modulus (DuckDB's
+      // generate_series rejects lateral column bounds); t[i:i+7] is the
+      // INCLUSIVE 8-element slice
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |w AS (SELECT doc_id, array_to_string(t[i:i+7], ' ') AS passage
+        |  FROM toks, generate_series(1, 4096) g(i)
+        |  WHERE (i % 8) = 1 AND i + 7 <= len(t)),
+        |pd AS (SELECT passage, doc_id, COUNT(*) AS n FROM w GROUP BY 1, 2)
+        |SELECT passage, COUNT(*) AS n_docs,
+        | CAST(SUM(n) AS BIGINT) AS n_occurrences,
+        | MIN(doc_id) AS first_doc_id
+        |FROM pd GROUP BY passage HAVING COUNT(*) >= 2""".stripMargin,
+    "q74_cluster_canonical" ->
+      // q51's chain + closure, then argmax-by-quality: max quality per
+      // cluster, ties to MIN(doc_id) among the max-quality members —
+      // both engines rank on the same 4dp-rounded quality
+      s"""WITH RECURSIVE $MinhashLinksChainSql,
+         |$CcClosureSql,
+         |clusters AS (SELECT node AS doc_id, MIN(lab) AS cluster_id
+         | FROM rec GROUP BY node),
+         |q AS (SELECT doc_id, ${TextAnalysis.QualitySqlExpr} AS quality
+         | FROM documents),
+         |cq AS (SELECT c.cluster_id, c.doc_id, q.quality
+         | FROM clusters c JOIN q USING (doc_id)),
+         |m AS (SELECT cluster_id, MAX(quality) mq, COUNT(*) n_docs
+         | FROM cq GROUP BY 1)
+         |SELECT m.cluster_id, MIN(cq.doc_id) AS canonical_doc_id,
+         | m.n_docs AS n_docs, m.mq AS quality
+         |FROM cq JOIN m ON cq.cluster_id = m.cluster_id AND cq.quality = m.mq
+         |GROUP BY m.cluster_id, m.n_docs, m.mq""".stripMargin,
     "q28_dedup_ngram" ->
       """WITH grams AS (SELECT DISTINCT doc_id, substr(text, g, 8) AS gram
         |  FROM documents, generate_series(1, 4096) t(g)

@@ -481,6 +481,102 @@ object TextAnalysis extends QueryPack {
           .as("ids"))
   }
 
+  // --- q72: deterministic train/val/test split ------------------------------
+  /** 80/10/10 split assignment by md5-bucket of doc_id — reproducible
+    * across runs, engines, partitionings, and data arrivals (appending
+    * new documents never reassigns an existing one), which rand()-seeded
+    * splits cannot guarantee. Output is the per-(lang, split) census a
+    * pipeline records next to the artifact; the assignment itself is the
+    * `split` column before the rollup. Per-row hash + one tiny
+    * aggregation — no data-sized shuffle at any corpus size.
+    */
+  def q72SplitAssign(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("bucket",
+        conv(substring(md5($"doc_id".cast("string")), 1, 6), 16, 10)
+          .cast("long") % 100)
+      .withColumn("split",
+        when($"bucket" < 80, "train")
+          .when($"bucket" < 90, "val").otherwise("test"))
+      .groupBy($"lang", $"split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("n_chars_total"),
+        min($"doc_id").as("first_doc_id"))
+  }
+
+  // --- q75: corpus bigram language model (conditional probabilities) -------
+  /** Top-25 bigrams by count with P(w2|w1) = n(w1 w2) / n(w1 ·) — the
+    * n-gram LM table behind surprisal scoring and completion-style
+    * contamination checks.
+    *
+    * Scale shape: ONE corpus scan. The denominator is derived from the
+    * bigram-count table itself (n(w1 ·) = Σ_w2 n(w1 w2)) — a
+    * vocabulary²-bounded aggregate, not a second pass over instances —
+    * and broadcast-joins back (vocabulary-bounded, a few MB at any
+    * corpus size), so the Zipf-skewed instance join that would park
+    * every "the ·" bigram on one reducer never exists. The top-25 is
+    * TakeOrderedAndProject (per-partition heaps, no global sort);
+    * (n_bigram, w1, w2) is a total order so the cut is deterministic.
+    */
+  def q75BigramLm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bgCnt = Tables.documents(s, dir)
+      .withColumn("toks", split($"text", " "))
+      .select(explode(expr(
+        """CASE WHEN size(toks) >= 2
+          | THEN transform(sequence(1, size(toks) - 1),
+          |   i -> named_struct('w1', element_at(toks, i),
+          |                     'w2', element_at(toks, i + 1)))
+          | ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>)
+          |END""".stripMargin)).as("b"))
+      .select($"b.w1", $"b.w2")
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("n_bigram"))
+    val prefCnt = bgCnt.groupBy($"w1")
+      .agg(sum($"n_bigram").as("n_prefix"))
+    bgCnt.join(broadcast(prefCnt), "w1")
+      .select($"w1", $"w2", $"n_bigram",
+        graft.core.Exact.dround($"n_bigram" / $"n_prefix", 4).as("p_cond"))
+      .orderBy($"n_bigram".desc, $"w1", $"w2")
+      .limit(25)
+  }
+
+  // --- q76: per-document top tf-idf terms ----------------------------------
+  /** Top-3 characteristic terms per document by tf·idf — the classic
+    * keyword surface for corpus exploration and topic tagging.
+    *
+    * Scale shape: idf = ln(N/df) lives in a VOCABULARY-bounded table
+    * built by one aggregation and broadcast as a map (q70's pattern;
+    * cap the vocab for open-domain corpora), so per-document scoring is
+    * a narrow in-row transform — one map lookup per distinct token,
+    * rank via array_sort on (negated score, tok) struct order, slice 3.
+    * No per-token-instance join, no window, no per-doc sort partition.
+    * Both engines rank on the 4dp-ROUNDED score so float noise cannot
+    * flip a rank across the oracle boundary. The in-row tf
+    * (size(filter(toks, x -> x = t))) is O(len · distinct) per doc —
+    * fine under doc-length caps; an exploded two-level aggregation
+    * takes over for book-length outliers.
+    */
+  def q76TfIdfTerms(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val idfMap = docs
+      .select(explode(array_distinct(split($"text", " "))).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n"))))
+      .select($"tok", log($"n" / $"df").as("idf"))
+      .agg(map_from_entries(collect_list(struct($"tok", $"idf"))).as("im"))
+    docs.crossJoin(broadcast(idfMap))
+      .select($"doc_id", posexplode(expr(
+        """slice(array_sort(transform(array_distinct(split(text, ' ')),
+          |  t -> named_struct(
+          |    'nscore', - CAST(ROUND(CAST(size(filter(split(text, ' '), x -> x = t))
+          |        * element_at(im, t) AS DECIMAL(28, 10)), 4) AS DOUBLE),
+          |    'tok', t))), 1, 3)""".stripMargin)))
+      .select($"doc_id", ($"pos" + 1).cast("long").as("rank"),
+        $"col.tok".as("tok"), (-$"col.nscore").as("score"))
+  }
+
   // --- q45: deterministic stratified sampling ------------------------------
   /** Reproducible ~20% sample per language stratum: membership =
     * md5-derived bucket of doc_id — re-runs, engines, and partitionings
@@ -554,6 +650,9 @@ object TextAnalysis extends QueryPack {
     "q68_domain_cap"         -> (q68DomainCap _),
     "q69_chunk"              -> (q69Chunk _),
     "q70_token_ids"          -> (q70TokenIds _),
+    "q72_split_assign"       -> (q72SplitAssign _),
+    "q75_bigram_lm"          -> (q75BigramLm _),
+    "q76_tfidf_terms"        -> (q76TfIdfTerms _),
     "q19_email_parse" -> (q19EmailParse _),
     "q20_html_strip"  -> (q20HtmlStrip _),
     "q21_token_stats" -> (q21TokenStats _),
@@ -564,7 +663,61 @@ object TextAnalysis extends QueryPack {
 
   private[operators] val stopListSql = stopwords.map(w => s"'$w'").mkString(", ")
 
+  /** q22's quality score as a DuckDB scalar expression over a
+    * `documents`-shaped row (`text`, `n_chars`) — shared by the q22
+    * oracle and q74's canonical-selection oracle (Dedup.scala), so the
+    * two gates can never drift apart.
+    */
+  private[operators] val QualitySqlExpr =
+    s"""CAST(ROUND(CAST((LEAST(CAST(1.0 AS DOUBLE), n_chars / CAST(400.0 AS DOUBLE)) * CAST(0.5 AS DOUBLE) +
+       |   (CAST(1.0 AS DOUBLE) - len(list_filter(string_split(text, ' '),
+       |     x -> x IN ($stopListSql)))
+       |    / len(string_split(text, ' '))) * CAST(0.5 AS DOUBLE)) AS DECIMAL(28,10)), 4) AS DOUBLE)""".stripMargin
+
   override def oracleSql: Map[String, String] = Map(
+    "q72_split_assign" ->
+      """WITH b AS (SELECT lang, doc_id, n_chars,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+        |    % 100 AS bucket
+        | FROM documents),
+        |sp AS (SELECT lang, doc_id, n_chars,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS "split"
+        | FROM b)
+        |SELECT lang, "split", COUNT(*) AS n_docs,
+        | CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+        | MIN(doc_id) AS first_doc_id
+        |FROM sp GROUP BY lang, "split"""".stripMargin,
+    "q75_bigram_lm" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |bgr AS (SELECT t[i] AS w1, t[i+1] AS w2
+        |  FROM toks, generate_series(1, 4096) g(i) WHERE i <= len(t) - 1),
+        |bc AS (SELECT w1, w2, COUNT(*) AS n_bigram FROM bgr GROUP BY 1, 2),
+        |uc AS (SELECT w1, CAST(SUM(n_bigram) AS BIGINT) AS n_prefix
+        |  FROM bc GROUP BY 1)
+        |SELECT bc.w1, bc.w2, bc.n_bigram,
+        | CAST(ROUND(CAST((bc.n_bigram / uc.n_prefix) AS DECIMAL(28,10)), 4) AS DOUBLE) AS p_cond
+        |FROM bc JOIN uc USING (w1)
+        |ORDER BY bc.n_bigram DESC, bc.w1, bc.w2 LIMIT 25""".stripMargin,
+    "q76_tfidf_terms" ->
+      // rank by the ROUNDED score (ties to tok asc) — the Spark side
+      // sorts the same rounded value, so boundary ulps cannot diverge
+      """WITH dtok AS MATERIALIZED (SELECT DISTINCT doc_id,
+        |  unnest(string_split(text, ' ')) AS tok FROM documents),
+        |df AS (SELECT tok, COUNT(*) AS df FROM dtok GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM
+        |   (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents) GROUP BY 1, 2),
+        |scored AS (SELECT tf.doc_id, tf.tok,
+        |  CAST(ROUND(CAST((tf.tf * ln(n.n / df.df)) AS DECIMAL(28,10)), 4) AS DOUBLE) AS score
+        | FROM tf JOIN df USING (tok), n),
+        |rk AS (SELECT doc_id, tok, score,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok)
+        |    AS rank
+        | FROM scored)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, tok, score
+        |FROM rk WHERE rank <= 3""".stripMargin,
     "q45_sample_stratified" ->
       """WITH b AS (SELECT lang, doc_id,
         |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
@@ -736,10 +889,7 @@ object TextAnalysis extends QueryPack {
       s"""SELECT doc_id,
          | len(list_filter(string_split(text, ' '),
          |   x -> x IN ($stopListSql))) AS n_stop,
-         | CAST(ROUND(CAST((LEAST(CAST(1.0 AS DOUBLE), n_chars / CAST(400.0 AS DOUBLE)) * CAST(0.5 AS DOUBLE) +
-         |   (CAST(1.0 AS DOUBLE) - len(list_filter(string_split(text, ' '),
-         |     x -> x IN ($stopListSql)))
-         |    / len(string_split(text, ' '))) * CAST(0.5 AS DOUBLE)) AS DECIMAL(28,10)), 4) AS DOUBLE) AS quality
+         | $QualitySqlExpr AS quality
          |FROM documents""".stripMargin,
     "q23_lang_id" ->
       """WITH scored AS (SELECT lang,

@@ -670,4 +670,88 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(fp.select("fp_token_set").distinct().count() < nDocs,
       "expected reordered near-duplicates to share token-set fingerprint")
   }
+
+  test("q72: split census partitions the corpus, deterministically") {
+    val out = TextAnalysis.q72SplitAssign(spark, sfDir).collect()
+    val nDocs = graft.core.Tables.documents(spark, sfDir).count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == nDocs,
+      "splits must partition the corpus (every doc in exactly one)")
+    assert(out.map(_.getAs[String]("split")).toSet
+      .subsetOf(Set("train", "val", "test")))
+    // hash-based assignment: a rerun reproduces the census exactly
+    val again = TextAnalysis.q72SplitAssign(spark, sfDir).collect()
+    assert(out.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+    // 80/10/10 target: train strictly dominates each holdout
+    val bySplit = out.groupBy(_.getAs[String]("split"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    assert(bySplit("train") > bySplit.getOrElse("val", 0L))
+    assert(bySplit("train") > bySplit.getOrElse("test", 0L))
+  }
+
+  test("q73: repeated passages are real stride-8 tiles in >= 2 docs") {
+    val rows = Dedup.q73PassageDedup(spark, sfDir).collect()
+    assert(rows.nonEmpty, "corpus near-dups must share at least one tile")
+    rows.foreach { r =>
+      assert(r.getAs[String]("passage").split(" ").length == Dedup.PassageWin)
+      assert(r.getAs[Long]("n_docs") >= 2)
+      assert(r.getAs[Long]("n_occurrences") >= r.getAs[Long]("n_docs"))
+    }
+    // brute-force recheck: recount one passage's distinct docs from the
+    // raw text with the same non-overlapping full-window tiling
+    val probe = rows.minBy(_.getAs[String]("passage"))
+    val p0 = probe.getAs[String]("passage")
+    val n = graft.core.Tables.documents(spark, sfDir)
+      .select("text").collect().count { d =>
+        d.getString(0).split(" ").grouped(Dedup.PassageWin)
+          .exists(g => g.length == Dedup.PassageWin && g.mkString(" ") == p0)
+      }
+    assert(n == probe.getAs[Long]("n_docs"), s"passage '$p0': $n docs")
+  }
+
+  test("canonical selection: max quality wins, ties to smallest doc_id") {
+    import spark.implicits._
+    val cq = Seq(
+      (10L, 11L, 0.5), (10L, 12L, 0.9), (10L, 13L, 0.9),
+      (20L, 21L, 0.3)).toDF("cluster_id", "doc_id", "quality")
+    val out = Dedup.canonicalPerCluster(cq).collect().map(r =>
+      r.getAs[Long]("cluster_id") -> ((r.getAs[Long]("canonical_doc_id"),
+        r.getAs[Long]("n_docs"), r.getAs[Double]("quality")))).toMap
+    assert(out(10L) == ((12L, 3L, 0.9)), "quality tie must break to min id")
+    assert(out(20L) == ((21L, 1L, 0.3)))
+  }
+
+  test("q75: bigram conditionals match a brute-force recount") {
+    val rows = TextAnalysis.q75BigramLm(spark, sfDir).collect()
+    assert(rows.length == 25)
+    rows.foreach { r =>
+      val p = r.getAs[Double]("p_cond")
+      assert(p > 0.0 && p <= 1.0, r.toString)
+    }
+    val top = rows.head // limit preserves the (n_bigram desc, w1, w2) order
+    val w1 = top.getAs[String]("w1"); val w2 = top.getAs[String]("w2")
+    var nb = 0L; var np = 0L
+    graft.core.Tables.documents(spark, sfDir)
+      .select("text").collect().foreach { t =>
+        t.getString(0).split(" ").sliding(2).filter(_.length == 2)
+          .foreach { g =>
+            if (g(0) == w1) { np += 1; if (g(1) == w2) nb += 1 }
+          }
+      }
+    assert(nb == top.getAs[Long]("n_bigram"))
+    assert(math.abs(top.getAs[Double]("p_cond") - nb.toDouble / np) < 1e-3)
+  }
+
+  test("q76: <= 3 terms per doc, ranks contiguous, scores non-increasing") {
+    val rows = TextAnalysis.q76TfIdfTerms(spark, sfDir).collect()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.size == graft.core.Tables.documents(spark, sfDir).count())
+    byDoc.foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).sameElements(1L to sorted.length))
+      val scores = sorted.map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      assert(scores.forall(_ >= 0.0))
+    }
+  }
 }

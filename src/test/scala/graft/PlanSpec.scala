@@ -251,4 +251,22 @@ class PlanSpec extends SparkTestBase {
     val p = plan(Relational.q2FilterProject(spark, sfDir))
     assert(p.contains("*(1)"), p.take(1500))
   }
+
+  test("q75: prefix denominators broadcast; top-25 is a bounded heap") {
+    val p = plan(TextAnalysis.q75BigramLm(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("q76: per-doc tf-idf ranking is in-row — no Window, no per-doc sort") {
+    val p = plan(TextAnalysis.q76TfIdfTerms(spark, sfDir))
+    assert(!p.contains("Window"), p.take(2000))
+    assert(!p.contains("SortExec"), p.take(2000))
+  }
+
+  test("q72: split census plans as one partial+final aggregate pair") {
+    val p = plan(TextAnalysis.q72SplitAssign(spark, sfDir))
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      p.take(2000))
+  }
 }
