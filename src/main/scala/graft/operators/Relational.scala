@@ -298,6 +298,82 @@ object Relational extends QueryPack {
         count(lit(1)).as("n_events"), dsum($"value").as("total_value"))
   }
 
+  // --- q78: funnel analysis (view → click → purchase) ----------------------
+  /** Conversion window: each funnel step must follow the previous one
+    * within this many microseconds (4 h).
+    */
+  private[graft] val FunnelWindowUs = 14400000000L
+
+  /** Windowed funnel conversion: a user reaches depth k when SOME
+    * view → click → purchase subsequence exists with each successive
+    * gap strictly positive and ≤ [[FunnelWindowUs]] (the
+    * Amplitude-style "exists a converting chain" semantic — NOT
+    * first-touch, which stalls on the first abandoned attempt). Output
+    * is users-per-deepest-depth.
+    *
+    * Scale shape: ONE user_id exchange. Each user's funnel events
+    * collect into a time-sorted in-row array and a single GREEDY fold
+    * (`aggregate`) walks it, tracking the most recent view and the
+    * most recent window-qualifying click — the most recent candidate
+    * always has the smallest gap to the next step, so greedy tracking
+    * decides existence exactly. No per-step self-joins (the join
+    * spelling shuffles events k times and fans out per-user pairs —
+    * the oracle uses it precisely because it is independently
+    * derived), no window function. Timestamps fold as epoch-micros
+    * integers (engine-parity exact, q53's rule); the tie sort
+    * (us, event_type) processes clicks before same-instant views, so
+    * every processed view is strictly earlier than the click under
+    * evaluation — matching the oracle's strict inequality.
+    */
+  def q78Funnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .filter($"event_type".isin("view", "click", "purchase"))
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_type")
+      .groupBy($"user_id")
+      .agg(sort_array(collect_list(struct($"us", $"event_type"))).as("evs"))
+      .withColumn("funnel_depth", expr(
+        s"""aggregate(evs,
+           | named_struct('d', 0, 'tv', CAST(-1 AS BIGINT), 'tc', CAST(-1 AS BIGINT)),
+           | (acc, e) -> CASE
+           |   WHEN e.event_type = 'view'
+           |     THEN named_struct('d', greatest(acc.d, 1), 'tv', e.us, 'tc', acc.tc)
+           |   WHEN e.event_type = 'click' AND acc.tv >= 0
+           |       AND e.us > acc.tv AND e.us - acc.tv <= ${FunnelWindowUs}L
+           |     THEN named_struct('d', greatest(acc.d, 2), 'tv', acc.tv, 'tc', e.us)
+           |   WHEN e.event_type = 'purchase' AND acc.tc >= 0
+           |       AND e.us > acc.tc AND e.us - acc.tc <= ${FunnelWindowUs}L
+           |     THEN named_struct('d', 3, 'tv', acc.tv, 'tc', acc.tc)
+           |   ELSE acc END).d""".stripMargin))
+      .groupBy($"funnel_depth")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  // --- q79: weekly cohort retention ----------------------------------------
+  /** Users grouped by first-activity week (cohort), counted in each
+    * later week they return — the standard retention triangle.
+    *
+    * Scale shape: activity dedups to (user, week) FIRST, so every later
+    * step reads a frame bounded by users × weeks, not raw events.
+    * Cohort assignment is a min-aggregate plus a user-keyed join back
+    * (both sides already hash on user_id; AQE broadcasts the cohort
+    * side when it is small). Offsets are exact integer day arithmetic
+    * on week-truncated dates — no floats, and both engines truncate
+    * weeks to Monday in UTC.
+    */
+  def q79Retention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val uw = Tables.events(s, dir)
+      .select($"user_id",
+        date_trunc("week", $"ts").cast("date").as("week"))
+      .distinct()
+    val cohort = uw.groupBy($"user_id").agg(min($"week").as("cohort_week"))
+    uw.join(cohort, "user_id")
+      .groupBy($"cohort_week",
+        (datediff($"week", $"cohort_week") / 7).cast("long").as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   // --- q59: pivot (crosstab) with an explicit value list ------------------
   /** Daily event counts pivoted into one column per event type.
     * The value list is EXPLICIT: `pivot(col)` without values runs a
@@ -436,6 +512,8 @@ object Relational extends QueryPack {
     "q13_time_bucket"   -> (q13TimeBucket _),
     "q71_resample_ffill" -> (q71ResampleFfill _),
     "q53_sessionize"    -> (q53Sessionize _),
+    "q78_funnel"        -> (q78Funnel _),
+    "q79_retention"     -> (q79Retention _),
     "q59_pivot"         -> (q59Pivot _),
     "q60_unpivot"       -> (q60Unpivot _),
     "q14_having_join"   -> (q14HavingJoin _),
@@ -573,6 +651,42 @@ object Relational extends QueryPack {
         | CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
         | CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
         |FROM events GROUP BY 1""".stripMargin,
+    "q78_funnel" ->
+      // independently-derived spelling: exists-a-chain via per-step
+      // self-joins (bounded per user) instead of the Spark side's
+      // greedy sorted fold
+      s"""WITH f AS (SELECT user_id, event_type, epoch_us(ts) us FROM events
+         |  WHERE event_type IN ('view', 'click', 'purchase')),
+         |d1 AS (SELECT DISTINCT user_id FROM f WHERE event_type = 'view'),
+         |d2 AS (SELECT DISTINCT c.user_id FROM f c JOIN f v
+         |  ON v.user_id = c.user_id
+         |  AND v.event_type = 'view' AND c.event_type = 'click'
+         |  AND c.us > v.us AND c.us - v.us <= ${FunnelWindowUs}),
+         |d3 AS (SELECT DISTINCT p.user_id FROM f p
+         |  JOIN f c ON c.user_id = p.user_id
+         |  JOIN f v ON v.user_id = c.user_id
+         |  WHERE v.event_type = 'view' AND c.event_type = 'click'
+         |   AND p.event_type = 'purchase'
+         |   AND c.us > v.us AND c.us - v.us <= ${FunnelWindowUs}
+         |   AND p.us > c.us AND p.us - c.us <= ${FunnelWindowUs}),
+         |u AS (SELECT DISTINCT user_id FROM f)
+         |SELECT CASE WHEN d3.user_id IS NOT NULL THEN 3
+         |  WHEN d2.user_id IS NOT NULL THEN 2
+         |  WHEN d1.user_id IS NOT NULL THEN 1 ELSE 0 END AS funnel_depth,
+         | COUNT(*) AS n_users
+         |FROM u LEFT JOIN d1 USING (user_id) LEFT JOIN d2 USING (user_id)
+         | LEFT JOIN d3 USING (user_id)
+         |GROUP BY 1""".stripMargin,
+    "q79_retention" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |  CAST(date_trunc('week', ts) AS DATE) AS week FROM events),
+        |ch AS (SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY 1)
+        |SELECT ch.cohort_week,
+        | CAST(date_diff('day', ch.cohort_week, uw.week) // 7 AS BIGINT)
+        |   AS week_offset,
+        | COUNT(*) AS n_users
+        |FROM uw JOIN ch USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
     "q53_sessionize" ->
       """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) us, value FROM events),
         |f AS (SELECT user_id, event_id, us, value,

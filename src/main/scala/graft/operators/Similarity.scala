@@ -107,6 +107,45 @@ object Similarity extends QueryPack {
       .limit(10)
   }
 
+  // --- q77: per-label centroid outliers (embedding quality screen) --------
+  /** Distance-to-centroid outlier surface: per-label mean vector, then
+    * the 10 vectors farthest from their own label's centroid — the
+    * standard screen for mislabeled/corrupt embeddings before they
+    * poison an ANN index or a mixture.
+    *
+    * Scale + determinism shape: centroids come from ONE posexplode +
+    * (label, dim) aggregation whose per-element values are snapped to
+    * DECIMAL(18,6) first — double partial sums are partition-order-
+    * dependent, decimal sums are exact/associative (q30's rule), so
+    * both engines build bit-identical centroids. The centroid table is
+    * |labels| × dim — always broadcastable. Distance is computed
+    * per-row as x·x − 2·x·c + c·c with the codegen'd sequential dot
+    * (bit-parity with DuckDB's list_dot_product); the top-10 rides
+    * TakeOrderedAndProject on the rounded distance.
+    */
+  def q77EmbeddingOutliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val emb = Tables.embeddings(s, dir)
+    val cent = emb
+      .select($"label", posexplode(vec($"embedding")))
+      .withColumn("v", $"col".cast(DecimalType(18, 6)))
+      .groupBy($"label", $"pos")
+      .agg((sum($"v").cast("double") / count(lit(1))).as("c"))
+      .groupBy($"label")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
+        x => x.getField("c")).as("cvec"))
+    emb.join(broadcast(cent), "label")
+      .withColumn("d2",
+        dot(vec($"embedding"), vec($"embedding"))
+          - lit(2.0) * dot(vec($"embedding"), $"cvec")
+          + dot($"cvec", $"cvec"))
+      .select($"vec_id", $"label",
+        graft.core.Exact.dround($"d2", 4).as("dist2"))
+      .orderBy(graft.core.Exact.dround($"d2", 4).desc, $"vec_id".asc)
+      .limit(10)
+  }
+
   /** Serving-path probe over a `partitionBy("cell")` grid index: the
     * 9-value IN list prunes at the scan (asserted by PipelineOpsSpec),
     * so a probe reads ~9/256ths of the index regardless of its size.
@@ -226,6 +265,7 @@ object Similarity extends QueryPack {
     "q30_ann_lsh_buckets"  -> (q30LshBuckets _),
     "q31_embedding_neardup" -> (q31EmbeddingNearDup _),
     "q50_ann_grid_cell"    -> (q50AnnGridCell _),
+    "q77_embedding_outliers" -> (q77EmbeddingOutliers _),
   )
 
   private val sqlDot =
@@ -242,6 +282,27 @@ object Similarity extends QueryPack {
     .mkString(" + ")
 
   override def oracleSql: Map[String, String] = Map(
+    "q77_embedding_outliers" ->
+      // dim fixed at 64 in every SF (generator contract); element
+      // values snap to DECIMAL(18,6) before the centroid sum so both
+      // engines average identical exact values
+      s"""WITH ex AS (SELECT vec_id, label, i,
+         |  CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,6)) AS v
+         | FROM embeddings, generate_series(1, 64) g(i)),
+         |cent AS (SELECT label, i, CAST(SUM(v) AS DOUBLE) / COUNT(*) AS c
+         | FROM ex GROUP BY 1, 2),
+         |carr AS (SELECT label, list(c ORDER BY i) AS cvec FROM cent GROUP BY 1),
+         |d AS (SELECT e.vec_id, e.label,
+         |  ${sqlDot.format("e.embedding", "e.embedding")}
+         |  - 2 * ${sqlDot.format("e.embedding", "cvec")}
+         |  + ${sqlDot.format("cvec", "cvec")} AS d2
+         | FROM embeddings e JOIN carr USING (label))
+         |SELECT vec_id, label,
+         | CAST(ROUND(CAST(d2 AS DECIMAL(28,10)), 4) AS DOUBLE) AS dist2
+         |FROM d
+         |ORDER BY CAST(ROUND(CAST(d2 AS DECIMAL(28,10)), 4) AS DOUBLE) DESC,
+         | vec_id ASC
+         |LIMIT 10""".stripMargin,
     "q29_ann_brute_topk" ->
       s"""SELECT e.vec_id, e.label,
          | ROUND(${cosSql("e.embedding", "q.embedding")}, 6) AS cos

@@ -741,6 +741,36 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(math.abs(top.getAs[Double]("p_cond") - nb.toDouble / np) < 1e-3)
   }
 
+  test("q77: top outliers carry the true max centroid distances") {
+    val rows = Similarity.q77EmbeddingOutliers(spark, sfDir).collect()
+    assert(rows.length == 10)
+    val dists = rows.map(_.getAs[Double]("dist2"))
+    assert(dists.zip(dists.tail).forall { case (a, b) => a >= b })
+    assert(dists.forall(_ >= 0.0))
+    // brute-force recompute: plain double centroids diverge from the
+    // decimal-snapped ones by < 1e-5 per element, far under tolerance
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray))
+    val cents = emb.groupBy(_._2).view.mapValues { vs =>
+      val dim = vs.head._3.length
+      val c = new Array[Double](dim)
+      vs.foreach(v => (0 until dim).foreach(i => c(i) += v._3(i)))
+      c.map(_ / vs.length)
+    }.toMap
+    val d2 = emb.map { case (id, lab, v) =>
+      (id, v.zip(cents(lab)).map { case (x, c) => (x - c) * (x - c) }.sum)
+    }.toMap
+    rows.foreach { r =>
+      val want = d2(r.getAs[Long]("vec_id"))
+      assert(math.abs(r.getAs[Double]("dist2") - want) < 1e-2,
+        s"vec ${r.getAs[Long]("vec_id")}: ${r.getAs[Double]("dist2")} vs $want")
+    }
+    // the reported top-1 really is the global argmax
+    val globalMax = d2.values.max
+    assert(math.abs(dists.head - globalMax) < 1e-2)
+  }
+
   test("q76: <= 3 terms per doc, ranks contiguous, scores non-increasing") {
     val rows = TextAnalysis.q76TfIdfTerms(spark, sfDir).collect()
     val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))

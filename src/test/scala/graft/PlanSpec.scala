@@ -269,4 +269,17 @@ class PlanSpec extends SparkTestBase {
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
       p.take(2000))
   }
+
+  test("q78: funnel folds in-row — no Window, no per-step self-joins") {
+    val p = plan(Relational.q78Funnel(spark, sfDir))
+    assert(!p.contains("Window"), p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      p.take(2000))
+  }
+
+  test("q77: centroid table broadcasts against the embedding scan") {
+    val p = plan(Similarity.q77EmbeddingOutliers(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
 }

@@ -88,4 +88,60 @@ class RelationalSpec extends SparkTestBase {
     val a = viaBloom.select("o_orderpriority", "n_orders")
     assert(a.exceptAll(plain).count() == 0 && plain.exceptAll(a).count() == 0)
   }
+
+  test("q78: greedy fold census equals a direct exists-chain recompute") {
+    import org.apache.spark.sql.functions.unix_micros
+    import org.apache.spark.sql.Row
+    val fromQuery = Relational.q78Funnel(spark, sfDir).collect()
+      .map(r => r.getAs[Int]("funnel_depth") -> r.getAs[Long]("n_users"))
+      .toMap
+    // direct recompute: per user, existence of a view→click→purchase
+    // chain with 0 < gap <= window, via the O(n²) pair scan the fold
+    // is meant to replace
+    val W = Relational.FunnelWindowUs
+    val evs = graft.core.Tables.events(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("event_type")
+        .isin("view", "click", "purchase"))
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        unix_micros(org.apache.spark.sql.functions.col("ts")).as("us"),
+        org.apache.spark.sql.functions.col("event_type"))
+      .collect()
+    val byUser = evs.groupBy(_.getAs[Long]("user_id"))
+    val expected = byUser.values.map { rows =>
+      def ts(t: String) = rows.filter(_.getAs[String]("event_type") == t)
+        .map(_.getAs[Long]("us")).sorted
+      val (vs, cs, ps) = (ts("view"), ts("click"), ts("purchase"))
+      val qualClicks = cs.filter(c => vs.exists(v => c > v && c - v <= W))
+      val d3 = ps.exists(p => qualClicks.exists(c => p > c && p - c <= W))
+      if (d3) 3 else if (qualClicks.nonEmpty) 2 else if (vs.nonEmpty) 1 else 0
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(fromQuery == expected,
+      s"fold census $fromQuery != direct recompute $expected")
+  }
+
+  test("q79: cohort triangle invariants (offset-0 totals, no negatives)") {
+    val rows = Relational.q79Retention(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("week_offset") >= 0L)
+      assert(r.getAs[Long]("n_users") > 0L)
+      // weeks truncate to Monday
+      assert(r.getAs[java.sql.Date]("cohort_week").toLocalDate
+        .getDayOfWeek == java.time.DayOfWeek.MONDAY)
+    }
+    // every cohort has its own offset-0 row, and offset-0 user counts
+    // sum to the distinct-user total (each user in exactly one cohort)
+    val cohorts = rows.map(_.getAs[java.sql.Date]("cohort_week")).distinct
+    val zeroRows = rows.filter(_.getAs[Long]("week_offset") == 0L)
+    assert(zeroRows.map(_.getAs[java.sql.Date]("cohort_week")).distinct
+      .length == cohorts.length)
+    val users = graft.core.Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    assert(zeroRows.map(_.getAs[Long]("n_users")).sum == users)
+    // retention never exceeds its cohort's size
+    val size = zeroRows.map(r =>
+      r.getAs[java.sql.Date]("cohort_week") -> r.getAs[Long]("n_users")).toMap
+    rows.foreach(r => assert(
+      r.getAs[Long]("n_users") <= size(r.getAs[java.sql.Date]("cohort_week"))))
+  }
 }
