@@ -374,6 +374,36 @@ object Relational extends QueryPack {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  // --- q80: event-type transition matrix (first-order Markov) --------------
+  /** P(next event type | current) from per-user event sequences — the
+    * behavioral fingerprint behind next-action prediction and bot
+    * detection (a scripted client's transition matrix is near-
+    * deterministic; an organic one is diffuse).
+    *
+    * Scale shape: one user_id exchange carries the lead() window
+    * (ties broken on event_id, so successor choice is deterministic
+    * under any partitioning); the transition counts aggregate to a
+    * |types|²-bounded matrix whose row totals derive from the matrix
+    * itself (q75's rule — never a second pass over instances) and
+    * broadcast back.
+    */
+  def q80Transitions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val trans = Tables.events(s, dir)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"),
+        $"event_type")
+      .withColumn("nxt", lead($"event_type", 1).over(w))
+      .filter($"nxt".isNotNull)
+      .groupBy($"event_type".as("cur"), $"nxt")
+      .agg(count(lit(1)).as("n_trans"))
+    val totals = trans.groupBy($"cur").agg(sum($"n_trans").as("n_from"))
+    trans.join(broadcast(totals), "cur")
+      .select($"cur", $"nxt", $"n_trans",
+        graft.core.Exact.dround($"n_trans" / $"n_from", 4).as("p_next"))
+  }
+
   // --- q59: pivot (crosstab) with an explicit value list ------------------
   /** Daily event counts pivoted into one column per event type.
     * The value list is EXPLICIT: `pivot(col)` without values runs a
@@ -514,6 +544,7 @@ object Relational extends QueryPack {
     "q53_sessionize"    -> (q53Sessionize _),
     "q78_funnel"        -> (q78Funnel _),
     "q79_retention"     -> (q79Retention _),
+    "q80_transitions"   -> (q80Transitions _),
     "q59_pivot"         -> (q59Pivot _),
     "q60_unpivot"       -> (q60Unpivot _),
     "q14_having_join"   -> (q14HavingJoin _),
@@ -677,6 +708,20 @@ object Relational extends QueryPack {
          |FROM u LEFT JOIN d1 USING (user_id) LEFT JOIN d2 USING (user_id)
          | LEFT JOIN d3 USING (user_id)
          |GROUP BY 1""".stripMargin,
+    "q80_transitions" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) us, event_type
+        |  FROM events),
+        |t AS (SELECT event_type AS cur,
+        |  LEAD(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |    AS nxt
+        | FROM ev),
+        |tc AS (SELECT cur, nxt, COUNT(*) AS n_trans FROM t
+        |  WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT cur, CAST(SUM(n_trans) AS BIGINT) AS n_from
+        |  FROM tc GROUP BY 1)
+        |SELECT tc.cur, tc.nxt, tc.n_trans,
+        | CAST(ROUND(CAST((tc.n_trans / tot.n_from) AS DECIMAL(28,10)), 4) AS DOUBLE) AS p_next
+        |FROM tc JOIN tot USING (cur)""".stripMargin,
     "q79_retention" ->
       """WITH uw AS (SELECT DISTINCT user_id,
         |  CAST(date_trunc('week', ts) AS DATE) AS week FROM events),

@@ -577,6 +577,40 @@ object TextAnalysis extends QueryPack {
         $"col.tok".as("tok"), (-$"col.nscore").as("score"))
   }
 
+  // --- q81: quality-weighted corpus sampling --------------------------------
+  /** Importance sampling by quality: each document is kept with
+    * probability proportional to its q22 quality score (acceptance =
+    * md5-bucket below quality × scale), so high-quality text is
+    * over-represented in the sample without hard thresholds — the
+    * DCLM-style reweighting stage of a corpus recipe. Membership is
+    * hash-deterministic: re-runs, engines, and partitionings select
+    * the SAME rows, and appended documents never flip existing
+    * decisions (rand() offers none of this). Output is the per-lang
+    * census; kept-quality sums ride DECIMAL(18,4) (exact, associative
+    * — double partial sums are partition-order-dependent).
+    *
+    * Per-row hash + one bounded aggregation: no data-sized shuffle.
+    */
+  def q81WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    // 24-bit bucket; acceptance P = quality/4 (quality ∈ [0,1], so the
+    // cap stays well inside the bucket range and the rate genuinely
+    // varies with the score)
+    val df = corpusFilterCols(Tables.documents(s, dir))
+      .withColumn("bucket",
+        conv(substring(md5($"doc_id".cast("string")), 1, 6), 16, 10)
+          .cast("long"))
+      .withColumn("kept", $"bucket" < $"quality" * (0.25 * (1 << 24)))
+    df.groupBy($"lang")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when($"kept", 1L).otherwise(0L)).as("n_kept"),
+        graft.core.Exact.dround(
+          sum(when($"kept", $"quality").cast(DecimalType(18, 4)))
+            .cast("double") /
+            sum(when($"kept", 1L).otherwise(0L)), 4).as("kept_avg_quality"))
+  }
+
   // --- q45: deterministic stratified sampling ------------------------------
   /** Reproducible ~20% sample per language stratum: membership =
     * md5-derived bucket of doc_id — re-runs, engines, and partitionings
@@ -653,6 +687,7 @@ object TextAnalysis extends QueryPack {
     "q72_split_assign"       -> (q72SplitAssign _),
     "q75_bigram_lm"          -> (q75BigramLm _),
     "q76_tfidf_terms"        -> (q76TfIdfTerms _),
+    "q81_weighted_sample"    -> (q81WeightedSample _),
     "q19_email_parse" -> (q19EmailParse _),
     "q20_html_strip"  -> (q20HtmlStrip _),
     "q21_token_stats" -> (q21TokenStats _),
@@ -718,6 +753,19 @@ object TextAnalysis extends QueryPack {
         | FROM scored)
         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, tok, score
         |FROM rk WHERE rank <= 3""".stripMargin,
+    "q81_weighted_sample" ->
+      s"""WITH q AS (SELECT doc_id, lang, $QualitySqlExpr AS quality
+         | FROM documents),
+         |k AS (SELECT lang, quality,
+         |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+         |    < quality * 4194304.0 AS kept
+         | FROM q)
+         |SELECT lang, COUNT(*) AS n_total,
+         | CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         | CAST(ROUND(CAST(CAST(SUM(CASE WHEN kept THEN CAST(quality AS DECIMAL(18,4)) END) AS DOUBLE)
+         |   / SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS DECIMAL(28,10)), 4) AS DOUBLE)
+         |   AS kept_avg_quality
+         |FROM k GROUP BY lang""".stripMargin,
     "q45_sample_stratified" ->
       """WITH b AS (SELECT lang, doc_id,
         |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)

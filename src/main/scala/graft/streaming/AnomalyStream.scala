@@ -84,6 +84,62 @@ object AnomalyStream {
       .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** q78's greedy funnel fold as streaming state: most recent view,
+    * most recent window-qualifying click, deepest depth reached.
+    */
+  case class FunnelState(depth: Int, tv: Long, tc: Long)
+  case class FunnelHit(user_id: Long, depth: Int, at_us: Long)
+
+  private def micros(t: java.sql.Timestamp): Long =
+    t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+
+  /** Streaming twin of batch q78: the per-user greedy funnel fold as
+    * O(1) keyed state, emitting a row each time a user REACHES a new
+    * depth (view → click within the window → purchase within the
+    * window). Within a micro-batch rows sort by (event time, type,
+    * id) — the exact order the batch fold sees; across micro-batches
+    * state carries the greedy (tv, tc) markers, so any arrival that
+    * respects event-time order per user reproduces the batch census.
+    * State never grows with events — three numbers per user, sharded
+    * across executor state stores like every detector here.
+    */
+  def funnelDetector(events: Dataset[Event],
+      windowUs: Long = graft.operators.Relational.FunnelWindowUs)
+      : Dataset[FunnelHit] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(e => e.event_type == "view" || e.event_type == "click" ||
+        e.event_type == "purchase")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(0, -1L, -1L))
+          val hits = scala.collection.mutable.ArrayBuffer.empty[FunnelHit]
+          rows.toSeq
+            .sortBy(e => (micros(e.ts), e.event_type, e.event_id))
+            .foreach { e =>
+              val us = micros(e.ts)
+              e.event_type match {
+                case "view" =>
+                  if (st.depth < 1) hits += FunnelHit(uid, 1, us)
+                  st = FunnelState(math.max(st.depth, 1), us, st.tc)
+                case "click"
+                    if st.tv >= 0 && us > st.tv && us - st.tv <= windowUs =>
+                  if (st.depth < 2) hits += FunnelHit(uid, 2, us)
+                  st = FunnelState(math.max(st.depth, 2), st.tv, us)
+                case "purchase"
+                    if st.tc >= 0 && us > st.tc && us - st.tc <= windowUs =>
+                  if (st.depth < 3) hits += FunnelHit(uid, 3, us)
+                  st = FunnelState(3, st.tv, st.tc)
+                case _ => ()
+              }
+            }
+          state.update(st)
+          hits.iterator
+      }
+  }
+
   case class Ewma(mean: Double, varEst: Double, n: Long) {
     def add(x: Double, alpha: Double): Ewma = {
       if (n == 0) Ewma(x, 0.0, 1)

@@ -741,6 +741,29 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(math.abs(top.getAs[Double]("p_cond") - nb.toDouble / np) < 1e-3)
   }
 
+  test("q81: weighted-sample membership is exactly the hash-threshold set") {
+    val out = TextAnalysis.q81WeightedSample(spark, sfDir).collect()
+      .map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("n_total"), r.getAs[Long]("n_kept")))).toMap
+    // recompute the kept set deterministically from raw doc_id + quality
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(id: Long): Long = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(6)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val docs = TextAnalysis.q22Quality(spark, sfDir)
+      .join(graft.core.Tables.documents(spark, sfDir)
+        .select("doc_id", "lang"), "doc_id")
+      .collect()
+    val expect = docs.groupBy(_.getAs[String]("lang")).map { case (l, rs) =>
+      l -> ((rs.length.toLong, rs.count(r =>
+        bucket(r.getAs[Long]("doc_id")) <
+          r.getAs[Double]("quality") * 4194304.0).toLong))
+    }
+    assert(out == expect, s"$out vs $expect")
+  }
+
   test("q77: top outliers carry the true max centroid distances") {
     val rows = Similarity.q77EmbeddingOutliers(spark, sfDir).collect()
     assert(rows.length == 10)

@@ -119,6 +119,21 @@ class RelationalSpec extends SparkTestBase {
       s"fold census $fromQuery != direct recompute $expected")
   }
 
+  test("q80: transition matrix rows are distributions; totals conserve") {
+    val rows = Relational.q80Transitions(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // per-cur probabilities sum to 1 (within 4dp-rounding slack)
+    rows.groupBy(_.getAs[String]("cur")).foreach { case (_, rs) =>
+      val psum = rs.map(_.getAs[Double]("p_next")).sum
+      assert(math.abs(psum - 1.0) < 1e-3, s"p sums to $psum")
+    }
+    // every user with n events contributes exactly n-1 transitions
+    val ev = graft.core.Tables.events(spark, sfDir)
+    val nEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_trans")).sum == nEvents - nUsers)
+  }
+
   test("q79: cohort triangle invariants (offset-0 totals, no negatives)") {
     val rows = Relational.q79Retention(spark, sfDir).collect()
     assert(rows.nonEmpty)

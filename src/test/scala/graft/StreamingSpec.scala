@@ -366,4 +366,44 @@ class StreamingSpec extends SparkTestBase {
     assert(flagged == q32,
       s"batch scorer ($flagged) and exact-arithmetic q32 ($q32) must agree")
   }
+
+  test("streaming funnel: depth transitions fire once, state survives " +
+    "micro-batch boundaries, window abandons stall") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.streaming.AnomalyStream
+    import AnomalyStream.{Event, FunnelHit}
+    val input = MemoryStream[Event]
+    val q = AnomalyStream.funnelDetector(input.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("funnel_stream").start()
+    try {
+      val H = 3600L // 1 h in seconds; window is 4 h
+      // user 1 converts fully in one batch; user 2's click misses the
+      // window (stalls at depth 1)
+      input.addData(
+        Event(1, ts(0), 1, "view", 0),
+        Event(2, ts(H), 1, "click", 0),
+        Event(3, ts(2 * H), 1, "purchase", 0),
+        Event(4, ts(0), 2, "view", 0),
+        Event(5, ts(10 * H), 2, "click", 0))
+      q.processAllAvailable()
+      // user 3 spans batches: first view expires, a LATER view converts
+      // (greedy most-recent-view state) — and depth 1 must not re-fire
+      input.addData(
+        Event(6, ts(0), 3, "view", 0),
+        Event(7, ts(20 * H), 3, "view", 0))
+      q.processAllAvailable()
+      input.addData(
+        Event(8, ts(21 * H), 3, "click", 0),
+        Event(9, ts(22 * H), 3, "purchase", 0))
+      q.processAllAvailable()
+      val hits = spark.table("funnel_stream").as[FunnelHit].collect()
+      val byUser = hits.groupBy(_.user_id)
+        .view.mapValues(_.map(_.depth).sorted.toSeq).toMap
+      assert(byUser(1L) == Seq(1, 2, 3))
+      assert(byUser(2L) == Seq(1), byUser.toString)
+      assert(byUser(3L) == Seq(1, 2, 3), byUser.toString)
+    } finally spark.streams.active.foreach(_.stop())
+  }
 }
