@@ -145,6 +145,63 @@ object Alignment extends QueryPack {
     }.toDF()
   }
 
+  /** Decoded-image row: exact integer channel sums; invalid rows carry
+    * nulls (corrupt input is data, not an exception).
+    */
+  case class ImgRow(doc_id: Long, valid: Boolean, width: Option[Int],
+      height: Option[Int], sum_r: Option[Long], sum_g: Option[Long],
+      sum_b: Option[Long])
+
+  // --- q82: REAL image decode (binary PPM) over a binary column -----------
+  /** End-to-end image decode with a real parser ([[graft.ops.media.Ppm]],
+    * pure JVM — P6 header scan, dimension parse, raster read): the
+    * binary column is constructed IN THE PLAN (codegen'd hex build +
+    * unhex; the raster follows a closed-form the oracle can sum without
+    * ever touching bytes), decoded imperatively via the same
+    * mapPartitions batch shape [[decodeMediaBatched]] documents for
+    * deploy-time codecs. Every 97th document is truncated two bytes
+    * short — the decoder must flag it invalid (null metrics), not
+    * crash, and the oracle checks the rejection too.
+    *
+    * Scale shape: narrow per-row transform → mapPartitions decode —
+    * zero shuffles, decoder state initialized per partition. Channel
+    * means divide EXACT integer sums, so engine parity is trivial.
+    */
+  def q82ImageDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bin = Tables.documents(s, dir)
+      .withColumn("w", (lit(4) + $"doc_id" % 5).cast("int"))
+      .withColumn("h", (lit(3) + $"doc_id" % 4).cast("int"))
+      .withColumn("hdr", encode(concat(lit("P6\n"), $"w".cast("string"),
+        lit(" "), $"h".cast("string"), lit("\n255\n")), "utf-8"))
+      .withColumn("pix", unhex(expr(
+        """concat_ws('', transform(sequence(0, w * h * 3 - 1),
+          |  i -> lpad(hex((doc_id * 31 + (i div 3) * 7 + (i % 3) * 11) % 256),
+          |    2, '0')))""".stripMargin)))
+      .withColumn("bytes0", concat($"hdr", $"pix"))
+      .withColumn("bytes", when($"doc_id" % 97 === 0,
+        expr("substring(bytes0, 1, length(bytes0) - 2)")).otherwise($"bytes0"))
+      .select($"doc_id", $"bytes").as[(Long, Array[Byte])]
+    bin.mapPartitions { it =>
+      it.map { case (id, b) =>
+        graft.ops.media.Ppm.decode(b) match {
+          case Some(img) => ImgRow(id, valid = true, Some(img.width),
+            Some(img.height), Some(img.sumR), Some(img.sumG), Some(img.sumB))
+          case None => ImgRow(id, valid = false, None, None, None, None, None)
+        }
+      }
+    }.toDF()
+      .select($"doc_id", $"valid",
+        $"width".cast("long").as("width"),
+        $"height".cast("long").as("height"),
+        graft.core.Exact.dround(
+          $"sum_r" / ($"width" * $"height"), 4).as("mean_r"),
+        graft.core.Exact.dround(
+          $"sum_g" / ($"width" * $"height"), 4).as("mean_g"),
+        graft.core.Exact.dround(
+          $"sum_b" / ($"width" * $"height"), 4).as("mean_b"))
+  }
+
   // --- q39: frame sampling (video-style strided byte slicing) -------------
   def q39FrameSample(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -186,6 +243,7 @@ object Alignment extends QueryPack {
     "q38_media_meta"    -> (q38MediaMeta _),
     "q39_frame_sample"  -> (q39FrameSample _),
     "q44_media_features" -> (q44MediaFeatures _),
+    "q82_image_decode"  -> (q82ImageDecode _),
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -205,6 +263,33 @@ object Alignment extends QueryPack {
         | CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
         | COUNT(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q82_image_decode" ->
+      // closed-form twin of the in-plan raster: channel c of pixel p is
+      // (doc_id*31 + p*7 + c*11) % 256, so the oracle sums the formula
+      // the decoder must recover from the actual bytes
+      """WITH dims AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+        |  FROM documents),
+        |px AS (SELECT doc_id, w, h, p FROM dims, generate_series(0, 55) g(p)
+        |  WHERE p < w * h),
+        |s AS (SELECT doc_id,
+        |  SUM((doc_id * 31 + p * 7) % 256) sr,
+        |  SUM((doc_id * 31 + p * 7 + 11) % 256) sg,
+        |  SUM((doc_id * 31 + p * 7 + 22) % 256) sb,
+        |  COUNT(*) n
+        | FROM px GROUP BY 1)
+        |SELECT d.doc_id, d.doc_id % 97 != 0 AS valid,
+        | CASE WHEN d.doc_id % 97 != 0 THEN d.w END AS width,
+        | CASE WHEN d.doc_id % 97 != 0 THEN d.h END AS height,
+        | CASE WHEN d.doc_id % 97 != 0 THEN
+        |   CAST(ROUND(CAST((s.sr / s.n) AS DECIMAL(28,10)), 4) AS DOUBLE)
+        | END AS mean_r,
+        | CASE WHEN d.doc_id % 97 != 0 THEN
+        |   CAST(ROUND(CAST((s.sg / s.n) AS DECIMAL(28,10)), 4) AS DOUBLE)
+        | END AS mean_g,
+        | CASE WHEN d.doc_id % 97 != 0 THEN
+        |   CAST(ROUND(CAST((s.sb / s.n) AS DECIMAL(28,10)), 4) AS DOUBLE)
+        | END AS mean_b
+        |FROM dims d JOIN s USING (doc_id)""".stripMargin,
     "q38_media_meta" ->
       """SELECT doc_id,
         | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

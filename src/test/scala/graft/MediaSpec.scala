@@ -1,0 +1,61 @@
+package graft
+
+import graft.ops.media.Ppm
+import graft.operators.Alignment
+
+/** The real P6 decoder: known-answer parse, malformed-input rejection,
+  * and q82's end-to-end parity between bytes actually decoded and the
+  * closed-form raster the fixture was built from.
+  */
+class MediaSpec extends SparkTestBase {
+
+  private def ppm(w: Int, h: Int, px: Array[Int]): Array[Byte] =
+    (s"P6\n$w $h\n255\n".getBytes("US-ASCII").toSeq ++
+      px.map(_.toByte)).toArray
+
+  test("decode: known 2x1 image yields exact dims and channel sums") {
+    val img = Ppm.decode(ppm(2, 1, Array(10, 20, 30, 40, 50, 60))).get
+    assert(img.width == 2 && img.height == 1)
+    assert(img.sumR == 50L && img.sumG == 70L && img.sumB == 90L)
+    // high bytes must read unsigned
+    val hi = Ppm.decode(ppm(1, 1, Array(255, 128, 200))).get
+    assert(hi.sumR == 255L && hi.sumG == 128L && hi.sumB == 200L)
+  }
+
+  test("decode: malformed inputs reject, never throw") {
+    val good = ppm(2, 2, Array.fill(12)(7))
+    assert(Ppm.decode(good).isDefined)
+    assert(Ppm.decode(null).isEmpty)
+    assert(Ppm.decode(Array[Byte]()).isEmpty)
+    assert(Ppm.decode("P5\n2 2\n255\n".getBytes ++ good.drop(10)).isEmpty)
+    assert(Ppm.decode(good.dropRight(1)).isEmpty)          // truncated
+    assert(Ppm.decode(good ++ Array(1.toByte)).isEmpty)    // oversized
+    assert(Ppm.decode(ppm(2, 2, Array.fill(12)(7))
+      .map(b => if (b == '2') '0'.toByte else b)).isEmpty) // zero dims
+    assert(Ppm.decode("P6\n2 2\n254\nxxxxxxxxxxxx".getBytes).isEmpty)
+  }
+
+  test("q82: decoded metrics match the closed-form raster; corrupt rows flagged") {
+    val rows = Alignment.q82ImageDecode(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      if (id % 97 == 0) {
+        assert(!r.getAs[Boolean]("valid"), s"doc $id must be rejected")
+        assert(r.isNullAt(r.fieldIndex("mean_r")))
+      } else {
+        assert(r.getAs[Boolean]("valid"))
+        val (w, h) = (4 + id % 5, 3 + id % 4)
+        assert(r.getAs[Long]("width") == w && r.getAs[Long]("height") == h)
+        // recompute the R mean from the same closed form the fixture
+        // encoded — the decoder must have recovered it from raw bytes
+        val n = w * h
+        val sr = (0L until n).map(p => (id * 31 + p * 7) % 256).sum
+        val want = BigDecimal(sr) / n
+        assert(math.abs(r.getAs[Double]("mean_r") -
+          want.setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+          s"doc $id mean_r")
+      }
+    }
+  }
+}
