@@ -404,6 +404,44 @@ object Relational extends QueryPack {
         graft.core.Exact.dround($"n_trans" / $"n_from", 4).as("p_next"))
   }
 
+  // --- q83: RFM user segmentation -------------------------------------------
+  /** Recency / frequency / monetary segmentation: per-user activity
+    * facts split HIGH/LOW at the interpolated median of each metric —
+    * the classic marketing-analytics cut, producing up to 8 segments
+    * with size and spend profile.
+    *
+    * Scale shape: user facts are one aggregation; the three medians
+    * form a 1-row table that broadcasts back (q35/q65's rule — never
+    * an ntile() window over an unpartitioned global sort, which pins
+    * every user on one reducer and is the canonical segmentation
+    * scale bug). Monetary sums ride DECIMAL(18,4); medians interpolate
+    * on exact values cast to double, identically in both engines.
+    */
+  def q83RfmSegments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val perUser = Tables.events(s, dir)
+      .groupBy($"user_id")
+      .agg(max(unix_micros($"ts")).as("recency_us"),
+        count(lit(1)).as("frequency"),
+        sum(when($"event_type" === "purchase",
+          $"value".cast(DecimalType(18, 4)))
+          .otherwise(lit(0).cast(DecimalType(18, 4)))).as("monetary"))
+      .withColumn("md", $"monetary".cast("double"))
+    val th = perUser.agg(
+      expr("percentile(recency_us, 0.5)").as("r50"),
+      expr("percentile(frequency, 0.5)").as("f50"),
+      expr("percentile(md, 0.5)").as("m50"))
+    perUser.crossJoin(broadcast(th))
+      .groupBy(($"recency_us" > $"r50").as("r_high"),
+        ($"frequency" > $"f50").as("f_high"),
+        ($"md" > $"m50").as("m_high"))
+      .agg(count(lit(1)).as("n_users"),
+        graft.core.Exact.dround(
+          sum($"monetary").cast("double") / count(lit(1)), 2)
+          .as("avg_monetary"))
+  }
+
   // --- q59: pivot (crosstab) with an explicit value list ------------------
   /** Daily event counts pivoted into one column per event type.
     * The value list is EXPLICIT: `pivot(col)` without values runs a
@@ -545,6 +583,7 @@ object Relational extends QueryPack {
     "q78_funnel"        -> (q78Funnel _),
     "q79_retention"     -> (q79Retention _),
     "q80_transitions"   -> (q80Transitions _),
+    "q83_rfm_segments"  -> (q83RfmSegments _),
     "q59_pivot"         -> (q59Pivot _),
     "q60_unpivot"       -> (q60Unpivot _),
     "q14_having_join"   -> (q14HavingJoin _),
@@ -708,6 +747,25 @@ object Relational extends QueryPack {
          |FROM u LEFT JOIN d1 USING (user_id) LEFT JOIN d2 USING (user_id)
          | LEFT JOIN d3 USING (user_id)
          |GROUP BY 1""".stripMargin,
+    "q83_rfm_segments" ->
+      """WITH pu AS (SELECT user_id, MAX(epoch_us(ts)) recency_us,
+        |  COUNT(*) frequency,
+        |  SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(value AS DECIMAL(18,4))
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS monetary
+        | FROM events GROUP BY 1),
+        |pud AS (SELECT user_id, recency_us, frequency, monetary,
+        |  CAST(monetary AS DOUBLE) md FROM pu),
+        |th AS (SELECT quantile_cont(recency_us, 0.5) r50,
+        |  quantile_cont(frequency, 0.5) f50,
+        |  quantile_cont(md, 0.5) m50 FROM pud)
+        |SELECT pud.recency_us > th.r50 AS r_high,
+        | pud.frequency > th.f50 AS f_high,
+        | pud.md > th.m50 AS m_high,
+        | COUNT(*) AS n_users,
+        | CAST(ROUND(CAST((CAST(SUM(monetary) AS DOUBLE) / COUNT(*))
+        |   AS DECIMAL(28,10)), 2) AS DOUBLE) AS avg_monetary
+        |FROM pud, th GROUP BY 1, 2, 3""".stripMargin,
     "q80_transitions" ->
       """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) us, event_type
         |  FROM events),

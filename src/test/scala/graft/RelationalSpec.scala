@@ -134,6 +134,31 @@ class RelationalSpec extends SparkTestBase {
     assert(rows.map(_.getAs[Long]("n_trans")).sum == nEvents - nUsers)
   }
 
+  test("q83: RFM segments partition users; median splits are near-even") {
+    val rows = Relational.q83RfmSegments(spark, sfDir).collect()
+    val ev = graft.core.Tables.events(spark, sfDir)
+    val nUsers = ev.select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum == nUsers,
+      "segments must partition the user base")
+    // a strict > split at the interpolated median puts at most half
+    // (plus interpolation slack) on the high side of each axis
+    for (axis <- Seq("r_high", "f_high", "m_high")) {
+      val high = rows.filter(_.getAs[Boolean](axis))
+        .map(_.getAs[Long]("n_users")).sum
+      assert(high <= nUsers / 2 + 1, s"$axis high=$high of $nUsers")
+      assert(high >= nUsers / 4, s"$axis split degenerate: $high")
+    }
+    // monetary-high segments outspend their low twins
+    val byKey = rows.map(r => (r.getAs[Boolean]("r_high"),
+      r.getAs[Boolean]("f_high"), r.getAs[Boolean]("m_high")) ->
+      r.getAs[Double]("avg_monetary")).toMap
+    byKey.keys.filter(_._3).foreach { k =>
+      byKey.get((k._1, k._2, false)).foreach { low =>
+        assert(byKey(k) > low, s"m_high segment $k must outspend $low")
+      }
+    }
+  }
+
   test("q79: cohort triangle invariants (offset-0 totals, no negatives)") {
     val rows = Relational.q79Retention(spark, sfDir).collect()
     assert(rows.nonEmpty)
