@@ -320,18 +320,32 @@ object Relational extends QueryPack {
     * spelling shuffles events k times and fans out per-user pairs —
     * the oracle uses it precisely because it is independently
     * derived), no window function. Timestamps fold as epoch-micros
-    * integers (engine-parity exact, q53's rule); the tie sort
-    * (us, event_type) processes clicks before same-instant views, so
-    * every processed view is strictly earlier than the click under
-    * evaluation — matching the oracle's strict inequality.
+    * integers (engine-parity exact, q53's rule); same-instant ties
+    * fold purchase → click → view so each step is judged against
+    * strictly earlier predecessors only, matching the oracle's strict
+    * inequalities.
     */
-  def q78Funnel(s: SparkSession, dir: String): DataFrame = {
+  /** Per-user deepest funnel depth over (user_id, us, event_type) rows
+    * — the greedy fold as library surface (the property spec drives it
+    * with generated frames; q78 with the events table).
+    */
+  def funnelDepths(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
     import s.implicits._
-    Tables.events(s, dir)
+    ev
       .filter($"event_type".isin("view", "click", "purchase"))
-      .select($"user_id", unix_micros($"ts").as("us"), $"event_type")
+      // tie rank: same-instant events fold in purchase → click → view
+      // order, so every step is evaluated against STRICTLY earlier
+      // predecessors only — a same-us click must not overwrite the
+      // qualifying-click marker before the purchase is judged (caught
+      // by FoldPropertiesSpec's randomized tie cases), and a same-us
+      // view must not become a click's predecessor
+      .withColumn("trk",
+        when($"event_type" === "purchase", 0)
+          .when($"event_type" === "click", 1).otherwise(2))
       .groupBy($"user_id")
-      .agg(sort_array(collect_list(struct($"us", $"event_type"))).as("evs"))
+      .agg(sort_array(collect_list(
+        struct($"us", $"trk", $"event_type"))).as("evs"))
       .withColumn("funnel_depth", expr(
         s"""aggregate(evs,
            | named_struct('d', 0, 'tv', CAST(-1 AS BIGINT), 'tc', CAST(-1 AS BIGINT)),
@@ -345,6 +359,13 @@ object Relational extends QueryPack {
            |       AND e.us > acc.tc AND e.us - acc.tc <= ${FunnelWindowUs}L
            |     THEN named_struct('d', 3, 'tv', acc.tv, 'tc', acc.tc)
            |   ELSE acc END).d""".stripMargin))
+      .select($"user_id", $"funnel_depth")
+  }
+
+  def q78Funnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    funnelDepths(Tables.events(s, dir)
+      .select($"user_id", unix_micros($"ts").as("us"), $"event_type"))
       .groupBy($"funnel_depth")
       .agg(count(lit(1)).as("n_users"))
   }

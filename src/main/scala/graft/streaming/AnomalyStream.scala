@@ -116,8 +116,14 @@ object AnomalyStream {
         (uid: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
           var st = state.getOption.getOrElse(FunnelState(0, -1L, -1L))
           val hits = scala.collection.mutable.ArrayBuffer.empty[FunnelHit]
+          // same-instant ties process purchase → click → view (the
+          // batch fold's tie rank): each step must only see STRICTLY
+          // earlier predecessors, or a same-us click overwrites the
+          // marker a same-us purchase should have matched against
+          def rank(t: String) =
+            if (t == "purchase") 0 else if (t == "click") 1 else 2
           rows.toSeq
-            .sortBy(e => (micros(e.ts), e.event_type, e.event_id))
+            .sortBy(e => (micros(e.ts), rank(e.event_type), e.event_id))
             .foreach { e =>
               val us = micros(e.ts)
               e.event_type match {
