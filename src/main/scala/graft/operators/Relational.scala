@@ -282,20 +282,32 @@ object Relational extends QueryPack {
     * is exact. Ordering ties break on event_id (unique), making lag()
     * deterministic under any partitioning.
     */
-  def q53Sessionize(s: SparkSession, dir: String): DataFrame = {
+  /** Gap-based sessions over (user_id, event_id, us, value) rows —
+    * library surface (the property spec drives it with generated
+    * frames and exact-boundary gaps; q53 with the events table). A
+    * silence STRICTLY longer than gapUs opens a new session.
+    */
+  def sessionize(ev: DataFrame, gapUs: Long = 1800000000L): DataFrame = {
+    val s = ev.sparkSession
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(s, dir)
-      .select($"user_id", $"event_id", unix_micros($"ts").as("us"), $"value")
+    ev
       .withColumn("opener",
         when(lag($"us", 1).over(w).isNull ||
-          $"us" - lag($"us", 1).over(w) > 1800000000L, 1).otherwise(0))
+          $"us" - lag($"us", 1).over(w) > gapUs, 1).otherwise(0))
       .withColumn("sid", sum($"opener").over(wRun))
       .groupBy($"user_id", $"sid")
       .agg(min($"us").as("start_us"), max($"us").as("end_us"),
         count(lit(1)).as("n_events"), dsum($"value").as("total_value"))
+  }
+
+  def q53Sessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    sessionize(Tables.events(s, dir)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"),
+        $"value"))
   }
 
   // --- q78: funnel analysis (view → click → purchase) ----------------------

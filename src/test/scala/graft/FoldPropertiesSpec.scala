@@ -65,6 +65,81 @@ class FoldPropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("sessionize: session structure matches a direct gap scan over " +
+    "200 random users, including exact-boundary gaps") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val gap = 1800000000L
+    // inter-event deltas cluster AT the gap (== must NOT split; +1 must)
+    val rows = (1 to 200).flatMap { uid =>
+      var us = rnd.nextInt(1000).toLong
+      (1 to 1 + rnd.nextInt(10)).map { i =>
+        us += (rnd.nextInt(4) match {
+          case 0 => gap          // boundary: same session
+          case 1 => gap + 1L     // opener
+          case 2 => 0L           // same-instant tie
+          case _ => rnd.nextInt(1000).toLong
+        })
+        (uid.toLong, (uid * 1000L + i), us, 1.0)
+      }
+    }
+    val got = Relational.sessionize(
+      rows.toDF("user_id", "event_id", "us", "value"))
+      .collect()
+      .groupBy(_.getAs[Long]("user_id"))
+      .view.mapValues(_.map(r => (r.getAs[Long]("start_us"),
+        r.getAs[Long]("end_us"), r.getAs[Long]("n_events"))).sorted.toSeq)
+      .toMap
+    rows.groupBy(_._1).foreach { case (uid, evs) =>
+      val times = evs.map(_._3).sorted
+      val sessions = times.tail.foldLeft(List(List(times.head))) {
+        case (acc @ cur :: rest, t) =>
+          if (t - cur.head > gap) List(t) :: acc
+          else (t :: cur) :: rest
+        case (Nil, t) => List(List(t))
+      }.map(s => (s.min, s.max, s.size.toLong)).sorted
+      assert(got(uid) == sessions, s"user $uid: ${got(uid)} vs $sessions")
+    }
+  }
+
+  test("corpus repetition fractions: match direct counts over 300 random " +
+    "token lists (0..8 tokens, 3-token alphabet)") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val rnd = new scala.util.Random(31)
+    val alpha = Array("aa", "bb", "cc")
+    val docs = (1 to 300).map { id =>
+      val toks = Array.fill(rnd.nextInt(9))(alpha(rnd.nextInt(3)))
+      (id.toLong, toks.mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+      .withColumn(
+        "n_chars", org.apache.spark.sql.functions.length($"text"))
+    val got = TextAnalysis.corpusFilterCols(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("top_word_frac"),
+          r.getAs[Double]("top_bigram_frac"),
+          r.getAs[Double]("dup_trigram_frac")))).toMap
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ", -1).toSeq // "" splits to Seq("")
+      val bg = toks.sliding(2).filter(_.length == 2)
+        .map(_.mkString(" ")).toSeq
+      val tg = toks.sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSeq
+      val rw = r4(toks.groupBy(identity).values.map(_.size).max.toDouble /
+        toks.size)
+      val rb = if (bg.isEmpty) 0.0
+        else r4(bg.groupBy(identity).values.map(_.size).max.toDouble /
+          bg.size)
+      val rt = if (tg.isEmpty) 0.0
+        else r4((tg.size - tg.distinct.size).toDouble / tg.size)
+      assert(got(id) == ((rw, rb, rt)),
+        s"doc $id '$text': ${got(id)} vs ${(rw, rb, rt)}")
+    }
+  }
+
   test("canonical selection: argmax property over 100 random clusters") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
