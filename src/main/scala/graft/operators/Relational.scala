@@ -475,6 +475,70 @@ object Relational extends QueryPack {
           .as("avg_monetary"))
   }
 
+  // --- q84: full-outer reconciliation across tables -------------------------
+  /** Calendar-day activity profile: order totals (TPC-H orders) vs
+    * purchase-event totals (events) per day-of-month, FULL OUTER so
+    * days present on only one side survive with a status tag — the
+    * reconciliation/consistency-report join family (inner/semi/anti/
+    * range/as-of are elsewhere; this completes full outer + null
+    * coalescing semantics).
+    *
+    * Scale shape: both sides pre-aggregate to ≤31 rows BEFORE the
+    * join — the join itself is trivially broadcastable at any source
+    * size, so the full outer never shuffles raw facts against each
+    * other. Money stays DECIMAL(18,4).
+    */
+  def q84Reconcile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+      .groupBy(dayofmonth($"o_orderdate").cast("long").as("dom"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum($"o_totalprice").as("order_total"))
+    val e = Tables.events(s, dir)
+      .filter($"event_type" === "purchase")
+      .groupBy(dayofmonth($"ts").cast("long").as("dom"))
+      .agg(count(lit(1)).as("n_purchases"),
+        dsum($"value").as("purchase_total"))
+    o.join(e, Seq("dom"), "full_outer")
+      .select($"dom",
+        when($"n_orders".isNotNull && $"n_purchases".isNotNull, "both")
+          .when($"n_orders".isNotNull, "orders_only")
+          .otherwise("events_only").as("status"),
+        coalesce($"n_orders", lit(0L)).as("n_orders"),
+        coalesce($"order_total", lit(0.0)).as("order_total"),
+        coalesce($"n_purchases", lit(0L)).as("n_purchases"),
+        coalesce($"purchase_total", lit(0.0)).as("purchase_total"))
+  }
+
+  // --- q85: trailing time-RANGE window (per-user hourly rate) --------------
+  /** Trailing one-hour activity per (event_type, user): RANGE frame
+    * over epoch-micros — value-based bounds, so same-instant peers
+    * enter the frame together and no tie-break is needed (the rows-
+    * frame family is q34). The per-user rate surface behind
+    * rate-limiting and bot screens.
+    *
+    * Scale shape: the window partitions on (event_type, user_id) —
+    * plentiful keys, so no reducer owns a whole event type (partition
+    * by type alone is the canonical skew bug for low-cardinality
+    * demographics). Frame sums stay DECIMAL.
+    */
+  def q85TrailingRange(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy($"event_type", $"user_id").orderBy($"us")
+      .rangeBetween(-3600000000L, 0L)
+    Tables.events(s, dir)
+      .select($"event_id", $"event_type", $"user_id",
+        unix_micros($"ts").as("us"),
+        $"value".cast(DecimalType(18, 4)).as("v"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h", sum($"v").over(w))
+      .select($"event_id", $"event_type", $"user_id", $"n_1h",
+        graft.core.Exact.dround(
+          $"sum_1h".cast("double") / $"n_1h", 4).as("avg_1h"))
+  }
+
   // --- q59: pivot (crosstab) with an explicit value list ------------------
   /** Daily event counts pivoted into one column per event type.
     * The value list is EXPLICIT: `pivot(col)` without values runs a
@@ -617,6 +681,8 @@ object Relational extends QueryPack {
     "q79_retention"     -> (q79Retention _),
     "q80_transitions"   -> (q80Transitions _),
     "q83_rfm_segments"  -> (q83RfmSegments _),
+    "q84_reconcile"     -> (q84Reconcile _),
+    "q85_trailing_range" -> (q85TrailingRange _),
     "q59_pivot"         -> (q59Pivot _),
     "q60_unpivot"       -> (q60Unpivot _),
     "q14_having_join"   -> (q14HavingJoin _),
@@ -780,6 +846,35 @@ object Relational extends QueryPack {
          |FROM u LEFT JOIN d1 USING (user_id) LEFT JOIN d2 USING (user_id)
          | LEFT JOIN d3 USING (user_id)
          |GROUP BY 1""".stripMargin,
+    "q84_reconcile" ->
+      """WITH o AS (SELECT date_part('day', o_orderdate) AS dom,
+        |  COUNT(*) n_orders,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |    order_total
+        | FROM orders GROUP BY 1),
+        |e AS (SELECT date_part('day', ts) AS dom, COUNT(*) n_purchases,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |    purchase_total
+        | FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT COALESCE(o.dom, e.dom) AS dom,
+        | CASE WHEN o.dom IS NOT NULL AND e.dom IS NOT NULL THEN 'both'
+        |      WHEN o.dom IS NOT NULL THEN 'orders_only'
+        |      ELSE 'events_only' END AS status,
+        | COALESCE(n_orders, 0) AS n_orders,
+        | COALESCE(order_total, 0.0) AS order_total,
+        | COALESCE(n_purchases, 0) AS n_purchases,
+        | COALESCE(purchase_total, 0.0) AS purchase_total
+        |FROM o FULL OUTER JOIN e ON o.dom = e.dom""".stripMargin,
+    "q85_trailing_range" ->
+      """WITH ev AS (SELECT event_id, event_type, user_id, epoch_us(ts) us,
+        |  CAST(value AS DECIMAL(18,4)) v FROM events)
+        |SELECT event_id, event_type, user_id,
+        | COUNT(*) OVER w AS n_1h,
+        | CAST(ROUND(CAST((CAST(SUM(v) OVER w AS DOUBLE) / (COUNT(*) OVER w))
+        |   AS DECIMAL(28,10)), 4) AS DOUBLE) AS avg_1h
+        |FROM ev
+        |WINDOW w AS (PARTITION BY event_type, user_id ORDER BY us
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q83_rfm_segments" ->
       """WITH pu AS (SELECT user_id, MAX(epoch_us(ts)) recency_us,
         |  COUNT(*) frequency,

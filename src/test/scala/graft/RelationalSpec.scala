@@ -159,6 +159,52 @@ class RelationalSpec extends SparkTestBase {
     }
   }
 
+  test("q84: full outer keeps every day from either side; counts conserve") {
+    import org.apache.spark.sql.functions.{col, dayofmonth}
+    val rows = Relational.q84Reconcile(spark, sfDir).collect()
+    val o = graft.core.Tables.orders(spark, sfDir)
+    val e = graft.core.Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+    val oDays = o.select(dayofmonth(col("o_orderdate")).cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val eDays = e.select(dayofmonth(col("ts")).cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getAs[Long]("dom")).toSet == (oDays ++ eDays))
+    rows.foreach { r =>
+      val expected =
+        (oDays(r.getAs[Long]("dom")), eDays(r.getAs[Long]("dom"))) match {
+          case (true, true) => "both"
+          case (true, false) => "orders_only"
+          case _ => "events_only"
+        }
+      assert(r.getAs[String]("status") == expected, r.toString)
+    }
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == o.count())
+    assert(rows.map(_.getAs[Long]("n_purchases")).sum == e.count())
+  }
+
+  test("q85: trailing-hour RANGE frame matches a direct scan per key") {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val rows = Relational.q85TrailingRange(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // direct recompute: for each event, count events of the same
+    // (type, user) with us in [us - 1h, us] — value-based, ties included
+    val evs = graft.core.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("user_id"),
+        unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[String]("event_type"),
+        r.getAs[Long]("user_id"), r.getAs[Long]("us")))
+    val byKey = evs.groupBy(e => (e._2, e._3))
+    val want = evs.map { case (id, t, u, us) =>
+      id -> byKey((t, u)).count(o => o._4 <= us && o._4 >= us - 3600000000L)
+    }.toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_1h") ==
+        want(r.getAs[Long]("event_id")).toLong, r.toString)
+    }
+  }
+
   test("q79: cohort triangle invariants (offset-0 totals, no negatives)") {
     val rows = Relational.q79Retention(spark, sfDir).collect()
     assert(rows.nonEmpty)
