@@ -146,6 +146,45 @@ object AnomalyStream {
       }
   }
 
+  case class LangTok(lang: String, tok: String)
+  case class HeavyHit(lang: String, seen: Long, rank: Long, tok: String,
+      cnt: Long)
+
+  /** Streaming heavy hitters per language: the SAME mergeable
+    * Misra–Gries sketch the batch aggregates ride (q58/q64,
+    * [[org.apache.spark.sql.graft.FreqItemsBuffer]]) carried as keyed
+    * stream state — bounded `capacity` counters per key regardless of
+    * stream length. Each micro-batch folds its tokens into the sketch
+    * (sorted first, so replays reproduce byte-identical snapshots) and
+    * emits the current top-`topK` tagged with `seen` (tokens absorbed
+    * so far), so consumers read the latest snapshot per key as
+    * max-seen. The MG undercount bound (true − sketch ≤
+    * seen/(capacity+1)) holds across batches because state restore is
+    * exactly the aggregate's addRaw merge.
+    */
+  def heavyHittersStream(toks: Dataset[LangTok], capacity: Int = 64,
+      topK: Int = 10): Dataset[HeavyHit] = {
+    import toks.sparkSession.implicits._
+    toks.groupByKey(_.lang)
+      .flatMapGroupsWithState[(Map[String, Long], Long), HeavyHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (lang, rows, state) =>
+          val (saved, seen0) = state.getOption.getOrElse(
+            (Map.empty[String, Long], 0L))
+          val buf = new org.apache.spark.sql.graft.FreqItemsBuffer(capacity)
+          saved.foreach { case (t, c) => buf.addRaw(t, c) }
+          buf.trim()
+          val batch = rows.map(_.tok).toSeq.sorted
+          batch.foreach(buf.add(_, 1L))
+          val seen = seen0 + batch.size
+          state.update((buf.counters.toMap, seen))
+          buf.counters.toSeq
+            .sortBy { case (t, c) => (-c, t) }
+            .take(topK).zipWithIndex.iterator
+            .map { case ((t, c), i) => HeavyHit(lang, seen, i + 1L, t, c) }
+      }
+  }
+
   case class Ewma(mean: Double, varEst: Double, n: Long) {
     def add(x: Double, alpha: Double): Ewma = {
       if (n == 0) Ewma(x, 0.0, 1)

@@ -367,6 +367,55 @@ class StreamingSpec extends SparkTestBase {
       s"batch scorer ($flagged) and exact-arithmetic q32 ($q32) must agree")
   }
 
+  test("streaming heavy hitters: exact in the sub-capacity regime, " +
+    "MG undercount bound under pressure, state merges across batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.streaming.AnomalyStream
+    import AnomalyStream.{HeavyHit, LangTok}
+    val rnd = new scala.util.Random(5)
+    val vocabEn = Array("aa", "bb", "cc", "dd", "ee", "ff")
+    val batch1 = (1 to 300).map(_ => LangTok("en", vocabEn(rnd.nextInt(3))))
+    val batch2 = (1 to 300).map(_ => LangTok("en", vocabEn(rnd.nextInt(6))))
+
+    // capacity far above distinct tokens → sketch is EXACT
+    val inExact = MemoryStream[LangTok]
+    val qe = AnomalyStream.heavyHittersStream(inExact.toDS(), 64, 10)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("hh_exact").start()
+    try {
+      inExact.addData(batch1); qe.processAllAvailable()
+      inExact.addData(batch2); qe.processAllAvailable()
+      val snaps = spark.table("hh_exact").as[HeavyHit].collect()
+      val last = snaps.filter(_.seen == snaps.map(_.seen).max)
+      val truth = (batch1 ++ batch2).groupBy(_.tok)
+        .view.mapValues(_.size.toLong).toMap
+      last.foreach(h => assert(h.cnt == truth(h.tok),
+        s"${h.tok}: ${h.cnt} != ${truth(h.tok)}"))
+      assert(last.map(_.tok).toSet ==
+        truth.toSeq.sortBy { case (t, c) => (-c, t) }.take(10)
+          .map(_._1).toSet)
+    } finally qe.stop()
+
+    // capacity 2 under 6 distinct → undercount bounded by seen/(cap+1)
+    val inTight = MemoryStream[LangTok]
+    val qt = AnomalyStream.heavyHittersStream(inTight.toDS(), 2, 2)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("hh_tight").start()
+    try {
+      inTight.addData(batch1); qt.processAllAvailable()
+      inTight.addData(batch2); qt.processAllAvailable()
+      val snaps = spark.table("hh_tight").as[HeavyHit].collect()
+      val seen = snaps.map(_.seen).max
+      val truth = (batch1 ++ batch2).groupBy(_.tok)
+        .view.mapValues(_.size.toLong).toMap
+      snaps.filter(_.seen == seen).foreach { h =>
+        assert(truth(h.tok) - h.cnt <= seen / 3,
+          s"${h.tok}: undercount ${truth(h.tok) - h.cnt} > ${seen / 3}")
+      }
+    } finally spark.streams.active.foreach(_.stop())
+  }
+
   test("streaming funnel: depth transitions fire once, state survives " +
     "micro-batch boundaries, window abandons stall") {
     import spark.implicits._
