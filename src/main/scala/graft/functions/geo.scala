@@ -151,6 +151,28 @@ object geo {
     },
   )
 
+  /** Implementing expression class per SQL function — catalog metadata
+    * (`DESCRIBE FUNCTION`) must name the real class, not the package
+    * (the one-registry refactor had collapsed every entry to the
+    * package string).
+    */
+  private[functions] val sqlFunctionClasses: Map[String, String] = Map(
+    "geohash_encode" -> classOf[GeohashEncodeExpr].getName,
+    "geohash_decode" -> classOf[GeohashDecodeExpr].getName,
+    "geohash_approx_distance" -> classOf[GeohashApproxDistanceExpr].getName,
+    "haversine_km" -> classOf[HaversineKmExpr].getName,
+    "dot_product" -> classOf[DotProductExpr].getName,
+    "md5_prefix60" -> classOf[Md5Prefix60Expr].getName,
+    "nfc_normalize" -> classOf[NfcNormalizeExpr].getName,
+    "freq_items" -> classOf[org.apache.spark.sql.graft.FreqItemsAggregate].getName,
+    "top_k_by" -> classOf[org.apache.spark.sql.graft.TopKByAggregate].getName,
+    "bloom_agg" -> classOf[org.apache.spark.sql.graft.BloomFilterAggregate].getName,
+    "might_contain" -> classOf[org.apache.spark.sql.graft.MightContainExpr].getName,
+    "gram_hashes" -> classOf[org.apache.spark.sql.graft.GramHashesExpr].getName,
+    "token_shingle_hashes" -> classOf[org.apache.spark.sql.graft.TokenShingleHashesExpr].getName,
+    "winnow_stats" -> classOf[org.apache.spark.sql.graft.WinnowStatsExpr].getName,
+  )
+
   /** Imperative registration for sessions not built with
     * [[GraftExtensions]] (e.g. the driver-owned Verify session).
     * Idempotent.
@@ -179,7 +201,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // analyzer wraps a bare AggregateFunction from a builder)
     geo.sqlFunctions.foreach { case (name, builder) =>
       e.injectFunction((FunctionIdentifier(name),
-        new ExpressionInfo("graft.functions", name), builder))
+        new ExpressionInfo(
+          geo.sqlFunctionClasses.getOrElse(name, "graft.functions"), name),
+        builder))
     }
   }
 }

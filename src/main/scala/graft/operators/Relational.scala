@@ -247,12 +247,17 @@ object Relational extends QueryPack {
   def q71ResampleFfill(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
+    // one raw-events scan total: the hourly grid is cached (it is
+    // time-span-bounded, tiny at any volume) and the spine's bounds
+    // and distinct types derive from IT — min/max over the grid's
+    // truncated hours equal the truncation of the raw min/max, and the
+    // uncached spelling re-ran the full scan three times (bounds,
+    // distinct, final join)
     val b = Tables.events(s, dir)
       .groupBy($"event_type", date_trunc("hour", $"ts").as("h"))
       .agg(davg($"value", 2).as("v"), count(lit(1)).as("n_events"))
-    val bounds = Tables.events(s, dir)
-      .agg(date_trunc("hour", min($"ts")).as("lo"),
-        date_trunc("hour", max($"ts")).as("hi"))
+      .cache()
+    val bounds = b.agg(min($"h").as("lo"), max($"h").as("hi"))
     val spine = b.select($"event_type").distinct()
       .crossJoin(broadcast(bounds))
       .select($"event_type",

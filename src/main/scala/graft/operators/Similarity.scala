@@ -114,10 +114,15 @@ object Similarity extends QueryPack {
     * poison an ANN index or a mixture.
     *
     * Scale + determinism shape: centroids come from ONE posexplode +
-    * (label, dim) aggregation whose per-element values are snapped to
-    * DECIMAL(18,6) first — double partial sums are partition-order-
-    * dependent, decimal sums are exact/associative (q30's rule), so
-    * both engines build bit-identical centroids. The centroid table is
+    * (label, dim) aggregation whose per-element values snap to
+    * BINARY-scaled integers first: round(v · 2^20) is EXACT for any
+    * float (24-bit mantissa × 2^20 stays inside a double, and dyadic
+    * halves round identically under Spark's HALF_UP and DuckDB's
+    * half-away-from-zero), so integer sums are exact/associative and
+    * both engines build bit-identical centroids. A DECIMAL snap of a
+    * float is NOT safe here — Spark casts through the shortest-string
+    * double repr while DuckDB rounds the exact binary expansion, and
+    * repr-boundary elements would snap differently. The centroid table is
     * |labels| × dim — always broadcastable. Distance is computed
     * per-row as x·x − 2·x·c + c·c with the codegen'd sequential dot
     * (bit-parity with DuckDB's list_dot_product); the top-10 rides
@@ -125,13 +130,12 @@ object Similarity extends QueryPack {
     */
   def q77EmbeddingOutliers(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.types.DecimalType
     val emb = Tables.embeddings(s, dir)
     val cent = emb
       .select($"label", posexplode(vec($"embedding")))
-      .withColumn("v", $"col".cast(DecimalType(18, 6)))
+      .withColumn("v", round($"col" * 1048576.0).cast("long"))
       .groupBy($"label", $"pos")
-      .agg((sum($"v").cast("double") / count(lit(1))).as("c"))
+      .agg((sum($"v").cast("double") / (count(lit(1)) * 1048576.0)).as("c"))
       .groupBy($"label")
       .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
         x => x.getField("c")).as("cvec"))
@@ -283,13 +287,15 @@ object Similarity extends QueryPack {
 
   override def oracleSql: Map[String, String] = Map(
     "q77_embedding_outliers" ->
-      // dim fixed at 64 in every SF (generator contract); element
-      // values snap to DECIMAL(18,6) before the centroid sum so both
-      // engines average identical exact values
+      // dim fixed at 64 in every SF (generator contract); elements
+      // snap to round(v * 2^20) — exact in a double for any float, and
+      // dyadic halves round the same way in both engines — so the
+      // integer centroid sums are bit-identical
       s"""WITH ex AS (SELECT vec_id, label, i,
-         |  CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,6)) AS v
+         |  CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1048576.0) AS BIGINT) AS v
          | FROM embeddings, generate_series(1, 64) g(i)),
-         |cent AS (SELECT label, i, CAST(SUM(v) AS DOUBLE) / COUNT(*) AS c
+         |cent AS (SELECT label, i,
+         |  CAST(SUM(v) AS DOUBLE) / (COUNT(*) * 1048576.0) AS c
          | FROM ex GROUP BY 1, 2),
          |carr AS (SELECT label, list(c ORDER BY i) AS cvec FROM cent GROUP BY 1),
          |d AS (SELECT e.vec_id, e.label,

@@ -308,8 +308,11 @@ object TextAnalysis extends QueryPack {
           $"doc_id" % 256, lit(".0.42 today"))).otherwise(lit(""))))
       .select($"doc_id",
         Pii.countEmails($"t").cast("long").as("n_emails"),
-        Pii.countPhones($"t").cast("long").as("n_phones"),
-        Pii.countIpv4($"t").cast("long").as("n_ips"),
+        // staged counts = spans the redaction chain actually masks
+        // (a digit run inside an email local-part is [EMAIL], never a
+        // phone — counting the raw text would disagree with `redacted`)
+        Pii.countPhonesAfterEmails($"t").cast("long").as("n_phones"),
+        Pii.countIpv4AfterPhones($"t").cast("long").as("n_ips"),
         Pii.redact($"t").as("redacted"))
   }
 
@@ -400,10 +403,13 @@ object TextAnalysis extends QueryPack {
     * crawl is one host) pins its whole partition on one reducer. This
     * instead rides [[TopKByAggregate]]: bounded K-entry heaps, map-side
     * partials, one aggregate exchange, no full sort anywhere. ord is
-    * the NEGATED 60-bit md5 prefix as double — heap keeps "largest
-    * ord" = smallest md5; neighbor gaps at any plausible corpus size
-    * dwarf the 2^8 ulp at 2^60, so the double round-trip cannot reorder
-    * (the oracle ranks by the same exact BIGINT prefix).
+    * the NEGATED 48-bit md5 prefix (the 60-bit value shifted right 12)
+    * as double — heap keeps "largest ord" = smallest md5, and 48-bit
+    * integers are EXACT in a double (< 2^53), so the round-trip can
+    * never reorder at any corpus size (a 60-bit prefix has 2^8-ulp
+    * collisions at ~10^8 docs/source). The payload is the doc_id
+    * zero-padded to 20 digits so the heap's lexicographic tie-break
+    * equals the oracle's numeric one on 48-bit prefix collisions.
     */
   def q68DomainCap(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -413,8 +419,9 @@ object TextAnalysis extends QueryPack {
     val K = 15
     Tables.documents(s, dir)
       .select($"source",
-        (-md5_prefix60($"doc_id".cast("string"))).cast("double").as("ord"),
-        $"doc_id".cast("string").as("payload"))
+        (-shiftright(md5_prefix60($"doc_id".cast("string")), 12))
+          .cast("double").as("ord"),
+        lpad($"doc_id".cast("string"), 20, "0").as("payload"))
       .groupBy($"source")
       .agg(top_k_by($"ord", $"payload", K).as("keep"))
       .select($"source", posexplode($"keep"))
@@ -841,15 +848,18 @@ object TextAnalysis extends QueryPack {
         | || CASE WHEN doc_id % 5 = 0 THEN ' from host 10.'
         |      || (doc_id % 256) || '.0.42 today' ELSE '' END AS t
         | FROM documents)
+        |, staged AS (SELECT doc_id, t,
+        |  regexp_replace(t, '${Pii.EmailRe}', '[EMAIL]', 'g') AS t1
+        | FROM c),
+        |staged2 AS (SELECT doc_id, t, t1,
+        |  regexp_replace(t1, '${Pii.PhoneRe}', '[PHONE]', 'g') AS t2
+        | FROM staged)
         |SELECT doc_id,
         | CAST(len(regexp_extract_all(t, '${Pii.EmailRe}')) AS BIGINT) AS n_emails,
-        | CAST(len(regexp_extract_all(t, '${Pii.PhoneRe}')) AS BIGINT) AS n_phones,
-        | CAST(len(regexp_extract_all(t, '${Pii.Ipv4Re}')) AS BIGINT) AS n_ips,
-        | regexp_replace(regexp_replace(regexp_replace(t,
-        |   '${Pii.EmailRe}', '[EMAIL]', 'g'),
-        |   '${Pii.PhoneRe}', '[PHONE]', 'g'),
-        |   '${Pii.Ipv4Re}', '[IP]', 'g') AS redacted
-        |FROM c""".stripMargin
+        | CAST(len(regexp_extract_all(t1, '${Pii.PhoneRe}')) AS BIGINT) AS n_phones,
+        | CAST(len(regexp_extract_all(t2, '${Pii.Ipv4Re}')) AS BIGINT) AS n_ips,
+        | regexp_replace(t2, '${Pii.Ipv4Re}', '[IP]', 'g') AS redacted
+        |FROM staged2""".stripMargin
     },
     "q64_heavy_weighted" ->
       // exact weighted sums — valid against the sketch because 5
@@ -885,11 +895,13 @@ object TextAnalysis extends QueryPack {
         | CAST(LEAST(64, nw - i + 1) AS BIGINT) AS chunk_tokens
         |FROM st""".stripMargin,
     "q68_domain_cap" ->
-      // ranks by the same exact 60-bit md5 prefix the engine's heap
-      // orders on (negated there, so its top-K = smallest prefixes)
+      // ranks by the same exact 48-bit md5 prefix (12 hex chars) the
+      // engine's heap orders on (negated there, so its top-K =
+      // smallest prefixes), ties by numeric doc_id = the zero-padded
+      // payload's lexicographic order
       """WITH r AS (SELECT source, doc_id,
         |  ROW_NUMBER() OVER (PARTITION BY source
-        |    ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |    ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
         |      AS BIGINT), doc_id) AS rk
         | FROM documents)
         |SELECT source, CAST(rk AS BIGINT) AS rank, doc_id

@@ -43,7 +43,11 @@ object Ppm {
     // exactly ONE whitespace byte separates the header from the raster
     if (pos >= bytes.length || !isWs(bytes(pos))) return None
     pos += 1
-    if (bytes.length - pos != w * h * 3) return None
+    // size check in Long: 9-digit dims overflow Int (w*h*3 can wrap to
+    // a small positive that matches a crafted payload, re-entering the
+    // raster loop with bogus dims — or off a 3-byte stride, indexing
+    // past the array in violation of the never-throw contract)
+    if ((bytes.length - pos).toLong != w.toLong * h * 3L) return None
     var (sr, sg, sb) = (0L, 0L, 0L)
     var p = pos
     while (p < bytes.length) {

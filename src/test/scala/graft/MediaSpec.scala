@@ -33,6 +33,15 @@ class MediaSpec extends SparkTestBase {
     assert(Ppm.decode(ppm(2, 2, Array.fill(12)(7))
       .map(b => if (b == '2') '0'.toByte else b)).isEmpty) // zero dims
     assert(Ppm.decode("P6\n2 2\n254\nxxxxxxxxxxxx".getBytes).isEmpty)
+    // crafted 9-digit dims whose w*h*3 overflows Int to a small
+    // positive matching the payload length — must reject, not decode
+    // garbage or index out of bounds
+    val crafted = ("P6\n715827891 12\n255\n".getBytes("US-ASCII").toSeq ++
+      Array.fill(300)(7.toByte)).toArray
+    assert(Ppm.decode(crafted).isEmpty)
+    val crafted2 = ("P6\n955630224 3\n255\n".getBytes("US-ASCII").toSeq ++
+      Array.fill(16)(7.toByte)).toArray
+    assert(Ppm.decode(crafted2).isEmpty)
   }
 
   test("q82: decoded metrics match the closed-form raster; corrupt rows flagged") {

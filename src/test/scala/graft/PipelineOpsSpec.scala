@@ -306,6 +306,28 @@ class PipelineOpsSpec extends SparkTestBase {
       s"unexpected redaction: $redacted")
   }
 
+  test("pii staged counts: digit runs inside an email local-part are " +
+    "the email's, never a phone (counts agree with redaction)") {
+    import spark.implicits._
+    import graft.ops.text.Pii
+    // the raw PhoneRe WOULD match the 8-digit run inside the
+    // local-part; the staged count must not, and redact() must emit
+    // [EMAIL] with zero [PHONE]
+    val r = Seq("contact u12345678@mail.example.com and 1.2.3.4@x.org now")
+      .toDF("t")
+      .select(Pii.countEmails($"t").cast("long"),
+        Pii.countPhonesAfterEmails($"t").cast("long"),
+        Pii.countIpv4AfterPhones($"t").cast("long"),
+        Pii.countPhones($"t").cast("long"),
+        Pii.redact($"t")).head()
+    assert(r.getLong(0) == 2L)
+    assert(r.getLong(1) == 0L, "local-part digits counted as phone")
+    assert(r.getLong(2) == 0L, "local-part quad counted as IP")
+    assert(r.getLong(3) == 1L, "raw count should still see the span " +
+      "(guards the regression test itself)")
+    assert(r.getString(4) == "contact [EMAIL] and [EMAIL] now")
+  }
+
   test("freq_items weighted: exact weighted counts under capacity; " +
     "undercount bound over total weight when over capacity") {
     import spark.implicits._
