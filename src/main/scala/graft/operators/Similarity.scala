@@ -60,15 +60,24 @@ object Similarity extends QueryPack {
   // --- q30: sign-LSH bucket statistics (the ANN scale path) --------------
   def q30LshBuckets(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // norm snapped to DECIMAL(18,6) before summing: double partial sums
-    // are partition-order-dependent, decimal sums are exact/associative
+    // norm snapped to round(norm * 2^20) — an integer, exact in a
+    // double — before summing: double partial sums are partition-
+    // order-dependent, integer sums are exact/associative. Integer
+    // granularity is also the cross-engine-safe rounding (x.5
+    // boundaries are representable doubles, so Spark's shortest-repr
+    // HALF_UP and DuckDB's exact-binary round agree); a DECIMAL snap
+    // of a double can flip at fraction boundaries the two engines
+    // place on opposite sides (q77's rule).
     Tables.embeddings(s, dir)
       .withColumn("bucket", signBucket($"embedding"))
-      .withColumn("norm", sqrt(dot(vec($"embedding"), vec($"embedding")))
-        .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+      .withColumn("normq",
+        round(sqrt(dot(vec($"embedding"), vec($"embedding"))) * 1048576.0)
+          .cast("long"))
       .groupBy($"bucket")
       .agg(count(lit(1)).as("n"),
-        round(sum($"norm").cast("double") / count(lit(1)), 4).as("avg_norm"))
+        graft.core.Exact.dround(
+          sum($"normq").cast("double") / (count(lit(1)) * 1048576.0), 4)
+          .as("avg_norm"))
       .filter($"n" >= 3)
   }
 
@@ -319,8 +328,9 @@ object Similarity extends QueryPack {
          | e.vec_id ASC LIMIT 10""".stripMargin,
     "q30_ann_lsh_buckets" ->
       s"""SELECT $bucketSql AS bucket, COUNT(*) AS n,
-         | ROUND(CAST(SUM(CAST(SQRT(${sqlDot.format("embedding", "embedding")})
-         |   AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS avg_norm
+         | CAST(ROUND(CAST((CAST(SUM(CAST(ROUND(SQRT(${sqlDot.format("embedding", "embedding")})
+         |   * 1048576.0) AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1048576.0))
+         |   AS DECIMAL(28,10)), 4) AS DOUBLE) AS avg_norm
          |FROM embeddings GROUP BY 1 HAVING COUNT(*) >= 3""".stripMargin,
     "q31_embedding_neardup" ->
       s"""WITH bands AS (SELECT vec_id, b, $bandSql AS bk
