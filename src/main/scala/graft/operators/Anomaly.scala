@@ -136,17 +136,88 @@ object Anomaly extends QueryPack {
       .agg(count(lit(1)).as("n_outliers"), max($"value").as("max_value"))
   }
 
+  // --- q86: autocorrelation function per event type -------------------------
+  /** ACF lags probed, in hours. */
+  private[graft] val AcfLags = Seq(1, 2, 3, 6, 12, 24)
+
+  /** Pearson autocorrelation of the hourly value-total series per
+    * event_type at [[AcfLags]] — the diagnostic that reveals the
+    * periodicity q47's hour-of-day baselines assume and sizes the
+    * rolling detectors' windows.
+    *
+    * Exactness design (q32's rule extended to covariance): the hourly
+    * series is exact cents-scaled integer totals; lag pairing is an
+    * equi-join on hour-index − lag (exact integer arithmetic — a
+    * row-offset lag() would silently misalign across missing hours);
+    * all six moments (n, Σx, Σy, Σxy, Σx², Σy²) accumulate in
+    * DECIMAL(38,0) (HUGEINT in the oracle). Each variance factor fits
+    * 38 digits, so only their product and the final Pearson ratio run
+    * in doubles — on bit-identical exact inputs in both engines.
+    *
+    * Scale: the series is time-span-bounded (hours × types) — the
+    * self-join and moments are over a tiny frame at any event volume;
+    * the only corpus-sized work is the first hourly rollup.
+    */
+  def q86Acf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val series = Tables.events(s, dir)
+      .groupBy($"event_type",
+        expr("unix_micros(date_trunc('hour', ts)) div 3600000000")
+          .as("hi"))
+      .agg(sum(v4($"value")).as("x"))
+    val b = series.toDF("et2", "hj", "y")
+    val m = series
+      .select($"event_type", $"hi", $"x",
+        explode(typedLit(AcfLags)).as("lag"))
+      .join(b, $"et2" === $"event_type" && $"hj" === $"hi" - $"lag")
+      .select($"event_type", $"lag",
+        $"x".cast(D38).as("xd"), $"y".cast(D38).as("yd"))
+      .groupBy($"event_type", $"lag")
+      .agg(count(lit(1)).cast(D38).as("n"),
+        sum($"xd").as("sx"), sum($"yd").as("sy"),
+        sum($"xd" * $"yd").as("sxy"),
+        sum($"xd" * $"xd").as("sxx"), sum($"yd" * $"yd").as("syy"))
+      .withColumn("dx", $"n" * $"sxx" - $"sx" * $"sx")
+      .withColumn("dy", $"n" * $"syy" - $"sy" * $"sy")
+      .filter($"dx" > 0 && $"dy" > 0)
+    m.select($"event_type", $"lag", $"n".cast("long").as("n"),
+      Exact.dround(($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+        sqrt($"dx".cast("double") * $"dy".cast("double")), 4).as("acf"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_anomaly_seasonal" -> (q47Seasonal _),
     "q32_anomaly_zscore"  -> (q32ZScore _),
     "q33_anomaly_window"  -> (q33WindowStats _),
     "q34_anomaly_rolling" -> (q34Rolling _),
     "q35_anomaly_robust"  -> (q35RobustStats _),
+    "q86_acf"             -> (q86Acf _),
   )
 
   private val v4Sql = "CAST(ROUND(value * 10000) AS BIGINT)"
 
   override def oracleSql: Map[String, String] = Map(
+    "q86_acf" ->
+      s"""WITH s AS (SELECT event_type,
+         |  epoch_us(date_trunc('hour', ts)) // 3600000000 AS hi,
+         |  CAST(SUM($v4Sql) AS HUGEINT) AS x
+         | FROM events GROUP BY 1, 2),
+         |l AS (SELECT UNNEST([1, 2, 3, 6, 12, 24]) AS lag),
+         |p AS (SELECT a.event_type, l.lag, a.x AS x, b.x AS y
+         | FROM s a CROSS JOIN l
+         | JOIN s b ON b.event_type = a.event_type AND b.hi = a.hi - l.lag),
+         |m AS (SELECT event_type, lag, COUNT(*) n,
+         |  SUM(x) sx, SUM(y) sy, SUM(x*y) sxy,
+         |  SUM(x*x) sxx, SUM(y*y) syy
+         | FROM p GROUP BY 1, 2),
+         |f AS (SELECT event_type, lag, n, sx, sy, sxy,
+         |  n*sxx - sx*sx AS dx, n*syy - sy*sy AS dy
+         | FROM m WHERE n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0)
+         |SELECT event_type, lag, CAST(n AS BIGINT) AS n,
+         | CAST(ROUND(CAST((CAST((n*sxy - sx*sy) AS DOUBLE) /
+         |   SQRT(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)))
+         |   AS DECIMAL(28,10)), 4) AS DOUBLE) AS acf
+         |FROM f""".stripMargin,
     "q47_anomaly_seasonal" ->
       s"""WITH ev AS (SELECT event_type, value, $v4Sql AS v4,
          |  EXTRACT(hour FROM ts) AS hod FROM events),

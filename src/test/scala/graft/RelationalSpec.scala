@@ -205,6 +205,41 @@ class RelationalSpec extends SparkTestBase {
     }
   }
 
+  test("q86: ACF bounded and equal to a direct Pearson recompute") {
+    import org.apache.spark.sql.functions.{col, expr, round, sum}
+    val rows = graft.operators.Anomaly.q86Acf(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("acf")) <= 1.0))
+    // direct recompute for every (type, lag) from the hourly series
+    val series = graft.core.Tables.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('hour', ts)) div 3600000000")
+          .as("hi"))
+      .agg(sum(round(col("value") * 10000).cast("long")).as("x"))
+      .collect()
+      .groupBy(_.getAs[String]("event_type"))
+      .view.mapValues(_.map(r =>
+        r.getAs[Long]("hi") -> r.getAs[Long]("x")).toMap).toMap
+    rows.foreach { r =>
+      val m = series(r.getAs[String]("event_type"))
+      val lag = r.getAs[Int]("lag")
+      val pairs = m.toSeq.flatMap { case (hi, x) =>
+        m.get(hi - lag).map(y => (x.toDouble, y.toDouble))
+      }
+      val n = pairs.size.toDouble
+      val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val syy = pairs.map(p => p._2 * p._2).sum
+      val want = (n * sxy - sx * sy) /
+        math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+      assert(r.getAs[Long]("n") == pairs.size.toLong)
+      assert(math.abs(r.getAs[Double]("acf") - want) < 1e-3,
+        s"${r.getAs[String]("event_type")} lag $lag: " +
+          s"${r.getAs[Double]("acf")} vs $want")
+    }
+  }
+
   test("q79: cohort triangle invariants (offset-0 totals, no negatives)") {
     val rows = Relational.q79Retention(spark, sfDir).collect()
     assert(rows.nonEmpty)
