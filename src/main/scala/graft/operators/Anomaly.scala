@@ -185,8 +185,69 @@ object Anomaly extends QueryPack {
         sqrt($"dx".cast("double") * $"dy".cast("double")), 4).as("acf"))
   }
 
+  // --- q87: trend / seasonal / residual decomposition -----------------------
+  /** Classic additive decomposition of the hourly value series per
+    * event_type: trend = centered 24 h moving average, seasonal =
+    * hour-of-day mean of the detrended series, residual = the rest —
+    * the decomposition whose residual the z-score detectors are
+    * implicitly assuming when they flag "anomalies".
+    *
+    * Determinism design: the series is built on a DENSE hour spine
+    * (missing hours fill 0) so the ROWS frame is positionally exact;
+    * the trend double (exact-long frame sum / frame count) is snapped
+    * to round(trend · 2^20) — integer-granularity rounding of an
+    * identical double, safe cross-engine — so the seasonal means
+    * aggregate EXACT integers (doubles summed across rows would be
+    * partition-order-dependent). Residual composes from the rounded
+    * surfaces, which is deterministic given both engines rounded the
+    * same exact inputs.
+    *
+    * Scale: spine and all downstream frames are time-span-bounded;
+    * only the first rollup touches raw events (q71's rule).
+    */
+  def q87Decompose(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val series = Tables.events(s, dir)
+      .groupBy($"event_type",
+        expr("unix_micros(date_trunc('hour', ts)) div 3600000000")
+          .as("hi"))
+      .agg(sum(v4($"value")).as("x0"))
+      .cache()
+    val bounds = series.agg(min($"hi").as("lo"), max($"hi").as("hi2"))
+    val spine = series.select($"event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select($"event_type",
+        explode(expr("sequence(lo, hi2)")).as("hi"))
+    val w = Window.partitionBy($"event_type").orderBy($"hi")
+      .rowsBetween(-12, 11)
+    val dense = spine.join(series, Seq("event_type", "hi"), "left")
+      .select($"event_type", $"hi", coalesce($"x0", lit(0L)).as("x"))
+      .withColumn("tsum", sum($"x").over(w))
+      .withColumn("tn", count(lit(1)).over(w))
+      // trend snapped to an exact integer at 2^-20 granularity: the
+      // seasonal aggregation below must sum EXACT values
+      .withColumn("trendq",
+        round(($"tsum".cast("double") / $"tn") * 1048576.0).cast("long"))
+      .withColumn("detrq", $"x" * 1048576L - $"trendq")
+    val seasonal = dense
+      .groupBy($"event_type", ($"hi" % 24).as("hod"))
+      .agg((sum($"detrq").cast("double") /
+        (count(lit(1)) * 1048576.0)).as("seas"))
+      .toDF("et2", "hod", "seas") // fresh names: both sides derive
+                                  // from `series` (self-join rule)
+    dense.join(broadcast(seasonal),
+      $"et2" === $"event_type" && $"hi" % 24 === $"hod")
+      .select($"event_type", $"hi",
+        Exact.dround($"x" / 10000.0, 4).as("value_total"),
+        Exact.dround($"trendq" / (10000.0 * 1048576.0), 4).as("trend"),
+        Exact.dround($"seas" / 10000.0, 4).as("seasonal"),
+        Exact.dround($"detrq" / (10000.0 * 1048576.0) - $"seas" / 10000.0,
+          4).as("residual"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_anomaly_seasonal" -> (q47Seasonal _),
+    "q87_decompose"       -> (q87Decompose _),
     "q32_anomaly_zscore"  -> (q32ZScore _),
     "q33_anomaly_window"  -> (q33WindowStats _),
     "q34_anomaly_rolling" -> (q34Rolling _),
@@ -197,6 +258,41 @@ object Anomaly extends QueryPack {
   private val v4Sql = "CAST(ROUND(value * 10000) AS BIGINT)"
 
   override def oracleSql: Map[String, String] = Map(
+    "q87_decompose" ->
+      // dense spine via UNNEST(range(...)) — generate_series rejects
+      // lateral column bounds; trend snap and seasonal means mirror
+      // the Spark side's exact-integer staging bit for bit
+      s"""WITH s AS (SELECT event_type,
+         |  epoch_us(date_trunc('hour', ts)) // 3600000000 AS hi,
+         |  CAST(SUM($v4Sql) AS BIGINT) AS x0
+         | FROM events GROUP BY 1, 2),
+         |b AS (SELECT MIN(hi) lo, MAX(hi) hi2 FROM s),
+         |sp AS (SELECT DISTINCT event_type FROM s),
+         |g AS (SELECT sp.event_type, gs.hi
+         | FROM sp, b, UNNEST(range(b.lo, b.hi2 + 1)) gs(hi)),
+         |d AS (SELECT g.event_type, g.hi, COALESCE(s.x0, 0) AS x
+         | FROM g LEFT JOIN s ON s.event_type = g.event_type AND s.hi = g.hi),
+         |t2 AS (SELECT event_type, hi, x,
+         |  CAST(ROUND((CAST(SUM(x) OVER w AS DOUBLE) / (COUNT(*) OVER w))
+         |    * 1048576.0) AS BIGINT) AS trendq,
+         |  x * 1048576 - CAST(ROUND((CAST(SUM(x) OVER w AS DOUBLE)
+         |    / (COUNT(*) OVER w)) * 1048576.0) AS BIGINT) AS detrq
+         | FROM d WINDOW w AS (PARTITION BY event_type ORDER BY hi
+         |   ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)),
+         |se AS (SELECT event_type, hi % 24 AS hod,
+         |  CAST(SUM(detrq) AS DOUBLE) / (COUNT(*) * 1048576.0) AS seas
+         | FROM t2 GROUP BY 1, 2)
+         |SELECT t2.event_type, t2.hi,
+         | CAST(ROUND(CAST((x / 10000.0) AS DECIMAL(28,10)), 4) AS DOUBLE)
+         |   AS value_total,
+         | CAST(ROUND(CAST((trendq / (10000.0 * 1048576.0)) AS DECIMAL(28,10)), 4) AS DOUBLE)
+         |   AS trend,
+         | CAST(ROUND(CAST((seas / 10000.0) AS DECIMAL(28,10)), 4) AS DOUBLE)
+         |   AS seasonal,
+         | CAST(ROUND(CAST((detrq / (10000.0 * 1048576.0) - seas / 10000.0)
+         |   AS DECIMAL(28,10)), 4) AS DOUBLE) AS residual
+         |FROM t2 JOIN se ON se.event_type = t2.event_type
+         | AND t2.hi % 24 = se.hod""".stripMargin,
     "q86_acf" ->
       s"""WITH s AS (SELECT event_type,
          |  epoch_us(date_trunc('hour', ts)) // 3600000000 AS hi,

@@ -240,6 +240,25 @@ class RelationalSpec extends SparkTestBase {
     }
   }
 
+  test("q87: decomposition is additive and covers the dense spine") {
+    val rows = graft.operators.Anomaly.q87Decompose(spark, sfDir).collect()
+    val types = rows.map(_.getAs[String]("event_type")).distinct.length
+    val his = rows.map(_.getAs[Long]("hi"))
+    // dense spine: every type covers every hour in [min, max]
+    assert(rows.length == types * (his.max - his.min + 1))
+    rows.foreach { r =>
+      val add = r.getAs[Double]("trend") + r.getAs[Double]("seasonal") +
+        r.getAs[Double]("residual")
+      assert(math.abs(r.getAs[Double]("value_total") - add) < 5e-4,
+        s"not additive at $r")
+    }
+    // seasonal is constant per (type, hour-of-day)
+    rows.groupBy(r => (r.getAs[String]("event_type"),
+      r.getAs[Long]("hi") % 24)).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Double]("seasonal")).distinct.length == 1)
+    }
+  }
+
   test("q79: cohort triangle invariants (offset-0 totals, no negatives)") {
     val rows = Relational.q79Retention(spark, sfDir).collect()
     assert(rows.nonEmpty)
