@@ -103,84 +103,74 @@ object geo {
       s"$what must be an integer literal, got $other")
   }
 
-  private[functions] val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "geohash_encode" -> { es =>
+  /** ONE registry row per SQL function: (name, implementing class for
+    * catalog metadata, builder). The class rides in the same tuple so
+    * a new function cannot compile without its `DESCRIBE FUNCTION`
+    * metadata (a parallel name→class map drifted silently).
+    */
+  private[functions] val sqlFunctions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("geohash_encode", classOf[GeohashEncodeExpr].getName, { es =>
       val p = if (es.size >= 3) es(2) else Literal(12)
       GeohashEncodeExpr(es(0), es(1), p)
-    },
-    "geohash_decode" -> { es => GeohashDecodeExpr(es.head) },
-    "geohash_approx_distance" -> { es =>
-      GeohashApproxDistanceExpr(es(0), es(1))
-    },
-    "haversine_km" -> { es =>
-      HaversineKmExpr(es(0), es(1), es(2), es(3))
-    },
-    "dot_product" -> { es => DotProductExpr(es(0), es(1)) },
-    "md5_prefix60" -> { es => Md5Prefix60Expr(es.head) },
-    "nfc_normalize" -> { es => NfcNormalizeExpr(es.head) },
+    }),
+    ("geohash_decode", classOf[GeohashDecodeExpr].getName,
+      es => GeohashDecodeExpr(es.head)),
+    ("geohash_approx_distance", classOf[GeohashApproxDistanceExpr].getName,
+      es => GeohashApproxDistanceExpr(es(0), es(1))),
+    ("haversine_km", classOf[HaversineKmExpr].getName,
+      es => HaversineKmExpr(es(0), es(1), es(2), es(3))),
+    ("dot_product", classOf[DotProductExpr].getName,
+      es => DotProductExpr(es(0), es(1))),
+    ("md5_prefix60", classOf[Md5Prefix60Expr].getName,
+      es => Md5Prefix60Expr(es.head)),
+    ("nfc_normalize", classOf[NfcNormalizeExpr].getName,
+      es => NfcNormalizeExpr(es.head)),
     // aggregates: the analyzer wraps a bare AggregateFunction returned
     // from a registry builder in its AggregateExpression
-    "freq_items" -> { es =>
+    ("freq_items",
+      classOf[org.apache.spark.sql.graft.FreqItemsAggregate].getName, { es =>
       if (es.size >= 3)
         org.apache.spark.sql.graft.FreqItemsAggregate(es(0), es(1),
           intArg(es(2), "freq_items capacity"))
       else org.apache.spark.sql.graft.FreqItemsAggregate(es(0),
         intArg(es(1), "freq_items capacity"))
-    },
-    "top_k_by" -> { es =>
-      org.apache.spark.sql.graft.TopKByAggregate(es(0), es(1),
-        intArg(es(2), "top_k_by k"))
-    },
-    "bloom_agg" -> { es =>
-      org.apache.spark.sql.graft.BloomFilterAggregate(es(0),
-        intArg(es(1), "bloom_agg numBits"), intArg(es(2), "bloom_agg numHashes"))
-    },
-    "might_contain" -> { es =>
-      org.apache.spark.sql.graft.MightContainExpr(es(0), es(1))
-    },
-    "gram_hashes" -> { es =>
-      org.apache.spark.sql.graft.GramHashesExpr(es(0),
-        intArg(es(1), "gram_hashes gramLen"))
-    },
-    "token_shingle_hashes" -> { es =>
-      org.apache.spark.sql.graft.TokenShingleHashesExpr(es(0),
-        intArg(es(1), "token_shingle_hashes n"))
-    },
-    "winnow_stats" -> { es =>
-      org.apache.spark.sql.graft.WinnowStatsExpr(es.head)
-    },
-  )
-
-  /** Implementing expression class per SQL function — catalog metadata
-    * (`DESCRIBE FUNCTION`) must name the real class, not the package
-    * (the one-registry refactor had collapsed every entry to the
-    * package string).
-    */
-  private[functions] val sqlFunctionClasses: Map[String, String] = Map(
-    "geohash_encode" -> classOf[GeohashEncodeExpr].getName,
-    "geohash_decode" -> classOf[GeohashDecodeExpr].getName,
-    "geohash_approx_distance" -> classOf[GeohashApproxDistanceExpr].getName,
-    "haversine_km" -> classOf[HaversineKmExpr].getName,
-    "dot_product" -> classOf[DotProductExpr].getName,
-    "md5_prefix60" -> classOf[Md5Prefix60Expr].getName,
-    "nfc_normalize" -> classOf[NfcNormalizeExpr].getName,
-    "freq_items" -> classOf[org.apache.spark.sql.graft.FreqItemsAggregate].getName,
-    "top_k_by" -> classOf[org.apache.spark.sql.graft.TopKByAggregate].getName,
-    "bloom_agg" -> classOf[org.apache.spark.sql.graft.BloomFilterAggregate].getName,
-    "might_contain" -> classOf[org.apache.spark.sql.graft.MightContainExpr].getName,
-    "gram_hashes" -> classOf[org.apache.spark.sql.graft.GramHashesExpr].getName,
-    "token_shingle_hashes" -> classOf[org.apache.spark.sql.graft.TokenShingleHashesExpr].getName,
-    "winnow_stats" -> classOf[org.apache.spark.sql.graft.WinnowStatsExpr].getName,
+    }),
+    ("top_k_by",
+      classOf[org.apache.spark.sql.graft.TopKByAggregate].getName,
+      es => org.apache.spark.sql.graft.TopKByAggregate(es(0), es(1),
+        intArg(es(2), "top_k_by k"))),
+    ("bloom_agg",
+      classOf[org.apache.spark.sql.graft.BloomFilterAggregate].getName,
+      es => org.apache.spark.sql.graft.BloomFilterAggregate(es(0),
+        intArg(es(1), "bloom_agg numBits"),
+        intArg(es(2), "bloom_agg numHashes"))),
+    ("might_contain",
+      classOf[org.apache.spark.sql.graft.MightContainExpr].getName,
+      es => org.apache.spark.sql.graft.MightContainExpr(es(0), es(1))),
+    ("gram_hashes",
+      classOf[org.apache.spark.sql.graft.GramHashesExpr].getName,
+      es => org.apache.spark.sql.graft.GramHashesExpr(es(0),
+        intArg(es(1), "gram_hashes gramLen"))),
+    ("token_shingle_hashes",
+      classOf[org.apache.spark.sql.graft.TokenShingleHashesExpr].getName,
+      es => org.apache.spark.sql.graft.TokenShingleHashesExpr(es(0),
+        intArg(es(1), "token_shingle_hashes n"))),
+    ("winnow_stats",
+      classOf[org.apache.spark.sql.graft.WinnowStatsExpr].getName,
+      es => org.apache.spark.sql.graft.WinnowStatsExpr(es.head)),
   )
 
   /** Imperative registration for sessions not built with
     * [[GraftExtensions]] (e.g. the driver-owned Verify session).
-    * Idempotent.
+    * Idempotent — and it registers the SAME ExpressionInfo the
+    * extension path does, so catalog metadata cannot depend on how the
+    * session was built.
     */
   def register(spark: SparkSession): Unit = {
-    sqlFunctions.foreach { case (name, builder) =>
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        name, builder, "built-in")
+    sqlFunctions.foreach { case (name, className, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name), new ExpressionInfo(className, name),
+        builder)
     }
     val rule = org.apache.spark.sql.graft.GeohashPrecisionPushdown
     if (!spark.experimental.extraOptimizations.contains(rule))
@@ -199,11 +189,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // one registry: whatever geo.register offers imperatively, the
     // extension offers at session build (scalars AND aggregates — the
     // analyzer wraps a bare AggregateFunction from a builder)
-    geo.sqlFunctions.foreach { case (name, builder) =>
+    geo.sqlFunctions.foreach { case (name, className, builder) =>
       e.injectFunction((FunctionIdentifier(name),
-        new ExpressionInfo(
-          geo.sqlFunctionClasses.getOrElse(name, "graft.functions"), name),
-        builder))
+        new ExpressionInfo(className, name), builder))
     }
   }
 }

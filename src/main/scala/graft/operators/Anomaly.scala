@@ -298,7 +298,7 @@ object Anomaly extends QueryPack {
          |  epoch_us(date_trunc('hour', ts)) // 3600000000 AS hi,
          |  CAST(SUM($v4Sql) AS HUGEINT) AS x
          | FROM events GROUP BY 1, 2),
-         |l AS (SELECT UNNEST([1, 2, 3, 6, 12, 24]) AS lag),
+         |l AS (SELECT UNNEST([${AcfLags.mkString(", ")}]) AS lag),
          |p AS (SELECT a.event_type, l.lag, a.x AS x, b.x AS y
          | FROM s a CROSS JOIN l
          | JOIN s b ON b.event_type = a.event_type AND b.hi = a.hi - l.lag),

@@ -289,7 +289,10 @@ object TextAnalysis extends QueryPack {
     * deterministic email / phone / IPv4 strings keyed off doc_id (the
     * same construction the DuckDB oracle performs — q19's synthesis
     * pattern) and then runs [[graft.ops.text.Pii]] detect + redact over
-    * the contaminated text. Counts are over the original text; the
+    * the contaminated text. Counts are STAGED to match what redaction
+    * masks — emails on the original text, phones after email
+    * redaction, IPs after both — since a digit run inside an email
+    * local-part must be the email's span, not a phantom phone. The
     * redacted output is hash-compared byte-for-byte, so the oracle
     * checks the replacement spans too, not just the match counts.
     * Per-row regexp transforms: shuffle-free, linear at 100 TB.

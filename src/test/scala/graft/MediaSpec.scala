@@ -39,7 +39,11 @@ class MediaSpec extends SparkTestBase {
     val crafted = ("P6\n715827891 12\n255\n".getBytes("US-ASCII").toSeq ++
       Array.fill(300)(7.toByte)).toArray
     assert(Ppm.decode(crafted).isEmpty)
-    val crafted2 = ("P6\n955630224 3\n255\n".getBytes("US-ASCII").toSeq ++
+    // wrapped product equal to the payload length but NOT a multiple
+    // of 3 (178956971*16*3 mod 2^32 = 16): pre-fix this passed the size
+    // check AND ran the raster loop off its 3-byte stride past the
+    // array end — the AIOOBE half of the overflow bug
+    val crafted2 = ("P6\n178956971 16\n255\n".getBytes("US-ASCII").toSeq ++
       Array.fill(16)(7.toByte)).toArray
     assert(Ppm.decode(crafted2).isEmpty)
   }
