@@ -166,13 +166,26 @@ object Anomaly extends QueryPack {
           .as("hi"))
       .agg(sum(v4($"value")).as("x"))
     val b = series.toDF("et2", "hj", "y")
-    val m = series
+    val pairs = series
       .select($"event_type", $"hi", $"x",
         explode(typedLit(AcfLags)).as("lag"))
       .join(b, $"et2" === $"event_type" && $"hj" === $"hi" - $"lag")
       .select($"event_type", $"lag",
         $"x".cast(D38).as("xd"), $"y".cast(D38).as("yd"))
-      .groupBy($"event_type", $"lag")
+    pearson(pairs, Seq("event_type", "lag"), "acf")
+  }
+
+  /** Pearson correlation from exact-decimal (xd, yd) pair rows, one
+    * output row per key group: all six moments accumulate in
+    * DECIMAL(38,0); doubles appear only in the final ratio, computed
+    * from identical exact inputs in both engines. Shared by q86 (ACF)
+    * and q88 (cross-correlation).
+    */
+  private def pearson(pairs: DataFrame, keys: Seq[String],
+      out: String): DataFrame = {
+    import pairs.sparkSession.implicits._
+    pairs
+      .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).cast(D38).as("n"),
         sum($"xd").as("sx"), sum($"yd").as("sy"),
         sum($"xd" * $"yd").as("sxy"),
@@ -180,9 +193,39 @@ object Anomaly extends QueryPack {
       .withColumn("dx", $"n" * $"sxx" - $"sx" * $"sx")
       .withColumn("dy", $"n" * $"syy" - $"sy" * $"sy")
       .filter($"dx" > 0 && $"dy" > 0)
-    m.select($"event_type", $"lag", $"n".cast("long").as("n"),
-      Exact.dround(($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
-        sqrt($"dx".cast("double") * $"dy".cast("double")), 4).as("acf"))
+      .select(keys.map(col) ++ Seq($"n".cast("long").as("n"),
+        Exact.dround(($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+          sqrt($"dx".cast("double") * $"dy".cast("double")), 4)
+          .as(out)): _*)
+  }
+
+  // --- q88: lead-lag cross-correlation between two event series -------------
+  /** CCF(error → purchase): correlation of the error series against
+    * the purchase series shifted by each lag in ±{1,3,6,12,24} and 0 —
+    * the lead-lag diagnostic (do error bursts PRECEDE purchase dips?)
+    * behind root-cause timelines and alert ordering. Positive lag =
+    * purchase series lagged behind error (error leads).
+    *
+    * Same exactness and scale shape as q86: exact integer hourly
+    * totals, hour-index equi-join pairing, DECIMAL(38,0) moments over
+    * a time-span-bounded frame.
+    */
+  private[graft] val CcfLags = Seq(-24, -12, -6, -3, -1, 0, 1, 3, 6, 12, 24)
+
+  def q88CrossCorr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def hourly(t: String) = Tables.events(s, dir)
+      .filter($"event_type" === t)
+      .groupBy(expr("unix_micros(date_trunc('hour', ts)) div 3600000000")
+        .as("hi"))
+      .agg(sum(v4($"value")).as("x"))
+    val a = hourly("error")
+    val b = hourly("purchase").toDF("hj", "y")
+    val pairs = a
+      .select($"hi", $"x", explode(typedLit(CcfLags)).as("lag"))
+      .join(b, $"hj" === $"hi" - $"lag")
+      .select($"lag", $"x".cast(D38).as("xd"), $"y".cast(D38).as("yd"))
+    pearson(pairs, Seq("lag"), "ccf")
   }
 
   // --- q87: trend / seasonal / residual decomposition -----------------------
@@ -253,6 +296,7 @@ object Anomaly extends QueryPack {
     "q34_anomaly_rolling" -> (q34Rolling _),
     "q35_anomaly_robust"  -> (q35RobustStats _),
     "q86_acf"             -> (q86Acf _),
+    "q88_cross_corr"      -> (q88CrossCorr _),
   )
 
   private val v4Sql = "CAST(ROUND(value * 10000) AS BIGINT)"
@@ -293,6 +337,29 @@ object Anomaly extends QueryPack {
          |   AS DECIMAL(28,10)), 4) AS DOUBLE) AS residual
          |FROM t2 JOIN se ON se.event_type = t2.event_type
          | AND t2.hi % 24 = se.hod""".stripMargin,
+    "q88_cross_corr" ->
+      s"""WITH a AS (SELECT
+         |  epoch_us(date_trunc('hour', ts)) // 3600000000 AS hi,
+         |  CAST(SUM($v4Sql) AS HUGEINT) AS x
+         | FROM events WHERE event_type = 'error' GROUP BY 1),
+         |bb AS (SELECT
+         |  epoch_us(date_trunc('hour', ts)) // 3600000000 AS hj,
+         |  CAST(SUM($v4Sql) AS HUGEINT) AS y
+         | FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         |l AS (SELECT UNNEST([${CcfLags.mkString(", ")}]) AS lag),
+         |p AS (SELECT l.lag, a.x AS x, bb.y AS y
+         | FROM a CROSS JOIN l JOIN bb ON bb.hj = a.hi - l.lag),
+         |m AS (SELECT lag, COUNT(*) n, SUM(x) sx, SUM(y) sy,
+         |  SUM(x*y) sxy, SUM(x*x) sxx, SUM(y*y) syy
+         | FROM p GROUP BY 1),
+         |f AS (SELECT lag, n, sx, sy, sxy,
+         |  n*sxx - sx*sx AS dx, n*syy - sy*sy AS dy
+         | FROM m WHERE n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0)
+         |SELECT lag, CAST(n AS BIGINT) AS n,
+         | CAST(ROUND(CAST((CAST((n*sxy - sx*sy) AS DOUBLE) /
+         |   SQRT(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)))
+         |   AS DECIMAL(28,10)), 4) AS DOUBLE) AS ccf
+         |FROM f""".stripMargin,
     "q86_acf" ->
       s"""WITH s AS (SELECT event_type,
          |  epoch_us(date_trunc('hour', ts)) // 3600000000 AS hi,

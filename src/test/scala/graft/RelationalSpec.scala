@@ -240,6 +240,32 @@ class RelationalSpec extends SparkTestBase {
     }
   }
 
+  test("q88: CCF bounded, covers all lags, lag 0 equals direct Pearson") {
+    import org.apache.spark.sql.functions.{col, expr, round, sum}
+    val rows = graft.operators.Anomaly.q88CrossCorr(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Int]("lag")).toSet ==
+      graft.operators.Anomaly.CcfLags.toSet)
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("ccf")) <= 1.0))
+    // lag-0 recompute from the two hourly series
+    def hourly(t: String) = graft.core.Tables.events(spark, sfDir)
+      .filter(col("event_type") === t)
+      .groupBy(expr("unix_micros(date_trunc('hour', ts)) div 3600000000")
+        .as("hi"))
+      .agg(sum(round(col("value") * 10000).cast("long")).as("x"))
+      .collect().map(r => r.getAs[Long]("hi") -> r.getAs[Long]("x")).toMap
+    val (ea, pb) = (hourly("error"), hourly("purchase"))
+    val pairs = ea.toSeq.flatMap { case (hi, x) =>
+      pb.get(hi).map(y => (x.toDouble, y.toDouble))
+    }
+    val n = pairs.size.toDouble
+    val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+    val want = (n * pairs.map(p => p._1 * p._2).sum - sx * sy) /
+      math.sqrt((n * pairs.map(p => p._1 * p._1).sum - sx * sx) *
+        (n * pairs.map(p => p._2 * p._2).sum - sy * sy))
+    val got = rows.find(_.getAs[Int]("lag") == 0).get.getAs[Double]("ccf")
+    assert(math.abs(got - want) < 1e-3, s"lag 0: $got vs $want")
+  }
+
   test("q87: decomposition is additive and covers the dense spine") {
     val rows = graft.operators.Anomaly.q87Decompose(spark, sfDir).collect()
     val types = rows.map(_.getAs[String]("event_type")).distinct.length
