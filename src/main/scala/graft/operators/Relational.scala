@@ -328,19 +328,27 @@ object Relational extends QueryPack {
     * first-touch, which stalls on the first abandoned attempt). Output
     * is users-per-deepest-depth.
     *
-    * Scale shape: ONE user_id exchange. Each user's funnel events
-    * collect into a time-sorted in-row array and a single GREEDY fold
-    * (`aggregate`) walks it, tracking the most recent view and the
-    * most recent window-qualifying click — the most recent candidate
-    * always has the smallest gap to the next step, so greedy tracking
-    * decides existence exactly. No per-step self-joins (the join
-    * spelling shuffles events k times and fans out per-user pairs —
-    * the oracle uses it precisely because it is independently
+    * Scale shape: ONE user_id exchange, O(1) state per user, NO
+    * per-user buffering. Events repartition by user and sort WITHIN
+    * each partition by (user, us, trk) — the sort spills through
+    * Spark's external sorter, so a hyper-active key (a bot emitting
+    * tens of millions of funnel events) streams through disk instead
+    * of pinning an array in one aggregation buffer (the earlier
+    * `collect_list` + in-row `aggregate` spelling buffered the full
+    * per-user event array and could not spill mid-group). A single
+    * mapPartitions pass then runs the GREEDY fold — tracking the most
+    * recent view and the most recent window-qualifying click; the most
+    * recent candidate always has the smallest gap to the next step, so
+    * greedy tracking decides existence exactly — emitting one
+    * (user, depth) row per user boundary. No per-step self-joins (the
+    * join spelling shuffles events k times and fans out per-user pairs
+    * — the oracle uses it precisely because it is independently
     * derived), no window function. Timestamps fold as epoch-micros
     * integers (engine-parity exact, q53's rule); same-instant ties
     * fold purchase → click → view so each step is judged against
     * strictly earlier predecessors only, matching the oracle's strict
-    * inequalities.
+    * inequalities. The same fold runs as streaming keyed state in
+    * [[graft.streaming.AnomalyStream.funnelDetector]].
     */
   /** Per-user deepest funnel depth over (user_id, us, event_type) rows
     * — the greedy fold as library surface (the property spec drives it
@@ -349,6 +357,7 @@ object Relational extends QueryPack {
   def funnelDepths(ev: DataFrame): DataFrame = {
     val s = ev.sparkSession
     import s.implicits._
+    val win = FunnelWindowUs
     ev
       .filter($"event_type".isin("view", "click", "purchase"))
       // tie rank: same-instant events fold in purchase → click → view
@@ -357,26 +366,49 @@ object Relational extends QueryPack {
       // qualifying-click marker before the purchase is judged (caught
       // by FoldPropertiesSpec's randomized tie cases), and a same-us
       // view must not become a click's predecessor
-      .withColumn("trk",
+      .select($"user_id".cast("long").as("user_id"),
+        $"us".cast("long").as("us"),
         when($"event_type" === "purchase", 0)
-          .when($"event_type" === "click", 1).otherwise(2))
-      .groupBy($"user_id")
-      .agg(sort_array(collect_list(
-        struct($"us", $"trk", $"event_type"))).as("evs"))
-      .withColumn("funnel_depth", expr(
-        s"""aggregate(evs,
-           | named_struct('d', 0, 'tv', CAST(-1 AS BIGINT), 'tc', CAST(-1 AS BIGINT)),
-           | (acc, e) -> CASE
-           |   WHEN e.event_type = 'view'
-           |     THEN named_struct('d', greatest(acc.d, 1), 'tv', e.us, 'tc', acc.tc)
-           |   WHEN e.event_type = 'click' AND acc.tv >= 0
-           |       AND e.us > acc.tv AND e.us - acc.tv <= ${FunnelWindowUs}L
-           |     THEN named_struct('d', greatest(acc.d, 2), 'tv', acc.tv, 'tc', e.us)
-           |   WHEN e.event_type = 'purchase' AND acc.tc >= 0
-           |       AND e.us > acc.tc AND e.us - acc.tc <= ${FunnelWindowUs}L
-           |     THEN named_struct('d', 3, 'tv', acc.tv, 'tc', acc.tc)
-           |   ELSE acc END).d""".stripMargin))
-      .select($"user_id", $"funnel_depth")
+          .when($"event_type" === "click", 1).otherwise(2).as("trk"))
+      .repartition($"user_id")
+      .sortWithinPartitions($"user_id", $"us", $"trk")
+      .as[(Long, Long, Int)]
+      .mapPartitions { rows =>
+        new Iterator[(Long, Int)] {
+          private var started = false
+          private var ready = false
+          private var outUser = 0L; private var outDepth = 0
+          private var cur = 0L
+          private var d = 0; private var tv = -1L; private var tc = -1L
+          private def fold(us: Long, trk: Int): Unit = trk match {
+            case 2 => if (d < 1) d = 1; tv = us
+            case 1 => if (tv >= 0 && us > tv && us - tv <= win) {
+              if (d < 2) d = 2; tc = us
+            }
+            case _ => if (tc >= 0 && us > tc && us - tc <= win) d = 3
+          }
+          private def advance(): Unit = while (!ready &&
+              (rows.hasNext || started)) {
+            if (rows.hasNext) {
+              val (u, us, trk) = rows.next()
+              if (started && u != cur) {
+                outUser = cur; outDepth = d; ready = true
+                d = 0; tv = -1L; tc = -1L
+              }
+              if (!started) { started = true; d = 0; tv = -1L; tc = -1L }
+              cur = u
+              fold(us, trk)
+            } else {
+              outUser = cur; outDepth = d; ready = true; started = false
+            }
+          }
+          override def hasNext: Boolean = { advance(); ready }
+          override def next(): (Long, Int) = {
+            advance(); ready = false; (outUser, outDepth)
+          }
+        }
+      }
+      .toDF("user_id", "funnel_depth")
   }
 
   def q78Funnel(s: SparkSession, dir: String): DataFrame = {

@@ -65,6 +65,27 @@ class FoldPropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("funnel fold: one hyper-active user with 1M events streams " +
+    "through the fold (skew does not buffer a per-user array)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // one bot-like user emitting a million funnel events 1ms apart —
+    // the skew profile the collect_list spelling buffered in a single
+    // aggregation row; the streaming fold holds O(1) state. A second,
+    // ordinary user checks the boundary emit under the same partition.
+    val bot = spark.range(1000000L).select(
+      lit(1L).as("user_id"), (col("id") * 1000L).as("us"),
+      element_at(
+        array(lit("view"), lit("click"), lit("purchase"), lit("error")),
+        (col("id") % 4 + 1).cast("int")).as("event_type"))
+    val human = Seq((2L, 0L, "view"), (2L, 500L, "click"))
+      .toDF("user_id", "us", "event_type")
+    val got = Relational.funnelDepths(bot.unionAll(human)).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Int]("funnel_depth"))
+      .toMap
+    assert(got == Map(1L -> 3, 2L -> 2), got.toString)
+  }
+
   test("sessionize: session structure matches a direct gap scan over " +
     "200 random users, including exact-boundary gaps") {
     import spark.implicits._

@@ -270,10 +270,18 @@ class PlanSpec extends SparkTestBase {
       p.take(2000))
   }
 
-  test("q78: funnel folds in-row — no Window, no per-step self-joins") {
+  test("q78: funnel streams per-partition — no Window, no self-joins, " +
+    "no per-user array buffering") {
     val p = plan(Relational.q78Funnel(spark, sfDir))
     assert(!p.contains("Window"), p.take(2000))
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      p.take(2000))
+    // the skew-safe shape: NO collect_list aggregation buffer; the
+    // per-user fold rides a spillable in-partition sort + MapPartitions
+    assert(!p.contains("collect_list"), p.take(2000))
+    assert(p.contains("MapPartitions"), p.take(2000))
+    // exactly two exchanges: events → user_id, depths → funnel_depth
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 2,
       p.take(2000))
   }
 
