@@ -123,9 +123,12 @@ object Alignment extends QueryPack {
   /** Partition-batched decode harness for real media codecs: rows decode
     * in batches per partition (the Scala analog of `mapInPandas` batch
     * shape) so a codec initializes once per partition, not per row. The
-    * decode body here is the same deterministic stub as q38 (no media
-    * libs offline) — swap it for a real library at deploy time. Not an
-    * oracle query: the oracle-checked path is the codegen'd [[q38MediaMeta]].
+    * decode body here is the same deterministic stub as q38; REAL
+    * decoders with this exact shape ship in [[q82ImageDecode]] (P6)
+    * and [[q89PngDecode]] (PNG via JDK ImageIO,
+    * [[graft.ops.media.RasterCodec]]) — only video/audio codecs remain
+    * deploy-time swaps. Not an oracle query: the oracle-checked path
+    * is the codegen'd [[q38MediaMeta]].
     */
   def decodeMediaBatched(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -202,6 +205,55 @@ object Alignment extends QueryPack {
           $"sum_b" / ($"width" * $"height"), 4).as("mean_b"))
   }
 
+  // --- q89: REAL compressed decode (PNG via JDK ImageIO) ------------------
+  /** End-to-end COMPRESSED image decode — real PNG bytes (zlib/DEFLATE
+    * raster, produced by the JDK's own encoder) decoded back through
+    * [[graft.ops.media.RasterCodec]] (`javax.imageio`, in-JVM, no
+    * native libs). The raster follows q82's closed form — channel c of
+    * row-major pixel p is (doc_id*31 + p*7 + c*11) % 256 — so the
+    * oracle sums the formula without ever touching bytes, while the
+    * engine must recover it from an actual DEFLATE stream. Every 97th
+    * document is truncated to HALF length (cutting mid-IDAT — the
+    * PNG reader provably rejects it; a merely tail-truncated PNG still
+    * decodes, the reader tolerates a missing IEND) and must surface as
+    * an invalid row, not an exception.
+    *
+    * Scale shape: narrow per-row transform, one mapPartitions stage
+    * (codec state per partition, q38's batch shape), zero shuffles.
+    */
+  def q89PngDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.media.RasterCodec
+    val src = Tables.documents(s, dir).select($"doc_id").as[Long]
+    src.mapPartitions { it =>
+      it.map { id =>
+        val w = (4 + id % 5).toInt
+        val h = (3 + id % 4).toInt
+        val png = RasterCodec.encode("png", w, h, { p =>
+          val r = ((id * 31 + p * 7) % 256).toInt
+          val g = ((id * 31 + p * 7 + 11) % 256).toInt
+          val b = ((id * 31 + p * 7 + 22) % 256).toInt
+          (r << 16) | (g << 8) | b
+        })
+        val bytes = if (id % 97 == 0) png.take(png.length / 2) else png
+        RasterCodec.decode(bytes) match {
+          case Some(img) => ImgRow(id, valid = true, Some(img.width),
+            Some(img.height), Some(img.sumR), Some(img.sumG), Some(img.sumB))
+          case None => ImgRow(id, valid = false, None, None, None, None, None)
+        }
+      }
+    }.toDF()
+      .select($"doc_id", $"valid",
+        $"width".cast("long").as("width"),
+        $"height".cast("long").as("height"),
+        graft.core.Exact.dround(
+          $"sum_r" / ($"width" * $"height"), 4).as("mean_r"),
+        graft.core.Exact.dround(
+          $"sum_g" / ($"width" * $"height"), 4).as("mean_g"),
+        graft.core.Exact.dround(
+          $"sum_b" / ($"width" * $"height"), 4).as("mean_b"))
+  }
+
   // --- q39: frame sampling (video-style strided byte slicing) -------------
   def q39FrameSample(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -244,6 +296,7 @@ object Alignment extends QueryPack {
     "q39_frame_sample"  -> (q39FrameSample _),
     "q44_media_features" -> (q44MediaFeatures _),
     "q82_image_decode"  -> (q82ImageDecode _),
+    "q89_png_decode"    -> (q89PngDecode _),
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -267,6 +320,33 @@ object Alignment extends QueryPack {
       // closed-form twin of the in-plan raster: channel c of pixel p is
       // (doc_id*31 + p*7 + c*11) % 256, so the oracle sums the formula
       // the decoder must recover from the actual bytes
+      """WITH dims AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+        |  FROM documents),
+        |px AS (SELECT doc_id, w, h, p FROM dims, generate_series(0, 55) g(p)
+        |  WHERE p < w * h),
+        |s AS (SELECT doc_id,
+        |  SUM((doc_id * 31 + p * 7) % 256) sr,
+        |  SUM((doc_id * 31 + p * 7 + 11) % 256) sg,
+        |  SUM((doc_id * 31 + p * 7 + 22) % 256) sb,
+        |  COUNT(*) n
+        | FROM px GROUP BY 1)
+        |SELECT d.doc_id, d.doc_id % 97 != 0 AS valid,
+        | CASE WHEN d.doc_id % 97 != 0 THEN d.w END AS width,
+        | CASE WHEN d.doc_id % 97 != 0 THEN d.h END AS height,
+        | CASE WHEN d.doc_id % 97 != 0 THEN
+        |   CAST(ROUND(CAST((s.sr / s.n) AS DECIMAL(28,10)), 4) AS DOUBLE)
+        | END AS mean_r,
+        | CASE WHEN d.doc_id % 97 != 0 THEN
+        |   CAST(ROUND(CAST((s.sg / s.n) AS DECIMAL(28,10)), 4) AS DOUBLE)
+        | END AS mean_g,
+        | CASE WHEN d.doc_id % 97 != 0 THEN
+        |   CAST(ROUND(CAST((s.sb / s.n) AS DECIMAL(28,10)), 4) AS DOUBLE)
+        | END AS mean_b
+        |FROM dims d JOIN s USING (doc_id)""".stripMargin,
+    "q89_png_decode" ->
+      // same closed-form raster as q82 (the twin never touches bytes);
+      // the engine side must recover these sums from a real DEFLATE
+      // stream instead of an uncompressed P6 payload
       """WITH dims AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
         |  FROM documents),
         |px AS (SELECT doc_id, w, h, p FROM dims, generate_series(0, 55) g(p)

@@ -3,11 +3,11 @@ package graft.ops.media
 /** Minimal binary-PPM (P6) parser — a REAL byte-level image decode in
   * pure JVM code, no native libs. This upgrades the multimodal decode
   * story from "deterministic stub" to "real parser for uncompressed
-  * raster images"; compressed codecs (JPEG/PNG/video) remain
-  * deploy-time plug-ins behind the same
+  * raster images"; compressed codecs (JPEG/PNG/BMP/GIF) decode through
+  * [[RasterCodec]] (JDK ImageIO, q89) behind the same
   * [[graft.operators.Alignment.decodeMediaBatched]] mapPartitions
-  * surface (reference: `Week#6_assignment.ipynb:221-499` decodes with
-  * PIL — unavailable offline).
+  * surface; only video remains a deploy-time plug-in (reference:
+  * `Week#6_assignment.ipynb:221-499` decodes with PIL).
   *
   * Format: `P6` <ws> width <ws> height <ws> maxval <one ws byte>
   * followed by exactly width × height RGB byte triplets. Anything

@@ -1,0 +1,86 @@
+package graft.ops.media
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
+/** Compressed-raster codec over the JDK's built-in `javax.imageio`
+  * readers — REAL JPEG/PNG/BMP/GIF decode with no dependency beyond
+  * the JVM (ImageIO ships in `java.desktop` and runs headless). This
+  * closes the compressed-codec gap the PPM parser ([[Ppm]]) left
+  * open: q82 proved the byte-level decode plumbing on an uncompressed
+  * format; real corpora hold JPEG/PNG (reference decodes JPEG with
+  * PIL: `Week#6_assignment.ipynb:221-499`,
+  * `samoyed_puppy_dog_pictures.jpg`), and this decodes those through
+  * the same mapPartitions surface.
+  *
+  * Contract matches [[Ppm]]: corrupt, truncated, or unrecognized
+  * bytes decode to None — corrupt input is a data row, never an
+  * exception (`ImageIO.read` returns null when no reader claims the
+  * magic; a reader that claims it but hits a truncated/invalid stream
+  * throws, which maps to None here).
+  */
+object RasterCodec {
+
+  /** Decoded image with exact integer channel sums — same shape as
+    * [[Ppm.Image]], so callers swap codecs without changing the plan
+    * (floats appear only when a caller divides; keeps oracle
+    * comparison exact).
+    */
+  case class Image(width: Int, height: Int, sumR: Long, sumG: Long,
+      sumB: Long)
+
+  /** Decode any ImageIO-recognized format (PNG/JPEG/BMP/GIF/WBMP). */
+  def decode(bytes: Array[Byte]): Option[Image] = {
+    if (bytes == null || bytes.length == 0) return None
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            // getRGB converts whatever raster layout the reader chose
+            // (3BYTE_BGR for PNG, YCbCr-decoded RGB for JPEG) to packed
+            // sRGB — exact for 8-bit truecolor sources
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xff
+            sg += (rgb >> 8) & 0xff
+            sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        Some(Image(w, h, sr, sg, sb))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Encode an RGB raster — `pixel(p)` is the packed 0xRRGGBB value of
+    * row-major pixel p — via the named ImageIO writer ("png", "bmp",
+    * "jpg", "gif"). PNG and BMP are lossless: decode(encode(...))
+    * recovers the exact raster, the property q89's closed-form oracle
+    * rides; JPEG is lossy (dims survive, channel sums approximate).
+    */
+  def encode(format: String, width: Int, height: Int,
+      pixel: Int => Int): Array[Byte] = {
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.setRGB(x, y, pixel(y * width + x))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, format, out)
+    out.toByteArray
+  }
+}

@@ -1,11 +1,13 @@
 package graft
 
-import graft.ops.media.Ppm
+import graft.ops.media.{Ppm, RasterCodec}
 import graft.operators.Alignment
 
 /** The real P6 decoder: known-answer parse, malformed-input rejection,
   * and q82's end-to-end parity between bytes actually decoded and the
-  * closed-form raster the fixture was built from.
+  * closed-form raster the fixture was built from. Plus the compressed
+  * twin: JDK-ImageIO PNG/JPEG/BMP decode through [[RasterCodec]] and
+  * q89's end-to-end parity on real DEFLATE streams.
   */
 class MediaSpec extends SparkTestBase {
 
@@ -46,6 +48,71 @@ class MediaSpec extends SparkTestBase {
     val crafted2 = ("P6\n178956971 16\n255\n".getBytes("US-ASCII").toSeq ++
       Array.fill(16)(7.toByte)).toArray
     assert(Ppm.decode(crafted2).isEmpty)
+  }
+
+  test("raster codec: PNG and BMP round-trip exact channel sums; " +
+    "JPEG keeps dims and approximates sums") {
+    val (w, h) = (13, 7)
+    def pix(p: Int): Int = {
+      val r = (p * 37 + 5) % 256; val g = (p * 53 + 11) % 256
+      val b = (p * 71 + 23) % 256
+      (r << 16) | (g << 8) | b
+    }
+    def sum(c: Int) = (0 until w * h)
+      .map(p => (pix(p) >> (16 - 8 * c)) & 0xff).map(_.toLong).sum
+    Seq("png", "bmp").foreach { fmt =>
+      val img = RasterCodec.decode(RasterCodec.encode(fmt, w, h, pix)).get
+      assert(img.width == w && img.height == h, fmt)
+      assert(img.sumR == sum(0) && img.sumG == sum(1) && img.sumB == sum(2),
+        fmt)
+    }
+    // JPEG is lossy: dims exact, per-pixel mean within a coarse band
+    val jb = RasterCodec.encode("jpg", w, h, pix)
+    val j = RasterCodec.decode(jb).get
+    assert(j.width == w && j.height == h)
+    val n = (w * h).toDouble
+    assert(math.abs(j.sumR / n - sum(0) / n) < 32.0, s"jpeg R ${j.sumR}")
+    assert(math.abs(j.sumB / n - sum(2) / n) < 32.0, s"jpeg B ${j.sumB}")
+  }
+
+  test("raster codec: corrupt inputs reject, never throw") {
+    val png = RasterCodec.encode("png", 6, 4, _ => 0x102030)
+    assert(RasterCodec.decode(png).isDefined)
+    assert(RasterCodec.decode(null).isEmpty)
+    assert(RasterCodec.decode(Array[Byte]()).isEmpty)
+    // wrong magic: no reader claims it -> ImageIO.read returns null
+    assert(RasterCodec.decode("not an image at all".getBytes).isEmpty)
+    // cut mid-IDAT: the PNG reader throws inside read -> None
+    assert(RasterCodec.decode(png.take(png.length / 2)).isEmpty)
+    // header-only prefix (signature + partial IHDR)
+    assert(RasterCodec.decode(png.take(12)).isEmpty)
+    // NOTE deliberately absent: a PNG truncated by just its IEND tail
+    // still decodes (the JDK reader tolerates it) — q89 relies on
+    // half-truncation precisely because tail truncation is NOT a
+    // reliable corruption
+  }
+
+  test("q89: metrics recovered from real PNG bytes match the closed " +
+    "form; corrupt rows flagged") {
+    val rows = Alignment.q89PngDecode(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      if (id % 97 == 0) {
+        assert(!r.getAs[Boolean]("valid"), s"doc $id must be rejected")
+        assert(r.isNullAt(r.fieldIndex("mean_r")))
+      } else {
+        assert(r.getAs[Boolean]("valid"))
+        val (w, h) = (4 + id % 5, 3 + id % 4)
+        assert(r.getAs[Long]("width") == w && r.getAs[Long]("height") == h)
+        val n = w * h
+        val sg = (0L until n).map(p => (id * 31 + p * 7 + 11) % 256).sum
+        val want = BigDecimal(sg) / n
+        assert(math.abs(r.getAs[Double]("mean_g") -
+          want.setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+          s"doc $id mean_g")
+      }
+    }
   }
 
   test("q82: decoded metrics match the closed-form raster; corrupt rows flagged") {
