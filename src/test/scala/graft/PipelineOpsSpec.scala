@@ -43,6 +43,22 @@ class PipelineOpsSpec extends SparkTestBase {
     } finally labels.unpersist()
   }
 
+  test("q74 reuses q51's published clusters frame: plan scans the " +
+    "checkpoint instead of re-running MinHash+CC, output identical") {
+    // a fresh q74 computes its own clusters (standalone correctness)
+    val standalone = Dedup.q74ClusterCanonical(spark, sfDir).collect().toSet
+    // after q51 publishes, q74's physical plan must be quality ⨝
+    // checkpointed-labels: the materialized RDD scan appears, the
+    // MinHash machinery (posexplode'd shingle hashing) does not
+    Dedup.q51DedupClusters(spark, sfDir).write.format("noop")
+      .mode("overwrite").save()
+    val reused = Dedup.q74ClusterCanonical(spark, sfDir)
+    val p = reused.queryExecution.executedPlan.toString
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"), p.take(2000))
+    assert(!p.toLowerCase.contains("posexplode"), p.take(2000))
+    assert(reused.collect().toSet == standalone, "shared-frame q74 diverges")
+  }
+
   test("md5_prefix60 expression == conv(substring(md5(x),1,15),16,10) " +
     "on corpus tokens and random strings") {
     import spark.implicits._
