@@ -87,3 +87,20 @@ object Exact {
   def sqlDround(e: String, s: Int): String =
     s"CAST(ROUND(CAST(($e) AS DECIMAL(28,10)), $s) AS DOUBLE)"
 }
+
+/** Contracts between oracle SQL and the test-data generator. */
+object OracleGen {
+  /** DuckDB's `generate_series` rejects lateral column bounds, so
+    * every oracle that enumerates per-character or per-token positions
+    * ranges over a FIXED series of this length guarded by
+    * `WHERE i <= len(...)`. That makes the bound a silent contract
+    * with the data generator: a document LONGER than this would have
+    * its tail positions skipped by the oracle while the Spark side
+    * tiles the full array — a hash divergence with no error anywhere.
+    * The driver's corpus stays far below it (measured max 577 chars /
+    * 100 tokens across sf0.001–0.1); OracleBoundSpec asserts the bound
+    * against the fixtures so a regenerated corpus that breaks it fails
+    * loudly in CI instead of silently diverging on long documents.
+    */
+  val MaxDocSeries = 4096
+}

@@ -160,11 +160,18 @@ object Anomaly extends QueryPack {
     */
   def q86Acf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // LAZY localCheckpoint (one-scan rule, q71's discipline): both
+    // sides of the lag self-join read this frame, and without reuse
+    // the raw-events rollup ran twice. localCheckpoint over cache():
+    // blocks are reclaimed by the ContextCleaner once the frame is
+    // unreferenced, so a long-lived session never pins them — cache()
+    // entries live in the CacheManager until someone unpersists.
     val series = Tables.events(s, dir)
       .groupBy($"event_type",
         expr("unix_micros(date_trunc('hour', ts)) div 3600000000")
           .as("hi"))
       .agg(sum(v4($"value")).as("x"))
+      .localCheckpoint(false)
     val b = series.toDF("et2", "hj", "y")
     val pairs = series
       .select($"event_type", $"hi", $"x",
@@ -192,9 +199,22 @@ object Anomaly extends QueryPack {
         sum($"xd" * $"xd").as("sxx"), sum($"yd" * $"yd").as("syy"))
       .withColumn("dx", $"n" * $"sxx" - $"sx" * $"sx")
       .withColumn("dy", $"n" * $"syy" - $"sy" * $"sy")
+      .withColumn("dxy", $"n" * $"sxy" - $"sx" * $"sy")
+      // DECIMAL(38,0)×DECIMAL(38,0) silently yields NULL on overflow
+      // (non-ANSI), which the dx>0 filter would swallow as VANISHED
+      // rows — while the oracle's HUGEINT holds to ~1.7e38 or errors
+      // loudly. Each moment fits 38 digits by construction (values are
+      // DECIMAL(18,4)-snapped hourly sums over a bounded span); this
+      // asserts the cross products do too, so at extreme magnitudes
+      // both engines fail loudly instead of diverging row-sets. The
+      // frame is key-bounded (lags × types), so the check is free.
+      .filter(assert_true(
+        $"dx".isNotNull && $"dy".isNotNull && $"dxy".isNotNull,
+        lit("pearson: DECIMAL(38,0) overflow in variance cross product"))
+        .isNull)
       .filter($"dx" > 0 && $"dy" > 0)
       .select(keys.map(col) ++ Seq($"n".cast("long").as("n"),
-        Exact.dround(($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+        Exact.dround($"dxy".cast("double") /
           sqrt($"dx".cast("double") * $"dy".cast("double")), 4)
           .as(out)): _*)
   }
@@ -255,7 +275,11 @@ object Anomaly extends QueryPack {
         expr("unix_micros(date_trunc('hour', ts)) div 3600000000")
           .as("hi"))
       .agg(sum(v4($"value")).as("x0"))
-      .cache()
+      // lazy localCheckpoint, not cache(): three consumers (bounds,
+      // spine types, dense join) share one materialization, and the
+      // blocks free with the frame instead of sitting in the
+      // CacheManager for the session lifetime (q86's rule)
+      .localCheckpoint(false)
     val bounds = series.agg(min($"hi").as("lo"), max($"hi").as("hi2"))
     val spine = series.select($"event_type").distinct()
       .crossJoin(broadcast(bounds))

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.{QueryPack, Tables}
+import graft.core.{OracleGen, QueryPack, Tables}
 
 /** Deduplication operators for training-data pipelines (builder-prompt
   * first-class requirement): exact hash dedup, MinHash+LSH banding,
@@ -521,8 +521,8 @@ object Dedup extends QueryPack {
 
   override def oracleSql: Map[String, String] = Map(
     "q49_dedup_editdist" ->
-      """WITH grams AS MATERIALIZED (SELECT DISTINCT doc_id, substr(text, g, 8) AS gram
-        |  FROM documents, generate_series(1, 4096) t(g)
+      s"""WITH grams AS MATERIALIZED (SELECT DISTINCT doc_id, substr(text, g, 8) AS gram
+        |  FROM documents, generate_series(1, ${OracleGen.MaxDocSeries}) t(g)
         |  WHERE g <= length(text) - 7),
         |rare AS (SELECT gram FROM grams GROUP BY gram
         |  HAVING COUNT(*) <= 4 AND COUNT(*) >= 2),
@@ -672,9 +672,9 @@ object Dedup extends QueryPack {
       // stride-8 tiling via fixed generate_series + modulus (DuckDB's
       // generate_series rejects lateral column bounds); t[i:i+7] is the
       // INCLUSIVE 8-element slice
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |w AS (SELECT doc_id, array_to_string(t[i:i+7], ' ') AS passage
-        |  FROM toks, generate_series(1, 4096) g(i)
+        |  FROM toks, generate_series(1, ${OracleGen.MaxDocSeries}) g(i)
         |  WHERE (i % 8) = 1 AND i + 7 <= len(t)),
         |pd AS (SELECT passage, doc_id, COUNT(*) AS n FROM w GROUP BY 1, 2)
         |SELECT passage, COUNT(*) AS n_docs,
@@ -700,8 +700,8 @@ object Dedup extends QueryPack {
          |FROM cq JOIN m ON cq.cluster_id = m.cluster_id AND cq.quality = m.mq
          |GROUP BY m.cluster_id, m.n_docs, m.mq""".stripMargin,
     "q28_dedup_ngram" ->
-      """WITH grams AS (SELECT DISTINCT doc_id, substr(text, g, 8) AS gram
-        |  FROM documents, generate_series(1, 4096) t(g)
+      s"""WITH grams AS (SELECT DISTINCT doc_id, substr(text, g, 8) AS gram
+        |  FROM documents, generate_series(1, ${OracleGen.MaxDocSeries}) t(g)
         |  WHERE g <= length(text) - 7),
         |rare AS (SELECT gram FROM grams GROUP BY gram
         |  HAVING COUNT(*) <= 4 AND COUNT(*) >= 2),

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.{QueryPack, Tables}
+import graft.core.{OracleGen, QueryPack, Tables}
 
 /** Corpus-assembly operators a training-data pipeline runs AFTER
   * cleaning and dedup: packing documents into fixed-token-budget
@@ -200,9 +200,9 @@ object Pipeline extends QueryPack {
         |  len(string_split(text, ' ')) nw FROM documents),
         |words AS (SELECT doc_id, unnest(ws) tok FROM wx),
         |big AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] bg
-        |  FROM wx, generate_series(1, 4096) t(i) WHERE i <= nw - 1),
+        |  FROM wx, generate_series(1, ${OracleGen.MaxDocSeries}) t(i) WHERE i <= nw - 1),
         |tri AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] tg
-        |  FROM wx, generate_series(1, 4096) t(i) WHERE i <= nw - 2),
+        |  FROM wx, generate_series(1, ${OracleGen.MaxDocSeries}) t(i) WHERE i <= nw - 2),
         |wstat AS (SELECT doc_id, MAX(c) topw FROM
         |  (SELECT doc_id, tok, COUNT(*) c FROM words GROUP BY 1, 2) GROUP BY 1),
         |bstat AS (SELECT doc_id, MAX(c) topb, CAST(SUM(c) AS BIGINT) nb FROM
@@ -221,14 +221,14 @@ object Pipeline extends QueryPack {
         |WHERE quality >= 0.5 AND keep
         |GROUP BY lang""".stripMargin,
     "q54_pack" ->
-      """WITH d AS (SELECT doc_id,
+      s"""WITH d AS (SELECT doc_id,
         |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 64 AS shard,
         |  len(string_split(text, ' ')) AS n_tok FROM documents),
         |c AS (SELECT doc_id, shard, n_tok,
         |  COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) cum_before
         | FROM d)
-        |SELECT shard, CAST(FLOOR(cum_before / 4096) AS BIGINT) AS seq,
+        |SELECT shard, CAST(FLOOR(cum_before / $SeqLen) AS BIGINT) AS seq,
         | COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS seq_tokens,
         | MIN(doc_id) AS first_doc_id
         |FROM c GROUP BY 1, 2""".stripMargin,
@@ -252,12 +252,12 @@ object Pipeline extends QueryPack {
         | MIN(CASE WHEN cum_before + n <= quota THEN doc_id END) AS first_doc_id
         |FROM q GROUP BY lang""".stripMargin,
     "q55_contamination" ->
-      """WITH ws AS (SELECT doc_id,
+      s"""WITH ws AS (SELECT doc_id,
         |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100 AS bucket,
         |  string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT DISTINCT doc_id, bucket,
         |  md5(array_to_string(w[i:i+12], ' ')) AS sh
-        | FROM ws, generate_series(1, 4096) t(i) WHERE i <= len(w) - 12),
+        | FROM ws, generate_series(1, ${OracleGen.MaxDocSeries}) t(i) WHERE i <= len(w) - 12),
         |ev AS (SELECT doc_id eval_id, sh FROM sh WHERE bucket < 20),
         |tr AS (SELECT doc_id train_id, sh FROM sh WHERE bucket >= 20),
         |rare AS (SELECT sh FROM tr GROUP BY sh HAVING COUNT(*) <= 16),

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.{QueryPack, Tables}
+import graft.core.{OracleGen, QueryPack, Tables}
 import graft.ops.text.ParseEmails
 
 /** Text-analysis operators for a training-data pipeline over the
@@ -734,9 +734,9 @@ object TextAnalysis extends QueryPack {
         | MIN(doc_id) AS first_doc_id
         |FROM sp GROUP BY lang, "split"""".stripMargin,
     "q75_bigram_lm" ->
-      """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+      s"""WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
         |bgr AS (SELECT t[i] AS w1, t[i+1] AS w2
-        |  FROM toks, generate_series(1, 4096) g(i) WHERE i <= len(t) - 1),
+        |  FROM toks, generate_series(1, ${OracleGen.MaxDocSeries}) g(i) WHERE i <= len(t) - 1),
         |bc AS (SELECT w1, w2, COUNT(*) AS n_bigram FROM bgr GROUP BY 1, 2),
         |uc AS (SELECT w1, CAST(SUM(n_bigram) AS BIGINT) AS n_prefix
         |  FROM bc GROUP BY 1)
@@ -812,9 +812,9 @@ object TextAnalysis extends QueryPack {
         |  len(string_split(text, ' ')) nw FROM documents),
         |words AS (SELECT doc_id, unnest(ws) tok FROM wx),
         |big AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] bg
-        |  FROM wx, generate_series(1, 4096) t(i) WHERE i <= nw - 1),
+        |  FROM wx, generate_series(1, ${OracleGen.MaxDocSeries}) t(i) WHERE i <= nw - 1),
         |tri AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] tg
-        |  FROM wx, generate_series(1, 4096) t(i) WHERE i <= nw - 2),
+        |  FROM wx, generate_series(1, ${OracleGen.MaxDocSeries}) t(i) WHERE i <= nw - 2),
         |wstat AS (SELECT doc_id, MAX(c) topw FROM
         |  (SELECT doc_id, tok, COUNT(*) c FROM words GROUP BY 1, 2) GROUP BY 1),
         |bstat AS (SELECT doc_id, MAX(c) topb, CAST(SUM(c) AS BIGINT) nb FROM
@@ -829,9 +829,9 @@ object TextAnalysis extends QueryPack {
         |FROM wx JOIN wstat USING (doc_id) LEFT JOIN bstat USING (doc_id)
         |LEFT JOIN tstat USING (doc_id)""".stripMargin,
     "q42_winnow_fingerprint" ->
-      """WITH grams AS (SELECT doc_id, g AS pos,
+      s"""WITH grams AS (SELECT doc_id, g AS pos,
         |  CAST(('0x' || substr(md5(substr(text, g, 8)), 1, 15)) AS BIGINT) hv
-        | FROM documents, generate_series(1, 4096) t(g)
+        | FROM documents, generate_series(1, ${OracleGen.MaxDocSeries}) t(g)
         | WHERE g <= length(text) - 7),
         |wm AS (SELECT doc_id,
         |  MIN(hv) OVER (PARTITION BY doc_id ORDER BY pos
@@ -883,7 +883,7 @@ object TextAnalysis extends QueryPack {
         |docs AS (SELECT doc_id, string_split(text, ' ') ws,
         |  len(string_split(text, ' ')) nw FROM documents),
         |tok AS (SELECT doc_id, i, ws[i] AS tok FROM docs,
-        |  generate_series(1, 4096) t(i) WHERE i <= nw)
+        |  generate_series(1, ${OracleGen.MaxDocSeries}) t(i) WHERE i <= nw)
         |SELECT doc_id,
         | array_to_string(list(CAST(COALESCE(v.id, 0) AS VARCHAR) ORDER BY i), ',')
         |   AS ids

@@ -90,8 +90,13 @@ object AnomalyStream {
   case class FunnelState(depth: Int, tv: Long, tc: Long)
   case class FunnelHit(user_id: Long, depth: Int, at_us: Long)
 
-  private def micros(t: java.sql.Timestamp): Long =
-    t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+  // floorDiv, not /: getTime truncates toward zero, so for pre-1970
+  // timestamps plain division double-counts the fractional second
+  // (-0.5s would become +500000us) and corrupts funnel ordering for
+  // pre-epoch events; floorDiv agrees with getNanos' always-positive
+  // sub-second convention
+  private[graft] def micros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
   /** Streaming twin of batch q78: the per-user greedy funnel fold as
     * O(1) keyed state, emitting a row each time a user REACHES a new

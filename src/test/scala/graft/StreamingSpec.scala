@@ -455,4 +455,24 @@ class StreamingSpec extends SparkTestBase {
       assert(byUser(3L) == Seq(1, 2, 3), byUser.toString)
     } finally spark.streams.active.foreach(_.stop())
   }
+
+  test("micros: pre-epoch timestamps keep event order (floorDiv, not " +
+    "truncating division)") {
+    import graft.streaming.AnomalyStream.micros
+    def t(ms: Long, nanos: Int = 0): java.sql.Timestamp = {
+      val x = new java.sql.Timestamp(ms)
+      if (nanos != 0) x.setNanos(nanos)
+      x
+    }
+    // -0.5 s: truncating division yielded +500000us (after the epoch!),
+    // inverting order against -1 s and 0 s neighbors
+    assert(micros(t(-500)) == -500000L)
+    assert(micros(t(-1000)) == -1000000L)
+    assert(micros(t(0)) == 0L)
+    assert(micros(t(-500)) > micros(t(-1000)) && micros(t(-500)) < 0L)
+    // post-epoch values unchanged, sub-ms nanos still add forward
+    assert(micros(t(1500)) == 1500000L)
+    val withNanos = t(-1000, 250000000) // -1s + 0.25s = -0.75s
+    assert(micros(withNanos) == -750000L)
+  }
 }
