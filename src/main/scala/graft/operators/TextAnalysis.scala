@@ -566,6 +566,15 @@ object TextAnalysis extends QueryPack {
     * (size(filter(toks, x -> x = t))) is O(len · distinct) per doc —
     * fine under doc-length caps; an exploded two-level aggregation
     * takes over for book-length outliers.
+    *
+    * Lookup-cost caveat (round-7 diagnosis): `element_at` on a
+    * MapType is a LINEAR key scan, so scoring is really
+    * O(distinct-per-doc × vocab) — flat on the capped/bounded vocabs
+    * this plan assumes, but the wrong spelling for an open-domain
+    * vocabulary, where the swap is a broadcast hash join on `tok`
+    * (O(1) probes) feeding a bounded-heap top-3 per doc. Measured
+    * 0.57 s → 1.16 s for 10× documents (2.0×): ~0.5 s is the fixed
+    * vocab-aggregation + broadcast job, the rest a linear scan.
     */
   def q76TfIdfTerms(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
