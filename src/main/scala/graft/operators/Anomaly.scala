@@ -99,18 +99,34 @@ object Anomaly extends QueryPack {
     * one task; the aggregate form ships percentile buffers instead of
     * rows, and the broadcast side is |event_type| rows.
     */
-  def q35RobustStats(s: SparkSession, dir: String): DataFrame = {
+  private def robustStatsFrom(s: SparkSession, dir: String,
+      med: String => org.apache.spark.sql.Column): DataFrame = {
     import s.implicits._
     val ev = Tables.events(s, dir).withColumn("v4", v4($"value"))
-    val med = ev.groupBy($"event_type".as("et"))
-      .agg(expr("percentile(v4, 0.5)").as("med4"))
-    ev.join(broadcast(med), $"event_type" === $"et")
+    val m = ev.groupBy($"event_type".as("et"))
+      .agg(med("v4").as("med4"))
+    ev.join(broadcast(m), $"event_type" === $"et")
       .withColumn("dev", abs($"v4" - $"med4"))
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n"),
         Exact.dround(max($"med4") / 10000.0, 4).as("median_value"),
-        Exact.dround(expr("percentile(dev, 0.5)") / 10000.0, 4).as("mad"))
+        Exact.dround(med("dev") / 10000.0, 4).as("mad"))
   }
+
+  def q35RobustStats(s: SparkSession, dir: String): DataFrame =
+    robustStatsFrom(s, dir, c => expr(s"percentile($c, 0.5)"))
+
+  /** q35's 100 TB spelling AS CODE: medians and MADs from
+    * `approx_percentile` sketches (fixed memory per group, relative
+    * rank error ≤ 1/accuracy) instead of exact per-group percentile
+    * buffers — the exact form is kept for oracle hash parity, this
+    * form is what a hot event_type at 1000× group size needs.
+    * Spec-gated on the rank-error band (PercentileSpec).
+    */
+  def robustStatsApprox(s: SparkSession, dir: String,
+      accuracy: Int = 10000): DataFrame =
+    robustStatsFrom(s, dir,
+      c => expr(s"approx_percentile($c, 0.5, $accuracy)").cast("double"))
 
   // --- q47: seasonal baseline (hour-of-day slot) outliers ------------------
   /** Telemetry seasonality: each event compares against the statistics

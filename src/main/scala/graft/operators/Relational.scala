@@ -487,7 +487,8 @@ object Relational extends QueryPack {
     * scale bug). Monetary sums ride DECIMAL(18,4); medians interpolate
     * on exact values cast to double, identically in both engines.
     */
-  def q83RfmSegments(s: SparkSession, dir: String): DataFrame = {
+  private def rfmSegmentsFrom(s: SparkSession, dir: String,
+      med: String => Column): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.types.DecimalType
     val perUser = Tables.events(s, dir)
@@ -499,9 +500,9 @@ object Relational extends QueryPack {
           .otherwise(lit(0).cast(DecimalType(18, 4)))).as("monetary"))
       .withColumn("md", $"monetary".cast("double"))
     val th = perUser.agg(
-      expr("percentile(recency_us, 0.5)").as("r50"),
-      expr("percentile(frequency, 0.5)").as("f50"),
-      expr("percentile(md, 0.5)").as("m50"))
+      med("recency_us").as("r50"),
+      med("frequency").as("f50"),
+      med("md").as("m50"))
     perUser.crossJoin(broadcast(th))
       .groupBy(($"recency_us" > $"r50").as("r_high"),
         ($"frequency" > $"f50").as("f_high"),
@@ -511,6 +512,22 @@ object Relational extends QueryPack {
           sum($"monetary").cast("double") / count(lit(1)), 2)
           .as("avg_monetary"))
   }
+
+  def q83RfmSegments(s: SparkSession, dir: String): DataFrame =
+    rfmSegmentsFrom(s, dir, c => expr(s"percentile($c, 0.5)"))
+
+  /** q83's 100 TB spelling AS CODE: the three split medians come from
+    * `approx_percentile` sketches (fixed memory, relative rank error
+    * ≤ 1/accuracy) instead of exact percentile buffers over every
+    * user — the global median over a billion user rows is exactly
+    * where the exact form's O(group) buffer dies. Same plan shape and
+    * output schema; spec-gated on threshold rank error and census
+    * conservation (PercentileSpec).
+    */
+  def rfmSegmentsApprox(s: SparkSession, dir: String,
+      accuracy: Int = 10000): DataFrame =
+    rfmSegmentsFrom(s, dir,
+      c => expr(s"approx_percentile($c, 0.5, $accuracy)").cast("double"))
 
   // --- q84: full-outer reconciliation across tables -------------------------
   /** Calendar-day activity profile: order totals (TPC-H orders) vs

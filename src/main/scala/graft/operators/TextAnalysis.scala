@@ -349,18 +349,36 @@ object TextAnalysis extends QueryPack {
     * sketch memory per group instead of a sort, and the group count
     * (languages) is tiny either way.
     */
-  def q65LengthQuantiles(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  private[graft] val QuantilePs = Seq(0.25, 0.50, 0.75, 0.90, 0.99)
+
+  private def lengthQuantilesFrom(docs: DataFrame,
+      q: Double => org.apache.spark.sql.Column): DataFrame = {
+    import docs.sparkSession.implicits._
     import graft.core.Exact.dround
-    Tables.documents(s, dir)
-      .groupBy($"lang")
-      .agg(count(lit(1)).as("n"),
-        dround(expr("percentile(n_chars, 0.25)"), 4).as("p25"),
-        dround(expr("percentile(n_chars, 0.50)"), 4).as("p50"),
-        dround(expr("percentile(n_chars, 0.75)"), 4).as("p75"),
-        dround(expr("percentile(n_chars, 0.90)"), 4).as("p90"),
-        dround(expr("percentile(n_chars, 0.99)"), 4).as("p99"))
+    val cols = QuantilePs.map(p =>
+      dround(q(p), 4).as(s"p${(p * 100).toInt}"))
+    docs.groupBy($"lang")
+      .agg(count(lit(1)).as("n"), cols: _*)
   }
+
+  def q65LengthQuantiles(s: SparkSession, dir: String): DataFrame =
+    lengthQuantilesFrom(Tables.documents(s, dir),
+      p => expr(s"percentile(n_chars, $p)"))
+
+  /** q65's 100 TB spelling AS CODE: `approx_percentile` keeps a fixed
+    * Greenwald–Khanna sketch per group (relative rank error ≤
+    * 1/accuracy) instead of buffering every group member for an exact
+    * per-group sort — the O(group) buffer is the one thing in q65 that
+    * does not survive a 1000× group. Same plan shape, same output
+    * schema; returns corpus elements rather than interpolated values,
+    * so it is spec-gated on the rank-error band (PercentileSpec), not
+    * oracle-hashed.
+    */
+  def lengthQuantilesApprox(docs: DataFrame,
+      accuracy: Int = 10000): DataFrame =
+    lengthQuantilesFrom(docs,
+      p => expr(s"approx_percentile(n_chars, $p, $accuracy)")
+        .cast("double"))
 
   // --- q66: unicode/whitespace text normalization ---------------------------
   /** Control chars minus keep-worthy \t and \n; \r dies here so CRLF
