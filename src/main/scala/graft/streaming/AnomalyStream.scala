@@ -190,6 +190,79 @@ object AnomalyStream {
       }
   }
 
+  case class RetentionHit(user_id: Long, cohort_day: Long,
+      week_offset: Long)
+
+  /** Streaming twin of batch q79 (weekly cohort retention): per-user
+    * keyed state carries the cohort week (first-activity Monday, UTC —
+    * the same `date_trunc('week')` convention as the batch query) plus
+    * the set of week offsets already counted, emitting one row the
+    * FIRST time a user is active in each offset — the incremental feed
+    * of the retention triangle (a census is one downstream
+    * aggregation). State per user is the cohort day plus one Int per
+    * ACTIVE week — bounded by stream lifetime in weeks, not by events
+    * (a year-long stream holds ≤ 52 entries for the most loyal user).
+    */
+  def retentionDetector(events: Dataset[Event]): Dataset[RetentionHit] = {
+    import events.sparkSession.implicits._
+    // Monday-truncated epoch day: day 0 (1970-01-01) was a Thursday,
+    // so the latest Monday <= d sits floorMod(d - 4, 7) days back
+    def mondayOf(us: Long): Long = {
+      val d = Math.floorDiv(us, 86400000000L)
+      d - Math.floorMod(d - 4L, 7L)
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Set[Int]), RetentionHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid, rows, state) =>
+          val weeks = rows.map(e => mondayOf(micros(e.ts))).toSeq.sorted
+          var (cohort, seen) = state.getOption.getOrElse(
+            (mondayOf(Long.MaxValue), Set.empty[Int]))
+          val hits = scala.collection.mutable.ArrayBuffer.empty[RetentionHit]
+          weeks.foreach { w =>
+            if (seen.isEmpty && w < cohort) cohort = w
+            val off = ((w - cohort) / 7L).toInt
+            if (off >= 0 && !seen(off)) {
+              seen += off
+              hits += RetentionHit(uid, cohort, off.toLong)
+            }
+          }
+          state.update((cohort, seen))
+          hits.iterator
+      }
+  }
+
+  case class Transition(user_id: Long, cur: String, nxt: String,
+      at_us: Long)
+
+  /** Streaming twin of batch q80 (first-order transition matrix):
+    * per-user state is just the LAST event (type, time, id) — O(1) —
+    * and each arrival emits the (previous → current) transition edge;
+    * the matrix census is one downstream aggregation. Within a
+    * micro-batch rows sort by (event time, event_id), the batch
+    * query's lead() order, so per-user event-time-ordered arrival
+    * reproduces the batch counts exactly.
+    */
+  def transitionDetector(events: Dataset[Event]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(String, Long, Long), Transition](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid, rows, state) =>
+          var (lastType, lastUs, lastId) = state.getOption.getOrElse(
+            (null: String, 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
+          rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            val us = micros(e.ts)
+            if (lastType != null)
+              out += Transition(uid, lastType, e.event_type, us)
+            lastType = e.event_type; lastUs = us; lastId = e.event_id
+          }
+          state.update((lastType, lastUs, lastId))
+          out.iterator
+      }
+  }
+
   case class Ewma(mean: Double, varEst: Double, n: Long) {
     def add(x: Double, alpha: Double): Ewma = {
       if (n == 0) Ewma(x, 0.0, 1)

@@ -456,6 +456,79 @@ class StreamingSpec extends SparkTestBase {
     } finally spark.streams.active.foreach(_.stop())
   }
 
+  test("streaming retention: cohort fixed at first activity, each week " +
+    "offset emits once, state survives micro-batch boundaries") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.streaming.AnomalyStream
+    import AnomalyStream.{Event, RetentionHit}
+    val input = MemoryStream[Event]
+    val q = AnomalyStream.retentionDetector(input.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("retention_stream").start()
+    try {
+      val W = 7L * 86400L // one week in seconds
+      // epoch sec 4*86400 = Mon 1970-01-05; user 1 starts there
+      val mon = 4L * 86400L
+      input.addData(
+        Event(1, ts(mon), 1, "view", 0),
+        Event(2, ts(mon + 3600), 1, "click", 0)) // same week: no re-emit
+      q.processAllAvailable()
+      input.addData(
+        Event(3, ts(mon + W), 1, "view", 0),      // offset 1
+        Event(4, ts(mon + 3 * W), 1, "view", 0),  // offset 3 (skip 2)
+        Event(5, ts(mon + W), 2, "view", 0))      // user 2 cohort = week 1
+      q.processAllAvailable()
+      input.addData(
+        Event(6, ts(mon + 3 * W + 60), 1, "view", 0), // offset 3 again
+        Event(7, ts(mon + 2 * W), 2, "view", 0))      // user 2 offset 1
+      q.processAllAvailable()
+      val hits = spark.table("retention_stream").as[RetentionHit].collect()
+      val byUser = hits.groupBy(_.user_id)
+        .view.mapValues(_.map(h => (h.cohort_day, h.week_offset))
+          .sorted.toSeq).toMap
+      val d1 = 4L // user 1's cohort Monday as epoch day
+      assert(byUser(1L) == Seq((d1, 0L), (d1, 1L), (d1, 3L)),
+        byUser.toString)
+      assert(byUser(2L) == Seq((d1 + 7L, 0L), (d1 + 7L, 1L)),
+        byUser.toString)
+    } finally spark.streams.active.foreach(_.stop())
+  }
+
+  test("streaming transitions: per-user last-event state emits each " +
+    "consecutive pair across micro-batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.streaming.AnomalyStream
+    import AnomalyStream.{Event, Transition}
+    val input = MemoryStream[Event]
+    val q = AnomalyStream.transitionDetector(input.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("transition_stream").start()
+    try {
+      input.addData(
+        Event(1, ts(10), 1, "view", 0),
+        Event(2, ts(20), 1, "click", 0),
+        Event(3, ts(10), 2, "view", 0))
+      q.processAllAvailable()
+      // cross-batch: user 1's purchase pairs with the click from the
+      // PREVIOUS batch; user 2's error pairs with its view
+      input.addData(
+        Event(4, ts(30), 1, "purchase", 0),
+        Event(5, ts(40), 2, "error", 0))
+      q.processAllAvailable()
+      val trans = spark.table("transition_stream").as[Transition].collect()
+      val pairs = trans.map(t => (t.user_id, t.cur, t.nxt)).sorted.toSeq
+      assert(pairs == Seq((1L, "click", "purchase"), (1L, "view", "click"),
+        (2L, "view", "error")), pairs.toString)
+      // census equals the batch q80 shape: count per (cur, nxt)
+      val census = trans.groupBy(t => (t.cur, t.nxt))
+        .view.mapValues(_.length).toMap
+      assert(census == Map(("view", "click") -> 1,
+        ("click", "purchase") -> 1, ("view", "error") -> 1))
+    } finally spark.streams.active.foreach(_.stop())
+  }
+
   test("micros: pre-epoch timestamps keep event order (floorDiv, not " +
     "truncating division)") {
     import graft.streaming.AnomalyStream.micros
