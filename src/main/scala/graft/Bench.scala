@@ -94,7 +94,16 @@ object Bench {
     val ok = results.filter(_._2.nonEmpty)
     val total = ok.map(_._2.min).sum
     val totalMed = ok.map(r => median(r._2)).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"total_median":$totalMed,"reps_sec":$repsJson,"errors":$errs,"sf":"$sfDir","reps":$reps,"timing":"min"}""")
+    // noise band: per-query rep spread (max/min) summarized as the
+    // worst and the median across queries — the mechanical signal a
+    // reader needs to separate code deltas from host contention (a
+    // cross-round per-query delta smaller than this run's own spread
+    // is noise, not regression)
+    val spreads = ok.map(r => r._2.max / r._2.min)
+    val noiseBand =
+      if (spreads.isEmpty) "null"
+      else f"""{"max_spread":${spreads.max}%.4f,"median_spread":${median(spreads)}%.4f}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"total_median":$totalMed,"noise_band":$noiseBand,"reps_sec":$repsJson,"errors":$errs,"sf":"$sfDir","reps":$reps,"timing":"min"}""")
     spark.stop()
   }
 }

@@ -171,10 +171,12 @@ object EmailParser {
   /** S3: charset-sniffing decode — BOM first (UTF-8/UTF-16 LE/BE), then
     * a null-byte distribution sniff for BOM-less UTF-16 (chardet's
     * strongest non-BOM signal: ASCII-heavy UTF-16 text has ~half its
-    * bytes 0x00, parked on one parity), then strict UTF-8, then
-    * Shift-JIS (structural validity + kana/kanji payoff), then the
-    * Cyrillic single-byte family (KOI8-R vs windows-1251, told apart
-    * by case-band distribution — the same signal chardet's
+    * bytes 0x00, parked on one parity), then strict UTF-8, then the
+    * East-Asian multibyte family — Shift-JIS, EUC-JP (kana-gated),
+    * EUC-KR (hangul-gated), Big5 (CJK-gated, no kana/hangul) — each
+    * requiring strict structural decode PLUS script-block payoff,
+    * then the Cyrillic single-byte family (KOI8-R vs windows-1251,
+    * told apart by case-band distribution — the same signal chardet's
     * distribution models key on), then Latin-1 (total: every byte
     * sequence decodes). The reference uses chardet
     * (`Assignment 4.py:104-122`); this covers the encodings mail
@@ -210,7 +212,15 @@ object EmailParser {
       dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
     } catch {
       case _: java.nio.charset.CharacterCodingException =>
+        // East-Asian multibyte codecs BEFORE the Cyrillic band sniff:
+        // EUC lead/trail bytes land inside the 0xC0+ letter bands the
+        // Cyrillic heuristic keys on, but the multibyte tries demand
+        // strict structural decode PLUS script-block payoff (high
+        // precision), so they must get first claim
         tryShiftJis(bytes)
+          .orElse(tryEucJp(bytes))
+          .orElse(tryEucKr(bytes))
+          .orElse(tryBig5(bytes))
           .orElse(tryCyrillic(bytes))
           .getOrElse(new String(bytes, ISO_8859_1))
     }
@@ -223,25 +233,84 @@ object EmailParser {
     * land in Japanese blocks is the precision chardet gets from its
     * SJIS distribution table.
     */
-  private def tryShiftJis(bytes: Array[Byte]): Option[String] = {
-    val sjis = java.nio.charset.Charset.forName("Shift_JIS")
+  private def tryShiftJis(bytes: Array[Byte]): Option[String] =
+    tryStrict(bytes, "Shift_JIS") { s =>
+      val na = nonAscii(s)
+      na.nonEmpty && na.count(isJapaneseBlock) * 10 >= na.length * 8
+    }
+
+  /** Strict decode in `cs`; Some(text) only when the decode succeeds
+    * AND `accept` approves the non-ASCII payload — the shared shape of
+    * every East-Asian try (structural validity alone is too weak:
+    * these encodings overlap byte-structurally, so the script-block
+    * distribution is what disambiguates, exactly the signal chardet's
+    * per-codec distribution models encode).
+    */
+  private def tryStrict(bytes: Array[Byte], cs: String)(
+      accept: String => Boolean): Option[String] = {
     val s =
       try {
-        val dec = sjis.newDecoder()
+        val dec = java.nio.charset.Charset.forName(cs).newDecoder()
           .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
           .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
         dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
-      } catch { case _: java.nio.charset.CharacterCodingException => return None }
-    val nonAscii = s.filter(_ >= 0x80)
-    val japanese = nonAscii.count { c =>
-      (c >= 0x3040 && c <= 0x30ff) || // hiragana + katakana
-      (c >= 0x4e00 && c <= 0x9fff) || // CJK unified
-      (c >= 0xff00 && c <= 0xffef) || // full/half-width forms
-      (c >= 0x3000 && c <= 0x303f)    // CJK punctuation
-    }
-    if (nonAscii.nonEmpty && japanese * 10 >= nonAscii.length * 8) Some(s)
-    else None
+      } catch {
+        case _: java.nio.charset.CharacterCodingException => return None
+      }
+    if (accept(s)) Some(s) else None
   }
+
+  private def nonAscii(s: String): String = s.filter(_ >= 0x80)
+
+  private def isJapaneseBlock(c: Char): Boolean =
+    (c >= 0x3040 && c <= 0x30ff) || (c >= 0x4e00 && c <= 0x9fff) ||
+      (c >= 0xff00 && c <= 0xffef) || (c >= 0x3000 && c <= 0x303f)
+
+  private def isKana(c: Char): Boolean = c >= 0x3040 && c <= 0x30ff
+
+  private def isHangul(c: Char): Boolean =
+    (c >= 0xac00 && c <= 0xd7a3) || (c >= 0x1100 && c <= 0x11ff) ||
+      (c >= 0x3130 && c <= 0x318f)
+
+  /** EUC-JP: strict decode + Japanese payload WITH kana present. The
+    * kana gate is the disambiguator against EUC-KR: Korean hangul rows
+    * decoded as EUC-JP yield structurally-valid kanji (both live in
+    * the CJK unified block), but living Japanese text always carries
+    * kana — the frequency signal chardet's EUC-JP model is built on.
+    */
+  private def tryEucJp(bytes: Array[Byte]): Option[String] =
+    tryStrict(bytes, "EUC-JP") { s =>
+      val na = nonAscii(s)
+      na.nonEmpty && na.count(isJapaneseBlock) * 10 >= na.length * 8 &&
+        na.exists(isKana)
+    }
+
+  /** EUC-KR: strict decode + hangul-dominant payload (Korean text is
+    * hangul-dominant even with hanja sprinkled in). Tried after
+    * EUC-JP's kana gate, so kana-bearing Japanese never falls here.
+    */
+  private def tryEucKr(bytes: Array[Byte]): Option[String] =
+    tryStrict(bytes, "EUC-KR") { s =>
+      val na = nonAscii(s)
+      na.nonEmpty && na.count(isHangul) * 10 >= na.length * 5
+    }
+
+  /** Big5: strict decode + CJK/bopomofo payload with NO kana and NO
+    * hangul (Big5 trail bytes 0x40-0x7E fail strict EUC decodes, so
+    * real Big5 usually only reaches here; the negative gates stop
+    * EUC-KR/EUC-JP byte streams that happen to form valid Big5 from
+    * misdetecting).
+    */
+  private def tryBig5(bytes: Array[Byte]): Option[String] =
+    tryStrict(bytes, "Big5") { s =>
+      val na = nonAscii(s)
+      val cjk = na.count { c =>
+        (c >= 0x4e00 && c <= 0x9fff) || (c >= 0x3100 && c <= 0x312f) ||
+          (c >= 0xff00 && c <= 0xffef) || (c >= 0x3000 && c <= 0x303f)
+      }
+      na.nonEmpty && cjk * 10 >= na.length * 8 &&
+        !na.exists(isKana) && !na.exists(isHangul)
+    }
 
   /** KOI8-R / windows-1251: both map the 0xC0-0xFF band to Cyrillic
     * letters, so "dense high bytes, nearly all in the letter bands"

@@ -184,6 +184,30 @@ class EmailSpec extends SparkTestBase {
     assert(EmailParser.decodeBest(ru.getBytes("UTF-8")) == ru)
   }
 
+  test("charset sniffing: EUC-JP / EUC-KR / Big5 long tail, " +
+    "cross-codec gates hold") {
+    // Japanese with kana — the gate that separates EUC-JP from the
+    // structurally-overlapping EUC-KR
+    val ja = "日本語のテキストです。こんにちは世界。"
+    assert(EmailParser.decodeBest(ja.getBytes("EUC-JP")) == ja)
+    val jaMixed = s"Re: meeting notes $ja (resend)"
+    assert(EmailParser.decodeBest(jaMixed.getBytes("EUC-JP")) == jaMixed)
+    // Korean: hangul-dominant, must NOT be claimed by the EUC-JP try
+    val ko = "안녕하세요 세계. 한국어 텍스트입니다."
+    assert(EmailParser.decodeBest(ko.getBytes("EUC-KR")) == ko)
+    val koMixed = s"Subject: $ko (urgent)"
+    assert(EmailParser.decodeBest(koMixed.getBytes("EUC-KR")) == koMixed)
+    // Traditional Chinese: CJK with no kana/hangul → Big5
+    val zh = "這是一封用中文寫的電子郵件。你好世界。"
+    assert(EmailParser.decodeBest(zh.getBytes("Big5")) == zh)
+    // the earlier codecs keep their claims with the new tries present
+    assert(EmailParser.decodeBest(ja.getBytes("Shift_JIS")) == ja)
+    val ru = "Это письмо написано по-русски. Привет, мир!"
+    assert(EmailParser.decodeBest(ru.getBytes("KOI8-R")) == ru)
+    val fr = "café crème: déjà vu, naïveté, garçon"
+    assert(EmailParser.decodeBest(fr.getBytes("ISO-8859-1")) == fr)
+  }
+
   test("script/style content dropped, comments removed") {
     val s = "a<script>var x=1;</script>b<style>p{}</style>c<!-- hidden -->d"
     assert(HtmlStrip.stripHtml(s) == "abcd")
