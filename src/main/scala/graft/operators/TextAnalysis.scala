@@ -614,6 +614,41 @@ object TextAnalysis extends QueryPack {
         $"col.tok".as("tok"), (-$"col.nscore").as("score"))
   }
 
+  /** q76's OPEN-DOMAIN spelling AS CODE (the swap the map-lookup form
+    * documents): tf from one (doc_id, tok) aggregation, idf joined
+    * back on `tok` — hash probes are O(1) where `element_at` on a
+    * MapType scans the whole vocab per lookup — and the per-doc top-3
+    * rides the bounded-heap [[org.apache.spark.sql.graft.TopKByAggregate]]
+    * (ord desc, payload asc = exactly the rounded-score/tok order the
+    * in-row form sorts by), so no vocabulary ever aggregates into a
+    * single row or broadcasts as a whole. The join is left unhinted:
+    * AQE broadcasts the idf side while it is small and shuffles it
+    * when an open-domain vocab outgrows that. Byte-identical output
+    * to [[q76TfIdfTerms]] (PipelineOpsSpec asserts it).
+    */
+  def tfIdfTermsJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.geo.top_k_by
+    val docs = Tables.documents(s, dir)
+    // lazy localCheckpoint: df derivation and scoring both read the tf
+    // frame; blocks free with the frame (q86's rule)
+    val tf = docs
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
+    val idf = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n"))))
+      .select($"tok", log($"n" / $"df").as("idf"))
+    tf.join(idf, "tok")
+      .select($"doc_id",
+        graft.core.Exact.dround($"tf" * $"idf", 4).as("score"), $"tok")
+      .groupBy($"doc_id")
+      .agg(top_k_by($"score", $"tok", 3).as("top"))
+      .select($"doc_id", posexplode($"top"))
+      .select($"doc_id", ($"pos" + 1).cast("long").as("rank"),
+        $"col.payload".as("tok"), $"col.ord".as("score"))
+  }
+
   // --- q81: quality-weighted corpus sampling --------------------------------
   /** Importance sampling by quality: each document is kept with
     * probability proportional to its q22 quality score (acceptance =

@@ -59,6 +59,19 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(reused.collect().toSet == standalone, "shared-frame q74 diverges")
   }
 
+  test("q76 open-domain join spelling: byte-identical rows to the " +
+    "broadcast-map form") {
+    val inRow = TextAnalysis.q76TfIdfTerms(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rank"),
+        r.getAs[String]("tok"), r.getAs[Double]("score"))).toSet
+    val joined = TextAnalysis.tfIdfTermsJoin(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rank"),
+        r.getAs[String]("tok"), r.getAs[Double]("score"))).toSet
+    assert(inRow.nonEmpty)
+    assert(joined == inRow,
+      s"diff: ${(joined diff inRow).take(5)} / ${(inRow diff joined).take(5)}")
+  }
+
   test("md5_prefix60 expression == conv(substring(md5(x),1,15),16,10) " +
     "on corpus tokens and random strings") {
     import spark.implicits._
