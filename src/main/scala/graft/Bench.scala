@@ -100,9 +100,13 @@ object Bench {
     // cross-round per-query delta smaller than this run's own spread
     // is noise, not regression)
     val spreads = ok.map(r => r._2.max / r._2.min)
+    // Locale.ROOT: the default-locale f"" interpolator renders a
+    // comma decimal separator on e.g. de_DE hosts — invalid JSON
+    def r4(x: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(x))
     val noiseBand =
       if (spreads.isEmpty) "null"
-      else f"""{"max_spread":${spreads.max}%.4f,"median_spread":${median(spreads)}%.4f}"""
+      else s"""{"max_spread":${r4(spreads.max)},"median_spread":${r4(median(spreads))}}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"total_median":$totalMed,"noise_band":$noiseBand,"reps_sec":$repsJson,"errors":$errs,"sf":"$sfDir","reps":$reps,"timing":"min"}""")
     spark.stop()
   }

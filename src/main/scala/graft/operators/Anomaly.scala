@@ -208,6 +208,21 @@ object Anomaly extends QueryPack {
       out: String): DataFrame = {
     import pairs.sparkSession.implicits._
     pairs
+      // DECIMAL(38,0)×DECIMAL(38,0) silently yields NULL on overflow
+      // (non-ANSI) — and Sum SKIPS null inputs, so an overflowing
+      // per-row product would undercount sxy/sxx/syy while sx/sy/n
+      // stay complete: a silently wrong correlation, not even a
+      // vanished row. The oracle's HUGEINT instead holds to ~1.7e38
+      // or errors loudly. Guard at the ROW level, where the first
+      // overflow can happen: inputs are DECIMAL(18,4)-snapped hourly
+      // sums, so legitimate products fit 38 digits with room; at
+      // extreme magnitudes both engines now fail loudly instead of
+      // diverging. The frame is span-bounded, so the check is cheap.
+      .filter(assert_true(
+        ($"xd" * $"yd").isNotNull && ($"xd" * $"xd").isNotNull &&
+          ($"yd" * $"yd").isNotNull,
+        lit("pearson: DECIMAL(38,0) overflow in per-row moment product"))
+        .isNull)
       .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).cast(D38).as("n"),
         sum($"xd").as("sx"), sum($"yd").as("sy"),
@@ -216,14 +231,8 @@ object Anomaly extends QueryPack {
       .withColumn("dx", $"n" * $"sxx" - $"sx" * $"sx")
       .withColumn("dy", $"n" * $"syy" - $"sy" * $"sy")
       .withColumn("dxy", $"n" * $"sxy" - $"sx" * $"sy")
-      // DECIMAL(38,0)×DECIMAL(38,0) silently yields NULL on overflow
-      // (non-ANSI), which the dx>0 filter would swallow as VANISHED
-      // rows — while the oracle's HUGEINT holds to ~1.7e38 or errors
-      // loudly. Each moment fits 38 digits by construction (values are
-      // DECIMAL(18,4)-snapped hourly sums over a bounded span); this
-      // asserts the cross products do too, so at extreme magnitudes
-      // both engines fail loudly instead of diverging row-sets. The
-      // frame is key-bounded (lags × types), so the check is free.
+      // same guard one level up: the n·sxx − sx² cross products can
+      // overflow even when every row-level moment fit
       .filter(assert_true(
         $"dx".isNotNull && $"dy".isNotNull && $"dxy".isNotNull,
         lit("pearson: DECIMAL(38,0) overflow in variance cross product"))

@@ -155,6 +155,30 @@ object Alignment extends QueryPack {
       height: Option[Int], sum_r: Option[Long], sum_g: Option[Long],
       sum_b: Option[Long])
 
+  private def toImgRow(id: Long,
+      d: Option[(Int, Int, Long, Long, Long)]): ImgRow = d match {
+    case Some((w, h, r, g, b)) =>
+      ImgRow(id, valid = true, Some(w), Some(h), Some(r), Some(g), Some(b))
+    case None => ImgRow(id, valid = false, None, None, None, None, None)
+  }
+
+  /** Shared metrics projection for the decode queries (q82 PPM, q89
+    * PNG): dims as long, channel means dividing EXACT integer sums,
+    * 4dp dround — one definition so the two oracles can never drift.
+    */
+  private def imgMetrics(rows: DataFrame): DataFrame = {
+    import rows.sparkSession.implicits._
+    rows.select($"doc_id", $"valid",
+      $"width".cast("long").as("width"),
+      $"height".cast("long").as("height"),
+      graft.core.Exact.dround(
+        $"sum_r" / ($"width" * $"height"), 4).as("mean_r"),
+      graft.core.Exact.dround(
+        $"sum_g" / ($"width" * $"height"), 4).as("mean_g"),
+      graft.core.Exact.dround(
+        $"sum_b" / ($"width" * $"height"), 4).as("mean_b"))
+  }
+
   // --- q82: REAL image decode (binary PPM) over a binary column -----------
   /** End-to-end image decode with a real parser ([[graft.ops.media.Ppm]],
     * pure JVM — P6 header scan, dimension parse, raster read): the
@@ -185,24 +209,12 @@ object Alignment extends QueryPack {
       .withColumn("bytes", when($"doc_id" % 97 === 0,
         expr("substring(bytes0, 1, length(bytes0) - 2)")).otherwise($"bytes0"))
       .select($"doc_id", $"bytes").as[(Long, Array[Byte])]
-    bin.mapPartitions { it =>
+    imgMetrics(bin.mapPartitions { it =>
       it.map { case (id, b) =>
-        graft.ops.media.Ppm.decode(b) match {
-          case Some(img) => ImgRow(id, valid = true, Some(img.width),
-            Some(img.height), Some(img.sumR), Some(img.sumG), Some(img.sumB))
-          case None => ImgRow(id, valid = false, None, None, None, None, None)
-        }
+        toImgRow(id, graft.ops.media.Ppm.decode(b)
+          .map(i => (i.width, i.height, i.sumR, i.sumG, i.sumB)))
       }
-    }.toDF()
-      .select($"doc_id", $"valid",
-        $"width".cast("long").as("width"),
-        $"height".cast("long").as("height"),
-        graft.core.Exact.dround(
-          $"sum_r" / ($"width" * $"height"), 4).as("mean_r"),
-        graft.core.Exact.dround(
-          $"sum_g" / ($"width" * $"height"), 4).as("mean_g"),
-        graft.core.Exact.dround(
-          $"sum_b" / ($"width" * $"height"), 4).as("mean_b"))
+    }.toDF())
   }
 
   // --- q89: REAL compressed decode (PNG via JDK ImageIO) ------------------
@@ -225,7 +237,7 @@ object Alignment extends QueryPack {
     import s.implicits._
     import graft.ops.media.RasterCodec
     val src = Tables.documents(s, dir).select($"doc_id").as[Long]
-    src.mapPartitions { it =>
+    imgMetrics(src.mapPartitions { it =>
       it.map { id =>
         val w = (4 + id % 5).toInt
         val h = (3 + id % 4).toInt
@@ -236,22 +248,10 @@ object Alignment extends QueryPack {
           (r << 16) | (g << 8) | b
         })
         val bytes = if (id % 97 == 0) png.take(png.length / 2) else png
-        RasterCodec.decode(bytes) match {
-          case Some(img) => ImgRow(id, valid = true, Some(img.width),
-            Some(img.height), Some(img.sumR), Some(img.sumG), Some(img.sumB))
-          case None => ImgRow(id, valid = false, None, None, None, None, None)
-        }
+        toImgRow(id, RasterCodec.decode(bytes)
+          .map(i => (i.width, i.height, i.sumR, i.sumG, i.sumB)))
       }
-    }.toDF()
-      .select($"doc_id", $"valid",
-        $"width".cast("long").as("width"),
-        $"height".cast("long").as("height"),
-        graft.core.Exact.dround(
-          $"sum_r" / ($"width" * $"height"), 4).as("mean_r"),
-        graft.core.Exact.dround(
-          $"sum_g" / ($"width" * $"height"), 4).as("mean_g"),
-        graft.core.Exact.dround(
-          $"sum_b" / ($"width" * $"height"), 4).as("mean_b"))
+    }.toDF())
   }
 
   // --- q39: frame sampling (video-style strided byte slicing) -------------
@@ -299,6 +299,31 @@ object Alignment extends QueryPack {
     "q89_png_decode"    -> (q89PngDecode _),
   )
 
+  private val RasterClosedFormSql =
+    """WITH dims AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+      |  FROM documents),
+      |px AS (SELECT doc_id, w, h, p FROM dims, generate_series(0, 55) g(p)
+      |  WHERE p < w * h),
+      |s AS (SELECT doc_id,
+      |  SUM((doc_id * 31 + p * 7) % 256) sr,
+      |  SUM((doc_id * 31 + p * 7 + 11) % 256) sg,
+      |  SUM((doc_id * 31 + p * 7 + 22) % 256) sb,
+      |  COUNT(*) n
+      | FROM px GROUP BY 1)
+      |SELECT d.doc_id, d.doc_id % 97 != 0 AS valid,
+      | CASE WHEN d.doc_id % 97 != 0 THEN d.w END AS width,
+      | CASE WHEN d.doc_id % 97 != 0 THEN d.h END AS height,
+      | CASE WHEN d.doc_id % 97 != 0 THEN
+      |   CAST(ROUND(CAST((s.sr / s.n) AS DECIMAL(28,10)), 4) AS DOUBLE)
+      | END AS mean_r,
+      | CASE WHEN d.doc_id % 97 != 0 THEN
+      |   CAST(ROUND(CAST((s.sg / s.n) AS DECIMAL(28,10)), 4) AS DOUBLE)
+      | END AS mean_g,
+      | CASE WHEN d.doc_id % 97 != 0 THEN
+      |   CAST(ROUND(CAST((s.sb / s.n) AS DECIMAL(28,10)), 4) AS DOUBLE)
+      | END AS mean_b
+      |FROM dims d JOIN s USING (doc_id)""".stripMargin
+
   override def oracleSql: Map[String, String] = Map(
     "q36_asof_join" ->
       """WITH clicks AS (SELECT event_id, user_id, ts, value FROM events
@@ -316,60 +341,13 @@ object Alignment extends QueryPack {
         | CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
         | COUNT(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
-    "q82_image_decode" ->
-      // closed-form twin of the in-plan raster: channel c of pixel p is
-      // (doc_id*31 + p*7 + c*11) % 256, so the oracle sums the formula
-      // the decoder must recover from the actual bytes
-      """WITH dims AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
-        |  FROM documents),
-        |px AS (SELECT doc_id, w, h, p FROM dims, generate_series(0, 55) g(p)
-        |  WHERE p < w * h),
-        |s AS (SELECT doc_id,
-        |  SUM((doc_id * 31 + p * 7) % 256) sr,
-        |  SUM((doc_id * 31 + p * 7 + 11) % 256) sg,
-        |  SUM((doc_id * 31 + p * 7 + 22) % 256) sb,
-        |  COUNT(*) n
-        | FROM px GROUP BY 1)
-        |SELECT d.doc_id, d.doc_id % 97 != 0 AS valid,
-        | CASE WHEN d.doc_id % 97 != 0 THEN d.w END AS width,
-        | CASE WHEN d.doc_id % 97 != 0 THEN d.h END AS height,
-        | CASE WHEN d.doc_id % 97 != 0 THEN
-        |   CAST(ROUND(CAST((s.sr / s.n) AS DECIMAL(28,10)), 4) AS DOUBLE)
-        | END AS mean_r,
-        | CASE WHEN d.doc_id % 97 != 0 THEN
-        |   CAST(ROUND(CAST((s.sg / s.n) AS DECIMAL(28,10)), 4) AS DOUBLE)
-        | END AS mean_g,
-        | CASE WHEN d.doc_id % 97 != 0 THEN
-        |   CAST(ROUND(CAST((s.sb / s.n) AS DECIMAL(28,10)), 4) AS DOUBLE)
-        | END AS mean_b
-        |FROM dims d JOIN s USING (doc_id)""".stripMargin,
-    "q89_png_decode" ->
-      // same closed-form raster as q82 (the twin never touches bytes);
-      // the engine side must recover these sums from a real DEFLATE
-      // stream instead of an uncompressed P6 payload
-      """WITH dims AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
-        |  FROM documents),
-        |px AS (SELECT doc_id, w, h, p FROM dims, generate_series(0, 55) g(p)
-        |  WHERE p < w * h),
-        |s AS (SELECT doc_id,
-        |  SUM((doc_id * 31 + p * 7) % 256) sr,
-        |  SUM((doc_id * 31 + p * 7 + 11) % 256) sg,
-        |  SUM((doc_id * 31 + p * 7 + 22) % 256) sb,
-        |  COUNT(*) n
-        | FROM px GROUP BY 1)
-        |SELECT d.doc_id, d.doc_id % 97 != 0 AS valid,
-        | CASE WHEN d.doc_id % 97 != 0 THEN d.w END AS width,
-        | CASE WHEN d.doc_id % 97 != 0 THEN d.h END AS height,
-        | CASE WHEN d.doc_id % 97 != 0 THEN
-        |   CAST(ROUND(CAST((s.sr / s.n) AS DECIMAL(28,10)), 4) AS DOUBLE)
-        | END AS mean_r,
-        | CASE WHEN d.doc_id % 97 != 0 THEN
-        |   CAST(ROUND(CAST((s.sg / s.n) AS DECIMAL(28,10)), 4) AS DOUBLE)
-        | END AS mean_g,
-        | CASE WHEN d.doc_id % 97 != 0 THEN
-        |   CAST(ROUND(CAST((s.sb / s.n) AS DECIMAL(28,10)), 4) AS DOUBLE)
-        | END AS mean_b
-        |FROM dims d JOIN s USING (doc_id)""".stripMargin,
+    // closed-form twin of the in-plan raster: channel c of pixel p is
+    // (doc_id*31 + p*7 + c*11) % 256, so the oracle sums the formula
+    // the decoder must recover from the actual bytes — q82 from an
+    // uncompressed P6 payload, q89 from a real DEFLATE stream; ONE
+    // definition (RasterClosedFormSql) so the twins can never drift
+    "q82_image_decode" -> RasterClosedFormSql,
+    "q89_png_decode"   -> RasterClosedFormSql,
     "q38_media_meta" ->
       """SELECT doc_id,
         | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

@@ -150,6 +150,13 @@ object Dedup extends QueryPack {
 
   private[graft] def sharedClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // evict entries pinned to stopped sessions so a long-lived JVM
+    // cycling SparkSessions (test suites, notebook restarts) doesn't
+    // accumulate unreclaimable plans; staleness-under-rewritten-dir
+    // follows Tables.memo's existing contract (an sf dir is immutable
+    // for a session's lifetime)
+    clusterMemo.filterInPlace { case ((sess, _), _) =>
+      !sess.sparkContext.isStopped }
     clusterMemo.getOrElseUpdate((s, dir),
       connectedComponents(minhashLinks(s, dir).select($"i", $"j"))
         .select($"node".as("doc_id"), $"lab".as("cluster_id")))

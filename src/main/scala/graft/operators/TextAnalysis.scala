@@ -951,10 +951,10 @@ object TextAnalysis extends QueryPack {
         |   AS ids
         |FROM tok LEFT JOIN v USING (tok) GROUP BY doc_id""".stripMargin,
     "q69_chunk" ->
-      """WITH wx AS (SELECT doc_id, string_split(text, ' ') ws,
+      s"""WITH wx AS (SELECT doc_id, string_split(text, ' ') ws,
         |  len(string_split(text, ' ')) nw FROM documents),
         |st AS (SELECT doc_id, ws, nw, i FROM wx,
-        |  generate_series(1, 4096, 48) t(i) WHERE i <= nw)
+        |  generate_series(1, ${OracleGen.MaxDocSeries}, 48) t(i) WHERE i <= nw)
         |SELECT doc_id, CAST((i - 1) // 48 AS BIGINT) AS chunk_id,
         | array_to_string(ws[i : i + 63], ' ') AS chunk,
         | CAST(LEAST(64, nw - i + 1) AS BIGINT) AS chunk_tokens

@@ -23,6 +23,12 @@ import javax.imageio.ImageIO
   */
 object RasterCodec {
 
+  // ImageIO defaults to useCache=true, which spools EVERY read/write
+  // through a temp FILE — per-row disk I/O (and a hard failure on an
+  // unwritable tmpdir) for byte arrays already in memory. Disable
+  // once: these images stream through executors in-heap.
+  ImageIO.setUseCache(false)
+
   /** Decoded image with exact integer channel sums — same shape as
     * [[Ppm.Image]], so callers swap codecs without changing the plan
     * (floats appear only when a caller divides; keeps oracle

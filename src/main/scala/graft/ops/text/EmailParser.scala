@@ -256,6 +256,10 @@ object EmailParser {
         dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
       } catch {
         case _: java.nio.charset.CharacterCodingException => return None
+        // jlink-minimized runtimes may omit jdk.charsets (home of the
+        // East-Asian codecs); decodeBest's contract is total — degrade
+        // to the next try, never crash the parse job
+        case _: java.nio.charset.UnsupportedCharsetException => return None
       }
     if (accept(s)) Some(s) else None
   }

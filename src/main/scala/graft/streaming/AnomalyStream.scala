@@ -202,6 +202,16 @@ object AnomalyStream {
     * aggregation). State per user is the cohort day plus one Int per
     * ACTIVE week — bounded by stream lifetime in weeks, not by events
     * (a year-long stream holds ≤ 52 entries for the most loyal user).
+    *
+    * Ordering contract (same as [[funnelDetector]]): per-user arrival
+    * must respect event-time order ACROSS micro-batches to reproduce
+    * the batch census. The cohort pins at the first week SEEN: a
+    * pre-cohort event arriving late (after the user's state exists)
+    * cannot rebase the cohort — earlier offsets were already emitted
+    * against it and append mode cannot retract — so such events are
+    * dropped (off < 0). Batch q79 over the full data is the
+    * authoritative triangle; this stream is its incremental
+    * approximation under ordered arrival.
     */
   def retentionDetector(events: Dataset[Event]): Dataset[RetentionHit] = {
     import events.sparkSession.implicits._
@@ -236,29 +246,28 @@ object AnomalyStream {
       at_us: Long)
 
   /** Streaming twin of batch q80 (first-order transition matrix):
-    * per-user state is just the LAST event (type, time, id) — O(1) —
-    * and each arrival emits the (previous → current) transition edge;
-    * the matrix census is one downstream aggregation. Within a
+    * per-user state is just the LAST event type — O(1) — and each
+    * arrival emits the (previous → current) transition edge; the
+    * matrix census is one downstream aggregation. Within a
     * micro-batch rows sort by (event time, event_id), the batch
     * query's lead() order, so per-user event-time-ordered arrival
-    * reproduces the batch counts exactly.
+    * across batches reproduces the batch counts exactly (the same
+    * ordering contract as [[funnelDetector]] / [[retentionDetector]]).
     */
   def transitionDetector(events: Dataset[Event]): Dataset[Transition] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[(String, Long, Long), Transition](
+      .flatMapGroupsWithState[String, Transition](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (uid, rows, state) =>
-          var (lastType, lastUs, lastId) = state.getOption.getOrElse(
-            (null: String, 0L, 0L))
+          var lastType = state.getOption.orNull
           val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
           rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
-            val us = micros(e.ts)
             if (lastType != null)
-              out += Transition(uid, lastType, e.event_type, us)
-            lastType = e.event_type; lastUs = us; lastId = e.event_id
+              out += Transition(uid, lastType, e.event_type, micros(e.ts))
+            lastType = e.event_type
           }
-          state.update((lastType, lastUs, lastId))
+          state.update(lastType)
           out.iterator
       }
   }

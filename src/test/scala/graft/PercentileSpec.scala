@@ -87,11 +87,42 @@ class PercentileSpec extends SparkTestBase {
     val nExact = exact.map(_.getAs[Long]("n_users")).sum
     val nApprox = approx.map(_.getAs[Long]("n_users")).sum
     assert(nExact == nApprox, "every user must land in exactly one segment")
-    // each metric's approx threshold is within ±eps rank of the exact
-    // median, so at most 3 · eps · n users (one band per metric) can
-    // change segment — the census-level consequence of the GK bound
+    // each metric's approx threshold is an ELEMENT within ±eps rank of
+    // the exact median, so the users who can flip segment on metric m
+    // are exactly those whose value falls between the exact median and
+    // some in-band element — a DISTRIBUTION-dependent mass (duplicate
+    // runs at the median can flip far more than eps·n users while the
+    // sketch stays in-spec). Bound each metric by its actual worst
+    // in-band flip mass, then sum across the three metrics.
     val eps = 1.0 / Accuracy
-    val maxShift = math.max(1L, math.ceil(3 * eps * nExact).toLong)
+    import org.apache.spark.sql.types.DecimalType
+    val perUser = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(max(expr("unix_micros(ts)")).as("recency_us"),
+        count(lit(1)).as("frequency"),
+        sum(when(col("event_type") === "purchase",
+          col("value").cast(DecimalType(18, 4)))
+          .otherwise(lit(0).cast(DecimalType(18, 4))))
+          .cast("double").as("md"))
+      .collect()
+    def metricBound(vals: Array[Double]): Long = {
+      val sorted = vals.sorted
+      val n = sorted.length
+      // exact interpolated median (Spark percentile definition)
+      val em =
+        if (n % 2 == 1) sorted(n / 2)
+        else (sorted(n / 2 - 1) + sorted(n / 2)) / 2.0
+      val exceedEm = sorted.count(_ > em)
+      val lo = math.max(0, math.floor((0.5 - eps) * (n - 1)).toInt)
+      val hi = math.min(n - 1, math.ceil((0.5 + eps) * (n - 1)).toInt)
+      (lo to hi).map { i =>
+        math.abs(sorted.count(_ > sorted(i)) - exceedEm).toLong
+      }.max
+    }
+    val maxShift =
+      metricBound(perUser.map(_.getAs[Long]("recency_us").toDouble)) +
+        metricBound(perUser.map(_.getAs[Long]("frequency").toDouble)) +
+        metricBound(perUser.map(_.getAs[Double]("md")))
     def key(r: org.apache.spark.sql.Row) =
       (r.getAs[Boolean]("r_high"), r.getAs[Boolean]("f_high"),
         r.getAs[Boolean]("m_high"))
