@@ -254,6 +254,49 @@ object Alignment extends QueryPack {
     }.toDF())
   }
 
+  // --- q90: REAL audio decode (WAV/PCM via JDK javax.sound) ---------------
+  case class WavRow(doc_id: Long, valid: Boolean, n_samples: Option[Long],
+      sample_rate: Option[Long], sum_pcm: Option[Long],
+      peak_abs: Option[Long])
+
+  /** End-to-end AUDIO decode — real WAV containers (RIFF header + PCM
+    * frames, written by the JDK's own encoder) decoded back through
+    * [[graft.ops.media.WavCodec]] (`javax.sound.sampled`, in-JVM).
+    * Sample i of document d follows the closed form
+    * ((d·31 + i·7) mod 4096) − 2048, so the oracle aggregates the
+    * formula while the engine recovers it from actual RIFF bytes.
+    * Every 97th document is truncated to half — the WAV reader
+    * silently returns FEWER frames on a cut stream (no exception,
+    * unlike PNG), so the codec's declared-vs-read frame check is what
+    * flags it invalid; that contract is exactly what this query
+    * exercises.
+    *
+    * Scale shape: narrow per-row transform, one mapPartitions stage,
+    * zero shuffles (q38's batch shape).
+    */
+  def q90WavDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.media.WavCodec
+    val src = Tables.documents(s, dir).select($"doc_id").as[Long]
+    src.mapPartitions { it =>
+      it.map { id =>
+        val n = (64 + id % 64).toInt
+        val wav = WavCodec.encodePcm16(8000, n,
+          i => (((id * 31 + i * 7) % 4096) - 2048).toShort)
+        val bytes = if (id % 97 == 0) wav.take(wav.length / 2) else wav
+        WavCodec.decode(bytes) match {
+          case Some(a) => WavRow(id, valid = true, Some(a.nSamples),
+            Some(a.sampleRate.toLong), Some(a.sumPcm), Some(a.peakAbs))
+          case None => WavRow(id, valid = false, None, None, None, None)
+        }
+      }
+    }.toDF()
+      .select($"doc_id", $"valid", $"n_samples", $"sample_rate",
+        $"sum_pcm", $"peak_abs",
+        graft.core.Exact.dround($"sum_pcm" / $"n_samples", 4)
+          .as("mean_pcm"))
+  }
+
   // --- q39: frame sampling (video-style strided byte slicing) -------------
   def q39FrameSample(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -297,6 +340,7 @@ object Alignment extends QueryPack {
     "q44_media_features" -> (q44MediaFeatures _),
     "q82_image_decode"  -> (q82ImageDecode _),
     "q89_png_decode"    -> (q89PngDecode _),
+    "q90_wav_decode"    -> (q90WavDecode _),
   )
 
   private val RasterClosedFormSql =
@@ -348,6 +392,24 @@ object Alignment extends QueryPack {
     // definition (RasterClosedFormSql) so the twins can never drift
     "q82_image_decode" -> RasterClosedFormSql,
     "q89_png_decode"   -> RasterClosedFormSql,
+    "q90_wav_decode" ->
+      // closed-form twin of the in-plan PCM payload: sample i of doc d
+      // is ((d*31 + i*7) mod 4096) - 2048; the oracle aggregates the
+      // formula the codec must recover from real RIFF bytes
+      """WITH dims AS (SELECT doc_id, 64 + doc_id % 64 AS n FROM documents),
+        |sm AS (SELECT doc_id, n,
+        |  CAST(SUM((doc_id * 31 + i * 7) % 4096 - 2048) AS BIGINT) sp,
+        |  CAST(MAX(ABS((doc_id * 31 + i * 7) % 4096 - 2048)) AS BIGINT) pk
+        | FROM dims, generate_series(0, 127) g(i) WHERE i < n GROUP BY 1, 2)
+        |SELECT doc_id, doc_id % 97 != 0 AS valid,
+        | CASE WHEN doc_id % 97 != 0 THEN CAST(n AS BIGINT) END AS n_samples,
+        | CASE WHEN doc_id % 97 != 0 THEN CAST(8000 AS BIGINT) END AS sample_rate,
+        | CASE WHEN doc_id % 97 != 0 THEN sp END AS sum_pcm,
+        | CASE WHEN doc_id % 97 != 0 THEN pk END AS peak_abs,
+        | CASE WHEN doc_id % 97 != 0 THEN
+        |   CAST(ROUND(CAST((sp / n) AS DECIMAL(28,10)), 4) AS DOUBLE)
+        | END AS mean_pcm
+        |FROM sm""".stripMargin,
     "q38_media_meta" ->
       """SELECT doc_id,
         | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

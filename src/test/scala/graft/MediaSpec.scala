@@ -115,6 +115,46 @@ class MediaSpec extends SparkTestBase {
     }
   }
 
+  test("wav codec: PCM16 round-trips exact sample aggregates; " +
+    "truncated and corrupt inputs reject, never throw") {
+    import graft.ops.media.WavCodec
+    val n = 200
+    def sample(i: Int): Short = (((i * 37 + 13) % 4096) - 2048).toShort
+    val wav = WavCodec.encodePcm16(16000, n, sample)
+    val a = WavCodec.decode(wav).get
+    assert(a.channels == 1 && a.sampleRate == 16000 && a.nSamples == n)
+    assert(a.sumPcm == (0 until n).map(sample(_).toLong).sum)
+    assert(a.peakAbs == (0 until n).map(i => math.abs(sample(i).toLong)).max)
+    // the WAV reader returns FEWER frames on a cut stream without
+    // throwing — the declared-vs-read check must catch it
+    assert(WavCodec.decode(wav.take(wav.length / 2)).isEmpty)
+    assert(WavCodec.decode(wav.dropRight(2)).isEmpty)
+    assert(WavCodec.decode(null).isEmpty)
+    assert(WavCodec.decode(Array[Byte]()).isEmpty)
+    assert(WavCodec.decode("definitely not a riff file".getBytes).isEmpty)
+    // header-only prefix
+    assert(WavCodec.decode(wav.take(20)).isEmpty)
+  }
+
+  test("q90: metrics recovered from real RIFF bytes match the closed " +
+    "form; corrupt rows flagged") {
+    val rows = Alignment.q90WavDecode(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      if (id % 97 == 0) {
+        assert(!r.getAs[Boolean]("valid"), s"doc $id must be rejected")
+        assert(r.isNullAt(r.fieldIndex("sum_pcm")))
+      } else {
+        assert(r.getAs[Boolean]("valid"))
+        val n = 64 + id % 64
+        assert(r.getAs[Long]("n_samples") == n)
+        val want = (0L until n).map(i => (id * 31 + i * 7) % 4096 - 2048).sum
+        assert(r.getAs[Long]("sum_pcm") == want, s"doc $id sum_pcm")
+      }
+    }
+  }
+
   test("q82: decoded metrics match the closed-form raster; corrupt rows flagged") {
     val rows = Alignment.q82ImageDecode(spark, sfDir).collect()
     assert(rows.nonEmpty)
