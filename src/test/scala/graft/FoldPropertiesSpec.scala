@@ -30,6 +30,25 @@ class FoldPropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("wav: encode→decode round-trips exact sample aggregates; any " +
+    "truncation rejects (200 random clips)") {
+    import graft.ops.media.WavCodec
+    val rnd = new scala.util.Random(19)
+    (1 to 200).foreach { _ =>
+      val n = 1 + rnd.nextInt(300)
+      val rate = 4000 + rnd.nextInt(44100)
+      val xs = Array.fill(n)((rnd.nextInt(65536) - 32768).toShort)
+      val wav = WavCodec.encodePcm16(rate, n, xs(_))
+      val a = WavCodec.decode(wav).get
+      assert(a.nSamples == n && a.sampleRate == rate && a.channels == 1)
+      assert(a.sumPcm == xs.map(_.toLong).sum)
+      assert(a.peakAbs == xs.map(x => math.abs(x.toLong)).max)
+      // cut anywhere inside the PCM payload: frames-read < declared
+      val cut = wav.length - 2 * (1 + rnd.nextInt(n))
+      assert(WavCodec.decode(wav.take(cut)).isEmpty, s"n=$n cut=$cut")
+    }
+  }
+
   test("funnel fold: equals brute-force subsequence search over 300 " +
     "random users (ties, bursts, inverted orders)") {
     import spark.implicits._

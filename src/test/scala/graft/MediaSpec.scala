@@ -66,6 +66,16 @@ class MediaSpec extends SparkTestBase {
       assert(img.sumR == sum(0) && img.sumG == sum(1) && img.sumB == sum(2),
         fmt)
     }
+    // GIF is palette-quantized: lossless ONLY under 256 distinct
+    // colors — a 3-color raster must round-trip exactly
+    def pix3(p: Int): Int =
+      Array(0x102030, 0xa0b0c0, 0xff0000)(p % 3)
+    val gi = RasterCodec.decode(RasterCodec.encode("gif", w, h, pix3)).get
+    def sum3(c: Int) = (0 until w * h)
+      .map(p => (pix3(p) >> (16 - 8 * c)) & 0xff).map(_.toLong).sum
+    assert(gi.width == w && gi.height == h)
+    assert(gi.sumR == sum3(0) && gi.sumG == sum3(1) && gi.sumB == sum3(2),
+      "gif 3-color")
     // JPEG is lossy: dims exact, per-pixel mean within a coarse band
     val jb = RasterCodec.encode("jpg", w, h, pix)
     val j = RasterCodec.decode(jb).get
