@@ -14,6 +14,11 @@ class PercentileSpec extends SparkTestBase {
 
   private val Accuracy = 100
 
+  // the graded scale: 5k docs / 100k events — big enough that a
+  // 1%-rank GK sketch genuinely compresses (the spec-default sf0.001
+  // would make accuracy=100 near-exact and the property vacuous)
+  private val Sf = "/root/testdata/sf0.1"
+
   /** Value band for percentile p over sorted values under relative
     * rank error eps: anything between the elements at rank
     * floor((p-eps)·(n-1)) and ceil((p+eps)·(n-1)) (clamped) is within
@@ -30,7 +35,7 @@ class PercentileSpec extends SparkTestBase {
 
   test("q65 approx twin: every quantile lands in the rank-error band " +
     "of the exact per-language distribution") {
-    val docs = Tables.documents(spark, sfDir)
+    val docs = Tables.documents(spark, Sf)
     val approx = TextAnalysis.lengthQuantilesApprox(docs, Accuracy)
       .collect().map(r => r.getAs[String]("lang") -> r).toMap
     val exactVals = docs.select(col("lang"), col("n_chars").cast("double"))
@@ -51,10 +56,10 @@ class PercentileSpec extends SparkTestBase {
 
   test("q35 approx twin: median and MAD within the rank-error band " +
     "per event_type; schema matches the exact query") {
-    val exact = Anomaly.q35RobustStats(spark, sfDir)
-    val approx = Anomaly.robustStatsApprox(spark, sfDir, Accuracy)
+    val exact = Anomaly.q35RobustStats(spark, Sf)
+    val approx = Anomaly.robustStatsApprox(spark, Sf, Accuracy)
     assert(approx.schema == exact.schema)
-    val ev = Tables.events(spark, sfDir)
+    val ev = Tables.events(spark, Sf)
       .select(col("event_type"),
         expr("CAST(ROUND(value * 10000) AS BIGINT)").as("v4"))
       .collect().groupBy(_.getString(0))
@@ -81,8 +86,8 @@ class PercentileSpec extends SparkTestBase {
 
   test("q83 approx twin: user census conserved, segment counts shift " +
     "at most by the users inside the threshold rank bands") {
-    val exact = Relational.q83RfmSegments(spark, sfDir).collect()
-    val approx = Relational.rfmSegmentsApprox(spark, sfDir, Accuracy)
+    val exact = Relational.q83RfmSegments(spark, Sf).collect()
+    val approx = Relational.rfmSegmentsApprox(spark, Sf, Accuracy)
       .collect()
     val nExact = exact.map(_.getAs[Long]("n_users")).sum
     val nApprox = approx.map(_.getAs[Long]("n_users")).sum
@@ -96,7 +101,7 @@ class PercentileSpec extends SparkTestBase {
     // in-band flip mass, then sum across the three metrics.
     val eps = 1.0 / Accuracy
     import org.apache.spark.sql.types.DecimalType
-    val perUser = Tables.events(spark, sfDir)
+    val perUser = Tables.events(spark, Sf)
       .groupBy(col("user_id"))
       .agg(max(expr("unix_micros(ts)")).as("recency_us"),
         count(lit(1)).as("frequency"),
