@@ -290,4 +290,24 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
+
+  test("q89/q90: media decode is a narrow mapPartitions pass — zero " +
+    "exchanges, doc_id-only scan") {
+    Seq(Alignment.q89PngDecode(spark, sfDir),
+      Alignment.q90WavDecode(spark, sfDir)).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("Exchange"), p.take(2000))
+      assert(p.contains("MapPartitions"), p.take(2000))
+      val readSchema = p.linesIterator.find(_.contains("ReadSchema"))
+      assert(readSchema.exists(l =>
+        l.contains("doc_id") && !l.contains("text")), readSchema.toString)
+    }
+  }
+
+  test("tf-idf join spelling: no Window, per-doc top-3 rides the " +
+    "bounded-heap aggregate") {
+    val p = plan(TextAnalysis.tfIdfTermsJoin(spark, sfDir))
+    assert(!p.contains("Window"), p.take(2000))
+    assert(p.contains("top_k_by"), p.take(2000))
+  }
 }
