@@ -84,6 +84,32 @@ class FoldPropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("funnel fold: invariant under input partitioning and row order " +
+    "(the mapPartitions boundary logic cannot depend on either)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(91)
+    val types = Array("view", "click", "purchase", "error")
+    val W = Relational.FunnelWindowUs
+    val rows = (1 to 120).flatMap { uid =>
+      (1 to 1 + rnd.nextInt(10)).map { _ =>
+        (uid.toLong, rnd.nextInt(6).toLong * W / 2 + rnd.nextInt(3),
+          types(rnd.nextInt(types.length)))
+      }
+    }
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Relational.funnelDepths(df).collect()
+        .map(r => r.getAs[Long]("user_id") -> r.getAs[Int]("funnel_depth"))
+        .toMap
+    val base = run(rows.toDF("user_id", "us", "event_type"))
+    val shuffled = run(rnd.shuffle(rows).toDF("user_id", "us", "event_type")
+      .repartition(1))
+    val wide = run(rows.reverse.toDF("user_id", "us", "event_type")
+      .repartition(17, col("us"))) // deliberately NOT keyed on user
+    assert(base.nonEmpty && shuffled == base && wide == base,
+      s"partitioning/order changed the census")
+  }
+
   test("funnel fold: one hyper-active user with 1M events streams " +
     "through the fold (skew does not buffer a per-user array)") {
     import org.apache.spark.sql.functions._
