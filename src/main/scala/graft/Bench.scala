@@ -41,6 +41,66 @@ object Bench {
     try df.write.format("noop").mode("overwrite").save()
     finally spark.catalog.clearCache()
 
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
+  // Locale.ROOT: the default-locale f"" interpolator renders a
+  // comma decimal separator on e.g. de_DE hosts — invalid JSON
+  private def r4(x: Double): String =
+    String.format(java.util.Locale.ROOT, "%.4f", Double.box(x))
+
+  /** Assemble the one-line bench JSON from (query -> measured reps).
+    * Pure so the spec can assert the line parses with every per-query
+    * entry present — BENCH_r07's artifact lost 57/90 queries to a
+    * log-tail capture limit, which is exactly the failure this guards.
+    */
+  def renderJson(results: Seq[(String, Seq[Double])], sfDir: String, reps: Int): String = {
+    def obj(f: Seq[Double] => Double): String = results
+      .map { case (k, v) => "\"" + k + "\":" + (if (v.isEmpty) -1.0 else f(v)) }
+      .mkString("{", ",", "}")
+    val qs = obj(_.min)
+    val qsMed = obj(median)
+    val repsJson = results
+      .map { case (k, v) => "\"" + k + "\":" + v.mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, v) if v.isEmpty => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val ok = results.filter(_._2.nonEmpty)
+    val total = ok.map(_._2.min).sum
+    val totalMed = ok.map(r => median(r._2)).sum
+    // noise band: per-query rep spread (max/min) summarized as the
+    // worst and the median across queries — the mechanical signal a
+    // reader needs to separate code deltas from host contention (a
+    // cross-round per-query delta smaller than this run's own spread
+    // is noise, not regression)
+    val spreads = ok.map(r => r._2.max / r._2.min)
+    val noiseBand =
+      if (spreads.isEmpty) "null"
+      else s"""{"max_spread":${r4(spreads.max)},"median_spread":${r4(median(spreads))}}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"total_median":$totalMed,"noise_band":$noiseBand,"reps_sec":$repsJson,"errors":$errs,"sf":"$sfDir","reps":$reps,"timing":"min"}"""
+  }
+
+  /** Persist the bench line next to the stdout print. The stdout line is
+    * the driver contract, but log-tail capture kept only the last 2,000
+    * chars of BENCH_r07 (33 of 90 queries; noise_band truncated away).
+    * The file carries the full distribution regardless of how much of
+    * stdout survives. Returns the absolute path written, or None if the
+    * filesystem refused (a read-only CWD must not fail the bench — the
+    * stdout line stands on its own).
+    */
+  def writeLine(line: String, pathStr: String): Option[java.nio.file.Path] = {
+    val outPath = java.nio.file.Paths.get(pathStr).toAbsolutePath
+    try {
+      java.nio.file.Files.write(outPath, (line + "\n").getBytes("UTF-8"))
+      Some(outPath)
+    } catch {
+      case _: java.io.IOException => None
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -76,38 +136,15 @@ object Bench {
                   catch { case _: Throwable => Seq.empty[Double] }
       name -> times
     }
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.size % 2 == 1) s(s.size / 2)
-      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    val line = renderJson(results, sfDir, reps)
+    println(line)
+    // SPARK_GRAFT_BENCH_OUT overrides the default repo-root path
+    // (e.g. for spec runs in a temp dir).
+    val pathStr = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    writeLine(line, pathStr) match {
+      case Some(p) => println(s"bench json written to $p")
+      case None    => println(s"bench json NOT written to $pathStr")
     }
-    def obj(f: Seq[Double] => Double): String = results
-      .map { case (k, v) => "\"" + k + "\":" + (if (v.isEmpty) -1.0 else f(v)) }
-      .mkString("{", ",", "}")
-    val qs = obj(_.min)
-    val qsMed = obj(median)
-    val repsJson = results
-      .map { case (k, v) => "\"" + k + "\":" + v.mkString("[", ",", "]") }
-      .mkString("{", ",", "}")
-    val errs = results.collect { case (k, v) if v.isEmpty => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
-    val ok = results.filter(_._2.nonEmpty)
-    val total = ok.map(_._2.min).sum
-    val totalMed = ok.map(r => median(r._2)).sum
-    // noise band: per-query rep spread (max/min) summarized as the
-    // worst and the median across queries — the mechanical signal a
-    // reader needs to separate code deltas from host contention (a
-    // cross-round per-query delta smaller than this run's own spread
-    // is noise, not regression)
-    val spreads = ok.map(r => r._2.max / r._2.min)
-    // Locale.ROOT: the default-locale f"" interpolator renders a
-    // comma decimal separator on e.g. de_DE hosts — invalid JSON
-    def r4(x: Double): String =
-      String.format(java.util.Locale.ROOT, "%.4f", Double.box(x))
-    val noiseBand =
-      if (spreads.isEmpty) "null"
-      else s"""{"max_spread":${r4(spreads.max)},"median_spread":${r4(median(spreads))}}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"total_median":$totalMed,"noise_band":$noiseBand,"reps_sec":$repsJson,"errors":$errs,"sf":"$sfDir","reps":$reps,"timing":"min"}""")
     spark.stop()
   }
 }

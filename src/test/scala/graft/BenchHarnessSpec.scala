@@ -25,4 +25,44 @@ class BenchHarnessSpec extends SparkTestBase {
     assert(spark.sharedState.cacheManager.isEmpty,
       "failed run left cached blocks behind")
   }
+
+  // BENCH_r07's artifact lost 57/90 per-query timings to a 2,000-char
+  // log-tail capture; the fix is a parsable file carrying the full
+  // line. These cases gate both halves: the line parses with EVERY
+  // query key present, and the file write round-trips byte-identically.
+  test("renderJson parses with every query key, reps, and noise_band present") {
+    val results: Seq[(String, Seq[Double])] =
+      SparkEntry.queries.keys.toSeq.sorted.map(_ -> Seq(0.30, 0.10, 0.20)) :+
+        ("q_failed" -> Seq.empty[Double])
+    val line = Bench.renderJson(results, "/tmp/sfX", reps = 3)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(line)
+    val queries = root.get("queries")
+    val repsSec = root.get("reps_sec")
+    results.foreach { case (name, _) =>
+      assert(queries.has(name), s"queries missing $name")
+      assert(repsSec.has(name), s"reps_sec missing $name")
+    }
+    assert(queries.get(results.head._1).asDouble() === 0.10) // min of reps
+    assert(root.get("queries_median").get(results.head._1).asDouble() === 0.20)
+    assert(repsSec.get(results.head._1).size() === 3)
+    assert(queries.get("q_failed").asDouble() === -1.0)
+    assert(root.get("errors").size() === 1 &&
+      root.get("errors").get(0).asText() === "q_failed")
+    assert(root.get("noise_band").get("max_spread").asDouble() === 3.0)
+    assert(root.get("value").asDouble() > 0.0)
+  }
+
+  test("writeLine persists the exact line and reports the absolute path") {
+    val dir = java.nio.file.Files.createTempDirectory("bench_out")
+    val target = dir.resolve("bench_out.json").toString
+    val line = Bench.renderJson(Seq("q1" -> Seq(1.0)), "/tmp/sfX", reps = 1)
+    val written = Bench.writeLine(line, target)
+    assert(written.contains(java.nio.file.Paths.get(target).toAbsolutePath))
+    val back = new String(
+      java.nio.file.Files.readAllBytes(written.get), "UTF-8")
+    assert(back === line + "\n")
+    assert(Bench.writeLine(line, dir.resolve("no/such/dir/x.json").toString).isEmpty,
+      "unwritable path must return None, not throw")
+  }
 }
