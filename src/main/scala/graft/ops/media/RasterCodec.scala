@@ -27,6 +27,16 @@ object RasterCodec {
   // through a temp FILE — per-row disk I/O (and a hard failure on an
   // unwritable tmpdir) for byte arrays already in memory. Disable
   // once: these images stream through executors in-heap.
+  //
+  // CAVEAT: setUseCache flips PROCESS-GLOBAL ImageIO state as a
+  // class-load side effect — any other ImageIO user in the same JVM
+  // (executor) loses file-backed spooling too. Deliberate here: an
+  // in-memory byte[] codec is the only ImageIO use this library has,
+  // and executors that embed it are Spark workers, not image servers.
+  // Embedders that need spooling back can call setUseCache(true)
+  // after first touching this object; per-call isolation would need
+  // the lower-level ImageReader + MemoryCacheImageInputStream API,
+  // which ImageIO.read's convenience path does not expose.
   ImageIO.setUseCache(false)
 
   /** Decoded image with exact integer channel sums — same shape as

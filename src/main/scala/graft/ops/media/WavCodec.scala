@@ -22,13 +22,23 @@ import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream,
 object WavCodec {
 
   /** Decoded PCM-16 audio with EXACT integer aggregates (sum and peak
-    * of samples) so the oracle comparison never touches floats.
+    * of samples) so the oracle comparison never touches floats. Mono
+    * only (see [[decode]]), so nSamples is both the frame count and
+    * the sample count — for multi-channel input the two diverge
+    * (frames = samples / channels) and the aggregates would silently
+    * mix channels, which is why decode rejects it.
     */
   case class Audio(channels: Int, sampleRate: Int, nSamples: Long,
       sumPcm: Long, peakAbs: Long)
 
-  /** Decode a 16-bit PCM WAV. None for: unrecognized bytes, non-PCM16
-    * encodings, or a payload shorter than the declared frame count.
+  /** Decode a MONO 16-bit PCM WAV. None for: unrecognized bytes,
+    * non-PCM16 encodings, channel counts other than 1, or a payload
+    * shorter than the declared frame count. The mono gate keeps the
+    * Audio contract exact: with channels > 1, nSamples (frame count)
+    * and the per-sample aggregates (all channels interleaved) would
+    * disagree by the channel factor — mean_pcm inflated x-channels —
+    * so multi-channel input is "unsupported encoding", not a row with
+    * quietly-wrong stats.
     */
   def decode(bytes: Array[Byte]): Option[Audio] = {
     if (bytes == null || bytes.length == 0) return None
@@ -37,6 +47,7 @@ object WavCodec {
       try {
         val f = in.getFormat
         if (f.getSampleSizeInBits != 16 || f.isBigEndian ||
+          f.getChannels != 1 ||
           f.getEncoding != AudioFormat.Encoding.PCM_SIGNED) return None
         val declared = in.getFrameLength
         val buf = in.readAllBytes()

@@ -172,8 +172,8 @@ object EmailParser {
     * a null-byte distribution sniff for BOM-less UTF-16 (chardet's
     * strongest non-BOM signal: ASCII-heavy UTF-16 text has ~half its
     * bytes 0x00, parked on one parity), then strict UTF-8, then the
-    * East-Asian multibyte family — Shift-JIS, EUC-JP (kana-gated),
-    * EUC-KR (hangul-gated), Big5 (CJK-gated, no kana/hangul) — each
+    * East-Asian multibyte family — EUC-JP (kana-gated), EUC-KR
+    * (hangul-gated), Shift-JIS, Big5 (CJK-gated, no kana/hangul) — each
     * requiring strict structural decode PLUS script-block payoff,
     * then the Cyrillic single-byte family (KOI8-R vs windows-1251,
     * told apart by case-band distribution — the same signal chardet's
@@ -216,10 +216,21 @@ object EmailParser {
         // EUC lead/trail bytes land inside the 0xC0+ letter bands the
         // Cyrillic heuristic keys on, but the multibyte tries demand
         // strict structural decode PLUS script-block payoff (high
-        // precision), so they must get first claim
-        tryShiftJis(bytes)
-          .orElse(tryEucJp(bytes))
+        // precision), so they must get first claim.
+        //
+        // EUC-JP and EUC-KR try BEFORE Shift_JIS: every EUC two-byte
+        // sequence whose bytes fall in 0xA1-0xDF reads under SJIS as a
+        // pair of VALID single-byte half-width katakana, so an EUC
+        // stream that structurally survives SJIS comes out as
+        // kana-dominant mojibake that passes the Japanese-block gate —
+        // SJIS would claim it silently. The reverse order is safe:
+        // real SJIS text leads with 0x81-0x9F (invalid EUC lead), and
+        // the rare SJIS byte runs that do survive a strict EUC decode
+        // come out as kanji-only, which the kana/hangul payoff gates
+        // reject.
+        tryEucJp(bytes)
           .orElse(tryEucKr(bytes))
+          .orElse(tryShiftJis(bytes))
           .orElse(tryBig5(bytes))
           .orElse(tryCyrillic(bytes))
           .getOrElse(new String(bytes, ISO_8859_1))
@@ -231,7 +242,10 @@ object EmailParser {
     * validity alone is too weak — stray Latin-1 accents often form
     * valid lead+trail pairs; requiring the decoded non-ASCII chars to
     * land in Japanese blocks is the precision chardet gets from its
-    * SJIS distribution table.
+    * SJIS distribution table. Tried AFTER the EUC-JP/EUC-KR gates:
+    * the 0xA1-0xDF band is single-byte half-width katakana here, so
+    * EUC byte streams read as kana-dominant "Japanese" that this gate
+    * alone cannot tell from the real thing (see decodeBest).
     */
   private def tryShiftJis(bytes: Array[Byte]): Option[String] =
     tryStrict(bytes, "Shift_JIS") { s =>

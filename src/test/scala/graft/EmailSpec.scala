@@ -208,6 +208,33 @@ class EmailSpec extends SparkTestBase {
     assert(EmailParser.decodeBest(fr.getBytes("ISO-8859-1")) == fr)
   }
 
+  test("charset sniffing: EUC streams that survive strict SJIS decode " +
+    "are not misclaimed as half-width katakana") {
+    // Hiragana in EUC-JP is pairs of 0xA4 0xA2..0xF3 — every byte sits
+    // in 0xA1-0xDF, which Shift_JIS reads as VALID single-byte
+    // half-width katakana. A SJIS-first order decodes this as
+    // kana-dominant mojibake that passes the Japanese-block gate; only
+    // the EUC-JP-first order recovers the text.
+    val jaKana = "あいうえおかきくけこさしすせそ"
+    val jaBytes = jaKana.getBytes("EUC-JP")
+    assert(jaBytes.forall(b => (b & 0xff) >= 0xa1 && (b & 0xff) <= 0xdf),
+      "fixture must sit entirely in the SJIS half-width kana band")
+    assert(EmailParser.decodeBest(jaBytes) == jaKana)
+    // Same trap in Korean: these hangul syllables encode to EUC-KR
+    // bytes entirely inside 0xA1-0xDF.
+    val koLow = "가나다마바아자"
+    val koBytes = koLow.getBytes("EUC-KR")
+    assert(koBytes.forall(b => (b & 0xff) >= 0xa1 && (b & 0xff) <= 0xdf),
+      "fixture must sit entirely in the SJIS half-width kana band")
+    assert(EmailParser.decodeBest(koBytes) == koLow)
+    // Real half-width katakana SJIS mail (old-mobile style) must STILL
+    // decode as SJIS: its byte runs are structurally-valid EUC pairs,
+    // but they decode to kanji-only text that the kana/hangul payoff
+    // gates reject, so the claim falls through to SJIS.
+    val hwKana = "ﾒｰﾙｱﾄﾞﾚｽ: ﾃｽﾄ ﾒｯｾｰｼﾞ"
+    assert(EmailParser.decodeBest(hwKana.getBytes("Shift_JIS")) == hwKana)
+  }
+
   test("script/style content dropped, comments removed") {
     val s = "a<script>var x=1;</script>b<style>p{}</style>c<!-- hidden -->d"
     assert(HtmlStrip.stripHtml(s) == "abcd")

@@ -144,6 +144,25 @@ class MediaSpec extends SparkTestBase {
     assert(WavCodec.decode("definitely not a riff file".getBytes).isEmpty)
     // header-only prefix
     assert(WavCodec.decode(wav.take(20)).isEmpty)
+    // stereo rejects: with channels > 1, nSamples (frames) and the
+    // all-channel sample aggregates disagree by the channel factor —
+    // mean_pcm would inflate x2 — so decode treats non-mono as
+    // unsupported rather than returning quietly-wrong stats
+    val pcmStereo = new Array[Byte](n * 4)
+    (0 until n).foreach { i =>
+      val s = sample(i)
+      pcmStereo(4 * i) = (s & 0xff).toByte
+      pcmStereo(4 * i + 1) = ((s >> 8) & 0xff).toByte
+      pcmStereo(4 * i + 2) = (s & 0xff).toByte
+      pcmStereo(4 * i + 3) = ((s >> 8) & 0xff).toByte
+    }
+    val stereoFmt = new javax.sound.sampled.AudioFormat(16000f, 16, 2, true, false)
+    val stereoIn = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcmStereo), stereoFmt, n.toLong)
+    val stereoOut = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      stereoIn, javax.sound.sampled.AudioFileFormat.Type.WAVE, stereoOut)
+    assert(WavCodec.decode(stereoOut.toByteArray).isEmpty)
   }
 
   test("q90: metrics recovered from real RIFF bytes match the closed " +

@@ -280,8 +280,12 @@ class PlanSpec extends SparkTestBase {
     // per-user fold rides a spillable in-partition sort + MapPartitions
     assert(!p.contains("collect_list"), p.take(2000))
     assert(p.contains("MapPartitions"), p.take(2000))
-    // exactly two exchanges: events → user_id, depths → funnel_depth
-    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 2,
+    // at most two exchanges: events → user_id, depths → funnel_depth.
+    // Upper bound, not equality: AQE re-planning or plan-string
+    // rendering changes across Spark versions can merge/reword a line
+    // without any semantic regression — what this guards is a THIRD
+    // shuffle sneaking onto the event relation.
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 2,
       p.take(2000))
   }
 
