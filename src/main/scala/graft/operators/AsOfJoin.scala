@@ -233,7 +233,34 @@ object Alignment extends QueryPack {
     * Scale shape: narrow per-row transform, one mapPartitions stage
     * (codec state per partition, q38's batch shape), zero shuffles.
     */
-  def q89PngDecode(s: SparkSession, dir: String): DataFrame = {
+  def q89PngDecode(s: SparkSession, dir: String): DataFrame =
+    losslessRasterDecode("png")(s, dir)
+
+  // --- q91: REAL BMP decode (uncompressed DIB via JDK ImageIO) ------------
+  /** BMP sibling of q89 through the SAME closed-form raster and the
+    * SAME oracle: the uncompressed-DIB path of `javax.imageio`. The
+    * half-cut corruption rows hit the BMP reader's raster EOF (it
+    * throws, mapping to an invalid row). Kept as its own CORRECTNESS
+    * row because each ImageIO plugin is separate decode code — PNG
+    * green says nothing about the BMP raster walk. GIF is deliberately
+    * NOT oracle-checked this way: the JDK GIF writer palette-quantizes
+    * data-dependently even under 256 distinct colors (measured: half
+    * of the closed-form rasters shift), so its lossless round-trip
+    * only holds for explicit small palettes — spec-covered in
+    * MediaSpec instead.
+    */
+  def q91BmpDecode(s: SparkSession, dir: String): DataFrame =
+    losslessRasterDecode("bmp")(s, dir)
+
+  /** Shared q89/q91 body: encode the closed-form raster — channel c of
+    * row-major pixel p is (doc_id*31 + p*7 + c*11) % 256 — through the
+    * named LOSSLESS ImageIO writer, truncate every 97th payload to
+    * half (mid-raster: both readers provably reject), decode back via
+    * [[graft.ops.media.RasterCodec]]. One body + one oracle
+    * (RasterClosedFormSql) so the format family can never drift apart.
+    */
+  private def losslessRasterDecode(fmt: String)(
+      s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.ops.media.RasterCodec
     val src = Tables.documents(s, dir).select($"doc_id").as[Long]
@@ -241,17 +268,63 @@ object Alignment extends QueryPack {
       it.map { id =>
         val w = (4 + id % 5).toInt
         val h = (3 + id % 4).toInt
-        val png = RasterCodec.encode("png", w, h, { p =>
+        val img = RasterCodec.encode(fmt, w, h, { p =>
           val r = ((id * 31 + p * 7) % 256).toInt
           val g = ((id * 31 + p * 7 + 11) % 256).toInt
           val b = ((id * 31 + p * 7 + 22) % 256).toInt
           (r << 16) | (g << 8) | b
         })
-        val bytes = if (id % 97 == 0) png.take(png.length / 2) else png
+        val bytes = if (id % 97 == 0) img.take(img.length / 2) else img
         toImgRow(id, RasterCodec.decode(bytes)
           .map(i => (i.width, i.height, i.sumR, i.sumG, i.sumB)))
       }
     }.toDF())
+  }
+
+  // --- q92: REAL JPEG decode (lossy — dims exact, sums banded) ------------
+  case class JpegRow(doc_id: Long, valid: Boolean, width: Option[Long],
+      height: Option[Long], sums_in_band: Option[Boolean])
+
+  /** JPEG closes the raster family with the codec real corpora are
+    * mostly made of (the reference decodes JPEG via PIL:
+    * `Week#6_assignment.ipynb:443-499`, `samoyed_puppy_dog_pictures
+    * .jpg`). JPEG is LOSSY — channel sums are approximations, so the
+    * oracle checks what survives the codec exactly: dimensions,
+    * corrupt-row rejection (half-cut streams throw in the Huffman
+    * walk), and a banded-decode flag. `sums_in_band` compares the
+    * decoded channel means against the closed form inside the engine
+    * (|decoded − exact| < 32 per channel, the same band MediaSpec
+    * gates); the oracle pins it TRUE for every valid row, so a decoder
+    * that parses only the SOF header — right dims, no raster — still
+    * fails the query. Scale shape: identical to q89/q91 (narrow scan,
+    * one mapPartitions, zero shuffles).
+    */
+  def q92JpegDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.media.RasterCodec
+    val src = Tables.documents(s, dir).select($"doc_id").as[Long]
+    src.mapPartitions { it =>
+      it.map { id =>
+        val w = (4 + id % 5).toInt
+        val h = (3 + id % 4).toInt
+        def chan(c: Int)(p: Int): Long = (id * 31 + p * 7 + c * 11) % 256
+        val jpg = RasterCodec.encode("jpg", w, h, { p =>
+          (chan(0)(p).toInt << 16) | (chan(1)(p).toInt << 8) | chan(2)(p).toInt
+        })
+        val bytes = if (id % 97 == 0) jpg.take(jpg.length / 2) else jpg
+        RasterCodec.decode(bytes) match {
+          case Some(i) =>
+            val n = (w * h).toDouble
+            def inBand(got: Long, c: Int): Boolean =
+              math.abs(got / n - (0 until w * h).map(chan(c)).sum / n) < 32.0
+            JpegRow(id, valid = true, Some(i.width.toLong),
+              Some(i.height.toLong),
+              Some(inBand(i.sumR, 0) && inBand(i.sumG, 1) &&
+                inBand(i.sumB, 2)))
+          case None => JpegRow(id, valid = false, None, None, None)
+        }
+      }
+    }.toDF()
   }
 
   // --- q90: REAL audio decode (WAV/PCM via JDK javax.sound) ---------------
@@ -341,6 +414,8 @@ object Alignment extends QueryPack {
     "q82_image_decode"  -> (q82ImageDecode _),
     "q89_png_decode"    -> (q89PngDecode _),
     "q90_wav_decode"    -> (q90WavDecode _),
+    "q91_bmp_decode"    -> (q91BmpDecode _),
+    "q92_jpeg_decode"   -> (q92JpegDecode _),
   )
 
   private val RasterClosedFormSql =
@@ -392,6 +467,18 @@ object Alignment extends QueryPack {
     // definition (RasterClosedFormSql) so the twins can never drift
     "q82_image_decode" -> RasterClosedFormSql,
     "q89_png_decode"   -> RasterClosedFormSql,
+    "q91_bmp_decode"   -> RasterClosedFormSql,
+    // JPEG is lossy: the oracle pins what survives the codec exactly —
+    // dims, half-cut rejection, and the banded-decode flag (TRUE on
+    // every valid row; the engine computes it from real decoded sums)
+    "q92_jpeg_decode" ->
+      """WITH dims AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+        |  FROM documents)
+        |SELECT doc_id, doc_id % 97 != 0 AS valid,
+        | CASE WHEN doc_id % 97 != 0 THEN CAST(w AS BIGINT) END AS width,
+        | CASE WHEN doc_id % 97 != 0 THEN CAST(h AS BIGINT) END AS height,
+        | CASE WHEN doc_id % 97 != 0 THEN TRUE END AS sums_in_band
+        |FROM dims""".stripMargin,
     "q90_wav_decode" ->
       // closed-form twin of the in-plan PCM payload: sample i of doc d
       // is ((d*31 + i*7) mod 4096) - 2048; the oracle aggregates the

@@ -100,6 +100,16 @@ class MediaSpec extends SparkTestBase {
     // still decodes (the JDK reader tolerates it) — q89 relies on
     // half-truncation precisely because tail truncation is NOT a
     // reliable corruption
+    // the q91/q92 corruption contracts: a half-cut BMP hits the DIB
+    // raster walk's EOF, a half-cut JPEG dies in the Huffman walk —
+    // both throw inside read -> None, never escape
+    Seq("bmp", "jpg").foreach { fmt =>
+      val img = RasterCodec.encode(fmt, 6, 4, p => (p * 37) % 0xffffff)
+      assert(RasterCodec.decode(img).isDefined, fmt)
+      assert(RasterCodec.decode(img.take(img.length / 2)).isEmpty,
+        s"$fmt half-cut")
+      assert(RasterCodec.decode(img.take(12)).isEmpty, s"$fmt header-only")
+    }
   }
 
   test("q89: metrics recovered from real PNG bytes match the closed " +
@@ -121,6 +131,47 @@ class MediaSpec extends SparkTestBase {
         assert(math.abs(r.getAs[Double]("mean_g") -
           want.setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
           s"doc $id mean_g")
+      }
+    }
+  }
+
+  test("q91: metrics recovered from real BMP bytes match the closed " +
+    "form exactly; corrupt rows flagged") {
+    val rows = Alignment.q91BmpDecode(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      if (id % 97 == 0) {
+        assert(!r.getAs[Boolean]("valid"), s"doc $id must be rejected")
+        assert(r.isNullAt(r.fieldIndex("mean_r")))
+      } else {
+        assert(r.getAs[Boolean]("valid"))
+        val (w, h) = (4 + id % 5, 3 + id % 4)
+        assert(r.getAs[Long]("width") == w && r.getAs[Long]("height") == h)
+        val n = w * h
+        val sr = (0L until n).map(p => (id * 31 + p * 7) % 256).sum
+        val want = BigDecimal(sr) / n
+        assert(math.abs(r.getAs[Double]("mean_r") -
+          want.setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+          s"doc $id mean_r")
+      }
+    }
+  }
+
+  test("q92: JPEG keeps exact dims, decoded sums stay in band, corrupt " +
+    "rows flagged — a header-only 'decoder' cannot pass") {
+    val rows = Alignment.q92JpegDecode(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      if (id % 97 == 0) {
+        assert(!r.getAs[Boolean]("valid"), s"doc $id must be rejected")
+        assert(r.isNullAt(r.fieldIndex("sums_in_band")))
+      } else {
+        assert(r.getAs[Boolean]("valid"))
+        assert(r.getAs[Long]("width") == 4 + id % 5, s"doc $id width")
+        assert(r.getAs[Long]("height") == 3 + id % 4, s"doc $id height")
+        assert(r.getAs[Boolean]("sums_in_band"), s"doc $id out of band")
       }
     }
   }
