@@ -571,62 +571,26 @@ object TextAnalysis extends QueryPack {
 
   // --- q76: per-document top tf-idf terms ----------------------------------
   /** Top-3 characteristic terms per document by tf·idf — the classic
-    * keyword surface for corpus exploration and topic tagging.
+    * keyword surface for corpus exploration and topic tagging. THE
+    * DEFAULT IS THE OPEN-DOMAIN JOIN SPELLING (promoted round 8; the
+    * broadcast-map form survives as [[tfIdfTermsInRow]] for capped
+    * vocabularies).
     *
-    * Scale shape: idf = ln(N/df) lives in a VOCABULARY-bounded table
-    * built by one aggregation and broadcast as a map (q70's pattern;
-    * cap the vocab for open-domain corpora), so per-document scoring is
-    * a narrow in-row transform — one map lookup per distinct token,
-    * rank via array_sort on (negated score, tok) struct order, slice 3.
-    * No per-token-instance join, no window, no per-doc sort partition.
-    * Both engines rank on the 4dp-ROUNDED score so float noise cannot
-    * flip a rank across the oracle boundary. The in-row tf
-    * (size(filter(toks, x -> x = t))) is O(len · distinct) per doc —
-    * fine under doc-length caps; an exploded two-level aggregation
-    * takes over for book-length outliers.
-    *
-    * Lookup-cost caveat (round-7 diagnosis): `element_at` on a
-    * MapType is a LINEAR key scan, so scoring is really
-    * O(distinct-per-doc × vocab) — flat on the capped/bounded vocabs
-    * this plan assumes, but the wrong spelling for an open-domain
-    * vocabulary, where the swap is a broadcast hash join on `tok`
-    * (O(1) probes) feeding a bounded-heap top-3 per doc. Measured
-    * 0.57 s → 1.16 s for 10× documents (2.0×): ~0.5 s is the fixed
-    * vocab-aggregation + broadcast job, the rest a linear scan.
+    * Scale shape: tf from one (doc_id, tok) aggregation; idf = ln(N/df)
+    * derived from the tf frame itself (vocabulary-bounded, no second
+    * corpus scan) and joined back on `tok` — hash probes are O(1)
+    * where a broadcast MapType's `element_at` is a LINEAR vocab scan
+    * per lookup — and the per-doc top-3 rides the bounded-heap
+    * [[org.apache.spark.sql.graft.TopKByAggregate]] (ord desc, payload
+    * asc), so no vocabulary ever aggregates into a single row or
+    * broadcasts as a whole. The join is left unhinted: AQE broadcasts
+    * the idf side while it is small and shuffles it when an
+    * open-domain vocab outgrows that. Both engines rank on the
+    * 4dp-ROUNDED score so float noise cannot flip a rank across the
+    * oracle boundary; (score desc, tok asc) is a total order so the
+    * top-3 cut is deterministic.
     */
   def q76TfIdfTerms(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val docs = Tables.documents(s, dir)
-    val idfMap = docs
-      .select(explode(array_distinct(split($"text", " "))).as("tok"))
-      .groupBy($"tok").agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n"))))
-      .select($"tok", log($"n" / $"df").as("idf"))
-      .agg(map_from_entries(collect_list(struct($"tok", $"idf"))).as("im"))
-    docs.crossJoin(broadcast(idfMap))
-      .select($"doc_id", posexplode(expr(
-        """slice(array_sort(transform(array_distinct(split(text, ' ')),
-          |  t -> named_struct(
-          |    'nscore', - CAST(ROUND(CAST(size(filter(split(text, ' '), x -> x = t))
-          |        * element_at(im, t) AS DECIMAL(28, 10)), 4) AS DOUBLE),
-          |    'tok', t))), 1, 3)""".stripMargin)))
-      .select($"doc_id", ($"pos" + 1).cast("long").as("rank"),
-        $"col.tok".as("tok"), (-$"col.nscore").as("score"))
-  }
-
-  /** q76's OPEN-DOMAIN spelling AS CODE (the swap the map-lookup form
-    * documents): tf from one (doc_id, tok) aggregation, idf joined
-    * back on `tok` — hash probes are O(1) where `element_at` on a
-    * MapType scans the whole vocab per lookup — and the per-doc top-3
-    * rides the bounded-heap [[org.apache.spark.sql.graft.TopKByAggregate]]
-    * (ord desc, payload asc = exactly the rounded-score/tok order the
-    * in-row form sorts by), so no vocabulary ever aggregates into a
-    * single row or broadcasts as a whole. The join is left unhinted:
-    * AQE broadcasts the idf side while it is small and shuffles it
-    * when an open-domain vocab outgrows that. Byte-identical output
-    * to [[q76TfIdfTerms]] (PipelineOpsSpec asserts it).
-    */
-  def tfIdfTermsJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.geo.top_k_by
     val docs = Tables.documents(s, dir)
@@ -647,6 +611,39 @@ object TextAnalysis extends QueryPack {
       .select($"doc_id", posexplode($"top"))
       .select($"doc_id", ($"pos" + 1).cast("long").as("rank"),
         $"col.payload".as("tok"), $"col.ord".as("score"))
+  }
+
+  /** q76's BOUNDED-VOCAB fast path: idf broadcast as one map, scoring
+    * a narrow in-row transform (one lookup per distinct token, rank
+    * via array_sort on (negated score, tok) struct order, slice 3) —
+    * no shuffle of token instances at all, so it beats the join form
+    * while the vocabulary fits a broadcast. NOT the default because
+    * `element_at` on a MapType is a LINEAR key scan — O(distinct-per-
+    * doc × vocab) scoring — and the single-row map aggregation caps
+    * out on open-domain vocabularies (the round-7 diagnosis that
+    * promoted the join spelling). Byte-identical output to
+    * [[q76TfIdfTerms]] (PipelineOpsSpec asserts it). The in-row tf
+    * (size(filter(toks, x -> x = t))) is O(len · distinct) per doc —
+    * fine under doc-length caps.
+    */
+  def tfIdfTermsInRow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val idfMap = docs
+      .select(explode(array_distinct(split($"text", " "))).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n"))))
+      .select($"tok", log($"n" / $"df").as("idf"))
+      .agg(map_from_entries(collect_list(struct($"tok", $"idf"))).as("im"))
+    docs.crossJoin(broadcast(idfMap))
+      .select($"doc_id", posexplode(expr(
+        """slice(array_sort(transform(array_distinct(split(text, ' ')),
+          |  t -> named_struct(
+          |    'nscore', - CAST(ROUND(CAST(size(filter(split(text, ' '), x -> x = t))
+          |        * element_at(im, t) AS DECIMAL(28, 10)), 4) AS DOUBLE),
+          |    'tok', t))), 1, 3)""".stripMargin)))
+      .select($"doc_id", ($"pos" + 1).cast("long").as("rank"),
+        $"col.tok".as("tok"), (-$"col.nscore").as("score"))
   }
 
   // --- q81: quality-weighted corpus sampling --------------------------------

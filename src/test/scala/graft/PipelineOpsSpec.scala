@@ -59,12 +59,12 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(reused.collect().toSet == standalone, "shared-frame q74 diverges")
   }
 
-  test("q76 open-domain join spelling: byte-identical rows to the " +
-    "broadcast-map form") {
-    val inRow = TextAnalysis.q76TfIdfTerms(spark, sfDir).collect()
+  test("q76 default join spelling: byte-identical rows to the " +
+    "broadcast-map in-row fast path") {
+    val inRow = TextAnalysis.tfIdfTermsInRow(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rank"),
         r.getAs[String]("tok"), r.getAs[Double]("score"))).toSet
-    val joined = TextAnalysis.tfIdfTermsJoin(spark, sfDir).collect()
+    val joined = TextAnalysis.q76TfIdfTerms(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rank"),
         r.getAs[String]("tok"), r.getAs[Double]("score"))).toSet
     assert(inRow.nonEmpty)

@@ -258,10 +258,11 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
 
-  test("q76: per-doc tf-idf ranking is in-row — no Window, no per-doc sort") {
+  test("q76 default (join spelling): no Window, per-doc top-3 rides the " +
+    "bounded-heap aggregate") {
     val p = plan(TextAnalysis.q76TfIdfTerms(spark, sfDir))
     assert(!p.contains("Window"), p.take(2000))
-    assert(!p.contains("SortExec"), p.take(2000))
+    assert(p.contains("top_k_by"), p.take(2000))
   }
 
   test("q72: split census plans as one partial+final aggregate pair") {
@@ -310,10 +311,11 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
-  test("tf-idf join spelling: no Window, per-doc top-3 rides the " +
-    "bounded-heap aggregate") {
-    val p = plan(TextAnalysis.tfIdfTermsJoin(spark, sfDir))
+  test("tf-idf in-row fast path: ranking is in-row — no Window, no " +
+    "per-doc sort, no token-instance shuffle join") {
+    val p = plan(TextAnalysis.tfIdfTermsInRow(spark, sfDir))
     assert(!p.contains("Window"), p.take(2000))
-    assert(p.contains("top_k_by"), p.take(2000))
+    assert(!p.contains("SortExec"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
 }
