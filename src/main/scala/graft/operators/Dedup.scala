@@ -110,11 +110,16 @@ object Dedup extends QueryPack {
     * links to the bucket's min-id representative), so the diameter —
     * and the round count — stays small (a chain of b overlapping
     * buckets has diameter ~2b; observed convergence here is 2-3
-    * rounds). For adversarial long-chain graphs the published fix is
+    * rounds). The published alternative for adversarial graphs —
     * alternating large-star/small-star (Kiveris et al., "Connected
-    * Components in MapReduce and Beyond", SoCC'14) — same per-round
-    * shape, logarithmic round bound — which this loop's structure
-    * (rewrite edges, re-aggregate) extends to directly.
+    * Components in MapReduce and Beyond", SoCC'14) — is implemented
+    * as [[connectedComponentsStars]] and was MEASURED against this
+    * loop (round 8): byte-identical labels, but one round MORE at
+    * every scale (chain-64 6 vs 7, chain-512 9 vs 10, chain-4096 12
+    * vs 13, LSH links 2 vs 3) and no wall-clock win, because the
+    * pointer-doubling jump step already makes this loop O(log
+    * diameter). The jump loop stays the default on data; stars stays
+    * library surface for edge-rewriting composition.
     *
     * The driver-side loop is the iterative-algorithm exception to the
     * no-driver-actions rule: each iteration's `isEmpty` is a
@@ -177,6 +182,12 @@ object Dedup extends QueryPack {
     * checkpoint(dir) is the executor-loss-safe spelling of the same
     * thing).
     */
+  /** Rounds the last [[connectedComponents]] call took — instrumentation
+    * for the convergence specs and bench diagnosis (driver-side only,
+    * single-session; the CC loop is already a driver-side iteration).
+    */
+  @volatile private[graft] var lastCcRounds: Int = -1
+
   def connectedComponents(links: DataFrame, maxRounds: Int = 48): DataFrame = {
     val s = links.sparkSession
     import s.implicits._
@@ -220,8 +231,103 @@ object Dedup extends QueryPack {
     }
     if (sys.env.contains("SPARK_GRAFT_DEBUG"))
       Console.err.println(s"[cc] converged after $rounds rounds")
+    lastCcRounds = rounds
     edges.unpersist()
     labels
+  }
+
+  /** Connected components via ALTERNATING LARGE-STAR / SMALL-STAR
+    * (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected
+    * Components in MapReduce and Beyond", SoCC'14) — the published
+    * round-bound fix the min-label loop's scaladoc cites. Same
+    * contract as [[connectedComponents]]: (node, lab = component min)
+    * for every node incident to at least one link.
+    *
+    * Each round rewrites the EDGE set instead of a label table:
+    *   large-star: every node u computes m = min(N(u) ∪ u) and points
+    *     each STRICTLY LARGER neighbor at m — long chains collapse
+    *     from both ends at once;
+    *   small-star: edges oriented (larger → smaller), u points its
+    *     smaller neighbors (and itself) at m — flattening what
+    *     large-star left.
+    * The set converges to a forest of stars rooted at component
+    * minima in O(log n) alternations; labels then read off the star
+    * edges with one aggregation.
+    *
+    * Measured vs the jump loop (round 8, this sandbox): labels
+    * byte-identical everywhere; rounds 7/10/13 on chains of
+    * 64/512/4096 (jump: 6/9/12) and 3 on the sf0.01 LSH link graph
+    * (jump: 2); wall time equal-to-worse. The jump loop therefore
+    * remains [[q51DedupClusters]]'s default — this form exists as the
+    * edge-rewriting alternative (useful where a label table is the
+    * wrong intermediate, e.g. when the edge stream is being rewritten
+    * anyway) and as the cross-check its spec runs against the jump
+    * loop on random graphs.
+    *
+    * Skew/scale shape: NO per-node neighbor buffering anywhere — m(u)
+    * is a partial-aggregatable min, re-attached by an equi-join on u
+    * (AQE handles high-degree skew), and every intermediate is
+    * `distinct`-bounded by the edge count. Each round ends in an eager
+    * localCheckpoint: the round reads its input three times (two star
+    * groupings + convergence compare), so without lineage truncation
+    * the plan doubles per round, exactly the q51 loop's rule (on a
+    * cluster, checkpoint(dir) is the executor-loss-safe spelling).
+    * Convergence = edge-set fixpoint: |next| == |cur| and
+    * next \ cur = ∅ (both sides are distinct, canonically oriented
+    * (larger, smaller) — set equality, no orientation ambiguity).
+    */
+  def connectedComponentsStars(links: DataFrame, maxRounds: Int = 48): DataFrame = {
+    val s = links.sparkSession
+    import s.implicits._
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionByName(e.select($"j".as("i"), $"i".as("j")))
+      val m = sym.groupBy($"i").agg(min($"j").as("mj"))
+        .select($"i".as("u"), least($"i", $"mj").as("m"))
+      sym.join(m, sym("i") === m("u"))
+        .filter($"j" > $"i")
+        .select($"j".as("i"), $"m".as("j"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest($"i", $"j").as("i"), least($"i", $"j").as("j"))
+      val m = dir.groupBy($"i").agg(min($"j").as("mj"))
+        .select($"i".as("u"), $"mj".as("m")) // all j < i, so min(N ∪ u) = mj
+      dir.join(m, dir("i") === m("u"))
+        .select(explode(array(
+          struct($"j".as("a"), $"m".as("b")),   // smaller neighbor → m
+          struct($"i".as("a"), $"m".as("b")))). // u itself → m
+          as("p"))
+        .filter($"p.a" =!= $"p.b") // drops the (m, m) self-row
+        .select($"p.a".as("i"), $"p.b".as("j"))
+        .distinct()
+    }
+
+    var cur = links.toDF("i", "j")
+      .filter($"i" =!= $"j")
+      .select(greatest($"i", $"j").as("i"), least($"i", $"j").as("j"))
+      .distinct()
+      .localCheckpoint(true)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      // fixpoint test on materialized data: sizes match AND next ⊆ cur
+      // (both distinct) ⇒ sets equal
+      converged = next.count() == cur.count() && next.except(cur).isEmpty
+      cur = next
+      rounds += 1
+    }
+    if (sys.env.contains("SPARK_GRAFT_DEBUG"))
+      Console.err.println(s"[cc-stars] converged after $rounds rounds")
+    lastCcRounds = rounds
+    // converged stars: children point at their root (= component min);
+    // roots appear only on the j side, so the symmetric min read-off
+    // labels both in one aggregation
+    val sym = cur.unionByName(cur.select($"j".as("i"), $"i".as("j")))
+    sym.groupBy($"i").agg(min($"j").as("mj"))
+      .select($"i".as("node"), least($"i", $"mj").as("lab"))
   }
 
   // --- q73: repeated-passage detection (cross-document passage dedup) -----

@@ -425,6 +425,40 @@ class PipelineOpsSpec extends SparkTestBase {
       "512-chain did not converge within 13 rounds")
   }
 
+  test("connectedComponentsStars: byte-identical labels to the jump " +
+    "loop on chains, islands, and random graphs; log-bounded rounds") {
+    import spark.implicits._
+    // adversarial chain + disjoint island (the jump loop's fixture)
+    val chain = (0L until 63L).map(k => (k, k + 1))
+    val island = Seq((100L, 101L), (101L, 102L))
+    val starLabels = Dedup.connectedComponentsStars(
+        (chain ++ island).toDF("i", "j"), maxRounds = 10)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("lab")).toMap
+    (0L to 63L).foreach(n => assert(starLabels(n) == 0L, s"chain node $n"))
+    (100L to 102L).foreach(n => assert(starLabels(n) == 100L, s"island $n"))
+    assert(starLabels.size == 67)
+    // 512-chain: alternation is O(log n) — measured 10 rounds (the
+    // jump loop takes 9; the promotion measurement in the
+    // connectedComponents scaladoc). maxRounds=14 means a slower
+    // algorithm returns WRONG labels here, which the asserts catch.
+    val big = Dedup.connectedComponentsStars(
+        (0L until 511L).map(k => (k, k + 1)).toDF("i", "j"), maxRounds = 14)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("lab"))
+    assert(big.length == 512 && big.forall(_._2 == 0L),
+      "512-chain did not converge within 14 rounds")
+    // random multi-component graph: both algorithms must agree exactly
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 300).map(_ =>
+      (rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter { case (a, b) => a != b }
+    val viaJump = Dedup.connectedComponents(edges.toDF("i", "j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaStars = Dedup.connectedComponentsStars(edges.toDF("i", "j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaStars == viaJump,
+      s"diff: ${(viaStars diff viaJump).take(5)} / ${(viaJump diff viaStars).take(5)}")
+  }
+
   test("simhash: identical token sets get identical simhash (hamming 0)") {
     val res = Dedup.q27SimHash(spark, sfDir)
     assert(res.filter(col("hamming") === 0).count() > 0)
