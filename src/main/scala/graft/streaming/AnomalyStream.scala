@@ -84,6 +84,42 @@ object AnomalyStream {
       .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming twin of batch q53 (gap-based sessionization): Spark's
+    * built-in `session_window` carries each user's open session as
+    * store state and emits the session FACT — (start_us, end_us,
+    * n_events, total_value), the same shape batch
+    * [[graft.operators.Relational.sessionize]] aggregates — once the
+    * watermark proves no event can extend it. Small state by
+    * construction: one open session row per (user, session), merged by
+    * the state store, evicted at emission.
+    *
+    * Gap-boundary parity: the batch rule opens a new session only on a
+    * silence STRICTLY longer than gapUs, i.e. a gap of exactly gapUs
+    * still merges. `session_window` merges an event iff it lands
+    * strictly BEFORE last + gap, so the twin passes `gapUs + 1`
+    * microseconds — timestamps are integral micros, so the two rules
+    * coincide exactly (the boundary case the library property spec
+    * drives). total_value mirrors the batch dsum spelling
+    * (DECIMAL(18,4) sum, round 2, double) for census equality; sids
+    * are per-user ordinals by start_us downstream, exactly as batch
+    * derives them. Late rows beyond the watermark drop — the standard
+    * streaming-vs-batch caveat every detector here documents.
+    */
+  def sessionizeStream(events: DataFrame, gapUs: Long = 1800000000L,
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"${gapUs + 1} microseconds"))
+      .agg(min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value").cast(
+          org.apache.spark.sql.types.DecimalType(18, 4))), 2)
+          .cast("double").as("total_value"))
+      .select(col("user_id"), col("start_us"), col("end_us"),
+        col("n_events"), col("total_value"))
+
   /** q78's greedy funnel fold as streaming state: most recent view,
     * most recent window-qualifying click, deepest depth reached.
     */

@@ -94,6 +94,56 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming sessionize: watermark-closed sessions reproduce the " +
+    "batch census, including the exact-gap boundary") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // shared fixture (seconds): user 1 holds one session across an
+    // EXACTLY-30-minute silence (batch rule: strictly-longer opens) and
+    // then breaks on 30min+1s; user 2 is a singleton session; events
+    // arrive across two micro-batches in event-time order
+    def ev(id: Long, sec: Long, uid: Long, v: Double) =
+      Event(id, ts(sec), uid, "click", v)
+    // global event-time order across batches: the watermark is global,
+    // so a cross-user out-of-order arrival in a later batch would drop
+    // as late — the same arrival contract the other detectors document
+    val fixture = Seq(
+      ev(1, 0, 1, 1.25), ev(5, 100, 2, 0.75), ev(2, 900, 1, 2.50),
+      ev(3, 2700, 1, 4.00),  // gap == 1800s: SAME session
+      ev(4, 4501, 1, 8.00))  // gap 1801s: new session
+    val batchFacts = graft.operators.Relational.sessionize(
+        fixture.toDF().select($"user_id", $"event_id",
+          unix_micros($"ts").as("us"), $"value"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
+        r.getAs[Long]("end_us"), r.getAs[Long]("n_events"),
+        r.getAs[Double]("total_value"))).toSet
+    assert(batchFacts.size == 3, s"fixture must yield 3 sessions: $batchFacts")
+
+    val input = MemoryStream[Event]
+    val q = AnomalyStream.sessionizeStream(input.toDF(),
+        watermark = "1 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_stream").start()
+    try {
+      val (b1, b2) = fixture.splitAt(3)
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      // two sentinel batches: the first advances the watermark past
+      // every fixture session's close, the second triggers the batch
+      // in which the state store actually evicts and emits them
+      input.addData(ev(90, 100000, 99, 0.0)); q.processAllAvailable()
+      input.addData(ev(91, 200000, 99, 0.0)); q.processAllAvailable()
+      val streamed = spark.table("sess_stream")
+        .filter($"user_id" < 99).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
+          r.getAs[Long]("end_us"), r.getAs[Long]("n_events"),
+          r.getAs[Double]("total_value"))).toSet
+      assert(streamed == batchFacts,
+        s"stream ${streamed.toSeq.sorted} vs batch ${batchFacts.toSeq.sorted}")
+    } finally q.stop()
+  }
+
   test("streaming z-score detector: flags the planted outlier, keeps state across batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
