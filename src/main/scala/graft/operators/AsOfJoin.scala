@@ -242,12 +242,11 @@ object Alignment extends QueryPack {
     * half-cut corruption rows hit the BMP reader's raster EOF (it
     * throws, mapping to an invalid row). Kept as its own CORRECTNESS
     * row because each ImageIO plugin is separate decode code — PNG
-    * green says nothing about the BMP raster walk. GIF is deliberately
-    * NOT oracle-checked this way: the JDK GIF writer palette-quantizes
+    * green says nothing about the BMP raster walk. GIF cannot ride
+    * THIS truecolor closed form: the JDK GIF writer palette-quantizes
     * data-dependently even under 256 distinct colors (measured: half
-    * of the closed-form rasters shift), so its lossless round-trip
-    * only holds for explicit small palettes — spec-covered in
-    * MediaSpec instead.
+    * of the closed-form rasters shift) — its exact path is the
+    * explicit-palette indexed encode, oracle-checked as [[q93GifDecode]].
     */
   def q91BmpDecode(s: SparkSession, dir: String): DataFrame =
     losslessRasterDecode("bmp")(s, dir)
@@ -275,6 +274,43 @@ object Alignment extends QueryPack {
           (r << 16) | (g << 8) | b
         })
         val bytes = if (id % 97 == 0) img.take(img.length / 2) else img
+        toImgRow(id, RasterCodec.decode(bytes)
+          .map(i => (i.width, i.height, i.sumR, i.sumG, i.sumB)))
+      }
+    }.toDF())
+  }
+
+  // --- q93: REAL GIF decode (LZW, explicit palette — exact) ---------------
+  /** GIF completes the raster family through the LZW path. The
+    * truecolor encode is writer-quantized (measured, see q91's note),
+    * so q93 builds each payload from an EXPLICIT 16-color palette via
+    * [[graft.ops.media.RasterCodec.encodeIndexed]] — bit-exact through
+    * the GIF writer+reader pair — with the closed form moved one level
+    * up: pixel p carries palette index (doc_id + 3p) mod 16, palette
+    * entry k is ((37k+5), (53k+11), (71k+23)) mod 256. The oracle sums
+    * the composed formula. Dims keep h >= 5: the JDK GIF codec
+    * corrupts heights <= 4 (rows shift — measured across 300 ids,
+    * every h <= 4 bad, every h >= 5 exact), so the dims family stays
+    * inside the verified-working region and MediaSpec pins it. Every
+    * 97th payload is half-cut (the GIF reader throws mid-LZW) and
+    * must surface as an invalid row. Same zero-exchange mapPartitions
+    * shape as q89/q91/q92.
+    */
+  def q93GifDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.media.RasterCodec
+    val palette = Array.tabulate(16) { k =>
+      (((37 * k + 5) % 256) << 16) | (((53 * k + 11) % 256) << 8) |
+        ((71 * k + 23) % 256)
+    }
+    val src = Tables.documents(s, dir).select($"doc_id").as[Long]
+    imgMetrics(src.mapPartitions { it =>
+      it.map { id =>
+        val w = (4 + id % 5).toInt
+        val h = (5 + id % 4).toInt
+        val gif = RasterCodec.encodeIndexed("gif", w, h, palette,
+          p => ((id + 3L * p) % 16).toInt)
+        val bytes = if (id % 97 == 0) gif.take(gif.length / 2) else gif
         toImgRow(id, RasterCodec.decode(bytes)
           .map(i => (i.width, i.height, i.sumR, i.sumG, i.sumB)))
       }
@@ -416,6 +452,7 @@ object Alignment extends QueryPack {
     "q90_wav_decode"    -> (q90WavDecode _),
     "q91_bmp_decode"    -> (q91BmpDecode _),
     "q92_jpeg_decode"   -> (q92JpegDecode _),
+    "q93_gif_decode"    -> (q93GifDecode _),
   )
 
   private val RasterClosedFormSql =
@@ -468,6 +505,34 @@ object Alignment extends QueryPack {
     "q82_image_decode" -> RasterClosedFormSql,
     "q89_png_decode"   -> RasterClosedFormSql,
     "q91_bmp_decode"   -> RasterClosedFormSql,
+    // GIF's closed form lives one level up (palette index, then
+    // palette entry): pixel p of doc d -> index (d + 3p) mod 16 ->
+    // channel c = ((37/53/71)*idx + (5/11/23)) mod 256. h >= 5 keeps
+    // the dims inside the JDK GIF codec's verified-exact region.
+    "q93_gif_decode" ->
+      """WITH dims AS (SELECT doc_id, 4 + doc_id % 5 AS w, 5 + doc_id % 4 AS h
+        |  FROM documents),
+        |px AS (SELECT doc_id, w, h, (doc_id + 3 * p) % 16 AS k
+        |  FROM dims, generate_series(0, 63) g(p) WHERE p < w * h),
+        |s AS (SELECT doc_id,
+        |  SUM((37 * k + 5) % 256) sr,
+        |  SUM((53 * k + 11) % 256) sg,
+        |  SUM((71 * k + 23) % 256) sb,
+        |  COUNT(*) n
+        | FROM px GROUP BY 1)
+        |SELECT d.doc_id, d.doc_id % 97 != 0 AS valid,
+        | CASE WHEN d.doc_id % 97 != 0 THEN d.w END AS width,
+        | CASE WHEN d.doc_id % 97 != 0 THEN d.h END AS height,
+        | CASE WHEN d.doc_id % 97 != 0 THEN
+        |   CAST(ROUND(CAST((s.sr / s.n) AS DECIMAL(28,10)), 4) AS DOUBLE)
+        | END AS mean_r,
+        | CASE WHEN d.doc_id % 97 != 0 THEN
+        |   CAST(ROUND(CAST((s.sg / s.n) AS DECIMAL(28,10)), 4) AS DOUBLE)
+        | END AS mean_g,
+        | CASE WHEN d.doc_id % 97 != 0 THEN
+        |   CAST(ROUND(CAST((s.sb / s.n) AS DECIMAL(28,10)), 4) AS DOUBLE)
+        | END AS mean_b
+        |FROM dims d JOIN s USING (doc_id)""".stripMargin,
     // JPEG is lossy: the oracle pins what survives the codec exactly —
     // dims, half-cut rejection, and the banded-decode flag (TRUE on
     // every valid row; the engine computes it from real decoded sums)

@@ -80,8 +80,12 @@ object RasterCodec {
   /** Encode an RGB raster — `pixel(p)` is the packed 0xRRGGBB value of
     * row-major pixel p — via the named ImageIO writer ("png", "bmp",
     * "jpg", "gif"). PNG and BMP are lossless: decode(encode(...))
-    * recovers the exact raster, the property q89's closed-form oracle
-    * rides; JPEG is lossy (dims survive, channel sums approximate).
+    * recovers the exact raster, the property q89/q91's closed-form
+    * oracles ride; JPEG is lossy (dims survive, channel sums
+    * approximate). GIF through THIS truecolor entry point is
+    * palette-quantized by the writer (lossless only when the raster's
+    * colors happen to survive its quantizer — measured: half the q89
+    * closed-form rasters shift) — use [[encodeIndexed]] for exact GIF.
     */
   def encode(format: String, width: Int, height: Int,
       pixel: Int => Int): Array[Byte] = {
@@ -94,6 +98,42 @@ object RasterCodec {
         x += 1
       }
       y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, format, out)
+    out.toByteArray
+  }
+
+  /** Encode a PALETTE raster — `palette(k)` packed 0xRRGGBB entries,
+    * `index(p)` the palette index of row-major pixel p — as
+    * TYPE_BYTE_INDEXED with an EXPLICIT IndexColorModel. This is the
+    * exact-GIF path: the truecolor [[encode]] hands the GIF writer a
+    * raster it quantizes data-dependently, while an indexed source
+    * round-trips bit-exact... with one measured JDK caveat: the GIF
+    * codec CORRUPTS images of height <= 4 (rows come back shifted;
+    * heights >= 5 are exact at any width tested — q93 keeps its dims
+    * family at h >= 5 and MediaSpec pins the working region).
+    */
+  def encodeIndexed(format: String, width: Int, height: Int,
+      palette: Array[Int], index: Int => Int): Array[Byte] = {
+    val n = palette.length
+    val rs = new Array[Byte](n); val gs = new Array[Byte](n)
+    val bs = new Array[Byte](n)
+    var k = 0
+    while (k < n) {
+      rs(k) = ((palette(k) >> 16) & 0xff).toByte
+      gs(k) = ((palette(k) >> 8) & 0xff).toByte
+      bs(k) = (palette(k) & 0xff).toByte
+      k += 1
+    }
+    val icm = new java.awt.image.IndexColorModel(8, n, rs, gs, bs)
+    val img = new BufferedImage(width, height,
+      BufferedImage.TYPE_BYTE_INDEXED, icm)
+    val raster = img.getRaster
+    var p = 0
+    while (p < width * height) {
+      raster.setSample(p % width, p / width, 0, index(p))
+      p += 1
     }
     val out = new ByteArrayOutputStream()
     ImageIO.write(img, format, out)

@@ -158,6 +158,52 @@ class MediaSpec extends SparkTestBase {
     }
   }
 
+  test("indexed GIF: explicit-palette encode round-trips bit-exact on " +
+    "the q93 dims family (h >= 5); truncation rejects") {
+    val palette = Array.tabulate(16) { k =>
+      (((37 * k + 5) % 256) << 16) | (((53 * k + 11) % 256) << 8) |
+        ((71 * k + 23) % 256)
+    }
+    // the q93 family: every (w, h) with h >= 5 — the JDK GIF codec
+    // corrupts h <= 4 (rows shift), so the query's dims deliberately
+    // stay inside this verified region; this spec IS that verification
+    for (w <- 4 to 8; h <- 5 to 8) {
+      def idx(p: Int): Int = (7 + 3 * p) % 16
+      val gif = RasterCodec.encodeIndexed("gif", w, h, palette, idx)
+      val img = RasterCodec.decode(gif).get
+      assert(img.width == w && img.height == h, s"${w}x$h dims")
+      def sum(shift: Int) = (0 until w * h)
+        .map(p => (palette(idx(p)) >> shift) & 0xff).map(_.toLong).sum
+      assert(img.sumR == sum(16) && img.sumG == sum(8) && img.sumB == sum(0),
+        s"${w}x$h sums")
+      assert(RasterCodec.decode(gif.take(gif.length / 2)).isEmpty,
+        s"${w}x$h half-cut")
+    }
+  }
+
+  test("q93: metrics recovered from real GIF/LZW bytes match the " +
+    "palette closed form exactly; corrupt rows flagged") {
+    val rows = Alignment.q93GifDecode(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      if (id % 97 == 0) {
+        assert(!r.getAs[Boolean]("valid"), s"doc $id must be rejected")
+        assert(r.isNullAt(r.fieldIndex("mean_b")))
+      } else {
+        assert(r.getAs[Boolean]("valid"))
+        val (w, h) = (4 + id % 5, 5 + id % 4)
+        assert(r.getAs[Long]("width") == w && r.getAs[Long]("height") == h)
+        val n = w * h
+        val sb = (0L until n).map(p => (71 * ((id + 3 * p) % 16) + 23) % 256).sum
+        val want = BigDecimal(sb) / n
+        assert(math.abs(r.getAs[Double]("mean_b") -
+          want.setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+          s"doc $id mean_b")
+      }
+    }
+  }
+
   test("q92: JPEG keeps exact dims, decoded sums stay in band, corrupt " +
     "rows flagged — a header-only 'decoder' cannot pass") {
     val rows = Alignment.q92JpegDecode(spark, sfDir).collect()

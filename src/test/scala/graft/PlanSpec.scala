@@ -296,12 +296,13 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
 
-  test("q89/q90/q91/q92: media decode is a narrow mapPartitions pass — " +
+  test("q89-q93 media decode is a narrow mapPartitions pass — " +
     "zero exchanges, doc_id-only scan") {
     Seq(Alignment.q89PngDecode(spark, sfDir),
       Alignment.q90WavDecode(spark, sfDir),
       Alignment.q91BmpDecode(spark, sfDir),
-      Alignment.q92JpegDecode(spark, sfDir)).foreach { df =>
+      Alignment.q92JpegDecode(spark, sfDir),
+      Alignment.q93GifDecode(spark, sfDir)).foreach { df =>
       val p = plan(df)
       assert(!p.contains("Exchange"), p.take(2000))
       assert(p.contains("MapPartitions"), p.take(2000))
