@@ -535,18 +535,32 @@ object Dedup extends QueryPack {
     */
   def q62MultiLinkClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // ONE shared cached token frame feeds both signal pipelines: the
-    // corpus is scanned and exploded once instead of once per signal
-    // (the former shape re-read documents + re-split text in each
-    // branch — a full extra scan + explode + exchange for free).
-    val dt = docTokens(Tables.documents(s, dir)).cache()
+    // ONE shared token frame feeds both signal pipelines: the corpus
+    // is scanned and exploded once instead of once per signal (the
+    // former shape re-read documents + re-split text in each branch —
+    // a full extra scan + explode + exchange for free). Eagerly
+    // materialized (not lazily cached) BEFORE the branches fork so the
+    // concurrent jobs below read finished blocks instead of racing to
+    // compute the same cached partitions.
+    val dt = docTokens(Tables.documents(s, dir)).localCheckpoint(true)
     // each link pipeline still materializes as its OWN job before the
     // union: fused into one plan, the two branches lose their
     // standalone AQE shapes and the combined materialization measured
-    // ~2.5x the sum of the parts (9.8s vs ~4s at sf0.1)
-    val mh = minhashLinksFrom(dt).select($"i", $"j").localCheckpoint(true)
-    val sh = simHashLinksFrom(dt).select($"i", $"j").localCheckpoint(true)
-    dt.unpersist()
+    // ~2.5x the sum of the parts (9.8s vs ~4s at sf0.1). The two jobs
+    // are independent, so they submit CONCURRENTLY (Spark schedulers
+    // are thread-safe; FIFO interleaves their stages across the 32
+    // cores) — the signal phase costs max(mh, sh) wall instead of
+    // mh + sh. Measured A/B at sf0.1 on the same host minutes apart:
+    // 4.10 s sequential -> 2.73 s concurrent (min-of-5).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val mhF = Future {
+      minhashLinksFrom(dt).select($"i", $"j").localCheckpoint(true) }
+    val shF = Future {
+      simHashLinksFrom(dt).select($"i", $"j").localCheckpoint(true) }
+    val mh = Await.result(mhF, Duration.Inf)
+    val sh = Await.result(shF, Duration.Inf)
     connectedComponents(mh.unionByName(sh))
       .select($"node".as("doc_id"), $"lab".as("cluster_id"),
         ($"node" === $"lab").as("is_keep"))
