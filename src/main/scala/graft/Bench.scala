@@ -91,15 +91,18 @@ object Bench {
     * filesystem refused (a read-only CWD must not fail the bench — the
     * stdout line stands on its own).
     */
-  def writeLine(line: String, pathStr: String): Option[java.nio.file.Path] = {
-    val outPath = java.nio.file.Paths.get(pathStr).toAbsolutePath
+  def writeLine(line: String, pathStr: String): Option[java.nio.file.Path] =
+    // NonFatal, not just IOException: Paths.get throws
+    // InvalidPathException (a RuntimeException) on e.g. a NUL byte in
+    // the env override — any write-side failure must degrade to
+    // stdout-only, never kill a finished bench run
     try {
+      val outPath = java.nio.file.Paths.get(pathStr).toAbsolutePath
       java.nio.file.Files.write(outPath, (line + "\n").getBytes("UTF-8"))
       Some(outPath)
     } catch {
-      case _: java.io.IOException => None
+      case scala.util.control.NonFatal(_) => None
     }
-  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

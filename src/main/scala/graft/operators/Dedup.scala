@@ -182,13 +182,16 @@ object Dedup extends QueryPack {
     * checkpoint(dir) is the executor-loss-safe spelling of the same
     * thing).
     */
-  /** Rounds the last [[connectedComponents]] call took — instrumentation
-    * for the convergence specs and bench diagnosis (driver-side only,
-    * single-session; the CC loop is already a driver-side iteration).
-    */
-  @volatile private[graft] var lastCcRounds: Int = -1
+  def connectedComponents(links: DataFrame, maxRounds: Int = 48): DataFrame =
+    connectedComponentsWithRounds(links, maxRounds)._1
 
-  def connectedComponents(links: DataFrame, maxRounds: Int = 48): DataFrame = {
+  /** [[connectedComponents]] plus the round count it converged in —
+    * the convergence specs assert the logarithmic bound through this
+    * (a return value, not shared mutable state: suites run in
+    * parallel in one JVM, so a "last rounds" field would race).
+    */
+  private[graft] def connectedComponentsWithRounds(
+      links: DataFrame, maxRounds: Int = 48): (DataFrame, Int) = {
     val s = links.sparkSession
     import s.implicits._
     val edges = links.toDF("i", "j")
@@ -231,9 +234,8 @@ object Dedup extends QueryPack {
     }
     if (sys.env.contains("SPARK_GRAFT_DEBUG"))
       Console.err.println(s"[cc] converged after $rounds rounds")
-    lastCcRounds = rounds
     edges.unpersist()
-    labels
+    (labels, rounds)
   }
 
   /** Connected components via ALTERNATING LARGE-STAR / SMALL-STAR
@@ -276,7 +278,11 @@ object Dedup extends QueryPack {
     * next \ cur = ∅ (both sides are distinct, canonically oriented
     * (larger, smaller) — set equality, no orientation ambiguity).
     */
-  def connectedComponentsStars(links: DataFrame, maxRounds: Int = 48): DataFrame = {
+  def connectedComponentsStars(links: DataFrame, maxRounds: Int = 48): DataFrame =
+    connectedComponentsStarsWithRounds(links, maxRounds)._1
+
+  private[graft] def connectedComponentsStarsWithRounds(
+      links: DataFrame, maxRounds: Int = 48): (DataFrame, Int) = {
     val s = links.sparkSession
     import s.implicits._
 
@@ -304,6 +310,13 @@ object Dedup extends QueryPack {
         .distinct()
     }
 
+    // node universe BEFORE the self-loop drop: a node whose only link
+    // is (n, n) has no star edge at convergence but still owes a
+    // (n, n) label row under the contract — the final left-join
+    // restores exactly those
+    val allNodes = links.toDF("i", "j")
+      .select(explode(array($"i", $"j")).as("node")).distinct()
+      .localCheckpoint(true)
     var cur = links.toDF("i", "j")
       .filter($"i" =!= $"j")
       .select(greatest($"i", $"j").as("i"), least($"i", $"j").as("j"))
@@ -321,13 +334,15 @@ object Dedup extends QueryPack {
     }
     if (sys.env.contains("SPARK_GRAFT_DEBUG"))
       Console.err.println(s"[cc-stars] converged after $rounds rounds")
-    lastCcRounds = rounds
     // converged stars: children point at their root (= component min);
     // roots appear only on the j side, so the symmetric min read-off
-    // labels both in one aggregation
+    // labels both in one aggregation — then the left-join restores
+    // self-loop-only nodes (no star edge) as their own label
     val sym = cur.unionByName(cur.select($"j".as("i"), $"i".as("j")))
-    sym.groupBy($"i").agg(min($"j").as("mj"))
+    val starLabels = sym.groupBy($"i").agg(min($"j").as("mj"))
       .select($"i".as("node"), least($"i", $"mj").as("lab"))
+    (allNodes.join(starLabels, Seq("node"), "left")
+      .select($"node", coalesce($"lab", $"node").as("lab")), rounds)
   }
 
   // --- q73: repeated-passage detection (cross-document passage dedup) -----
@@ -538,11 +553,16 @@ object Dedup extends QueryPack {
     // ONE shared token frame feeds both signal pipelines: the corpus
     // is scanned and exploded once instead of once per signal (the
     // former shape re-read documents + re-split text in each branch —
-    // a full extra scan + explode + exchange for free). Eagerly
-    // materialized (not lazily cached) BEFORE the branches fork so the
-    // concurrent jobs below read finished blocks instead of racing to
-    // compute the same cached partitions.
-    val dt = docTokens(Tables.documents(s, dir)).localCheckpoint(true)
+    // a full extra scan + explode + exchange for free). Materialized
+    // EAGERLY (count on the cache) BEFORE the branches fork, so the
+    // concurrent jobs read finished blocks instead of racing to
+    // compute the same cached partitions; cache() (not
+    // localCheckpoint) so the unpersist below actually frees the
+    // largest intermediate instead of leaving it to nondeterministic
+    // RDD GC — Bench's clearCache scope and the cache-hygiene spec
+    // only see CacheManager entries.
+    val dt = docTokens(Tables.documents(s, dir)).cache()
+    dt.count()
     // each link pipeline still materializes as its OWN job before the
     // union: fused into one plan, the two branches lose their
     // standalone AQE shapes and the combined materialization measured
@@ -551,7 +571,11 @@ object Dedup extends QueryPack {
     // are thread-safe; FIFO interleaves their stages across the 32
     // cores) — the signal phase costs max(mh, sh) wall instead of
     // mh + sh. Measured A/B at sf0.1 on the same host minutes apart:
-    // 4.10 s sequential -> 2.73 s concurrent (min-of-5).
+    // 4.10 s sequential -> 2.73 s concurrent (min-of-5). BOTH futures
+    // settle before any rethrow: bailing on the first failure would
+    // leave the sibling's jobs running detached into whatever executes
+    // next (exactly the cross-query interference the bench harness
+    // exists to prevent).
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
@@ -559,8 +583,10 @@ object Dedup extends QueryPack {
       minhashLinksFrom(dt).select($"i", $"j").localCheckpoint(true) }
     val shF = Future {
       simHashLinksFrom(dt).select($"i", $"j").localCheckpoint(true) }
-    val mh = Await.result(mhF, Duration.Inf)
-    val sh = Await.result(shF, Duration.Inf)
+    val mhT = scala.util.Try(Await.result(mhF, Duration.Inf))
+    val shT = scala.util.Try(Await.result(shF, Duration.Inf))
+    dt.unpersist()
+    val (mh, sh) = (mhT.get, shT.get)
     connectedComponents(mh.unionByName(sh))
       .select($"node".as("doc_id"), $"lab".as("cluster_id"),
         ($"node" === $"lab").as("is_keep"))

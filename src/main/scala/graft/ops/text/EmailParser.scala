@@ -172,8 +172,9 @@ object EmailParser {
     * a null-byte distribution sniff for BOM-less UTF-16 (chardet's
     * strongest non-BOM signal: ASCII-heavy UTF-16 text has ~half its
     * bytes 0x00, parked on one parity), then strict UTF-8, then the
-    * East-Asian multibyte family — EUC-JP (kana-gated), EUC-KR
-    * (hangul-gated), Shift-JIS, Big5 (CJK-gated, no kana/hangul) — each
+    * East-Asian multibyte family — Shift-JIS (full-width gate), EUC-JP
+    * (kana-fraction gate), EUC-KR (hangul-gated), Shift-JIS again
+    * (half-width kana admitted), Big5 (CJK-gated, no kana/hangul) — each
     * requiring strict structural decode PLUS script-block payoff,
     * then the Cyrillic single-byte family (KOI8-R vs windows-1251,
     * told apart by case-band distribution — the same signal chardet's
@@ -218,36 +219,56 @@ object EmailParser {
         // strict structural decode PLUS script-block payoff (high
         // precision), so they must get first claim.
         //
-        // EUC-JP and EUC-KR try BEFORE Shift_JIS: every EUC two-byte
-        // sequence whose bytes fall in 0xA1-0xDF reads under SJIS as a
-        // pair of VALID single-byte half-width katakana, so an EUC
-        // stream that structurally survives SJIS comes out as
-        // kana-dominant mojibake that passes the Japanese-block gate —
-        // SJIS would claim it silently. The reverse order is safe:
-        // real SJIS text leads with 0x81-0x9F (invalid EUC lead), and
-        // the rare SJIS byte runs that do survive a strict EUC decode
-        // come out as kanji-only, which the kana/hangul payoff gates
-        // reject.
-        tryEucJp(bytes)
+        // The SJIS/EUC order is the hard case: the 0xA1-0xDF band is
+        // single-byte half-width katakana in SJIS but lead/trail bytes
+        // in the EUC family, so byte runs inside it decode "validly"
+        // both ways and only distribution separates them. Claim order:
+        //   1. SJIS gated on FULL-WIDTH payoff (half-width kana don't
+        //      count): claims ordinary Japanese mail immediately and
+        //      can never be fooled by an EUC stream, whose SJIS
+        //      misread is half-width-kana mojibake.
+        //   2. EUC-JP gated on kana >= 20% of the payload: real
+        //      Japanese is hiragana-heavy; an SJIS half-width-kana
+        //      stream misread as EUC-JP yields kana only from pairs
+        //      led by 0xA4/0xA5 ('､'/'･'), far below the bar.
+        //   3. EUC-KR (hangul-dominant).
+        //   4. SJIS again with half-width kana COUNTING — catches the
+        //      genuine old-mobile kana-only mail the step-1 gate
+        //      deliberately skipped, now that both EUC codecs have had
+        //      their claim.
+        tryShiftJisFullWidth(bytes)
+          .orElse(tryEucJp(bytes))
           .orElse(tryEucKr(bytes))
-          .orElse(tryShiftJis(bytes))
+          .orElse(tryShiftJisAny(bytes))
           .orElse(tryBig5(bytes))
           .orElse(tryCyrillic(bytes))
           .getOrElse(new String(bytes, ISO_8859_1))
     }
   }
 
-  /** Shift-JIS: strict decode must succeed AND the multi-byte payload
-    * must actually be Japanese (kana/CJK/full-width). Structural
+  /** Shift-JIS, FULL-WIDTH gate (claim step 1, see decodeBest): strict
+    * decode must succeed AND >= 80% of the non-ASCII payload must be
+    * Japanese EXCLUDING half-width katakana (U+FF61-FF9F). Structural
     * validity alone is too weak — stray Latin-1 accents often form
-    * valid lead+trail pairs; requiring the decoded non-ASCII chars to
-    * land in Japanese blocks is the precision chardet gets from its
-    * SJIS distribution table. Tried AFTER the EUC-JP/EUC-KR gates:
-    * the 0xA1-0xDF band is single-byte half-width katakana here, so
-    * EUC byte streams read as kana-dominant "Japanese" that this gate
-    * alone cannot tell from the real thing (see decodeBest).
+    * valid lead+trail pairs — and half-width kana are excluded because
+    * they are exactly what an EUC byte stream misreads as: counting
+    * them would let this gate steal EUC-JP/EUC-KR mail (every EUC pair
+    * in 0xA1-0xDF is two "valid" SJIS kana singles).
     */
-  private def tryShiftJis(bytes: Array[Byte]): Option[String] =
+  private def tryShiftJisFullWidth(bytes: Array[Byte]): Option[String] =
+    tryStrict(bytes, "Shift_JIS") { s =>
+      val na = nonAscii(s)
+      na.nonEmpty &&
+        na.count(c => isJapaneseBlock(c) && !isHalfWidthKana(c)) * 10 >=
+          na.length * 8
+    }
+
+  /** Shift-JIS, permissive gate (claim step 4): the round-trip of the
+    * original kana-inclusive rule, reached only after both EUC codecs
+    * declined — claims genuine half-width-katakana mail (old-mobile
+    * style) without giving SJIS first pick of ambiguous EUC bytes.
+    */
+  private def tryShiftJisAny(bytes: Array[Byte]): Option[String] =
     tryStrict(bytes, "Shift_JIS") { s =>
       val na = nonAscii(s)
       na.nonEmpty && na.count(isJapaneseBlock) * 10 >= na.length * 8
@@ -286,31 +307,46 @@ object EmailParser {
 
   private def isKana(c: Char): Boolean = c >= 0x3040 && c <= 0x30ff
 
+  private def isHalfWidthKana(c: Char): Boolean =
+    c >= 0xff61 && c <= 0xff9f
+
   private def isHangul(c: Char): Boolean =
     (c >= 0xac00 && c <= 0xd7a3) || (c >= 0x1100 && c <= 0x11ff) ||
       (c >= 0x3130 && c <= 0x318f)
 
-  /** EUC-JP: strict decode + Japanese payload WITH kana present. The
-    * kana gate is the disambiguator against EUC-KR: Korean hangul rows
-    * decoded as EUC-JP yield structurally-valid kanji (both live in
-    * the CJK unified block), but living Japanese text always carries
-    * kana — the frequency signal chardet's EUC-JP model is built on.
+  /** EUC-JP: strict decode + Japanese payload with kana >= 20% of the
+    * non-ASCII chars. The kana gate disambiguates in BOTH directions:
+    * against EUC-KR (hangul rows decoded as EUC-JP yield structurally
+    * valid kanji, but no kana — living Japanese is hiragana-heavy, the
+    * frequency signal chardet's EUC-JP model is built on) and against
+    * genuine SJIS half-width-katakana mail (whose even-length runs can
+    * strictly decode as EUC-JP, but produce kana ONLY from pairs led
+    * by 0xA4/0xA5 — '､'/'･' — which stay far below 20%; a bare
+    * `exists(isKana)` gate was measured claimable by one stray '･').
     */
   private def tryEucJp(bytes: Array[Byte]): Option[String] =
     tryStrict(bytes, "EUC-JP") { s =>
       val na = nonAscii(s)
       na.nonEmpty && na.count(isJapaneseBlock) * 10 >= na.length * 8 &&
-        na.exists(isKana)
+        na.count(isKana) * 5 >= na.length
     }
 
-  /** EUC-KR: strict decode + hangul-dominant payload (Korean text is
-    * hangul-dominant even with hanja sprinkled in). Tried after
+  /** EUC-KR: strict decode + >= 70% hangul payload. Korean mail is
+    * hangul-dominant even with hanja sprinkled in, so the high bar
+    * costs no real Korean text — while a LOW bar is claimable by SJIS
+    * half-width-katakana runs, whose even-length byte pairs with leads
+    * in 0xB0-0xC8 decode as structurally-valid hangul (measured: a
+    * dotted kana address line came back 50% hangul). Tried after
     * EUC-JP's kana gate, so kana-bearing Japanese never falls here.
+    * Residual ambiguity is inherent: a short pure-kana run whose pairs
+    * ALL land in hangul rows is byte-identical to real EUC-KR, and
+    * only a frequency model (chardet's) could split it — this sniffer
+    * sides with EUC-KR there, trading the rarer kana-only-mail shape.
     */
   private def tryEucKr(bytes: Array[Byte]): Option[String] =
     tryStrict(bytes, "EUC-KR") { s =>
       val na = nonAscii(s)
-      na.nonEmpty && na.count(isHangul) * 10 >= na.length * 5
+      na.nonEmpty && na.count(isHangul) * 10 >= na.length * 7
     }
 
   /** Big5: strict decode + CJK/bopomofo payload with NO kana and NO

@@ -229,10 +229,20 @@ class EmailSpec extends SparkTestBase {
     assert(EmailParser.decodeBest(koBytes) == koLow)
     // Real half-width katakana SJIS mail (old-mobile style) must STILL
     // decode as SJIS: its byte runs are structurally-valid EUC pairs,
-    // but they decode to kanji-only text that the kana/hangul payoff
-    // gates reject, so the claim falls through to SJIS.
+    // but they decode to kanji-heavy text far below EUC-JP's
+    // 20%-kana bar, so the claim falls to the permissive SJIS try.
     val hwKana = "ﾒｰﾙｱﾄﾞﾚｽ: ﾃｽﾄ ﾒｯｾｰｼﾞ"
     assert(EmailParser.decodeBest(hwKana.getBytes("Shift_JIS")) == hwKana)
+    // the trap inside the trap: '･' (0xA5) leads an EVEN-offset pair,
+    // and 0xA5-led EUC-JP pairs decode to REAL katakana — a bare
+    // `exists(kana)` EUC gate claimed exactly this shape as mojibake;
+    // the fraction gate must hand it back to SJIS
+    val hwDotted = "ﾒｰﾙ･ｱﾄﾞﾚｽ､ﾃｽﾄ･ﾒﾓ"
+    assert(EmailParser.decodeBest(hwDotted.getBytes("Shift_JIS")) == hwDotted)
+    // full-width Japanese with a MINORITY of half-width kana still
+    // claims on the first (full-width-gated) SJIS try
+    val mixedWidth = "これは全角の文ですがﾒﾓも入る。こんにちは。"
+    assert(EmailParser.decodeBest(mixedWidth.getBytes("Shift_JIS")) == mixedWidth)
   }
 
   test("script/style content dropped, comments removed") {

@@ -418,11 +418,15 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(labels.size == 67)
     // 8x the diameter must cost ~3 more rounds, not 8x: 512 nodes
     // within 13 rounds is only reachable with the jump step
-    val big = Dedup.connectedComponents(
+    val (bigDf, bigRounds) = Dedup.connectedComponentsWithRounds(
         (0L until 511L).map(k => (k, k + 1)).toDF("i", "j"), maxRounds = 13)
+    val big = bigDf
       .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("lab"))
     assert(big.length == 512 && big.forall(_._2 == 0L),
       "512-chain did not converge within 13 rounds")
+    // the logarithmic claim, asserted on the actual counter: 9 rounds
+    // measured; a diameter-bound loop would need ~511
+    assert(bigRounds <= 10, s"jump loop took $bigRounds rounds on the 512-chain")
   }
 
   test("connectedComponentsStars: byte-identical labels to the jump " +
@@ -439,22 +443,26 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(starLabels.size == 67)
     // 512-chain: alternation is O(log n) — measured 10 rounds (the
     // jump loop takes 9; the promotion measurement in the
-    // connectedComponents scaladoc). maxRounds=14 means a slower
-    // algorithm returns WRONG labels here, which the asserts catch.
-    val big = Dedup.connectedComponentsStars(
+    // connectedComponents scaladoc).
+    val (bigDf, bigRounds) = Dedup.connectedComponentsStarsWithRounds(
         (0L until 511L).map(k => (k, k + 1)).toDF("i", "j"), maxRounds = 14)
+    val big = bigDf
       .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("lab"))
     assert(big.length == 512 && big.forall(_._2 == 0L),
       "512-chain did not converge within 14 rounds")
-    // random multi-component graph: both algorithms must agree exactly
+    assert(bigRounds <= 11, s"stars took $bigRounds rounds on the 512-chain")
+    // random multi-component graph WITH self-loops: both algorithms
+    // must agree exactly, including the self-loop-only node 300 whose
+    // only "edge" is (300, 300) — the stars form must not drop it
     val rnd = new scala.util.Random(7)
     val edges = (1 to 300).map(_ =>
       (rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
-      .filter { case (a, b) => a != b }
+      .filter { case (a, b) => a != b } :+ (300L, 300L) :+ (5L, 5L)
     val viaJump = Dedup.connectedComponents(edges.toDF("i", "j"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val viaStars = Dedup.connectedComponentsStars(edges.toDF("i", "j"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaStars.contains((300L, 300L)), "self-loop-only node dropped")
     assert(viaStars == viaJump,
       s"diff: ${(viaStars diff viaJump).take(5)} / ${(viaJump diff viaStars).take(5)}")
   }
