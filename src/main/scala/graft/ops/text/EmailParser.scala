@@ -222,57 +222,66 @@ object EmailParser {
         // The SJIS/EUC order is the hard case: the 0xA1-0xDF band is
         // single-byte half-width katakana in SJIS but lead/trail bytes
         // in the EUC family, so byte runs inside it decode "validly"
-        // both ways and only distribution separates them. Claim order:
+        // both ways and only distribution separates them. The stream
+        // is strict-decoded under SJIS ONCE; whether that succeeded is
+        // also the ambiguity signal the EUC gates key on. Claim order:
         //   1. SJIS gated on FULL-WIDTH payoff (half-width kana don't
         //      count): claims ordinary Japanese mail immediately and
         //      can never be fooled by an EUC stream, whose SJIS
         //      misread is half-width-kana mojibake.
-        //   2. EUC-JP gated on kana >= 20% of the payload: real
-        //      Japanese is hiragana-heavy; an SJIS half-width-kana
-        //      stream misread as EUC-JP yields kana only from pairs
-        //      led by 0xA4/0xA5 ('､'/'･'), far below the bar.
-        //   3. EUC-KR (hangul-dominant).
+        //   2. EUC-JP. When the bytes ALSO decode under SJIS there is
+        //      a live half-width-kana reading to out-compete, so kana
+        //      must be >= 20% of the payload (real Japanese is
+        //      hiragana-heavy; an SJIS kana stream misread as EUC-JP
+        //      yields kana only from pairs led by 0xA4/0xA5, far
+        //      below the bar). When SJIS already REJECTED the bytes
+        //      there is no competing claim, and any kana suffices —
+        //      kanji-dominant Japanese (addresses, name lists) keeps
+        //      its decode.
+        //   3. EUC-KR, same two-level bar: 70% hangul against a live
+        //      SJIS reading (a dotted kana line measured 50% hangul),
+        //      50% otherwise (hanja-heavy Korean keeps its decode).
         //   4. SJIS again with half-width kana COUNTING — catches the
         //      genuine old-mobile kana-only mail the step-1 gate
         //      deliberately skipped, now that both EUC codecs have had
         //      their claim.
-        tryShiftJisFullWidth(bytes)
-          .orElse(tryEucJp(bytes))
-          .orElse(tryEucKr(bytes))
-          .orElse(tryShiftJisAny(bytes))
+        val sjis = strictDecode(bytes, "Shift_JIS")
+        val contested = sjis.isDefined
+        sjis.filter(sjisFullWidthGate)
+          .orElse(tryEucJp(bytes, contested))
+          .orElse(tryEucKr(bytes, contested))
+          .orElse(sjis.filter(sjisAnyGate))
           .orElse(tryBig5(bytes))
           .orElse(tryCyrillic(bytes))
           .getOrElse(new String(bytes, ISO_8859_1))
     }
   }
 
-  /** Shift-JIS, FULL-WIDTH gate (claim step 1, see decodeBest): strict
-    * decode must succeed AND >= 80% of the non-ASCII payload must be
-    * Japanese EXCLUDING half-width katakana (U+FF61-FF9F). Structural
-    * validity alone is too weak — stray Latin-1 accents often form
-    * valid lead+trail pairs — and half-width kana are excluded because
-    * they are exactly what an EUC byte stream misreads as: counting
-    * them would let this gate steal EUC-JP/EUC-KR mail (every EUC pair
-    * in 0xA1-0xDF is two "valid" SJIS kana singles).
+  /** Shift-JIS FULL-WIDTH gate (claim step 1, see decodeBest): >= 80%
+    * of the non-ASCII payload must be Japanese EXCLUDING half-width
+    * katakana (U+FF61-FF9F). Structural validity alone is too weak —
+    * stray Latin-1 accents often form valid lead+trail pairs — and
+    * half-width kana are excluded because they are exactly what an EUC
+    * byte stream misreads as: counting them would let this gate steal
+    * EUC-JP/EUC-KR mail (every EUC pair in 0xA1-0xDF is two "valid"
+    * SJIS kana singles).
     */
-  private def tryShiftJisFullWidth(bytes: Array[Byte]): Option[String] =
-    tryStrict(bytes, "Shift_JIS") { s =>
-      val na = nonAscii(s)
-      na.nonEmpty &&
-        na.count(c => isJapaneseBlock(c) && !isHalfWidthKana(c)) * 10 >=
-          na.length * 8
-    }
+  private def sjisFullWidthGate(s: String): Boolean = {
+    val na = nonAscii(s)
+    na.nonEmpty &&
+      na.count(c => isJapaneseBlock(c) && !isHalfWidthKana(c)) * 10 >=
+        na.length * 8
+  }
 
-  /** Shift-JIS, permissive gate (claim step 4): the round-trip of the
-    * original kana-inclusive rule, reached only after both EUC codecs
-    * declined — claims genuine half-width-katakana mail (old-mobile
-    * style) without giving SJIS first pick of ambiguous EUC bytes.
+  /** Shift-JIS permissive gate (claim step 4): the original
+    * kana-inclusive rule, applied only after both EUC codecs declined —
+    * claims genuine half-width-katakana mail (old-mobile style)
+    * without giving SJIS first pick of ambiguous EUC bytes.
     */
-  private def tryShiftJisAny(bytes: Array[Byte]): Option[String] =
-    tryStrict(bytes, "Shift_JIS") { s =>
-      val na = nonAscii(s)
-      na.nonEmpty && na.count(isJapaneseBlock) * 10 >= na.length * 8
-    }
+  private def sjisAnyGate(s: String): Boolean = {
+    val na = nonAscii(s)
+    na.nonEmpty && na.count(isJapaneseBlock) * 10 >= na.length * 8
+  }
 
   /** Strict decode in `cs`; Some(text) only when the decode succeeds
     * AND `accept` approves the non-ASCII payload — the shared shape of
@@ -282,22 +291,26 @@ object EmailParser {
     * per-codec distribution models encode).
     */
   private def tryStrict(bytes: Array[Byte], cs: String)(
-      accept: String => Boolean): Option[String] = {
-    val s =
-      try {
-        val dec = java.nio.charset.Charset.forName(cs).newDecoder()
-          .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
-          .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
-        dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
-      } catch {
-        case _: java.nio.charset.CharacterCodingException => return None
-        // jlink-minimized runtimes may omit jdk.charsets (home of the
-        // East-Asian codecs); decodeBest's contract is total — degrade
-        // to the next try, never crash the parse job
-        case _: java.nio.charset.UnsupportedCharsetException => return None
-      }
-    if (accept(s)) Some(s) else None
-  }
+      accept: String => Boolean): Option[String] =
+    strictDecode(bytes, cs).filter(accept)
+
+  /** Strict decode only — Some(text) iff every byte sequence is valid
+    * and mappable in `cs`; gates apply separately so one decode can
+    * serve several (decodeBest's SJIS is gated twice).
+    */
+  private def strictDecode(bytes: Array[Byte], cs: String): Option[String] =
+    try {
+      val dec = java.nio.charset.Charset.forName(cs).newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      Some(dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString)
+    } catch {
+      case _: java.nio.charset.CharacterCodingException => None
+      // jlink-minimized runtimes may omit jdk.charsets (home of the
+      // East-Asian codecs); decodeBest's contract is total — degrade
+      // to the next try, never crash the parse job
+      case _: java.nio.charset.UnsupportedCharsetException => None
+    }
 
   private def nonAscii(s: String): String = s.filter(_ >= 0x80)
 
@@ -314,39 +327,45 @@ object EmailParser {
     (c >= 0xac00 && c <= 0xd7a3) || (c >= 0x1100 && c <= 0x11ff) ||
       (c >= 0x3130 && c <= 0x318f)
 
-  /** EUC-JP: strict decode + Japanese payload with kana >= 20% of the
-    * non-ASCII chars. The kana gate disambiguates in BOTH directions:
-    * against EUC-KR (hangul rows decoded as EUC-JP yield structurally
-    * valid kanji, but no kana — living Japanese is hiragana-heavy, the
-    * frequency signal chardet's EUC-JP model is built on) and against
-    * genuine SJIS half-width-katakana mail (whose even-length runs can
-    * strictly decode as EUC-JP, but produce kana ONLY from pairs led
-    * by 0xA4/0xA5 — '､'/'･' — which stay far below 20%; a bare
-    * `exists(isKana)` gate was measured claimable by one stray '･').
+  /** EUC-JP: strict decode + Japanese payload + kana. The kana bar is
+    * TWO-LEVEL on `contested` (= the same bytes also strict-decode
+    * under SJIS, so a half-width-katakana reading is live): contested
+    * streams need kana >= 20% of the non-ASCII payload — real Japanese
+    * is hiragana-heavy, while genuine SJIS kana mail misread as EUC-JP
+    * yields kana only from pairs led by 0xA4/0xA5 ('､'/'･'), far below
+    * the bar (a bare `exists(isKana)` was measured claimable by one
+    * stray '･'). Uncontested streams (SJIS already rejected the bytes)
+    * have no competing claim, and ANY kana suffices — kanji-dominant
+    * Japanese (addresses, name lists) keeps its decode. The kana
+    * requirement itself also disambiguates against EUC-KR: hangul rows
+    * decoded as EUC-JP yield structurally-valid kanji but no kana.
     */
-  private def tryEucJp(bytes: Array[Byte]): Option[String] =
+  private def tryEucJp(bytes: Array[Byte], contested: Boolean): Option[String] =
     tryStrict(bytes, "EUC-JP") { s =>
       val na = nonAscii(s)
       na.nonEmpty && na.count(isJapaneseBlock) * 10 >= na.length * 8 &&
-        na.count(isKana) * 5 >= na.length
+        (if (contested) na.count(isKana) * 5 >= na.length
+         else na.exists(isKana))
     }
 
-  /** EUC-KR: strict decode + >= 70% hangul payload. Korean mail is
-    * hangul-dominant even with hanja sprinkled in, so the high bar
-    * costs no real Korean text — while a LOW bar is claimable by SJIS
-    * half-width-katakana runs, whose even-length byte pairs with leads
-    * in 0xB0-0xC8 decode as structurally-valid hangul (measured: a
-    * dotted kana address line came back 50% hangul). Tried after
-    * EUC-JP's kana gate, so kana-bearing Japanese never falls here.
-    * Residual ambiguity is inherent: a short pure-kana run whose pairs
-    * ALL land in hangul rows is byte-identical to real EUC-KR, and
-    * only a frequency model (chardet's) could split it — this sniffer
-    * sides with EUC-KR there, trading the rarer kana-only-mail shape.
+  /** EUC-KR: strict decode + hangul-dominant payload, two-level on
+    * `contested` like [[tryEucJp]]: against a live SJIS reading the
+    * bar is 70% hangul (SJIS half-width-kana runs whose even-length
+    * byte pairs lead in 0xB0-0xC8 decode as structurally-valid hangul
+    * — a dotted kana address line measured 50%), otherwise 50% (hanja-
+    * heavy academic/legal Korean keeps its decode when no SJIS claim
+    * exists). Tried after EUC-JP's kana gate, so kana-bearing Japanese
+    * never falls here. Residual ambiguity is inherent: a short
+    * pure-kana run whose pairs ALL land in hangul rows is
+    * byte-identical to real EUC-KR, and only a frequency model
+    * (chardet's) could split it — this sniffer sides with EUC-KR
+    * there, trading the rarer kana-only-mail shape.
     */
-  private def tryEucKr(bytes: Array[Byte]): Option[String] =
+  private def tryEucKr(bytes: Array[Byte], contested: Boolean): Option[String] =
     tryStrict(bytes, "EUC-KR") { s =>
       val na = nonAscii(s)
-      na.nonEmpty && na.count(isHangul) * 10 >= na.length * 7
+      na.nonEmpty &&
+        na.count(isHangul) * 10 >= na.length * (if (contested) 7 else 5)
     }
 
   /** Big5: strict decode + CJK/bopomofo payload with NO kana and NO

@@ -243,6 +243,15 @@ class EmailSpec extends SparkTestBase {
     // claims on the first (full-width-gated) SJIS try
     val mixedWidth = "これは全角の文ですがﾒﾓも入る。こんにちは。"
     assert(EmailParser.decodeBest(mixedWidth.getBytes("Shift_JIS")) == mixedWidth)
+    // UNCONTESTED streams (strict SJIS rejects the bytes, so no
+    // half-width-kana reading competes) keep the original looser bars:
+    // kanji-dominant Japanese at ~8% kana, and hanja-mixed Korean at
+    // ~69% hangul, must both still decode — the contested-only
+    // tightening may not cost either
+    val jaKanji = "東京都港区芝公園の郵便番号"
+    assert(EmailParser.decodeBest(jaKanji.getBytes("EUC-JP")) == jaKanji)
+    val koHanja = "대한민국 헌법 제1조는 民主共和國이다"
+    assert(EmailParser.decodeBest(koHanja.getBytes("EUC-KR")) == koHanja)
   }
 
   test("script/style content dropped, comments removed") {
