@@ -173,14 +173,19 @@ object Dedup extends QueryPack {
     * applies it to MinHash links; any link source (SimHash, embedding
     * bands, exact groups) composes the same way.
     *
-    * Each round ends in an EAGER localCheckpoint: the round's plan
-    * references `labels` four times (directly, via nbrMin, and twice
-    * through the hop self-join), so without lineage TRUNCATION the
-    * logical plan grows 4^rounds copies of the upstream pipeline and
-    * Catalyst analysis itself OOMs by round 3. cache() does not
-    * truncate lineage; localCheckpoint does (and on a cluster,
-    * checkpoint(dir) is the executor-loss-safe spelling of the same
-    * thing).
+    * Each round ends in a localCheckpoint: the round's plan references
+    * `labels` four times (directly, via nbrMin, and twice through the
+    * hop self-join), so without lineage TRUNCATION the logical plan
+    * grows 4^rounds copies of the upstream pipeline and Catalyst
+    * analysis itself OOMs by round 3. cache() does not truncate
+    * lineage; localCheckpoint does (and on a cluster, checkpoint(dir)
+    * is the executor-loss-safe spelling of the same thing). The
+    * checkpoint is LAZY and the convergence test is a full-scan count,
+    * so one job per round both materializes the round (marked-for-
+    * checkpoint partitions persist as they compute; the post-job
+    * fill-in pass finds none missing) and answers "did any label
+    * drop" — the eager-checkpoint + isEmpty spelling paid a second
+    * scheduler round trip per round for the same scan.
     */
   def connectedComponents(links: DataFrame, maxRounds: Int = 48): DataFrame =
     connectedComponentsWithRounds(links, maxRounds)._1
@@ -225,10 +230,12 @@ object Dedup extends QueryPack {
           $"a.lab1" === $"b.ln", "left")
         .select($"node",
           least($"lab1", coalesce($"llab", $"lab1")).as("lab"), $"old")
-        .localCheckpoint(true)
-      // next is materialized data now — the convergence test scans it,
-      // nothing upstream
-      converged = next.filter($"lab" < $"old").isEmpty
+        .localCheckpoint(false)
+      // full-scan count (NOT isEmpty — its limit(1) can stop early and
+      // leave checkpoint partitions unmaterialized for a fill-in job to
+      // redo): this one action materializes every partition of `next`
+      // AND decides convergence
+      converged = next.filter($"lab" < $"old").count() == 0
       labels = next.select($"node", $"lab")
       rounds += 1
     }
