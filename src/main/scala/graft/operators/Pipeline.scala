@@ -145,6 +145,62 @@ object Pipeline extends QueryPack {
           .as("first_doc_id"))
   }
 
+  /** Output shards for q94's shuffle census. Like [[PackShards]], the
+    * count scales with the cluster at 100 TB, not with semantics.
+    */
+  private[operators] val ShuffleShardCount = 16L
+
+  // --- q94: deterministic global shuffle -> training shards ----------------
+  /** The LAST corpus-assembly step before writing training shards: give
+    * every document a pseudo-random but DETERMINISTIC position — shard
+    * + within-shard rank — so data loaders read a globally shuffled
+    * corpus, and a re-run (or a resumed job) reproduces byte-identical
+    * shard files. Order key = md5(seed # doc_id): reshuffling is a seed
+    * change, not a new random state, and the shard of an existing
+    * document never changes when documents are appended (the q72 split
+    * stability argument applied to shard assignment).
+    *
+    * Scale shape: a GLOBAL row_number would serialize the corpus
+    * through one reducer; instead the hash prefix assigns the shard
+    * (embarrassingly parallel) and the rank is per-shard — each shard
+    * is corpus/nShards, sorted by Spark's spilling external sorter,
+    * which is exactly the work writing an ordered shard file requires
+    * anyway. One exchange: the window's hash partitioning on `shard`
+    * is the aggregation's partitioning too.
+    *
+    * Returns the input columns + (h, shard, pos); pos is 1-based and
+    * contiguous within each shard (PipelineOpsSpec asserts).
+    */
+  def shuffleShards(docs: DataFrame, nShards: Long, seed: String): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"shard").orderBy($"h", $"doc_id")
+    docs
+      .withColumn("h", md5(concat(lit(seed + "#"), $"doc_id".cast("string"))))
+      .withColumn("shard",
+        conv(substring($"h", 1, 6), 16, 10).cast("long") % nShards)
+      .withColumn("pos", row_number().over(w))
+  }
+
+  /** Per-shard census over [[shuffleShards]]: doc/char totals plus the
+    * first and last document in shuffle order — the bounded fingerprint
+    * a pipeline records next to each written shard (the full order is
+    * the shard file itself; first/last + counts pin it for audit
+    * without an O(shard) driver artifact).
+    */
+  def q94ShuffleShard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    shuffleShards(
+      Tables.documents(s, dir).select($"doc_id", $"n_chars"),
+      ShuffleShardCount, "s42")
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("n_chars_total"),
+        min_by($"doc_id", $"pos").as("first_doc_id"),
+        max_by($"doc_id", $"pos").as("last_doc_id"))
+  }
+
   // --- q57: end-to-end corpus recipe (compose the library's own ops) ------
   /** The full clean-corpus pass a pipeline user actually runs, composed
     * from this library's operators rather than re-implemented: exact
@@ -185,9 +241,23 @@ object Pipeline extends QueryPack {
     "q55_contamination" -> (q55Contamination _),
     "q56_mixture"       -> (q56Mixture _),
     "q57_corpus_recipe" -> (q57CorpusRecipe _),
+    "q94_shuffle_shard" -> (q94ShuffleShard _),
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q94_shuffle_shard" ->
+      s"""WITH d AS (SELECT doc_id, n_chars,
+        |  md5('s42#' || CAST(doc_id AS VARCHAR)) AS h,
+        |  CAST(('0x' || substr(md5('s42#' || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+        |    % $ShuffleShardCount AS shard
+        | FROM documents),
+        |p AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos
+        | FROM d)
+        |SELECT shard, COUNT(*) AS n_docs,
+        | CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+        | arg_min(doc_id, pos) AS first_doc_id,
+        | arg_max(doc_id, pos) AS last_doc_id
+        |FROM p GROUP BY shard""".stripMargin,
     "q57_corpus_recipe" ->
       s"""WITH ke AS (SELECT MIN(doc_id) doc_id FROM documents GROUP BY md5(text)),
         |q AS (SELECT doc_id,

@@ -887,6 +887,43 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(math.abs(dists.head - globalMax) < 1e-2)
   }
 
+  test("shuffle shards: bijection, contiguous 1..n positions, " +
+    "partitioning-invariant, append-stable shards, seed-sensitive") {
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"n_chars")
+    val P = graft.operators.Pipeline
+    val sh = P.shuffleShards(docs, 16L, "s42")
+      .select($"doc_id", $"shard", $"pos").cache()
+    try {
+      // every document exactly once
+      val n = docs.count()
+      assert(sh.count() == n)
+      assert(sh.select("doc_id").distinct().count() == n)
+      // pos is a contiguous 1..count permutation within each shard
+      val bad = sh.groupBy($"shard")
+        .agg(count(lit(1)).as("cnt"), min($"pos").as("mn"),
+          max($"pos").as("mx"), countDistinct($"pos").as("dp"))
+        .filter($"mn" =!= 1 || $"mx" =!= $"cnt" || $"dp" =!= $"cnt")
+        .count()
+      assert(bad == 0L, "positions must be a contiguous 1..n per shard")
+      // input partitioning cannot change the result
+      val re = P.shuffleShards(docs.repartition(7), 16L, "s42")
+        .select($"doc_id", $"shard", $"pos")
+      assert(re.collect().toSet == sh.collect().toSet)
+      // appending documents never moves an EXISTING document's shard
+      // (pos may shift as new docs interleave; shard is hash-stable)
+      val half = P.shuffleShards(docs.filter($"doc_id" % 2 === 0), 16L, "s42")
+        .select($"doc_id", $"shard".as("shard_half"))
+      assert(sh.join(half, "doc_id")
+        .filter($"shard" =!= $"shard_half").count() == 0L)
+      // a different seed is a different permutation
+      val reseed = P.shuffleShards(docs, 16L, "s43")
+        .select($"doc_id", $"shard", $"pos")
+      assert(reseed.collect().toSet != sh.collect().toSet)
+    } finally sh.unpersist()
+  }
+
   test("q76: <= 3 terms per doc, ranks contiguous, scores non-increasing") {
     val rows = TextAnalysis.q76TfIdfTerms(spark, sfDir).collect()
     val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))

@@ -129,6 +129,17 @@ class PlanSpec extends SparkTestBase {
     assert(n == 1, s"expected one shard exchange, got $n:\n${p.take(2500)}")
   }
 
+  test("q94: shuffle-shard census runs in ONE shard exchange — rank " +
+    "window and census aggregation share it, no global sort") {
+    // a global row_number would show as a single-partition Exchange +
+    // full Sort; the scale shape is hash(shard) once, reused by both
+    val p = plan(graft.operators.Pipeline.q94ShuffleShard(spark, sfDir))
+    val n = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(n == 1, s"expected one shard exchange, got $n:\n${p.take(2500)}")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"global single-partition stage in shuffle-shard plan:\n${p.take(2500)}")
+  }
+
   test("q56: the corpus-side window partitions on (lang, bucket), never " +
     "lang alone, and bucket prefixes broadcast back") {
     // a lang-only window would put the whole corpus on 5 reducers; only
