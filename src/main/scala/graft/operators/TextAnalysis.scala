@@ -569,6 +569,64 @@ object TextAnalysis extends QueryPack {
       .limit(25)
   }
 
+  // --- q95: CCNet-style bigram-LM quality bands -----------------------------
+  /** Model-based quality filtering (Wenzek et al., "CCNet: Extracting
+    * High Quality Monolingual Datasets from Web Crawl Data", LREC'20):
+    * score every document by its mean per-bigram surprisal under the
+    * corpus's OWN bigram LM (q75's conditional table) and band the
+    * corpus head / middle / tail. CCNet buckets on a Kneser-Ney
+    * wikipedia LM's perplexity with precomputed thresholds; the
+    * in-library equivalent scores with the self-LM and fixed cutoffs
+    * (3.38 / 3.40 nats, calibrated to split this corpus family into
+    * three populated bands at every SF) — head = most fluent, the
+    * band a filtering recipe keeps or upsamples.
+    *
+    * Scale shape: the LM is the vocabulary²-bounded (w1, w2) count
+    * table — map-side combine compacts the aggregation to vocab² rows
+    * per partition before its exchange — and joins back to bigram
+    * instances BY BROADCAST, so no instance-sized shuffle exists. The
+    * corpus is scanned twice (LM build, scoring pass): at 100 TB a
+    * re-scan beats pinning a corpus-sized instance frame in cache.
+    * Banding compares the DECIMAL-snapped 4-decimal score ([[
+    * graft.core.Exact.dround]]), the same cross-engine determinism
+    * class q46 established for log-derived doubles — raw-ulp doubles
+    * never reach a comparison.
+    */
+  def q95LmQuality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val bigr = Tables.documents(s, dir)
+      .withColumn("toks", split($"text", " "))
+      .select($"doc_id", explode(expr(
+        """CASE WHEN size(toks) >= 2
+          | THEN transform(sequence(1, size(toks) - 1),
+          |   i -> named_struct('w1', element_at(toks, i),
+          |                     'w2', element_at(toks, i + 1)))
+          | ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>)
+          |END""".stripMargin)).as("b"))
+      .select($"doc_id", $"b.w1", $"b.w2")
+    val bc = bigr.groupBy($"w1", $"w2").agg(count(lit(1)).as("n_bigram"))
+    val lm = bc.join(
+      bc.groupBy($"w1").agg(sum($"n_bigram").as("n_prefix")), "w1")
+    bigr.join(broadcast(lm), Seq("w1", "w2"))
+      .withColumn("surp", -log($"n_bigram" / $"n_prefix"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("nb"),
+        graft.core.Exact.dround(
+          sum($"surp".cast(DecimalType(28, 10))).cast("double")
+            / count(lit(1)), 4).as("score"))
+      .withColumn("band",
+        when($"score" < 3.38, "head")
+          .when($"score" < 3.40, "middle").otherwise("tail"))
+      .groupBy($"band")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"nb").as("n_bigrams"),
+        graft.core.Exact.dround(
+          sum($"score".cast(DecimalType(28, 10))).cast("double")
+            / count(lit(1)), 4).as("avg_score"),
+        min($"doc_id").as("first_doc_id"))
+  }
+
   // --- q76: per-document top tf-idf terms ----------------------------------
   /** Top-3 characteristic terms per document by tf·idf — the classic
     * keyword surface for corpus exploration and topic tagging. THE
@@ -755,6 +813,7 @@ object TextAnalysis extends QueryPack {
     "q70_token_ids"          -> (q70TokenIds _),
     "q72_split_assign"       -> (q72SplitAssign _),
     "q75_bigram_lm"          -> (q75BigramLm _),
+    "q95_lm_quality"         -> (q95LmQuality _),
     "q76_tfidf_terms"        -> (q76TfIdfTerms _),
     "q81_weighted_sample"    -> (q81WeightedSample _),
     "q19_email_parse" -> (q19EmailParse _),
@@ -803,6 +862,26 @@ object TextAnalysis extends QueryPack {
         | CAST(ROUND(CAST((bc.n_bigram / uc.n_prefix) AS DECIMAL(28,10)), 4) AS DOUBLE) AS p_cond
         |FROM bc JOIN uc USING (w1)
         |ORDER BY bc.n_bigram DESC, bc.w1, bc.w2 LIMIT 25""".stripMargin,
+    "q95_lm_quality" ->
+      // band on the ROUNDED per-doc score (q46's determinism class):
+      // both engines compare identical 4-decimal values, so a raw-ulp
+      // drift in LN can never flip a band
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bgr AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |  FROM toks, generate_series(1, ${OracleGen.MaxDocSeries}) g(i) WHERE i <= len(t) - 1),
+        |bc AS (SELECT w1, w2, COUNT(*) AS n_bigram FROM bgr GROUP BY 1, 2),
+        |uc AS (SELECT w1, CAST(SUM(n_bigram) AS BIGINT) AS n_prefix FROM bc GROUP BY 1),
+        |sc AS (SELECT doc_id, COUNT(*) AS nb,
+        |  CAST(ROUND(CAST((CAST(SUM(CAST(-LN(bc.n_bigram / uc.n_prefix) AS DECIMAL(28,10)))
+        |    AS DOUBLE) / COUNT(*)) AS DECIMAL(28,10)), 4) AS DOUBLE) AS score
+        | FROM bgr JOIN bc USING (w1, w2) JOIN uc USING (w1) GROUP BY doc_id),
+        |b AS (SELECT *, CASE WHEN score < 3.38 THEN 'head'
+        |  WHEN score < 3.40 THEN 'middle' ELSE 'tail' END AS band FROM sc)
+        |SELECT band, COUNT(*) AS n_docs, CAST(SUM(nb) AS BIGINT) AS n_bigrams,
+        | CAST(ROUND(CAST((CAST(SUM(CAST(score AS DECIMAL(28,10))) AS DOUBLE)
+        |   / COUNT(*)) AS DECIMAL(28,10)), 4) AS DOUBLE) AS avg_score,
+        | MIN(doc_id) AS first_doc_id
+        |FROM b GROUP BY band""".stripMargin,
     "q76_tfidf_terms" ->
       // rank by the ROUNDED score (ties to tok asc) — the Spark side
       // sorts the same rounded value, so boundary ulps cannot diverge

@@ -924,6 +924,24 @@ class PipelineOpsSpec extends SparkTestBase {
     } finally sh.unpersist()
   }
 
+  test("q95: bands partition the corpus, cutoffs respected, " +
+    "head is more fluent than tail") {
+    val rows = TextAnalysis.q95LmQuality(spark, sfDir).collect()
+    val byBand = rows.map(r => r.getAs[String]("band") -> r).toMap
+    // every doc with >= 2 tokens lands in exactly one band
+    val nDocs = graft.core.Tables.documents(spark, sfDir)
+      .filter(size(split(col("text"), " ")) >= 2).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    // calibrated cutoffs populate all three bands on this corpus family
+    assert(byBand.keySet == Set("head", "middle", "tail"), byBand.keySet)
+    // surprisal ordering: head (most fluent) < middle < tail
+    def avg(b: String) = byBand(b).getAs[Double]("avg_score")
+    assert(avg("head") < avg("middle") && avg("middle") < avg("tail"),
+      s"head=${avg("head")} middle=${avg("middle")} tail=${avg("tail")}")
+    // scores are mean NEGATIVE-log conditionals: strictly positive
+    rows.foreach(r => assert(r.getAs[Double]("avg_score") > 0.0))
+  }
+
   test("q76: <= 3 terms per doc, ranks contiguous, scores non-increasing") {
     val rows = TextAnalysis.q76TfIdfTerms(spark, sfDir).collect()
     val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))

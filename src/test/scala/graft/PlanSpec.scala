@@ -140,6 +140,17 @@ class PlanSpec extends SparkTestBase {
       s"global single-partition stage in shuffle-shard plan:\n${p.take(2500)}")
   }
 
+  test("q95: the LM joins bigram instances by BROADCAST — no " +
+    "instance-sized shuffle reaches the scoring join") {
+    // the (w1, w2) LM table is vocab²-bounded; if it ever arrived via
+    // a shuffled hash join the corpus-sized instance frame would
+    // repartition on (w1, w2) — Zipf skew on one reducer
+    val p = plan(graft.operators.TextAnalysis.q95LmQuality(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      s"instance join must not sort-merge:\n${p.take(2500)}")
+  }
+
   test("q56: the corpus-side window partitions on (lang, bucket), never " +
     "lang alone, and bucket prefixes broadcast back") {
     // a lang-only window would put the whole corpus on 5 reducers; only
