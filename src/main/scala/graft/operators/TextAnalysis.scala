@@ -549,6 +549,7 @@ object TextAnalysis extends QueryPack {
     */
   def q75BigramLm(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    import org.apache.spark.sql.expressions.Window
     val bgCnt = Tables.documents(s, dir)
       .withColumn("toks", split($"text", " "))
       .select(explode(expr(
@@ -560,9 +561,15 @@ object TextAnalysis extends QueryPack {
           |END""".stripMargin)).as("b"))
       .select($"b.w1", $"b.w2")
       .groupBy($"w1", $"w2").agg(count(lit(1)).as("n_bigram"))
-    val prefCnt = bgCnt.groupBy($"w1")
-      .agg(sum($"n_bigram").as("n_prefix"))
-    bgCnt.join(broadcast(prefCnt), "w1")
+    // prefix totals via a window over the ALREADY-AGGREGATED frame
+    // (vocab²-bounded rows): a separate groupBy(w1) + self-join would
+    // reference bgCnt twice and Catalyst would recompute the full
+    // corpus explode+aggregation once per reference — one extra
+    // corpus scan for 31 numbers. The window costs one exchange of
+    // ≤ vocab² rows. Integer sums, so no float-order concern.
+    bgCnt
+      .withColumn("n_prefix", sum($"n_bigram")
+        .over(Window.partitionBy($"w1")))
       .select($"w1", $"w2", $"n_bigram",
         graft.core.Exact.dround($"n_bigram" / $"n_prefix", 4).as("p_cond"))
       .orderBy($"n_bigram".desc, $"w1", $"w2")
@@ -594,6 +601,7 @@ object TextAnalysis extends QueryPack {
     */
   def q95LmQuality(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
     val bigr = Tables.documents(s, dir)
       .withColumn("toks", split($"text", " "))
@@ -606,8 +614,12 @@ object TextAnalysis extends QueryPack {
           |END""".stripMargin)).as("b"))
       .select($"doc_id", $"b.w1", $"b.w2")
     val bc = bigr.groupBy($"w1", $"w2").agg(count(lit(1)).as("n_bigram"))
-    val lm = bc.join(
-      bc.groupBy($"w1").agg(sum($"n_bigram").as("n_prefix")), "w1")
+    // n_prefix via a window over the vocab²-bounded aggregate, NOT
+    // bc.join(bc.groupBy(...)): the self-referencing join makes
+    // Catalyst recompute bc — i.e. the full corpus explode — twice,
+    // turning the documented two corpus scans into three (q75 note)
+    val lm = bc.withColumn("n_prefix", sum($"n_bigram")
+      .over(Window.partitionBy($"w1")))
     bigr.join(broadcast(lm), Seq("w1", "w2"))
       .withColumn("surp", -log($"n_bigram" / $"n_prefix"))
       .groupBy($"doc_id")

@@ -149,6 +149,18 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
     assert(!p.contains("SortMergeJoin"),
       s"instance join must not sort-merge:\n${p.take(2500)}")
+    // exactly two corpus scans (LM build + scoring pass): a
+    // self-referencing bc.join(bc.groupBy(...)) spelling silently
+    // recomputes the whole explode pipeline a third time
+    val scans95 = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans95 == 2, s"expected 2 corpus scans, saw $scans95:\n${p.take(2500)}")
+  }
+
+  test("q75: the LM builds in ONE corpus scan — prefix totals come " +
+    "from a window over the aggregated frame, not a second pass") {
+    val p = plan(TextAnalysis.q75BigramLm(spark, sfDir))
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected 1 corpus scan, saw $scans:\n${p.take(2500)}")
   }
 
   test("q56: the corpus-side window partitions on (lang, bucket), never " +
@@ -274,9 +286,13 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("*(1)"), p.take(1500))
   }
 
-  test("q75: prefix denominators broadcast; top-25 is a bounded heap") {
+  test("q75: prefix denominators from a vocab²-bounded window; " +
+    "top-25 is a bounded heap") {
     val p = plan(TextAnalysis.q75BigramLm(spark, sfDir))
-    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // the window runs over the aggregated (w1, w2) frame, never the
+    // bigram instance stream — instances must partial-aggregate first
+    assert(p.contains("Window"), p.take(2000))
+    assert(p.contains("partial_count"), p.take(2000))
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
 
