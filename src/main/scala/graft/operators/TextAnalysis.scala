@@ -785,15 +785,41 @@ object TextAnalysis extends QueryPack {
     * and only the Zipf tail — where every key is rare by construction —
     * takes the shuffle join. The tf aggregation itself is safe either
     * way: map-side partial aggregation compacts hot keys before the
-    * exchange. The tail's tf reuses the head's tf exchange
-    * (ReusedExchange), so de-skewing costs no extra aggregation pass.
+    * exchange.
+    *
+    * The unigram table is CACHED: it is vocab-bounded (orders of
+    * magnitude below the instance stream), and head membership, the
+    * corpus total, and the tail join all consume it. Uncached,
+    * Catalyst recomputes the full scan+explode+aggregate once per
+    * reference — the former spelling ran SIX corpus scans at
+    * runtime, of which AQE's ReuseExchange recovered only two
+    * (verified on the final adaptive plan, not assumed). With the
+    * cache the plan does three: one LM build + the two routed
+    * scoring passes (broadcast head hits; anti-routed tail). The
+    * total derives from tf (Σcnt — same exact integer), not from a
+    * third pass over the instances. Lifecycle: CacheManager dedups the
+    * plan-identical entry across invocations in one session, and
+    * [[graft.Bench.runScoped]] clears the cache after every measured
+    * execution, so bench reps rebuild the LM honestly.
+    *
+    * Measured tradeoff (same-host A/B, min-of-N): the uncached 6-scan
+    * spelling wall-clocks ~10% FASTER locally (sf0.1: 0.60 vs 0.68 s
+    * min-of-5; gsf10/500k docs: 3.74 vs 4.15 s min-of-3) because on an
+    * underutilized local[32] the redundant scan+explode+agg subtrees
+    * run concurrently on otherwise-idle cores, while the cache build
+    * serializes its consumers. The cached spelling ships anyway: total
+    * WORK halves (6 → 3 corpus passes), and at 100 TB the cluster is
+    * throughput-bound — three extra full-corpus explode+aggregate
+    * passes cost real I/O + CPU that idle-core overlap cannot hide,
+    * whereas the cached LUT is vocab-bounded (MBs) regardless of
+    * corpus size.
     */
   def q46Surprisal(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val toks = Tables.documents(s, dir)
       .select($"doc_id", explode(split($"text", " ")).as("tok"))
-    val tf = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
-    val tot = toks.agg(count(lit(1)).cast("double").as("total"))
+    val tf = toks.groupBy($"tok").agg(count(lit(1)).as("cnt")).cache()
+    val tot = tf.agg(sum($"cnt").cast("double").as("total"))
     // deterministic head membership (tok tie-break) — routing does not
     // change any output value, but plans must be partition-invariant
     val head = tf.orderBy($"cnt".desc, $"tok").limit(SurprisalHeadSize)

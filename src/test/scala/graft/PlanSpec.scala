@@ -12,6 +12,22 @@ class PlanSpec extends SparkTestBase {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  /** Number of parquet scan OPERATORS in the plan tree. String-counting
+    * "Scan parquet" lines overcounts: every InMemoryTableScan prints
+    * its cached plan's lineage (including the original FileScan) even
+    * though execution reads the cache. Tree collect does not descend
+    * into cached relations.
+    */
+  private def fileScans(df: org.apache.spark.sql.DataFrame): Int = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    root.collect { case f: FileSourceScanExec => f }.size
+  }
+
   test("q2: predicate pushes down to the parquet scan") {
     val p = plan(Relational.q2FilterProject(spark, sfDir))
     assert(p.contains("PushedFilters:") &&
@@ -152,15 +168,34 @@ class PlanSpec extends SparkTestBase {
     // exactly two corpus scans (LM build + scoring pass): a
     // self-referencing bc.join(bc.groupBy(...)) spelling silently
     // recomputes the whole explode pipeline a third time
-    val scans95 = p.linesIterator.count(_.contains("Scan parquet"))
-    assert(scans95 == 2, s"expected 2 corpus scans, saw $scans95:\n${p.take(2500)}")
+    val scans95 = fileScans(graft.operators.TextAnalysis.q95LmQuality(spark, sfDir))
+    assert(scans95 == 2, s"expected 2 corpus scans, saw $scans95")
   }
 
   test("q75: the LM builds in ONE corpus scan — prefix totals come " +
     "from a window over the aggregated frame, not a second pass") {
-    val p = plan(TextAnalysis.q75BigramLm(spark, sfDir))
-    val scans = p.linesIterator.count(_.contains("Scan parquet"))
-    assert(scans == 1, s"expected 1 corpus scan, saw $scans:\n${p.take(2500)}")
+    val scans = fileScans(TextAnalysis.q75BigramLm(spark, sfDir))
+    assert(scans == 1, s"expected 1 corpus scan, saw $scans")
+  }
+
+  test("q46: two corpus scans + a cached vocab LUT — head, total, and " +
+    "tail all read the cache; nothing re-aggregates the instance stream") {
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val df = TextAnalysis.q46Surprisal(spark, sfDir)
+    // the LM build's own scan lives inside the InMemoryRelation, so the
+    // consuming tree shows exactly the two routed scoring passes
+    // (runtime total: 1 cache build + 2 scoring = 3, down from 6)
+    val scans = fileScans(df)
+    assert(scans == 2, s"expected 2 corpus scans (the routed scoring " +
+      s"passes; LM build hides in the cache), saw $scans")
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    val cacheReads = root.collect { case m: InMemoryTableScanExec => m }.size
+    assert(cacheReads >= 1,
+      s"tf LUT must be served from cache, saw $cacheReads cache scans")
   }
 
   test("q56: the corpus-side window partitions on (lang, bucket), never " +
