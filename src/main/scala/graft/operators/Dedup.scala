@@ -455,11 +455,22 @@ object Dedup extends QueryPack {
     val bitSums = (0 until 48).map(b =>
       sum(when(expr(s"(shiftright(hv, $b) & 1) = 1"), 1)
         .otherwise(-1)).as(s"s$b"))
+    // CACHED: sims is doc-scale and 2 narrow columns, but its build is
+    // the expensive part of the query (corpus scan + token explode +
+    // 48-sum aggregate), and three subtrees consume it (band explode
+    // for reps, band explode for the member join, repSim). Uncached,
+    // Catalyst inlines the whole build at each reference — three
+    // corpus scans for one signature table. Recomputing the band
+    // explode FROM the cache is 4 doc-scale rows per doc, trivially
+    // cheap, so only sims itself needs pinning. Lifecycle: the
+    // Verify/Bench harnesses clearCache() after every query (same
+    // scoped-cache rule as q26/q28/q49).
     val sims = dt.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
       .select($"doc_id",
         (0 until 48).map(b =>
           when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
           .reduce(_ + _).as("simhash"))
+      .cache()
     val bands = sims.select($"doc_id", $"simhash",
         explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("key", expr("shiftright(simhash, 12 * band) & 4095"))

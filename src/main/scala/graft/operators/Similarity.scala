@@ -249,9 +249,17 @@ object Similarity extends QueryPack {
     */
   def nearDupCandidates(emb: DataFrame, nBands: Int = 3): DataFrame = {
     import emb.sparkSession.implicits._
+    // CACHED: bands is nBands narrow rows per vector (id, band, bk —
+    // no vector payload), but building it reads the HEAVY embedding
+    // column and hashes every vector. Both the reps aggregate and the
+    // member join consume it; uncached, Catalyst inlines the full
+    // scan+hash at each reference — two passes over the widest column
+    // in the table for one tiny frame. Lifecycle: Verify/Bench
+    // clearCache() after every query (scoped-cache rule, q26/q28/q49).
     val bands = emb.select($"vec_id", explode(array((0 until nBands).map(b =>
       struct(lit(b).as("band"), signBand($"embedding", b).as("bk"))): _*))
       .as("bb")).select($"vec_id", $"bb.band", $"bb.bk")
+      .cache()
     val reps = bands.groupBy($"band", $"bk")
       .agg(min($"vec_id").as("i"))
     bands.join(reps, Seq("band", "bk"))
