@@ -62,6 +62,14 @@ object geo {
   def nfc_normalize(c: Column): Column =
     col(org.apache.spark.sql.graft.NfcNormalizeExpr(ex(c)))
 
+  /** Codegen'd Morton (Z-order) interleave of two 16-bit dimension
+    * keys — order/range-partition writes by this for two-dimensional
+    * file-level min/max pruning (Delta/Iceberg Z-ORDER semantics).
+    */
+  def z_order16(x: Column, y: Column): Column =
+    col(org.apache.spark.sql.graft.ZOrder16Expr(
+      ex(x.cast("long")), ex(y.cast("long"))))
+
   /** One-pass deduped char-n-gram xxhash64 stream (dedup hot path). */
   def gram_hashes(s: Column, gramLen: Int): Column =
     col(org.apache.spark.sql.graft.GramHashesExpr(ex(s), gramLen))
@@ -125,6 +133,8 @@ object geo {
       es => Md5Prefix60Expr(es.head)),
     ("nfc_normalize", classOf[NfcNormalizeExpr].getName,
       es => NfcNormalizeExpr(es.head)),
+    ("z_order16", classOf[org.apache.spark.sql.graft.ZOrder16Expr].getName,
+      es => org.apache.spark.sql.graft.ZOrder16Expr(es(0), es(1))),
     // aggregates: the analyzer wraps a bare AggregateFunction returned
     // from a registry builder in its AggregateExpression
     ("freq_items",

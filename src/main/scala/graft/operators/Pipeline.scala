@@ -201,6 +201,45 @@ object Pipeline extends QueryPack {
         max_by($"doc_id", $"pos").as("last_doc_id"))
   }
 
+  // --- q96: z-order (Morton) layout audit ----------------------------------
+  /** Two-dimensional data clustering for scan pruning — Delta/Iceberg
+    * `Z-ORDER BY` semantics over (user, value) on the events table.
+    * Each row's 16-bit dimension keys interleave into a z-value
+    * (codegen'd [[graft.functions.geo.z_order16]]); `z >> 8` names the
+    * 16x16 tile containing the row. The query reports, per tile, the
+    * observed min/max of BOTH dimensions — the audit that the layout
+    * key actually delivers bounded per-file ranges (every tile's
+    * u-span and v-span is <= 15, asserted by PipelineOpsSpec), which is
+    * what makes file-level min/max pruning effective on either column.
+    *
+    * Scale shape: the z-value is a per-row codegen'd map (no shuffle);
+    * the audit is ONE aggregation exchange on the tile key. The write
+    * path this audits is `df.repartitionByRange(col("z"))` +
+    * sortWithinPartitions — same cost as any ordered write. At 100 TB
+    * the tile histogram is bounded by the key space (2^24 tiles max),
+    * not the data.
+    */
+  def q96ZorderLayout(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.geo
+    Tables.events(s, dir)
+      .select($"user_id".bitwiseAND(lit(65535L)).as("u"),
+        floor($"value").cast("long").bitwiseAND(lit(65535L)).as("v"))
+      .withColumn("z", geo.z_order16($"u", $"v"))
+      .groupBy(shiftright($"z", 8).as("tile"))
+      .agg(count(lit(1)).as("n"),
+        min($"u").as("u_min"), max($"u").as("u_max"),
+        min($"v").as("v_min"), max($"v").as("v_max"))
+  }
+
+  /** DuckDB replica of the 16-bit Morton interleave over columns
+    * `u`, `v` — 32 mechanical shift-and-mask terms OR'd together.
+    */
+  private[operators] val ZOrderSqlExpr: String =
+    (0 until 16).map(i =>
+      s"(((u >> $i) & 1) << ${2 * i}) | (((v >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" | ")
+
   // --- q57: end-to-end corpus recipe (compose the library's own ops) ------
   /** The full clean-corpus pass a pipeline user actually runs, composed
     * from this library's operators rather than re-implemented: exact
@@ -242,9 +281,18 @@ object Pipeline extends QueryPack {
     "q56_mixture"       -> (q56Mixture _),
     "q57_corpus_recipe" -> (q57CorpusRecipe _),
     "q94_shuffle_shard" -> (q94ShuffleShard _),
+    "q96_zorder_layout" -> (q96ZorderLayout _),
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q96_zorder_layout" ->
+      s"""WITH d AS (SELECT (user_id & 65535) AS u,
+        |  (CAST(FLOOR(value) AS BIGINT) & 65535) AS v FROM events),
+        |z AS (SELECT u, v, ($ZOrderSqlExpr) AS z FROM d)
+        |SELECT (z >> 8) AS tile, COUNT(*) AS n,
+        | MIN(u) AS u_min, MAX(u) AS u_max,
+        | MIN(v) AS v_min, MAX(v) AS v_max
+        |FROM z GROUP BY 1""".stripMargin,
     "q94_shuffle_shard" ->
       s"""WITH d AS (SELECT doc_id, n_chars,
         |  md5('s42#' || CAST(doc_id AS VARCHAR)) AS h,

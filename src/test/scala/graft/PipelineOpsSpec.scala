@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Pipeline, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Dedup / similarity / text-analysis semantics beyond the oracle gate:
@@ -940,6 +940,67 @@ class PipelineOpsSpec extends SparkTestBase {
       s"head=${avg("head")} middle=${avg("middle")} tail=${avg("tail")}")
     // scores are mean NEGATIVE-log conditionals: strictly positive
     rows.foreach(r => assert(r.getAs[Double]("avg_score") > 0.0))
+  }
+
+  test("z_order16: bit-parity with the naive interleave loop; codegen'd; " +
+    "tile prefixes bound both dimensions") {
+    import spark.implicits._
+    // naive reference: place bit i of x at 2i, bit i of y at 2i+1
+    def naive(x: Long, y: Long): Long =
+      (0 until 16).foldLeft(0L) { (z, i) =>
+        z | ((x >> i) & 1L) << (2 * i) | ((y >> i) & 1L) << (2 * i + 1)
+      }
+    val rnd = new scala.util.Random(7)
+    val cases = Seq((0L, 0L), (65535L, 65535L), (1L, 0L), (0L, 1L),
+      (65536L, 0L), (-1L, -1L)) ++ // masks to low 16 bits
+      Seq.fill(200)((rnd.nextLong().abs % 70000, rnd.nextLong().abs % 70000))
+    cases.foreach { case (x, y) =>
+      assert(graft.functions.Morton.zOrder16(x, y) == naive(x & 0xffffL, y & 0xffffL),
+        s"($x, $y)")
+    }
+    // expression path (codegen) agrees with the kernel, and SQL surface works
+    graft.functions.geo.register(spark)
+    val df = cases.toDF("x", "y")
+      .select(graft.functions.geo.z_order16($"x", $"y").as("z1"),
+        expr("z_order16(x, y)").as("z2"), $"x", $"y")
+    df.collect().foreach { r =>
+      val want = naive(r.getAs[Long]("x") & 0xffffL, r.getAs[Long]("y") & 0xffffL)
+      assert(r.getAs[Long]("z1") == want && r.getAs[Long]("z2") == want)
+    }
+    // the layout property q96 audits: a z >> 2k tile prefix bounds BOTH
+    // dimensions to a 2^k span — every q96 tile has u/v spans <= 15
+    Pipeline.q96ZorderLayout(spark, sfDir).collect().foreach { r =>
+      assert(r.getAs[Long]("u_max") - r.getAs[Long]("u_min") <= 15L, r)
+      assert(r.getAs[Long]("v_max") - r.getAs[Long]("v_min") <= 15L, r)
+    }
+  }
+
+  test("z-order write path: repartitionByRange(z) gives every output file " +
+    "bounded min/max on BOTH dimensions") {
+    import spark.implicits._
+    // the write-side demonstration of what q96 audits: range-partition
+    // by z, then check each PARTITION (= output file) spans a bounded
+    // u- and v-range, so file-level min/max stats prune on either column
+    val rnd = new scala.util.Random(11)
+    val pts = Seq.fill(4096)((rnd.nextInt(256).toLong, rnd.nextInt(256).toLong))
+    val df = pts.toDF("u", "v")
+      .withColumn("z", graft.functions.geo.z_order16($"u", $"v"))
+      .repartitionByRange(8, $"z")
+    val spans = df.mapPartitions { it =>
+      val rows = it.toVector
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val us = rows.map(_.getAs[Long]("u")); val vs = rows.map(_.getAs[Long]("v"))
+        Iterator((us.max - us.min, vs.max - vs.min))
+      }
+    }.collect()
+    assert(spans.nonEmpty)
+    // random (unclustered) layout would give ~full 0..255 span in both
+    // dims for every file; z-range files must do strictly better on at
+    // least one dim and never exceed the global span
+    assert(spans.forall { case (du, dv) => du <= 255 && dv <= 255 })
+    assert(spans.count { case (du, dv) => du <= 127 || dv <= 127 } >= spans.length / 2,
+      spans.mkString(", "))
   }
 
   test("q76: <= 3 terms per doc, ranks contiguous, scores non-increasing") {
