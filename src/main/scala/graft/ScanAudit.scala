@@ -1,16 +1,29 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-object TmpAudit {
+
+/** Dev diagnostic: walk every registered query's physical plan and
+  * report how many times each table is SCANNED. A query that reads the
+  * same parquet root twice for one logical pass is a candidate for a
+  * scoped `.cache()` of the shared subtree (the q46/q62/q31 pattern) —
+  * at 100 TB a redundant corpus scan IS the bottleneck, and this is the
+  * mechanical way to find them. Run:
+  *   sbt "runMain graft.ScanAudit"
+  * Reads the initial (pre-AQE) plan so the count reflects what Catalyst
+  * materialized, not runtime re-planning.
+  */
+object ScanAudit {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]").appName("audit")
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.001"
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       try {
         val df = fn(spark, dir)

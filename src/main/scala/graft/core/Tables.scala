@@ -22,8 +22,20 @@ object Tables {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    memo.getOrElseUpdate((spark, s"$dir/$name.parquet"),
-      spark.read.parquet(s"$dir/$name.parquet"))
+    memo.getOrElseUpdate((spark, s"$dir/$name.parquet"), {
+      // The generator writes NAIVE timestamp[us] columns (no UTC flag),
+      // which Spark 4 infers as TIMESTAMP_NTZ by default — a type
+      // unix_micros/window functions reject. Read them as TIMESTAMP
+      // (LTZ): with the UTC session zone both spellings denote the
+      // same instant, and it matches DuckDB's naive-as-wall-clock
+      // oracle semantics. Set lazily (same guard pattern as the nanos
+      // conf below) so ad-hoc sessions work; memoization means this
+      // runs once per (session, table).
+      if (spark.conf.getOption("spark.sql.parquet.inferTimestampNTZ.enabled")
+          .forall(_ != "false"))
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      spark.read.parquet(s"$dir/$name.parquet")
+    })
 
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")
