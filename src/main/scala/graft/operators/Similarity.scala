@@ -281,12 +281,59 @@ object Similarity extends QueryPack {
   def q31EmbeddingNearDup(s: SparkSession, dir: String): DataFrame =
     embeddingNearDup(Tables.embeddings(s, dir))
 
+  // --- q97: SemDeDup — the semantic-dedup keep/drop decision --------------
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    * embedding space with a coarse quantizer, then inside each cluster
+    * drop every vector whose cosine to the cluster representative
+    * reaches the threshold — one exemplar survives per semantic
+    * near-dup group. q31 emits candidate LINKS; this emits the
+    * DECISION a pipeline acts on — the full per-vector keep/drop
+    * census.
+    *
+    * Cluster = the deterministic 8-bit grid cell (q50's oracle-able
+    * coarse quantizer; the paper uses k-means — [[ivfIndex]] is that
+    * path, the grid keeps the DuckDB twin bit-exact). Representative =
+    * min vec_id per cell, so each member compares against exactly ONE
+    * vector (star shape — never within-cell all-pairs, whose hottest
+    * cell would own O(|cell|²) work at scale). Plan: one aggregation
+    * exchange builds the rep table (≤ 2⁸ rows here; ≤ k rows under a
+    * k-means quantizer — broadcastable either way), then two broadcast
+    * joins and a per-row bit-parity cosine. No other shuffle.
+    *
+    * tau = 0.25 is calibrated to the synthetic corpus (p90 of
+    * cos-to-rep ≈ 0.25 on near-isotropic vectors; real embedding
+    * corpora sit near the paper's ~0.95): the oracle checks the
+    * machinery — quantizer, star comparison, exact cosine, census —
+    * not the production threshold.
+    */
+  def semDedup(emb: DataFrame, tau: Double = 0.25): DataFrame = {
+    import emb.sparkSession.implicits._
+    val cells = emb.select($"vec_id", vec($"embedding").as("v"),
+      gridCell($"embedding").as("cell"))
+    val reps = cells.groupBy($"cell").agg(min($"vec_id").as("rep"))
+    // representative vectors: |cells| rows with one 64-dim vector each
+    val repv = cells.as("c").join(broadcast(reps.as("r")),
+        col("c.vec_id") === col("r.rep"))
+      .select(col("r.cell").as("cell"), col("r.rep").as("rep"),
+        col("c.v").as("rv"))
+    cells.join(broadcast(repv), "cell")
+      .withColumn("cosr", cosine($"v", $"rv"))
+      .select($"vec_id", $"cell",
+        when($"vec_id" === $"rep", lit(null).cast("double"))
+          .otherwise(round($"cosr", 6)).as("cos_rep"),
+        ($"vec_id" === $"rep" || $"cosr" < tau).as("kept"))
+  }
+
+  def q97SemDedup(s: SparkSession, dir: String): DataFrame =
+    semDedup(Tables.embeddings(s, dir))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_ann_brute_topk"   -> (q29BruteTopK _),
     "q30_ann_lsh_buckets"  -> (q30LshBuckets _),
     "q31_embedding_neardup" -> (q31EmbeddingNearDup _),
     "q50_ann_grid_cell"    -> (q50AnnGridCell _),
     "q77_embedding_outliers" -> (q77EmbeddingOutliers _),
+    "q97_semdedup"         -> (q97SemDedup _),
   )
 
   private val sqlDot =
@@ -351,6 +398,18 @@ object Similarity extends QueryPack {
          |FROM cand c JOIN embeddings a ON a.vec_id = c.i
          |JOIN embeddings b ON b.vec_id = c.j
          |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.5""".stripMargin,
+    "q97_semdedup" ->
+      s"""WITH cells AS (SELECT vec_id, embedding, $cellSql AS cell
+         |  FROM embeddings),
+         |reps AS (SELECT cell, MIN(vec_id) AS rep FROM cells GROUP BY 1),
+         |rv AS (SELECT r.cell, r.rep, c.embedding AS remb
+         |  FROM reps r JOIN cells c ON c.vec_id = r.rep)
+         |SELECT c.vec_id, c.cell,
+         | CASE WHEN c.vec_id = rv.rep THEN NULL
+         |  ELSE ROUND(${cosSql("c.embedding", "rv.remb")}, 6) END AS cos_rep,
+         | (c.vec_id = rv.rep
+         |  OR ${cosSql("c.embedding", "rv.remb")} < 0.25) AS kept
+         |FROM cells c JOIN rv USING (cell)""".stripMargin,
     "q50_ann_grid_cell" ->
       s"""WITH cells AS (SELECT vec_id, embedding, $cellSql AS cell
          |  FROM embeddings),

@@ -618,6 +618,47 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got == expected)
   }
 
+  test("q97 SemDeDup: census matches a driver-side recompute of the rule") {
+    import graft.core.Tables
+    val rows = Similarity.q97SemDedup(spark, sfDir).collect()
+    // full census: every vector decided exactly once
+    val emb = Tables.embeddings(spark, sfDir)
+    assert(rows.length == emb.count())
+    // exactly one representative (null cos_rep) per cell; it is the
+    // min vec_id and always kept
+    rows.groupBy(_.getAs[Int]("cell")).foreach { case (_, rs) =>
+      val reps = rs.filter(_.isNullAt(2))
+      assert(reps.length == 1, "one representative per cell")
+      assert(reps.head.getAs[Boolean]("kept"), "representative is kept")
+      assert(reps.head.getAs[Long]("vec_id") ==
+        rs.map(_.getAs[Long]("vec_id")).min)
+    }
+    // the synthetic corpus must actually exercise the drop branch
+    assert(rows.count(!_.getAs[Boolean]("kept")) > 0)
+    // recompute keep/drop from raw vectors with plain sequential Scala
+    // doubles (the same accumulation order the codegen'd dot uses)
+    val vecs = emb.collect().map(r => r.getAs[Long]("vec_id") ->
+      r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cell(v: Array[Double]) =
+      (0 until 8).map(i => if (v(i) >= 0) 1 << i else 0).sum
+    def dot(a: Array[Double], b: Array[Double]) = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val repOf = vecs.keys.groupBy(id => cell(vecs(id)))
+      .map { case (c, ids) => c -> ids.min }
+    rows.foreach { r =>
+      val (id, c) = (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"))
+      assert(c == cell(vecs(id)))
+      val rep = repOf(c)
+      val expectKept = id == rep || {
+        val (a, b) = (vecs(id), vecs(rep))
+        dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))) < 0.25
+      }
+      assert(r.getAs[Boolean]("kept") == expectKept, s"vec $id")
+    }
+  }
+
   test("exact dedup groups: total docs preserved") {
     val rows = Dedup.q25Exact(spark, sfDir).collect()
     val total = rows.map(_.getAs[Long]("n_docs")).sum
