@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{OracleGen, QueryPack, Tables}
 
@@ -239,6 +239,31 @@ object Pipeline extends QueryPack {
     (0 until 16).map(i =>
       s"(((u >> $i) & 1) << ${2 * i}) | (((v >> $i) & 1) << ${2 * i + 1})")
       .mkString(" | ")
+
+  /** The write path q96 audits: cluster `df` on the Morton interleave
+    * of two 16-bit dimension keys and write `nFiles` parquet files,
+    * each covering a contiguous z range — so every file's min/max
+    * footer stats bound BOTH dimensions and a reader filtering on
+    * either column skips most files (Delta/Iceberg `Z-ORDER BY`
+    * semantics, composed from stock Spark: range-partition by z +
+    * in-partition sort; the z column itself is dropped before write).
+    *
+    * Scale shape: one range exchange (sampled boundaries) + local
+    * sort — the same cost as any globally-ordered write; no driver
+    * materialization. PipelineOpsSpec demonstrates the effect on real
+    * files: a narrow filter on either dimension intersects a bounded
+    * fraction of z-ordered files, where a row-major layout degrades to
+    * reading every file for the second dimension.
+    */
+  def zorderWrite(df: DataFrame, xCol: Column, yCol: Column,
+      path: String, nFiles: Int): Unit = {
+    import graft.functions.geo
+    df.withColumn("__z", geo.z_order16(xCol, yCol))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
 
   // --- q57: end-to-end corpus recipe (compose the library's own ops) ------
   /** The full clean-corpus pass a pipeline user actually runs, composed

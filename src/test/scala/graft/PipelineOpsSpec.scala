@@ -1044,6 +1044,40 @@ class PipelineOpsSpec extends SparkTestBase {
       spans.mkString(", "))
   }
 
+  test("zorderWrite: a narrow filter on EITHER dimension skips most files; " +
+    "a row-major layout reads every file for the second dimension") {
+    import spark.implicits._
+    // full 256x256 grid — every (u, v) once, so file stats are exact
+    val grid = spark.range(65536L).select(
+      (col("id") % 256).as("u"), expr("id div 256").as("v"))
+    val zDir = java.nio.file.Files.createTempDirectory("zord-w").toString
+    Pipeline.zorderWrite(grid, col("u"), col("v"), zDir, nFiles = 16)
+    // baseline: the usual single-key layout (sort by u, then v)
+    val rowDir = java.nio.file.Files.createTempDirectory("rowmaj").toString
+    grid.repartitionByRange(16, $"u", $"v").sortWithinPartitions($"u", $"v")
+      .write.mode("overwrite").parquet(rowDir)
+    // per-file min/max — the same stats a parquet footer gives a reader;
+    // a file can be SKIPPED for filter c∈[0,15] unless its range intersects
+    def stats(dir: String, c: String) = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col(c)).as("lo"), max(col(c)).as("hi")).collect()
+      .map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+    def hit(dir: String, c: String): Int =
+      stats(dir, c).count { case (lo, _) => lo <= 15L }
+    val nZ = stats(zDir, "u").length
+    // nothing lost in the clustered write
+    assert(spark.read.parquet(zDir).count() == 65536L)
+    // z layout: each file covers one z range ⇒ a quarter-ish of u AND v —
+    // a 16-wide filter on either column touches a bounded file subset
+    assert(hit(zDir, "u") <= nZ / 2, s"u-filter hit ${hit(zDir, "u")}/$nZ")
+    assert(hit(zDir, "v") <= nZ / 2, s"v-filter hit ${hit(zDir, "v")}/$nZ")
+    // row-major: perfectly prunable on u, but EVERY u-stripe spans all
+    // of v — the v filter cannot skip a single file
+    val rowStats = stats(rowDir, "v")
+    assert(hit(rowDir, "v") == rowStats.length,
+      "row-major layout must degrade to a full read on v")
+  }
+
   test("q76: <= 3 terms per doc, ranks contiguous, scores non-increasing") {
     val rows = TextAnalysis.q76TfIdfTerms(spark, sfDir).collect()
     val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))

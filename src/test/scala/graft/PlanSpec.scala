@@ -296,6 +296,22 @@ class PlanSpec extends SparkTestBase {
       s"heap must aggregate partially map-side:\n${p.take(2500)}")
   }
 
+  test("q97: SemDeDup joins broadcast — one aggregation exchange, " +
+    "no all-pairs join") {
+    // the rep table (≤ 2^8 rows) must broadcast to both its consumers;
+    // the only shuffle is the cell aggregation that builds it. A
+    // SortMergeJoin or cartesian here would mean the star comparison
+    // degenerated into a data-sized shuffle.
+    val p = plan(Similarity.q97SemDedup(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"rep joins must broadcast:\n${p.take(2500)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"q97 must not plan an all-pairs or shuffled join:\n${p.take(2500)}")
+    val n = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(n <= 1, s"expected only the rep aggregation exchange, got $n:\n" +
+      p.take(2500))
+  }
+
   test("q67: bloom prefilter sits below the semi-join exchange") {
     // with broadcast off (the regime the operator exists for), the
     // orders side must be filtered by might_contain BEFORE its shuffle:
