@@ -295,10 +295,13 @@ object Similarity extends QueryPack {
     * path, the grid keeps the DuckDB twin bit-exact). Representative =
     * min vec_id per cell, so each member compares against exactly ONE
     * vector (star shape — never within-cell all-pairs, whose hottest
-    * cell would own O(|cell|²) work at scale). Plan: one aggregation
-    * exchange builds the rep table (≤ 2⁸ rows here; ≤ k rows under a
-    * k-means quantizer — broadcastable either way), then two broadcast
-    * joins and a per-row bit-parity cosine. No other shuffle.
+    * cell would own O(|cell|²) work at scale). Plan: ONE aggregation
+    * exchange builds the rep table — `min_by` carries the rep's VECTOR
+    * out of the same aggregation, so no second pass re-fetches it
+    * (ScanAudit: 2 embedding scans, the agg + the decorate pass, the
+    * minimum for an agg-then-decorate shape). The rep table (≤ 2⁸ rows
+    * here; ≤ k under a k-means quantizer) broadcasts back; per-row
+    * bit-parity cosine. No other shuffle.
     *
     * tau = 0.25 is calibrated to the synthetic corpus (p90 of
     * cos-to-rep ≈ 0.25 on near-isotropic vectors; real embedding
@@ -310,13 +313,11 @@ object Similarity extends QueryPack {
     import emb.sparkSession.implicits._
     val cells = emb.select($"vec_id", vec($"embedding").as("v"),
       gridCell($"embedding").as("cell"))
-    val reps = cells.groupBy($"cell").agg(min($"vec_id").as("rep"))
-    // representative vectors: |cells| rows with one 64-dim vector each
-    val repv = cells.as("c").join(broadcast(reps.as("r")),
-        col("c.vec_id") === col("r.rep"))
-      .select(col("r.cell").as("cell"), col("r.rep").as("rep"),
-        col("c.v").as("rv"))
-    cells.join(broadcast(repv), "cell")
+    // one aggregation yields the rep id AND its vector (vec_id is
+    // unique, so min_by is deterministic)
+    val reps = cells.groupBy($"cell").agg(min($"vec_id").as("rep"),
+      min_by($"v", $"vec_id").as("rv"))
+    cells.join(broadcast(reps), "cell")
       .withColumn("cosr", cosine($"v", $"rv"))
       .select($"vec_id", $"cell",
         when($"vec_id" === $"rep", lit(null).cast("double"))
