@@ -321,6 +321,61 @@ object AnomalyStream {
     def std: Double = math.sqrt(math.max(0, varEst))
   }
 
+  case class Vec(vec_id: Long, embedding: Array[Float])
+  case class SemDecision(vec_id: Long, cell: Int, rep: Long,
+      cos_rep: Option[Double], kept: Boolean)
+
+  /** Streaming twin of batch q97 SemDeDup
+    * ([[graft.operators.Similarity.semDedup]]): each arriving
+    * embedding is quantized to its 8-bit grid cell and compared to the
+    * cell's REPRESENTATIVE — kept if cosine < tau, dropped otherwise.
+    * A stream cannot know the global min vec_id, so the rep is
+    * ARRIVAL-FIXED: the first vector a cell ever sees (ties within a
+    * micro-batch break to the lowest vec_id, so replays are
+    * deterministic). Same census rule as batch; rep choice is the
+    * documented semantic difference.
+    *
+    * State per cell = one (rep id, rep vector) pair — bounded by the
+    * quantizer's cell count (≤ 2⁸ here, ≤ k under a k-means
+    * quantizer), NEVER by stream length; cells shard across executor
+    * state stores like every other keyed detector here.
+    */
+  def semDedupStream(vecs: Dataset[Vec], tau: Double = 0.25)
+      : Dataset[SemDecision] = {
+    import vecs.sparkSession.implicits._
+    def cellOf(v: Array[Float]): Int =
+      (0 until 8).map(i => if (v(i) >= 0) 1 << i else 0).sum
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    vecs.groupByKey(v => cellOf(v.embedding))
+      .flatMapGroupsWithState[(Long, Array[Double]), SemDecision](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (cell: Int, rows: Iterator[Vec],
+            state: GroupState[(Long, Array[Double])]) =>
+          var st = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[SemDecision]
+          rows.toSeq.sortBy(_.vec_id).foreach { v =>
+            val vd = v.embedding.map(_.toDouble)
+            st match {
+              case None =>
+                st = Some((v.vec_id, vd))
+                out += SemDecision(v.vec_id, cell, v.vec_id, None, kept = true)
+              case Some((repId, rv)) =>
+                val cos = dot(vd, rv) /
+                  (math.sqrt(dot(vd, vd)) * math.sqrt(dot(rv, rv)))
+                // display rounding mirrors the batch column (HALF_UP)
+                val cr = BigDecimal(cos)
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+                out += SemDecision(v.vec_id, cell, repId, Some(cr), cos < tau)
+            }
+          }
+          st.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** EWMA detector: exponentially weighted mean/variance per key —
     * adapts to drifting baselines where Welford's all-history moments
     * go stale (level shifts, diurnal drift). Same O(1) state and

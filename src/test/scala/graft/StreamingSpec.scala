@@ -506,6 +506,42 @@ class StreamingSpec extends SparkTestBase {
     } finally spark.streams.active.foreach(_.stop())
   }
 
+  test("streaming SemDeDup: rep fixed at first arrival, near-dups dropped " +
+    "across batches, distinct cells independent") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.streaming.AnomalyStream
+    import AnomalyStream.{SemDecision, Vec}
+    val input = MemoryStream[Vec]
+    val q = AnomalyStream.semDedupStream(input.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("semdedup_stream").start()
+    try {
+      // base: all 64 dims +0.1 → cell 255. ortho: same first-8 signs
+      // (same cell) but the tail flips sign → cosine −0.75, kept.
+      // other: dim 0 negative → cell 254, its own rep.
+      val base = Array.fill(64)(0.1f)
+      val near = base.clone(); near(63) = 0.11f // cos ≈ 1 → dropped
+      val ortho = Array.tabulate(64)(i => if (i < 8) 0.1f else -0.1f)
+      val other = Array.tabulate(64)(i => if (i == 0) -0.1f else 0.1f)
+      input.addData(Vec(1, base), Vec(2, near), Vec(3, ortho))
+      q.processAllAvailable()
+      // batch 2: the cell-255 rep must still be vec 1 (state), so a
+      // new near-dup drops; a first arrival in cell 254 becomes rep
+      input.addData(Vec(4, near), Vec(5, other))
+      q.processAllAvailable()
+      val d = spark.table("semdedup_stream").as[SemDecision].collect()
+        .map(r => r.vec_id -> r).toMap
+      assert(d(1).kept && d(1).rep == 1 && d(1).cos_rep.isEmpty)
+      assert(!d(2).kept && d(2).rep == 1 && d(2).cos_rep.get > 0.99)
+      assert(d(3).kept && d(3).rep == 1 && d(3).cos_rep.get < 0.25,
+        d(3).toString) // same cell, dissimilar → kept
+      assert(!d(4).kept && d(4).rep == 1, "state must survive the batch " +
+        "boundary: vec 4 compares against the batch-1 rep")
+      assert(d(5).kept && d(5).rep == 5 && d(5).cell != d(1).cell)
+    } finally spark.streams.active.foreach(_.stop())
+  }
+
   test("streaming retention: cohort fixed at first activity, each week " +
     "offset emits once, state survives micro-batch boundaries") {
     import spark.implicits._
