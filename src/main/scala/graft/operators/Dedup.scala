@@ -387,6 +387,63 @@ object Dedup extends QueryPack {
       .filter($"n_docs" >= 2)
   }
 
+  // --- q98: intra-document repeated-tile removal ---------------------------
+  /** WITHIN-document exact substring dedup (the in-doc counterpart of
+    * q73's cross-doc passage detection; the family is Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better" —
+    * their suffix-array global pass; tiles are the bounded-memory
+    * approximation used corpus-side): tile each document into
+    * non-overlapping `w`-token windows and DROP every tile whose exact
+    * text already appeared at an earlier tile of the SAME document —
+    * templated boilerplate, chorus-style repetition, copy-paste spam.
+    * Emits the cleaned text's census (tile counts + md5 of the
+    * reassembled text, tail partial tile always kept).
+    *
+    * Scale shape: entirely IN-ROW — tiling, first-occurrence test
+    * (array_position = first index), reassembly, and hash run inside
+    * one projection; ZERO exchanges at any corpus size. The q98 query
+    * uses w=2 so the removal branch is live on the synthetic corpus at
+    * every SF (30-token vocab ⇒ repeated pairs are common; repeated
+    * 8-grams are vanishingly rare in random text — the w=8 default
+    * matches q73's passage convention for real corpora).
+    */
+  def intraDocDedup(docs: DataFrame, w: Int = PassageWin): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .withColumn("toks", split($"text", " "))
+      .withColumn("tls", expr(
+        s"""CASE WHEN size(toks) >= $w
+           | THEN transform(sequence(1, size(toks) - $w + 1, $w),
+           |   st -> array_join(slice(toks, st, $w), ' '))
+           | ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+      .withColumn("keptTls", expr(
+        // first-occurrence rule: tile ordinal k survives iff the
+        // FIRST index of its text among the doc's tiles is k itself.
+        // Size guard: Spark's sequence(1, 0) DESCENDS ([1, 0]), so an
+        // empty tile list must short-circuit before element_at
+        s"""CASE WHEN size(tls) = 0 THEN tls ELSE transform(
+           |  filter(sequence(1, size(tls)),
+           |    k -> array_position(tls, element_at(tls, k)) = k),
+           |  k -> element_at(tls, k)) END""".stripMargin))
+      .withColumn("clean", expr(
+        // kept tiles ++ the tail partial tile (always kept); nullif
+        // keeps concat_ws from appending a trailing space on docs
+        // whose length is an exact tile multiple
+        s"""CASE WHEN size(toks) < $w THEN text
+           | ELSE concat_ws(' ', array_join(keptTls, ' '),
+           |   nullif(array_join(
+           |     slice(toks, (size(toks) div $w) * $w + 1,
+           |       size(toks) - (size(toks) div $w) * $w), ' '), ''))
+           | END""".stripMargin))
+      .select($"doc_id",
+        size($"tls").cast("long").as("n_tiles"),
+        (size($"tls") - size($"keptTls")).cast("long").as("n_removed"),
+        md5($"clean").as("clean_md5"))
+  }
+
+  def q98IntraDocDedup(s: SparkSession, dir: String): DataFrame =
+    intraDocDedup(Tables.documents(s, dir), w = 2)
+
   // --- q74: canonical-document selection per near-dup cluster --------------
   /** The dedup DECISION stage: q51 labels clusters, this picks which
     * copy to KEEP — the member with the highest quality score (q22's
@@ -649,6 +706,7 @@ object Dedup extends QueryPack {
     "q61_incr_dedup"      -> (q61IncrementalDedup _),
     "q62_multilink_clusters" -> (q62MultiLinkClusters _),
     "q73_passage_dedup"   -> (q73PassageDedup _),
+    "q98_intradoc_dedup"  -> (q98IntraDocDedup _),
     "q74_cluster_canonical" -> (q74ClusterCanonical _),
   )
 
@@ -852,6 +910,32 @@ object Dedup extends QueryPack {
         | CAST(SUM(n) AS BIGINT) AS n_occurrences,
         | MIN(doc_id) AS first_doc_id
         |FROM pd GROUP BY passage HAVING COUNT(*) >= 2""".stripMargin,
+    "q98_intradoc_dedup" ->
+      // same fixed-series stride tiling as q73; first occurrence via a
+      // per-(doc, tile) MIN window; reassembly = kept tiles in tile
+      // order ++ the tail partial tile (NULLIF drops an empty tail so
+      // concat_ws matches Spark's spelling byte-for-byte)
+      s"""WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS t
+        |  FROM documents),
+        |w AS (SELECT doc_id, i, array_to_string(t[i:i+1], ' ') AS tile
+        |  FROM toks, generate_series(1, ${OracleGen.MaxDocSeries}) g(i)
+        |  WHERE (i % 2) = 1 AND i + 1 <= len(t)),
+        |f AS (SELECT doc_id, i, tile,
+        |  MIN(i) OVER (PARTITION BY doc_id, tile) AS fi FROM w),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_tiles,
+        |  COUNT(*) FILTER (WHERE i != fi) AS n_removed,
+        |  string_agg(tile, ' ' ORDER BY i) FILTER (WHERE i = fi) AS kept
+        |  FROM f GROUP BY doc_id),
+        |tails AS (SELECT doc_id, text,
+        |  CASE WHEN len(t) >= 2
+        |    THEN array_to_string(t[(len(t)//2)*2+1 : len(t)], ' ')
+        |    ELSE NULL END AS tail,
+        |  len(t) AS nt FROM toks)
+        |SELECT t.doc_id, COALESCE(a.n_tiles, 0) AS n_tiles,
+        | COALESCE(a.n_removed, 0) AS n_removed,
+        | md5(CASE WHEN t.nt < 2 THEN t.text
+        |  ELSE concat_ws(' ', a.kept, NULLIF(t.tail, '')) END) AS clean_md5
+        |FROM tails t LEFT JOIN agg a USING (doc_id)""".stripMargin,
     "q74_cluster_canonical" ->
       // q51's chain + closure, then argmax-by-quality: max quality per
       // cluster, ties to MIN(doc_id) among the max-quality members —

@@ -659,6 +659,37 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q98 intra-doc dedup: planted repeats removed, first occurrence " +
+    "kept, tail partial tile survives, corpus removal branch live") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Seq(
+      (1L, "a b a b c d c d x"), // [a b][a b][c d][c d] + tail x
+      (2L, "a b c d"),           // no repeats, no tail
+      (3L, "z"),                 // shorter than one tile
+      (4L, "a a a a a")          // [a a][a a] + tail a
+    ).toDF("doc_id", "text")
+    val out = Dedup.intraDocDedup(docs, w = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_tiles") == 4 &&
+      out(1L).getAs[Long]("n_removed") == 2 &&
+      out(1L).getAs[String]("clean_md5") == md5hex("a b c d x"))
+    assert(out(2L).getAs[Long]("n_removed") == 0 &&
+      out(2L).getAs[String]("clean_md5") == md5hex("a b c d"))
+    assert(out(3L).getAs[Long]("n_tiles") == 0 &&
+      out(3L).getAs[String]("clean_md5") == md5hex("z"))
+    assert(out(4L).getAs[Long]("n_removed") == 1 &&
+      out(4L).getAs[String]("clean_md5") == md5hex("a a a"))
+    // the shipped query's removal branch is live on the real corpus,
+    // and the census covers every document exactly once
+    val corpus = Dedup.q98IntraDocDedup(spark, sfDir).collect()
+    assert(corpus.length ==
+      graft.core.Tables.documents(spark, sfDir).count())
+    assert(corpus.map(_.getAs[Long]("n_removed")).sum > 0)
+  }
+
   test("exact dedup groups: total docs preserved") {
     val rows = Dedup.q25Exact(spark, sfDir).collect()
     val total = rows.map(_.getAs[Long]("n_docs")).sum
