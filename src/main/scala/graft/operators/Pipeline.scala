@@ -258,10 +258,15 @@ object Pipeline extends QueryPack {
   def zorderWrite(df: DataFrame, xCol: Column, yCol: Column,
       path: String, nFiles: Int): Unit = {
     import graft.functions.geo
-    df.withColumn("__z", geo.z_order16(xCol, yCol))
-      .repartitionByRange(nFiles, col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .drop("__z")
+    // pick a scratch column name the input does NOT already use —
+    // withColumn silently REPLACES an existing column, and drop would
+    // then delete the caller's data from the written files
+    val z = Iterator.from(0).map(i => s"__z$i")
+      .find(n => !df.columns.contains(n)).get
+    df.withColumn(z, geo.z_order16(xCol, yCol))
+      .repartitionByRange(nFiles, col(z))
+      .sortWithinPartitions(col(z))
+      .drop(z)
       .write.mode("overwrite").parquet(path)
   }
 

@@ -92,6 +92,15 @@ object Similarity extends QueryPack {
       when(element_at(v, i) >= 0f, lit(1 << (i - 1))).otherwise(lit(0)))
       .reduce(_ + _)
 
+  /** Plain-Scala twin of [[gridCell]] for row-at-a-time consumers
+    * (the streaming SemDeDup state op) — ONE quantizer definition
+    * serves both engines' spellings; PipelineOpsSpec asserts
+    * bit-parity against the Column form on real data so they cannot
+    * silently diverge.
+    */
+  def gridCellOf(v: Array[Float]): Int =
+    (0 until 8).map(i => if (v(i) >= 0) 1 << i else 0).sum
+
   /** Hamming-1 probe set: the query's cell plus its 8 one-bit flips. */
   def gridProbeCells(qcell: Int): Seq[Int] =
     qcell +: (0 until 8).map(b => qcell ^ (1 << b))
@@ -318,11 +327,23 @@ object Similarity extends QueryPack {
     val reps = cells.groupBy($"cell").agg(min($"vec_id").as("rep"),
       min_by($"v", $"vec_id").as("rv"))
     cells.join(broadcast(reps), "cell")
-      .withColumn("cosr", cosine($"v", $"rv"))
+      // zero-norm embeddings (upstream service artifacts) have NO
+      // defined cosine — and under Spark 4's default ANSI mode a
+      // plain division would THROW on the zero divisor, killing the
+      // whole job on one degenerate row. try_divide yields NULL
+      // instead (DuckDB's division-by-zero result too). A dedup
+      // screen must not drop what it cannot measure, so an undefined
+      // cosine KEEPS the row with a null cos_rep; the oracle spells
+      // the same rule with IS NULL OR isnan.
+      .withColumn("cosr", try_divide(graft.functions.geo.dot_product($"v", $"rv"),
+        sqrt(graft.functions.geo.dot_product($"v", $"v")) *
+          sqrt(graft.functions.geo.dot_product($"rv", $"rv"))))
       .select($"vec_id", $"cell",
-        when($"vec_id" === $"rep", lit(null).cast("double"))
+        when($"vec_id" === $"rep" || $"cosr".isNull || isnan($"cosr"),
+          lit(null).cast("double"))
           .otherwise(round($"cosr", 6)).as("cos_rep"),
-        ($"vec_id" === $"rep" || $"cosr" < tau).as("kept"))
+        ($"vec_id" === $"rep" || $"cosr".isNull || isnan($"cosr") ||
+          $"cosr" < tau).as("kept"))
   }
 
   def q97SemDedup(s: SparkSession, dir: String): DataFrame =
@@ -406,9 +427,13 @@ object Similarity extends QueryPack {
          |rv AS (SELECT r.cell, r.rep, c.embedding AS remb
          |  FROM reps r JOIN cells c ON c.vec_id = r.rep)
          |SELECT c.vec_id, c.cell,
-         | CASE WHEN c.vec_id = rv.rep THEN NULL
+         | CASE WHEN c.vec_id = rv.rep
+         |   OR ${cosSql("c.embedding", "rv.remb")} IS NULL
+         |   OR isnan(${cosSql("c.embedding", "rv.remb")}) THEN NULL
          |  ELSE ROUND(${cosSql("c.embedding", "rv.remb")}, 6) END AS cos_rep,
          | (c.vec_id = rv.rep
+         |  OR ${cosSql("c.embedding", "rv.remb")} IS NULL
+         |  OR isnan(${cosSql("c.embedding", "rv.remb")})
          |  OR ${cosSql("c.embedding", "rv.remb")} < 0.25) AS kept
          |FROM cells c JOIN rv USING (cell)""".stripMargin,
     "q50_ann_grid_cell" ->

@@ -343,13 +343,13 @@ object AnomalyStream {
   def semDedupStream(vecs: Dataset[Vec], tau: Double = 0.25)
       : Dataset[SemDecision] = {
     import vecs.sparkSession.implicits._
-    def cellOf(v: Array[Float]): Int =
-      (0 until 8).map(i => if (v(i) >= 0) 1 << i else 0).sum
     def dot(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { s += a(i) * b(i); i += 1 }; s
     }
-    vecs.groupByKey(v => cellOf(v.embedding))
+    // ONE quantizer definition shared with the batch twin
+    // (spec-asserted bit-parity with the Column form)
+    vecs.groupByKey(v => graft.operators.Similarity.gridCellOf(v.embedding))
       .flatMapGroupsWithState[(Long, Array[Double]), SemDecision](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (cell: Int, rows: Iterator[Vec],
@@ -365,10 +365,18 @@ object AnomalyStream {
               case Some((repId, rv)) =>
                 val cos = dot(vd, rv) /
                   (math.sqrt(dot(vd, vd)) * math.sqrt(dot(rv, rv)))
-                // display rounding mirrors the batch column (HALF_UP)
-                val cr = BigDecimal(cos)
-                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-                out += SemDecision(v.vec_id, cell, repId, Some(cr), cos < tau)
+                if (cos.isNaN) {
+                  // zero-norm vector (either side): cosine undefined —
+                  // KEEP, null cos_rep, batch-twin rule. Also the
+                  // crash guard: BigDecimal(NaN) throws, which would
+                  // kill the whole streaming query on one bad row.
+                  out += SemDecision(v.vec_id, cell, repId, None, kept = true)
+                } else {
+                  // display rounding mirrors the batch column (HALF_UP)
+                  val cr = BigDecimal(cos)
+                    .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+                  out += SemDecision(v.vec_id, cell, repId, Some(cr), cos < tau)
+                }
             }
           }
           st.foreach(state.update)

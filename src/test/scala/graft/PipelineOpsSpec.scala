@@ -620,6 +620,7 @@ class PipelineOpsSpec extends SparkTestBase {
 
   test("q97 SemDeDup: census matches a driver-side recompute of the rule") {
     import graft.core.Tables
+    import spark.implicits._
     val rows = Similarity.q97SemDedup(spark, sfDir).collect()
     // full census: every vector decided exactly once
     val emb = Tables.embeddings(spark, sfDir)
@@ -636,20 +637,22 @@ class PipelineOpsSpec extends SparkTestBase {
     // the synthetic corpus must actually exercise the drop branch
     assert(rows.count(!_.getAs[Boolean]("kept")) > 0)
     // recompute keep/drop from raw vectors with plain sequential Scala
-    // doubles (the same accumulation order the codegen'd dot uses)
-    val vecs = emb.collect().map(r => r.getAs[Long]("vec_id") ->
-      r.getSeq[Float](1).map(_.toDouble).toArray).toMap
-    def cell(v: Array[Double]) =
-      (0 until 8).map(i => if (v(i) >= 0) 1 << i else 0).sum
+    // doubles (the same accumulation order the codegen'd dot uses);
+    // the cell comes from the SHARED kernel (gridCellOf), which this
+    // loop also proves bit-parities the Column form on every vector
+    val vecsF = emb.collect().map(r => r.getAs[Long]("vec_id") ->
+      r.getSeq[Float](1).toArray).toMap
+    val vecs = vecsF.map { case (k, v) => k -> v.map(_.toDouble) }
     def dot(a: Array[Double], b: Array[Double]) = {
       var s = 0.0; var i = 0
       while (i < a.length) { s += a(i) * b(i); i += 1 }; s
     }
-    val repOf = vecs.keys.groupBy(id => cell(vecs(id)))
+    val repOf = vecs.keys.groupBy(id => Similarity.gridCellOf(vecsF(id)))
       .map { case (c, ids) => c -> ids.min }
     rows.foreach { r =>
       val (id, c) = (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"))
-      assert(c == cell(vecs(id)))
+      assert(c == Similarity.gridCellOf(vecsF(id)),
+        s"Column gridCell and Scala gridCellOf must agree on vec $id")
       val rep = repOf(c)
       val expectKept = id == rep || {
         val (a, b) = (vecs(id), vecs(rep))
@@ -657,6 +660,25 @@ class PipelineOpsSpec extends SparkTestBase {
       }
       assert(r.getAs[Boolean]("kept") == expectKept, s"vec $id")
     }
+    // zero-norm embeddings have no defined cosine: KEPT with null
+    // cos_rep — both when a member is degenerate and when the REP
+    // itself is (every member then has an undefined cosine)
+    val planted = Seq(
+      (1L, Array.fill(64)(0.1f)), (2L, Array.fill(64)(0.0f)), // member zero
+      (3L, Array.tabulate(64)(i => if (i == 0) -0.1f else 0.1f)), // rep of 254
+      (5L, Array.tabulate(64)(i => if (i == 0) -0.2f else 0.2f))
+    ).toDF("vec_id", "embedding")
+    val pd = Similarity.semDedup(planted).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r).toMap
+    assert(pd(2L).getAs[Boolean]("kept") && pd(2L).isNullAt(2),
+      "undefined cosine must keep the row with null cos_rep")
+    val repZero = Seq(
+      (1L, Array.fill(64)(0.0f)), // zero vector IS the min-id rep
+      (2L, Array.fill(64)(0.1f)), (3L, Array.fill(64)(0.2f))
+    ).toDF("vec_id", "embedding")
+    val rz = Similarity.semDedup(repZero).collect()
+    assert(rz.forall(_.getAs[Boolean]("kept")),
+      "a zero-norm rep must not drop its whole cell")
   }
 
   test("q98 intra-doc dedup: planted repeats removed, first occurrence " +

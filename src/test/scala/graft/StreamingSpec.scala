@@ -527,8 +527,11 @@ class StreamingSpec extends SparkTestBase {
       input.addData(Vec(1, base), Vec(2, near), Vec(3, ortho))
       q.processAllAvailable()
       // batch 2: the cell-255 rep must still be vec 1 (state), so a
-      // new near-dup drops; a first arrival in cell 254 becomes rep
-      input.addData(Vec(4, near), Vec(5, other))
+      // new near-dup drops; a first arrival in cell 254 becomes rep;
+      // a zero-norm vector (undefined cosine) must be KEPT with a
+      // null cos_rep — and must not crash the query (BigDecimal(NaN))
+      input.addData(Vec(4, near), Vec(5, other),
+        Vec(6, Array.fill(64)(0.0f)))
       q.processAllAvailable()
       val d = spark.table("semdedup_stream").as[SemDecision].collect()
         .map(r => r.vec_id -> r).toMap
@@ -539,6 +542,8 @@ class StreamingSpec extends SparkTestBase {
       assert(!d(4).kept && d(4).rep == 1, "state must survive the batch " +
         "boundary: vec 4 compares against the batch-1 rep")
       assert(d(5).kept && d(5).rep == 5 && d(5).cell != d(1).cell)
+      assert(d(6).kept && d(6).rep == 1 && d(6).cos_rep.isEmpty,
+        "zero-norm vector: kept, null cos_rep, no crash")
     } finally spark.streams.active.foreach(_.stop())
   }
 
