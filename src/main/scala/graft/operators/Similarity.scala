@@ -30,8 +30,16 @@ object Similarity extends QueryPack {
   private def dot(a: Column, b: Column): Column =
     graft.functions.geo.dot_product(a, b)
 
+  /** try_divide, not `/`: under Spark 4's default ANSI mode a plain
+    * division THROWS on a zero divisor, so one zero-norm embedding (a
+    * routine upstream-service artifact) would kill an entire ANN or
+    * dedup job. try_divide yields NULL — which is also what DuckDB's
+    * division by zero returns, so the oracles stay aligned: an
+    * undefined cosine drops out of `cos >= t` link filters (NULL is
+    * not true) in both engines instead of crashing one of them.
+    */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    try_divide(dot(a, b), sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
   /** 8-bit sign-LSH bucket of the first 8 dimensions. */
   def signBucket(v: Column): Column =
@@ -328,16 +336,12 @@ object Similarity extends QueryPack {
       min_by($"v", $"vec_id").as("rv"))
     cells.join(broadcast(reps), "cell")
       // zero-norm embeddings (upstream service artifacts) have NO
-      // defined cosine — and under Spark 4's default ANSI mode a
-      // plain division would THROW on the zero divisor, killing the
-      // whole job on one degenerate row. try_divide yields NULL
-      // instead (DuckDB's division-by-zero result too). A dedup
-      // screen must not drop what it cannot measure, so an undefined
-      // cosine KEEPS the row with a null cos_rep; the oracle spells
-      // the same rule with IS NULL OR isnan.
-      .withColumn("cosr", try_divide(graft.functions.geo.dot_product($"v", $"rv"),
-        sqrt(graft.functions.geo.dot_product($"v", $"v")) *
-          sqrt(graft.functions.geo.dot_product($"rv", $"rv"))))
+      // defined cosine: cosr is NULL ([[cosine]]'s try_divide — in
+      // both engines). A dedup screen must not drop what it cannot
+      // measure, so an undefined cosine KEEPS the row with a null
+      // cos_rep; the oracle spells the same rule with IS NULL OR
+      // isnan.
+      .withColumn("cosr", cosine($"v", $"rv"))
       .select($"vec_id", $"cell",
         when($"vec_id" === $"rep" || $"cosr".isNull || isnan($"cosr"),
           lit(null).cast("double"))
