@@ -280,6 +280,39 @@ object Alignment extends QueryPack {
     }.toDF())
   }
 
+  // --- q99: REAL image resize (decode + NN downsample) --------------------
+  /** Upgrades the q44 resize STUB to the real operation: the q89
+    * closed-form raster goes through a REAL PNG encode/decode, then
+    * [[graft.ops.media.RasterCodec.decodeResizeNN]] downsamples it 2×
+    * in actual pixel space — nearest-neighbor by explicit index map
+    * (target (x,y) ← source (2x, 2y)), so the oracle composes the
+    * resized raster from the same closed form over the even pixel
+    * lattice. Dims family w∈4..8, h∈3..6 → output 2..4 × 1..3; the
+    * every-97th half-truncation rows fail decode → invalid, same
+    * contract as q89/q91. Same narrow mapPartitions shape — zero
+    * exchanges at any corpus size.
+    */
+  def q99ImageResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.media.RasterCodec
+    val src = Tables.documents(s, dir).select($"doc_id").as[Long]
+    imgMetrics(src.mapPartitions { it =>
+      it.map { id =>
+        val w = (4 + id % 5).toInt
+        val h = (3 + id % 4).toInt
+        val img = RasterCodec.encode("png", w, h, { p =>
+          val r = ((id * 31 + p * 7) % 256).toInt
+          val g = ((id * 31 + p * 7 + 11) % 256).toInt
+          val b = ((id * 31 + p * 7 + 22) % 256).toInt
+          (r << 16) | (g << 8) | b
+        })
+        val bytes = if (id % 97 == 0) img.take(img.length / 2) else img
+        toImgRow(id, RasterCodec.decodeResizeNN(bytes, 2)
+          .map(i => (i.width, i.height, i.sumR, i.sumG, i.sumB)))
+      }
+    }.toDF())
+  }
+
   // --- q93: REAL GIF decode (LZW, explicit palette — exact) ---------------
   /** GIF completes the raster family through the LZW path. The
     * truecolor encode is writer-quantized (measured, see q91's note),
@@ -453,6 +486,7 @@ object Alignment extends QueryPack {
     "q91_bmp_decode"    -> (q91BmpDecode _),
     "q92_jpeg_decode"   -> (q92JpegDecode _),
     "q93_gif_decode"    -> (q93GifDecode _),
+    "q99_image_resize"  -> (q99ImageResize _),
   )
 
   private val RasterClosedFormSql =
@@ -570,6 +604,35 @@ object Alignment extends QueryPack {
         | 64 + (length(text) * 7 + ascii(substr(text, 1, 1))) % 1857 AS width,
         | 64 + (length(text) * 13) % 1017 AS height
         |FROM documents""".stripMargin,
+    "q99_image_resize" ->
+      // the q89 closed form composed over the EVEN pixel lattice: NN
+      // target pixel q maps to source p = (2*(q div wo))*w + 2*(q mod
+      // wo); series bound 11 = max wo*ho (4x3) for the dims family
+      """WITH dims AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+        |  FROM documents),
+        |rd AS (SELECT doc_id, w, h, w // 2 AS wo, h // 2 AS ho FROM dims),
+        |px AS (SELECT doc_id, wo, ho,
+        |  ((2 * (q // wo)) * w + 2 * (q % wo)) AS p
+        |  FROM rd, generate_series(0, 11) g(q) WHERE q < wo * ho),
+        |s AS (SELECT doc_id,
+        |  SUM((doc_id * 31 + p * 7) % 256) sr,
+        |  SUM((doc_id * 31 + p * 7 + 11) % 256) sg,
+        |  SUM((doc_id * 31 + p * 7 + 22) % 256) sb,
+        |  COUNT(*) n
+        | FROM px GROUP BY 1)
+        |SELECT d.doc_id, d.doc_id % 97 != 0 AS valid,
+        | CASE WHEN d.doc_id % 97 != 0 THEN d.wo END AS width,
+        | CASE WHEN d.doc_id % 97 != 0 THEN d.ho END AS height,
+        | CASE WHEN d.doc_id % 97 != 0 THEN
+        |   CAST(ROUND(CAST((s.sr / s.n) AS DECIMAL(28,10)), 4) AS DOUBLE)
+        | END AS mean_r,
+        | CASE WHEN d.doc_id % 97 != 0 THEN
+        |   CAST(ROUND(CAST((s.sg / s.n) AS DECIMAL(28,10)), 4) AS DOUBLE)
+        | END AS mean_g,
+        | CASE WHEN d.doc_id % 97 != 0 THEN
+        |   CAST(ROUND(CAST((s.sb / s.n) AS DECIMAL(28,10)), 4) AS DOUBLE)
+        | END AS mean_b
+        |FROM rd d JOIN s USING (doc_id)""".stripMargin,
     "q44_media_features" ->
       """SELECT doc_id,
         | array_to_string(

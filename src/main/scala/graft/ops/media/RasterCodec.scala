@@ -77,6 +77,46 @@ object RasterCodec {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** Decode, then nearest-neighbor DOWNSAMPLE by integer `factor`:
+    * target pixel (x, y) takes source pixel (x·factor, y·factor) — an
+    * explicit index map, NOT Graphics2D scaling (whose filter kernels
+    * are implementation-defined), so the output raster is exactly
+    * replicable from the source pixels and an oracle can compose it in
+    * closed form. Output dims are floor(w/factor) × floor(h/factor)
+    * (trailing rows/columns that don't fill a full step are dropped,
+    * the standard NN-decimation convention). None when the bytes don't
+    * decode or the source is smaller than one step in either
+    * dimension.
+    */
+  def decodeResizeNN(bytes: Array[Byte], factor: Int): Option[Image] = {
+    if (bytes == null || bytes.isEmpty || factor <= 0) return None
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val wOut = img.getWidth / factor
+        val hOut = img.getHeight / factor
+        if (wOut == 0 || hOut == 0) None
+        else {
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < hOut) {
+            var x = 0
+            while (x < wOut) {
+              val rgb = img.getRGB(x * factor, y * factor)
+              sr += (rgb >> 16) & 0xff
+              sg += (rgb >> 8) & 0xff
+              sb += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          Some(Image(wOut, hOut, sr, sg, sb))
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Encode an RGB raster — `pixel(p)` is the packed 0xRRGGBB value of
     * row-major pixel p — via the named ImageIO writer ("png", "bmp",
     * "jpg", "gif"). PNG and BMP are lossless: decode(encode(...))

@@ -85,6 +85,29 @@ class MediaSpec extends SparkTestBase {
     assert(math.abs(j.sumB / n - sum(2) / n) < 32.0, s"jpeg B ${j.sumB}")
   }
 
+  test("resize: NN downsample picks the exact even-lattice pixels; " +
+    "undersized and corrupt inputs reject") {
+    val (w, h) = (5, 3) // odd dims: trailing col/row must drop
+    def pix(p: Int): Int = {
+      val r = (p * 37 + 5) % 256; val g = (p * 53 + 11) % 256
+      val b = (p * 71 + 23) % 256
+      (r << 16) | (g << 8) | b
+    }
+    val bytes = RasterCodec.encode("png", w, h, pix)
+    val rz = RasterCodec.decodeResizeNN(bytes, 2).get
+    // target (x, y) <- source (2x, 2y): src pixels p = 2y*w + 2x
+    val srcs = for (y <- 0 until h / 2; x <- 0 until w / 2)
+      yield 2 * y * w + 2 * x
+    def sum(c: Int) = srcs.map(p => ((pix(p) >> (16 - 8 * c)) & 0xff).toLong).sum
+    assert(rz.width == w / 2 && rz.height == h / 2)
+    assert(rz.sumR == sum(0) && rz.sumG == sum(1) && rz.sumB == sum(2))
+    // factor larger than a dimension: no output raster -> None
+    assert(RasterCodec.decodeResizeNN(bytes, 4).isEmpty)
+    // corrupt stream: same rejection contract as decode
+    assert(RasterCodec.decodeResizeNN(bytes.take(bytes.length / 2), 2).isEmpty)
+    assert(RasterCodec.decodeResizeNN(Array.emptyByteArray, 2).isEmpty)
+  }
+
   test("raster codec: corrupt inputs reject, never throw") {
     val png = RasterCodec.encode("png", 6, 4, _ => 0x102030)
     assert(RasterCodec.decode(png).isDefined)
