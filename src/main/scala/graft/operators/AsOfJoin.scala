@@ -280,6 +280,61 @@ object Alignment extends QueryPack {
     }.toDF())
   }
 
+  case class VideoRow(doc_id: Long, valid: Boolean, n_frames: Option[Long],
+      width: Option[Long], height: Option[Long],
+      sums_in_band: Option[Boolean])
+
+  // --- q100: REAL video decode (MJPEG-in-AVI container walk) --------------
+  /** End-to-end VIDEO decode with zero native dependencies: each doc's
+    * payload is a real RIFF/AVI container ([[graft.ops.media.AviCodec]])
+    * holding 3 MJPEG frames — every frame an ordinary JPEG the JDK
+    * decodes — so the full path container-walk → frame-chunk slice →
+    * per-frame raster stats runs in-plan. Frame f of doc d follows the
+    * q92 closed form shifted per frame (channel c of pixel p =
+    * (d·31 + f·17 + p·7 + c·11) mod 256); JPEG being lossy, the oracle
+    * pins what survives exactly — declared-vs-decoded frame count,
+    * dims, corrupt rejection — plus an engine-computed `sums_in_band`
+    * flag (|decoded − exact| < 32 per channel per FRAME), q92's
+    * pattern. Every 97th container is cut to half: the movi walk
+    * yields fewer complete frames than the avih header declared →
+    * invalid row (the WAV-style truncation contract).
+    *
+    * Scale shape: narrow mapPartitions, zero exchanges — the same
+    * shape a real corpus' (path, bytes) scan would use.
+    */
+  def q100VideoDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.media.{AviCodec, RasterCodec}
+    val src = Tables.documents(s, dir).select($"doc_id").as[Long]
+    src.mapPartitions { it =>
+      it.map { id =>
+        val w = (4 + id % 5).toInt
+        val h = (3 + id % 4).toInt
+        def chan(f: Int, c: Int)(p: Int): Long =
+          (id * 31 + f * 17 + p * 7 + c * 11) % 256
+        val frames = (0 until 3).map(f => RasterCodec.encode("jpg", w, h,
+          p => (chan(f, 0)(p).toInt << 16) | (chan(f, 1)(p).toInt << 8) |
+            chan(f, 2)(p).toInt))
+        val avi = AviCodec.encodeMjpeg(w, h, frames)
+        val bytes = if (id % 97 == 0) avi.take(avi.length / 2) else avi
+        AviCodec.decode(bytes) match {
+          case Some(v) if v.frames.size == v.declaredFrames &&
+              v.frames.nonEmpty =>
+            val n = (w * h).toDouble
+            val band = v.frames.zipWithIndex.forall { case (img, f) =>
+              def inBand(got: Long, c: Int): Boolean =
+                math.abs(got / n - (0 until w * h).map(chan(f, c)).sum / n) < 32.0
+              inBand(img.sumR, 0) && inBand(img.sumG, 1) && inBand(img.sumB, 2)
+            }
+            VideoRow(id, valid = true, Some(v.frames.size.toLong),
+              Some(v.frames.head.width.toLong),
+              Some(v.frames.head.height.toLong), Some(band))
+          case _ => VideoRow(id, valid = false, None, None, None, None)
+        }
+      }
+    }.toDF()
+  }
+
   // --- q99: REAL image resize (decode + NN downsample) --------------------
   /** Upgrades the q44 resize STUB to the real operation: the q89
     * closed-form raster goes through a REAL PNG encode/decode, then
@@ -487,6 +542,7 @@ object Alignment extends QueryPack {
     "q92_jpeg_decode"   -> (q92JpegDecode _),
     "q93_gif_decode"    -> (q93GifDecode _),
     "q99_image_resize"  -> (q99ImageResize _),
+    "q100_video_decode" -> (q100VideoDecode _),
   )
 
   private val RasterClosedFormSql =
@@ -604,6 +660,18 @@ object Alignment extends QueryPack {
         | 64 + (length(text) * 7 + ascii(substr(text, 1, 1))) % 1857 AS width,
         | 64 + (length(text) * 13) % 1017 AS height
         |FROM documents""".stripMargin,
+    "q100_video_decode" ->
+      // JPEG frames are lossy, so the oracle pins the exact-surviving
+      // facts: frame count, dims, truncation rejection; the band flag
+      // is engine-computed (q92's pattern)
+      """WITH dims AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+        |  FROM documents)
+        |SELECT doc_id, doc_id % 97 != 0 AS valid,
+        | CASE WHEN doc_id % 97 != 0 THEN CAST(3 AS BIGINT) END AS n_frames,
+        | CASE WHEN doc_id % 97 != 0 THEN CAST(w AS BIGINT) END AS width,
+        | CASE WHEN doc_id % 97 != 0 THEN CAST(h AS BIGINT) END AS height,
+        | CASE WHEN doc_id % 97 != 0 THEN TRUE END AS sums_in_band
+        |FROM dims""".stripMargin,
     "q99_image_resize" ->
       // the q89 closed form composed over the EVEN pixel lattice: NN
       // target pixel q maps to source p = (2*(q div wo))*w + 2*(q mod

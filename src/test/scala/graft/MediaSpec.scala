@@ -108,6 +108,38 @@ class MediaSpec extends SparkTestBase {
     assert(RasterCodec.decodeResizeNN(Array.emptyByteArray, 2).isEmpty)
   }
 
+  test("avi codec: MJPEG container round-trips frame count, dims, and " +
+    "in-band sums; truncation loses frames silently; garbage rejects") {
+    import graft.ops.media.AviCodec
+    val (w, h) = (8, 6)
+    def pix(f: Int)(p: Int): Int = {
+      val r = (f * 17 + p * 37 + 5) % 256; val g = (f * 17 + p * 53 + 11) % 256
+      val b = (f * 17 + p * 71 + 23) % 256
+      (r << 16) | (g << 8) | b
+    }
+    val frames = (0 until 3).map(f => RasterCodec.encode("jpg", w, h, pix(f)))
+    val avi = AviCodec.encodeMjpeg(w, h, frames)
+    val v = AviCodec.decode(avi).get
+    assert(v.declaredFrames == 3 && v.frames.size == 3)
+    v.frames.zipWithIndex.foreach { case (img, f) =>
+      assert(img.width == w && img.height == h, s"frame $f dims")
+      val n = (w * h).toDouble
+      def exact(c: Int) = (0 until w * h)
+        .map(p => ((pix(f)(p) >> (16 - 8 * c)) & 0xff).toLong).sum
+      assert(math.abs(img.sumR / n - exact(0) / n) < 32.0, s"frame $f R")
+      assert(math.abs(img.sumB / n - exact(2) / n) < 32.0, s"frame $f B")
+    }
+    // a cut stream reads FEWER complete frames without throwing — the
+    // declared-vs-read comparison is the caller's validity check
+    val cut = AviCodec.decode(avi.take(avi.length / 2)).get
+    assert(cut.declaredFrames == 3 && cut.frames.size < 3)
+    // not a RIFF / not an AVI / empty: None, never an exception
+    assert(AviCodec.decode("not an avi at all".getBytes).isEmpty)
+    assert(AviCodec.decode(Array.emptyByteArray).isEmpty)
+    val wav = graft.ops.media.WavCodec.encodePcm16(8000, 32, _ => 7)
+    assert(AviCodec.decode(wav).isEmpty, "RIFF but not AVI must reject")
+  }
+
   test("raster codec: corrupt inputs reject, never throw") {
     val png = RasterCodec.encode("png", 6, 4, _ => 0x102030)
     assert(RasterCodec.decode(png).isDefined)
