@@ -52,12 +52,45 @@ object Bench {
   private def r4(x: Double): String =
     String.format(java.util.Locale.ROOT, "%.4f", Double.box(x))
 
+  /** 1/5/15-minute load averages from /proc/loadavg; None off-Linux or
+    * when unreadable. Read fresh at each call — Bench snapshots it
+    * before AND after the measured loop so the artifact itself records
+    * whether the host was contended (BENCH_r08 read as a 3.6× total
+    * regression and only a judge re-run on a quiet host disproved it;
+    * with load in the JSON a reader discounts a contended run
+    * mechanically: load_1m ≫ procs ⇒ the timings are not the code's).
+    */
+  def loadAvg(): Option[(Double, Double, Double)] =
+    try {
+      val f = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8").trim.split("\\s+")
+      Some((f(0).toDouble, f(1).toDouble, f(2).toDouble))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Render the host-contention block: load before/after the measured
+    * loop plus the JVM-visible processor count. Null fields (not
+    * omitted keys) when /proc/loadavg is unavailable, so the schema is
+    * stable across platforms.
+    */
+  def hostJson(before: Option[(Double, Double, Double)],
+               after: Option[(Double, Double, Double)],
+               procs: Int): String = {
+    def l(x: Option[(Double, Double, Double)]): String = x match {
+      case Some((a, b, c)) => s"[${r4(a)},${r4(b)},${r4(c)}]"
+      case None            => "null"
+    }
+    s"""{"load_before":${l(before)},"load_after":${l(after)},"procs":$procs}"""
+  }
+
   /** Assemble the one-line bench JSON from (query -> measured reps).
     * Pure so the spec can assert the line parses with every per-query
     * entry present — BENCH_r07's artifact lost 57/90 queries to a
     * log-tail capture limit, which is exactly the failure this guards.
+    * `host` is the pre-rendered [[hostJson]] block (JSON "null" keeps
+    * legacy callers/specs valid).
     */
-  def renderJson(results: Seq[(String, Seq[Double])], sfDir: String, reps: Int): String = {
+  def renderJson(results: Seq[(String, Seq[Double])], sfDir: String, reps: Int,
+                 host: String = "null"): String = {
     def obj(f: Seq[Double] => Double): String = results
       .map { case (k, v) => "\"" + k + "\":" + (if (v.isEmpty) -1.0 else f(v)) }
       .mkString("{", ",", "}")
@@ -80,7 +113,7 @@ object Bench {
     val noiseBand =
       if (spreads.isEmpty) "null"
       else s"""{"max_spread":${r4(spreads.max)},"median_spread":${r4(median(spreads))}}"""
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"total_median":$totalMed,"noise_band":$noiseBand,"reps_sec":$repsJson,"errors":$errs,"sf":"$sfDir","reps":$reps,"timing":"min"}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"total_median":$totalMed,"noise_band":$noiseBand,"host":$host,"reps_sec":$repsJson,"errors":$errs,"sf":"$sfDir","reps":$reps,"timing":"min"}"""
   }
 
   /** Persist the bench line next to the stdout print. The stdout line is
@@ -127,6 +160,7 @@ object Bench {
     if (warmup) queries.foreach { case (_, fn) =>
       try runScoped(spark, fn(spark, sfDir)) catch { case _: Throwable => () }
     }
+    val loadBefore = loadAvg()
     // a query that throws records an empty rep list (rendered as the
     // -1.0 sentinel), never a wall time — bench output must not
     // silently include failed queries
@@ -140,7 +174,9 @@ object Bench {
                   catch { case _: Throwable => Seq.empty[Double] }
       name -> times
     }
-    val line = renderJson(results, sfDir, reps)
+    val host = hostJson(loadBefore, loadAvg(),
+      Runtime.getRuntime.availableProcessors)
+    val line = renderJson(results, sfDir, reps, host)
     println(line)
     // SPARK_GRAFT_BENCH_OUT overrides the default repo-root path
     // (e.g. for spec runs in a temp dir).

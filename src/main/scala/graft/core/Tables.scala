@@ -28,11 +28,12 @@ object Tables {
       // unix_micros/window functions reject. Read them as TIMESTAMP
       // (LTZ): with the UTC session zone both spellings denote the
       // same instant, and it matches DuckDB's naive-as-wall-clock
-      // oracle semantics. Set lazily (same guard pattern as the nanos
-      // conf below) so ad-hoc sessions work; memoization means this
-      // runs once per (session, table).
-      if (spark.conf.getOption("spark.sql.parquet.inferTimestampNTZ.enabled")
-          .forall(_ != "false"))
+      // oracle semantics. Set lazily so ad-hoc sessions work;
+      // memoization means this runs once per (session, table). Only
+      // when truly UNSET: a caller who explicitly configured the conf
+      // (either value) keeps their choice — the framework must not
+      // silently override user intent as a read side effect.
+      if (spark.conf.getOption("spark.sql.parquet.inferTimestampNTZ.enabled").isEmpty)
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       spark.read.parquet(s"$dir/$name.parquet")
     })

@@ -675,7 +675,9 @@ object Alignment extends QueryPack {
     "q99_image_resize" ->
       // the q89 closed form composed over the EVEN pixel lattice: NN
       // target pixel q maps to source p = (2*(q div wo))*w + 2*(q mod
-      // wo); series bound 11 = max wo*ho (4x3) for the dims family
+      // wo); series 0..11 (12 values, inclusive) covers max wo*ho =
+      // 12 (wo=4, ho=3 from w=8, h=6) — re-derive if the dims family
+      // ever widens, the guard is `q < wo * ho` not the series bound
       """WITH dims AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
         |  FROM documents),
         |rd AS (SELECT doc_id, w, h, w // 2 AS wo, h // 2 AS ho FROM dims),

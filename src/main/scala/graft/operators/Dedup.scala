@@ -401,7 +401,14 @@ object Dedup extends QueryPack {
     *
     * Scale shape: entirely IN-ROW — tiling, first-occurrence test
     * (array_position = first index), reassembly, and hash run inside
-    * one projection; ZERO exchanges at any corpus size. The q98 query
+    * one projection; ZERO exchanges at any corpus size. CPU bound:
+    * the first-occurrence test calls array_position once per tile, so
+    * the projection is O(tiles²) per document — bounded today by
+    * OracleGen.MaxDocSeries = 4096 chars (≤ 2048 tiles at w=2, ~4M
+    * comparisons worst case). If doc length bounds ever grow past
+    * ~64k tokens, switch the tile filter to a single-pass seen-set
+    * (mapPartitions with a scala.collection.mutable.HashSet per doc)
+    * before this becomes the hot loop. The q98 query
     * uses w=2 so the removal branch is live on the synthetic corpus at
     * every SF (30-token vocab ⇒ repeated pairs are common; repeated
     * 8-grams are vanishingly rare in random text — the w=8 default

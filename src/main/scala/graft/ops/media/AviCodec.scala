@@ -118,8 +118,13 @@ object AviCodec {
         var at = from
         while (at + 8 <= to && !bad) {
           val id = cc(bytes, at)
-          val sz = readLe32(bytes, at + 4).toInt
-          if (sz < 0 || at + 8 + sz > to) { bad = true; return } // truncated
+          // bound-check in Long: a crafted sz near Int.MaxValue would
+          // overflow `at + 8 + sz` in Int arithmetic and slip past the
+          // truncation check (safety would then rest on copyOfRange
+          // throwing into the NonFatal catch — right result, by accident)
+          val szL = readLe32(bytes, at + 4)
+          if (szL > Int.MaxValue || at.toLong + 8 + szL > to) { bad = true; return } // truncated
+          val sz = szL.toInt
           if (id == "LIST") {
             walk(at + 12, at + 8 + sz) // recurse past the list kind
           } else if (id == "avih" && sz >= 24) {

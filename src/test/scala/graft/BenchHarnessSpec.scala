@@ -51,6 +51,30 @@ class BenchHarnessSpec extends SparkTestBase {
       root.get("errors").get(0).asText() === "q_failed")
     assert(root.get("noise_band").get("max_spread").asDouble() === 3.0)
     assert(root.get("value").asDouble() > 0.0)
+    assert(root.get("host").isNull, "default host block must be JSON null")
+  }
+
+  // BENCH_r08's 123.5 s total was pure host contention (61× rep spread;
+  // a quiet re-run measured 39 s on identical code). The artifact must
+  // carry the host-load evidence a reader needs to discount such a run
+  // without a re-measurement.
+  test("host block records loadavg before/after and processor count") {
+    val host = Bench.hostJson(Some((1.25, 2.5, 3.75)), Some((4.0, 5.0, 6.0)), 32)
+    val line = Bench.renderJson(Seq("q1" -> Seq(1.0)), "/tmp/sfX", reps = 1, host)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val h = mapper.readTree(line).get("host")
+    assert(h.get("load_before").get(0).asDouble() === 1.25)
+    assert(h.get("load_before").size() === 3)
+    assert(h.get("load_after").get(2).asDouble() === 6.0)
+    assert(h.get("procs").asInt() === 32)
+    // off-Linux degradation: null fields, stable schema, still valid JSON
+    val none = Bench.renderJson(Seq("q1" -> Seq(1.0)), "/tmp/sfX", 1,
+      Bench.hostJson(None, None, 8))
+    val h2 = mapper.readTree(none).get("host")
+    assert(h2.get("load_before").isNull && h2.get("procs").asInt() === 8)
+    // this host is Linux: the live read must produce three load fields
+    val live = Bench.loadAvg()
+    assert(live.nonEmpty && live.get._1 >= 0.0)
   }
 
   test("writeLine persists the exact line and reports the absolute path") {
