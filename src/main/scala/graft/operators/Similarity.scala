@@ -216,6 +216,69 @@ object Similarity extends QueryPack {
     (indexed, centroids)
   }
 
+  /** Deterministic IVF: centroids are FIXED member vectors
+    * (`centroidIds`, e.g. a seeded sample — sampling training points
+    * as coarse centroids is standard IVF practice), so unlike
+    * [[ivfIndex]]'s k-means the whole index is replicable in any
+    * engine and q101 gets a full hash-checked oracle row. Assignment
+    * is argmax cosine with ties broken to the SMALLEST cell id; the
+    * cosine is rounded to 6 decimals first so the comparison both
+    * engines make is on identical values, and a zero-norm vector
+    * (NULL cosine everywhere) coalesces to -2.0 — below any real
+    * cosine — landing it deterministically in the smallest cell.
+    *
+    * Scale shape: ZERO-SHUFFLE assignment. The k centroids collapse to
+    * ONE packed row (collect_list of k structs) that broadcasts, and
+    * the argmax runs per-row inside a single projection
+    * (array_max over struct(acos, -cell) — lexicographic struct
+    * ordering gives max-cosine-then-min-cell). No N×k join output, no
+    * row_number window over N×k rows, no exchange of the embedding
+    * column at all; the k-row centroid table broadcasts everywhere.
+    * At 100 TB the index is then written `partitionBy("cell")`
+    * (the [[ivfIndex]] spec's layout) so probes prune at the scan.
+    */
+  def ivfIndexFixed(emb: DataFrame, centroidIds: Seq[Long]): (DataFrame, DataFrame) = {
+    import emb.sparkSession.implicits._
+    val centroids = emb.filter($"vec_id".isin(centroidIds: _*))
+      .select($"vec_id".as("cell"), vec($"embedding").as("centroid"))
+    val packed = broadcast(centroids
+      .agg(collect_list(struct($"cell", $"centroid")).as("cents")))
+    val idx = emb.crossJoin(packed)
+      .withColumn("best", array_max(transform($"cents", c =>
+        struct(
+          coalesce(round(cosine(vec($"embedding"), c.getField("centroid")), 6),
+            lit(-2.0)).as("acos"),
+          (-c.getField("cell")).as("negcell")))))
+      .select($"vec_id", $"embedding", (-$"best.negcell").as("cell"))
+    (idx, centroids)
+  }
+
+  // --- q101: IVF ANN probe over the deterministic fixed-centroid index ----
+  /** The 100 TB ANN serving path, promoted to a full oracle row:
+    * probe the `nprobe`=3 cells whose centroids are nearest the query,
+    * scan only those cells' members, exact cosine top-10 within them.
+    * Probe-cell choice and final ordering share q29/q50's determinism
+    * rule (round to 6, then id/cell ascending tie-breaks).
+    * PipelineOpsSpec adds the recall census vs q29's exact answer.
+    */
+  def q101AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val (idx, centroids) = ivfIndexFixed(emb, 1L to 8L)
+    val q = broadcast(emb.filter($"vec_id" === 0)
+      .select(vec($"embedding").as("qv")))
+    val probe = centroids.crossJoin(q)
+      .withColumn("csim", round(cosine($"centroid", $"qv"), 6))
+      .orderBy($"csim".desc, $"cell".asc).limit(3).select($"cell")
+    idx.filter($"vec_id" =!= 0)
+      .join(broadcast(probe), "cell")
+      .crossJoin(q)
+      .withColumn("cos", cosine(vec($"embedding"), $"qv"))
+      .select($"vec_id", $"cell", round($"cos", 6).as("cos"))
+      .orderBy(round($"cos", 6).desc, $"vec_id".asc)
+      .limit(10)
+  }
+
   def ivfSearch(index: DataFrame, centroids: DataFrame,
       queryVec: Seq[Double], nprobe: Int, topK: Int): DataFrame = {
     import index.sparkSession.implicits._
@@ -360,6 +423,7 @@ object Similarity extends QueryPack {
     "q50_ann_grid_cell"    -> (q50AnnGridCell _),
     "q77_embedding_outliers" -> (q77EmbeddingOutliers _),
     "q97_semdedup"         -> (q97SemDedup _),
+    "q101_ann_ivf"         -> (q101AnnIvf _),
   )
 
   private val sqlDot =
@@ -440,6 +504,31 @@ object Similarity extends QueryPack {
          |  OR isnan(${cosSql("c.embedding", "rv.remb")})
          |  OR ${cosSql("c.embedding", "rv.remb")} < 0.25) AS kept
          |FROM cells c JOIN rv USING (cell)""".stripMargin,
+    "q101_ann_ivf" ->
+      // deterministic IVF twin: centroids = member vectors 1..8 (cell
+      // id = the centroid's vec_id); assignment = argmax ROUND(cos,6)
+      // with smallest-cell tie-break (row_number mirrors Spark's
+      // array_max over struct(acos, -cell)); zero-norm vectors
+      // coalesce to -2.0 on both sides; probe = 3 nearest centroids
+      s"""WITH cent AS (SELECT vec_id AS cell, embedding AS cemb
+         |  FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+         |asg AS (SELECT e.vec_id, e.embedding, c.cell,
+         |  COALESCE(ROUND(${cosSql("e.embedding", "c.cemb")}, 6), -2.0) AS acos
+         | FROM embeddings e CROSS JOIN cent c),
+         |idx AS (SELECT vec_id, embedding, cell FROM asg
+         |  QUALIFY row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY acos DESC, cell ASC) = 1),
+         |q AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0),
+         |probe AS (SELECT c.cell FROM cent c CROSS JOIN q
+         |  ORDER BY ROUND(${cosSql("c.cemb", "q.qemb")}, 6) DESC, c.cell ASC
+         |  LIMIT 3)
+         |SELECT i.vec_id, i.cell,
+         | ROUND(${cosSql("i.embedding", "q.qemb")}, 6) AS cos
+         |FROM idx i JOIN probe USING (cell) CROSS JOIN q
+         |WHERE i.vec_id != 0
+         |ORDER BY ROUND(${cosSql("i.embedding", "q.qemb")}, 6) DESC,
+         | i.vec_id ASC
+         |LIMIT 10""".stripMargin,
     "q50_ann_grid_cell" ->
       s"""WITH cells AS (SELECT vec_id, embedding, $cellSql AS cell
          |  FROM embeddings),

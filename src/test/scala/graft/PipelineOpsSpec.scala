@@ -509,6 +509,37 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(rAll == 10, s"probing every cell must equal exact top-10, got $rAll")
   }
 
+  // q101's CORRECTNESS row proves the probe result matches DuckDB;
+  // this census proves the probe result is a GOOD ANN answer — recall
+  // vs q29's exact top-10 — and that the fixed-centroid index is total
+  // and converges to exact under a full probe.
+  test("q101 deterministic ivf: index total, recall vs exact, full probe = exact") {
+    import graft.core.Tables
+    val emb = Tables.embeddings(spark, sfDir)
+    val (index, centroids) = Similarity.ivfIndexFixed(emb, 1L to 8L)
+    // assignment is total and lands only on real cells
+    assert(index.count() == emb.count())
+    val cells = index.select("cell").distinct().collect().map(_.getLong(0)).toSet
+    assert(cells.subsetOf((1L to 8L).toSet) && cells.nonEmpty)
+    val exact = Similarity.q29BruteTopK(spark, sfDir).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val probed = Similarity.q101AnnIvf(spark, sfDir).collect()
+    assert(probed.length == 10)
+    val recall = (probed.map(_.getAs[Long]("vec_id")).toSet & exact).size
+    // nprobe=3 of 8 cells: the census value a reader can hold the
+    // index to — at least half the exact neighbors must survive the
+    // pruned probe on the fixture corpus
+    assert(recall >= 5, s"ivf nprobe=3 recall $recall/10 vs exact")
+    // probing every cell is a full scan: must recover exactly the
+    // brute-force answer set
+    val q = emb.filter(col("vec_id") === 0)
+      .selectExpr("cast(embedding as array<double>)").head().getSeq[Double](0)
+    val full = Similarity.ivfSearch(
+      index.filter(col("vec_id") =!= 0), centroids, q, nprobe = 8, topK = 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(full == exact, s"full probe must equal exact top-10")
+  }
+
   test("dot_product expression: bit-parity with the zip_with form, codegen'd") {
     import spark.implicits._
     import graft.functions.geo
