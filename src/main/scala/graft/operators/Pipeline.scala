@@ -183,6 +183,35 @@ object Pipeline extends QueryPack {
       .withColumn("pos", row_number().over(w))
   }
 
+  /** [[shuffleShards]] with the shard count DERIVED from corpus size.
+    *
+    * Parameter policy (the 100 TB contract): the per-shard rank window
+    * means ONE reducer sorts each shard, so nShards — not the cluster
+    * size — decides both parallelism and per-task sort volume. A fixed
+    * count that is fine at one scale pins reducers at another (16
+    * shards over a 100 TB corpus = 6 TB per sort). Deriving
+    * nShards = ceil(rows / targetRowsPerShard) keeps every per-shard
+    * sort at a size one task spills comfortably (the 1M-row default is
+    * low-GB at typical document sizes) and scales reducer count
+    * linearly with the corpus. Costs one count() pass — corpus
+    * assembly runs once per corpus, and on parquet the count is
+    * metadata-only.
+    *
+    * Census invariance (PipelineOpsSpec): nShards only re-PARTITIONS
+    * the single global md5 order — corpus totals are preserved and
+    * each shard's internal order is the restriction of that global
+    * order — so re-sizing shards never re-shuffles documents relative
+    * to each other.
+    */
+  def shuffleShardsAuto(docs: DataFrame, seed: String,
+      targetRowsPerShard: Long = 1000000L): DataFrame = {
+    require(targetRowsPerShard > 0, "targetRowsPerShard must be positive")
+    val rows = docs.count()
+    val shards = math.max(1L,
+      (rows + targetRowsPerShard - 1) / targetRowsPerShard)
+    shuffleShards(docs, shards, seed)
+  }
+
   /** Per-shard census over [[shuffleShards]]: doc/char totals plus the
     * first and last document in shuffle order — the bounded fingerprint
     * a pipeline records next to each written shard (the full order is

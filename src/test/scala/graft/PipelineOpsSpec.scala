@@ -1012,6 +1012,56 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(math.abs(dists.head - globalMax) < 1e-2)
   }
 
+  // nShards is a PARTITIONING choice, not a shuffling choice: the one
+  // global md5 order is fixed by (seed, doc_id), and any shard count
+  // merely slices it. The census a pipeline audits (membership, totals,
+  // relative document order) must therefore be invariant to nShards —
+  // and the auto policy must size shard count off the corpus, since the
+  // per-shard rank window pins one reducer per shard.
+  test("shuffle shards: census invariant to nShards, auto policy sizes from corpus") {
+    import spark.implicits._
+    val P = graft.operators.Pipeline
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"n_chars")
+    val nDocs = docs.count()
+    // the global order all shardings must restrict to
+    val globalRank = P.shuffleShards(docs, 1L, "s42")
+      .select($"doc_id", $"pos".as("grank"))
+    for (n <- Seq(3L, 16L, 64L)) {
+      val sh = P.shuffleShards(docs, n, "s42")
+        .select($"doc_id", $"shard", $"pos")
+      // census: same membership and totals under every shard count
+      assert(sh.count() == nDocs)
+      assert(sh.select("doc_id").distinct().count() == nDocs)
+      // order restriction: within any shard, sorting by pos must sort
+      // by grank — the doc at max pos carries the shard's max grank
+      val byShardMaxG = sh.join(globalRank, "doc_id")
+        .groupBy($"shard").agg(max($"grank").as("mx"),
+          max_by($"grank", $"pos").as("at_last_pos"))
+      assert(byShardMaxG.filter($"mx" =!= $"at_last_pos").count() == 0,
+        s"nShards=$n: shard order is not the restriction of the global order")
+    }
+    // strongest form at one shard count: the full per-shard sequences
+    // are the global sequence filtered to the shard (exact, 500 docs)
+    val sh4 = P.shuffleShards(docs, 4L, "s42")
+      .join(globalRank, "doc_id")
+      .select($"shard", $"pos", $"grank", $"doc_id").collect()
+    sh4.groupBy(_.getAs[Long]("shard")).foreach { case (_, rows) =>
+      val byPos = rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[Int]("grank"))
+      assert(byPos.sameElements(byPos.sorted),
+        "per-shard pos order must be the global-order restriction")
+    }
+    // auto policy: ceil(500/100) = 5 shards, hash-balanced sizes
+    val auto = P.shuffleShardsAuto(docs, "s42", targetRowsPerShard = 100L)
+    val sizes = auto.groupBy($"shard").count().collect().map(_.getLong(1))
+    assert(sizes.length == math.ceil(nDocs / 100.0).toInt,
+      s"auto must derive ceil(n/target) shards, got ${sizes.length}")
+    assert(sizes.max < 200L, s"hash-balanced shards, worst ${sizes.max}")
+    // degenerate corpora still shard (never 0 shards)
+    assert(P.shuffleShardsAuto(docs.limit(1), "s42").select("shard")
+      .head().getLong(0) == 0L)
+  }
+
   test("shuffle shards: bijection, contiguous 1..n positions, " +
     "partitioning-invariant, append-stable shards, seed-sensitive") {
     import spark.implicits._
