@@ -335,6 +335,16 @@ object AnomalyStream {
     * deterministic). Same census rule as batch; rep choice is the
     * documented semantic difference.
     *
+    * Replay stability contract (StreamingSpec pins both halves): for a
+    * FIXED micro-batch slicing the output is deterministic, but
+    * re-slicing the same events can elect a DIFFERENT rep (the first
+    * batch to touch a cell wins) and flip members' keep/drop against
+    * it — by design, the price of O(cells) state. Invariant under ANY
+    * slicing: exactly one decision per vector, the rep is kept, and a
+    * cell's rep never changes once set. Pipelines needing a
+    * slicing-independent census must run the batch twin over the
+    * settled corpus.
+    *
     * State per cell = one (rep id, rep vector) pair — bounded by the
     * quantizer's cell count (≤ 2⁸ here, ≤ k under a k-means
     * quantizer), NEVER by stream length; cells shard across executor

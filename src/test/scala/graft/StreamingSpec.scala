@@ -547,6 +547,69 @@ class StreamingSpec extends SparkTestBase {
     } finally spark.streams.active.foreach(_.stop())
   }
 
+  // The arrival-fixed representative makes keep/drop depend on where
+  // micro-batch boundaries fall BY DESIGN (a stream cannot know the
+  // global min id): re-slicing the same events can elect a different
+  // rep and flip members' decisions. This case pins both halves of the
+  // contract — the slicing-INDEPENDENT invariants (one decision per
+  // vector, rep kept, rep never changes once set) and a concrete
+  // slicing-DEPENDENT divergence, so the semantics is a documented
+  // measured fact rather than an accident.
+  test("semDedupStream: re-slicing the same events changes the rep by design, " +
+    "while per-vector decision uniqueness and rep stability hold") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.streaming.AnomalyStream
+    import AnomalyStream.{SemDecision, Vec}
+    // one cell (same first-8 signs): v7 = base, v10 ≈ base (near-dup),
+    // v5 = tail-flipped (cos ≈ −0.75 to both — dissimilar, same cell)
+    val base = Array.fill(64)(0.1f)
+    val near = base.clone(); near(63) = 0.11f
+    val flip = Array.tabulate(64)(i => if (i < 8) 0.1f else -0.1f)
+    def run(name: String)(feed: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Vec]
+        => org.apache.spark.sql.streaming.StreamingQuery => Unit): Map[Long, SemDecision] = {
+      val input = MemoryStream[Vec]
+      val q = AnomalyStream.semDedupStream(input.toDS())
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try feed(input)(q) finally spark.streams.active.foreach(_.stop())
+      spark.table(name).as[SemDecision].collect().map(r => r.vec_id -> r).toMap
+    }
+    // slicing A: all three in ONE batch — in-batch tie-break sorts by
+    // vec_id, so v5 (lowest id) becomes rep; both others are dissimilar
+    val a = run("semdedup_slice_a") { input => q =>
+      input.addData(Vec(10, near), Vec(5, flip), Vec(7, base))
+      q.processAllAvailable()
+    }
+    // slicing B: v10 arrives alone first — it is the rep; v7 is now a
+    // near-dup OF THE REP and drops, v5 stays dissimilar-kept
+    val b = run("semdedup_slice_b") { input => q =>
+      input.addData(Vec(10, near)); q.processAllAvailable()
+      input.addData(Vec(5, flip), Vec(7, base)); q.processAllAvailable()
+    }
+    // slicing-independent invariants
+    for (d <- Seq(a, b)) {
+      assert(d.keySet == Set(5L, 7L, 10L), "exactly one decision per vector")
+      val rep = d.values.head.rep
+      assert(d.values.forall(_.rep == rep), "rep never changes once set")
+      assert(d(rep).kept && d(rep).cos_rep.isEmpty, "the rep itself is kept")
+    }
+    // the designed divergence: a different slicing elected a different
+    // rep, and v7's decision flipped with it
+    assert(a.values.head.rep == 5L && b.values.head.rep == 10L)
+    assert(a(7).kept, "slicing A: v7 vs dissimilar rep v5 → kept")
+    assert(!b(7).kept && b(7).cos_rep.get > 0.99,
+      "slicing B: v7 vs near-dup rep v10 → dropped")
+    assert(a(10).kept && b(5).kept, "dissimilar members kept in both")
+    // replay of the SAME slicing is deterministic (in-batch id sort)
+    val a2 = run("semdedup_slice_a2") { input => q =>
+      input.addData(Vec(10, near), Vec(5, flip), Vec(7, base))
+      q.processAllAvailable()
+    }
+    assert(a2.view.mapValues(d => (d.rep, d.kept, d.cos_rep)).toMap ==
+      a.view.mapValues(d => (d.rep, d.kept, d.cos_rep)).toMap)
+  }
+
   test("streaming retention: cohort fixed at first activity, each week " +
     "offset emits once, state survives micro-batch boundaries") {
     import spark.implicits._
