@@ -302,36 +302,55 @@ object Alignment extends QueryPack {
     * Scale shape: narrow mapPartitions, zero exchanges — the same
     * shape a real corpus' (path, bytes) scan would use.
     */
+  /** q100's synthetic payload for one doc: a real 3-frame MJPEG/AVI
+    * container, every 97th cut to half (the truncation family). One
+    * builder shared by the in-plan query and the stored-corpus writer
+    * so the two paths can never drift.
+    */
+  private[graft] def aviPayload(id: Long): Array[Byte] = {
+    import graft.ops.media.{AviCodec, RasterCodec}
+    val w = (4 + id % 5).toInt
+    val h = (3 + id % 4).toInt
+    def chan(f: Int, c: Int)(p: Int): Long =
+      (id * 31 + f * 17 + p * 7 + c * 11) % 256
+    val frames = (0 until 3).map(f => RasterCodec.encode("jpg", w, h,
+      p => (chan(f, 0)(p).toInt << 16) | (chan(f, 1)(p).toInt << 8) |
+        chan(f, 2)(p).toInt))
+    val avi = AviCodec.encodeMjpeg(w, h, frames)
+    if (id % 97 == 0) avi.take(avi.length / 2) else avi
+  }
+
+  /** Decode side of q100 on (id, bytes) — the only video-decode code
+    * path; q100 feeds it in-plan payloads, [[storedVideoDecode]] feeds
+    * it a parquet binary column.
+    */
+  private[graft] def videoRowOf(id: Long, bytes: Array[Byte]): VideoRow = {
+    import graft.ops.media.AviCodec
+    val w = (4 + id % 5).toInt
+    val h = (3 + id % 4).toInt
+    def chan(f: Int, c: Int)(p: Int): Long =
+      (id * 31 + f * 17 + p * 7 + c * 11) % 256
+    AviCodec.decode(bytes) match {
+      case Some(v) if v.frames.size == v.declaredFrames &&
+          v.frames.nonEmpty =>
+        val n = (w * h).toDouble
+        val band = v.frames.zipWithIndex.forall { case (img, f) =>
+          def inBand(got: Long, c: Int): Boolean =
+            math.abs(got / n - (0 until w * h).map(chan(f, c)).sum / n) < 32.0
+          inBand(img.sumR, 0) && inBand(img.sumG, 1) && inBand(img.sumB, 2)
+        }
+        VideoRow(id, valid = true, Some(v.frames.size.toLong),
+          Some(v.frames.head.width.toLong),
+          Some(v.frames.head.height.toLong), Some(band))
+      case _ => VideoRow(id, valid = false, None, None, None, None)
+    }
+  }
+
   def q100VideoDecode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import graft.ops.media.{AviCodec, RasterCodec}
     val src = Tables.documents(s, dir).select($"doc_id").as[Long]
     src.mapPartitions { it =>
-      it.map { id =>
-        val w = (4 + id % 5).toInt
-        val h = (3 + id % 4).toInt
-        def chan(f: Int, c: Int)(p: Int): Long =
-          (id * 31 + f * 17 + p * 7 + c * 11) % 256
-        val frames = (0 until 3).map(f => RasterCodec.encode("jpg", w, h,
-          p => (chan(f, 0)(p).toInt << 16) | (chan(f, 1)(p).toInt << 8) |
-            chan(f, 2)(p).toInt))
-        val avi = AviCodec.encodeMjpeg(w, h, frames)
-        val bytes = if (id % 97 == 0) avi.take(avi.length / 2) else avi
-        AviCodec.decode(bytes) match {
-          case Some(v) if v.frames.size == v.declaredFrames &&
-              v.frames.nonEmpty =>
-            val n = (w * h).toDouble
-            val band = v.frames.zipWithIndex.forall { case (img, f) =>
-              def inBand(got: Long, c: Int): Boolean =
-                math.abs(got / n - (0 until w * h).map(chan(f, c)).sum / n) < 32.0
-              inBand(img.sumR, 0) && inBand(img.sumG, 1) && inBand(img.sumB, 2)
-            }
-            VideoRow(id, valid = true, Some(v.frames.size.toLong),
-              Some(v.frames.head.width.toLong),
-              Some(v.frames.head.height.toLong), Some(band))
-          case _ => VideoRow(id, valid = false, None, None, None, None)
-        }
-      }
+      it.map(id => videoRowOf(id, aviPayload(id)))
     }.toDF()
   }
 
@@ -347,25 +366,82 @@ object Alignment extends QueryPack {
     * contract as q89/q91. Same narrow mapPartitions shape — zero
     * exchanges at any corpus size.
     */
+  /** q99's synthetic payload for one doc: a real PNG of the q89
+    * closed-form raster, every 97th half-cut. Shared by the in-plan
+    * query and the stored-corpus writer.
+    */
+  private[graft] def pngPayload(id: Long): Array[Byte] = {
+    import graft.ops.media.RasterCodec
+    val w = (4 + id % 5).toInt
+    val h = (3 + id % 4).toInt
+    val img = RasterCodec.encode("png", w, h, { p =>
+      val r = ((id * 31 + p * 7) % 256).toInt
+      val g = ((id * 31 + p * 7 + 11) % 256).toInt
+      val b = ((id * 31 + p * 7 + 22) % 256).toInt
+      (r << 16) | (g << 8) | b
+    })
+    if (id % 97 == 0) img.take(img.length / 2) else img
+  }
+
+  /** Decode+resize side of q99 on (id, bytes) — shared by the in-plan
+    * query and [[storedResize]].
+    */
+  private[graft] def resizeRowOf(id: Long, bytes: Array[Byte]): ImgRow =
+    toImgRow(id, graft.ops.media.RasterCodec.decodeResizeNN(bytes, 2)
+      .map(i => (i.width, i.height, i.sumR, i.sumG, i.sumB)))
+
   def q99ImageResize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import graft.ops.media.RasterCodec
     val src = Tables.documents(s, dir).select($"doc_id").as[Long]
     imgMetrics(src.mapPartitions { it =>
-      it.map { id =>
-        val w = (4 + id % 5).toInt
-        val h = (3 + id % 4).toInt
-        val img = RasterCodec.encode("png", w, h, { p =>
-          val r = ((id * 31 + p * 7) % 256).toInt
-          val g = ((id * 31 + p * 7 + 11) % 256).toInt
-          val b = ((id * 31 + p * 7 + 22) % 256).toInt
-          (r << 16) | (g << 8) | b
-        })
-        val bytes = if (id % 97 == 0) img.take(img.length / 2) else img
-        toImgRow(id, RasterCodec.decodeResizeNN(bytes, 2)
-          .map(i => (i.width, i.height, i.sumR, i.sumG, i.sumB)))
-      }
+      it.map(id => resizeRowOf(id, pngPayload(id)))
     }.toDF())
+  }
+
+  // --- stored-media corpus: decode-only over a persisted binary column ----
+  /** Materialize the q99/q100 payloads to parquet ONCE — `(doc_id,
+    * bytes)` with the binary column stored, the layout a real media
+    * corpus has. The in-plan q99/q100 spellings pay a per-row ENCODE
+    * (3 JPEG encodes + AVI container build per q100 row) that exists
+    * only to make the queries self-contained for the oracle; a corpus
+    * of stored media pays none of it, so decode benchmarks over this
+    * table measure the decoder, not the fixture builder. Written as
+    * ordinary multi-file parquet (one part per input partition — the
+    * bounded-file-size shape a distributed writer produces).
+    */
+  def writeMediaCorpus(s: SparkSession, dir: String, out: String): Unit = {
+    import s.implicits._
+    val ids = Tables.documents(s, dir).select($"doc_id").as[Long]
+    ids.mapPartitions(_.map(id => (id, pngPayload(id))))
+      .toDF("doc_id", "bytes")
+      .write.mode("overwrite").parquet(s"$out/media_png.parquet")
+    ids.mapPartitions(_.map(id => (id, aviPayload(id))))
+      .toDF("doc_id", "bytes")
+      .write.mode("overwrite").parquet(s"$out/media_avi.parquet")
+  }
+
+  /** q99 over the stored corpus: parquet binary scan → mapPartitions
+    * decode+resize. Byte-identical output to [[q99ImageResize]]
+    * (StoredMediaSpec), zero exchanges, no in-plan encode.
+    */
+  def storedResize(s: SparkSession, corpus: String): DataFrame = {
+    import s.implicits._
+    imgMetrics(s.read.parquet(s"$corpus/media_png.parquet")
+      .select($"doc_id", $"bytes").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) => resizeRowOf(id, b) })
+      .toDF())
+  }
+
+  /** q100 over the stored corpus: parquet binary scan → container walk
+    * → per-frame JPEG decode. Byte-identical output to
+    * [[q100VideoDecode]] (StoredMediaSpec).
+    */
+  def storedVideoDecode(s: SparkSession, corpus: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$corpus/media_avi.parquet")
+      .select($"doc_id", $"bytes").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) => videoRowOf(id, b) })
+      .toDF()
   }
 
   // --- q93: REAL GIF decode (LZW, explicit palette — exact) ---------------
