@@ -416,6 +416,108 @@ object Similarity extends QueryPack {
   def q97SemDedup(s: SparkSession, dir: String): DataFrame =
     semDedup(Tables.embeddings(s, dir))
 
+  // --- q102: seeded Lloyd k-means over embeddings (2-round census) --------
+  /** Embedding dimension is FIXED at 64 at every SF (generator
+    * contract, same constant as q77's oracle).
+    */
+  private[graft] val EmbDim = 64
+
+  /** One Lloyd assignment round: each vector to its nearest centroid
+    * by squared L2, ties to the smallest cluster id.
+    *
+    * Scale shape: ZERO-shuffle. The k centroids collapse into ONE
+    * packed broadcast row and the argmin runs per-row inside a single
+    * projection — array_min over struct(d2, cl) (lexicographic struct
+    * order = min distance, then min cluster id) — so no N×k join
+    * output, no row_number window, no exchange of the embedding
+    * column. d2 = x·x − 2·x·c + c·c from the codegen'd sequential dot
+    * (bit-parity with DuckDB's list_dot_product), so both engines pick
+    * identical winners.
+    */
+  def kmeansAssign(emb: DataFrame, cents: DataFrame): DataFrame = {
+    import emb.sparkSession.implicits._
+    val packed = broadcast(
+      cents.agg(collect_list(struct($"cl", $"cvec")).as("cents")))
+    emb.crossJoin(packed)
+      .withColumn("best", array_min(transform($"cents", c =>
+        struct(
+          (dot(vec($"embedding"), vec($"embedding"))
+            - lit(2.0) * dot(vec($"embedding"), c.getField("cvec"))
+            + dot(c.getField("cvec"), c.getField("cvec"))).as("d2"),
+          c.getField("cl").as("cl")))))
+      .select($"vec_id", $"embedding",
+        $"best.cl".as("cl"), $"best.d2".as("d2"))
+  }
+
+  /** One Lloyd update round: new centroid = per-dimension mean of the
+    * cluster's members, built from round(v·2^20) integer sums (q77's
+    * exactness rule: the snap is exact for any float and dyadic halves
+    * round identically in both engines, so integer sums are
+    * associative and the resulting centroids bit-identical however the
+    * data is partitioned). ONE hash aggregation by cl with 64
+    * map-side-combined sums — no posexplode row blowup, k rows out.
+    * Empty clusters drop (standard Lloyd; deterministic here since
+    * assignments match across engines).
+    */
+  def kmeansUpdate(asg: DataFrame): DataFrame = {
+    import asg.sparkSession.implicits._
+    val snapped = transform(vec($"embedding"),
+      v => round(v * 1048576.0).cast("long"))
+    val sums = (1 to EmbDim).map(i =>
+      sum(element_at($"snapped", i)).as(s"s$i"))
+    asg.withColumn("snapped", snapped)
+      .groupBy($"cl")
+      .agg(count(lit(1)).as("n"), sums: _*)
+      .select($"cl", array((1 to EmbDim).map(i =>
+        col(s"s$i").cast("double") / ($"n" * 1048576.0)): _*).as("cvec"))
+  }
+
+  /** Distributed k-means with FIXED seeding (initial centroids = the
+    * vectors with vec_id 1..k — seeding from training points, standard
+    * practice and q101's centroid rule) run for `iters` assignment
+    * rounds. Every step is engine-replicable — bit-parity distances,
+    * integer-snapped centroid updates — so the WHOLE TRAJECTORY of an
+    * iterative ML operator hash-matches a SQL oracle, not just one
+    * step. Returns the final assignment (vec_id, embedding, cl, d2).
+    *
+    * Scale: per round, one zero-shuffle assignment projection + one
+    * k-row aggregation; rounds are jobs (q51's CC-loop shape — for
+    * deep iteration counts checkpoint the k-row centroid frame per
+    * round to truncate lineage; at typical k-means depths the k-row
+    * plan nodes are negligible).
+    */
+  def kmeansFixed(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    import emb.sparkSession.implicits._
+    require(iters >= 1, "iters must be >= 1")
+    val cent0 = emb.filter($"vec_id".between(1L, k.toLong))
+      .select($"vec_id".as("cl"), vec($"embedding").as("cvec"))
+    (1 until iters).foldLeft(kmeansAssign(emb, cent0)) { (asg, _) =>
+      kmeansAssign(emb, kmeansUpdate(asg))
+    }
+  }
+
+  /** Per-cluster census after 2 Lloyd rounds: size and mean squared
+    * distance to the final centroid (snapped to round(d2·2^20)
+    * integers before summing — exact/associative, q30's rule).
+    * SemDeDup's production quantizer is exactly this k-means stage
+    * (Abbas et al. 2023 §3; the reference's own embedding-space
+    * grouping is the VAE latent clustering of
+    * Week#12_Assignment.ipynb:104-190) — q97 runs it with the grid
+    * quantizer, this is the k-means path promoted to a full
+    * hash-checked oracle row.
+    */
+  def q102KmeansClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val asg = kmeansFixed(Tables.embeddings(s, dir), k = 8, iters = 2)
+    asg.withColumn("d2q", round($"d2" * 1048576.0).cast("long"))
+      .groupBy($"cl")
+      .agg(count(lit(1)).as("n"),
+        graft.core.Exact.dround(
+          sum($"d2q").cast("double") / (count(lit(1)) * 1048576.0), 4)
+          .as("avg_d2"))
+      .select($"cl".as("cluster"), $"n", $"avg_d2")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_ann_brute_topk"   -> (q29BruteTopK _),
     "q30_ann_lsh_buckets"  -> (q30LshBuckets _),
@@ -424,10 +526,17 @@ object Similarity extends QueryPack {
     "q77_embedding_outliers" -> (q77EmbeddingOutliers _),
     "q97_semdedup"         -> (q97SemDedup _),
     "q101_ann_ivf"         -> (q101AnnIvf _),
+    "q102_kmeans_clusters" -> (q102KmeansClusters _),
   )
 
   private val sqlDot =
     "list_dot_product(CAST(%s AS DOUBLE[]), CAST(%s AS DOUBLE[]))"
+  /** Squared L2 as composed dots — the exact spelling [[kmeansAssign]]
+    * uses, so d2 is bit-identical across engines.
+    */
+  private def d2Sql(a: String, b: String): String =
+    s"(${sqlDot.format(a, a)} - 2 * ${sqlDot.format(a, b)}" +
+      s" + ${sqlDot.format(b, b)})"
   private def cosSql(a: String, b: String): String =
     s"(${sqlDot.format(a, b)} / (SQRT(${sqlDot.format(a, a)}) * " +
       s"SQRT(${sqlDot.format(b, b)})))"
@@ -529,6 +638,39 @@ object Similarity extends QueryPack {
          |ORDER BY ROUND(${cosSql("i.embedding", "q.qemb")}, 6) DESC,
          | i.vec_id ASC
          |LIMIT 10""".stripMargin,
+    "q102_kmeans_clusters" ->
+      // the identical 2-round Lloyd trajectory: fixed seed centroids
+      // (vectors 1..8), argmin d2 with smallest-cl tie-break
+      // (row_number mirrors Spark's array_min over struct(d2, cl)),
+      // centroid update from round(v*2^20) integer sums (q77's rule),
+      // census d2 snapped the same way before summing
+      s"""WITH cent0 AS (SELECT vec_id AS cl, embedding AS cvec
+         |  FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+         |a1 AS (SELECT e.vec_id, e.embedding, c.cl,
+         |  ${d2Sql("e.embedding", "c.cvec")} AS d2
+         | FROM embeddings e CROSS JOIN cent0 c),
+         |asg1 AS (SELECT vec_id, embedding, cl FROM a1
+         |  QUALIFY row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY d2 ASC, cl ASC) = 1),
+         |ex AS (SELECT cl, i,
+         |  CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1048576.0) AS BIGINT) AS v
+         | FROM asg1, generate_series(1, 64) g(i)),
+         |cm AS (SELECT cl, i,
+         |  CAST(SUM(v) AS DOUBLE) / (COUNT(*) * 1048576.0) AS c
+         | FROM ex GROUP BY 1, 2),
+         |cent1 AS (SELECT cl, list(c ORDER BY i) AS cvec FROM cm GROUP BY 1),
+         |a2 AS (SELECT e.vec_id, c.cl,
+         |  ${d2Sql("e.embedding", "c.cvec")} AS d2
+         | FROM embeddings e CROSS JOIN cent1 c),
+         |asg2 AS (SELECT vec_id, cl, d2 FROM a2
+         |  QUALIFY row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY d2 ASC, cl ASC) = 1)
+         |SELECT cl AS cluster, COUNT(*) AS n,
+         | CAST(ROUND(CAST(
+         |   CAST(SUM(CAST(ROUND(d2 * 1048576.0) AS BIGINT)) AS DOUBLE)
+         |     / (COUNT(*) * 1048576.0) AS DECIMAL(28,10)), 4) AS DOUBLE)
+         |   AS avg_d2
+         |FROM asg2 GROUP BY 1""".stripMargin,
     "q50_ann_grid_cell" ->
       s"""WITH cells AS (SELECT vec_id, embedding, $cellSql AS cell
          |  FROM embeddings),

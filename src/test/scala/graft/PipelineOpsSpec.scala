@@ -540,6 +540,34 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(full == exact, s"full probe must equal exact top-10")
   }
 
+  // q102's CORRECTNESS row proves the 2-round census matches DuckDB;
+  // these pin the Lloyd invariants the census rides on.
+  test("q102 seeded k-means: total assignment, monotone objective, partition invariance") {
+    import graft.core.Tables
+    val emb = Tables.embeddings(spark, sfDir)
+    val a1 = Similarity.kmeansFixed(emb, k = 8, iters = 1)
+    val a2 = Similarity.kmeansFixed(emb, k = 8, iters = 2)
+    // total: every vector assigned exactly once, to a seed cluster id
+    assert(a2.count() == emb.count())
+    val cls = a2.select("cl").distinct().collect().map(_.getLong(0)).toSet
+    assert(cls.subsetOf((1L to 8L).toSet) && cls.nonEmpty)
+    // Lloyd monotonicity: the mean is the L2 minimizer, so total
+    // within-cluster squared distance cannot increase across a round
+    // (the 2^-20 centroid snap perturbs below 1e-3 at this corpus)
+    def obj(df: org.apache.spark.sql.DataFrame): Double =
+      df.agg(sum(col("d2"))).head().getDouble(0)
+    val o1 = obj(a1); val o2 = obj(a2)
+    assert(o2 <= o1 + 1e-3, s"objective must not increase: $o1 -> $o2")
+    // exact integer centroid sums + bit-parity distances make the
+    // whole trajectory partitioning-invariant: same assignments under
+    // a different physical layout
+    val rep = Similarity.kmeansFixed(emb.repartition(7), k = 8, iters = 2)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cl").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(asMap(a2) == asMap(rep))
+  }
+
   test("dot_product expression: bit-parity with the zip_with form, codegen'd") {
     import spark.implicits._
     import graft.functions.geo
