@@ -100,6 +100,17 @@ object geo {
     col(org.apache.spark.sql.graft.FreqItemsAggregate(ex(c), ex(weight),
       capacity).toAggregateExpression())
 
+  /** KMV bottom-k distinct sketch over a long hash column (SURVEY
+    * §2.13 sketch family): the ≤k smallest DISTINCT hashes ascending,
+    * O(k) state, mergeable map-side. Feed it md5_prefix60(key) and
+    * estimate distinct |keys| as (k−1)·2^60 / arr[k−1] — deterministic
+    * in the key set, hence cross-engine replicable (q103), unlike
+    * HLL-based approx_count_distinct.
+    */
+  def bottom_k_distinct(c: Column, k: Int): Column =
+    col(org.apache.spark.sql.graft.BottomKDistinctAggregate(ex(c), k)
+      .toAggregateExpression())
+
   /** Sketch/heap aggregates take size parameters as integer literals
     * in SQL (`freq_items(tok, 256)`); anything non-foldable is a user
     * error worth a clear message, not an analysis mystery.
@@ -149,6 +160,10 @@ object geo {
       classOf[org.apache.spark.sql.graft.TopKByAggregate].getName,
       es => org.apache.spark.sql.graft.TopKByAggregate(es(0), es(1),
         intArg(es(2), "top_k_by k"))),
+    ("bottom_k_distinct",
+      classOf[org.apache.spark.sql.graft.BottomKDistinctAggregate].getName,
+      es => org.apache.spark.sql.graft.BottomKDistinctAggregate(es(0),
+        intArg(es(1), "bottom_k_distinct k"))),
     ("bloom_agg",
       classOf[org.apache.spark.sql.graft.BloomFilterAggregate].getName,
       es => org.apache.spark.sql.graft.BloomFilterAggregate(es(0),

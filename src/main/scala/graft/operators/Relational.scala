@@ -676,6 +676,51 @@ object Relational extends QueryPack {
         $"e.payload".as("o_orderkey"))
   }
 
+  // --- q103: KMV distinct-count sketch vs exact (cardinality census) ------
+  /** Bottom-k sketch size: 256 → expected relative error ≈
+    * 1/sqrt(k−2) ≈ 6% (Beyer et al., SIGMOD 2007).
+    */
+  private val KmvK = 256
+
+  /** Approximate distinct customers per order priority via the KMV
+    * bottom-k sketch ([[graft.functions.geo.bottom_k_distinct]]),
+    * side-by-side with the exact count — the cardinality census a
+    * reader holds the sketch to.
+    *
+    * Scale shape: the sketch is O(k) state per group with map-side
+    * partial merges — at 100 TB it replaces count(distinct key)'s
+    * full shuffle of every distinct key with k longs per partition
+    * per group. The estimate (k−1)·2^60 / h_k is a pure function of
+    * the distinct KEY SET (deterministic md5-prefix hash, dedup in
+    * the sketch), so both engines compute the identical estimate —
+    * an approximate operator under the exact-correctness gate.
+    * Groups smaller than k fall back to |sketch| = exact. The exact
+    * twin rides alongside only for the census; the sketch never
+    * needs it.
+    */
+  def q103KmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.geo.{bottom_k_distinct, md5_prefix60}
+    Tables.orders(s, dir)
+      .select($"o_orderpriority".as("grp"), $"o_custkey",
+        md5_prefix60($"o_custkey".cast("string")).as("hv"))
+      .groupBy($"grp")
+      .agg(countDistinct($"o_custkey").as("n_exact"),
+        bottom_k_distinct($"hv", KmvK).as("bk"))
+      // h_k scaled by 2^60 (both factors exact in a double); a sketch
+      // smaller than k saw every distinct hash — exact by definition
+      .withColumn("hk", try_element_at($"bk", lit(KmvK)))
+      .withColumn("est",
+        when($"hk".isNull || $"hk" === 0L, $"n_exact".cast("double"))
+          .otherwise(lit((KmvK - 1).toDouble) * lit(1152921504606846976.0)
+            / $"hk".cast("double")))
+      .select($"grp", $"n_exact",
+        graft.core.Exact.dround($"est", 1).as("n_est"),
+        graft.core.Exact.dround(
+          abs($"est" - $"n_exact".cast("double")) / $"n_exact".cast("double"),
+          4).as("rel_err"))
+  }
+
   // --- q43: cube (full grouping-set lattice over two dims) ----------------
   def q43Cube(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -740,9 +785,32 @@ object Relational extends QueryPack {
     "q59_pivot"         -> (q59Pivot _),
     "q60_unpivot"       -> (q60Unpivot _),
     "q14_having_join"   -> (q14HavingJoin _),
+    "q103_kmv_distinct" -> (q103KmvDistinct _),
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q103_kmv_distinct" ->
+      // the sketch is a pure function of the distinct hash set, so SQL
+      // replays it literally: k-th smallest distinct hash per group
+      // (rn=256), estimate 255*2^60/h_k, exact fallback under k
+      s"""WITH h AS (SELECT DISTINCT o_orderpriority AS grp, o_custkey,
+         |  CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+         |    AS BIGINT) AS hv
+         | FROM orders),
+         |r AS (SELECT grp, hv,
+         |  row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn FROM h),
+         |k AS (SELECT grp, MAX(CASE WHEN rn = 256 THEN hv END) AS hk,
+         |  COUNT(*) AS nd FROM r GROUP BY 1),
+         |e AS (SELECT grp, nd,
+         |  CASE WHEN hk IS NULL OR hk = 0 THEN CAST(nd AS DOUBLE)
+         |   ELSE 255.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE) END AS est
+         | FROM k)
+         |SELECT grp, nd AS n_exact,
+         | ${graft.core.Exact.sqlDround("est", 1)} AS n_est,
+         | ${graft.core.Exact.sqlDround(
+               "ABS(est - CAST(nd AS DOUBLE)) / CAST(nd AS DOUBLE)", 4)}
+         |   AS rel_err
+         |FROM e""".stripMargin,
     "q40_range_join" ->
       """WITH tiers(tier, lo, hi) AS (VALUES
         | ('small', 0.0, 1000.0), ('mid', 1000.0, 50000.0),

@@ -56,4 +56,55 @@ class TopKAggSpec extends SparkTestBase {
     assert(rows("a") == Seq((3.0, "w"), (3.0, "x"), (1.0, "y")))
     assert(rows("b") == Seq((2.0, null)))
   }
+
+  // --- bottom_k_distinct (KMV sketch, q103's engine) ----------------------
+
+  test("bottom_k_distinct: dedup, ground-truth bottom-k, partition invariance") {
+    import spark.implicits._
+    import graft.functions.geo.bottom_k_distinct
+    // heavy repetition: 5000 rows over 500 distinct values — duplicates
+    // must occupy ONE slot or the retained set creeps upward
+    val vals = (0 until 5000).map(i => (i % 500) * 1000003L + 17L)
+    val df = vals.toDF("h")
+    val got = df.agg(bottom_k_distinct($"h", 64).as("bk"))
+      .head().getSeq[Long](0)
+    val truth = vals.distinct.sorted.take(64)
+    assert(got == truth, "sketch must be the exact bottom-64 distinct set")
+    // merge path: a different physical layout yields the identical set
+    val rep = df.repartition(13).agg(bottom_k_distinct($"h", 64))
+      .head().getSeq[Long](0)
+    assert(rep == truth)
+    // under-k group keeps every distinct value (the exact-fallback case)
+    val small = df.filter($"h" < 50L * 1000003L)
+      .agg(bottom_k_distinct($"h", 256)).head().getSeq[Long](0)
+    assert(small == vals.distinct.sorted.filter(_ < 50L * 1000003L))
+  }
+
+  test("bottom_k_distinct: KMV estimate lands inside the error band") {
+    import spark.implicits._
+    import graft.functions.geo.{bottom_k_distinct, md5_prefix60}
+    // 10,000 distinct keys, k=256: expected rel error ~1/sqrt(254)≈6%;
+    // assert a generous 4-sigma band so the test pins the estimator,
+    // not the draw
+    val n = 10000
+    val df = (1 to n).map(_.toString).toDF("key")
+      .select(md5_prefix60($"key").as("h"))
+    val bk = df.agg(bottom_k_distinct($"h", 256)).head().getSeq[Long](0)
+    assert(bk.length == 256)
+    val est = 255.0 * 1152921504606846976.0 / bk.last.toDouble
+    assert(math.abs(est - n) / n < 0.25, s"estimate $est vs $n")
+  }
+
+  test("bottom_k_distinct: SQL registration and two-phase plan") {
+    graft.functions.geo.register(spark)
+    graft.core.Tables.orders(spark, sfDir).createOrReplaceTempView("t_orders")
+    val df = spark.sql(
+      """SELECT o_orderstatus,
+        |  bottom_k_distinct(md5_prefix60(CAST(o_custkey AS STRING)), 8) bk
+        |FROM t_orders GROUP BY 1""".stripMargin)
+    assert(df.collect().forall(_.getSeq[Long](1).length == 8))
+    // rides ObjectHashAggregate with map-side partials, like top_k_by
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ObjectHashAggregate"), p.take(1500))
+  }
 }
