@@ -226,6 +226,53 @@ object AnomalyStream {
       }
   }
 
+  case class KeyHash(key: String, hv: Long)
+  case class DistinctEst(key: String, seen: Long, sketch_size: Long,
+      n_est: Double)
+
+  /** Streaming twin of batch q103: the SAME KMV bottom-k sketch
+    * ([[org.apache.spark.sql.graft.BottomKSet]]) carried as keyed
+    * stream state — O(k) longs per key regardless of stream length,
+    * where exact streaming count-distinct state grows with the key
+    * space. Feed it (group key, md5_prefix60-hash) rows; each batch
+    * folds its hashes into the sketch and emits the current estimate
+    * snapshot tagged with `seen` (rows absorbed so far), so consumers
+    * read the latest snapshot per key as max-seen — the
+    * [[heavyHittersStream]] contract.
+    *
+    * Replay stability is UNCONDITIONAL here, unlike the arrival-order-
+    * dependent detectors ([[semDedupStream]]'s documented caveat): the
+    * retained set is a pure function of the SET of hashes seen —
+    * insertion-order- and batch-slicing-free — so any re-slicing of
+    * the same events yields byte-identical final state, and the final
+    * snapshot equals the batch `bottom_k_distinct` aggregate over the
+    * same rows (StreamingSpec pins both). Estimate = (k−1)·2^60/h_k
+    * once the sketch holds k hashes; below k the sketch IS the exact
+    * distinct count.
+    */
+  def distinctStream(rows: Dataset[KeyHash], k: Int = 256)
+      : Dataset[DistinctEst] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.key)
+      .flatMapGroupsWithState[(Array[Long], Long), DistinctEst](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key, it, state) =>
+          val (saved, seen0) = state.getOption.getOrElse(
+            (Array.empty[Long], 0L))
+          val buf = new org.apache.spark.sql.graft.BottomKSet(k)
+          saved.foreach(buf.add)
+          var n = 0L
+          it.foreach { r => buf.add(r.hv); n += 1 }
+          val seen = seen0 + n
+          val vs = buf.sortedValues
+          state.update((vs, seen))
+          val est =
+            if (vs.length < k || vs.last == 0L) vs.length.toDouble
+            else (k - 1).toDouble * 1152921504606846976.0 / vs.last.toDouble
+          Iterator.single(DistinctEst(key, seen, vs.length.toLong, est))
+      }
+  }
+
   case class RetentionHit(user_id: Long, cohort_day: Long,
       week_offset: Long)
 

@@ -610,6 +610,53 @@ class StreamingSpec extends SparkTestBase {
       a.view.mapValues(d => (d.rep, d.kept, d.cos_rep)).toMap)
   }
 
+  test("distinctStream: KMV state is slicing-invariant and the final " +
+    "snapshot equals the batch bottom_k_distinct aggregate") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.streaming.AnomalyStream
+    import AnomalyStream.{DistinctEst, KeyHash}
+    // 300 distinct hashes for key "a" (with every value fed TWICE —
+    // dedup must hold across the stream), 20 for key "b" (sub-k exact
+    // regime); k=64 so "a" saturates the sketch
+    val aVals = (1 to 300).map(i => i * 1000003L + 7L)
+    val bVals = (1 to 20).map(i => i * 999983L + 5L)
+    val rows = aVals.flatMap(v => Seq(KeyHash("a", v), KeyHash("a", v))) ++
+      bVals.map(v => KeyHash("b", v))
+    def run(name: String, slices: Seq[Seq[KeyHash]]): Map[String, DistinctEst] = {
+      val input = MemoryStream[KeyHash]
+      val q = AnomalyStream.distinctStream(input.toDS(), k = 64)
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try slices.foreach { s => input.addData(s: _*); q.processAllAvailable() }
+      finally spark.streams.active.foreach(_.stop())
+      // latest snapshot per key = max seen (the documented contract)
+      spark.table(name).as[DistinctEst].collect()
+        .groupBy(_.key).view.mapValues(_.maxBy(_.seen)).toMap
+    }
+    val oneShot = run("kmv_one", Seq(rows))
+    val sliced = run("kmv_sliced",
+      Seq(rows.take(100), rows.slice(100, 170), rows.drop(170)))
+    // the KMV set is a pure function of the hash SET: any re-slicing
+    // of the same rows lands on the identical final estimate
+    for (k <- Seq("a", "b"))
+      assert((oneShot(k).sketch_size, oneShot(k).n_est) ==
+        (sliced(k).sketch_size, sliced(k).n_est), s"key $k diverged")
+    // sub-k regime is exact; saturated regime matches the closed form
+    // over the true bottom-64 (duplicates absorbed into one slot each)
+    assert(oneShot("b").sketch_size == 20 && oneShot("b").n_est == 20.0)
+    val h64 = aVals.sorted.apply(63)
+    assert(oneShot("a").sketch_size == 64)
+    assert(oneShot("a").n_est == 63.0 * 1152921504606846976.0 / h64)
+    assert(oneShot("a").seen == 600 && oneShot("b").seen == 20)
+    // and the stream's final sketch equals the BATCH aggregate's
+    val batch = rows.toDF("key", "hv").groupBy($"key")
+      .agg(graft.functions.geo.bottom_k_distinct($"hv", 64).as("bk"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(batch("a").length == 64 && batch("a").last == h64)
+    assert(batch("b").toSeq == bVals.sorted)
+  }
+
   test("streaming retention: cohort fixed at first activity, each week " +
     "offset emits once, state survives micro-batch boundaries") {
     import spark.implicits._
