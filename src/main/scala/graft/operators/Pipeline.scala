@@ -299,6 +299,97 @@ object Pipeline extends QueryPack {
       .write.mode("overwrite").parquet(path)
   }
 
+  // --- q104: URL canonicalization (web-corpus hygiene) ---------------------
+  /** Canonical form of an absolute URL (`scheme://host[/path][?q][#f]`)
+    * — the normalization every web-scale pipeline runs BEFORE exact
+    * URL dedup, since a crawl sees the same page under case variants,
+    * www prefixes, default ports, tracking params, shuffled query
+    * order, and fragments:
+    *
+    *   - scheme and host lowercased; a leading `www.` and an explicit
+    *     `:443` default port dropped from the host
+    *   - fragment dropped; trailing slash dropped (empty path → `/`)
+    *   - tracking params removed (`utm_*`, `fbclid=`, `gclid=`,
+    *     `ref=`), the surviving params SORTED so order is canonical
+    *
+    * Entirely codegen-friendly built-ins (split_part/filter/
+    * array_sort — no UDF, no regex), so canonicalization is per-row
+    * projection work with zero exchanges at any corpus size; the
+    * 100 TB dedup that follows is a hash groupBy on the canonical
+    * string (q25's shape). split_part returns '' on a missing part in
+    * BOTH engines, which the empty-param filter absorbs — so
+    * query-less and fragment-less URLs flow through one spelling.
+    */
+  def canonicalizeUrl(u: Column): Column = {
+    val noFrag = split_part(u, lit("#"), lit(1))
+    val base = split_part(noFrag, lit("?"), lit(1))
+    val qs = split_part(noFrag, lit("?"), lit(2))
+    val scheme = lower(split_part(base, lit("://"), lit(1)))
+    val rest = split_part(base, lit("://"), lit(2))
+    val hostPort = lower(split_part(rest, lit("/"), lit(1)))
+    val path0 = rest.substr(length(hostPort) + 1, length(rest))
+    val h1 = when(endswith(hostPort, lit(":443")),
+      hostPort.substr(lit(1), length(hostPort) - 4)).otherwise(hostPort)
+    val host = when(startswith(h1, lit("www.")),
+      h1.substr(lit(5), length(h1))).otherwise(h1)
+    val path = when(path0 === "", lit("/"))
+      .when(length(path0) > 1 && endswith(path0, lit("/")),
+        path0.substr(lit(1), length(path0) - 1))
+      .otherwise(path0)
+    val kept = array_join(array_sort(filter(split(qs, "&"), p =>
+      p =!= "" && !startswith(p, lit("utm_")) &&
+        !startswith(p, lit("fbclid=")) && !startswith(p, lit("gclid=")) &&
+        !startswith(p, lit("ref=")))), "&")
+    concat(scheme, lit("://"), host, path,
+      when(kept === "", lit("")).otherwise(concat(lit("?"), kept)))
+  }
+
+  /** Host of an already-canonical URL. */
+  def urlHost(canonical: Column): Column =
+    split_part(split_part(canonical, lit("://"), lit(2)), lit("/"), lit(1))
+
+  /** Per-domain URL dedup census over a deterministically messy URL
+    * family: each document synthesizes a raw URL whose case, www
+    * prefix, `:443`, trailing slash, tracking params, param ORDER and
+    * fragment all vary by doc_id residues while groups of 16 docs
+    * share the same logical page (`id = doc_id div 16`) — so
+    * canonicalization must collapse every variant family to one
+    * string. Output: per canonical domain, distinct raw vs distinct
+    * canonical URLs and the collapse ratio. The oracle rebuilds the
+    * same raw family and replays the same canonicalization in SQL, so
+    * every branch of [[canonicalizeUrl]] is hash-checked.
+    */
+  def q104UrlCanonical(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val g = expr("doc_id div 16").cast("string")
+    // page identity = (site g%20, page g): every 16-doc group shares
+    // BOTH, so its raw variants MUST collapse to one canonical string
+    // — the census proves the collapse (ratio ≫ 1), not just the
+    // string transforms
+    val site = concat(lit("site"), (expr("doc_id div 16") % 20).cast("string"))
+    val raw = concat(
+      when($"doc_id" % 2 === 0, lit("https")).otherwise(lit("HTTPS")),
+      lit("://"),
+      when($"doc_id" % 3 === 0, lit("WWW.")).otherwise(lit("")),
+      when($"doc_id" % 4 === 0, upper(site)).otherwise(site),
+      lit(".example.com"),
+      when($"doc_id" % 5 === 0, lit(":443")).otherwise(lit("")),
+      lit("/docs/item"),
+      when($"doc_id" % 7 === 0, lit("/")).otherwise(lit("")),
+      lit("?"),
+      when($"doc_id" % 2 === 0, concat(lit("id="), g, lit("&utm_source=feed")))
+        .otherwise(concat(lit("utm_campaign=x&id="), g)),
+      when($"doc_id" % 11 === 0, lit("#sec")).otherwise(lit("")))
+    Tables.documents(s, dir)
+      .select(raw.as("url"))
+      .withColumn("curl", canonicalizeUrl($"url"))
+      .groupBy(urlHost($"curl").as("domain"))
+      .agg(countDistinct($"url").as("n_raw"),
+        countDistinct($"curl").as("n_canonical"))
+      .withColumn("dedup_ratio", graft.core.Exact.dround(
+        $"n_raw".cast("double") / $"n_canonical".cast("double"), 4))
+  }
+
   // --- q57: end-to-end corpus recipe (compose the library's own ops) ------
   /** The full clean-corpus pass a pipeline user actually runs, composed
     * from this library's operators rather than re-implemented: exact
@@ -341,9 +432,68 @@ object Pipeline extends QueryPack {
     "q57_corpus_recipe" -> (q57CorpusRecipe _),
     "q94_shuffle_shard" -> (q94ShuffleShard _),
     "q96_zorder_layout" -> (q96ZorderLayout _),
+    "q104_url_canonical" -> (q104UrlCanonical _),
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q104_url_canonical" ->
+      // same raw family, same canonicalization replayed step by step
+      // (lower → :443 strip → www strip; empty-param filter absorbs
+      // the missing-query '' from split_part, both engines)
+      s"""WITH r0 AS (SELECT doc_id,
+         |  'site' || CAST((doc_id // 16) % 20 AS VARCHAR) AS site
+         | FROM documents),
+         |r AS (SELECT
+         |  (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END) || '://' ||
+         |  (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+         |  (CASE WHEN doc_id % 4 = 0 THEN upper(site) ELSE site END) ||
+         |  '.example.com' ||
+         |  (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END) ||
+         |  '/docs/item' ||
+         |  (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END) || '?' ||
+         |  (CASE WHEN doc_id % 2 = 0
+         |    THEN 'id=' || CAST(doc_id // 16 AS VARCHAR) || '&utm_source=feed'
+         |    ELSE 'utm_campaign=x&id=' || CAST(doc_id // 16 AS VARCHAR) END) ||
+         |  (CASE WHEN doc_id % 11 = 0 THEN '#sec' ELSE '' END) AS url
+         | FROM r0),
+         |s1 AS (SELECT url, split_part(url, '#', 1) AS nofrag FROM r),
+         |s2 AS (SELECT url,
+         |  split_part(nofrag, '?', 1) AS base,
+         |  split_part(nofrag, '?', 2) AS qs FROM s1),
+         |s3 AS (SELECT url, qs,
+         |  lower(split_part(base, '://', 1)) AS sch,
+         |  split_part(base, '://', 2) AS rest FROM s2),
+         |s4 AS (SELECT url, qs, sch,
+         |  lower(split_part(rest, '/', 1)) AS hp,
+         |  substring(rest, length(split_part(rest, '/', 1)) + 1,
+         |    length(rest)) AS path0 FROM s3),
+         |s5 AS (SELECT url, qs, sch, path0,
+         |  CASE WHEN ends_with(hp, ':443')
+         |   THEN substring(hp, 1, length(hp) - 4) ELSE hp END AS h1 FROM s4),
+         |s6 AS (SELECT url, qs, sch, path0,
+         |  CASE WHEN starts_with(h1, 'www.')
+         |   THEN substring(h1, 5, length(h1)) ELSE h1 END AS host FROM s5),
+         |s7 AS (SELECT url, sch, host,
+         |  CASE WHEN path0 = '' THEN '/'
+         |   WHEN length(path0) > 1 AND ends_with(path0, '/')
+         |    THEN substring(path0, 1, length(path0) - 1)
+         |   ELSE path0 END AS path,
+         |  array_to_string(list_sort(list_filter(string_split(qs, '&'),
+         |    p -> p <> '' AND NOT starts_with(p, 'utm_')
+         |     AND NOT starts_with(p, 'fbclid=')
+         |     AND NOT starts_with(p, 'gclid=')
+         |     AND NOT starts_with(p, 'ref='))), '&') AS kept FROM s6),
+         |c AS (SELECT url, host,
+         |  sch || '://' || host || path ||
+         |   (CASE WHEN kept = '' THEN '' ELSE '?' || kept END) AS curl
+         | FROM s7)
+         |SELECT host AS domain,
+         | COUNT(DISTINCT url) AS n_raw,
+         | COUNT(DISTINCT curl) AS n_canonical,
+         | ${graft.core.Exact.sqlDround(
+             "CAST(COUNT(DISTINCT url) AS DOUBLE) / CAST(COUNT(DISTINCT curl) AS DOUBLE)", 4)}
+         |   AS dedup_ratio
+         |FROM c GROUP BY 1""".stripMargin,
     "q96_zorder_layout" ->
       s"""WITH d AS (SELECT (user_id & 65535) AS u,
         |  (CAST(FLOOR(value) AS BIGINT) & 65535) AS v FROM events),

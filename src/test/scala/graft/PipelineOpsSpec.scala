@@ -540,6 +540,37 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(full == exact, s"full probe must equal exact top-10")
   }
 
+  // q104's CORRECTNESS row hash-checks every branch against DuckDB on
+  // the synthesized family; this pins the contract on hand-picked
+  // edges the family doesn't reach.
+  test("canonicalizeUrl: known-answer edges") {
+    import spark.implicits._
+    val cases = Seq(
+      // full variant soup collapses
+      ("HTTPS://WWW.Ex.COM:443/a/b/?utm_source=x&b=2&a=1#frag",
+        "https://ex.com/a/b?a=1&b=2"),
+      // bare host, no path/query/fragment -> root path
+      ("https://ex.com", "https://ex.com/"),
+      // non-default port PRESERVED (only :443 is default-stripped)
+      ("https://ex.com:8443/x", "https://ex.com:8443/x"),
+      // scheme distinction preserved (case-folded only)
+      ("HTTP://ex.com/x", "http://ex.com/x"),
+      // all params tracking -> query dropped entirely
+      ("https://ex.com/x?utm_a=1&gclid=z&fbclid=q&ref=h", "https://ex.com/x"),
+      // root slash is not a trailing slash
+      ("https://ex.com/?id=1", "https://ex.com/?id=1"),
+      // www only strips as a PREFIX label
+      ("https://wwwx.ex.com/p", "https://wwwx.ex.com/p"))
+    val got = cases.map(_._1).toDF("u")
+      .select(Pipeline.canonicalizeUrl(col("u"))).as[String].collect()
+    cases.map(_._2).zip(got).foreach { case (want, g) =>
+      assert(g == want, s"expected $want got $g") }
+    // idempotence: canonicalizing a canonical URL is identity
+    val again = cases.map(_._2).toDF("u")
+      .select(Pipeline.canonicalizeUrl(col("u"))).as[String].collect()
+    assert(again.toSeq == cases.map(_._2))
+  }
+
   // q102's CORRECTNESS row proves the 2-round census matches DuckDB;
   // these pin the Lloyd invariants the census rides on.
   test("q102 seeded k-means: total assignment, monotone objective, partition invariance") {
