@@ -408,4 +408,42 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortExec"), p.take(2000))
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
+
+  test("q102: k-means assignment is a broadcast projection — full-data " +
+    "exchanges only for the k-row update and the census, no Window") {
+    val p = plan(Similarity.q102KmeansClusters(spark, sfDir))
+    // an N×k row_number spelling would add a Window + a vec_id
+    // exchange per round; the packed-broadcast argmin adds none
+    assert(!p.contains("Window"), p.take(2000))
+    assert(p.contains("BroadcastExchange"), p.take(2000))
+    // hash exchanges: centroid update groupBy(cl) + census groupBy(cl)
+    // — the embedding column itself never hash-shuffles
+    val n = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(n <= 2, s"expected <=2 hash exchanges, got $n\n${p.take(3000)}")
+  }
+
+  test("q103: the KMV sketch rides ObjectHashAggregate — no Window, " +
+    "no per-group sort") {
+    val p = plan(Relational.q103KmvDistinct(spark, sfDir))
+    // the rank-window oracle spelling is for DuckDB only; the engine
+    // path must be sketch-in-aggregate
+    assert(p.contains("ObjectHashAggregate"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+  }
+
+  test("q104: canonicalization is in-row — one doc_id-only scan, no " +
+    "exchange before the census aggregation, no UDF") {
+    import graft.operators.Pipeline
+    val df = Pipeline.q104UrlCanonical(spark, sfDir)
+    val p = plan(df)
+    assert(fileScans(df) == 1, p.take(2000))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema"))
+    assert(readSchema.exists(l => l.contains("doc_id") && !l.contains("text")),
+      readSchema.toString)
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      p.take(2000))
+    // census = two countDistincts -> Expand + the usual two-phase
+    // aggregation; nothing else may shuffle
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"), p.take(2000))
+  }
 }
