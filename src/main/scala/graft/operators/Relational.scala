@@ -721,6 +721,71 @@ object Relational extends QueryPack {
           4).as("rel_err"))
   }
 
+  // --- q105: dataset-overlap census via KMV sketch algebra -----------------
+  /** The k smallest distinct values of the UNION of two key sets,
+    * computed from the two sketches ALONE — KMV's closed merge
+    * (dedup-concat, sort, trim). This is why the sketch earns its
+    * keep beyond q103: overlap between two datasets (crawl snapshots,
+    * time windows, dedup shards) WITHOUT joining or re-scanning
+    * either — sketch algebra on 2·k longs.
+    */
+  def kmvUnion(a: Column, b: Column, k: Int): Column =
+    slice(array_sort(array_distinct(concat(a, b))), 1, k)
+
+  /** KMV estimate from a sketch array: (k−1)·2^60 / h_k once the
+    * sketch is full; below k the sketch saw every distinct hash.
+    */
+  def kmvEstimate(bk: Column, k: Int): Column =
+    when(size(bk) < k, size(bk).cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976.0)
+        / element_at(bk, k).cast("double"))
+
+  /** Customer-set overlap between the early and late order books
+    * (split at 1997-01-01): per-side distinct-customer estimates from
+    * per-side sketches, union estimate from the MERGED sketch,
+    * intersection by inclusion–exclusion, Jaccard from the estimates —
+    * next to the exact truth for all four.
+    *
+    * Scale shape: ONE scan builds both sketches (groupBy side); the
+    * merge is a projection over two k-long arrays — at 100 TB, two
+    * crawls' overlap costs two sketch scans (or zero, if sketches are
+    * stored with the data) instead of a distinct-join of the key
+    * sets. The exact twin (countDistinct + both-sides key join) rides
+    * alongside only for the census. Inclusion–exclusion error
+    * compounds (~3× a single sketch's band at this overlap), which is
+    * the documented trade; the oracle checks the arithmetic exactly.
+    */
+  def q105KmvOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.geo.{bottom_k_distinct, md5_prefix60}
+    val K = KmvK
+    val ab = Tables.orders(s, dir).select(
+      when($"o_orderdate" < lit("1997-01-01").cast("timestamp"), "a")
+        .otherwise("b").as("side"),
+      $"o_custkey",
+      md5_prefix60($"o_custkey".cast("string")).as("hv"))
+    val sk = ab.groupBy($"side")
+      .agg(countDistinct($"o_custkey").as("nd"),
+        bottom_k_distinct($"hv", K).as("bk"))
+      .agg(min_by($"bk", $"side").as("bka"), max_by($"bk", $"side").as("bkb"),
+        min_by($"nd", $"side").as("na"), max_by($"nd", $"side").as("nb"))
+    val exact = ab.select($"side", $"o_custkey").distinct()
+      .groupBy($"o_custkey").agg(count(lit(1)).as("sides"))
+      .agg(sum(when($"sides" === 2, 1L).otherwise(0L)).as("inter_exact"))
+    val estA = kmvEstimate($"bka", K)
+    val estB = kmvEstimate($"bkb", K)
+    val estU = kmvEstimate(kmvUnion($"bka", $"bkb", K), K)
+    sk.crossJoin(exact)
+      .withColumn("ea", estA).withColumn("eb", estB).withColumn("eu", estU)
+      .withColumn("ei", greatest(lit(0.0), $"ea" + $"eb" - $"eu"))
+      .select($"na".as("n_a_exact"), $"nb".as("n_b_exact"), $"inter_exact",
+        graft.core.Exact.dround($"ea", 1).as("est_a"),
+        graft.core.Exact.dround($"eb", 1).as("est_b"),
+        graft.core.Exact.dround($"ei", 1).as("est_inter"),
+        graft.core.Exact.dround(try_divide($"ei", $"eu"), 4)
+          .as("jaccard_est"))
+  }
+
   // --- q43: cube (full grouping-set lattice over two dims) ----------------
   def q43Cube(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -786,9 +851,51 @@ object Relational extends QueryPack {
     "q60_unpivot"       -> (q60Unpivot _),
     "q14_having_join"   -> (q14HavingJoin _),
     "q103_kmv_distinct" -> (q103KmvDistinct _),
+    "q105_kmv_overlap"  -> (q105KmvOverlap _),
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q105_kmv_overlap" -> {
+      def est(bk: String) =
+        s"""CASE WHEN len($bk) < 256 THEN CAST(len($bk) AS DOUBLE)
+           | ELSE 255.0 * 1152921504606846976.0 / CAST($bk[256] AS DOUBLE)
+           | END""".stripMargin
+      // per-side sketches via rank windows, merge = dedup-concat-sort-
+      // trim (the same column algebra the engine runs), estimates and
+      // inclusion-exclusion replayed term by term
+      s"""WITH ab AS (SELECT DISTINCT
+         |  CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+         |   THEN 'a' ELSE 'b' END AS side,
+         |  o_custkey,
+         |  CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+         |    AS BIGINT) AS hv
+         | FROM orders),
+         |r AS (SELECT side, hv,
+         |  row_number() OVER (PARTITION BY side ORDER BY hv) AS rn,
+         |  COUNT(*) OVER (PARTITION BY side) AS nd FROM ab),
+         |sk AS (SELECT side, MAX(nd) AS nd,
+         |  list(hv ORDER BY hv) FILTER (WHERE rn <= 256) AS bk
+         | FROM r GROUP BY side),
+         |w AS (SELECT arg_min(nd, side) AS na, arg_max(nd, side) AS nb,
+         |  arg_min(bk, side) AS bka, arg_max(bk, side) AS bkb FROM sk),
+         |u AS (SELECT na, nb, bka, bkb,
+         |  (list_sort(list_distinct(bka || bkb)))[1:256] AS bku FROM w),
+         |e AS (SELECT na, nb,
+         |  ${est("bka")} AS ea, ${est("bkb")} AS eb, ${est("bku")} AS eu
+         | FROM u),
+         |ex AS (SELECT COUNT(*) AS inter_exact FROM
+         |  (SELECT o_custkey FROM ab GROUP BY o_custkey
+         |   HAVING COUNT(*) = 2)),
+         |f AS (SELECT na, nb, inter_exact, ea, eb, eu,
+         |  greatest(0.0, ea + eb - eu) AS ei FROM e CROSS JOIN ex)
+         |SELECT na AS n_a_exact, nb AS n_b_exact, inter_exact,
+         | ${graft.core.Exact.sqlDround("ea", 1)} AS est_a,
+         | ${graft.core.Exact.sqlDround("eb", 1)} AS est_b,
+         | ${graft.core.Exact.sqlDround("ei", 1)} AS est_inter,
+         | ${graft.core.Exact.sqlDround("ei / NULLIF(eu, 0)", 4)}
+         |   AS jaccard_est
+         |FROM f""".stripMargin
+    },
     "q103_kmv_distinct" ->
       // the sketch is a pure function of the distinct hash set, so SQL
       // replays it literally: k-th smallest distinct hash per group

@@ -95,6 +95,26 @@ class TopKAggSpec extends SparkTestBase {
     assert(math.abs(est - n) / n < 0.25, s"estimate $est vs $n")
   }
 
+  test("kmv union algebra: merging two sketches equals sketching the union") {
+    import spark.implicits._
+    import graft.functions.geo.{bottom_k_distinct, md5_prefix60}
+    import graft.operators.Relational
+    // two overlapping key sets, each > k distinct
+    val a = (1 to 900).map(i => ("a", s"k$i"))
+    val b = (600 to 1500).map(i => ("b", s"k$i"))
+    val df = (a ++ b).toDF("side", "key")
+      .select($"side", md5_prefix60($"key").as("hv"))
+    val sk = df.groupBy($"side").agg(bottom_k_distinct($"hv", 64).as("bk"))
+      .agg(min_by($"bk", $"side").as("bka"), max_by($"bk", $"side").as("bkb"))
+      .select(Relational.kmvUnion($"bka", $"bkb", 64).as("merged"))
+      .head().getSeq[Long](0)
+    // ground truth: the sketch built from the union's rows directly —
+    // the closed-merge law that makes KMV sketches composable across
+    // shards/snapshots without re-scanning
+    val direct = df.agg(bottom_k_distinct($"hv", 64)).head().getSeq[Long](0)
+    assert(sk == direct, "merge(sketch(A), sketch(B)) must equal sketch(A∪B)")
+  }
+
   test("bottom_k_distinct: SQL registration and two-phase plan") {
     graft.functions.geo.register(spark)
     graft.core.Tables.orders(spark, sfDir).createOrReplaceTempView("t_orders")
