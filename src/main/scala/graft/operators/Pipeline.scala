@@ -390,6 +390,69 @@ object Pipeline extends QueryPack {
         $"n_raw".cast("double") / $"n_canonical".cast("double"), 4))
   }
 
+  // --- q106: fixed-iteration PageRank (web-graph quality signal) -----------
+  /** Power-iteration PageRank with EXACT cross-engine determinism: the
+    * per-edge contribution rank(src)/outdeg snaps to round(·2^20)
+    * integers before the per-destination sum (q77's rule — integer
+    * sums are associative, so partitioning cannot perturb the result),
+    * and the damping update is a fixed double expression — so the
+    * whole trajectory replays bit-identically in SQL, like q51's CC
+    * closure and q102's k-means. No dangling-mass redistribution
+    * (leaked mass is the documented simplification; both engines leak
+    * identically).
+    *
+    * Scale shape (per round): ranks⨝edges on src (one hash exchange
+    * pair) + a per-dst aggregation (one more) — the canonical
+    * distributed PR round; nodes without in-links keep the (1−d) base
+    * via the left join back to the node set. Rounds are jobs (q51's
+    * loop rule: checkpoint between rounds at depth; 2 rounds here).
+    *
+    * nodes: (id LONG); edges: (src LONG, dst LONG) — a MULTIGRAPH
+    * (duplicate edges each carry mass, outdeg counts them).
+    */
+  def pagerankFixed(nodes: DataFrame, edges: DataFrame, iters: Int,
+      damping: Double = 0.85): DataFrame = {
+    import nodes.sparkSession.implicits._
+    val outdeg = edges.groupBy($"src").agg(count(lit(1)).as("od"))
+    val e = edges.join(outdeg, "src")
+    (1 to iters).foldLeft(
+      nodes.select($"id", lit(1.0).as("rank"))) { (r, _) =>
+      val contrib = e.join(r, e("src") === r("id"))
+        .select($"dst",
+          round($"rank" / $"od" * 1048576.0).cast("long").as("q"))
+        .groupBy($"dst").agg(sum($"q").as("qs"))
+      nodes.join(contrib, nodes("id") === contrib("dst"), "left")
+        .select(nodes("id"),
+          (lit(1.0 - damping) + lit(damping) *
+            (coalesce($"qs", lit(0L)).cast("double") / 1048576.0))
+            .as("rank"))
+    }
+  }
+
+  /** Top-10 PageRank census over a deterministic SKEWED citation
+    * graph rebuilt from doc_id alone (no stored edge list): every doc
+    * i ≥ 1 links to i div 2 (a chain funnel) and to the hub
+    * i % (1 + (i % 97)) — the varying modulus makes hub in-degree
+    * ~harmonically DECREASING in hub id, so the top ranks form a
+    * strict hierarchy the oracle must reproduce value by value (a
+    * degree-regular graph would rank everything equal and the census
+    * couldn't discriminate). 2 power iterations at d = 0.85. The
+    * page-importance signal CommonCrawl-derived corpora filter on,
+    * as a first-class operator.
+    */
+  def q106Pagerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nodes = Tables.documents(s, dir).select($"doc_id".as("id"))
+    val edges = nodes.filter($"id" >= 1L)
+      .select($"id".as("src"), expr("id div 2").as("dst"))
+      .unionAll(nodes.filter($"id" >= 1L)
+        .select($"id".as("src"), expr("id % (1 + (id % 97))").as("dst")))
+    pagerankFixed(nodes, edges, iters = 2)
+      .select($"id".as("doc_id"), graft.core.Exact.dround($"rank", 6).as("rank"))
+      .orderBy(graft.core.Exact.dround($"rank", 6).desc, $"doc_id".asc)
+      .limit(10)
+  }
+
   // --- q57: end-to-end corpus recipe (compose the library's own ops) ------
   /** The full clean-corpus pass a pipeline user actually runs, composed
     * from this library's operators rather than re-implemented: exact
@@ -433,9 +496,38 @@ object Pipeline extends QueryPack {
     "q94_shuffle_shard" -> (q94ShuffleShard _),
     "q96_zorder_layout" -> (q96ZorderLayout _),
     "q104_url_canonical" -> (q104UrlCanonical _),
+    "q106_pagerank"     -> (q106Pagerank _),
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q106_pagerank" ->
+      // two unrolled power iterations; contributions snapped to
+      // round(rank/od * 2^20) BIGINTs before the per-dst sum (exact/
+      // associative), damping spelled (1.0 - 0.85) — NOT the literal
+      // 0.15, which is a DIFFERENT double — so every rank double is
+      // bit-identical to the engine's
+      s"""WITH n AS (SELECT doc_id AS id FROM documents),
+         |e AS (SELECT id AS src, id // 2 AS dst FROM n WHERE id >= 1
+         |  UNION ALL SELECT id, id % (1 + (id % 97)) FROM n WHERE id >= 1),
+         |od AS (SELECT src, COUNT(*) AS od FROM e GROUP BY 1),
+         |e2 AS (SELECT e.src, e.dst, od.od FROM e JOIN od USING (src)),
+         |c1 AS (SELECT dst,
+         |  SUM(CAST(ROUND(1.0 / od * 1048576.0) AS BIGINT)) AS qs
+         | FROM e2 GROUP BY 1),
+         |r1 AS (SELECT n.id, (1.0 - 0.85) + 0.85 *
+         |  (CAST(COALESCE(c1.qs, 0) AS DOUBLE) / 1048576.0) AS rank
+         | FROM n LEFT JOIN c1 ON n.id = c1.dst),
+         |c2 AS (SELECT e2.dst,
+         |  SUM(CAST(ROUND(r1.rank / e2.od * 1048576.0) AS BIGINT)) AS qs
+         | FROM e2 JOIN r1 ON e2.src = r1.id GROUP BY 1),
+         |r2 AS (SELECT n.id, (1.0 - 0.85) + 0.85 *
+         |  (CAST(COALESCE(c2.qs, 0) AS DOUBLE) / 1048576.0) AS rank
+         | FROM n LEFT JOIN c2 ON n.id = c2.dst)
+         |SELECT id AS doc_id,
+         | ${graft.core.Exact.sqlDround("rank", 6)} AS rank
+         |FROM r2
+         |ORDER BY ${graft.core.Exact.sqlDround("rank", 6)} DESC, id ASC
+         |LIMIT 10""".stripMargin,
     "q104_url_canonical" ->
       // same raw family, same canonicalization replayed step by step
       // (lower → :443 strip → www strip; empty-param filter absorbs

@@ -571,6 +571,42 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(again.toSeq == cases.map(_._2))
   }
 
+  // q106's CORRECTNESS row proves the 2-round trajectory matches
+  // DuckDB; these pin the operator's own invariants.
+  test("pagerankFixed: known-answer chain, totality, base rank, " +
+    "mass bound, partition invariance") {
+    import spark.implicits._
+    // hand graph: A(1)→B(2), B→C(3), C dangling
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val r1 = Pipeline.pagerankFixed(nodes, edges, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // one round from uniform 1.0: in-less A = base 0.15; B and C each
+    // receive one full rank (outdeg 1, snap exact at 2^20)
+    assert(r1(1L) == 0.15000000000000002 || r1(1L) == 1.0 - 0.85)
+    assert(r1(2L) == r1(3L) && math.abs(r1(2L) - 1.0) < 1e-12)
+    // real corpus: every node ranked, base floor holds, dangling mass
+    // only LEAKS (total <= N)
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val n = docs.count()
+    val nodesAll = docs.select(col("doc_id").as("id"))
+    val edgesAll = nodesAll.filter(col("id") >= 1L)
+      .select(col("id").as("src"), expr("id div 2").as("dst"))
+    val pr = Pipeline.pagerankFixed(nodesAll, edgesAll, iters = 3)
+    assert(pr.count() == n)
+    val base = 1.0 - 0.85
+    assert(pr.filter(col("rank") < base - 1e-9).count() == 0)
+    val total = pr.agg(sum(col("rank"))).head().getDouble(0)
+    assert(total <= n + 1e-6, s"mass must not be created: $total > $n")
+    // integer-snapped contributions make the trajectory partitioning-
+    // invariant
+    val pr2 = Pipeline.pagerankFixed(
+      nodesAll.repartition(7), edgesAll.repartition(5), iters = 3)
+    val m1 = pr.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val m2 = pr2.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m1 == m2)
+  }
+
   // q102's CORRECTNESS row proves the 2-round census matches DuckDB;
   // these pin the Lloyd invariants the census rides on.
   test("q102 seeded k-means: total assignment, monotone objective, partition invariance") {
