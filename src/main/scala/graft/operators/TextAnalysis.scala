@@ -750,6 +750,70 @@ object TextAnalysis extends QueryPack {
             sum(when($"kept", 1L).otherwise(0L)), 4).as("kept_avg_quality"))
   }
 
+  // --- q107: BPE merge induction (tokenizer training) ----------------------
+  /** The first K merges of byte-pair encoding learned from the corpus
+    * — tokenizer TRAINING as a relational pipeline (Sennrich et al.
+    * 2016; the BPE-ish segmentation q24 APPLIES a fixed rule, this
+    * LEARNS the rules). Each round: count adjacent symbol pairs over
+    * the word vocabulary (weighted by word frequency), pick the most
+    * frequent (ties → lexicographically smallest pair), merge it
+    * everywhere, repeat.
+    *
+    * Exactness device: a word's symbol sequence is rendered as a
+    * `|`-delimited string (`"ab c" word "abc"` → `|a||b||c|`), so one
+    * merge is ONE `replace('|a||b|' → '|ab|')` — and SQL replace is
+    * left-to-right non-overlapping in BOTH engines, which is exactly
+    * BPE's merge-application order (`aaa` under (a,a) → [aa, a], the
+    * boundary-doubling makes overlaps unrepresentable). Pair counts
+    * are integers, tie-breaks total — the full merge TRAJECTORY
+    * hash-matches the oracle. Contract: symbols must not contain the
+    * separator (production pipelines use an out-of-band byte).
+    *
+    * Scale shape: ONE corpus-sized aggregation (word → frequency, the
+    * exchange every BPE trainer starts with); every round after runs
+    * on the VOCABULARY (pair explode bounded by vocab × max word
+    * length, best pair = TakeOrdered(1), merge = a broadcast 1-row
+    * crossJoin + per-row replace). The vocab frame is cached once —
+    * rounds cost vocab-sized work, never a corpus re-scan; at 100 TB
+    * the vocab table is the classic heavy-agg-then-tiny-loop shape.
+    */
+  def bpeMerges(docs: DataFrame, k: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    val words = docs
+      .select(explode(split($"text", " ")).as("w"))
+      .filter($"w" =!= "")
+      .groupBy($"w").agg(count(lit(1)).as("cnt"))
+      .select(concat(lit("|"),
+        array_join(filter(split($"w", ""), c => c =!= ""), "||"),
+        lit("|")).as("repr"), $"cnt")
+      .cache()
+    def bestPair(vocab: DataFrame, round: Int): DataFrame =
+      vocab.select($"cnt", split(trim($"repr", "|"), "\\|\\|").as("sy"))
+        .filter(size($"sy") >= 2)
+        .select($"cnt", explode(expr(
+          "transform(sequence(1, size(sy) - 1), i -> " +
+            "struct(sy[i-1] AS a, sy[i] AS b))")).as("p"))
+        .groupBy($"p.a".as("a"), $"p.b".as("b"))
+        .agg(sum($"cnt").as("pair_count"))
+        .orderBy($"pair_count".desc, $"a".asc, $"b".asc).limit(1)
+        .select(lit(round.toLong).as("round"), $"a", $"b", $"pair_count")
+    def merge(vocab: DataFrame, best: DataFrame): DataFrame =
+      vocab.crossJoin(broadcast(best.select($"a", $"b")))
+        .select(expr("replace(repr, '|' || a || '||' || b || '|', " +
+          "'|' || a || b || '|')").as("repr"), $"cnt")
+    val (_, bests) = (1 to k).foldLeft((words, Seq.empty[DataFrame])) {
+      case ((vocab, acc), r) =>
+        val b = bestPair(vocab, r)
+        (merge(vocab, b), acc :+ b)
+    }
+    bests.reduce(_ unionByName _)
+      .select($"round", $"a".as("left_sym"), $"b".as("right_sym"),
+        $"pair_count")
+  }
+
+  def q107BpeMerges(s: SparkSession, dir: String): DataFrame =
+    bpeMerges(Tables.documents(s, dir), 3)
+
   // --- q45: deterministic stratified sampling ------------------------------
   /** Reproducible ~20% sample per language stratum: membership =
     * md5-derived bucket of doc_id — re-runs, engines, and partitionings
@@ -854,6 +918,7 @@ object TextAnalysis extends QueryPack {
     "q95_lm_quality"         -> (q95LmQuality _),
     "q76_tfidf_terms"        -> (q76TfIdfTerms _),
     "q81_weighted_sample"    -> (q81WeightedSample _),
+    "q107_bpe_merges"        -> (q107BpeMerges _),
     "q19_email_parse" -> (q19EmailParse _),
     "q20_html_strip"  -> (q20HtmlStrip _),
     "q21_token_stats" -> (q21TokenStats _),
@@ -875,7 +940,41 @@ object TextAnalysis extends QueryPack {
        |     x -> x IN ($stopListSql)))
        |    / len(string_split(text, ' '))) * CAST(0.5 AS DOUBLE)) AS DECIMAL(28,10)), 4) AS DOUBLE)""".stripMargin
 
+  /** One BPE round in SQL: pair counts from the symbol split of vIn,
+    * best pair (count desc, pair asc), merged vocab vOut — the same
+    * delimiter-string replace the engine runs. Series bound 32 covers
+    * the corpus's ≤8-char words with margin; the `i <= len(sy)-1`
+    * guard is the real bound.
+    */
+  private def bpeRoundSql(r: Int, vIn: String): String =
+    s"""p$r AS (SELECT sy[i] AS a, sy[i+1] AS b,
+       |  CAST(SUM(cnt) AS BIGINT) AS pair_count
+       | FROM (SELECT string_split(trim(repr, '|'), '||') AS sy, cnt
+       |   FROM $vIn),
+       |  generate_series(1, 32) g(i) WHERE i <= len(sy) - 1
+       | GROUP BY 1, 2),
+       |b$r AS (SELECT CAST($r AS BIGINT) AS round, a, b, pair_count
+       | FROM p$r ORDER BY pair_count DESC, a, b LIMIT 1),
+       |v${r + 1} AS (SELECT replace(repr,
+       |  '|' || b$r.a || '||' || b$r.b || '|',
+       |  '|' || b$r.a || b$r.b || '|') AS repr, cnt
+       | FROM $vIn CROSS JOIN b$r)""".stripMargin
+
   override def oracleSql: Map[String, String] = Map(
+    "q107_bpe_merges" ->
+      s"""WITH w AS (SELECT w, COUNT(*) AS cnt FROM
+         |  (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         | WHERE w <> '' GROUP BY 1),
+         |v1 AS (SELECT '|' || array_to_string(string_split(w, ''), '||')
+         |  || '|' AS repr, cnt FROM w),
+         |${bpeRoundSql(1, "v1")},
+         |${bpeRoundSql(2, "v2")},
+         |${bpeRoundSql(3, "v3")}
+         |SELECT round, a AS left_sym, b AS right_sym, pair_count FROM b1
+         |UNION ALL
+         |SELECT round, a, b, pair_count FROM b2
+         |UNION ALL
+         |SELECT round, a, b, pair_count FROM b3""".stripMargin,
     "q72_split_assign" ->
       """WITH b AS (SELECT lang, doc_id, n_chars,
         |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)

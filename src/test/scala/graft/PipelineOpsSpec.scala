@@ -571,6 +571,30 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(again.toSeq == cases.map(_._2))
   }
 
+  // q107's CORRECTNESS row proves the 3-merge trajectory matches
+  // DuckDB on the corpus; these pin BPE's semantics on hand data.
+  test("bpeMerges: hand-computed merges, non-overlapping application, " +
+    "partition invariance") {
+    import spark.implicits._
+    // vocab: aa x2, ab x1 -> round 1 merges (a,a) count 2; after the
+    // merge only (a,b) remains
+    val docs = Seq("aa ab", "aa").toDF("text")
+    val m = TextAnalysis.bpeMerges(docs, 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m.toSeq == Seq((1L, "a", "a", 2L), (2L, "a", "b", 1L)), m.toSeq)
+    // overlap: 'aaaa' has THREE adjacent (a,a) pairs (BPE counts
+    // adjacency) but merging left-to-right non-overlapping yields
+    // [aa, aa] — so round 2's top pair is (aa, aa), not (a, aa)
+    val m2 = TextAnalysis.bpeMerges(Seq("aaaa").toDF("text"), 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m2.toSeq == Seq((1L, "a", "a", 3L), (2L, "aa", "aa", 1L)), m2.toSeq)
+    // trajectory is deterministic under physical layout
+    val docsBig = graft.core.Tables.documents(spark, sfDir)
+    val t1 = TextAnalysis.bpeMerges(docsBig, 3).collect().toSeq
+    val t2 = TextAnalysis.bpeMerges(docsBig.repartition(7), 3).collect().toSeq
+    assert(t1.map(_.toSeq).toSet == t2.map(_.toSeq).toSet)
+  }
+
   // q106's CORRECTNESS row proves the 2-round trajectory matches
   // DuckDB; these pin the operator's own invariants.
   test("pagerankFixed: known-answer chain, totality, base rank, " +
