@@ -409,23 +409,35 @@ object Pipeline extends QueryPack {
     *
     * nodes: (id LONG); edges: (src LONG, dst LONG) — a MULTIGRAPH
     * (duplicate edges each carry mass, outdeg counts them).
+    *
+    * Unlike [[Similarity.kmeansFixed]] (whose per-round state is k
+    * centroid rows), the rank frame here is NODE-sized, so a deep run
+    * nests N-row joins `iters` levels deep: `checkpointEvery` breaks
+    * the lineage with a lazy localCheckpoint every that-many rounds
+    * (q51's loop rule; on a cluster, checkpoint(dir) is the
+    * executor-loss-safe spelling). Values are unchanged — the specs
+    * pin a checkpointed deep run against the pure-plan shallow
+    * composition.
     */
   def pagerankFixed(nodes: DataFrame, edges: DataFrame, iters: Int,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85, checkpointEvery: Int = 4): DataFrame = {
     import nodes.sparkSession.implicits._
     val outdeg = edges.groupBy($"src").agg(count(lit(1)).as("od"))
     val e = edges.join(outdeg, "src")
     (1 to iters).foldLeft(
-      nodes.select($"id", lit(1.0).as("rank"))) { (r, _) =>
+      nodes.select($"id", lit(1.0).as("rank"))) { (r, round0) =>
       val contrib = e.join(r, e("src") === r("id"))
         .select($"dst",
           round($"rank" / $"od" * 1048576.0).cast("long").as("q"))
         .groupBy($"dst").agg(sum($"q").as("qs"))
-      nodes.join(contrib, nodes("id") === contrib("dst"), "left")
+      val next = nodes.join(contrib, nodes("id") === contrib("dst"), "left")
         .select(nodes("id"),
           (lit(1.0 - damping) + lit(damping) *
             (coalesce($"qs", lit(0L)).cast("double") / 1048576.0))
             .as("rank"))
+      if (round0 % checkpointEvery == 0 && round0 < iters)
+        next.localCheckpoint(false)
+      else next
     }
   }
 

@@ -629,6 +629,15 @@ class PipelineOpsSpec extends SparkTestBase {
     val m1 = pr.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val m2 = pr2.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(m1 == m2)
+    // deep run: lineage truncation must not change a single rank —
+    // checkpointed every 2 rounds vs the pure nested-plan composition
+    val deepCk = Pipeline.pagerankFixed(nodesAll, edgesAll, iters = 6,
+      checkpointEvery = 2).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val deepNo = Pipeline.pagerankFixed(nodesAll, edgesAll, iters = 6,
+      checkpointEvery = 100).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(deepCk == deepNo)
   }
 
   // q102's CORRECTNESS row proves the 2-round census matches DuckDB;
