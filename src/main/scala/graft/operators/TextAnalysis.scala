@@ -44,6 +44,67 @@ object TextAnalysis extends QueryPack {
         ParseEmails.stripHtmlUdf($"html").as("stripped"))
   }
 
+  // --- q108: boilerplate block filtering (jusText-lite) --------------------
+  /** Block-level content-vs-boilerplate classification — the
+    * extraction stage between raw HTML and every text filter
+    * downstream (jusText, Pomikálek 2011; trafilatura's core loop):
+    * segment a page into blocks, score each by length and link
+    * density, keep the content blocks. q20 strips tags; this decides
+    * WHICH text survives.
+    *
+    * Classifier (jusText's two robust signals, fixed thresholds):
+    * content ⇔ n_words ≥ 5 AND link_density ≤ 0.3. Stopword density
+    * is computed alongside (the third jusText signal) for consumers
+    * that tune on it. All per-block work is array lambdas inside one
+    * projection — blocks explode narrowly (≤ blocks-per-page fanout),
+    * one per-doc aggregation, no other shuffle at any corpus size.
+    */
+  def boilerplateBlocks(pages: DataFrame): DataFrame = {
+    import pages.sparkSession.implicits._
+    val stopArr = array(stopwords.map(lit): _*)
+    pages
+      .select($"doc_id", posexplode(split($"page", "\n\n")))
+      .withColumn("ws", filter(split($"col", " "), w => w =!= ""))
+      .select($"doc_id", $"pos".cast("long").as("block"),
+        size($"ws").as("n_words"),
+        size(filter($"ws", w => startswith(w, lit("[a]"))))
+          .as("n_link_words"),
+        size(filter($"ws", w => array_contains(stopArr, w)))
+          .as("n_stop_words"))
+      .withColumn("content",
+        $"n_words" >= 5 &&
+          $"n_link_words".cast("double") / $"n_words" <= 0.3)
+  }
+
+  /** Per-document census over a deterministic 4-block page family:
+    * link-dense nav, two content halves of the real text, link-bearing
+    * footer — so the classifier must keep exactly the halves (short
+    * docs may legitimately fail the 5-word floor; the census records
+    * it rather than papering over it).
+    */
+  def q108Boilerplate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val half = expr("(size(toks) + 1) div 2")
+    val pages = Tables.documents(s, dir)
+      .withColumn("toks", split($"text", " "))
+      .select($"doc_id", concat_ws("\n\n",
+        lit("[a]Home [a]Products [a]About [a]Contact"),
+        array_join(slice($"toks", lit(1), half), " "),
+        array_join(slice($"toks", half + 1,
+          greatest(size($"toks") - half, lit(1))), " "),
+        lit("Copyright 2024 [a]Privacy [a]Terms")).as("page"))
+    boilerplateBlocks(pages)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when($"content", 1L).otherwise(0L)).as("n_content"),
+        sum(when($"content", $"n_words").otherwise(0L)).as("content_words"),
+        sum($"n_words").as("total_words"))
+      .withColumn("content_frac", graft.core.Exact.dround(
+        $"content_words".cast("double") / $"total_words".cast("double"), 4))
+      .select($"doc_id", $"n_blocks", $"n_content", $"content_words",
+        $"content_frac")
+  }
+
   // --- q21: token statistics (whitespace + BPE-ish subword units) --------
   private val subtokenRe = "[aeiou]+|[^aeiou ]+"
 
@@ -919,6 +980,7 @@ object TextAnalysis extends QueryPack {
     "q76_tfidf_terms"        -> (q76TfIdfTerms _),
     "q81_weighted_sample"    -> (q81WeightedSample _),
     "q107_bpe_merges"        -> (q107BpeMerges _),
+    "q108_boilerplate"       -> (q108Boilerplate _),
     "q19_email_parse" -> (q19EmailParse _),
     "q20_html_strip"  -> (q20HtmlStrip _),
     "q21_token_stats" -> (q21TokenStats _),
@@ -961,6 +1023,38 @@ object TextAnalysis extends QueryPack {
        | FROM $vIn CROSS JOIN b$r)""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "q108_boilerplate" ->
+      // same 4-block page family, same two-signal classifier; the
+      // 0/0 link-density of an empty block is NaN (Spark) vs NULL
+      // (DuckDB) but the length floor short-circuits first in both
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |  FROM documents),
+         |pg AS (SELECT doc_id,
+         |  '[a]Home [a]Products [a]About [a]Contact' ||
+         |   chr(10) || chr(10) ||
+         |  array_to_string(toks[1:(len(toks)+1)//2], ' ') ||
+         |   chr(10) || chr(10) ||
+         |  array_to_string(toks[((len(toks)+1)//2 + 1):len(toks)], ' ') ||
+         |   chr(10) || chr(10) ||
+         |  'Copyright 2024 [a]Privacy [a]Terms' AS page FROM d),
+         |b AS (SELECT doc_id,
+         |  unnest(string_split(page, chr(10) || chr(10))) AS blk FROM pg),
+         |m AS (SELECT doc_id,
+         |  list_filter(string_split(blk, ' '), w -> w <> '') AS ws FROM b),
+         |c AS (SELECT doc_id, len(ws) AS n_words,
+         |  (len(ws) >= 5 AND
+         |   CAST(len(list_filter(ws, w -> starts_with(w, '[a]')))
+         |     AS DOUBLE) / len(ws) <= 0.3) AS content
+         | FROM m)
+         |SELECT doc_id, COUNT(*) AS n_blocks,
+         | CAST(SUM(CASE WHEN content THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_content,
+         | CAST(SUM(CASE WHEN content THEN n_words ELSE 0 END) AS BIGINT)
+         |   AS content_words,
+         | ${graft.core.Exact.sqlDround(
+             "CAST(SUM(CASE WHEN content THEN n_words ELSE 0 END) AS DOUBLE)" +
+               " / CAST(SUM(n_words) AS DOUBLE)", 4)} AS content_frac
+         |FROM c GROUP BY 1""".stripMargin,
     "q107_bpe_merges" ->
       s"""WITH w AS (SELECT w, COUNT(*) AS cnt FROM
          |  (SELECT unnest(string_split(text, ' ')) AS w FROM documents)

@@ -571,6 +571,24 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(again.toSeq == cases.map(_._2))
   }
 
+  // q108's CORRECTNESS row hash-checks the census; this pins the
+  // per-block classifier on hand-picked edges.
+  test("boilerplateBlocks: length floor, link-density cut, empty block") {
+    import spark.implicits._
+    val blocks = Seq(
+      ("w w w w", false),                        // 4 words: under floor
+      ("the cat sat on the mat today", true),    // long, link-free
+      ("[a]x [a]y [a]z normal words here now", false), // 3/7 links > 0.3
+      ("[a]one plus four regular words", true),  // 1/5 links = 0.2
+      ("", false))                               // empty block
+    val pages = Seq((1L, blocks.map(_._1).mkString("\n\n")))
+      .toDF("doc_id", "page")
+    val got = TextAnalysis.boilerplateBlocks(pages)
+      .orderBy("block").collect().map(_.getAs[Boolean]("content"))
+    assert(got.toSeq == blocks.map(_._2),
+      s"per-block decisions: ${got.toSeq} vs ${blocks.map(_._2)}")
+  }
+
   // q107's CORRECTNESS row proves the 3-merge trajectory matches
   // DuckDB on the corpus; these pin BPE's semantics on hand data.
   test("bpeMerges: hand-computed merges, non-overlapping application, " +
