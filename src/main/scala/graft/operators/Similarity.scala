@@ -518,6 +518,51 @@ object Similarity extends QueryPack {
       .select($"cl".as("cluster"), $"n", $"avg_d2")
   }
 
+  // --- q109: int8 scalar quantization of the embedding column -------------
+  /** Symmetric per-vector scalar quantization to int8 — the standard
+    * 4× memory cut before an ANN index is sharded across a cluster
+    * (FAISS SQ8 family): scale = max|v|/127, code_j = round(v_j/scale)
+    * ∈ [−127, 127], dequant = code·scale. Everything is per-row
+    * projection work (zero exchanges before the census): quantize,
+    * dequantize, and the reconstruction error x·x − 2·x·x̂ + x̂·x̂ from
+    * the codegen'd sequential dot — bit-identical in both engines, so
+    * an approximation operator's ERROR SURFACE is itself under the
+    * exact gate. A zero vector (scale 0) quantizes to all-zero codes
+    * by definition, not by division accident.
+    *
+    * Census per label: vectors, worst/mean squared reconstruction
+    * error (mean via round(err·2^20) integer sums — q30's rule), and
+    * the max |code| as the in-range proof.
+    */
+  /** (vec_id, label, v, scale, code, deq, err, maxcode) for every
+    * vector — the quantize/dequantize/error pipeline [[q109QuantizeInt8]]
+    * censuses and SimilarityOps specs probe directly.
+    */
+  def quantizeInt8(emb: DataFrame): DataFrame = {
+    import emb.sparkSession.implicits._
+    val v = vec($"embedding")
+    val scale = (array_max(transform(v, x => abs(x))) / lit(127.0)).as("scale")
+    emb.select($"vec_id", $"label", v.as("v"), scale)
+      .withColumn("code", when($"scale" === 0.0,
+        transform($"v", _ => lit(0L)))
+        .otherwise(transform($"v", x => round(x / $"scale").cast("long"))))
+      .withColumn("deq", transform($"code", c => c.cast("double") * $"scale"))
+      .withColumn("err",
+        dot($"v", $"v") - lit(2.0) * dot($"v", $"deq") + dot($"deq", $"deq"))
+      .withColumn("maxcode", array_max(transform($"code", c => abs(c))))
+  }
+
+  def q109QuantizeInt8(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    quantizeInt8(Tables.embeddings(s, dir)).groupBy($"label")
+      .agg(count(lit(1)).as("n"),
+        max($"maxcode").as("max_code"),
+        graft.core.Exact.dround(max($"err"), 6).as("worst_err"),
+        graft.core.Exact.dround(
+          sum(round($"err" * 1048576.0).cast("long")).cast("double")
+            / (count(lit(1)) * 1048576.0), 6).as("mean_err"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_ann_brute_topk"   -> (q29BruteTopK _),
     "q30_ann_lsh_buckets"  -> (q30LshBuckets _),
@@ -527,6 +572,7 @@ object Similarity extends QueryPack {
     "q97_semdedup"         -> (q97SemDedup _),
     "q101_ann_ivf"         -> (q101AnnIvf _),
     "q102_kmeans_clusters" -> (q102KmeansClusters _),
+    "q109_quantize_int8"   -> (q109QuantizeInt8 _),
   )
 
   private val sqlDot =
@@ -671,6 +717,31 @@ object Similarity extends QueryPack {
          |     / (COUNT(*) * 1048576.0) AS DECIMAL(28,10)), 4) AS DOUBLE)
          |   AS avg_d2
          |FROM asg2 GROUP BY 1""".stripMargin,
+    "q109_quantize_int8" ->
+      // same per-vector scale, same rounding, same d2-form error —
+      // the approximation's error surface replayed exactly
+      s"""WITH q AS (SELECT vec_id, label,
+         |  CAST(embedding AS DOUBLE[]) AS v,
+         |  list_max(list_transform(CAST(embedding AS DOUBLE[]),
+         |    x -> abs(x))) / 127.0 AS scale
+         | FROM embeddings),
+         |c AS (SELECT vec_id, label, v, scale,
+         |  CASE WHEN scale = 0
+         |   THEN list_transform(v, x -> CAST(0 AS BIGINT))
+         |   ELSE list_transform(v, x -> CAST(ROUND(x / scale) AS BIGINT))
+         |   END AS code
+         | FROM q),
+         |d AS (SELECT label,
+         |  list_transform(code, x -> CAST(x AS DOUBLE) * scale) AS deq,
+         |  v, code FROM c),
+         |e AS (SELECT label, ${d2Sql("v", "deq")} AS err,
+         |  list_max(list_transform(code, x -> abs(x))) AS maxcode FROM d)
+         |SELECT label, COUNT(*) AS n, MAX(maxcode) AS max_code,
+         | ${graft.core.Exact.sqlDround("MAX(err)", 6)} AS worst_err,
+         | ${graft.core.Exact.sqlDround(
+             "CAST(SUM(CAST(ROUND(err * 1048576.0) AS BIGINT)) AS DOUBLE)" +
+               " / (COUNT(*) * 1048576.0)", 6)} AS mean_err
+         |FROM e GROUP BY 1""".stripMargin,
     "q50_ann_grid_cell" ->
       s"""WITH cells AS (SELECT vec_id, embedding, $cellSql AS cell
          |  FROM embeddings),

@@ -571,6 +571,39 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(again.toSeq == cases.map(_._2))
   }
 
+  // q109's CORRECTNESS row hash-checks the error census; these pin
+  // what the census can't see: range, degenerate input, and that the
+  // approximation still answers ANN queries.
+  test("int8 quantization: codes in range, zero vector safe, " +
+    "quantized top-10 preserves the exact answer") {
+    import spark.implicits._
+    import graft.core.Tables
+    val q = Similarity.quantizeInt8(Tables.embeddings(spark, sfDir)).cache()
+    // every code within int8 symmetric range
+    assert(q.filter(col("maxcode") > 127).count() == 0)
+    // a zero vector must produce all-zero codes by definition, not a
+    // division artifact
+    val z = Similarity.quantizeInt8(
+      Seq((999L, Array.fill(64)(0.0f), 0)).toDF("vec_id", "embedding", "label"))
+      .head()
+    assert(z.getAs[Seq[Long]]("code").forall(_ == 0L))
+    assert(z.getAs[Double]("err") == 0.0)
+    // ANN utility: cosine top-10 computed on DEQUANTIZED vectors
+    // recovers at least 8 of the exact top-10 (4x memory for ~no
+    // recall loss is the operator's whole pitch)
+    val exact = Similarity.q29BruteTopK(spark, sfDir).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val qv = q.filter(col("vec_id") === 0).select(col("deq")).head().getSeq[Double](0)
+    val approx = q.filter(col("vec_id") =!= 0)
+      .withColumn("cos", Similarity.cosine(col("deq"),
+        array(qv.map(lit): _*)))
+      .orderBy(col("cos").desc, col("vec_id").asc).limit(10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert((approx & exact).size >= 8,
+      s"quantized recall ${(approx & exact).size}/10")
+    q.unpersist()
+  }
+
   // q108's CORRECTNESS row hash-checks the census; this pins the
   // per-block classifier on hand-picked edges.
   test("boilerplateBlocks: length floor, link-density cut, empty block") {
