@@ -637,6 +637,100 @@ object TextAnalysis extends QueryPack {
       .limit(25)
   }
 
+  // --- q110: stupid-backoff trigram LM scoring ------------------------------
+  /** Trigram language-model scoring with STUPID BACKOFF (Brants et
+    * al. 2007, "Large Language Models in Machine Translation" — the
+    * scheme built FOR distributed corpus-scale counting, because it
+    * needs no discounting pass): per position,
+    *   S(w3|w1,w2) = c3/c2(w1,w2)            if the trigram was seen,
+    *               = 0.4 · c2(w2,w3)/c1(w2)  else if the bigram was,
+    *               = 0.4 · 0.4 · c1(w3)/N    otherwise.
+    * q75/q95 score with a bigram LM; this is the (n>2)-gram family
+    * CCNet's KenLM filter actually uses, with its backoff structure.
+    *
+    * Exactness: every S is a ratio (or 0.4-scaled ratio) of INTEGER
+    * counts — bit-identical doubles in both engines — and per-lang
+    * means snap each position's score to round(S·2^20) before the
+    * integer sum (q30's rule). Census also counts how many positions
+    * resolved at each backoff level — the model-coverage signal a
+    * corpus curator actually reads.
+    *
+    * Scale shape: count tables are VOCAB-bounded (≤|V|³ rows observed,
+    * far fewer in practice) and broadcast to the position stream; the
+    * stream itself is one narrow explode + one per-lang aggregation.
+    * The tokenized corpus frame is cached — the three train-split
+    * count tables and the eval-split position stream all read it
+    * (q46's scoped-cache rule — Verify/Bench clearCache after each
+    * query).
+    */
+  def q110StupidBackoff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // LM counts from the 80% train split, scoring on the held-out 20%
+    // (q72's md5 bucket split): scoring the corpus with its own counts
+    // would mark every trigram as seen and leave the backoff ladder
+    // dead — held-out scoring is both the honest census and the CCNet
+    // methodology (the filter LM is trained elsewhere)
+    val all = Tables.documents(s, dir)
+      .withColumn("toks", split($"text", " "))
+      .withColumn("bucket",
+        conv(substring(md5($"doc_id".cast("string")), 1, 6), 16, 10)
+          .cast("long") % 100)
+      .cache()
+    val docs = all.filter($"bucket" < 80)
+    val eval = all.filter($"bucket" >= 80)
+    def trigrams(d: DataFrame) = d.select($"lang", explode(expr(
+      """CASE WHEN size(toks) >= 3
+        | THEN transform(sequence(2, size(toks) - 1),
+        |   j -> named_struct('w1', toks[j-2], 'w2', toks[j-1],
+        |                     'w3', toks[j]))
+        | ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING,
+        |   w3: STRING>>)
+        |END""".stripMargin)).as("p"))
+      .select($"lang", $"p.w1", $"p.w2", $"p.w3")
+    val pos = trigrams(eval)
+    val uni = docs.select(explode($"toks").as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("c1"))
+    val bi = docs.select(explode(expr(
+      """CASE WHEN size(toks) >= 2
+        | THEN transform(sequence(1, size(toks) - 1),
+        |   j -> named_struct('a', toks[j-1], 'b', toks[j]))
+        | ELSE CAST(array() AS ARRAY<STRUCT<a: STRING, b: STRING>>)
+        |END""".stripMargin)).as("b"))
+      .select($"b.a", $"b.b").groupBy($"a", $"b").agg(count(lit(1)).as("c2"))
+    val tri = trigrams(docs)
+      .groupBy($"w1", $"w2", $"w3").agg(count(lit(1)).as("c3"))
+    val nTot = docs.select(sum(size($"toks")).as("nn"))
+    val scored = pos
+      .join(broadcast(tri), Seq("w1", "w2", "w3"), "left")
+      .join(broadcast(bi.select($"a".as("w1"), $"b".as("w2"),
+        $"c2".as("c2ctx"))), Seq("w1", "w2"), "left")
+      .join(broadcast(bi.select($"a".as("w2"), $"b".as("w3"),
+        $"c2".as("c2back"))), Seq("w2", "w3"), "left")
+      .join(broadcast(uni.select($"w".as("w2"), $"c1".as("c1w2"))),
+        Seq("w2"), "left")
+      .join(broadcast(uni.select($"w".as("w3"), $"c1".as("c1w3"))),
+        Seq("w3"), "left")
+      .crossJoin(broadcast(nTot))
+      .withColumn("level",
+        when($"c3".isNotNull, 3L)
+          .when($"c2back".isNotNull, 2L).otherwise(1L))
+      .withColumn("s",
+        when($"c3".isNotNull,
+          $"c3".cast("double") / $"c2ctx")
+          .when($"c2back".isNotNull,
+            lit(0.4) * ($"c2back".cast("double") / $"c1w2"))
+          .otherwise(lit(0.4) * lit(0.4) *
+            (coalesce($"c1w3", lit(0L)).cast("double") / $"nn")))
+    scored.groupBy($"lang")
+      .agg(count(lit(1)).as("n_pos"),
+        sum(when($"level" === 3L, 1L).otherwise(0L)).as("n_tri"),
+        sum(when($"level" === 2L, 1L).otherwise(0L)).as("n_bi"),
+        sum(when($"level" === 1L, 1L).otherwise(0L)).as("n_uni"),
+        graft.core.Exact.dround(
+          sum(round($"s" * 1048576.0).cast("long")).cast("double")
+            / (count(lit(1)) * 1048576.0), 6).as("mean_s"))
+  }
+
   // --- q95: CCNet-style bigram-LM quality bands -----------------------------
   /** Model-based quality filtering (Wenzek et al., "CCNet: Extracting
     * High Quality Monolingual Datasets from Web Crawl Data", LREC'20):
@@ -981,6 +1075,7 @@ object TextAnalysis extends QueryPack {
     "q81_weighted_sample"    -> (q81WeightedSample _),
     "q107_bpe_merges"        -> (q107BpeMerges _),
     "q108_boilerplate"       -> (q108Boilerplate _),
+    "q110_stupid_backoff"    -> (q110StupidBackoff _),
     "q19_email_parse" -> (q19EmailParse _),
     "q20_html_strip"  -> (q20HtmlStrip _),
     "q21_token_stats" -> (q21TokenStats _),
@@ -1023,6 +1118,58 @@ object TextAnalysis extends QueryPack {
        | FROM $vIn CROSS JOIN b$r)""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "q110_stupid_backoff" ->
+      // identical count tables, identical CASE ladder; every S is a
+      // ratio of integer counts (bit-identical doubles), means ride
+      // round(S*2^20) integer sums
+      s"""WITH wx AS (SELECT doc_id, lang, string_split(text, ' ') AS ws,
+         |  len(string_split(text, ' ')) AS nw,
+         |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+         |    AS BIGINT) % 100 AS bucket
+         | FROM documents),
+         |tr AS (SELECT * FROM wx WHERE bucket < 80),
+         |ev AS (SELECT * FROM wx WHERE bucket >= 80),
+         |pos AS (SELECT lang, ws[i-2] AS w1, ws[i-1] AS w2, ws[i] AS w3
+         |  FROM ev, generate_series(3, ${OracleGen.MaxDocSeries}) t(i)
+         |  WHERE i <= nw),
+         |uni AS (SELECT w, COUNT(*) AS c1 FROM
+         |  (SELECT unnest(ws) AS w FROM tr) GROUP BY 1),
+         |bi AS (SELECT a, b, COUNT(*) AS c2 FROM
+         |  (SELECT ws[i-1] AS a, ws[i] AS b FROM tr,
+         |    generate_series(2, ${OracleGen.MaxDocSeries}) t(i)
+         |   WHERE i <= nw) GROUP BY 1, 2),
+         |tri AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM
+         |  (SELECT ws[i-2] AS w1, ws[i-1] AS w2, ws[i] AS w3
+         |   FROM tr, generate_series(3, ${OracleGen.MaxDocSeries}) t(i)
+         |   WHERE i <= nw)
+         |  GROUP BY 1, 2, 3),
+         |nt AS (SELECT CAST(SUM(nw) AS BIGINT) AS nn FROM tr),
+         |sc AS (SELECT p.lang,
+         |  CASE WHEN t.c3 IS NOT NULL THEN 3
+         |   WHEN b2.c2 IS NOT NULL THEN 2 ELSE 1 END AS level,
+         |  CASE WHEN t.c3 IS NOT NULL THEN CAST(t.c3 AS DOUBLE) / b1.c2
+         |   WHEN b2.c2 IS NOT NULL
+         |    THEN 0.4 * (CAST(b2.c2 AS DOUBLE) / u2.c1)
+         |   ELSE 0.4 * 0.4 *
+         |    (CAST(COALESCE(u3.c1, 0) AS DOUBLE) / nt.nn) END AS s
+         | FROM pos p
+         | LEFT JOIN tri t USING (w1, w2, w3)
+         | LEFT JOIN bi b1 ON b1.a = p.w1 AND b1.b = p.w2
+         | LEFT JOIN bi b2 ON b2.a = p.w2 AND b2.b = p.w3
+         | LEFT JOIN uni u2 ON u2.w = p.w2
+         | LEFT JOIN uni u3 ON u3.w = p.w3
+         | CROSS JOIN nt)
+         |SELECT lang, COUNT(*) AS n_pos,
+         | CAST(SUM(CASE WHEN level = 3 THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_tri,
+         | CAST(SUM(CASE WHEN level = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_bi,
+         | CAST(SUM(CASE WHEN level = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_uni,
+         | ${graft.core.Exact.sqlDround(
+             "CAST(SUM(CAST(ROUND(s * 1048576.0) AS BIGINT)) AS DOUBLE)" +
+               " / (COUNT(*) * 1048576.0)", 6)} AS mean_s
+         |FROM sc GROUP BY 1""".stripMargin,
     "q108_boilerplate" ->
       // same 4-block page family, same two-signal classifier; the
       // 0/0 link-density of an empty block is NaN (Spark) vs NULL

@@ -409,6 +409,13 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
 
+  test("q110: count tables broadcast to the position stream — no " +
+    "shuffle join touches the eval positions") {
+    val p = plan(TextAnalysis.q110StupidBackoff(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
   test("q102: k-means assignment is a broadcast projection — full-data " +
     "exchanges only for the k-row update and the census, no Window") {
     val p = plan(Similarity.q102KmeansClusters(spark, sfDir))
