@@ -465,6 +465,54 @@ object Pipeline extends QueryPack {
       .limit(10)
   }
 
+  // --- q111: corpus snapshot diff (crawl-refresh delta census) -------------
+  /** Content-level diff between two corpus snapshots — the census an
+    * incremental crawl pipeline runs before deciding what to
+    * re-process (q61 dedups a NEW batch against an index; this
+    * classifies a FULL refresh): full-outer join on the document key,
+    * change detection by content fingerprint,
+    * status ∈ {added, removed, modified, unchanged}.
+    *
+    * Scale shape: ONE full-outer hash join on doc_id + md5 per side
+    * computed in the scan projection + one small census aggregation.
+    * At 100 TB both snapshots are doc_id-bucketed so the join is
+    * co-located (the bucketed-join PlanSpec case); the fingerprint
+    * means text ships nowhere — each side carries (doc_id, lang,
+    * 32-char md5).
+    */
+  def snapshotDiff(a: DataFrame, b: DataFrame): DataFrame = {
+    import a.sparkSession.implicits._
+    val fa = a.select($"doc_id", $"lang".as("lang_a"),
+      md5($"text").as("fp_a"))
+    val fb = b.select($"doc_id", $"lang".as("lang_b"),
+      md5($"text").as("fp_b"))
+    fa.join(fb, Seq("doc_id"), "full_outer")
+      .select($"doc_id", coalesce($"lang_a", $"lang_b").as("lang"),
+        when($"fp_a".isNull, "added")
+          .when($"fp_b".isNull, "removed")
+          .when($"fp_a" =!= $"fp_b", "modified")
+          .otherwise("unchanged").as("status"))
+  }
+
+  /** Census over a deterministic snapshot-B family: every 7th doc
+    * dropped, every remaining 5th modified (text suffixed), every 11th
+    * spawning an added doc at a fresh negative key — so all four
+    * statuses are live and the oracle replays the same family.
+    */
+  def q111SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docsA = Tables.documents(s, dir)
+    val b = docsA.filter($"doc_id" % 7 =!= 0)
+      .select($"doc_id", $"lang",
+        when($"doc_id" % 5 === 0, concat($"text", lit(" updated")))
+          .otherwise($"text").as("text"))
+      .unionByName(docsA.filter($"doc_id" % 11 === 0)
+        .select((-$"doc_id" - 1).as("doc_id"), $"lang",
+          concat($"text", lit(" new")).as("text")))
+    snapshotDiff(docsA, b)
+      .groupBy($"lang", $"status").agg(count(lit(1)).as("n"))
+  }
+
   // --- q57: end-to-end corpus recipe (compose the library's own ops) ------
   /** The full clean-corpus pass a pipeline user actually runs, composed
     * from this library's operators rather than re-implemented: exact
@@ -509,9 +557,28 @@ object Pipeline extends QueryPack {
     "q96_zorder_layout" -> (q96ZorderLayout _),
     "q104_url_canonical" -> (q104UrlCanonical _),
     "q106_pagerank"     -> (q106Pagerank _),
+    "q111_snapshot_diff" -> (q111SnapshotDiff _),
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q111_snapshot_diff" ->
+      s"""WITH a AS (SELECT doc_id, lang, md5(text) AS fp FROM documents),
+         |b0 AS (SELECT doc_id, lang,
+         |  CASE WHEN doc_id % 5 = 0 THEN text || ' updated'
+         |   ELSE text END AS text
+         | FROM documents WHERE doc_id % 7 <> 0),
+         |badd AS (SELECT -doc_id - 1 AS doc_id, lang,
+         |  text || ' new' AS text
+         | FROM documents WHERE doc_id % 11 = 0),
+         |b AS (SELECT doc_id, lang, md5(text) AS fp FROM
+         |  (SELECT * FROM b0 UNION ALL SELECT * FROM badd)),
+         |d AS (SELECT COALESCE(a.lang, b.lang) AS lang,
+         |  CASE WHEN a.fp IS NULL THEN 'added'
+         |   WHEN b.fp IS NULL THEN 'removed'
+         |   WHEN a.fp <> b.fp THEN 'modified'
+         |   ELSE 'unchanged' END AS status
+         | FROM a FULL OUTER JOIN b USING (doc_id))
+         |SELECT lang, status, COUNT(*) AS n FROM d GROUP BY 1, 2""".stripMargin,
     "q106_pagerank" ->
       // two unrolled power iterations; contributions snapped to
       // round(rank/od * 2^20) BIGINTs before the per-dst sum (exact/

@@ -604,6 +604,21 @@ class PipelineOpsSpec extends SparkTestBase {
     q.unpersist()
   }
 
+  // q111's CORRECTNESS row hash-checks the census; this pins the
+  // classifier on a hand diff.
+  test("snapshotDiff: four statuses partition the key space") {
+    import spark.implicits._
+    val a = Seq((1L, "en", "x"), (2L, "en", "y"), (3L, "fr", "z"))
+      .toDF("doc_id", "lang", "text")
+    val b = Seq((2L, "en", "y"), (3L, "fr", "zz"), (4L, "de", "w"))
+      .toDF("doc_id", "lang", "text")
+    val d = Pipeline.snapshotDiff(a, b).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(d == Map(
+      1L -> ("en", "removed"), 2L -> ("en", "unchanged"),
+      3L -> ("fr", "modified"), 4L -> ("de", "added")))
+  }
+
   // q108's CORRECTNESS row hash-checks the census; this pins the
   // per-block classifier on hand-picked edges.
   test("boilerplateBlocks: length floor, link-density cut, empty block") {
