@@ -1055,7 +1055,56 @@ object TextAnalysis extends QueryPack {
             .cast("double") / count(lit(1)), 4).as("mean_surprisal"))
   }
 
+  // --- q112: count-min sketch point-frequency census ------------------------
+  /** Approximate token-frequency estimation through a count-min sketch
+    * (Cormode & Muthukrishnan 2005) — the third sketch family under the
+    * exact-correctness gate: KMV (q103/q105) counts distinct keys,
+    * Misra–Gries (q58/q64) tracks the heavy-hitter SET, CMS answers a
+    * point-frequency query for ANY key from D·W fixed counters. D=4
+    * hash rows × W=64 buckets; estimate(tok) = min over rows of the
+    * addressed cell; CMS error is ONE-SIDED (cells only ever gain
+    * collisions, so est ≥ exact always — the census column a reader
+    * audits, and the property CountMinSpec pins alongside the ε=e/W
+    * expected-overcount band).
+    *
+    * Exactness device: row-r bucket = first-8-hex of md5("r:" ++ tok)
+    * mod W — engine-identical, so the full 256-cell matrix and every
+    * estimate replay in SQL. Scale shape: the sketch build is one
+    * aggregation over a ×D narrow explode whose map-side partials
+    * combine into ≤ D·W = 256 cells per task — FIXED-size state at any
+    * corpus or vocabulary size, which is why a CMS ships where exact
+    * per-token counts can't; the exact twin rides alongside only for
+    * the census, and every join against the cell matrix broadcasts.
+    */
+  private[operators] val CmsD = 4
+  private[operators] val CmsW = 64
+
+  private def cmsCoords(tok: org.apache.spark.sql.Column) =
+    explode(array((0 until CmsD).map(r =>
+      struct(lit(r).as("r"),
+        (conv(substring(md5(concat(lit(s"$r:"), tok)), 1, 8), 16, 10)
+          .cast("long") % CmsW).as("bkt"))): _*))
+
+  def q112CountMin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select(explode(split($"text", " ")).as("tok"))
+      .filter(length($"tok") > 0)
+    val cells = toks.select(cmsCoords($"tok").as("c"))
+      .select($"c.r", $"c.bkt")
+      .groupBy($"r", $"bkt").agg(count(lit(1)).as("cell"))
+    val top = toks.groupBy($"tok").agg(count(lit(1)).as("n_exact"))
+      .orderBy($"n_exact".desc, $"tok".asc).limit(10)
+    top.select($"tok", $"n_exact", cmsCoords($"tok").as("c"))
+      .select($"tok", $"n_exact", $"c.r", $"c.bkt")
+      .join(broadcast(cells), Seq("r", "bkt"))
+      .groupBy($"tok", $"n_exact")
+      .agg(min($"cell").as("n_est"))
+      .withColumn("overcount", $"n_est" - $"n_exact")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q112_count_min"         -> (q112CountMin _),
     "q42_winnow_fingerprint" -> (q42Winnow _),
     "q45_sample_stratified"  -> (q45Sample _),
     "q46_surprisal"          -> (q46Surprisal _),
@@ -1118,6 +1167,28 @@ object TextAnalysis extends QueryPack {
        | FROM $vIn CROSS JOIN b$r)""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "q112_count_min" ->
+      // the sketch is a pure function of the token bag (md5-addressed
+      // cells, plain counts), so SQL replays the full 4x64 matrix and
+      // the min-over-rows estimate literally
+      s"""WITH tk AS (SELECT tok FROM (SELECT unnest(string_split(text, ' ')) AS tok
+         |  FROM documents) WHERE length(tok) > 0),
+         |rs(r) AS (VALUES (0), (1), (2), (3)),
+         |cells AS (SELECT r,
+         |  CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || tok), 1, 8))
+         |    AS BIGINT) % $CmsW AS bkt,
+         |  COUNT(*) AS cell
+         | FROM tk CROSS JOIN rs GROUP BY 1, 2),
+         |top AS (SELECT tok, COUNT(*) AS n_exact FROM tk GROUP BY 1
+         | ORDER BY n_exact DESC, tok ASC LIMIT 10),
+         |coords AS (SELECT tok, n_exact, r,
+         |  CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || tok), 1, 8))
+         |    AS BIGINT) % $CmsW AS bkt
+         | FROM top CROSS JOIN rs)
+         |SELECT tok, n_exact, MIN(cell) AS n_est,
+         | MIN(cell) - n_exact AS overcount
+         |FROM coords JOIN cells USING (r, bkt)
+         |GROUP BY tok, n_exact""".stripMargin,
     "q110_stupid_backoff" ->
       // identical count tables, identical CASE ladder; every S is a
       // ratio of integer counts (bit-identical doubles), means ride

@@ -127,4 +127,30 @@ class TopKAggSpec extends SparkTestBase {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("ObjectHashAggregate"), p.take(1500))
   }
+
+  // --- count-min sketch (q112's engine) -----------------------------------
+
+  test("q112 count-min: one-sided error, overcount band, partition invariance") {
+    import spark.implicits._
+    val rows = graft.operators.TextAnalysis
+      .q112CountMin(spark, sfDir).collect()
+    assert(rows.length == 10)
+    val n = graft.core.Tables.documents(spark, sfDir)
+      .select(explode(split($"text", " ")).as("tok"))
+      .filter(length($"tok") > 0).count()
+    rows.foreach { r =>
+      val (exact, est, over) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      // CMS never undercounts: cells only gain collision mass
+      assert(est >= exact, s"undercount at ${r.getString(0)}: $est < $exact")
+      assert(over == est - exact)
+      // min over D=4 rows keeps the collision mass well under the
+      // single-cell expectation N/W; N/16 = 4x that expectation is a
+      // deterministic bound on this fixed corpus + fixed hashes
+      assert(over <= n / 16, s"overcount $over above band (N=$n)")
+    }
+    // the census is a pure function of the token bag — physical row
+    // placement must not move a single count
+    val shuffled = graft.operators.TextAnalysis.q112CountMin(spark, sfDir)
+    assert(shuffled.collect().toSet == rows.toSet)
+  }
 }
