@@ -703,7 +703,66 @@ object Dedup extends QueryPack {
       .select($"doc_id", $"fp", $"n_batch_copies")
   }
 
+  // --- q113: MinHash estimator-error census --------------------------------
+  /** Estimated vs exact Jaccard for every LSH candidate pair — the
+    * estimator audit BEHIND q26's 0.7 threshold. The MinHash estimate
+    * is the signature agreement fraction (matching components / K,
+    * Broder 1997: P[minhash_i(A)=minhash_i(B)] = J(A,B)); the truth is
+    * the token-set Jaccard computed only for candidates. At 100 TB the
+    * near-dup pipeline tunes its (bands, rows, threshold) choice on
+    * exactly this census run over a sample shard — and because both
+    * columns are ratios of small integers, the audit of the
+    * APPROXIMATION is itself under the exact gate (the q103/q109
+    * pattern: measure the estimator's error surface exactly).
+    *
+    * Scale shape: identical to q26 (star-shaped candidates ≤ 3N from
+    * the band buckets, exact Jaccard via the candidate-token join);
+    * the signature-agreement join adds two hash joins against the
+    * K-column signature frame, cached once. Pairs whose token sets
+    * turn out disjoint (possible only via md5 band collisions) keep
+    * exact_jac = 0 through the left join rather than vanishing.
+    */
+  def q113MinhashErr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dt = docTokens(Tables.documents(s, dir)).cache()
+    val sigCols = (0 until K).map(i =>
+      min(md5(concat(lit(s"$i#"), $"tok"))).as(s"m$i"))
+    val sigs = dt.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*).cache()
+    val bands = sigs.select($"doc_id", explode(array(
+      struct(lit(0).as("b"), md5(concat($"m0", $"m1")).as("bk")),
+      struct(lit(1).as("b"), md5(concat($"m2", $"m3")).as("bk")),
+      struct(lit(2).as("b"), md5(concat($"m4", $"m5")).as("bk"))
+    )).as("band")).select($"doc_id", $"band.b", $"band.bk")
+    val reps = bands.groupBy($"b", $"bk").agg(min($"doc_id").as("i"))
+    val cand = bands.join(reps, Seq("b", "bk"))
+      .filter($"doc_id" > $"i")
+      .select($"i", $"doc_id".as("j")).distinct()
+    val sa = sigs.toDF(("i" +: (0 until K).map(i => s"a$i")): _*)
+    val sb = sigs.toDF(("j" +: (0 until K).map(i => s"b$i")): _*)
+    val nMatch = (0 until K)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val est = cand.join(sa, "i").join(sb, "j")
+      .select($"i", $"j", nMatch.as("n_match"))
+    val sizes = dt.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+    val ta = dt.toDF("i", "tok"); val tb = dt.toDF("j2", "tokb")
+    val inter = cand.join(ta, "i")
+      .join(tb, $"j" === $"j2" && $"tok" === $"tokb")
+      .groupBy($"i", $"j").agg(count(lit(1)).as("inter"))
+    est.join(inter, Seq("i", "j"), "left")
+      .withColumn("inter", coalesce($"inter", lit(0L)))
+      .join(sizes.toDF("i", "si"), "i")
+      .join(sizes.toDF("j", "sj"), "j")
+      .withColumn("estj", $"n_match" / lit(K.toDouble))
+      .withColumn("exj", $"inter" / ($"si" + $"sj" - $"inter"))
+      .select($"i", $"j", $"n_match",
+        graft.core.Exact.dround($"estj", 4).as("est_jac"),
+        graft.core.Exact.dround($"exj", 4).as("exact_jac"),
+        graft.core.Exact.dround(abs($"estj" - $"exj"), 4).as("abs_err"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q113_minhash_err"    -> (q113MinhashErr _),
     "q49_dedup_editdist"  -> (q49EditDistance _),
     "q25_dedup_exact"     -> (q25Exact _),
     "q26_dedup_minhash"   -> (q26MinHashLsh _),
@@ -756,6 +815,50 @@ object Dedup extends QueryPack {
       | SELECT e.j, r.lab FROM rec r JOIN edges e ON e.i = r.node)""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "q113_minhash_err" ->
+      // q26's candidate chain, minus the 0.7 filter, plus the
+      // signature-agreement estimate: everything is integer ratios
+      """WITH dt AS MATERIALIZED (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS tok
+        |  FROM documents),
+        |sig AS MATERIALIZED (SELECT doc_id,
+        |  MIN(md5('0#'||tok)) m0, MIN(md5('1#'||tok)) m1,
+        |  MIN(md5('2#'||tok)) m2, MIN(md5('3#'||tok)) m3,
+        |  MIN(md5('4#'||tok)) m4, MIN(md5('5#'||tok)) m5
+        | FROM dt GROUP BY doc_id),
+        |bands AS (
+        | SELECT doc_id, 0 b, md5(m0||m1) bk FROM sig UNION ALL
+        | SELECT doc_id, 1 b, md5(m2||m3) bk FROM sig UNION ALL
+        | SELECT doc_id, 2 b, md5(m4||m5) bk FROM sig),
+        |reps AS (SELECT b, bk, MIN(doc_id) i FROM bands GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT r.i, bd.doc_id j
+        | FROM bands bd JOIN reps r USING (b, bk)
+        | WHERE bd.doc_id > r.i),
+        |ctok AS MATERIALIZED (SELECT c.i, c.j, a.tok
+        | FROM cand c JOIN dt a ON a.doc_id = c.i),
+        |sizes AS (SELECT doc_id, COUNT(*) sz FROM dt GROUP BY 1),
+        |inter AS (SELECT ct.i, ct.j, COUNT(*) inter FROM ctok ct
+        |  JOIN dt b2 ON b2.doc_id = ct.j AND b2.tok = ct.tok
+        |  GROUP BY ct.i, ct.j),
+        |m AS (SELECT c.i, c.j,
+        |  (CASE WHEN sa.m0 = sb.m0 THEN 1 ELSE 0 END +
+        |   CASE WHEN sa.m1 = sb.m1 THEN 1 ELSE 0 END +
+        |   CASE WHEN sa.m2 = sb.m2 THEN 1 ELSE 0 END +
+        |   CASE WHEN sa.m3 = sb.m3 THEN 1 ELSE 0 END +
+        |   CASE WHEN sa.m4 = sb.m4 THEN 1 ELSE 0 END +
+        |   CASE WHEN sa.m5 = sb.m5 THEN 1 ELSE 0 END) AS n_match
+        | FROM cand c JOIN sig sa ON sa.doc_id = c.i
+        | JOIN sig sb ON sb.doc_id = c.j),
+        |f AS (SELECT m.i, m.j, m.n_match,
+        |  m.n_match / 6.0 AS estj,
+        |  COALESCE(it.inter, 0) / (si.sz + sj.sz - COALESCE(it.inter, 0)) AS exj
+        | FROM m LEFT JOIN inter it ON it.i = m.i AND it.j = m.j
+        | JOIN sizes si ON m.i = si.doc_id
+        | JOIN sizes sj ON m.j = sj.doc_id)
+        |SELECT i, j, n_match,
+        | CAST(ROUND(CAST(estj AS DECIMAL(28,10)), 4) AS DOUBLE) AS est_jac,
+        | CAST(ROUND(CAST(exj AS DECIMAL(28,10)), 4) AS DOUBLE) AS exact_jac,
+        | CAST(ROUND(CAST(ABS(estj - exj) AS DECIMAL(28,10)), 4) AS DOUBLE) AS abs_err
+        |FROM f""".stripMargin,
     "q49_dedup_editdist" ->
       s"""WITH grams AS MATERIALIZED (SELECT DISTINCT doc_id, substr(text, g, 8) AS gram
         |  FROM documents, generate_series(1, ${OracleGen.MaxDocSeries}) t(g)

@@ -1406,6 +1406,32 @@ class PipelineOpsSpec extends SparkTestBase {
       "row-major layout must degrade to a full read on v")
   }
 
+  test("q113: minhash estimator census — exact pairs agree fully, " +
+    "q26's links are a subset, error bounded") {
+    val rows = Dedup.q113MinhashErr(spark, sfDir).collect()
+    assert(rows.nonEmpty, "expected LSH candidates on the dup-heavy fixture")
+    rows.foreach { r =>
+      val (nm, est, ex, err) = (r.getAs[Int]("n_match"),
+        r.getAs[Double]("est_jac"), r.getAs[Double]("exact_jac"),
+        r.getAs[Double]("abs_err"))
+      assert(nm >= 0 && nm <= 6)
+      // identical token sets hash to identical signatures — the
+      // estimator can never disagree on an exact duplicate
+      if (ex == 1.0) assert(nm == 6, s"exact dup with n_match=$nm")
+      assert(math.abs(err - math.abs(est - ex)) < 2e-4)
+    }
+    // every verified q26 link is a candidate in this census (q113 is
+    // q26 minus the threshold, plus the estimate)
+    val links = Dedup.q26MinHashLsh(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("i"), r.getAs[Long]("j"))).toSet
+    val cands = rows.map(r => (r.getAs[Long]("i"), r.getAs[Long]("j"))).toSet
+    assert(links.subsetOf(cands), s"${(links -- cands).size} links missing")
+    // the tuning signal is usable: mean |est-exact| over candidates
+    // stays inside the K=6 estimator's deterministic band on this corpus
+    val meanErr = rows.map(_.getAs[Double]("abs_err")).sum / rows.length
+    assert(meanErr <= 0.25, s"mean abs err $meanErr")
+  }
+
   test("q76: <= 3 terms per doc, ranks contiguous, scores non-increasing") {
     val rows = TextAnalysis.q76TfIdfTerms(spark, sfDir).collect()
     val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
