@@ -1103,7 +1103,69 @@ object TextAnalysis extends QueryPack {
       .withColumn("overcount", $"n_est" - $"n_exact")
   }
 
+  // --- q114: DSIR hashed-unigram importance weights -------------------------
+  /** Data Selection via Importance Resampling (Xie et al. 2023) over
+    * hashed unigram features — the principled "pick raw-corpus docs
+    * that look like the target domain" selector that sits between
+    * heuristic quality filters (q22/q52) and model-based ones
+    * (q95/q110). Target distribution: the corpus's own English slice;
+    * raw: everything. Features hash into B=256 buckets (DSIR's device
+    * for a bounded feature space at web scale), per-bucket
+    * add-1-smoothed log likelihood ratios ln(p_target/p_raw), and a
+    * doc's importance weight is its tokens' mean log ratio; w > 0 —
+    * more target-like than raw-like — marks the doc selected. The
+    * census reports per-language selection counts: the validation
+    * signal is that the target language's docs dominate the selected
+    * set without any language label reaching the scorer.
+    *
+    * Exactness: both count columns ride ONE aggregation; the B-row
+    * ratio table is exact-integer-derived, so both engines compute
+    * identical LN inputs, and per-doc sums snap through
+    * DECIMAL(28,10) with the selection threshold compared on the
+    * ROUNDED weight (q95's determinism class — a raw-ulp LN drift
+    * can never flip a selection).
+    *
+    * Scale shape: one corpus-token aggregation into B=256 cells
+    * (map-side combine, fixed state like q112), the ratio table
+    * broadcasts to the scoring pass, per-doc then per-lang
+    * aggregations — no shuffle ever carries more than the token
+    * stream's (doc_id, bkt) pairs. The token frame is cached across
+    * its two consumers (count + score), the q26 discipline.
+    */
+  private val DsirB = 256
+
+  def q114DsirWeights(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val tk = Tables.documents(s, dir)
+      .select($"doc_id", $"lang", explode(split($"text", " ")).as("tok"))
+      .filter(length($"tok") > 0)
+      .select($"doc_id", $"lang",
+        (conv(substring(md5($"tok"), 1, 8), 16, 10).cast("long") % DsirB)
+          .as("bkt"))
+      .cache()
+    val bc = tk.groupBy($"bkt").agg(
+      count(lit(1)).as("cr"),
+      sum(when($"lang" === "en", 1L).otherwise(0L)).as("ct"))
+    val tot = bc.agg(sum($"cr").as("nr"), sum($"ct").as("nt"))
+    val lw = bc.crossJoin(tot).select($"bkt",
+      (log(($"ct" + lit(1.0)) / ($"nt" + lit(DsirB.toDouble))) -
+        log(($"cr" + lit(1.0)) / ($"nr" + lit(DsirB.toDouble)))).as("lw"))
+    tk.join(broadcast(lw), Seq("bkt"))
+      .groupBy($"doc_id", $"lang")
+      .agg(graft.core.Exact.dround(
+        sum($"lw".cast(DecimalType(28, 10))).cast("double")
+          / count(lit(1)), 4).as("w"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"w" > 0.0, 1L).otherwise(0L)).as("n_selected"),
+        graft.core.Exact.dround(
+          sum($"w".cast(DecimalType(28, 10))).cast("double")
+            / count(lit(1)), 4).as("avg_w"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q114_dsir_weights"      -> (q114DsirWeights _),
     "q112_count_min"         -> (q112CountMin _),
     "q42_winnow_fingerprint" -> (q42Winnow _),
     "q45_sample_stratified"  -> (q45Sample _),
@@ -1167,6 +1229,33 @@ object TextAnalysis extends QueryPack {
        | FROM $vIn CROSS JOIN b$r)""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "q114_dsir_weights" ->
+      // identical integer bucket counts → identical LN inputs; per-doc
+      // sums snap through DECIMAL(28,10) and selection compares the
+      // ROUNDED weight (q95's determinism class)
+      s"""WITH tk AS MATERIALIZED (SELECT doc_id, lang,
+         |  CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % $DsirB AS bkt
+         | FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+         |       FROM documents) WHERE length(tok) > 0),
+         |bc AS (SELECT bkt, COUNT(*) AS cr,
+         |  SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+         | FROM tk GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS nr,
+         |  CAST(SUM(ct) AS BIGINT) AS nt FROM bc),
+         |lw AS (SELECT bkt,
+         |  LN((ct + 1.0) / (nt + $DsirB.0)) - LN((cr + 1.0) / (nr + $DsirB.0))
+         |    AS lw
+         | FROM bc CROSS JOIN tot),
+         |pd AS (SELECT doc_id, lang,
+         |  CAST(ROUND(CAST((CAST(SUM(CAST(lw AS DECIMAL(28,10))) AS DOUBLE)
+         |    / COUNT(*)) AS DECIMAL(28,10)), 4) AS DOUBLE) AS w
+         | FROM tk JOIN lw USING (bkt) GROUP BY 1, 2)
+         |SELECT lang, COUNT(*) AS n_docs,
+         | CAST(SUM(CASE WHEN w > 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_selected,
+         | CAST(ROUND(CAST((CAST(SUM(CAST(w AS DECIMAL(28,10))) AS DOUBLE)
+         |   / COUNT(*)) AS DECIMAL(28,10)), 4) AS DOUBLE) AS avg_w
+         |FROM pd GROUP BY lang""".stripMargin,
     "q112_count_min" ->
       // the sketch is a pure function of the token bag (md5-addressed
       // cells, plain counts), so SQL replays the full 4x64 matrix and

@@ -1432,6 +1432,24 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(meanErr <= 0.25, s"mean abs err $meanErr")
   }
 
+  test("q114: DSIR weights rank the target language first") {
+    val rows = TextAnalysis.q114DsirWeights(spark, sfDir).collect()
+    val by = rows.map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // census partitions the corpus
+    assert(by.values.map(_._1).sum ==
+      graft.core.Tables.documents(spark, sfDir).count())
+    by.values.foreach { case (n, sel, _) => assert(sel >= 0 && sel <= n) }
+    // the synthetic languages share most of their vocabulary, so the
+    // per-doc w>0 cut is a weak signal here — but the MEAN importance
+    // weight must still rank the target domain strictly first, with
+    // no language label ever reaching the scorer
+    val (_, _, enW) = by("en")
+    by.foreach { case (lang, (_, _, w)) =>
+      if (lang != "en") assert(enW > w, s"en $enW not above $lang $w")
+    }
+  }
+
   test("q76: <= 3 terms per doc, ranks contiguous, scores non-increasing") {
     val rows = TextAnalysis.q76TfIdfTerms(spark, sfDir).collect()
     val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
