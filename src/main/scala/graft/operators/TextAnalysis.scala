@@ -969,6 +969,57 @@ object TextAnalysis extends QueryPack {
   def q107BpeMerges(s: SparkSession, dir: String): DataFrame =
     bpeMerges(Tables.documents(s, dir), 3)
 
+  // --- q115: BPE merge application (tokenizer inference) --------------------
+  /** The other half of q107: q107 LEARNS the first 3 merge rules, this
+    * APPLIES them to the corpus and reports the segmentation census a
+    * tokenizer team reads before freezing a vocab — words, symbols
+    * before/after, and the per-language compression ratio (subtokens
+    * per character; every merge that fires pushes it below 1.0 for
+    * that language's orthography). Merge application is the trained
+    * rule list folded over each word's symbol rendering in round
+    * order, exactly how a BPE tokenizer segments at inference
+    * (Sennrich et al. 2016 §2) — and the `replace` spelling makes the
+    * fold one codegen'd projection, with left-to-right non-overlapping
+    * application pinned identical in both engines by q107's spec.
+    *
+    * Scale shape: the merge table collapses to ONE broadcast row (6
+    * scalar symbols for k=3), so application is a zero-shuffle
+    * per-row projection over the word stream — at 100 TB the learned
+    * vocab rides the closure and the only exchanges are q107's
+    * training aggregation and the tiny per-lang census.
+    */
+  def q115BpeApply(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = bpeMerges(Tables.documents(s, dir), 3).agg(
+      max(when($"round" === 1, $"left_sym")).as("a1"),
+      max(when($"round" === 1, $"right_sym")).as("b1"),
+      max(when($"round" === 2, $"left_sym")).as("a2"),
+      max(when($"round" === 2, $"right_sym")).as("b2"),
+      max(when($"round" === 3, $"left_sym")).as("a3"),
+      max(when($"round" === 3, $"right_sym")).as("b3"))
+    Tables.documents(s, dir)
+      .select($"lang", explode(split($"text", " ")).as("w"))
+      .filter($"w" =!= "")
+      .crossJoin(broadcast(m))
+      .withColumn("repr", concat(lit("|"),
+        array_join(filter(split($"w", ""), c => c =!= ""), "||"), lit("|")))
+      .withColumn("applied", expr(
+        """replace(replace(replace(repr,
+          |  '|' || a1 || '||' || b1 || '|', '|' || a1 || b1 || '|'),
+          |  '|' || a2 || '||' || b2 || '|', '|' || a2 || b2 || '|'),
+          |  '|' || a3 || '||' || b3 || '|', '|' || a3 || b3 || '|')"""
+          .stripMargin))
+      .select($"lang", length($"w").as("nc"),
+        size(split(trim($"applied", "|"), "\\|\\|")).cast("long").as("ns"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum($"nc").as("n_chars"),
+        sum($"ns").as("n_subtokens"),
+        graft.core.Exact.dround(
+          sum($"ns").cast("double") / sum($"nc").cast("double"), 4)
+          .as("compression"))
+  }
+
   // --- q45: deterministic stratified sampling ------------------------------
   /** Reproducible ~20% sample per language stratum: membership =
     * md5-derived bucket of doc_id — re-runs, engines, and partitionings
@@ -1167,6 +1218,7 @@ object TextAnalysis extends QueryPack {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q114_dsir_weights"      -> (q114DsirWeights _),
     "q112_count_min"         -> (q112CountMin _),
+    "q115_bpe_apply"         -> (q115BpeApply _),
     "q42_winnow_fingerprint" -> (q42Winnow _),
     "q45_sample_stratified"  -> (q45Sample _),
     "q46_surprisal"          -> (q46Surprisal _),
@@ -1362,6 +1414,36 @@ object TextAnalysis extends QueryPack {
              "CAST(SUM(CASE WHEN content THEN n_words ELSE 0 END) AS DOUBLE)" +
                " / CAST(SUM(n_words) AS DOUBLE)", 4)} AS content_frac
          |FROM c GROUP BY 1""".stripMargin,
+    "q115_bpe_apply" ->
+      // q107's training chain verbatim, then the same three replaces
+      // folded over every word's rendering — identical left-to-right
+      // non-overlapping semantics in both engines (q107's spec case)
+      s"""WITH w AS (SELECT w, COUNT(*) AS cnt FROM
+         |  (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         | WHERE w <> '' GROUP BY 1),
+         |v1 AS (SELECT '|' || array_to_string(string_split(w, ''), '||')
+         |  || '|' AS repr, cnt FROM w),
+         |${bpeRoundSql(1, "v1")},
+         |${bpeRoundSql(2, "v2")},
+         |${bpeRoundSql(3, "v3")},
+         |dw AS (SELECT lang, w FROM
+         |  (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+         | WHERE w <> ''),
+         |ap AS (SELECT lang, length(w) AS nc,
+         |  len(string_split(trim(replace(replace(replace(
+         |    '|' || array_to_string(string_split(w, ''), '||') || '|',
+         |    '|' || b1.a || '||' || b1.b || '|', '|' || b1.a || b1.b || '|'),
+         |    '|' || b2.a || '||' || b2.b || '|', '|' || b2.a || b2.b || '|'),
+         |    '|' || b3.a || '||' || b3.b || '|', '|' || b3.a || b3.b || '|'),
+         |   '|'), '||')) AS ns
+         | FROM dw CROSS JOIN b1 CROSS JOIN b2 CROSS JOIN b3)
+         |SELECT lang, COUNT(*) AS n_words,
+         | CAST(SUM(nc) AS BIGINT) AS n_chars,
+         | CAST(SUM(ns) AS BIGINT) AS n_subtokens,
+         | ${graft.core.Exact.sqlDround(
+               "CAST(SUM(ns) AS DOUBLE) / CAST(SUM(nc) AS DOUBLE)", 4)}
+         |   AS compression
+         |FROM ap GROUP BY lang""".stripMargin,
     "q107_bpe_merges" ->
       s"""WITH w AS (SELECT w, COUNT(*) AS cnt FROM
          |  (SELECT unnest(string_split(text, ' ')) AS w FROM documents)

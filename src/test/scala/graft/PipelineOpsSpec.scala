@@ -1450,6 +1450,32 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q115: BPE application compresses, never splits below one " +
+    "subtoken per word, and fires the learned merges") {
+    val rows = TextAnalysis.q115BpeApply(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    var fired = false
+    rows.foreach { r =>
+      val (nw, nc, ns, comp) = (r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_chars"), r.getAs[Long]("n_subtokens"),
+        r.getAs[Double]("compression"))
+      // a merge only ever fuses two symbols: chars is the ceiling,
+      // one-subtoken-per-word the floor
+      assert(ns <= nc, s"subtokens $ns above chars $nc")
+      assert(ns >= nw, s"subtokens $ns below words $nw")
+      assert(comp <= 1.0 && comp > 0.0)
+      if (ns < nc) fired = true
+    }
+    assert(fired, "3 learned merges must fire somewhere in the corpus")
+    // chars column is the plain character census — cross-check against
+    // an independent aggregation
+    val expectChars = graft.core.Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .agg(sum(length(col("w")))).head().getLong(0)
+    assert(rows.map(_.getAs[Long]("n_chars")).sum == expectChars)
+  }
+
   test("q76: <= 3 terms per doc, ranks contiguous, scores non-increasing") {
     val rows = TextAnalysis.q76TfIdfTerms(spark, sfDir).collect()
     val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
