@@ -273,6 +273,62 @@ object AnomalyStream {
       }
   }
 
+  case class CmsCells(lang: String, seen: Long, cells: Array[Long])
+
+  /** Streaming twin of batch q112: a per-key count-min sketch carried
+    * as keyed stream state — D·W counters per key regardless of stream
+    * length or vocabulary size, answering point-frequency queries
+    * ([[cmsEstimate]]) where exact streaming per-token counts grow
+    * with the vocabulary. Bucket addressing is bit-identical to q112
+    * (first-8-hex of md5("r:" ++ tok) mod W), so a snapshot's
+    * estimates are directly comparable to the batch census.
+    *
+    * Replay stability is UNCONDITIONAL (the KMV/[[distinctStream]]
+    * class, unlike the arrival-order detectors): cells are plain sums
+    * over the token MULTISET, so batch re-slicing or reordering of the
+    * same rows yields byte-identical final state — StreamingSpec pins
+    * this and the stream-equals-batch-sketch law. Each batch emits the
+    * current snapshot tagged with `seen`; consumers read max-seen per
+    * key (the [[heavyHittersStream]] contract).
+    */
+  def cmsStream(toks: Dataset[LangTok], d: Int = 4, w: Int = 64)
+      : Dataset[CmsCells] = {
+    import toks.sparkSession.implicits._
+    toks.groupByKey(_.lang)
+      .flatMapGroupsWithState[(Array[Long], Long), CmsCells](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key, it, state) =>
+          val (cells0, seen0) = state.getOption.getOrElse(
+            (Array.fill(d * w)(0L), 0L))
+          val cells = cells0.clone()
+          var n = 0L
+          it.foreach { t =>
+            var r = 0
+            while (r < d) { cells(r * w + cmsBucket(r, t.tok, w)) += 1; r += 1 }
+            n += 1
+          }
+          state.update((cells, seen0 + n))
+          Iterator.single(CmsCells(key, seen0 + n, cells))
+      }
+  }
+
+  /** q112's bucket address: first 8 hex chars of md5("r:tok") mod w. */
+  private[streaming] def cmsBucket(r: Int, tok: String, w: Int): Int = {
+    val dg = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$r:$tok".getBytes("UTF-8"))
+    // first 4 bytes = first 8 hex chars, as an unsigned 32-bit value
+    val v = ((dg(0) & 0xffL) << 24) | ((dg(1) & 0xffL) << 16) |
+      ((dg(2) & 0xffL) << 8) | (dg(3) & 0xffL)
+    (v % w).toInt
+  }
+
+  /** Point-frequency query against a [[cmsStream]] snapshot: min over
+    * rows of the addressed cell (never undercounts).
+    */
+  def cmsEstimate(cells: Array[Long], tok: String, d: Int = 4,
+      w: Int = 64): Long =
+    (0 until d).map(r => cells(r * w + cmsBucket(r, tok, w))).min
+
   case class RetentionHit(user_id: Long, cohort_day: Long,
       week_offset: Long)
 

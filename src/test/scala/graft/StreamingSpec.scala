@@ -749,4 +749,52 @@ class StreamingSpec extends SparkTestBase {
     val withNanos = t(-1000, 250000000) // -1s + 0.25s = -0.75s
     assert(micros(withNanos) == -750000L)
   }
+
+  test("cmsStream: slicing-invariant, row mass = seen, never undercounts, " +
+    "JVM buckets match the q112 SQL device") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.streaming.AnomalyStream
+    import AnomalyStream.{CmsCells, LangTok}
+    // skewed multiset over two keys: exact counts are known
+    val toks = (1 to 200).map(i => LangTok("en", s"t${i % 13}")) ++
+      (1 to 60).map(i => LangTok("fr", s"u${i % 7}"))
+    def run(name: String, slices: Seq[Seq[LangTok]]): Map[String, CmsCells] = {
+      val input = MemoryStream[LangTok]
+      val q = AnomalyStream.cmsStream(input.toDS())
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try slices.foreach { s => input.addData(s: _*); q.processAllAvailable() }
+      finally spark.streams.active.foreach(_.stop())
+      spark.table(name).as[CmsCells].collect()
+        .groupBy(_.lang).view.mapValues(_.maxBy(_.seen)).toMap
+    }
+    val one = run("cms_one", Seq(toks))
+    val sliced = run("cms_sliced",
+      Seq(toks.take(57), toks.slice(57, 130), toks.drop(130)))
+    // cells are sums over the multiset — re-slicing cannot move a count
+    for (k <- Seq("en", "fr")) {
+      assert(one(k).seen == sliced(k).seen)
+      assert(one(k).cells.sameElements(sliced(k).cells), s"$k diverged")
+    }
+    // each hash row distributes exactly the key's mass
+    for ((_, st) <- one; r <- 0 until 4)
+      assert(st.cells.slice(r * 64, (r + 1) * 64).sum == st.seen)
+    // point queries never undercount the exact multiset counts
+    toks.groupBy(identity).foreach { case (LangTok(l, t), g) =>
+      assert(AnomalyStream.cmsEstimate(one(l).cells, t) >= g.size)
+    }
+    // the JVM md5 addressing is bit-identical to q112's SQL device
+    val batch = toks.toDF("lang", "tok")
+      .select($"lang", explode(array((0 until 4).map(r =>
+        struct(lit(r).as("r"),
+          (conv(substring(md5(concat(lit(s"$r:"), $"tok")), 1, 8), 16, 10)
+            .cast("long") % 64).as("bkt"))): _*)).as("c"))
+      .groupBy($"lang", $"c.r", $"c.bkt").count().collect()
+    assert(batch.nonEmpty)
+    batch.foreach { row =>
+      val cells = one(row.getString(0)).cells
+      assert(cells(row.getInt(1) * 64 + row.getLong(2).toInt) == row.getLong(3))
+    }
+  }
 }
