@@ -1141,11 +1141,15 @@ object TextAnalysis extends QueryPack {
     val toks = Tables.documents(s, dir)
       .select(explode(split($"text", " ")).as("tok"))
       .filter(length($"tok") > 0)
-    val cells = toks.select(cmsCoords($"tok").as("c"))
-      .select($"c.r", $"c.bkt")
-      .groupBy($"r", $"bkt").agg(count(lit(1)).as("cell"))
-    val top = toks.groupBy($"tok").agg(count(lit(1)).as("n_exact"))
-      .orderBy($"n_exact".desc, $"tok".asc).limit(10)
+    // the census needs exact counts anyway, so the cell matrix derives
+    // from the CACHED vocab-sized count frame (cell = Σ counts of the
+    // tokens addressing it — identical to counting the raw stream) and
+    // the corpus is scanned ONCE; a production build with no exact twin
+    // folds the stream straight into cells (the cmsStream path)
+    val tf = toks.groupBy($"tok").agg(count(lit(1)).as("n_exact")).cache()
+    val cells = tf.select($"n_exact", cmsCoords($"tok").as("c"))
+      .groupBy($"c.r", $"c.bkt").agg(sum($"n_exact").as("cell"))
+    val top = tf.orderBy($"n_exact".desc, $"tok".asc).limit(10)
     top.select($"tok", $"n_exact", cmsCoords($"tok").as("c"))
       .select($"tok", $"n_exact", $"c.r", $"c.bkt")
       .join(broadcast(cells), Seq("r", "bkt"))
