@@ -145,6 +145,67 @@ object Pipeline extends QueryPack {
           .as("first_doc_id"))
   }
 
+  // --- q116: temperature-scaled mixture quotas ------------------------------
+  /** Temperature sampling over sources — the multilingual-pretraining
+    * device (p_l ∝ n_l^(1/T); T=2 ⇒ sqrt) that upweights tail
+    * languages relative to proportional sampling without q56's
+    * hand-fixed quotas: quotas are COMPUTED from the corpus's own
+    * per-language token mass, then the same deterministic hash-order
+    * greedy fill as q56 selects documents. The census shows the
+    * flattening directly: the head language's quota/token-mass ratio
+    * must come out strictly below every tail language's (spec-pinned).
+    *
+    * Exactness device for the weights: w_l = floor(sqrt(n_l)·10^6) as
+    * BIGINT — sqrt is correctly-rounded IEEE in both engines and floor
+    * of an identical double is exact, so the weight, the integer-sum
+    * total, and the integer-division quota replay bit-identically in
+    * SQL with no float accumulation anywhere.
+    *
+    * Scale shape: q56's two-phase prefix decomposition (bounded
+    * (lang, bucket) aggregate + within-bucket window) — no global
+    * one-reducer cumsum; the quota table is langs-sized and
+    * broadcasts.
+    */
+  private val TempBudget = 2000L
+
+  def q116TemperatureMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, dir)
+      .select($"doc_id", $"lang",
+        size(split($"text", " ")).cast("long").as("n"),
+        md5($"doc_id".cast("string")).as("h"))
+      .withColumn("bucket",
+        conv(substring($"h", 1, 6), 16, 10).cast("long") % MixBuckets)
+      .cache()
+    val lt = d.groupBy($"lang").agg(sum($"n").as("n_tok"))
+      .withColumn("w",
+        floor(sqrt($"n_tok".cast("double")) * lit(1000000.0)).cast("long"))
+    val quotas = lt.crossJoin(lt.agg(sum($"w").as("wt")))
+      .withColumn("quota", expr(s"($TempBudget * w) div wt"))
+      .select($"lang", $"n_tok", $"quota")
+    val wPrefix = Window.partitionBy($"lang").orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixes = d.groupBy($"lang", $"bucket").agg(sum($"n").as("bs"))
+      .withColumn("prefix", coalesce(sum($"bs").over(wPrefix), lit(0L)))
+      .select($"lang", $"bucket", $"prefix")
+    val wLocal = Window.partitionBy($"lang", $"bucket")
+      .orderBy($"h", $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.join(broadcast(prefixes), Seq("lang", "bucket"))
+      .join(broadcast(quotas), Seq("lang"))
+      .withColumn("cum_before",
+        $"prefix" + coalesce(sum($"n").over(wLocal), lit(0L)))
+      .groupBy($"lang")
+      .agg(max($"n_tok").as("n_tok"), max($"quota").as("quota"),
+        sum(when($"cum_before" + $"n" <= $"quota", 1).otherwise(0))
+          .as("n_sel"),
+        sum(when($"cum_before" + $"n" <= $"quota", $"n").otherwise(0L))
+          .as("tok_sel"),
+        min(when($"cum_before" + $"n" <= $"quota", $"doc_id"))
+          .as("first_doc_id"))
+  }
+
   /** Output shards for q94's shuffle census. Like [[PackShards]], the
     * count scales with the cluster at 100 TB, not with semantics.
     */
@@ -552,6 +613,7 @@ object Pipeline extends QueryPack {
     "q54_pack"          -> (q54Pack _),
     "q55_contamination" -> (q55Contamination _),
     "q56_mixture"       -> (q56Mixture _),
+    "q116_temperature_mix" -> (q116TemperatureMix _),
     "q57_corpus_recipe" -> (q57CorpusRecipe _),
     "q94_shuffle_shard" -> (q94ShuffleShard _),
     "q96_zorder_layout" -> (q96ZorderLayout _),
@@ -730,6 +792,33 @@ object Pipeline extends QueryPack {
         | COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS seq_tokens,
         | MIN(doc_id) AS first_doc_id
         |FROM c GROUP BY 1, 2""".stripMargin,
+    "q116_temperature_mix" ->
+      // q56's one-reducer cumsum spelling plus the computed quotas:
+      // integer weights floor(sqrt(n_tok)*1e6), integer-division quota
+      """WITH d AS (SELECT doc_id, lang,
+        |  len(string_split(text, ' ')) n,
+        |  md5(CAST(doc_id AS VARCHAR)) h,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 1024 AS bucket
+        | FROM documents),
+        |lt AS (SELECT lang, CAST(SUM(n) AS BIGINT) n_tok FROM d GROUP BY 1),
+        |wq AS (SELECT lang, n_tok,
+        |  CAST(FLOOR(SQRT(CAST(n_tok AS DOUBLE)) * 1000000.0) AS BIGINT) w
+        | FROM lt),
+        |qt AS (SELECT lang, n_tok,
+        |  CAST((2000 * w) // (SELECT CAST(SUM(w) AS BIGINT) FROM wq) AS BIGINT) quota
+        | FROM wq),
+        |c AS (SELECT *, COALESCE(SUM(n) OVER (PARTITION BY lang
+        |    ORDER BY bucket, h, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) cum_before
+        | FROM d),
+        |j AS (SELECT c.doc_id, c.lang, c.n, c.cum_before, qt.n_tok, qt.quota
+        | FROM c JOIN qt USING (lang))
+        |SELECT lang, CAST(MAX(n_tok) AS BIGINT) AS n_tok,
+        | CAST(MAX(quota) AS BIGINT) AS quota,
+        | CAST(SUM(CASE WHEN cum_before + n <= quota THEN 1 ELSE 0 END) AS BIGINT) AS n_sel,
+        | CAST(SUM(CASE WHEN cum_before + n <= quota THEN n ELSE 0 END) AS BIGINT) AS tok_sel,
+        | MIN(CASE WHEN cum_before + n <= quota THEN doc_id END) AS first_doc_id
+        |FROM j GROUP BY lang""".stripMargin,
     "q56_mixture" ->
       // the one-reducer spelling: a single per-lang cumsum over the
       // SAME total order (bucket, h, doc_id) the two-phase Spark form

@@ -1476,6 +1476,28 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(rows.map(_.getAs[Long]("n_chars")).sum == expectChars)
   }
 
+  test("q116: temperature quotas flatten the head language, spend the " +
+    "budget, and selection respects them") {
+    val rows = Pipeline.q116TemperatureMix(spark, sfDir).collect()
+    val by = rows.map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(4)))).toMap
+    // integer-floor quotas lose strictly less than one token per lang
+    val totQuota = by.values.map(_._2).sum
+    assert(totQuota <= 2000L && totQuota >= 2000L - by.size,
+      s"quota mass $totQuota")
+    // T=2 flattening: the head language's quota SHARE sits strictly
+    // below its token share, every tail language's strictly above
+    val totTok = by.values.map(_._1).sum
+    by.foreach { case (lang, (n, q, _)) =>
+      val tokShare = n.toDouble / totTok
+      val quotaShare = q.toDouble / totQuota
+      if (lang == "en") assert(quotaShare < tokShare, s"en not flattened")
+      else assert(quotaShare > tokShare, s"$lang not upweighted")
+    }
+    // greedy fill never overruns its quota
+    by.values.foreach { case (_, q, tokSel) => assert(tokSel <= q) }
+  }
+
   test("q76: <= 3 terms per doc, ranks contiguous, scores non-increasing") {
     val rows = TextAnalysis.q76TfIdfTerms(spark, sfDir).collect()
     val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
