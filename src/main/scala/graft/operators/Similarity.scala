@@ -416,6 +416,35 @@ object Similarity extends QueryPack {
   def q97SemDedup(s: SparkSession, dir: String): DataFrame =
     semDedup(Tables.embeddings(s, dir))
 
+  // --- q117: SemDeDup threshold sweep ---------------------------------------
+  /** Keep/drop census at FIVE cosine thresholds in one pass — the
+    * tuning run a team does before committing a SemDeDup tau (Abbas et
+    * al. 2023 sweep §4.1: the kept fraction vs tau curve IS the
+    * dedup-aggressiveness dial). Reuses [[semDedup]]'s published
+    * cos_rep column (round-6 cosine to the cell representative; NULL
+    * for reps and undefined cosines, which every tau keeps), so the
+    * expensive part — grid quantize, rep aggregation, broadcast
+    * cosine — runs ONCE and the sweep is a ×|taus| narrow explode
+    * over a scalar, grouped into |taus| rows. Comparing the ROUNDED
+    * cosine to tau keeps the boundary decision identical in both
+    * engines (the q95 determinism class).
+    */
+  private val SweepTaus = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
+
+  def q117SemdedupSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    semDedup(Tables.embeddings(s, dir))
+      .select($"cos_rep",
+        explode(array(SweepTaus.map(lit(_)): _*)).as("tau"))
+      .groupBy($"tau")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when($"cos_rep".isNull || $"cos_rep" < $"tau", 1L)
+          .otherwise(0L)).as("n_kept"))
+      .withColumn("n_dropped", $"n_vecs" - $"n_kept")
+      .withColumn("keep_rate", graft.core.Exact.dround(
+        $"n_kept".cast("double") / $"n_vecs".cast("double"), 4))
+  }
+
   // --- q102: seeded Lloyd k-means over embeddings (2-round census) --------
   /** Embedding dimension is FIXED at 64 at every SF (generator
     * contract, same constant as q77's oracle).
@@ -570,6 +599,7 @@ object Similarity extends QueryPack {
     "q50_ann_grid_cell"    -> (q50AnnGridCell _),
     "q77_embedding_outliers" -> (q77EmbeddingOutliers _),
     "q97_semdedup"         -> (q97SemDedup _),
+    "q117_semdedup_sweep"  -> (q117SemdedupSweep _),
     "q101_ann_ivf"         -> (q101AnnIvf _),
     "q102_kmeans_clusters" -> (q102KmeansClusters _),
     "q109_quantize_int8"   -> (q109QuantizeInt8 _),
@@ -643,6 +673,31 @@ object Similarity extends QueryPack {
          |FROM cand c JOIN embeddings a ON a.vec_id = c.i
          |JOIN embeddings b ON b.vec_id = c.j
          |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.5""".stripMargin,
+    "q117_semdedup_sweep" ->
+      // q97's chain wrapped as a base CTE, then a VALUES sweep over
+      // the ROUNDED cosine — boundary decisions identical by construction
+      s"""WITH cells AS (SELECT vec_id, embedding, $cellSql AS cell
+         |  FROM embeddings),
+         |reps AS (SELECT cell, MIN(vec_id) AS rep FROM cells GROUP BY 1),
+         |rv AS (SELECT r.cell, r.rep, c.embedding AS remb
+         |  FROM reps r JOIN cells c ON c.vec_id = r.rep),
+         |base AS (SELECT c.vec_id,
+         |  CASE WHEN c.vec_id = rv.rep
+         |    OR ${cosSql("c.embedding", "rv.remb")} IS NULL
+         |    OR isnan(${cosSql("c.embedding", "rv.remb")}) THEN NULL
+         |   ELSE ROUND(${cosSql("c.embedding", "rv.remb")}, 6) END AS cos_rep
+         |  FROM cells c JOIN rv USING (cell)),
+         |taus(tau) AS (VALUES (0.1), (0.25), (0.5), (0.75), (0.9))
+         |SELECT tau, COUNT(*) AS n_vecs,
+         | CAST(SUM(CASE WHEN cos_rep IS NULL OR cos_rep < tau
+         |   THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         | CAST(COUNT(*) - SUM(CASE WHEN cos_rep IS NULL OR cos_rep < tau
+         |   THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         | ${graft.core.Exact.sqlDround(
+               "CAST(SUM(CASE WHEN cos_rep IS NULL OR cos_rep < tau " +
+               "THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)", 4)}
+         |   AS keep_rate
+         |FROM base CROSS JOIN taus GROUP BY tau""".stripMargin,
     "q97_semdedup" ->
       s"""WITH cells AS (SELECT vec_id, embedding, $cellSql AS cell
          |  FROM embeddings),

@@ -1498,6 +1498,23 @@ class PipelineOpsSpec extends SparkTestBase {
     by.values.foreach { case (_, q, tokSel) => assert(tokSel <= q) }
   }
 
+  test("q117: sweep is monotone in tau and agrees with q97 at the " +
+    "default threshold") {
+    val rows = Similarity.q117SemdedupSweep(spark, sfDir).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(0.1, 0.25, 0.5, 0.75, 0.9))
+    // every tau sees the same vector population
+    assert(rows.map(_._2).distinct.length == 1)
+    // raising tau can only keep MORE vectors
+    rows.map(_._3).sliding(2).foreach {
+      case Array(a, b) => assert(a <= b); case _ => }
+    // the tau=0.25 point reproduces q97's census exactly
+    val q97kept = Similarity.q97SemDedup(spark, sfDir).collect()
+      .count(_.getAs[Boolean]("kept")).toLong
+    assert(rows.find(_._1 == 0.25).get._3 == q97kept)
+  }
+
   test("q76: <= 3 terms per doc, ranks contiguous, scores non-increasing") {
     val rows = TextAnalysis.q76TfIdfTerms(spark, sfDir).collect()
     val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
