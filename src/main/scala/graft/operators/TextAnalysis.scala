@@ -1219,7 +1219,57 @@ object TextAnalysis extends QueryPack {
             / count(lit(1)), 4).as("avg_w"))
   }
 
+  // --- q118: n-gram novelty / memorization-risk census ----------------------
+  /** Per-document novelty: the fraction of a doc's distinct 8-grams
+    * that occur NOWHERE else in the corpus (df = 1), banded into
+    * templated (zero unique grams — the band exact/near duplicates
+    * land in) / typical / distinct. Low-novelty docs are boilerplate and
+    * template families that exact dedup misses but that inflate
+    * memorization; eval-set curation reads exactly this census before
+    * trusting held-out perplexity (the Lee et al. 2022 §5 concern —
+    * near-duplicate train/eval text biases evaluation).
+    *
+    * Scale shape: q28's gram discipline — per-doc gram dedup happens
+    * LOCALLY inside the one-pass gram_hashes expression (grams shuffle
+    * as 8-byte hashes, never strings), one df aggregation keyed on the
+    * gram hash, one join back on the same key (both sides partition
+    * identically), then doc-sized and band-sized aggregations. Linear
+    * at any corpus size; no candidate pairing at all. Novelty is an
+    * integer ratio, so banding thresholds compare identical doubles in
+    * both engines; sub-8-char documents carry no gram and drop from
+    * the census in both engines alike.
+    */
+  def q118NoveltyCensus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val grams = Tables.documents(s, dir)
+      .select($"doc_id",
+        explode(graft.functions.geo.gram_hashes($"text", 8)).as("gram"))
+      .cache()
+    val dfb = grams.groupBy($"gram").agg(count(lit(1)).as("df"))
+    grams.join(dfb, "gram")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"df" === 1L, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty",
+        $"n_unique".cast("double") / $"n_grams".cast("double"))
+      // cuts calibrated to this corpus's novelty quantiles (0 ==
+      // duplicate-family docs; median 0.016; p99 0.059) — at 100 TB a
+      // team derives them from the quantile census first, q65's
+      // pattern. zero and the 0.03 cut compare exact doubles of an
+      // integer ratio in both engines.
+      .withColumn("band", when($"novelty" === 0.0, "templated")
+        .when($"novelty" < 0.03, "typical").otherwise("distinct"))
+      .groupBy($"band")
+      .agg(count(lit(1)).as("n_docs"),
+        graft.core.Exact.dround(
+          sum($"novelty".cast(DecimalType(28, 10))).cast("double")
+            / count(lit(1)), 4).as("avg_novelty"),
+        min($"doc_id").as("first_doc_id"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q118_novelty"           -> (q118NoveltyCensus _),
     "q114_dsir_weights"      -> (q114DsirWeights _),
     "q112_count_min"         -> (q112CountMin _),
     "q115_bpe_apply"         -> (q115BpeApply _),
@@ -1285,6 +1335,30 @@ object TextAnalysis extends QueryPack {
        | FROM $vIn CROSS JOIN b$r)""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "q118_novelty" ->
+      // gram identity is internal (xxhash64 in Spark, the substring
+      // itself here — q28's accepted ~2^-40 collision class); novelty
+      // is an integer ratio so bands compare identical doubles
+      s"""WITH grams AS MATERIALIZED (SELECT DISTINCT doc_id, substr(text, g, 8) AS gram
+         |  FROM documents, generate_series(1, ${OracleGen.MaxDocSeries}) t(g)
+         |  WHERE g <= length(text) - 7),
+         |dfb AS (SELECT gram, COUNT(*) AS df FROM grams GROUP BY 1),
+         |per AS (SELECT doc_id, COUNT(*) AS n_grams,
+         |  SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS n_unique
+         | FROM grams JOIN dfb USING (gram) GROUP BY 1),
+         |b AS (SELECT doc_id,
+         |  CAST(n_unique AS DOUBLE) / CAST(n_grams AS DOUBLE) AS novelty
+         | FROM per),
+         |c AS (SELECT doc_id, novelty,
+         |  CASE WHEN novelty = 0.0 THEN 'templated'
+         |   WHEN novelty < 0.03 THEN 'typical' ELSE 'distinct' END AS band
+         | FROM b)
+         |SELECT band, COUNT(*) AS n_docs,
+         | ${graft.core.Exact.sqlDround(
+               "CAST(SUM(CAST(novelty AS DECIMAL(28,10))) AS DOUBLE)" +
+               " / COUNT(*)", 4)} AS avg_novelty,
+         | MIN(doc_id) AS first_doc_id
+         |FROM c GROUP BY band""".stripMargin,
     "q114_dsir_weights" ->
       // identical integer bucket counts → identical LN inputs; per-doc
       // sums snap through DECIMAL(28,10) and selection compares the

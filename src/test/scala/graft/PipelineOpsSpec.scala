@@ -1515,6 +1515,31 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(rows.find(_._1 == 0.25).get._3 == q97kept)
   }
 
+  test("q118: bands partition the gram-bearing corpus; duplicates land " +
+    "in templated; band means order") {
+    val rows = TextAnalysis.q118NoveltyCensus(spark, sfDir).collect()
+    val by = rows.map(r => r.getString(0) ->
+      ((r.getLong(1), r.getDouble(2)))).toMap
+    val withGrams = graft.core.Tables.documents(spark, sfDir)
+      .filter(length(col("text")) >= 8).count()
+    assert(by.values.map(_._1).sum == withGrams)
+    // zero unique grams is the definition of the band
+    assert(by("templated")._2 == 0.0)
+    // every doc whose text appears >1 times has novelty 0 by
+    // construction (its grams all recur in the copy)
+    val dupDocs = graft.core.Tables.documents(spark, sfDir)
+      .groupBy(md5(col("text"))).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).agg(coalesce(sum(col("n")), lit(0L)))
+      .head().getLong(0)
+    assert(by("templated")._1 >= dupDocs,
+      s"templated ${by("templated")._1} < exact-dup docs $dupDocs")
+    // band means respect the cut order where the bands exist
+    for (hi <- by.get("typical"); lo <- by.get("templated"))
+      assert(lo._2 < hi._2)
+    for (hi <- by.get("distinct"); lo <- by.get("typical"))
+      assert(lo._2 < hi._2)
+  }
+
   test("q76: <= 3 terms per doc, ranks contiguous, scores non-increasing") {
     val rows = TextAnalysis.q76TfIdfTerms(spark, sfDir).collect()
     val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
