@@ -1268,7 +1268,56 @@ object TextAnalysis extends QueryPack {
         min($"doc_id").as("first_doc_id"))
   }
 
+  // --- q119: Zipf rank-frequency slope census --------------------------------
+  /** Least-squares slope of ln(freq) on ln(rank) over each language's
+    * top-50 tokens — the corpus-health diagnostic that flags
+    * unnatural token distributions: natural language sits near the
+    * Zipf slope −1, templated/synthetic/spam text flattens toward 0
+    * (this corpus's near-uniform synthetic vocabulary reads −0.21 to
+    * −0.30 — the check working as intended: it DETECTS the synthetic
+    * marginals; the spec pins the flat-side band).
+    *
+    * Exactness: ln of identical integer-derived doubles is identical
+    * (the q95 LN class); every regression sum (Σx, Σy, Σx², Σxy)
+    * snaps its terms through DECIMAL(28,10) so accumulation order
+    * cannot move an ulp, and the closed-form slope is then fixed
+    * arithmetic on identical values in both engines.
+    *
+    * Scale shape: one corpus-token aggregation into the vocab-bounded
+    * (lang, tok) frame; ranking is a per-lang window over that
+    * VOCAB-sized frame (never the token stream), and the regression
+    * aggregates 50 rows per language. At 100 TB the only data-sized
+    * stage is the count aggregation, which map-side combines.
+    */
+  def q119ZipfSlope(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val tf = Tables.documents(s, dir)
+      .select($"lang", explode(split($"text", " ")).as("tok"))
+      .filter(length($"tok") > 0)
+      .groupBy($"lang", $"tok").agg(count(lit(1)).as("cnt"))
+      .cache()
+    val nv = tf.groupBy($"lang").agg(count(lit(1)).as("n_vocab"))
+    val w = Window.partitionBy($"lang").orderBy($"cnt".desc, $"tok".asc)
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(c.cast(DecimalType(28, 10))).cast("double")
+    tf.withColumn("rk", row_number().over(w)).filter($"rk" <= 50)
+      .select($"lang", log($"rk".cast("double")).as("x"),
+        log($"cnt".cast("double")).as("y"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).cast("double").as("n"), dsum($"x").as("sx"),
+        dsum($"y").as("sy"), dsum($"x" * $"x").as("sxx"),
+        dsum($"x" * $"y").as("sxy"))
+      .join(nv, Seq("lang"))
+      .select($"lang", $"n_vocab", $"n".cast("long").as("r_used"),
+        graft.core.Exact.dround(
+          ($"n" * $"sxy" - $"sx" * $"sy")
+            / ($"n" * $"sxx" - $"sx" * $"sx"), 4).as("zipf_slope"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q119_zipf_slope"        -> (q119ZipfSlope _),
     "q118_novelty"           -> (q118NoveltyCensus _),
     "q114_dsir_weights"      -> (q114DsirWeights _),
     "q112_count_min"         -> (q112CountMin _),
@@ -1335,6 +1384,28 @@ object TextAnalysis extends QueryPack {
        | FROM $vIn CROSS JOIN b$r)""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "q119_zipf_slope" ->
+      // identical LN inputs (integer counts/ranks), decimal-snapped
+      // regression sums, closed-form slope on identical doubles
+      s"""WITH tf AS (SELECT lang, tok, COUNT(*) AS cnt FROM
+         |  (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+         | WHERE length(tok) > 0 GROUP BY 1, 2),
+         |nv AS (SELECT lang, COUNT(*) AS n_vocab FROM tf GROUP BY 1),
+         |r AS (SELECT lang, cnt, row_number() OVER (PARTITION BY lang
+         |   ORDER BY cnt DESC, tok ASC) AS rk FROM tf),
+         |t AS (SELECT lang, LN(CAST(rk AS DOUBLE)) AS x,
+         |  LN(CAST(cnt AS DOUBLE)) AS y FROM r WHERE rk <= 50),
+         |a AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n,
+         |  CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE) AS sx,
+         |  CAST(SUM(CAST(y AS DECIMAL(28,10))) AS DOUBLE) AS sy,
+         |  CAST(SUM(CAST(x * x AS DECIMAL(28,10))) AS DOUBLE) AS sxx,
+         |  CAST(SUM(CAST(x * y AS DECIMAL(28,10))) AS DOUBLE) AS sxy
+         | FROM t GROUP BY 1)
+         |SELECT a.lang, nv.n_vocab, CAST(a.n AS BIGINT) AS r_used,
+         | ${graft.core.Exact.sqlDround(
+               "(n * sxy - sx * sy) / (n * sxx - sx * sx)", 4)}
+         |   AS zipf_slope
+         |FROM a JOIN nv ON a.lang = nv.lang""".stripMargin,
     "q118_novelty" ->
       // gram identity is internal (xxhash64 in Spark, the substring
       // itself here — q28's accepted ~2^-40 collision class); novelty

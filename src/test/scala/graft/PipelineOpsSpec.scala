@@ -1540,6 +1540,24 @@ class PipelineOpsSpec extends SparkTestBase {
       assert(lo._2 < hi._2)
   }
 
+  test("q119: slope negative but far from Zipf -1 on the synthetic " +
+    "corpus; r_used honors the vocab floor") {
+    val rows = TextAnalysis.q119ZipfSlope(spark, sfDir).collect()
+    assert(rows.length ==
+      graft.core.Tables.documents(spark, sfDir).select("lang")
+        .distinct().count())
+    rows.foreach { r =>
+      val (nVocab, rUsed, slope) = (r.getLong(1), r.getLong(2),
+        r.getDouble(3))
+      assert(rUsed == math.min(50L, nVocab))
+      // frequencies decrease with rank, so the fit is negative — but
+      // the near-uniform synthetic vocabulary must sit far above the
+      // natural-language slope of -1: the diagnostic flags it
+      assert(slope < 0.0, s"slope $slope not negative")
+      assert(slope > -0.6, s"slope $slope reads as natural text")
+    }
+  }
+
   test("q76: <= 3 terms per doc, ranks contiguous, scores non-increasing") {
     val rows = TextAnalysis.q76TfIdfTerms(spark, sfDir).collect()
     val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
