@@ -453,4 +453,47 @@ class PlanSpec extends SparkTestBase {
     // aggregation; nothing else may shuffle
     assert(!p.contains("Window") && !p.contains("SortMergeJoin"), p.take(2000))
   }
+
+  test("q112: one corpus scan feeds the cached vocab frame; the cell " +
+    "matrix joins by broadcast, top-10 is TakeOrdered") {
+    val df = TextAnalysis.q112CountMin(spark, sfDir)
+    val p = plan(df)
+    // cells derive from the cached count frame, not a second explode
+    assert(fileScans(df) <= 1, p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    df.sparkSession.catalog.clearCache()
+  }
+
+  test("q114: the 256-bucket ratio table broadcasts to the scoring " +
+    "pass — no shuffle join touches the token stream") {
+    val df = TextAnalysis.q114DsirWeights(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"),
+      p.take(2000))
+    df.sparkSession.catalog.clearCache()
+  }
+
+  test("q115: merge rules collapse to one broadcast row; application " +
+    "is projection-only — no Window, no shuffle join on the word stream") {
+    val df = TextAnalysis.q115BpeApply(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"),
+      p.take(2000))
+    df.sparkSession.catalog.clearCache()
+  }
+
+  test("q118: novelty is df-join + aggregations — no candidate " +
+    "pairing, no Window, no nested-loop join anywhere") {
+    val df = TextAnalysis.q118NoveltyCensus(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+    df.sparkSession.catalog.clearCache()
+  }
 }
