@@ -1316,7 +1316,58 @@ object TextAnalysis extends QueryPack {
             / ($"n" * $"sxx" - $"sx" * $"sx"), 4).as("zipf_slope"))
   }
 
+  // --- q120: BPE compression-vs-merges sweep ---------------------------------
+  /** Corpus compression after 0, 1, 2 and 3 learned merges — the
+    * compression-vs-vocab-size curve a tokenizer team reads to pick a
+    * merge budget (the q117 sweep pattern applied to q107/q115's
+    * family: learn once, measure every prefix of the rule list in ONE
+    * pass). Each word renders once and the three replaces apply
+    * PROGRESSIVELY in the same projection, so the sweep costs one
+    * extra size() per k, not a pass per k; rows explode ×4 scalars
+    * into the per-k census. The curve is non-increasing in k by
+    * construction (a merge can only fuse) — spec-pinned, with k=0
+    * equal to the raw character count and k=3 equal to q115's total.
+    */
+  def q120BpeSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = bpeMerges(Tables.documents(s, dir), 3).agg(
+      max(when($"round" === 1, $"left_sym")).as("a1"),
+      max(when($"round" === 1, $"right_sym")).as("b1"),
+      max(when($"round" === 2, $"left_sym")).as("a2"),
+      max(when($"round" === 2, $"right_sym")).as("b2"),
+      max(when($"round" === 3, $"left_sym")).as("a3"),
+      max(when($"round" === 3, $"right_sym")).as("b3"))
+    Tables.documents(s, dir)
+      .select(explode(split($"text", " ")).as("w"))
+      .filter($"w" =!= "")
+      .crossJoin(broadcast(m))
+      .withColumn("r0", concat(lit("|"),
+        array_join(filter(split($"w", ""), c => c =!= ""), "||"), lit("|")))
+      .withColumn("r1", expr(
+        "replace(r0, '|' || a1 || '||' || b1 || '|', '|' || a1 || b1 || '|')"))
+      .withColumn("r2", expr(
+        "replace(r1, '|' || a2 || '||' || b2 || '|', '|' || a2 || b2 || '|')"))
+      .withColumn("r3", expr(
+        "replace(r2, '|' || a3 || '||' || b3 || '|', '|' || a3 || b3 || '|')"))
+      .select(length($"w").cast("long").as("nc"), explode(array(
+        struct(lit(0).as("k"), length($"w").cast("long").as("ns")),
+        struct(lit(1).as("k"),
+          size(split(trim($"r1", "|"), "\\|\\|")).cast("long").as("ns")),
+        struct(lit(2).as("k"),
+          size(split(trim($"r2", "|"), "\\|\\|")).cast("long").as("ns")),
+        struct(lit(3).as("k"),
+          size(split(trim($"r3", "|"), "\\|\\|")).cast("long").as("ns"))
+      )).as("c"))
+      .groupBy($"c.k")
+      .agg(count(lit(1)).as("n_words"), sum($"nc").as("n_chars"),
+        sum($"c.ns").as("n_subtokens"),
+        graft.core.Exact.dround(
+          sum($"c.ns").cast("double") / sum($"nc").cast("double"), 4)
+          .as("compression"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q120_bpe_sweep"         -> (q120BpeSweep _),
     "q119_zipf_slope"        -> (q119ZipfSlope _),
     "q118_novelty"           -> (q118NoveltyCensus _),
     "q114_dsir_weights"      -> (q114DsirWeights _),
@@ -1384,6 +1435,56 @@ object TextAnalysis extends QueryPack {
        | FROM $vIn CROSS JOIN b$r)""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "q120_bpe_sweep" ->
+      // q107's training chain, then each k's census from the same
+      // progressive replaces, one UNION ALL branch per prefix
+      s"""WITH w AS (SELECT w, COUNT(*) AS cnt FROM
+         |  (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         | WHERE w <> '' GROUP BY 1),
+         |v1 AS (SELECT '|' || array_to_string(string_split(w, ''), '||')
+         |  || '|' AS repr, cnt FROM w),
+         |${bpeRoundSql(1, "v1")},
+         |${bpeRoundSql(2, "v2")},
+         |${bpeRoundSql(3, "v3")},
+         |dw AS (SELECT w FROM
+         |  (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         | WHERE w <> ''),
+         |ap AS (SELECT length(w) AS nc,
+         |  replace('|' || array_to_string(string_split(w, ''), '||') || '|',
+         |    '|' || b1.a || '||' || b1.b || '|', '|' || b1.a || b1.b || '|')
+         |    AS r1str,
+         |  b2.a AS a2, b2.b AS bb2, b3.a AS a3, b3.b AS bb3
+         | FROM dw CROSS JOIN b1 CROSS JOIN b2 CROSS JOIN b3),
+         |ap2 AS (SELECT nc, r1str,
+         |  replace(r1str, '|' || a2 || '||' || bb2 || '|',
+         |    '|' || a2 || bb2 || '|') AS r2str, a3, bb3 FROM ap),
+         |ap3 AS (SELECT nc, r1str, r2str,
+         |  replace(r2str, '|' || a3 || '||' || bb3 || '|',
+         |    '|' || a3 || bb3 || '|') AS r3str FROM ap2),
+         |l AS (SELECT nc,
+         |  len(string_split(trim(r1str, '|'), '||')) AS ns1,
+         |  len(string_split(trim(r2str, '|'), '||')) AS ns2,
+         |  len(string_split(trim(r3str, '|'), '||')) AS ns3 FROM ap3)
+         |SELECT 0 AS k, COUNT(*) AS n_words, CAST(SUM(nc) AS BIGINT) AS n_chars,
+         | CAST(SUM(nc) AS BIGINT) AS n_subtokens,
+         | ${graft.core.Exact.sqlDround(
+               "CAST(SUM(nc) AS DOUBLE) / CAST(SUM(nc) AS DOUBLE)", 4)}
+         |   AS compression FROM l
+         |UNION ALL SELECT 1, COUNT(*), CAST(SUM(nc) AS BIGINT),
+         | CAST(SUM(ns1) AS BIGINT),
+         | ${graft.core.Exact.sqlDround(
+               "CAST(SUM(ns1) AS DOUBLE) / CAST(SUM(nc) AS DOUBLE)", 4)}
+         | FROM l
+         |UNION ALL SELECT 2, COUNT(*), CAST(SUM(nc) AS BIGINT),
+         | CAST(SUM(ns2) AS BIGINT),
+         | ${graft.core.Exact.sqlDround(
+               "CAST(SUM(ns2) AS DOUBLE) / CAST(SUM(nc) AS DOUBLE)", 4)}
+         | FROM l
+         |UNION ALL SELECT 3, COUNT(*), CAST(SUM(nc) AS BIGINT),
+         | CAST(SUM(ns3) AS BIGINT),
+         | ${graft.core.Exact.sqlDround(
+               "CAST(SUM(ns3) AS DOUBLE) / CAST(SUM(nc) AS DOUBLE)", 4)}
+         | FROM l""".stripMargin,
     "q119_zipf_slope" ->
       // identical LN inputs (integer counts/ranks), decimal-snapped
       // regression sums, closed-form slope on identical doubles

@@ -1558,6 +1558,25 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q120: compression curve is monotone in merges, anchored at raw " +
+    "chars, and lands on q115's total") {
+    val rows = TextAnalysis.q120BpeSweep(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(0, 1, 2, 3))
+    // same word population and char mass at every k
+    assert(rows.map(r => (r._2, r._3)).distinct.length == 1)
+    // each additional merge can only fuse pairs: strictly fewer
+    // subtokens while the rule still fires, never more
+    rows.map(_._4).sliding(2).foreach {
+      case Array(a, b) => assert(b <= a); case _ => }
+    assert(rows.head._4 == rows.head._3 && rows.head._5 == 1.0)
+    // k=3 is exactly the q115 application census
+    val q115Total = TextAnalysis.q115BpeApply(spark, sfDir).collect()
+      .map(_.getAs[Long]("n_subtokens")).sum
+    assert(rows.last._4 == q115Total)
+  }
+
   test("q76: <= 3 terms per doc, ranks contiguous, scores non-increasing") {
     val rows = TextAnalysis.q76TfIdfTerms(spark, sfDir).collect()
     val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
