@@ -820,7 +820,61 @@ object Relational extends QueryPack {
         .as("priorities"), count(lit(1)).as("n"))
   }
 
+  // --- q121: join-key skew census -------------------------------------------
+  /** Per-key cardinality diagnostics for the engine's join columns —
+    * the census a pipeline runs BEFORE choosing between a plain
+    * shuffle join, AQE skew splitting, or [[SkewJoin]]'s explicit
+    * salting: max key weight, the top-1% weight boundary, and the
+    * skew ratio (max/mean). One row per audited column.
+    *
+    * Scale shape: the per-key count aggregates map-side; everything
+    * after operates on the COUNT HISTOGRAM (count-value → #keys) —
+    * bounded by the number of DISTINCT per-key counts, which is tiny
+    * at any corpus size even when the key space has billions of
+    * entries — so no ranking ever touches the key-count frame itself
+    * (the one-reducer row_number spelling this replaces). The top-1%
+    * boundary is the largest count c whose cumulative key mass from
+    * the top reaches ceil(n_keys/100) — pure integer arithmetic.
+    */
+  def q121SkewCensus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def censusOf(df: DataFrame, keyCol: String, label: String): DataFrame = {
+      val counts = df.groupBy(col(keyCol).cast("long").as("k"))
+        .agg(count(lit(1)).as("cnt"))
+      val hist = counts.groupBy($"cnt").agg(count(lit(1)).as("nk"),
+        min($"k").as("anyk")).cache()
+      val tot = hist.agg(sum($"nk").as("n_keys"),
+        sum($"cnt" * $"nk").as("n_rows"),
+        max(struct($"cnt".as("c"), (-$"anyk").as("negk"))).as("hotc"))
+      // cumulative key mass from the heaviest count down — a window
+      // over the tiny histogram, never over the key-count frame
+      val w = Window.orderBy($"cnt".desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cum = hist.withColumn("cum", sum($"nk").over(w))
+      cum.crossJoin(broadcast(tot))
+        .withColumn("kk", greatest(lit(1L), ceil($"n_keys" / 100.0).cast("long")))
+        .groupBy($"n_keys", $"n_rows", $"hotc", $"kk")
+        .agg(max($"cnt").as("max_cnt"),
+          max(when($"cum" >= $"kk", $"cnt")).as("top1pct_cnt"))
+        .select(lit(label).as("key_col"), $"n_rows", $"n_keys",
+          $"max_cnt", (-$"hotc.negk").as("hot_key"), $"top1pct_cnt",
+          graft.core.Exact.dround(
+            $"n_rows".cast("double") / $"n_keys".cast("double"), 4)
+            .as("mean_cnt"),
+          graft.core.Exact.dround(
+            $"max_cnt".cast("double") * $"n_keys".cast("double")
+              / $"n_rows".cast("double"), 4).as("skew_ratio"))
+    }
+    censusOf(Tables.orders(s, dir), "o_custkey", "orders.o_custkey")
+      .unionByName(censusOf(Tables.events(s, dir), "user_id",
+        "events.user_id"))
+      .unionByName(censusOf(Tables.lineitem(s, dir), "l_partkey",
+        "lineitem.l_partkey"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_skew_census"  -> (q121SkewCensus _),
     "q40_range_join"    -> (q40RangeJoin _),
     "q41_group_lists"   -> (q41GroupLists _),
     "q43_cube"          -> (q43Cube _),
@@ -855,6 +909,38 @@ object Relational extends QueryPack {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q121_skew_census" ->
+      // everything after the per-key count runs on the count
+      // HISTOGRAM; top-1% boundary and skew are integer-derived
+      """WITH src AS (
+        |  SELECT 'orders.o_custkey' AS key_col, o_custkey AS k FROM orders
+        |  UNION ALL SELECT 'events.user_id', user_id FROM events
+        |  UNION ALL SELECT 'lineitem.l_partkey', l_partkey FROM lineitem),
+        |counts AS (SELECT key_col, k, COUNT(*) AS cnt FROM src GROUP BY 1, 2),
+        |hist AS (SELECT key_col, cnt, COUNT(*) AS nk, MIN(k) AS anyk
+        | FROM counts GROUP BY 1, 2),
+        |mx AS (SELECT key_col, MAX(cnt) AS max_cnt FROM hist GROUP BY 1),
+        |hot AS (SELECT h.key_col, MIN(h.anyk) AS hot_key
+        | FROM hist h JOIN mx USING (key_col)
+        | WHERE h.cnt = mx.max_cnt GROUP BY 1),
+        |cum AS (SELECT key_col, cnt, SUM(nk) OVER (PARTITION BY key_col
+        |   ORDER BY cnt DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS cum FROM hist),
+        |tot AS (SELECT key_col, CAST(SUM(nk) AS BIGINT) AS n_keys,
+        |  CAST(SUM(cnt * nk) AS BIGINT) AS n_rows FROM hist GROUP BY 1),
+        |p AS (SELECT c.key_col, MAX(c.cnt) AS top1pct_cnt
+        | FROM cum c JOIN tot t USING (key_col)
+        | WHERE c.cum >= GREATEST(1, CAST(CEIL(t.n_keys / 100.0) AS BIGINT))
+        | GROUP BY 1)
+        |SELECT t.key_col, t.n_rows, t.n_keys, mx.max_cnt, hot.hot_key,
+        | p.top1pct_cnt,
+        | CAST(ROUND(CAST((CAST(t.n_rows AS DOUBLE) / CAST(t.n_keys AS DOUBLE))
+        |   AS DECIMAL(28,10)), 4) AS DOUBLE) AS mean_cnt,
+        | CAST(ROUND(CAST((CAST(mx.max_cnt AS DOUBLE) * CAST(t.n_keys AS DOUBLE)
+        |   / CAST(t.n_rows AS DOUBLE)) AS DECIMAL(28,10)), 4) AS DOUBLE)
+        |   AS skew_ratio
+        |FROM tot t JOIN mx USING (key_col) JOIN hot USING (key_col)
+        |JOIN p USING (key_col)""".stripMargin,
     "q105_kmv_overlap" -> {
       def est(bk: String) =
         s"""CASE WHEN len($bk) < 256 THEN CAST(len($bk) AS DOUBLE)

@@ -1577,6 +1577,35 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(rows.last._4 == q115Total)
   }
 
+  test("q121: skew census matches a direct per-key recount; hot key is " +
+    "a true argmax; boundaries ordered") {
+    import graft.operators.Relational
+    val rows = Relational.q121SkewCensus(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("orders.o_custkey", "events.user_id",
+      "lineitem.l_partkey"))
+    // recount orders.o_custkey from scratch
+    val counts = graft.core.Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val r = rows("orders.o_custkey")
+    assert(r.getAs[Long]("n_rows") == counts.map(_._2).sum)
+    assert(r.getAs[Long]("n_keys") == counts.length)
+    val maxCnt = counts.map(_._2).max
+    assert(r.getAs[Long]("max_cnt") == maxCnt)
+    // hot key = smallest key among those at max count
+    assert(r.getAs[Long]("hot_key") ==
+      counts.filter(_._2 == maxCnt).map(_._1).min)
+    // top-1% boundary: the k-th largest count, k = ceil(n_keys/100)
+    val k = math.max(1L, math.ceil(counts.length / 100.0).toLong).toInt
+    assert(r.getAs[Long]("top1pct_cnt") ==
+      counts.map(_._2).sorted(Ordering[Long].reverse).apply(k - 1))
+    rows.values.foreach { row =>
+      assert(row.getAs[Long]("top1pct_cnt") <= row.getAs[Long]("max_cnt"))
+      assert(row.getAs[Double]("skew_ratio") >= 1.0)
+    }
+  }
+
   test("q76: <= 3 terms per doc, ranks contiguous, scores non-increasing") {
     val rows = TextAnalysis.q76TfIdfTerms(spark, sfDir).collect()
     val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
