@@ -1366,7 +1366,52 @@ object TextAnalysis extends QueryPack {
           .as("compression"))
   }
 
+  // --- q122: PMI collocation mining ------------------------------------------
+  /** Top-20 adjacent-token collocations by pointwise mutual
+    * information — pmi(a,b) = ln(N·c_ab / (c_a•·c_•b)) over the
+    * bigram stream (Church & Hanks 1990), with a c_ab ≥ 5 floor (PMI
+    * explodes on hapax pairs). Collocation mining is the corpus-
+    * exploration twin of q75's conditional LM: same count tables,
+    * association-strength ranking instead of prediction.
+    *
+    * Exactness: one ln per pair over an integer-ratio operand spelled
+    * identically in both engines; ranking compares the 4dp-ROUNDED
+    * pmi with (w1, w2) tie-breaks — q76's determinism class, a total
+    * order so the top-20 cut is stable.
+    *
+    * Scale shape: one corpus bigram aggregation (map-side combined)
+    * into the vocab²-bounded pair frame; both marginals derive FROM
+    * that frame (no second corpus scan) and broadcast; top-20 is
+    * TakeOrdered. The corpus is touched exactly once.
+    */
+  def q122PmiPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bigr = Tables.documents(s, dir)
+      .withColumn("toks", split($"text", " "))
+      .select(explode(expr(
+        """CASE WHEN size(toks) >= 2
+          | THEN transform(sequence(1, size(toks) - 1),
+          |   i -> named_struct('w1', element_at(toks, i),
+          |                     'w2', element_at(toks, i + 1)))
+          | ELSE CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>)
+          |END""".stripMargin)).as("b"))
+      .select($"b.w1", $"b.w2")
+    val bc = bigr.groupBy($"w1", $"w2").agg(count(lit(1)).as("cab")).cache()
+    val ca = bc.groupBy($"w1").agg(sum($"cab").as("ca"))
+    val cb = bc.groupBy($"w2").agg(sum($"cab").as("cb"))
+    val n = bc.agg(sum($"cab").as("nb"))
+    bc.filter($"cab" >= 5)
+      .join(broadcast(ca), Seq("w1")).join(broadcast(cb), Seq("w2"))
+      .crossJoin(broadcast(n))
+      .withColumn("pmi", graft.core.Exact.dround(
+        log(($"cab".cast("double") * $"nb".cast("double"))
+          / ($"ca".cast("double") * $"cb".cast("double"))), 4))
+      .select($"w1", $"w2", $"cab", $"pmi")
+      .orderBy($"pmi".desc, $"w1".asc, $"w2".asc).limit(20)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q122_pmi_pairs"         -> (q122PmiPairs _),
     "q120_bpe_sweep"         -> (q120BpeSweep _),
     "q119_zipf_slope"        -> (q119ZipfSlope _),
     "q118_novelty"           -> (q118NoveltyCensus _),
@@ -1435,6 +1480,26 @@ object TextAnalysis extends QueryPack {
        | FROM $vIn CROSS JOIN b$r)""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "q122_pmi_pairs" ->
+      // identical integer counts -> identical LN operand; rank on the
+      // ROUNDED pmi with (w1, w2) tie-breaks, a total order
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |bgr AS (SELECT t[i] AS w1, t[i+1] AS w2
+         |  FROM toks, generate_series(1, ${OracleGen.MaxDocSeries}) g(i)
+         |  WHERE i <= len(t) - 1),
+         |bc AS (SELECT w1, w2, COUNT(*) AS cab FROM bgr GROUP BY 1, 2),
+         |ca AS (SELECT w1, CAST(SUM(cab) AS BIGINT) AS ca FROM bc GROUP BY 1),
+         |cb AS (SELECT w2, CAST(SUM(cab) AS BIGINT) AS cb FROM bc GROUP BY 1),
+         |n AS (SELECT CAST(SUM(cab) AS BIGINT) AS nb FROM bc),
+         |p AS (SELECT bc.w1, bc.w2, bc.cab,
+         |  ${graft.core.Exact.sqlDround(
+               "LN((CAST(bc.cab AS DOUBLE) * CAST(n.nb AS DOUBLE))" +
+               " / (CAST(ca.ca AS DOUBLE) * CAST(cb.cb AS DOUBLE)))", 4)}
+         |    AS pmi
+         | FROM bc JOIN ca USING (w1) JOIN cb USING (w2) CROSS JOIN n
+         | WHERE bc.cab >= 5)
+         |SELECT w1, w2, cab, pmi FROM p
+         |ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 20""".stripMargin,
     "q120_bpe_sweep" ->
       // q107's training chain, then each k's census from the same
       // progressive replaces, one UNION ALL branch per prefix

@@ -1606,6 +1606,35 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q122: PMI matches a brute-force recount; output ordered and " +
+    "floored") {
+    val rows = TextAnalysis.q122PmiPairs(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(rows.length <= 20 && rows.nonEmpty)
+    // brute-force recount on the driver
+    val texts = graft.core.Tables.documents(spark, sfDir)
+      .select("text").collect().map(_.getString(0))
+    val bigrams = texts.flatMap(t => t.split(" ").sliding(2)
+      .filter(_.length == 2).map(a => (a(0), a(1))))
+    val cab = bigrams.groupBy(identity).view.mapValues(_.length).toMap
+    val ca = bigrams.groupBy(_._1).view.mapValues(_.length).toMap
+    val cb = bigrams.groupBy(_._2).view.mapValues(_.length).toMap
+    val n = bigrams.length.toDouble
+    rows.foreach { case (w1, w2, c, pmi) =>
+      assert(c >= 5 && cab((w1, w2)) == c)
+      val expect = math.log(c.toDouble * n / (ca(w1).toDouble * cb(w2)))
+      assert(math.abs(pmi - expect) < 1e-3, s"($w1,$w2): $pmi vs $expect")
+    }
+    // ordering is (pmi desc, w1, w2) — a total order
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._4 > b._4 || (a._4 == b._4 &&
+          (a._1 < b._1 || (a._1 == b._1 && a._2 <= b._2))))
+      case _ =>
+    }
+  }
+
   test("q76: <= 3 terms per doc, ranks contiguous, scores non-increasing") {
     val rows = TextAnalysis.q76TfIdfTerms(spark, sfDir).collect()
     val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
