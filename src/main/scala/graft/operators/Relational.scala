@@ -873,7 +873,43 @@ object Relational extends QueryPack {
         "lineitem.l_partkey"))
   }
 
+  // --- q123: last-touch click→purchase attribution ---------------------------
+  /** Marketing-analytics staple: attribute each purchase to the LAST
+    * click by the same user within the preceding hour. An equi join on
+    * user_id with an integer interval predicate (epoch-microsecond
+    * difference in [0, 1h] — no timestamp arithmetic ambiguity in
+    * either engine), then a per-purchase argmax over (click_ts,
+    * click_id) — max(struct) again, never a window over the pair
+    * stream. The streaming twin
+    * ([[graft.streaming.AnomalyStream.attributionStream]]) is the
+    * engine's stream-stream interval join: same predicate, watermarked
+    * state on both sides.
+    *
+    * Scale shape: the join keys on user_id (AQE-managed, skew-safe per
+    * q121's census discipline); the interval predicate prunes pairs at
+    * the join, and the argmax is one map-side-combinable aggregation
+    * keyed by purchase.
+    */
+  def q123Attribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, dir)
+    val clicks = e.filter($"event_type" === "click")
+      .select($"user_id", unix_micros($"ts").as("cus"),
+        $"event_id".as("click_id"))
+    val purch = e.filter($"event_type" === "purchase")
+      .select($"user_id", unix_micros($"ts").as("pus"),
+        $"event_id".as("purchase_id"), $"value")
+    purch.join(clicks, Seq("user_id"))
+      .filter($"pus" - $"cus" >= 0L && $"pus" - $"cus" <= 3600000000L)
+      .groupBy($"purchase_id", $"user_id", $"pus", $"value")
+      .agg(max(struct($"cus".as("cus"), $"click_id".as("cid"))).as("lt"))
+      .select($"purchase_id", $"user_id", $"lt.cid".as("click_id"),
+        ($"pus" - $"lt.cus").as("lag_us"),
+        graft.core.Exact.dround($"value", 2).as("value"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q123_attribution"  -> (q123Attribution _),
     "q121_skew_census"  -> (q121SkewCensus _),
     "q40_range_join"    -> (q40RangeJoin _),
     "q41_group_lists"   -> (q41GroupLists _),
@@ -909,6 +945,22 @@ object Relational extends QueryPack {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q123_attribution" ->
+      // integer epoch-microsecond interval predicate; last-touch via
+      // the rank-window spelling (the engine side is max(struct))
+      """WITH c AS (SELECT user_id, epoch_us(ts) AS cus, event_id AS click_id
+        | FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, epoch_us(ts) AS pus, event_id AS purchase_id,
+        |  value FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT p.purchase_id, p.user_id, p.pus, p.value, c.cus,
+        |  c.click_id
+        | FROM p JOIN c USING (user_id)
+        | WHERE p.pus - c.cus >= 0 AND p.pus - c.cus <= 3600000000),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY purchase_id
+        |   ORDER BY cus DESC, click_id DESC) AS rn FROM j)
+        |SELECT purchase_id, user_id, click_id, pus - cus AS lag_us,
+        | CAST(ROUND(CAST(value AS DECIMAL(28,10)), 2) AS DOUBLE) AS value
+        |FROM r WHERE rn = 1""".stripMargin,
     "q121_skew_census" ->
       // everything after the per-key count runs on the count
       // HISTOGRAM; top-1% boundary and skew are integer-derived

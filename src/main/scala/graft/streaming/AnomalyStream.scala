@@ -273,6 +273,39 @@ object AnomalyStream {
       }
   }
 
+  /** Streaming twin of batch q123: the engine's STREAM-STREAM interval
+    * join — clicks and purchases as two watermarked substreams of one
+    * event stream, joined on user_id with the same integer
+    * epoch-microsecond interval predicate ([0, 1h]) as the batch
+    * query. Both sides carry a 2-hour watermark, so Spark bounds the
+    * join state to (watermark + interval) per side and evicts
+    * automatically — the state contract that makes a stream-stream
+    * join survive unbounded streams.
+    *
+    * Emits every qualifying (click, purchase) pair; last-touch
+    * selection is the downstream per-purchase argmax exactly as q123
+    * spells it (a stream-stream join cannot retract an earlier
+    * emitted pair when a later click arrives, so the argmax belongs
+    * after the join — standard Structured Streaming composition).
+    * StreamingSpec pins pair-set equality with the batch join under
+    * sliced arrivals.
+    */
+  def attributionStream(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("cts"),
+        col("event_id").as("click_id"))
+      .withWatermark("cts", "2 hours")
+    val purch = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("pts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("pts", "2 hours")
+    clicks.join(purch,
+      expr("user_id = p_user AND pts >= cts AND " +
+        "pts <= cts + interval 1 hour"))
+      .select(col("purchase_id"), col("user_id"), col("click_id"),
+        (unix_micros(col("pts")) - unix_micros(col("cts"))).as("lag_us"))
+  }
+
   case class CmsCells(lang: String, seen: Long, cells: Array[Long])
 
   /** Streaming twin of batch q112: a per-key count-min sketch carried

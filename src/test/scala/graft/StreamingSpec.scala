@@ -750,6 +750,65 @@ class StreamingSpec extends SparkTestBase {
     assert(micros(withNanos) == -750000L)
   }
 
+  test("attributionStream: stream-stream interval join emits exactly " +
+    "the batch pair set, slicing-invariant, boundaries inclusive") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.streaming.AnomalyStream
+    import AnomalyStream.Event
+    // +1 day: an event time of exactly epoch 0 sits AT the initial
+    // watermark and the join's late-row filter drops it — a fixture
+    // artifact, not operator behavior worth pinning
+    def t(min: Long) = new java.sql.Timestamp((min + 1440) * 60000L)
+    val evs = Seq(
+      Event(1, t(0), 1, "click", 0.0),
+      Event(2, t(30), 1, "purchase", 9.5),   // ← click 1 (30 min)
+      Event(3, t(45), 1, "click", 0.0),
+      Event(4, t(50), 1, "purchase", 1.0),   // ← clicks 1 (50m) AND 3 (5m)
+      Event(6, t(10), 2, "click", 0.0),
+      Event(7, t(80), 2, "purchase", 3.0),   // 70 min gap → no pair
+      Event(8, t(100), 2, "click", 0.0),
+      Event(9, t(100), 2, "purchase", 4.0),  // zero lag: inclusive bound
+      Event(5, t(200), 1, "purchase", 2.0)   // no click within the hour
+    )
+    def run(name: String, slices: Seq[Seq[Event]]): Set[(Long, Long, Long, Long)] = {
+      val input = MemoryStream[Event]
+      val q = AnomalyStream.attributionStream(input.toDF())
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try slices.foreach { s => input.addData(s: _*); q.processAllAvailable() }
+      finally spark.streams.active.foreach(_.stop())
+      spark.table(name).collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))).toSet
+    }
+    val expected = Set(
+      (2L, 1L, 1L, 1800000000L),
+      (4L, 1L, 1L, 3000000000L), (4L, 1L, 3L, 300000000L),
+      (9L, 2L, 8L, 0L))
+    val one = run("attr_one", Seq(evs))
+    assert(one == expected, s"got $one")
+    // a different micro-batch cut over the same ordered events emits
+    // the identical pair set (state holds clicks across the boundary)
+    val sliced = run("attr_sliced", Seq(evs.take(4), evs.slice(4, 7),
+      evs.drop(7)))
+    assert(sliced == expected, s"sliced got $sliced")
+    // and the batch spelling over the same rows agrees pair-for-pair
+    val e = evs.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val c = e.filter($"event_type" === "click")
+      .select($"user_id", unix_micros($"ts").as("cus"),
+        $"event_id".as("click_id"))
+    val p = e.filter($"event_type" === "purchase")
+      .select($"user_id", unix_micros($"ts").as("pus"),
+        $"event_id".as("purchase_id"))
+    val batch = p.join(c, Seq("user_id"))
+      .filter($"pus" - $"cus" >= 0L && $"pus" - $"cus" <= 3600000000L)
+      .select($"purchase_id", $"user_id", $"click_id",
+        ($"pus" - $"cus").as("lag_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(batch == expected)
+  }
+
   test("cmsStream: slicing-invariant, row mass = seen, never undercounts, " +
     "JVM buckets match the q112 SQL device") {
     import spark.implicits._
