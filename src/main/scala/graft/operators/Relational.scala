@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.core.{QueryPack, Tables}
+import graft.core.{OracleGen, QueryPack, Tables}
 
 /** Relational core: scans, filters/projections (SURVEY §2.2-2.3), joins
   * (§2.4 gap-fill), aggregations (§2.5), sorts/limits/top-k/set ops (§2.7).
@@ -908,7 +908,38 @@ object Relational extends QueryPack {
         graft.core.Exact.dround($"value", 2).as("value"))
   }
 
+  // --- q124: top event-path mining -------------------------------------------
+  /** Top-10 three-step behavior paths (event-type trigrams over each
+    * user's time-ordered stream) with user reach — the path-analysis
+    * census product analytics runs beyond q80's first-order
+    * transition matrix. Per-user sequences assemble in ONE
+    * aggregation (collect sorted by (ts, event_id) — the q78/funnel
+    * per-user buffering contract: state bounded by a user's activity,
+    * never by the stream), trigrams explode narrowly in-row, and the
+    * top-10 rides TakeOrdered on (count desc, path asc) — a total
+    * order since paths are grouped.
+    */
+  def q124PathMining(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"user_id")
+      .agg(sort_array(collect_list(struct(
+        unix_micros($"ts").as("us"), $"event_id".as("eid"),
+        $"event_type".as("et")))).as("seq"))
+      .select($"user_id", explode(expr(
+        """CASE WHEN size(seq) >= 3
+          | THEN transform(sequence(1, size(seq) - 2),
+          |   i -> concat(seq[i-1].et, '>', seq[i].et, '>', seq[i+1].et))
+          | ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+        .as("path"))
+      .groupBy($"path")
+      .agg(count(lit(1)).as("n"),
+        countDistinct($"user_id").as("n_users"))
+      .orderBy($"n".desc, $"path".asc).limit(10)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q124_path_mining"  -> (q124PathMining _),
     "q123_attribution"  -> (q123Attribution _),
     "q121_skew_census"  -> (q121SkewCensus _),
     "q40_range_join"    -> (q40RangeJoin _),
@@ -945,6 +976,19 @@ object Relational extends QueryPack {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q124_path_mining" ->
+      // identical (ts, event_id) total order inside list(); the 4096
+      // series bound is far above the max per-user event count at any
+      // driver SF (~120 at sf0.1 — the OracleGen.MaxDocSeries contract)
+      s"""WITH s AS (SELECT user_id,
+         |  list(event_type ORDER BY epoch_us(ts), event_id) AS seq
+         | FROM events GROUP BY 1),
+         |p AS (SELECT user_id,
+         |  seq[i] || '>' || seq[i+1] || '>' || seq[i+2] AS path
+         | FROM s, generate_series(1, ${OracleGen.MaxDocSeries}) g(i)
+         | WHERE i <= len(seq) - 2)
+         |SELECT path, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+         |FROM p GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 10""".stripMargin,
     "q123_attribution" ->
       // integer epoch-microsecond interval predicate; last-touch via
       // the rank-window spelling (the engine side is max(struct))

@@ -1635,6 +1635,36 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q124: paths match a driver-side trigram recount; reach bounded " +
+    "by count; output totally ordered") {
+    import graft.operators.Relational
+    val rows = Relational.q124PathMining(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty && rows.length <= 10)
+    // driver-side recount over the same (ts, event_id) total order
+    val evs = graft.core.Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    val byUser = evs.groupBy(_._1).view.mapValues(
+      _.sortBy(e => (e._2, e._3)).map(_._4).toSeq)
+    val paths = byUser.toSeq.flatMap { case (u, seq) =>
+      seq.sliding(3).filter(_.length == 3)
+        .map(w => (w.mkString(">"), u)).toSeq }
+    val cnt = paths.groupBy(_._1).view
+      .mapValues(g => (g.size.toLong, g.map(_._2).distinct.size.toLong))
+      .toMap
+    rows.foreach { case (p, n, nu) =>
+      assert(cnt(p) == ((n, nu)), s"$p: got ($n,$nu) want ${cnt(p)}")
+      assert(nu <= n)
+    }
+    // the census is the true top-10 slice of the recount
+    val expectTop = cnt.toSeq.map { case (p, (n, _)) => (p, n) }
+      .sortBy { case (p, n) => (-n, p) }.take(10).map(_._1)
+    assert(rows.map(_._1).toSeq == expectTop)
+  }
+
   test("q76: <= 3 terms per doc, ranks contiguous, scores non-increasing") {
     val rows = TextAnalysis.q76TfIdfTerms(spark, sfDir).collect()
     val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
