@@ -574,6 +574,57 @@ object Pipeline extends QueryPack {
       .groupBy($"lang", $"status").agg(count(lit(1)).as("n"))
   }
 
+  // --- q125: CDC merge apply (the write side of q111) -----------------------
+  /** Apply an upsert/delete delta batch to a corpus snapshot — MERGE
+    * INTO semantics as one full-outer join: deletes drop the key,
+    * upserts override or insert, untouched rows pass through. q111
+    * DIAGNOSES a refresh (what changed between snapshots); this
+    * EXECUTES one (a CDC feed applied to the stored corpus) — the two
+    * halves of an incremental pipeline's state maintenance.
+    *
+    * Scale shape: one full-outer hash join on doc_id (both sides
+    * doc_id-bucketed at 100 TB, co-located like q111; a typically
+    * small delta broadcasts instead). The census checksums the merged
+    * content with a sum of 32-bit md5 prefixes — order-independent
+    * integer arithmetic, so the MERGED STATE itself is under the
+    * exact gate, not just the row counts.
+    */
+  def mergeApply(snap: DataFrame, delta: DataFrame): DataFrame = {
+    import snap.sparkSession.implicits._
+    snap.select($"doc_id", $"lang".as("sl"), $"text".as("st"))
+      .join(delta.select($"doc_id", $"op", $"lang".as("dl"),
+        $"text".as("dt")), Seq("doc_id"), "full_outer")
+      .filter(!($"op" <=> lit("delete")))
+      .select($"doc_id", coalesce($"dl", $"sl").as("lang"),
+        coalesce($"dt", $"st").as("text"),
+        when($"op".isNull, "kept")
+          .when($"sl".isNull, "inserted")
+          .otherwise("updated").as("change"))
+  }
+
+  /** Deterministic delta family over the corpus (the q111 pattern):
+    * every 7th doc deleted, every remaining 5th upserted with new
+    * text, every 11th spawning an insert at a fresh negative key.
+    */
+  def q125MergeApply(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val delta = docs.filter($"doc_id" % 7 === 0)
+      .select($"doc_id", lit("delete").as("op"), $"lang", $"text")
+      .unionByName(docs.filter($"doc_id" % 7 =!= 0 && $"doc_id" % 5 === 0)
+        .select($"doc_id", lit("upsert").as("op"), $"lang",
+          concat($"text", lit(" v2")).as("text")))
+      .unionByName(docs.filter($"doc_id" % 11 === 0)
+        .select((-$"doc_id" - 1).as("doc_id"), lit("upsert").as("op"),
+          $"lang", concat($"text", lit(" ins")).as("text")))
+    mergeApply(docs, delta)
+      .groupBy($"change")
+      .agg(count(lit(1)).as("n"),
+        sum(conv(substring(md5($"text"), 1, 8), 16, 10).cast("long"))
+          .as("checksum"),
+        min($"doc_id").as("first_doc_id"))
+  }
+
   // --- q57: end-to-end corpus recipe (compose the library's own ops) ------
   /** The full clean-corpus pass a pipeline user actually runs, composed
     * from this library's operators rather than re-implemented: exact
@@ -620,9 +671,36 @@ object Pipeline extends QueryPack {
     "q104_url_canonical" -> (q104UrlCanonical _),
     "q106_pagerank"     -> (q106Pagerank _),
     "q111_snapshot_diff" -> (q111SnapshotDiff _),
+    "q125_merge_apply"   -> (q125MergeApply _),
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q125_merge_apply" ->
+      // the same delta family replayed; checksum = sum of 32-bit md5
+      // prefixes of the merged text (order-independent integers)
+      """WITH docs AS (SELECT doc_id, lang, text FROM documents),
+        |delta AS (
+        | SELECT doc_id, 'delete' AS op, lang, text FROM docs
+        |  WHERE doc_id % 7 = 0
+        | UNION ALL
+        | SELECT doc_id, 'upsert', lang, text || ' v2' FROM docs
+        |  WHERE doc_id % 7 <> 0 AND doc_id % 5 = 0
+        | UNION ALL
+        | SELECT -doc_id - 1, 'upsert', lang, text || ' ins' FROM docs
+        |  WHERE doc_id % 11 = 0),
+        |m AS (SELECT COALESCE(d.doc_id, s.doc_id) AS doc_id,
+        |  COALESCE(d.lang, s.lang) AS lang,
+        |  COALESCE(d.text, s.text) AS text,
+        |  CASE WHEN d.op IS NULL THEN 'kept'
+        |   WHEN s.lang IS NULL THEN 'inserted'
+        |   ELSE 'updated' END AS change
+        | FROM docs s FULL OUTER JOIN delta d ON s.doc_id = d.doc_id
+        | WHERE d.op IS NULL OR d.op <> 'delete')
+        |SELECT change, COUNT(*) AS n,
+        | CAST(SUM(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)) AS BIGINT)
+        |   AS checksum,
+        | MIN(doc_id) AS first_doc_id
+        |FROM m GROUP BY change""".stripMargin,
     "q111_snapshot_diff" ->
       s"""WITH a AS (SELECT doc_id, lang, md5(text) AS fp FROM documents),
          |b0 AS (SELECT doc_id, lang,

@@ -1665,6 +1665,42 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(rows.map(_._1).toSeq == expectTop)
   }
 
+  test("q125: merge laws — empty delta is identity, and " +
+    "diff(A, merge(A, delta)) reproduces the delta exactly") {
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    // identity law: merging an empty delta returns the snapshot
+    val emptyDelta = docs.filter(lit(false))
+      .select($"doc_id", lit("upsert").as("op"), $"lang", $"text")
+    val id = Pipeline.mergeApply(docs, emptyDelta)
+    assert(id.filter($"change" =!= "kept").count() == 0)
+    assert(id.count() == docs.count())
+    // composition law with q111: the diff of (snapshot, merged) is
+    // exactly the applied delta — deletes read back as 'removed',
+    // upserts on live keys as 'modified', fresh keys as 'added'
+    val delta = docs.filter($"doc_id" % 7 === 0)
+      .select($"doc_id", lit("delete").as("op"), $"lang", $"text")
+      .unionByName(docs.filter($"doc_id" % 7 =!= 0 && $"doc_id" % 5 === 0)
+        .select($"doc_id", lit("upsert").as("op"), $"lang",
+          concat($"text", lit(" v2")).as("text")))
+      .unionByName(docs.filter($"doc_id" % 11 === 0)
+        .select((-$"doc_id" - 1).as("doc_id"), lit("upsert").as("op"),
+          $"lang", concat($"text", lit(" ins")).as("text")))
+    val merged = Pipeline.mergeApply(docs, delta)
+      .select($"doc_id", $"lang", $"text")
+    val diff = Pipeline.snapshotDiff(docs, merged)
+      .groupBy($"status").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = docs.count()
+    val nDel = docs.filter($"doc_id" % 7 === 0).count()
+    val nUpd = docs.filter($"doc_id" % 7 =!= 0 && $"doc_id" % 5 === 0).count()
+    val nIns = docs.filter($"doc_id" % 11 === 0).count()
+    assert(diff.getOrElse("removed", 0L) == nDel)
+    assert(diff.getOrElse("modified", 0L) == nUpd)
+    assert(diff.getOrElse("added", 0L) == nIns)
+    assert(diff.getOrElse("unchanged", 0L) == n - nDel - nUpd)
+  }
+
   test("q76: <= 3 terms per doc, ranks contiguous, scores non-increasing") {
     val rows = TextAnalysis.q76TfIdfTerms(spark, sfDir).collect()
     val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
