@@ -938,7 +938,60 @@ object Relational extends QueryPack {
       .orderBy($"n".desc, $"path".asc).limit(10)
   }
 
+  // --- q126: out-of-orderness (watermark-sizing) census ----------------------
+  /** How late do events arrive relative to event time? — THE census
+    * that sizes every watermark in the streaming layer (a "10
+    * minutes" delay is a guess until this query says p-max disorder):
+    * disorder(e) = running-max of event time over ARRIVAL order minus
+    * e's event time, banded into watermark-relevant buckets. The
+    * driver corpus arrives perfectly ordered, so the census measures
+    * a deterministic md5-jittered arrival order (0–600 s per event,
+    * the q111/q125 synthesis pattern) — every band live, oracle
+    * replaying the same jitter.
+    *
+    * Scale shape: the global running max DECOMPOSES exactly like
+    * q56's cumsum — arrival-hour buckets aggregate a per-bucket max
+    * (map-side), the hour-bounded prefix-max table broadcasts back,
+    * and the within-bucket remainder is a window over (bucket) —
+    * balanced partitions, no one-reducer global window. Earlier
+    * buckets hold strictly smaller arrival times, so broadcast prefix
+    * + local window reproduces the one-reducer running max exactly.
+    */
+  def q126DisorderCensus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir)
+      .select($"event_id", unix_micros($"ts").as("us"))
+      .withColumn("arr", $"us" +
+        conv(substring(md5($"event_id".cast("string")), 1, 6), 16, 10)
+          .cast("long") % 600000000L)
+      .withColumn("bucket", floor($"arr" / 3600000000L))
+    val bmax = e.groupBy($"bucket").agg(max($"us").as("bm"))
+    // hour-bounded frame (~720 rows for a 30-day corpus): the window
+    // is over the aggregate, never the event stream
+    val wP = Window.orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixes = bmax.withColumn("pm", max($"bm").over(wP))
+      .select($"bucket", $"pm")
+    val wL = Window.partitionBy($"bucket").orderBy($"arr", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    e.join(broadcast(prefixes), Seq("bucket"))
+      .withColumn("lm", max($"us").over(wL))
+      .withColumn("rm", greatest(coalesce($"lm", lit(Long.MinValue)),
+        coalesce($"pm", lit(Long.MinValue))))
+      .withColumn("dis", when($"rm" === Long.MinValue, 0L)
+        .otherwise(greatest(lit(0L), $"rm" - $"us")))
+      .withColumn("band", when($"dis" === 0L, "ordered")
+        .when($"dis" <= 1000000L, "le_1s")
+        .when($"dis" <= 60000000L, "le_60s")
+        .when($"dis" <= 600000000L, "le_600s").otherwise("gt_600s"))
+      .groupBy($"band")
+      .agg(count(lit(1)).as("n_events"),
+        max($"dis").as("max_disorder_us"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q126_disorder"     -> (q126DisorderCensus _),
     "q124_path_mining"  -> (q124PathMining _),
     "q123_attribution"  -> (q123Attribution _),
     "q121_skew_census"  -> (q121SkewCensus _),
@@ -976,6 +1029,23 @@ object Relational extends QueryPack {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q126_disorder" ->
+      // the one-reducer spelling of the same running max over the
+      // same jittered arrival order
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS us,
+        |  epoch_us(ts) + CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 6))
+        |    AS BIGINT) % 600000000 AS arr
+        | FROM events),
+        |d AS (SELECT *, MAX(us) OVER (ORDER BY arr, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rm FROM e),
+        |x AS (SELECT GREATEST(0, COALESCE(rm - us, 0)) AS dis FROM d)
+        |SELECT CASE WHEN dis = 0 THEN 'ordered'
+        |  WHEN dis <= 1000000 THEN 'le_1s'
+        |  WHEN dis <= 60000000 THEN 'le_60s'
+        |  WHEN dis <= 600000000 THEN 'le_600s'
+        |  ELSE 'gt_600s' END AS band,
+        | COUNT(*) AS n_events, CAST(MAX(dis) AS BIGINT) AS max_disorder_us
+        |FROM x GROUP BY 1""".stripMargin,
     "q124_path_mining" ->
       // identical (ts, event_id) total order inside list(); the 4096
       // series bound is far above the max per-user event count at any

@@ -1701,6 +1701,38 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(diff.getOrElse("unchanged", 0L) == n - nDel - nUpd)
   }
 
+  test("q126: bucket-decomposed running max equals the one-reducer " +
+    "global window, row for row") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Relational
+    // one-reducer reference over the same jittered arrival order
+    val e = graft.core.Tables.events(spark, sfDir)
+      .select($"event_id", unix_micros($"ts").as("us"))
+      .withColumn("arr", $"us" +
+        conv(substring(md5($"event_id".cast("string")), 1, 6), 16, 10)
+          .cast("long") % 600000000L)
+    val w = Window.orderBy($"arr", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ref = e.withColumn("rm", max($"us").over(w))
+      .select($"event_id",
+        greatest(lit(0L), coalesce($"rm" - $"us", lit(0L))).as("dis"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val refBands = ref.values.groupBy {
+      case 0L => "ordered"
+      case d if d <= 1000000L => "le_1s"
+      case d if d <= 60000000L => "le_60s"
+      case d if d <= 600000000L => "le_600s"
+      case _ => "gt_600s"
+    }.view.mapValues(v => (v.size.toLong, v.max)).toMap
+    val got = Relational.q126DisorderCensus(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == refBands, s"got $got want $refBands")
+    // disorder totals are non-trivial only when arrivals interleave:
+    // whatever this fixture yields, the decomposition must agree
+    assert(got.values.map(_._1).sum == ref.size)
+  }
+
   test("q76: <= 3 terms per doc, ranks contiguous, scores non-increasing") {
     val rows = TextAnalysis.q76TfIdfTerms(spark, sfDir).collect()
     val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
