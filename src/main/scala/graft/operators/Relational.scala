@@ -873,6 +873,38 @@ object Relational extends QueryPack {
         "lineitem.l_partkey"))
   }
 
+  // --- q127: skew-mitigated (salted) dim join, oracle-checked ----------------
+  /** The CURE to the disease q121 measures: join the fact table through
+    * its skewed key ([[q121SkewCensus]] flags lineitem.l_partkey —
+    * max/mean skew well above the other keys, and the gsf decade
+    * generator makes it genuinely zipf-ish) with [[SkewJoin]]'s
+    * salting applied, then a brand rollup whose result is
+    * oracle-checked against the PLAIN join spelling — result equality
+    * under salting is the whole point of the row.
+    *
+    * Scale shape: the probe side scatters each row over one of 8 salts
+    * (hash of the full row — deterministic, retry-safe) and the dim
+    * side replicates 8×, so the hot key's rows spread across 8 shuffle
+    * partitions instead of pinning one reducer; RelationalSpec asserts
+    * that spread on a forced-shuffle plan. The rollup is map-side
+    * combinable. At driver SFs Catalyst may still elect to broadcast
+    * the replicated dim — also correct, and the salt columns then cost
+    * one extra projection; at 100 TB with a non-broadcastable dim the
+    * (key, salt) sort-merge join is the skew-safe plan AQE alone only
+    * approximates (AQE splits sort-merge skew partitions, but not for
+    * the build of a shuffled hash join or under required orderings).
+    */
+  def q127SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    val dim = Tables.part(s, dir).select($"p_partkey", $"p_brand")
+    SkewJoin.saltedJoin(li, dim, "l_partkey", "p_partkey", nSalts = 8)
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n"),
+        sum($"l_quantity".cast("long")).as("sum_qty"),
+        min($"l_orderkey").as("first_order"))
+  }
+
   // --- q123: last-touch click→purchase attribution ---------------------------
   /** Marketing-analytics staple: attribute each purchase to the LAST
     * click by the same user within the preceding hour. An equi join on
@@ -938,6 +970,62 @@ object Relational extends QueryPack {
       .orderBy($"n".desc, $"path".asc).limit(10)
   }
 
+  // --- q129: bounded-buffer path mining (the hardened q124) ------------------
+  /** q124's per-user buffer is bounded by a user's ACTIVITY — fine
+    * under the funnel-family contract, but one bot user with millions
+    * of events pins a single task's collect_list. This variant caps the
+    * buffer at the `cap` MOST RECENT events per user (by (ts,
+    * event_id)) using the bounded-heap TypedImperativeAggregate
+    * ([[org.apache.spark.sql.graft.TopKByAggregate]]): O(cap) state
+    * per user, partial heaps merge MAP-SIDE, so the bot's millions of
+    * events reduce before the shuffle and no task ever materializes
+    * more than cap entries for any key. For cap >= the max per-user
+    * count the output equals q124 exactly (spec-pinned); under
+    * truncation the census is the path census of each user's recent
+    * window — the production reading.
+    *
+    * Ordering trick: the heap keeps the k LARGEST (ord, payload-asc)
+    * entries, so ord = epoch micros (exact in a double through 2^53
+    * µs ≈ year 2255) and the payload leads with the ZERO-PADDED
+    * INVERTED event id — payload-asc = event-id desc — making the
+    * retained set exactly the tail of the (ts, event_id) total order,
+    * and `reverse` restores chronology without a sort.
+    */
+  def pathMiningCapped(events: DataFrame, cap: Int): DataFrame = {
+    import events.sparkSession.implicits._
+    import graft.functions.geo.top_k_by
+    events
+      .select($"user_id", unix_micros($"ts").as("us"),
+        concat(
+          lpad((lit(Long.MaxValue) - $"event_id").cast("string"), 19, "0"),
+          lit("|"), $"event_type").as("payload"))
+      .groupBy($"user_id")
+      .agg(top_k_by($"us".cast("double"), $"payload", cap).as("top"))
+      .select($"user_id",
+        reverse(transform($"top",
+          x => substring(x.getField("payload"), 21, 1000000))).as("seq"))
+      .select($"user_id", explode(expr(
+        """CASE WHEN size(seq) >= 3
+          | THEN transform(sequence(1, size(seq) - 2),
+          |   i -> concat(seq[i-1], '>', seq[i], '>', seq[i+1]))
+          | ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+        .as("path"))
+      .groupBy($"path")
+      .agg(count(lit(1)).as("n"),
+        countDistinct($"user_id").as("n_users"))
+      .orderBy($"n".desc, $"path".asc).limit(10)
+  }
+
+  /** Documented production cap for [[q129PathCapped]]: truncates the
+    * corpus's heavy users (mean per-user activity ~67 at every driver
+    * SF, so the census effect is live) while bounding every task at 64
+    * heap entries per key.
+    */
+  val PathCap = 64
+
+  def q129PathCapped(s: SparkSession, dir: String): DataFrame =
+    pathMiningCapped(Tables.events(s, dir), PathCap)
+
   // --- q126: out-of-orderness (watermark-sizing) census ----------------------
   /** How late do events arrive relative to event time? — THE census
     * that sizes every watermark in the streaming layer (a "10
@@ -945,9 +1033,16 @@ object Relational extends QueryPack {
     * disorder(e) = running-max of event time over ARRIVAL order minus
     * e's event time, banded into watermark-relevant buckets. The
     * driver corpus arrives perfectly ordered, so the census measures
-    * a deterministic md5-jittered arrival order (0–600 s per event,
-    * the q111/q125 synthesis pattern) — every band live, oracle
-    * replaying the same jitter.
+    * a deterministic md5-jittered arrival order (8 hex chars → 32-bit
+    * value, mod 600 s — the q111/q125 synthesis pattern; round-9 used
+    * 6 hex chars whose 16.8 s ceiling made the modulus a no-op and
+    * left the top bands structurally empty). Disorder is bounded by
+    * the jitter bound: an event's running-max predecessor arrived no
+    * more than one full jitter ahead of it, so `gt_600s` is a
+    * STRUCTURAL ZERO — the band is the census's own proof that max
+    * disorder never exceeds the modulus, which is exactly the
+    * guarantee a watermark sized at the jitter bound relies on
+    * (StreamingSpec's watermark-sizing law consumes it).
     *
     * Scale shape: the global running max DECOMPOSES exactly like
     * q56's cumsum — arrival-hour buckets aggregate a per-bucket max
@@ -963,7 +1058,7 @@ object Relational extends QueryPack {
     val e = Tables.events(s, dir)
       .select($"event_id", unix_micros($"ts").as("us"))
       .withColumn("arr", $"us" +
-        conv(substring(md5($"event_id".cast("string")), 1, 6), 16, 10)
+        conv(substring(md5($"event_id".cast("string")), 1, 8), 16, 10)
           .cast("long") % 600000000L)
       .withColumn("bucket", floor($"arr" / 3600000000L))
     val bmax = e.groupBy($"bucket").agg(max($"us").as("bm"))
@@ -991,6 +1086,8 @@ object Relational extends QueryPack {
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q127_salted_join"  -> (q127SaltedJoin _),
+    "q129_path_capped"  -> (q129PathCapped _),
     "q126_disorder"     -> (q126DisorderCensus _),
     "q124_path_mining"  -> (q124PathMining _),
     "q123_attribution"  -> (q123Attribution _),
@@ -1029,11 +1126,36 @@ object Relational extends QueryPack {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q127_salted_join" ->
+      // the PLAIN join spelling: the oracle row exists to prove the
+      // salted plan's result identity (integer aggregates, so the
+      // comparison is exact)
+      """SELECT p.p_brand, COUNT(*) AS n,
+        | CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        | MIN(l.l_orderkey) AS first_order
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |GROUP BY 1""".stripMargin,
+    "q129_path_capped" ->
+      // same trigram census as q124 over each user's LAST PathCap
+      // events (DuckDB list slice = the heap's retained tail); the
+      // series bound is the q124 OracleGen contract
+      s"""WITH s AS (SELECT user_id,
+         |  list(event_type ORDER BY epoch_us(ts), event_id) AS seq0
+         | FROM events GROUP BY 1),
+         |t AS (SELECT user_id,
+         |  seq0[greatest(1, len(seq0) - ${Relational.PathCap - 1}):] AS seq
+         | FROM s),
+         |p AS (SELECT user_id,
+         |  seq[i] || '>' || seq[i+1] || '>' || seq[i+2] AS path
+         | FROM t, generate_series(1, ${OracleGen.MaxDocSeries}) g(i)
+         | WHERE i <= len(seq) - 2)
+         |SELECT path, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+         |FROM p GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 10""".stripMargin,
     "q126_disorder" ->
       // the one-reducer spelling of the same running max over the
       // same jittered arrival order
       """WITH e AS (SELECT event_id, epoch_us(ts) AS us,
-        |  epoch_us(ts) + CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 6))
+        |  epoch_us(ts) + CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
         |    AS BIGINT) % 600000000 AS arr
         | FROM events),
         |d AS (SELECT *, MAX(us) OVER (ORDER BY arr, event_id

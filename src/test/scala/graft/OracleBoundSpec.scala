@@ -25,4 +25,22 @@ class OracleBoundSpec extends SparkTestBase {
       s"max tokens ${m.getAs[Int]("mt")} exceeds OracleGen.MaxDocSeries " +
         s"(${OracleGen.MaxDocSeries}) — oracle SQL would silently skip tails")
   }
+
+  test("per-user event counts stay under the q124 oracle series bound " +
+    "(path-mining trigram enumeration)") {
+    // q124's oracle enumerates trigram positions i = 1..MaxDocSeries
+    // with i <= len(seq) - 2, so a user with more than MaxDocSeries + 2
+    // events would have tail trigrams silently skipped by the oracle
+    // while the Spark side's transform() tiles the full sequence.
+    // Unlike document length, per-user event count is a RANDOM marginal
+    // of the generator (mean ~67 at sf0.1), not a capped one — this
+    // assertion is the loud failure a regenerated corpus hits first.
+    val mu = Tables.events(spark, sfDir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("mx")).head().getAs[Long]("mx")
+    assert(mu <= OracleGen.MaxDocSeries - 2,
+      s"max per-user event count $mu exceeds the q124 oracle trigram " +
+        s"bound (MaxDocSeries - 2 = ${OracleGen.MaxDocSeries - 2}) — " +
+        "the DuckDB oracle would silently truncate that user's paths")
+  }
 }

@@ -1710,7 +1710,7 @@ class PipelineOpsSpec extends SparkTestBase {
     val e = graft.core.Tables.events(spark, sfDir)
       .select($"event_id", unix_micros($"ts").as("us"))
       .withColumn("arr", $"us" +
-        conv(substring(md5($"event_id".cast("string")), 1, 6), 16, 10)
+        conv(substring(md5($"event_id".cast("string")), 1, 8), 16, 10)
           .cast("long") % 600000000L)
     val w = Window.orderBy($"arr", $"event_id")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -1731,6 +1731,13 @@ class PipelineOpsSpec extends SparkTestBase {
     // disorder totals are non-trivial only when arrivals interleave:
     // whatever this fixture yields, the decomposition must agree
     assert(got.values.map(_._1).sum == ref.size)
+    // the 8-hex jitter (round-10 fix) makes the full 0-600 s range
+    // live: the le_600s band must be populated, and gt_600s must be
+    // the documented structural zero (disorder is bounded by the
+    // jitter modulus — the guarantee a watermark sized at the bound
+    // relies on)
+    assert(got.contains("le_600s"), s"le_600s band dead: $got")
+    assert(!got.contains("gt_600s"), s"gt_600s must be structurally empty: $got")
   }
 
   test("q76: <= 3 terms per doc, ranks contiguous, scores non-increasing") {
