@@ -602,6 +602,29 @@ object Pipeline extends QueryPack {
           .otherwise("updated").as("change"))
   }
 
+  /** Last-wins resolution of two SEQUENTIAL delta batches into one:
+    * a key touched by both takes δ2's op; keys touched once pass
+    * through. Contract (the CDC-feed shape, same as [[mergeApply]]'s):
+    * each batch carries at most one op per doc_id.
+    *
+    * This is what makes multi-batch CDC associative —
+    * merge(merge(A, δ1), δ2) == merge(A, resolve(δ1, δ2)) on content
+    * (PipelineOpsSpec pins the law; `change` labels legitimately
+    * differ: a δ1-delete + δ2-upsert reads "inserted" in the chain but
+    * "updated" against the original snapshot) — so a backlogged feed
+    * can be compacted before one apply instead of replayed batch by
+    * batch.
+    *
+    * Scale shape: one left-anti join on doc_id (both deltas are feed
+    * batches — typically broadcastable; co-located under doc_id
+    * bucketing otherwise) + a union. No wide aggregation.
+    */
+  def resolveDeltas(d1: DataFrame, d2: DataFrame): DataFrame = {
+    import d1.sparkSession.implicits._
+    d1.join(d2.select($"doc_id"), Seq("doc_id"), "left_anti")
+      .unionByName(d2)
+  }
+
   /** Deterministic delta family over the corpus (the q111 pattern):
     * every 7th doc deleted, every remaining 5th upserted with new
     * text, every 11th spawning an insert at a fresh negative key.

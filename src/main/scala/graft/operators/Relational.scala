@@ -1052,14 +1052,25 @@ object Relational extends QueryPack {
     * buckets hold strictly smaller arrival times, so broadcast prefix
     * + local window reproduces the one-reducer running max exactly.
     */
-  def q126DisorderCensus(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** The deterministic md5 arrival jitter (0–600 s) shared by the
+    * census, its oracle, and StreamingSpec's watermark-sizing law:
+    * input (event_id, us) gains `arr` = us + jitter.
+    */
+  def jitteredArrival(e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    e.withColumn("arr", $"us" +
+      conv(substring(md5($"event_id".cast("string")), 1, 8), 16, 10)
+        .cast("long") % 600000000L)
+  }
+
+  /** The census over ANY (event_id, us) frame — q126 applies it to the
+    * driver events; StreamingSpec replays the same frame through a
+    * watermarked stream and holds the drop count to these bands.
+    */
+  def disorderCensus(e0: DataFrame): DataFrame = {
+    import e0.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
-    val e = Tables.events(s, dir)
-      .select($"event_id", unix_micros($"ts").as("us"))
-      .withColumn("arr", $"us" +
-        conv(substring(md5($"event_id".cast("string")), 1, 8), 16, 10)
-          .cast("long") % 600000000L)
+    val e = jitteredArrival(e0)
       .withColumn("bucket", floor($"arr" / 3600000000L))
     val bmax = e.groupBy($"bucket").agg(max($"us").as("bm"))
     // hour-bounded frame (~720 rows for a 30-day corpus): the window
@@ -1083,6 +1094,12 @@ object Relational extends QueryPack {
       .groupBy($"band")
       .agg(count(lit(1)).as("n_events"),
         max($"dis").as("max_disorder_us"))
+  }
+
+  def q126DisorderCensus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    disorderCensus(Tables.events(s, dir)
+      .select($"event_id", unix_micros($"ts").as("us")))
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -547,6 +547,62 @@ object Similarity extends QueryPack {
       .select($"cl".as("cluster"), $"n", $"avg_d2")
   }
 
+  // --- q128: IVF probe over LEARNED (k-means) centroids --------------------
+  /** The production IVF shape: [[ivfIndexFixed]] probes FIXED member
+    * vectors, [[kmeansFixed]] learns centroids — this composes them,
+    * indexing by the final Lloyd assignment and probing the nprobe
+    * cells whose LEARNED centroids are nearest the query. Every step
+    * stays engine-replicable (bit-parity d2, integer-snapped centroid
+    * updates), so the composed ANN path gets a full hash-checked
+    * oracle row; PipelineOpsSpec adds the recall-vs-nprobe census
+    * against q29's exact answer.
+    *
+    * Scale shape: the training rounds are q102's (zero-shuffle
+    * assignment projections + one k-row aggregation per round); the
+    * serving index is then written `partitionBy("cell")` so a probe is
+    * a partition-pruned scan of nprobe cells; the k-row centroid table
+    * broadcasts.
+    */
+  def ivfLearned(emb: DataFrame, k: Int,
+      iters: Int): (DataFrame, DataFrame) = {
+    import emb.sparkSession.implicits._
+    require(iters >= 1, "iters must be >= 1")
+    val cent0 = emb.filter($"vec_id".between(1L, k.toLong))
+      .select($"vec_id".as("cl"), vec($"embedding").as("cvec"))
+    val cents = (1 until iters).foldLeft(cent0) { (c, _) =>
+      kmeansUpdate(kmeansAssign(emb, c))
+    }
+    val idx = kmeansAssign(emb, cents)
+      .select($"vec_id", $"embedding", $"cl".as("cell"))
+    (idx, cents.select($"cl".as("cell"), $"cvec".as("centroid")))
+  }
+
+  /** Probe the learned index: nprobe cells by smallest squared L2
+    * between learned centroid and the query (the metric the quantizer
+    * was trained under, ties to the smallest cell), then exact cosine
+    * top-10 inside those cells — q101's serving contract on q102's
+    * trained quantizer.
+    */
+  def q128AnnIvfLearned(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val (idx, cents) = ivfLearned(emb, k = 8, iters = 2)
+    val q = broadcast(emb.filter($"vec_id" === 0)
+      .select(vec($"embedding").as("qv")))
+    val probe = cents.crossJoin(q)
+      .withColumn("qd2", dot($"qv", $"qv")
+        - lit(2.0) * dot($"qv", $"centroid")
+        + dot($"centroid", $"centroid"))
+      .orderBy($"qd2".asc, $"cell".asc).limit(3).select($"cell")
+    idx.filter($"vec_id" =!= 0)
+      .join(broadcast(probe), "cell")
+      .crossJoin(q)
+      .withColumn("cos", cosine(vec($"embedding"), $"qv"))
+      .select($"vec_id", $"cell", round($"cos", 6).as("cos"))
+      .orderBy(round($"cos", 6).desc, $"vec_id".asc)
+      .limit(10)
+  }
+
   // --- q109: int8 scalar quantization of the embedding column -------------
   /** Symmetric per-vector scalar quantization to int8 — the standard
     * 4× memory cut before an ANN index is sharded across a cluster
@@ -601,6 +657,7 @@ object Similarity extends QueryPack {
     "q97_semdedup"         -> (q97SemDedup _),
     "q117_semdedup_sweep"  -> (q117SemdedupSweep _),
     "q101_ann_ivf"         -> (q101AnnIvf _),
+    "q128_ann_ivf_learned" -> (q128AnnIvfLearned _),
     "q102_kmeans_clusters" -> (q102KmeansClusters _),
     "q109_quantize_int8"   -> (q109QuantizeInt8 _),
   )
@@ -731,6 +788,44 @@ object Similarity extends QueryPack {
          |q AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0),
          |probe AS (SELECT c.cell FROM cent c CROSS JOIN q
          |  ORDER BY ROUND(${cosSql("c.cemb", "q.qemb")}, 6) DESC, c.cell ASC
+         |  LIMIT 3)
+         |SELECT i.vec_id, i.cell,
+         | ROUND(${cosSql("i.embedding", "q.qemb")}, 6) AS cos
+         |FROM idx i JOIN probe USING (cell) CROSS JOIN q
+         |WHERE i.vec_id != 0
+         |ORDER BY ROUND(${cosSql("i.embedding", "q.qemb")}, 6) DESC,
+         | i.vec_id ASC
+         |LIMIT 10""".stripMargin,
+    "q128_ann_ivf_learned" ->
+      // q102's exact 2-round Lloyd trajectory (fixed seeds, bit-parity
+      // d2, integer-snapped centroid update) re-used as the IVF coarse
+      // quantizer: index = final assignment, probe = 3 cells with
+      // smallest query-centroid d2 (cl-asc ties), exact cosine top-10
+      // within them
+      s"""WITH cent0 AS (SELECT vec_id AS cl, embedding AS cvec
+         |  FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+         |a1 AS (SELECT e.vec_id, e.embedding, c.cl,
+         |  ${d2Sql("e.embedding", "c.cvec")} AS d2
+         | FROM embeddings e CROSS JOIN cent0 c),
+         |asg1 AS (SELECT vec_id, embedding, cl FROM a1
+         |  QUALIFY row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY d2 ASC, cl ASC) = 1),
+         |ex AS (SELECT cl, i,
+         |  CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1048576.0) AS BIGINT) AS v
+         | FROM asg1, generate_series(1, 64) g(i)),
+         |cm AS (SELECT cl, i,
+         |  CAST(SUM(v) AS DOUBLE) / (COUNT(*) * 1048576.0) AS c
+         | FROM ex GROUP BY 1, 2),
+         |cent1 AS (SELECT cl, list(c ORDER BY i) AS cvec FROM cm GROUP BY 1),
+         |a2 AS (SELECT e.vec_id, e.embedding, c.cl,
+         |  ${d2Sql("e.embedding", "c.cvec")} AS d2
+         | FROM embeddings e CROSS JOIN cent1 c),
+         |idx AS (SELECT vec_id, embedding, cl AS cell FROM a2
+         |  QUALIFY row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY d2 ASC, cl ASC) = 1),
+         |q AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0),
+         |probe AS (SELECT c.cl AS cell FROM cent1 c CROSS JOIN q
+         |  ORDER BY ${d2Sql("q.qemb", "c.cvec")} ASC, c.cl ASC
          |  LIMIT 3)
          |SELECT i.vec_id, i.cell,
          | ROUND(${cosSql("i.embedding", "q.qemb")}, 6) AS cos

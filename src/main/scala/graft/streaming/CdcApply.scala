@@ -1,0 +1,97 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming twin of the q125 CDC merge ([[graft.operators.Pipeline
+  * .mergeApply]]): a delta FEED applied to a maintained snapshot via
+  * `foreachBatch`, versioned-directory state with an atomically-swapped
+  * pointer, and an idempotent-replay guard keyed on the streaming batch
+  * id — the micro-batch shape of MERGE INTO maintenance (reference
+  * analogue: the notebook pipelines re-derive downstream state per
+  * batch; a lakehouse deployment swaps this layer for a transactional
+  * table commit, same `applyBatch` body).
+  *
+  * State layout under `statePath`:
+  *   v_init/, v<batchId>/   parquet snapshot versions (doc_id, lang, text)
+  *   VERSION                "<lastCommittedBatchId>\t<dataDirName>"
+  *
+  * Correctness contract:
+  *  - versions are WRITTEN BEFORE the pointer moves, and never
+  *    overwritten in place, so a crash between write and commit leaves
+  *    the previous version live (write-ahead);
+  *  - the pointer swap is a same-directory atomic rename;
+  *  - a batch id <= the committed id is a REPLAY (foreachBatch's
+  *    at-least-once redelivery after restart) and must be skipped —
+  *    [[applyBatch]] returns false without touching state, making the
+  *    apply exactly-once on state (StreamingSpec pins replay
+  *    idempotence).
+  *
+  * Scale shape: each batch is one [[graft.operators.Pipeline
+  * .mergeApply]] full-outer join (delta typically broadcast) + one
+  * snapshot rewrite; at 100 TB the rewrite becomes a partitioned /
+  * transactional-table MERGE, but the batch protocol (version, commit,
+  * replay-skip by batch id) is exactly this one.
+  */
+object CdcApply {
+
+  private def versionFile(statePath: String) = Paths.get(statePath, "VERSION")
+
+  /** Seed the maintained snapshot; must run once before the stream. */
+  def initState(snapshot: DataFrame, statePath: String): Unit = {
+    snapshot.select("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(s"$statePath/v_init")
+    commitPointer(statePath, -1L, "v_init")
+  }
+
+  /** (lastCommittedBatchId, dataDirName). */
+  def readPointer(statePath: String): (Long, String) = {
+    val parts = new String(Files.readAllBytes(versionFile(statePath)),
+      StandardCharsets.UTF_8).trim.split("\t")
+    (parts(0).toLong, parts(1))
+  }
+
+  private def commitPointer(statePath: String, batchId: Long,
+      dir: String): Unit = {
+    val tmp = Paths.get(statePath, "VERSION.tmp")
+    Files.write(tmp, s"$batchId\t$dir".getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, versionFile(statePath),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** The current maintained snapshot (doc_id, lang, text). */
+  def currentState(spark: org.apache.spark.sql.SparkSession,
+      statePath: String): DataFrame = {
+    val (_, dir) = readPointer(statePath)
+    spark.read.parquet(s"$statePath/$dir")
+  }
+
+  /** Apply one delta batch; returns false (untouched state) on replay. */
+  def applyBatch(batch: DataFrame, batchId: Long,
+      statePath: String): Boolean = {
+    val (committed, dir) = readPointer(statePath)
+    if (batchId <= committed) return false
+    val cur = batch.sparkSession.read.parquet(s"$statePath/$dir")
+    graft.operators.Pipeline.mergeApply(cur, batch)
+      .select("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(s"$statePath/v$batchId")
+    commitPointer(statePath, batchId, s"v$batchId")
+    true
+  }
+
+  /** Start the apply loop over a streaming delta frame
+    * (doc_id, op, lang, text). Caller supplies the checkpoint dir.
+    */
+  def cdcApplyStream(deltas: DataFrame, statePath: String,
+      checkpoint: String): StreamingQuery = {
+    deltas.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, batchId, statePath); ()
+      }
+      .start()
+  }
+}

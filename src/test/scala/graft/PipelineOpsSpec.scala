@@ -540,6 +540,39 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(full == exact, s"full probe must equal exact top-10")
   }
 
+  // q128 composes q102's learned centroids into the IVF serving path
+  // (the production shape: train a coarse quantizer, probe it). The
+  // CORRECTNESS row hash-checks the composed trajectory vs DuckDB;
+  // this census holds the learned index to the same recall contract
+  // as the fixed one, at two pruned nprobe settings.
+  test("q128 learned ivf: index total, recall monotone over two nprobe " +
+    "settings, full probe = exact") {
+    import graft.core.Tables
+    val emb = Tables.embeddings(spark, sfDir)
+    val (index, cents) = Similarity.ivfLearned(emb, k = 8, iters = 2)
+    // assignment is total; learned cells keep the seed ids 1..8
+    assert(index.count() == emb.count())
+    val cells = index.select("cell").distinct().collect()
+      .map(_.getLong(0)).toSet
+    assert(cells.subsetOf((1L to 8L).toSet) && cells.nonEmpty)
+    val exact = Similarity.q29BruteTopK(spark, sfDir).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val q = emb.filter(col("vec_id") === 0)
+      .selectExpr("cast(embedding as array<double>)").head().getSeq[Double](0)
+    def recall(nprobe: Int): Int = {
+      val got = Similarity.ivfSearch(
+        index.filter(col("vec_id") =!= 0), cents, q, nprobe, topK = 10)
+        .collect().map(_.getAs[Long]("vec_id")).toSet
+      (got & exact).size
+    }
+    val r2 = recall(2); val r3 = recall(3); val rAll = recall(8)
+    // two pruned settings: recall must not degrade with more probes,
+    // and the 3-of-8 probe must keep at least half the exact answer
+    assert(r2 <= r3, s"recall degraded with more probes ($r2 -> $r3)")
+    assert(r3 >= 5, s"learned ivf nprobe=3 recall $r3/10 vs exact")
+    assert(rAll == 10, s"probing every learned cell must equal exact, got $rAll")
+  }
+
   // q104's CORRECTNESS row hash-checks every branch against DuckDB on
   // the synthesized family; this pins the contract on hand-picked
   // edges the family doesn't reach.
@@ -1699,6 +1732,47 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(diff.getOrElse("modified", 0L) == nUpd)
     assert(diff.getOrElse("added", 0L) == nIns)
     assert(diff.getOrElse("unchanged", 0L) == n - nDel - nUpd)
+  }
+
+  test("q125 composition law: the two-batch chain equals one apply of " +
+    "the resolved delta, with cross-batch delete/upsert edges live") {
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang", $"text")
+    // δ1 = the q125 family; δ2 overlaps it on purpose: odd %3 keys
+    // upserted (catches δ1-deleted keys, e.g. 21), even %3 keys
+    // deleted (catches δ1-upserted keys, e.g. 30), plus a fresh insert
+    val d1 = docs.filter($"doc_id" % 7 === 0)
+      .select($"doc_id", lit("delete").as("op"), $"lang", $"text")
+      .unionByName(docs.filter($"doc_id" % 7 =!= 0 && $"doc_id" % 5 === 0)
+        .select($"doc_id", lit("upsert").as("op"), $"lang",
+          concat($"text", lit(" v2")).as("text")))
+      .unionByName(docs.filter($"doc_id" % 11 === 0)
+        .select((-$"doc_id" - 1).as("doc_id"), lit("upsert").as("op"),
+          $"lang", concat($"text", lit(" ins")).as("text")))
+    val d2 = docs.filter($"doc_id" % 3 === 0)
+      .select($"doc_id",
+        when($"doc_id" % 2 === 0, "delete").otherwise("upsert").as("op"),
+        $"lang", concat($"text", lit(" v3")).as("text"))
+    // precondition: the edges this law is about actually occur
+    val d1del = docs.filter($"doc_id" % 7 === 0).select($"doc_id")
+    val d2ups = d2.filter($"op" === "upsert").select($"doc_id")
+    val d1ups = d1.filter($"op" === "upsert").select($"doc_id")
+    val d2del = d2.filter($"op" === "delete").select($"doc_id")
+    assert(d1del.join(d2ups, "doc_id").count() > 0,
+      "need a delete-then-upsert key")
+    assert(d1ups.join(d2del, "doc_id").count() > 0,
+      "need an upsert-then-delete key")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", $"lang", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sorted.toSeq
+    val chain = Pipeline.mergeApply(
+      Pipeline.mergeApply(docs, d1).select($"doc_id", $"lang", $"text"),
+      d2)
+    val compacted = Pipeline.mergeApply(docs, Pipeline.resolveDeltas(d1, d2))
+    assert(canon(chain) == canon(compacted),
+      "multi-batch CDC must equal the compacted apply on content")
   }
 
   test("q126: bucket-decomposed running max equals the one-reducer " +

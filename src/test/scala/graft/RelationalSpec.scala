@@ -310,4 +310,77 @@ class RelationalSpec extends SparkTestBase {
     rows.foreach(r => assert(
       r.getAs[Long]("n_users") <= size(r.getAs[java.sql.Date]("cohort_week"))))
   }
+
+  test("q127/saltedJoin: result identical to the plain join, and the hot " +
+    "key's rows spread over multiple shuffle partitions (the plain plan " +
+    "pins them on one)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // synthetic skew: one bot key owns 20k of 21k probe rows
+    val probe = spark.range(21000)
+      .select(when($"id" < 20000, lit(1L)).otherwise($"id").as("k"),
+        $"id".as("payload"))
+    val dim = Seq((1L, "hot"), (20500L, "cold")).toDF("dk", "attr")
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    // force a shuffle join and keep partition ids stable (AQE would
+    // coalesce the tiny test shuffle into one partition and hide the
+    // very spread this test measures)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val salted = graft.operators.SkewJoin
+        .saltedJoin(probe, dim, "k", "dk", nSalts = 8)
+        .select($"k", $"payload", $"attr")
+      val plain = probe.join(dim, probe("k") === dim("dk"))
+        .select($"k", $"payload", $"attr")
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+      assert(rows(salted) == rows(plain))
+      def hotSpread(df: org.apache.spark.sql.DataFrame) = df
+        .filter($"k" === 1L).select(spark_partition_id().as("p"))
+        .distinct().count()
+      // no single task owns the hot key under salting; the plain
+      // spelling provably concentrates it on one
+      assert(hotSpread(plain) == 1L)
+      assert(hotSpread(salted) >= 2L,
+        "salting failed to spread the hot key across shuffle partitions")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+    }
+  }
+
+  test("q129: capped path mining equals q124 exactly once cap covers " +
+    "every user; a 1M-event bot user stays bounded and yields the " +
+    "predicted recent-window census") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val events = graft.core.Tables.events(spark, sfDir)
+    val maxPerUser = events.groupBy($"user_id")
+      .agg(count(lit(1)).as("n")).agg(max($"n")).head().getLong(0).toInt
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(canon(Relational.pathMiningCapped(events, maxPerUser)) ==
+      canon(Relational.q124PathMining(spark, sfDir)),
+      "cap >= max per-user activity must reproduce q124 exactly")
+    // bot user: 1M events, one user — the case that pins a task in the
+    // collect_list spelling; the bounded heap keeps 64 entries per key
+    val bot = spark.range(1000000).select(
+      lit(7L).as("user_id"),
+      timestamp_micros(lit(1700000000000000L) + $"id" * 1000000L).as("ts"),
+      $"id".as("event_id"),
+      element_at(array(lit("view"), lit("click"), lit("purchase")),
+        ($"id" % 3 + 1).cast("int")).as("event_type"))
+    val got = Relational.pathMiningCapped(bot, Relational.PathCap)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // driver-side expectation over the last PathCap events (ids
+    // 999_936..999_999, types cycling id % 3)
+    val types = Array("view", "click", "purchase")
+    val tail = (1000000 - Relational.PathCap) until 1000000
+    val want = tail.map(i => types(i % 3)).sliding(3)
+      .map(_.mkString(">")).toSeq.groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    assert(got == want, s"got $got want $want")
+  }
 }

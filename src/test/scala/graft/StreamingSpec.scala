@@ -856,4 +856,125 @@ class StreamingSpec extends SparkTestBase {
       assert(cells(row.getInt(1) * 64 + row.getLong(2).toInt) == row.getLong(3))
     }
   }
+
+  // q126 exists to SIZE watermarks; this is the law that closes the
+  // loop: replay the SAME jittered arrival order through a watermarked
+  // streaming aggregation, one event per micro-batch (so the engine's
+  // watermark is exactly the census's strictly-preceding running max,
+  // minus the delay), and the census's beyond-boundary band mass IS
+  // the streaming drop count. Second half: a watermark sized at the
+  // jitter bound (600 s — where gt_600s is the structural zero) drops
+  // nothing.
+  test("watermark-sizing law: q126's census predicts the streaming drop " +
+    "count at the 60 s boundary; the jitter-bound watermark drops zero") {
+    import spark.implicits._
+    import graft.operators.Relational
+    implicit val sc = spark.sqlContext
+    // densified replica of the driver events (integer 40x time
+    // compression): sf0.001's 43-minute mean gap never trips a 600 s
+    // jitter, so the raw fixture cannot exercise the drop path
+    val n = 100
+    val base = graft.core.Tables.events(spark, sfDir)
+      .selectExpr("event_id", "unix_micros(ts) div 40 AS us")
+    val feed = Relational.jitteredArrival(base)
+      .orderBy(col("arr"), col("event_id")).limit(n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the library census over the replayed subset
+    val bands = Relational.disorderCensus(
+      feed.map { case (id, us, _) => (id, us) }.toSeq.toDF("event_id", "us"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dropExpect = bands.getOrElse("le_600s", 0L) + bands.getOrElse("gt_600s", 0L)
+    assert(dropExpect > 0, s"fixture must exercise the drop path: $bands")
+    // boundary-gap precondition: no event's disorder within 10 ms of
+    // the 60 s boundary, so Spark's ms-granular watermark arithmetic
+    // cannot flip a boundary case (a regenerated corpus that lands one
+    // there fails loudly here, not with a confusing off-by-one below)
+    var rm = Long.MinValue
+    val dis = feed.map { case (_, us, _) =>
+      val d = if (rm == Long.MinValue) 0L else math.max(0L, rm - us)
+      rm = math.max(rm, us); d
+    }
+    assert(dis.forall(d => math.abs(d - 60000000L) > 10000L))
+    def accepted(delay: String, name: String): Long = {
+      val input = MemoryStream[(Long, java.sql.Timestamp)]
+      val q = input.toDF().toDF("event_id", "ts")
+        .withWatermark("ts", delay)
+        .groupBy($"ts").count()
+        .writeStream.outputMode("update").format("memory")
+        .queryName(name).start()
+      try feed.foreach { case (id, us, _) =>
+        val t = new java.sql.Timestamp(us / 1000L)
+        t.setNanos(((us % 1000000L) * 1000L).toInt)
+        input.addData((id, t)); q.processAllAvailable()
+      } finally q.stop()
+      // update mode emits one row per accepted event (its group's
+      // updated count); a watermark-dropped event emits nothing
+      spark.table(name).count()
+    }
+    assert(accepted("60 seconds", "wmlaw60") == n - dropExpect,
+      s"60 s watermark must drop exactly the census's $dropExpect " +
+        "beyond-60s events")
+    assert(accepted("600 seconds", "wmlaw600") == n.toLong,
+      "a watermark sized at the jitter bound (q126's structural-zero " +
+        "band) must drop nothing")
+  }
+
+  test("cdc apply stream: foreachBatch maintains the snapshot, the " +
+    "multi-batch chain equals the compacted resolve-then-merge, and " +
+    "batch replay is idempotent on state") {
+    import spark.implicits._
+    import graft.operators.Pipeline
+    import graft.streaming.CdcApply
+    implicit val sc = spark.sqlContext
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "text")
+    val ids = docs.orderBy("doc_id").limit(3).collect()
+      .map(_.getLong(0))
+    val statePath = java.nio.file.Files
+      .createTempDirectory("cdc_state").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cdc_ckpt").toString
+    CdcApply.initState(docs, statePath)
+    // δ1: delete ids(0), upsert ids(1), insert fresh key; δ2 crosses
+    // it: re-upserts the δ1-deleted key, deletes the δ1-upserted key
+    val d1 = Seq((ids(0), "delete", "en", "x"),
+      (ids(1), "upsert", "en", "v2 text"),
+      (-9999L, "upsert", "fr", "fresh insert"))
+    val d2 = Seq((ids(0), "upsert", "en", "resurrected"),
+      (ids(1), "delete", "en", "x"),
+      (ids(2), "upsert", "de", "v3 text"))
+    val input = MemoryStream[(Long, String, String, String)]
+    val deltas = input.toDF().toDF("doc_id", "op", "lang", "text")
+    val q = CdcApply.cdcApplyStream(deltas, statePath, ckpt)
+    try {
+      input.addData(d1); q.processAllAvailable()
+      input.addData(d2); q.processAllAvailable()
+    } finally q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sorted.toSeq
+    val got = canon(CdcApply.currentState(spark, statePath))
+    // batch-by-batch chain == one-shot apply of the resolved delta
+    // (the q125 composition law, exercised through the stream)
+    val d1df = d1.toDF("doc_id", "op", "lang", "text")
+    val d2df = d2.toDF("doc_id", "op", "lang", "text")
+    val chain = Pipeline.mergeApply(
+      Pipeline.mergeApply(docs, d1df).select("doc_id", "lang", "text"),
+      d2df).select("doc_id", "lang", "text")
+    val compacted = Pipeline.mergeApply(docs,
+      Pipeline.resolveDeltas(d1df, d2df)).select("doc_id", "lang", "text")
+    assert(got == canon(chain))
+    assert(got == canon(compacted))
+    // the delete-then-upsert key survives with δ2's text; the
+    // upsert-then-delete key is gone
+    assert(got.exists(r => r._1 == ids(0) && r._3 == "resurrected"))
+    assert(!got.exists(_._1 == ids(1)))
+    // replay guard: re-delivering the last committed batch id must
+    // not touch state (foreachBatch is at-least-once; the pointer
+    // makes the apply exactly-once)
+    val (committed, dir) = CdcApply.readPointer(statePath)
+    assert(committed >= 1L)
+    assert(!CdcApply.applyBatch(d2df, committed, statePath))
+    assert(CdcApply.readPointer(statePath) == ((committed, dir)))
+    assert(canon(CdcApply.currentState(spark, statePath)) == got)
+  }
 }
