@@ -1229,28 +1229,43 @@ object TextAnalysis extends QueryPack {
     * trusting held-out perplexity (the Lee et al. 2022 §5 concern —
     * near-duplicate train/eval text biases evaluation).
     *
-    * Scale shape: q28's gram discipline — per-doc gram dedup happens
-    * LOCALLY inside the one-pass gram_hashes expression (grams shuffle
-    * as 8-byte hashes, never strings), one df aggregation keyed on the
-    * gram hash, one join back on the same key (both sides partition
-    * identically), then doc-sized and band-sized aggregations. Linear
-    * at any corpus size; no candidate pairing at all. Novelty is an
-    * integer ratio, so banding thresholds compare identical doubles in
-    * both engines; sub-8-char documents carry no gram and drop from
-    * the census in both engines alike.
+    * Scale shape (round-10 rewrite — the join-back is GONE): q28's
+    * gram discipline still holds (per-doc gram dedup happens LOCALLY
+    * inside the one-pass gram_hashes expression; grams shuffle as
+    * 8-byte hashes, never strings), but the round-9 spelling then
+    * JOINED the full gram stream back to its df table — the linear
+    * term behind the census's 13×-at-100× decade factor. Two
+    * observations kill that join: (1) a df=1 gram occurs in exactly
+    * ONE document, so carrying min(doc_id) through the df aggregation
+    * already names its owner — the per-doc unique counts are a
+    * doc-keyed rollup of the df frame's df=1 slice, no join to the
+    * gram stream; (2) per-doc distinct-gram counts are just
+    * size(gram_hashes(text)) — a narrow projection, no explode, no
+    * shuffle. What remains data-sized is ONE aggregation over the
+    * gram stream; the final join matches two DOC-cardinality frames.
+    * Measured at the gsf decades: 1.05/1.64/13.4 s (old, min-of-3) →
+    * see README for the adopted numbers. Output is hash-identical
+    * (same oracle row). Novelty is an integer ratio, so banding
+    * thresholds compare identical doubles in both engines;
+    * sub-8-char documents carry no gram and drop from the census in
+    * both engines alike (the n_grams > 0 filter = the old inner
+    * join's implicit drop).
     */
   def q118NoveltyCensus(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.types.DecimalType
-    val grams = Tables.documents(s, dir)
-      .select($"doc_id",
-        explode(graft.functions.geo.gram_hashes($"text", 8)).as("gram"))
-      .cache()
-    val dfb = grams.groupBy($"gram").agg(count(lit(1)).as("df"))
-    grams.join(dfb, "gram")
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when($"df" === 1L, 1L).otherwise(0L)).as("n_unique"))
+    val docsG = Tables.documents(s, dir)
+      .select($"doc_id", graft.functions.geo.gram_hashes($"text", 8).as("gh"))
+    val sizes = docsG.select($"doc_id", size($"gh").cast("long").as("n_grams"))
+      .filter($"n_grams" > 0L)
+    val uniq = docsG.select($"doc_id", explode($"gh").as("gram"))
+      .groupBy($"gram")
+      .agg(count(lit(1)).as("df"), min($"doc_id").as("d0"))
+      .filter($"df" === 1L)
+      .groupBy($"d0").agg(count(lit(1)).as("n_unique"))
+      .withColumnRenamed("d0", "doc_id")
+    sizes.join(uniq, Seq("doc_id"), "left_outer")
+      .withColumn("n_unique", coalesce($"n_unique", lit(0L)))
       .withColumn("novelty",
         $"n_unique".cast("double") / $"n_grams".cast("double"))
       // cuts calibrated to this corpus's novelty quantiles (0 ==

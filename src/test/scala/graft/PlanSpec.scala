@@ -487,13 +487,20 @@ class PlanSpec extends SparkTestBase {
     df.sparkSession.catalog.clearCache()
   }
 
-  test("q118: novelty is df-join + aggregations — no candidate " +
-    "pairing, no Window, no nested-loop join anywhere") {
+  test("q118: novelty joins only DOC-cardinality frames — the gram " +
+    "stream feeds one aggregation and is never join-back material; no " +
+    "candidate pairing, no Window, no nested-loop join") {
     val df = TextAnalysis.q118NoveltyCensus(spark, sfDir)
     val p = plan(df)
     assert(!p.contains("BroadcastNestedLoopJoin") &&
       !p.contains("CartesianProduct"), p.take(2000))
     assert(!p.contains("Window"), p.take(2000))
+    // round-10 rewrite contract: the only join keys on doc_id (the
+    // round-9 spelling joined the full gram stream on the gram hash —
+    // the linear term behind its 13x-at-100x decade factor)
+    val joinLines = p.linesIterator.filter(_.contains("Join")).toSeq
+    assert(joinLines.nonEmpty && joinLines.forall(l =>
+      l.contains("doc_id") && !l.contains("gram")), joinLines.mkString("\n"))
     df.sparkSession.catalog.clearCache()
   }
 }

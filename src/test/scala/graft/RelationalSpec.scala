@@ -345,6 +345,14 @@ class RelationalSpec extends SparkTestBase {
       assert(hotSpread(plain) == 1L)
       assert(hotSpread(salted) >= 2L,
         "salting failed to spread the hot key across shuffle partitions")
+      // the partial (census-fed) variant: same result, same spread for
+      // the flagged hot key, and the build replicates ONLY hot rows
+      val hotSalted = graft.operators.SkewJoin
+        .saltedJoinHot(probe, dim, "k", "dk", hotKeys = Seq(1L), nSalts = 8)
+        .select($"k", $"payload", $"attr")
+      assert(rows(hotSalted) == rows(plain))
+      assert(hotSpread(hotSalted) >= 2L,
+        "hot-key salting failed to spread the flagged key")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
       spark.conf.set("spark.sql.adaptive.enabled", prevA)
