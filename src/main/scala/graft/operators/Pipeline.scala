@@ -648,6 +648,41 @@ object Pipeline extends QueryPack {
         min($"doc_id").as("first_doc_id"))
   }
 
+  // --- q132: weighted reservoir sample (Efraimidis–Spirakis A-ES) ----------
+  /** Weight-proportional sampling WITHOUT replacement in one pass —
+    * the A-ES scheme (Efraimidis & Spirakis 2006): each row draws
+    * u ∈ (0,1] and keeps key = ln(u)/w; the top-k keys ARE a
+    * weight-proportional sample (P(i in sample) ∝ wᵢ marginally).
+    * This is the principled upgrade of q81's threshold sampling: q81's
+    * keep-probability is per-row independent (sample size varies);
+    * A-ES draws an EXACT-size sample, and at 100 TB it is the
+    * standard one-pass distributed design — per-partition top-k heaps
+    * merge map-side (TakeOrdered), no global sort, no second pass.
+    *
+    * Determinism: u derives from md5(doc_id) (13 hex chars → 52 bits,
+    * +1 so u > 0, over 2^52), so the "random" draw replays in SQL;
+    * ln(u) is the q95 LN class; selection and ordering compare the
+    * ROUNDED key (10 decimals) with doc_id tie-break — a total order.
+    * Weight = n_chars (long docs upweighted; the spec pins the bias
+    * law: the weighted sample's mean length exceeds the corpus mean).
+    */
+  def weightedSample(docs: DataFrame, k: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .select($"doc_id", $"lang", $"n_chars",
+        ((conv(substring(md5($"doc_id".cast("string")), 1, 13), 16, 10)
+          .cast("long") + lit(1L)).cast("double")
+          / lit(4503599627370496.0)).as("u"))
+      .withColumn("key", graft.core.Exact.dround(
+        log($"u") / $"n_chars".cast("double"), 10))
+      .select($"doc_id", $"lang", $"n_chars", $"key")
+      .orderBy($"key".desc, $"doc_id".asc)
+      .limit(k)
+  }
+
+  def q132WeightedSample(s: SparkSession, dir: String): DataFrame =
+    weightedSample(Tables.documents(s, dir), k = 50)
+
   // --- q57: end-to-end corpus recipe (compose the library's own ops) ------
   /** The full clean-corpus pass a pipeline user actually runs, composed
     * from this library's operators rather than re-implemented: exact
@@ -695,9 +730,24 @@ object Pipeline extends QueryPack {
     "q106_pagerank"     -> (q106Pagerank _),
     "q111_snapshot_diff" -> (q111SnapshotDiff _),
     "q125_merge_apply"   -> (q125MergeApply _),
+    "q132_weighted_sample" -> (q132WeightedSample _),
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q132_weighted_sample" ->
+      // the same deterministic u (52-bit md5 slice + 1 over 2^52),
+      // same ln(u)/w key, ranked on the ROUNDED key with doc_id
+      // tie-break
+      """WITH s AS (SELECT doc_id, lang, n_chars,
+        |  CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+        |    AS BIGINT) + 1 AS DOUBLE) / 4503599627370496.0 AS u
+        | FROM documents),
+        |k AS (SELECT doc_id, lang, n_chars,
+        |  CAST(ROUND(CAST(LN(u) / CAST(n_chars AS DOUBLE)
+        |    AS DECIMAL(28,10)), 10) AS DOUBLE) AS key
+        | FROM s)
+        |SELECT doc_id, lang, n_chars, key FROM k
+        |ORDER BY key DESC, doc_id ASC LIMIT 50""".stripMargin,
     "q125_merge_apply" ->
       // the same delta family replayed; checksum = sum of 32-bit md5
       // prefixes of the merged text (order-independent integers)

@@ -786,6 +786,67 @@ object Relational extends QueryPack {
           .as("jaccard_est"))
   }
 
+  // --- q131: HyperLogLog distinct-count sketch -----------------------------
+  /** The FOURTH sketch family under the exact gate (KMV q103 keeps k
+    * hashes, Misra–Gries q58 a heavy-hitter set, CMS q112 a counter
+    * matrix — HLL keeps 64 six-bit registers, the smallest state of
+    * the four and the one production engines actually ship for
+    * approx_count_distinct; Flajolet et al. 2007). Built md5-addressed
+    * like q112 so the whole register state replays in SQL: register
+    * j = first-byte % 64; rho = leading-zero BITS of the next 52 bits
+    * + 1, derived by STRING arithmetic (strip leading zero nibbles,
+    * classify the first nonzero hex digit) so no float log touches the
+    * register path; estimate = alpha·m²·2^53 / Σ 2^(53−M_j) with the
+    * harmonic sum computed over EXACT INTEGERS (every term is
+    * 2^(53−M_j), M_j ≤ 53 — no dyadic-double accumulation), and the
+    * small-range linear-counting branch (E ≤ 2.5m with empty
+    * registers) on ln of an exact integer ratio (the q95 LN class).
+    * The register CHECKSUM (Σ j·M_j) pins the full state, not just
+    * the estimate — the q112 full-matrix discipline.
+    *
+    * Scale shape: one map-side-combined aggregation into ≤ 64 rows
+    * per group, O(1) state; the exact countDistinct twin rides along
+    * only for the census (the q103 rule). Registers merge by per-cell
+    * max, so the sketch is replay-stable and closed under union like
+    * q105's KMV algebra.
+    */
+  def q131HllDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val h = Tables.orders(s, dir)
+      .select($"o_orderpriority".as("grp"), $"o_custkey",
+        md5($"o_custkey".cast("string")).as("hx"))
+      .select($"grp", $"o_custkey",
+        (conv(substring($"hx", 1, 2), 16, 10).cast("long") % 64L).as("j"),
+        ltrim(substring($"hx", 3, 13), "0").as("st"))
+      .withColumn("rho", when(length($"st") === 0, lit(53L))
+        .otherwise(lit(4L) * (lit(13L) - length($"st")) +
+          when(substring($"st", 1, 1) >= "8", 0L)
+            .when(substring($"st", 1, 1) >= "4", 1L)
+            .when(substring($"st", 1, 1) >= "2", 2L).otherwise(3L) + lit(1L)))
+    val regs = h.groupBy($"grp", $"j").agg(max($"rho").as("m"))
+    val exact = h.groupBy($"grp")
+      .agg(countDistinct($"o_custkey").as("n_exact"))
+    regs.groupBy($"grp")
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - m AS INT))"))
+        .as("spart"),
+        count(lit(1)).as("npresent"),
+        sum($"j" * $"m").as("reg_checksum"))
+      .withColumn("v", lit(64L) - $"npresent")
+      .withColumn("ssum", $"spart" + $"v" * lit(9007199254740992L))
+      .withColumn("eraw", lit(0.7213 / (1.0 + 1.079 / 64.0)) * lit(4096.0)
+        * lit(9007199254740992.0) / $"ssum".cast("double"))
+      .withColumn("est", when($"eraw" <= 160.0 && $"v" > 0L,
+        lit(64.0) * log(lit(64.0) / $"v".cast("double")))
+        .otherwise($"eraw"))
+      .join(exact, "grp")
+      .select($"grp", $"n_exact",
+        graft.core.Exact.dround($"est", 1).as("n_est"),
+        graft.core.Exact.dround(
+          abs($"est" - $"n_exact".cast("double")) / $"n_exact".cast("double"),
+          4).as("rel_err"),
+        $"reg_checksum")
+  }
+
   // --- q43: cube (full grouping-set lattice over two dims) ----------------
   def q43Cube(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1105,6 +1166,7 @@ object Relational extends QueryPack {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q127_salted_join"  -> (q127SaltedJoin _),
     "q129_path_capped"  -> (q129PathCapped _),
+    "q131_hll_distinct" -> (q131HllDistinct _),
     "q126_disorder"     -> (q126DisorderCensus _),
     "q124_path_mining"  -> (q124PathMining _),
     "q123_attribution"  -> (q123Attribution _),
@@ -1143,6 +1205,51 @@ object Relational extends QueryPack {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q131_hll_distinct" ->
+      // full register replay: same md5 addressing, same string-derived
+      // rho, harmonic sum over exact integers (1 << (53 - m)), the
+      // alpha constant spelled as the SAME double expression Spark
+      // compiles, LN only on exact integer ratios
+      """WITH h AS (SELECT o_orderpriority AS grp, o_custkey,
+        |  CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 2))
+        |    AS BIGINT) % 64 AS j,
+        |  ltrim(substr(md5(CAST(o_custkey AS VARCHAR)), 3, 13), '0') AS st
+        | FROM orders),
+        |r AS (SELECT grp, o_custkey, j,
+        |  CASE WHEN len(st) = 0 THEN 53
+        |   ELSE 4 * (13 - len(st)) +
+        |    (CASE WHEN substr(st, 1, 1) >= '8' THEN 0
+        |      WHEN substr(st, 1, 1) >= '4' THEN 1
+        |      WHEN substr(st, 1, 1) >= '2' THEN 2 ELSE 3 END) + 1
+        |   END AS rho
+        | FROM h),
+        |regs AS (SELECT grp, j, MAX(rho) AS m FROM r GROUP BY 1, 2),
+        |ex AS (SELECT grp, COUNT(DISTINCT o_custkey) AS n_exact
+        | FROM h GROUP BY 1),
+        |agg AS (SELECT grp,
+        |  CAST(SUM(CAST(1 AS BIGINT) << CAST(53 - m AS INTEGER)) AS BIGINT)
+        |    AS spart,
+        |  COUNT(*) AS npresent,
+        |  CAST(SUM(j * m) AS BIGINT) AS reg_checksum
+        | FROM regs GROUP BY 1),
+        |est AS (SELECT grp, reg_checksum, (64 - npresent) AS v,
+        |  spart + (64 - npresent) * 9007199254740992 AS ssum
+        | FROM agg),
+        |e2 AS (SELECT grp, reg_checksum, v,
+        |  (0.7213 / (1.0 + 1.079 / 64.0)) * 4096.0 * 9007199254740992.0
+        |    / CAST(ssum AS DOUBLE) AS eraw
+        | FROM est),
+        |e3 AS (SELECT grp, reg_checksum,
+        |  CASE WHEN eraw <= 160.0 AND v > 0
+        |   THEN 64.0 * LN(64.0 / CAST(v AS DOUBLE)) ELSE eraw END AS est
+        | FROM e2)
+        |SELECT e3.grp, ex.n_exact,
+        | CAST(ROUND(CAST(est AS DECIMAL(28,10)), 1) AS DOUBLE) AS n_est,
+        | CAST(ROUND(CAST(ABS(est - CAST(n_exact AS DOUBLE))
+        |   / CAST(n_exact AS DOUBLE) AS DECIMAL(28,10)), 4) AS DOUBLE)
+        |   AS rel_err,
+        | reg_checksum
+        |FROM e3 JOIN ex ON e3.grp = ex.grp""".stripMargin,
     "q127_salted_join" ->
       // the PLAIN join spelling: the oracle row exists to prove the
       // salted plan's result identity (integer aggregates, so the

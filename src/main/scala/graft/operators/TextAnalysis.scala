@@ -1425,7 +1425,64 @@ object TextAnalysis extends QueryPack {
       .orderBy($"pmi".desc, $"w1".asc, $"w2".asc).limit(20)
   }
 
+  // --- q130: BM25 retrieval scoring ------------------------------------------
+  /** Okapi BM25 (Robertson–Walker, k1=1.2 b=0.75) top-10 for a fixed
+    * 3-term query — the lexical-retrieval scorer a RAG / eval-retrieval
+    * pipeline runs next to the q29 embedding path (q76's tf-idf ranks
+    * a doc's OWN terms; this ranks DOCS for a query, with the length
+    * normalization and tf saturation tf-idf lacks).
+    *
+    * Exactness: idf = ln(1 + (N−df+0.5)/(df+0.5)) on integer-derived
+    * doubles (the q95 LN class), avgdl an exact integer ratio, and
+    * the per-term saturation a fixed IEEE expression of identical
+    * inputs; the visible score snaps through DECIMAL (house rule) and
+    * the top-10 orders on the ROUNDED score with doc_id tie-break.
+    *
+    * Scale shape: tokens filter to the QUERY TERMS in the scan
+    * projection, so the only data-sized stage is one narrow filtered
+    * aggregation ((doc, term) tf over 3 terms); doc lengths are a
+    * size() projection; N/avgdl and the 3-row df/idf table broadcast.
+    * No corpus-sized join, no window. At 100 TB this is one pruned
+    * scan + a ~|matching docs| aggregation + TakeOrdered.
+    */
+  private[graft] val Bm25Query = Seq("data", "hash", "scan")
+
+  def q130Bm25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k1 = 1.2; val b = 0.75
+    val docs = Tables.documents(s, dir)
+      .withColumn("toks", filter(split($"text", " "), t => length(t) > 0))
+    val dl = docs.select($"doc_id", $"lang",
+      size($"toks").cast("long").as("dl"))
+    val corpus = broadcast(dl.agg(count(lit(1)).as("nd"), sum($"dl").as("tl")))
+    val tf = docs
+      .select($"doc_id", explode($"toks").as("tok"))
+      .filter($"tok".isin(Bm25Query: _*))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+    val idf = broadcast(tf.groupBy($"tok")
+      .agg(countDistinct($"doc_id").as("df"))
+      .crossJoin(corpus)
+      .select($"tok", log(lit(1.0) +
+        (($"nd" - $"df").cast("double") + lit(0.5))
+          / ($"df".cast("double") + lit(0.5))).as("idf")))
+    tf.join(idf, "tok")
+      .join(dl, "doc_id")
+      .crossJoin(corpus)
+      .withColumn("term_score", $"idf" *
+        ($"tf".cast("double") * lit(k1 + 1.0))
+        / ($"tf".cast("double") + lit(k1) * (lit(1.0 - b)
+          + lit(b) * $"dl".cast("double")
+            / ($"tl".cast("double") / $"nd".cast("double")))))
+      .groupBy($"doc_id", $"lang", $"dl")
+      .agg(graft.core.Exact.dround(
+        sum($"term_score".cast(org.apache.spark.sql.types.DecimalType(28, 10)))
+          .cast("double"), 6).as("score"),
+        count(lit(1)).as("n_terms"))
+      .orderBy($"score".desc, $"doc_id".asc).limit(10)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q130_bm25"              -> (q130Bm25 _),
     "q122_pmi_pairs"         -> (q122PmiPairs _),
     "q120_bpe_sweep"         -> (q120BpeSweep _),
     "q119_zipf_slope"        -> (q119ZipfSlope _),
@@ -1495,6 +1552,39 @@ object TextAnalysis extends QueryPack {
        | FROM $vIn CROSS JOIN b$r)""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "q130_bm25" ->
+      // identical integer tf/df/dl/N inputs -> identical LN operand
+      // and IEEE saturation terms (constants spelled as the SAME
+      // double expressions Spark compiles: 1.2 + 1.0, 1.0 - 0.75);
+      // per-doc sum snaps through DECIMAL(28,10), rank on the ROUNDED
+      // score with doc_id tie-break
+      s"""WITH d AS (SELECT doc_id, lang,
+         |  list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+         | FROM documents),
+         |dl AS (SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS dl FROM d),
+         |c AS (SELECT COUNT(*) AS nd, CAST(SUM(dl) AS BIGINT) AS tl FROM dl),
+         |tf AS (SELECT doc_id, tok, COUNT(*) AS tf
+         | FROM (SELECT doc_id, unnest(toks) AS tok FROM d)
+         | WHERE tok IN (${Bm25Query.map(t => s"'$t'").mkString(", ")})
+         | GROUP BY 1, 2),
+         |idf AS (SELECT f.tok,
+         |  LN(1.0 + (CAST(c.nd - f.df AS DOUBLE) + 0.5)
+         |    / (CAST(f.df AS DOUBLE) + 0.5)) AS idf
+         | FROM (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1) f
+         | CROSS JOIN c),
+         |s AS (SELECT t.doc_id, dl.lang, dl.dl,
+         |  i.idf * (CAST(t.tf AS DOUBLE) * (1.2 + 1.0))
+         |   / (CAST(t.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
+         |     + 0.75 * CAST(dl.dl AS DOUBLE)
+         |       / (CAST(c.tl AS DOUBLE) / CAST(c.nd AS DOUBLE)))) AS ts
+         | FROM tf t JOIN idf i USING (tok) JOIN dl USING (doc_id)
+         | CROSS JOIN c)
+         |SELECT doc_id, lang, dl,
+         | ${graft.core.Exact.sqlDround(
+             "CAST(SUM(CAST(ts AS DECIMAL(28,10))) AS DOUBLE)", 6)} AS score,
+         | COUNT(*) AS n_terms
+         |FROM s GROUP BY 1, 2, 3
+         |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
     "q122_pmi_pairs" ->
       // identical integer counts -> identical LN operand; rank on the
       // ROUNDED pmi with (w1, w2) tie-breaks, a total order

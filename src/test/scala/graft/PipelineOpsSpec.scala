@@ -573,6 +573,75 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(rAll == 10, s"probing every learned cell must equal exact, got $rAll")
   }
 
+  test("q130 BM25: driver-side recompute agrees on the top-10; scores " +
+    "positive; tf saturation bounded by (k1+1)*idf") {
+    import spark.implicits._
+    val got = TextAnalysis.q130Bm25(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+    assert(got.length == 10 && got.forall(_._2 > 0.0))
+    // independent recompute from the raw text
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty))
+    val q = TextAnalysis.Bm25Query.toSet
+    val n = docs.length.toDouble
+    val avgdl = docs.map(_._2.length.toLong).sum.toDouble / n
+    val dfm = q.map(t => t -> docs.count(_._2.contains(t)).toDouble).toMap
+    val scores = docs.map { case (id, toks) =>
+      val dl = toks.length.toDouble
+      val s = q.toSeq.map { t =>
+        val tf = toks.count(_ == t).toDouble
+        if (tf == 0) 0.0
+        else math.log(1.0 + (n - dfm(t) + 0.5) / (dfm(t) + 0.5)) *
+          (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      }.sum
+      id -> s
+    }.filter(_._2 > 0)
+    val want = scores.sortBy { case (id, s) =>
+      (-BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP), id)
+    }.take(10)
+    assert(got.map(_._1).toSeq == want.map(_._1).toSeq,
+      s"top-10 ids diverge: got ${got.map(_._1).toSeq} want ${want.map(_._1).toSeq}")
+    got.zip(want).foreach { case ((_, gs), (_, ws)) =>
+      assert(math.abs(gs - ws) < 1e-6, s"score $gs vs recompute $ws")
+    }
+    // saturation ceiling: per-term score < idf * (k1+1), so the total
+    // is bounded by sum of idf ceilings
+    val ceiling = q.toSeq.map(t =>
+      math.log(1.0 + (n - dfm(t) + 0.5) / (dfm(t) + 0.5)) * 2.2).sum
+    assert(got.forall(_._2 <= ceiling + 1e-9))
+  }
+
+  test("q132 A-ES weighted sample: driver recompute agrees; exact size; " +
+    "weighting biases the sample toward long documents") {
+    import spark.implicits._
+    val got = Pipeline.q132WeightedSample(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_chars"),
+        r.getAs[Double]("key")))
+    assert(got.length == 50 && got.map(_._1).distinct.length == 50)
+    // keys are ln(u)/w with u in (0,1]: strictly negative unless u=1
+    assert(got.forall(_._3 <= 0.0))
+    // independent recompute of the deterministic draw
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"n_chars",
+        conv(substring(md5($"doc_id".cast("string")), 1, 13), 16, 10)
+          .cast("long").as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val keys = docs.map { case (id, nc, h) =>
+      val u = (h + 1L).toDouble / 4503599627370496.0
+      (id, BigDecimal(math.log(u) / nc.toDouble)
+        .setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val want = keys.sortBy { case (id, k) => (-k, id) }.take(50).map(_._1)
+    assert(got.map(_._1).toSeq == want.toSeq)
+    // the bias law: expected key grows with weight, so the weighted
+    // sample's mean length must exceed the corpus mean
+    val corpusMean = docs.map(_._2).sum.toDouble / docs.length
+    val sampleMean = got.map(_._2).sum.toDouble / got.length
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean must exceed corpus mean $corpusMean")
+  }
+
   // q104's CORRECTNESS row hash-checks every branch against DuckDB on
   // the synthesized family; this pins the contract on hand-picked
   // edges the family doesn't reach.

@@ -153,4 +153,48 @@ class TopKAggSpec extends SparkTestBase {
     val shuffled = graft.operators.TextAnalysis.q112CountMin(spark, sfDir)
     assert(shuffled.collect().toSet == rows.toSet)
   }
+
+  test("q131 HLL: error band, partition invariance, and register-merge " +
+    "closure (max-merge of per-side registers = registers of the union)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.Relational.q131HllDistinct(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val err = r.getAs[Double]("rel_err")
+      // m=64 gives sigma = 1.04/sqrt(64) ~ 13%; the single fixed hash
+      // draw makes per-group errors correlated, so the band is ~2.5
+      // sigma, not the iid expectation
+      assert(err < 0.35, s"${r.getString(0)}: rel_err $err out of band")
+      assert(r.getAs[Double]("n_est") > 0.0)
+    }
+    // pure function of the key set: physical placement moves nothing
+    val again = graft.operators.Relational.q131HllDistinct(spark, sfDir)
+    assert(again.collect().toSet == rows.toSet)
+    // merge closure on the raw registers: split orders at a date,
+    // sketch each side, per-cell max-merge — must equal the union's
+    // registers cell for cell (the property that makes HLL shardable
+    // across a cluster and across time partitions)
+    def registers(df: org.apache.spark.sql.DataFrame): Map[Long, Long] = df
+      .select($"o_custkey",
+        (conv(substring(md5($"o_custkey".cast("string")), 1, 2), 16, 10)
+          .cast("long") % 64L).as("j"),
+        ltrim(substring(md5($"o_custkey".cast("string")), 3, 13), "0").as("st"))
+      .withColumn("rho", when(length($"st") === 0, lit(53L))
+        .otherwise(lit(4L) * (lit(13L) - length($"st")) +
+          when(substring($"st", 1, 1) >= "8", 0L)
+            .when(substring($"st", 1, 1) >= "4", 1L)
+            .when(substring($"st", 1, 1) >= "2", 2L).otherwise(3L) + lit(1L)))
+      .groupBy($"j").agg(max($"rho").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val orders = graft.core.Tables.orders(spark, sfDir)
+    val cut = lit("1997-01-01").cast("timestamp")
+    val a = registers(orders.filter($"o_orderdate" < cut))
+    val b = registers(orders.filter($"o_orderdate" >= cut))
+    val union = registers(orders)
+    val merged = (a.keySet ++ b.keySet).map(j =>
+      j -> math.max(a.getOrElse(j, 0L), b.getOrElse(j, 0L))).toMap
+    assert(merged == union, "max-merge of side registers must equal the union sketch")
+  }
 }
