@@ -761,7 +761,78 @@ object Dedup extends QueryPack {
         graft.core.Exact.dround(abs($"estj" - $"exj"), 4).as("abs_err"))
   }
 
+  // --- q133: content-defined chunking (CDC) census ---------------------------
+  /** Content-DEFINED chunk boundaries (the FastCDC/rsync family, at
+    * token granularity): a boundary falls after token i whenever the
+    * hash of the trailing 4-token window hits 0 mod 8 (mean chunk ≈ 8
+    * tokens), plus a forced boundary at doc end. Because a boundary
+    * depends only on LOCAL content, chunking is SHIFT-INVARIANT —
+    * prepending text to a document leaves every downstream chunk
+    * identical, so duplicated passages keep identical chunk hashes
+    * wherever they move. Fixed tiling (q73's stride-8) loses ALL
+    * alignment on a one-token shift; that contrast is exactly why
+    * storage dedup and incremental-crawl near-dup use CDC
+    * (DedupSpec pins the retention law for both).
+    *
+    * Exactness: the window hash is md5 of the space-joined window
+    * (replays in SQL); chunk assembly is string mechanics on the
+    * token list. Census: per-lang chunk count, mean tokens/chunk
+    * (integer ratio, dround), and the duplicate-chunk mass — chunks
+    * whose text occurs more than once corpus-wide, CDC's payoff
+    * metric (the near-dup doc families share runs long enough to
+    * yield identical chunks).
+    *
+    * Scale shape: boundary flags, chunk splitting, and per-chunk
+    * texts are ALL in-row (one projection, O(L) per doc via a marked
+    * concat-then-split — no O(L²) position scan); the only shuffles
+    * are the chunk-hash aggregation and the per-lang census — both
+    * map-side combinable, keyed on md5 values. Linear at any corpus
+    * size, no pairing.
+    */
+  def cdcChunks(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    // CHUNK_SEP is a char the corpus cannot contain (tokens come from
+    // a space-split); marking each boundary token with it turns chunk
+    // extraction into one split
+    val sep = "\u0001"
+    docs
+      .withColumn("toks", filter(split($"text", " "), t => length(t) > 0))
+      .filter(size($"toks") > 0)
+      .withColumn("marked", concat_ws("",
+        expr(s"""transform(sequence(1, size(toks)), i ->
+          | CASE WHEN i < size(toks) AND i >= 4 AND
+          |   CAST(conv(substring(md5(concat_ws(' ', slice(toks, i - 3, 4))),
+          |     1, 4), 16, 10) AS BIGINT) % 8 = 0
+          |  THEN concat(toks[i - 1], '$sep')
+          |  ELSE concat(toks[i - 1], ' ') END)""".stripMargin)))
+      .select($"doc_id", $"lang",
+        explode(expr(s"transform(split(marked, '$sep'), c -> trim(c))"))
+          .as("chunk"))
+      .filter(length($"chunk") > 0)
+      .withColumn("chunk_toks", size(split($"chunk", " ")).cast("long"))
+      .withColumn("ch", md5($"chunk"))
+  }
+
+  def q133CdcChunking(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val chunks = cdcChunks(Tables.documents(s, dir)).cache()
+    // corpus-wide duplicate-chunk occurrence counts (keyed on the md5)
+    val dup = chunks.groupBy($"ch").agg(count(lit(1)).as("occ"))
+    chunks.join(dup, "ch")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum($"chunk_toks").as("n_tokens"),
+        graft.core.Exact.dround(
+          sum($"chunk_toks").cast("double") / count(lit(1)), 4)
+          .as("avg_chunk_toks"),
+        sum(when($"occ" > 1L, 1L).otherwise(0L)).as("n_dup_chunks"),
+        graft.core.Exact.dround(
+          sum(when($"occ" > 1L, 1L).otherwise(0L)).cast("double")
+            / count(lit(1)), 4).as("dup_rate"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q133_cdc_chunking"   -> (q133CdcChunking _),
     "q113_minhash_err"    -> (q113MinhashErr _),
     "q49_dedup_editdist"  -> (q49EditDistance _),
     "q25_dedup_exact"     -> (q25Exact _),
@@ -815,6 +886,43 @@ object Dedup extends QueryPack {
       | SELECT e.j, r.lab FROM rec r JOIN edges e ON e.i = r.node)""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "q133_cdc_chunking" ->
+      // same windowed md5 boundary rule; chunk id = boundaries BEFORE
+      // the position (one-reducer window per doc, bounded by doc
+      // length); chunk text reassembled token-by-token, hashed, and
+      // censused identically
+      s"""WITH d AS (SELECT doc_id, lang,
+         |  list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+         | FROM documents
+         | WHERE len(list_filter(string_split(text, ' '), t -> len(t) > 0)) > 0),
+         |p AS (SELECT doc_id, lang, i, toks[i] AS tok,
+         |  CASE WHEN i < len(toks) AND i >= 4 AND
+         |    CAST(('0x' || substr(md5(array_to_string(toks[i-3:i], ' ')),
+         |      1, 4)) AS BIGINT) % 8 = 0
+         |   THEN 1 ELSE 0 END AS bnd
+         | FROM d, generate_series(1, ${OracleGen.MaxDocSeries}) g(i)
+         | WHERE i <= len(toks)),
+         |c AS (SELECT doc_id, lang, i, tok,
+         |  COALESCE(SUM(bnd) OVER (PARTITION BY doc_id ORDER BY i
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
+         | FROM p),
+         |ch AS (SELECT doc_id, lang, cid,
+         |  string_agg(tok, ' ' ORDER BY i) AS chunk,
+         |  CAST(COUNT(*) AS BIGINT) AS chunk_toks
+         | FROM c GROUP BY 1, 2, 3),
+         |dup AS (SELECT md5(chunk) AS h, COUNT(*) AS occ FROM ch GROUP BY 1)
+         |SELECT lang, COUNT(*) AS n_chunks,
+         | CAST(SUM(chunk_toks) AS BIGINT) AS n_tokens,
+         | ${graft.core.Exact.sqlDround(
+             "CAST(SUM(chunk_toks) AS DOUBLE) / COUNT(*)", 4)}
+         |   AS avg_chunk_toks,
+         | CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_dup_chunks,
+         | ${graft.core.Exact.sqlDround(
+             "CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS DOUBLE)" +
+               " / COUNT(*)", 4)} AS dup_rate
+         |FROM ch JOIN dup ON md5(ch.chunk) = dup.h
+         |GROUP BY 1""".stripMargin,
     "q113_minhash_err" ->
       // q26's candidate chain, minus the 0.7 filter, plus the
       // signature-agreement estimate: everything is integer ratios

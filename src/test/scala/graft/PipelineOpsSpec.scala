@@ -573,6 +573,55 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(rAll == 10, s"probing every learned cell must equal exact, got $rAll")
   }
 
+  test("q133 CDC chunking: shift invariance — prepending text preserves " +
+    "most chunk hashes, while fixed tiling loses all alignment; chunks " +
+    "reassemble the corpus losslessly") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang", $"text")
+    val chunks = Dedup.cdcChunks(docs)
+      .select($"doc_id", $"chunk", $"chunk_toks").collect()
+    // lossless: per-doc chunk token totals equal the doc's token count
+    val tokCounts = docs.collect().map(r => r.getLong(0) ->
+      r.getString(2).split(" ").count(_.nonEmpty).toLong).toMap
+    val byDoc = chunks.groupBy(_.getLong(0))
+    byDoc.foreach { case (id, cs) =>
+      assert(cs.map(_.getLong(2)).sum == tokCounts(id),
+        s"doc $id: chunk tokens must cover the doc exactly")
+    }
+    // shift invariance: prepend 3 alien tokens to every doc; chunk
+    // hash multisets must largely survive (only the head region can
+    // re-chunk), while q73-style fixed 8-token tiles almost all shift
+    val shifted = docs.withColumn("text",
+      concat(lit("zz0 zz1 zz2 "), $"text"))
+    val origSet = chunks.map(_.getString(1)).groupBy(identity)
+      .view.mapValues(_.size).toMap
+    val shiftSet = Dedup.cdcChunks(shifted).select($"chunk").collect()
+      .map(_.getString(0)).groupBy(identity).view.mapValues(_.size).toMap
+    val kept = origSet.map { case (c, n) =>
+      math.min(n, shiftSet.getOrElse(c, 0)) }.sum
+    val total = origSet.values.sum
+    val cdcRetention = kept.toDouble / total
+    // fixed tiling comparator on the same corpus
+    def tiles(df: org.apache.spark.sql.DataFrame): Map[String, Int] = df
+      .select(explode(expr(
+        """transform(sequence(1, greatest(1, size(filter(split(text, ' '),
+          |  t -> length(t) > 0)) div 8)),
+          |  i -> concat_ws(' ', slice(filter(split(text, ' '),
+          |    t -> length(t) > 0), (i - 1) * 8 + 1, 8)))""".stripMargin))
+        .as("tile")).collect().map(_.getString(0))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val tOrig = tiles(docs); val tShift = tiles(shifted)
+    val tKept = tOrig.map { case (c, n) =>
+      math.min(n, tShift.getOrElse(c, 0)) }.sum
+    val tileRetention = tKept.toDouble / tOrig.values.sum
+    assert(cdcRetention > 0.7,
+      s"CDC must keep most chunks under a 3-token shift: $cdcRetention")
+    assert(cdcRetention > tileRetention + 0.3,
+      s"CDC retention $cdcRetention must dominate fixed-tile $tileRetention")
+  }
+
   test("q130 BM25: driver-side recompute agrees on the top-10; scores " +
     "positive; tf saturation bounded by (k1+1)*idf") {
     import spark.implicits._
