@@ -362,6 +362,76 @@ object AnomalyStream {
       w: Int = 64): Long =
     (0 until d).map(r => cells(r * w + cmsBucket(r, tok, w))).min
 
+  case class HllEst(key: String, seen: Long, npresent: Long,
+      reg_checksum: Long, est: Double)
+
+  /** Streaming twin of batch q131: per-key HyperLogLog registers as
+    * keyed stream state — 64 six-bit registers per key regardless of
+    * stream length or key-space size (the smallest state of the four
+    * streaming sketches). Register addressing and rho are bit-identical
+    * to q131's SQL device (JVM md5 hex, same string-derived
+    * leading-zero classification — StreamingSpec pins the parity), and
+    * the estimate uses the same exact-integer harmonic sum, so a
+    * snapshot is directly comparable to the batch census.
+    *
+    * Replay stability is UNCONDITIONAL (the [[distinctStream]]/
+    * [[cmsStream]] class): registers are per-cell maxima over the
+    * value SET, so batch re-slicing or reordering yields byte-identical
+    * final state, and max-merge across shards/keys is the closed
+    * algebra TopKAggSpec proves for the batch side. Each batch emits
+    * the current snapshot tagged with `seen`; consumers read max-seen
+    * per key.
+    */
+  def hllStream(toks: Dataset[LangTok]): Dataset[HllEst] = {
+    import toks.sparkSession.implicits._
+    toks.groupByKey(_.lang)
+      .flatMapGroupsWithState[(Array[Long], Long), HllEst](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key, it, state) =>
+          val (regs0, seen0) = state.getOption.getOrElse(
+            (Array.fill(64)(0L), 0L))
+          val regs = regs0.clone()
+          var n = 0L
+          it.foreach { t =>
+            val (j, rho) = hllRegister(t.tok)
+            if (rho > regs(j)) regs(j) = rho.toLong
+            n += 1
+          }
+          val seen = seen0 + n
+          state.update((regs, seen))
+          val npresent = regs.count(_ > 0L).toLong
+          val v = 64L - npresent
+          val ssum = regs.filter(_ > 0L).map(m => 1L << (53 - m)).sum +
+            v * 9007199254740992L
+          val eraw = (0.7213 / (1.0 + 1.079 / 64.0)) * 4096.0 *
+            9007199254740992.0 / ssum.toDouble
+          val est = if (eraw <= 160.0 && v > 0L)
+            64.0 * math.log(64.0 / v.toDouble) else eraw
+          val checksum = regs.zipWithIndex
+            .map { case (m, j) => j.toLong * m }.sum
+          Iterator.single(HllEst(key, seen, npresent, checksum, est))
+      }
+  }
+
+  /** q131's register address + rho: j = first md5 byte mod 64; rho =
+    * leading-zero BITS of the next 52 (13 hex chars), derived by the
+    * same string classification as the SQL device so the two are
+    * bit-identical by construction.
+    */
+  private[streaming] def hllRegister(value: String): (Int, Int) = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(value.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val j = Integer.parseInt(hex.substring(0, 2), 16) % 64
+    val st = hex.substring(2, 15).dropWhile(_ == '0')
+    val rho = if (st.isEmpty) 53 else {
+      val d = st.charAt(0)
+      val extra =
+        if (d >= '8') 0 else if (d >= '4') 1 else if (d >= '2') 2 else 3
+      4 * (13 - st.length) + extra + 1
+    }
+    (j, rho)
+  }
+
   case class RetentionHit(user_id: Long, cohort_day: Long,
       week_offset: Long)
 

@@ -487,6 +487,34 @@ class PlanSpec extends SparkTestBase {
     df.sparkSession.catalog.clearCache()
   }
 
+  test("q130/q131/q132/q133: round-10 additions keep their scale shapes " +
+    "— broadcast stats joins, TakeOrdered not global Sort, no Window, " +
+    "no nested-loop blowup") {
+    import graft.operators.{Dedup, Pipeline}
+    // q130: the corpus-stats and idf frames broadcast; no Window; the
+    // top-10 is TakeOrdered
+    val p130 = plan(TextAnalysis.q130Bm25(spark, sfDir))
+    assert(p130.contains("BroadcastExchange"), p130.take(2000))
+    assert(!p130.contains("Window"), p130.take(2000))
+    assert(p130.contains("TakeOrderedAndProject"), p130.take(2000))
+    // q131: two hash aggregations, never a window over the key stream
+    val p131 = plan(Relational.q131HllDistinct(spark, sfDir))
+    assert(!p131.contains("Window") &&
+      !p131.contains("CartesianProduct"), p131.take(2000))
+    // q132: exact-size top-k rides TakeOrdered — a global Sort here
+    // would be the one-reducer anti-pattern the operator exists to avoid
+    val p132 = plan(Pipeline.q132WeightedSample(spark, sfDir))
+    assert(p132.contains("TakeOrderedAndProject"), p132.take(2000))
+    assert(!p132.contains("Exchange"), p132.take(2000))
+    // q133: chunking is in-row — no Window, no per-position explode
+    // before the chunk aggregation, joins only on the chunk hash
+    val p133 = plan(Dedup.q133CdcChunking(spark, sfDir))
+    assert(!p133.contains("Window") &&
+      !p133.contains("CartesianProduct") &&
+      !p133.contains("BroadcastNestedLoopJoin"), p133.take(2000))
+    spark.catalog.clearCache()
+  }
+
   test("q118: novelty joins only DOC-cardinality frames — the gram " +
     "stream feeds one aggregation and is never join-back material; no " +
     "candidate pairing, no Window, no nested-loop join") {

@@ -857,6 +857,59 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("hll stream: slicing invariance, JVM/SQL register parity, and " +
+    "snapshot equals the batch q131 device over the same rows") {
+    import spark.implicits._
+    import graft.streaming.AnomalyStream.{HllEst, LangTok}
+    implicit val sc = spark.sqlContext
+    // deterministic multiset: repeated keys must not move registers
+    val toks = (0 until 400).map(i => LangTok(if (i % 2 == 0) "a" else "b",
+      s"k${i % 97}")) ++ (0 until 50).map(i => LangTok("a", s"k${i % 7}"))
+    def run(slices: Seq[Seq[LangTok]]): Map[String, (Long, Long, Double)] = {
+      val input = MemoryStream[LangTok]
+      val q = graft.streaming.AnomalyStream.hllStream(input.toDS())
+        .writeStream.outputMode("append").format("memory")
+        .queryName("hlls").start()
+      try {
+        slices.foreach { s => input.addData(s); q.processAllAvailable() }
+      } finally q.stop()
+      val rows = spark.table("hlls").as[HllEst].collect()
+      // max-seen snapshot per key (the heavyHittersStream contract)
+      rows.groupBy(_.key).map { case (k, rs) =>
+        val last = rs.maxBy(_.seen)
+        k -> ((last.seen, last.reg_checksum, last.est))
+      }
+    }
+    val one = run(Seq(toks))
+    val sliced = run(toks.grouped(113).toSeq)
+    assert(one == sliced, "HLL state must be batch-slicing invariant")
+    // JVM addressing is bit-identical to the batch SQL device, and the
+    // estimate matches the q131 arithmetic over the same rows
+    val batch = toks.toDF("lang", "tok")
+      .select($"lang",
+        (conv(substring(md5($"tok"), 1, 2), 16, 10)
+          .cast("long") % 64L).as("j"),
+        ltrim(substring(md5($"tok"), 3, 13), "0").as("st"))
+      .withColumn("rho", when(length($"st") === 0, lit(53L))
+        .otherwise(lit(4L) * (lit(13L) - length($"st")) +
+          when(substring($"st", 1, 1) >= "8", 0L)
+            .when(substring($"st", 1, 1) >= "4", 1L)
+            .when(substring($"st", 1, 1) >= "2", 2L).otherwise(3L) + lit(1L)))
+      .groupBy($"lang", $"j").agg(max($"rho").as("m"))
+      .groupBy($"lang")
+      .agg(sum($"j" * $"m").as("cksum"), count(lit(1)).as("np"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    one.foreach { case (k, (seen, cksum, est)) =>
+      assert(batch(k)._1 == cksum,
+        s"$k: stream checksum $cksum vs SQL ${batch(k)._1}")
+      assert(batch(k)._2 > 0L && est > 0.0)
+    }
+    // seen equals the multiset size per key
+    val sizes = toks.groupBy(_.lang).view.mapValues(_.size.toLong).toMap
+    one.foreach { case (k, (seen, _, _)) => assert(seen == sizes(k)) }
+  }
+
   // q126 exists to SIZE watermarks; this is the law that closes the
   // loop: replay the SAME jittered arrival order through a watermarked
   // streaming aggregation, one event per micro-batch (so the engine's
