@@ -683,6 +683,44 @@ object Pipeline extends QueryPack {
   def q132WeightedSample(s: SparkSession, dir: String): DataFrame =
     weightedSample(Tables.documents(s, dir), k = 50)
 
+  // --- q135: stratified (per-language) A-ES weighted sample ----------------
+  /** q132 per stratum: an exact-size weight-proportional sample from
+    * EVERY language in one aggregation — the shape a multilingual
+    * pretraining mix actually needs (q116 sets per-language token
+    * QUOTAS; this draws the weighted documents inside each). The
+    * per-group top-k rides the bounded-heap TypedImperativeAggregate
+    * (q48/q129's device): O(k) state per language, partial heaps merge
+    * map-side, no per-language sort, no window over the doc stream.
+    *
+    * The heap keeps the k largest (ord, payload-asc) entries, so ord
+    * is the ROUNDED A-ES key and the payload leads with the
+    * zero-padded doc_id — payload-asc = smallest id — matching the
+    * (key desc, doc_id asc) total order the q132 oracle spells.
+    * Output re-expands rank/doc/meta from the heap's sorted array
+    * with posexplode, rank = position in the per-language order.
+    */
+  def q135StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.geo.top_k_by
+    val keyed = Tables.documents(s, dir)
+      .select($"lang", $"doc_id", $"n_chars",
+        ((conv(substring(md5($"doc_id".cast("string")), 1, 13), 16, 10)
+          .cast("long") + lit(1L)).cast("double")
+          / lit(4503599627370496.0)).as("u"))
+      .withColumn("key", graft.core.Exact.dround(
+        log($"u") / $"n_chars".cast("double"), 10))
+      .withColumn("payload", concat(
+        lpad($"doc_id".cast("string"), 12, "0"), lit("|"),
+        $"n_chars".cast("string")))
+    keyed.groupBy($"lang")
+      .agg(top_k_by($"key", $"payload", 20).as("top"))
+      .select($"lang", posexplode($"top").as(Seq("pos", "e")))
+      .select($"lang", ($"pos" + 1).cast("long").as("rank"),
+        split($"e.payload", "\\|").getItem(0).cast("long").as("doc_id"),
+        split($"e.payload", "\\|").getItem(1).cast("long").as("n_chars"),
+        $"e.ord".as("key"))
+  }
+
   // --- q57: end-to-end corpus recipe (compose the library's own ops) ------
   /** The full clean-corpus pass a pipeline user actually runs, composed
     * from this library's operators rather than re-implemented: exact
@@ -731,9 +769,27 @@ object Pipeline extends QueryPack {
     "q111_snapshot_diff" -> (q111SnapshotDiff _),
     "q125_merge_apply"   -> (q125MergeApply _),
     "q132_weighted_sample" -> (q132WeightedSample _),
+    "q135_stratified_sample" -> (q135StratifiedSample _),
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q135_stratified_sample" ->
+      // the same draw and key, ranked per language by the window
+      // spelling of the heap's retained order
+      """WITH s AS (SELECT lang, doc_id, n_chars,
+        |  CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+        |    AS BIGINT) + 1 AS DOUBLE) / 4503599627370496.0 AS u
+        | FROM documents),
+        |k AS (SELECT lang, doc_id, n_chars,
+        |  CAST(ROUND(CAST(LN(u) / CAST(n_chars AS DOUBLE)
+        |    AS DECIMAL(28,10)), 10) AS DOUBLE) AS key
+        | FROM s),
+        |r AS (SELECT lang, doc_id, n_chars, key,
+        |  CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY key DESC, doc_id ASC) AS BIGINT) AS rank
+        | FROM k)
+        |SELECT lang, rank, doc_id, n_chars, key
+        |FROM r WHERE rank <= 20""".stripMargin,
     "q132_weighted_sample" ->
       // the same deterministic u (52-bit md5 slice + 1 over 2^52),
       // same ln(u)/w key, ranked on the ROUNDED key with doc_id

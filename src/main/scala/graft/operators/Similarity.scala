@@ -603,6 +603,50 @@ object Similarity extends QueryPack {
       .limit(10)
   }
 
+  // --- q134: hybrid retrieval — reciprocal-rank fusion of BM25 + ANN -------
+  /** RRF (Cormack et al. 2009, the standard hybrid-retrieval combiner):
+    * fuse the LEXICAL ranking (q130's BM25 top-10) with the DENSE
+    * ranking (q29's exact cosine top-10) as
+    * score(d) = Σ_systems 1/(60 + rank_s(d)) — rank-only fusion, so no
+    * score calibration between systems is needed (BM25 scores and
+    * cosines are incomparable scales; their RANKS are not). The two
+    * retrievals share the corpus id space (embeddings vec_id ↔
+    * doc_id for the embedded 40% of the corpus).
+    *
+    * Exactness: ranks are integers from already-deterministic total
+    * orders; 1/(60+r) and the ≤2-term sum are IEEE on identical
+    * inputs; the fused ordering compares the ROUNDED score with
+    * doc_id tie-breaks (singletons at equal rank tie by construction —
+    * the tie-break is load-bearing and both engines spell it).
+    *
+    * Scale shape: everything after the two retrievals operates on two
+    * ≤10-row frames — union, one tiny aggregation, TakeOrdered. The
+    * retrievals themselves carry their own 100 TB shapes (q130's
+    * filtered scan, q29's broadcast probe).
+    */
+  def q134RrfFusion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wB = Window.orderBy($"score".desc, $"doc_id".asc)
+    val bm = TextAnalysis.q130Bm25(s, dir)
+      .select($"doc_id", $"score")
+      .withColumn("rank", row_number().over(wB).cast("long"))
+      .select($"doc_id", lit("bm25").as("sys"), $"rank")
+    val wA = Window.orderBy($"cos".desc, $"doc_id".asc)
+    val ann = q29BruteTopK(s, dir)
+      .select($"vec_id".as("doc_id"), $"cos")
+      .withColumn("rank", row_number().over(wA).cast("long"))
+      .select($"doc_id", lit("ann").as("sys"), $"rank")
+    bm.unionByName(ann)
+      .groupBy($"doc_id")
+      .agg(graft.core.Exact.dround(
+        sum(lit(1.0) / (lit(60.0) + $"rank".cast("double"))), 6).as("rrf"),
+        count(lit(1)).as("n_systems"),
+        min(when($"sys" === "bm25", $"rank")).as("bm25_rank"),
+        min(when($"sys" === "ann", $"rank")).as("ann_rank"))
+      .orderBy($"rrf".desc, $"doc_id".asc).limit(10)
+  }
+
   // --- q109: int8 scalar quantization of the embedding column -------------
   /** Symmetric per-vector scalar quantization to int8 — the standard
     * 4× memory cut before an ANN index is sharded across a cluster
@@ -658,6 +702,7 @@ object Similarity extends QueryPack {
     "q117_semdedup_sweep"  -> (q117SemdedupSweep _),
     "q101_ann_ivf"         -> (q101AnnIvf _),
     "q128_ann_ivf_learned" -> (q128AnnIvfLearned _),
+    "q134_rrf_fusion"      -> (q134RrfFusion _),
     "q102_kmeans_clusters" -> (q102KmeansClusters _),
     "q109_quantize_int8"   -> (q109QuantizeInt8 _),
   )
@@ -771,6 +816,55 @@ object Similarity extends QueryPack {
          |  OR isnan(${cosSql("c.embedding", "rv.remb")})
          |  OR ${cosSql("c.embedding", "rv.remb")} < 0.25) AS kept
          |FROM cells c JOIN rv USING (cell)""".stripMargin,
+    "q134_rrf_fusion" ->
+      // both retrievals replayed (q130's BM25 chain, q29's brute
+      // top-10), ranks from the same total orders, fusion arithmetic
+      // on integer ranks, fused order on the ROUNDED score
+      s"""WITH d AS (SELECT doc_id, lang,
+         |  list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+         | FROM documents),
+         |dl AS (SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS dl FROM d),
+         |c AS (SELECT COUNT(*) AS nd, CAST(SUM(dl) AS BIGINT) AS tl FROM dl),
+         |tf AS (SELECT doc_id, tok, COUNT(*) AS tf
+         | FROM (SELECT doc_id, unnest(toks) AS tok FROM d)
+         | WHERE tok IN (${TextAnalysis.Bm25Query.map(t => s"'$t'").mkString(", ")})
+         | GROUP BY 1, 2),
+         |idf AS (SELECT f.tok,
+         |  LN(1.0 + (CAST(c.nd - f.df AS DOUBLE) + 0.5)
+         |    / (CAST(f.df AS DOUBLE) + 0.5)) AS idf
+         | FROM (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1) f
+         | CROSS JOIN c),
+         |sc AS (SELECT t.doc_id,
+         |  i.idf * (CAST(t.tf AS DOUBLE) * (1.2 + 1.0))
+         |   / (CAST(t.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
+         |     + 0.75 * CAST(dl.dl AS DOUBLE)
+         |       / (CAST(c.tl AS DOUBLE) / CAST(c.nd AS DOUBLE)))) AS ts
+         | FROM tf t JOIN idf i USING (tok) JOIN dl USING (doc_id)
+         | CROSS JOIN c),
+         |bmtop AS (SELECT doc_id,
+         |  ${graft.core.Exact.sqlDround(
+              "CAST(SUM(CAST(ts AS DECIMAL(28,10))) AS DOUBLE)", 6)} AS score
+         | FROM sc GROUP BY 1 ORDER BY score DESC, doc_id ASC LIMIT 10),
+         |bm AS (SELECT doc_id, 'bm25' AS sys, row_number() OVER
+         |  (ORDER BY score DESC, doc_id ASC) AS rank FROM bmtop),
+         |anntop AS (SELECT e.vec_id AS doc_id,
+         |  ROUND(${cosSql("e.embedding", "q.embedding")}, 6) AS cos
+         | FROM embeddings e CROSS JOIN
+         |  (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+         | WHERE e.vec_id != 0
+         | ORDER BY ROUND(${cosSql("e.embedding", "q.embedding")}, 6) DESC,
+         |  e.vec_id ASC LIMIT 10),
+         |ann AS (SELECT doc_id, 'ann' AS sys, row_number() OVER
+         |  (ORDER BY cos DESC, doc_id ASC) AS rank FROM anntop),
+         |u AS (SELECT * FROM bm UNION ALL SELECT * FROM ann)
+         |SELECT doc_id,
+         | ${graft.core.Exact.sqlDround(
+             "SUM(1.0 / (60.0 + CAST(rank AS DOUBLE)))", 6)} AS rrf,
+         | COUNT(*) AS n_systems,
+         | MIN(CASE WHEN sys = 'bm25' THEN rank END) AS bm25_rank,
+         | MIN(CASE WHEN sys = 'ann' THEN rank END) AS ann_rank
+         |FROM u GROUP BY 1
+         |ORDER BY rrf DESC, doc_id ASC LIMIT 10""".stripMargin,
     "q101_ann_ivf" ->
       // deterministic IVF twin: centroids = member vectors 1..8 (cell
       // id = the centroid's vec_id); assignment = argmax ROUND(cos,6)

@@ -691,6 +691,80 @@ class PipelineOpsSpec extends SparkTestBase {
       s"weighted sample mean $sampleMean must exceed corpus mean $corpusMean")
   }
 
+  test("q134 RRF fusion: fused set is drawn from the two component " +
+    "top-10s, scores recompute from ranks, dual-system docs dominate " +
+    "equal-rank singletons") {
+    import spark.implicits._
+    val fused = Similarity.q134RrfFusion(spark, sfDir).collect()
+    assert(fused.length == 10)
+    val bm = TextAnalysis.q130Bm25(spark, sfDir).collect()
+      .map(_.getAs[Long]("doc_id")).zipWithIndex
+      .map { case (d, i) => d -> (i + 1L) }.toMap
+    val ann = Similarity.q29BruteTopK(spark, sfDir).collect()
+      .map(_.getAs[Long]("vec_id")).zipWithIndex
+      .map { case (d, i) => d -> (i + 1L) }.toMap
+    fused.foreach { r =>
+      val d = r.getAs[Long]("doc_id")
+      assert(bm.contains(d) || ann.contains(d),
+        s"fused doc $d in neither component top-10")
+      val want = BigDecimal(
+        bm.get(d).map(rk => 1.0 / (60.0 + rk)).getOrElse(0.0) +
+          ann.get(d).map(rk => 1.0 / (60.0 + rk)).getOrElse(0.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("rrf") - want) < 1e-9)
+      assert(r.getAs[Long]("n_systems") ==
+        (bm.contains(d) :: ann.contains(d) :: Nil).count(identity).toLong)
+    }
+    // any doc in BOTH lists beats any doc appearing in ONE list at an
+    // equal-or-worse best rank (1/(60+r) + something > 1/(60+r))
+    val both = fused.filter(_.getAs[Long]("n_systems") == 2L)
+    val single = fused.filter(_.getAs[Long]("n_systems") == 1L)
+    for (b <- both; s <- single) {
+      val bBest = math.min(
+        Option(b.getAs[Any]("bm25_rank")).map(_.toString.toLong).getOrElse(Long.MaxValue),
+        Option(b.getAs[Any]("ann_rank")).map(_.toString.toLong).getOrElse(Long.MaxValue))
+      val sBest = math.min(
+        Option(s.getAs[Any]("bm25_rank")).map(_.toString.toLong).getOrElse(Long.MaxValue),
+        Option(s.getAs[Any]("ann_rank")).map(_.toString.toLong).getOrElse(Long.MaxValue))
+      if (bBest <= sBest)
+        assert(b.getAs[Double]("rrf") > s.getAs[Double]("rrf"))
+    }
+  }
+
+  test("q135 stratified sample: 20 per language with contiguous ranks, " +
+    "and each stratum is the per-language restriction of the global " +
+    "A-ES order") {
+    import spark.implicits._
+    val rows = Pipeline.q135StratifiedSample(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Double]("key")))
+    val langs = graft.core.Tables.documents(spark, sfDir)
+      .select($"lang").distinct().collect().map(_.getString(0)).toSet
+    val byLang = rows.groupBy(_._1)
+    assert(byLang.keySet == langs)
+    // driver recompute of the full keyed order, restricted per lang
+    val keyed = graft.core.Tables.documents(spark, sfDir)
+      .select($"lang", $"doc_id", $"n_chars",
+        conv(substring(md5($"doc_id".cast("string")), 1, 13), 16, 10)
+          .cast("long").as("h"))
+      .collect().map { r =>
+        val u = (r.getLong(3) + 1L).toDouble / 4503599627370496.0
+        (r.getString(0), r.getLong(1),
+          BigDecimal(math.log(u) / r.getLong(2).toDouble)
+            .setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    byLang.foreach { case (lang, got) =>
+      val sorted = got.sortBy(_._2)
+      assert(sorted.map(_._2).sameElements(1L to sorted.length))
+      assert(sorted.length == math.min(20,
+        keyed.count(_._1 == lang)))
+      val want = keyed.filter(_._1 == lang)
+        .sortBy { case (_, id, k) => (-k, id) }.take(20).map(_._2)
+      assert(sorted.map(_._3).toSeq == want.toSeq,
+        s"$lang stratum diverges from the global order restriction")
+    }
+  }
+
   // q104's CORRECTNESS row hash-checks every branch against DuckDB on
   // the synthesized family; this pins the contract on hand-picked
   // edges the family doesn't reach.
