@@ -226,4 +226,77 @@ class FoldPropertiesSpec extends SparkTestBase {
       assert(got(cid) == ((want, ms.size.toLong, best)), s"cluster $cid")
     }
   }
+
+  test("salted joins: null keys, duplicate dim keys, and empty salts " +
+    "all reproduce the plain join exactly (both variants)") {
+    import spark.implicits._
+    import graft.operators.SkewJoin
+    // adversarial frame: a hot key, a null key (must match NOTHING),
+    // keys absent from the dim, and a dim with DUPLICATE keys (join
+    // multiplicity must replicate per duplicate, not dedup)
+    val probe = Seq[(java.lang.Long, Long)](
+      (1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L),
+      (null, 20L), (null, 21L),
+      (2L, 30L), (3L, 40L), (99L, 50L))
+      .toDF("k", "payload")
+    val dim = Seq[(java.lang.Long, String)](
+      (1L, "hot-a"), (1L, "hot-b"),   // duplicate key: multiplicity 2
+      (2L, "two"), (3L, "three"), (7L, "unused"))
+      .toDF("dk", "attr")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select($"k", $"payload", $"attr").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sorted.toSeq
+    val plain = canon(probe.join(dim, probe("k") === dim("dk")))
+    assert(plain.count(_._1 == 1L) == 8, "dup dim key must double the hot rows")
+    for (nSalts <- Seq(1, 2, 8)) {
+      assert(canon(SkewJoin.saltedJoin(probe, dim, "k", "dk", nSalts))
+        == plain, s"saltedJoin nSalts=$nSalts")
+      assert(canon(SkewJoin.saltedJoinHot(probe, dim, "k", "dk",
+        hotKeys = Seq(1L), nSalts = nSalts)) == plain,
+        s"saltedJoinHot nSalts=$nSalts")
+      // hot list naming keys absent from either side must be harmless
+      assert(canon(SkewJoin.saltedJoinHot(probe, dim, "k", "dk",
+        hotKeys = Seq(1L, 99L, 12345L), nSalts = nSalts)) == plain,
+        s"saltedJoinHot with phantom hot keys, nSalts=$nSalts")
+    }
+  }
+
+  test("mergeApply/resolveDeltas: 10 random delta pairs agree with a " +
+    "driver-side model, chained and compacted") {
+    import spark.implicits._
+    import graft.operators.Pipeline
+    val rnd = new scala.util.Random(7)
+    val snap0 = (0L until 60L).map(i => (i, s"l${i % 3}", s"text$i"))
+    val snapDf = snap0.toDF("doc_id", "lang", "text")
+    def model(state: Map[Long, (String, String)],
+        delta: Seq[(Long, String, String, String)]) =
+      delta.foldLeft(state) { case (st, (id, op, lg, tx)) =>
+        if (op == "delete") st - id else st + (id -> (lg, tx))
+      }
+    (1 to 10).foreach { it =>
+      def randDelta() = rnd.shuffle((-5L until 65L).toList)
+        .take(1 + rnd.nextInt(25)).map { id =>
+          (id, if (rnd.nextBoolean()) "upsert" else "delete",
+            s"l${rnd.nextInt(3)}", s"new$it-$id-${rnd.nextInt(9)}")
+        }
+      val d1 = randDelta(); val d2 = randDelta()
+      val want = model(model(
+        snap0.map(t => t._1 -> (t._2, t._3)).toMap, d1), d2)
+        .toSeq.map { case (id, (lg, tx)) => (id, lg, tx) }.sorted
+      def canon(df: org.apache.spark.sql.DataFrame) = df
+        .select($"doc_id", $"lang", $"text").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .sorted.toSeq
+      val d1df = d1.toDF("doc_id", "op", "lang", "text")
+      val d2df = d2.toDF("doc_id", "op", "lang", "text")
+      val chain = canon(Pipeline.mergeApply(
+        Pipeline.mergeApply(snapDf, d1df).select($"doc_id", $"lang", $"text"),
+        d2df))
+      assert(chain == want, s"iteration $it: chain diverges from model")
+      val compact = canon(Pipeline.mergeApply(snapDf,
+        Pipeline.resolveDeltas(d1df, d2df)))
+      assert(compact == want, s"iteration $it: compacted apply diverges")
+    }
+  }
 }
