@@ -603,6 +603,47 @@ object Similarity extends QueryPack {
       .limit(10)
   }
 
+  // --- q136: quantized IVF serving (IVF-SQ8) --------------------------------
+  /** The composition a production ANN service actually deploys (the
+    * FAISS IVFx,SQ8 layout): q128's LEARNED coarse quantizer for
+    * pruning + q109's int8 codes as the STORED representation — the
+    * index holds (cell, code[64], scale) at 1/4 the vector memory, and
+    * a probe dequantizes only the nprobe cells it scans against the
+    * full-precision query. Both halves are already under the exact
+    * gate, so the composed serving path is too: probe choice replays
+    * q128's d2 rule, scoring is cosine(code·scale, query) on
+    * bit-identical dequantized arrays.
+    *
+    * Scale shape: q128's (training = k-row stages; index written
+    * partitionBy(cell)) with the member payload 4× smaller on disk
+    * and over the wire — the reason SQ8 exists; the doc-keyed
+    * index⨝codes join co-locates under vec_id bucketing at scale.
+    * PipelineOpsSpec censuses the quantization's recall cost against
+    * the full-precision probe (q128) and exact brute force (q29).
+    */
+  def q136AnnIvfSq8(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val (idx, cents) = ivfLearned(emb, k = 8, iters = 2)
+    val stored = idx.select($"vec_id", $"cell")
+      .join(quantizeInt8(emb).select($"vec_id", $"scale", $"code"), "vec_id")
+    val q = broadcast(emb.filter($"vec_id" === 0)
+      .select(vec($"embedding").as("qv")))
+    val probe = cents.crossJoin(q)
+      .withColumn("qd2", dot($"qv", $"qv")
+        - lit(2.0) * dot($"qv", $"centroid")
+        + dot($"centroid", $"centroid"))
+      .orderBy($"qd2".asc, $"cell".asc).limit(3).select($"cell")
+    stored.filter($"vec_id" =!= 0)
+      .join(broadcast(probe), "cell")
+      .crossJoin(q)
+      .withColumn("deq", transform($"code", c => c.cast("double") * $"scale"))
+      .withColumn("cos", cosine($"deq", $"qv"))
+      .select($"vec_id", $"cell", round($"cos", 6).as("cos"))
+      .orderBy(round($"cos", 6).desc, $"vec_id".asc)
+      .limit(10)
+  }
+
   // --- q134: hybrid retrieval — reciprocal-rank fusion of BM25 + ANN -------
   /** RRF (Cormack et al. 2009, the standard hybrid-retrieval combiner):
     * fuse the LEXICAL ranking (q130's BM25 top-10) with the DENSE
@@ -703,6 +744,7 @@ object Similarity extends QueryPack {
     "q101_ann_ivf"         -> (q101AnnIvf _),
     "q128_ann_ivf_learned" -> (q128AnnIvfLearned _),
     "q134_rrf_fusion"      -> (q134RrfFusion _),
+    "q136_ann_ivf_sq8"     -> (q136AnnIvfSq8 _),
     "q102_kmeans_clusters" -> (q102KmeansClusters _),
     "q109_quantize_int8"   -> (q109QuantizeInt8 _),
   )
@@ -816,6 +858,56 @@ object Similarity extends QueryPack {
          |  OR isnan(${cosSql("c.embedding", "rv.remb")})
          |  OR ${cosSql("c.embedding", "rv.remb")} < 0.25) AS kept
          |FROM cells c JOIN rv USING (cell)""".stripMargin,
+    "q136_ann_ivf_sq8" ->
+      // q128's learned-quantizer chain + q109's int8 codes: the probe
+      // replays the d2 rule, members score as cosine(code*scale, query)
+      // on bit-identical dequantized arrays
+      s"""WITH cent0 AS (SELECT vec_id AS cl, embedding AS cvec
+         |  FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+         |a1 AS (SELECT e.vec_id, e.embedding, c.cl,
+         |  ${d2Sql("e.embedding", "c.cvec")} AS d2
+         | FROM embeddings e CROSS JOIN cent0 c),
+         |asg1 AS (SELECT vec_id, embedding, cl FROM a1
+         |  QUALIFY row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY d2 ASC, cl ASC) = 1),
+         |ex AS (SELECT cl, i,
+         |  CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1048576.0) AS BIGINT) AS v
+         | FROM asg1, generate_series(1, 64) g(i)),
+         |cm AS (SELECT cl, i,
+         |  CAST(SUM(v) AS DOUBLE) / (COUNT(*) * 1048576.0) AS c
+         | FROM ex GROUP BY 1, 2),
+         |cent1 AS (SELECT cl, list(c ORDER BY i) AS cvec FROM cm GROUP BY 1),
+         |a2 AS (SELECT e.vec_id, c.cl,
+         |  ${d2Sql("e.embedding", "c.cvec")} AS d2
+         | FROM embeddings e CROSS JOIN cent1 c),
+         |idx AS (SELECT vec_id, cl AS cell FROM a2
+         |  QUALIFY row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY d2 ASC, cl ASC) = 1),
+         |sq AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |  list_max(list_transform(CAST(embedding AS DOUBLE[]),
+         |    x -> abs(x))) / 127.0 AS scale
+         | FROM embeddings),
+         |codes AS (SELECT vec_id, scale,
+         |  CASE WHEN scale = 0
+         |   THEN list_transform(v, x -> CAST(0 AS BIGINT))
+         |   ELSE list_transform(v, x -> CAST(ROUND(x / scale) AS BIGINT))
+         |   END AS code
+         | FROM sq),
+         |dq AS (SELECT vec_id,
+         |  list_transform(code, x -> CAST(x AS DOUBLE) * scale) AS deq
+         | FROM codes),
+         |q AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0),
+         |probe AS (SELECT c.cl AS cell FROM cent1 c CROSS JOIN q
+         |  ORDER BY ${d2Sql("q.qemb", "c.cvec")} ASC, c.cl ASC
+         |  LIMIT 3)
+         |SELECT i.vec_id, i.cell,
+         | ROUND(${cosSql("d.deq", "q.qemb")}, 6) AS cos
+         |FROM idx i JOIN probe USING (cell)
+         |JOIN dq d ON d.vec_id = i.vec_id CROSS JOIN q
+         |WHERE i.vec_id != 0
+         |ORDER BY ROUND(${cosSql("d.deq", "q.qemb")}, 6) DESC,
+         | i.vec_id ASC
+         |LIMIT 10""".stripMargin,
     "q134_rrf_fusion" ->
       // both retrievals replayed (q130's BM25 chain, q29's brute
       // top-10), ranks from the same total orders, fusion arithmetic

@@ -691,6 +691,26 @@ class PipelineOpsSpec extends SparkTestBase {
       s"weighted sample mean $sampleMean must exceed corpus mean $corpusMean")
   }
 
+  test("q136 IVF-SQ8: quantized probe recall vs full-precision probe " +
+    "and exact brute force — the memory cut's measured accuracy price") {
+    val exact = Similarity.q29BruteTopK(spark, sfDir).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val fullPrec = Similarity.q128AnnIvfLearned(spark, sfDir).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val quantized = Similarity.q136AnnIvfSq8(spark, sfDir).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert(quantized.size == 10)
+    // int8 dequantization perturbs cosines by < 1% on unit-scale
+    // vectors, so the quantized probe must agree with the
+    // full-precision probe on at least 8 of 10 (the q109 spec's band,
+    // composed through the IVF pruning) and keep at least half of the
+    // exact answer (q128's recall floor)
+    assert((quantized & fullPrec).size >= 8,
+      s"SQ8 flipped too many: ${quantized & fullPrec}")
+    assert((quantized & exact).size >= 5,
+      s"quantized-IVF recall vs exact below floor: ${quantized & exact}")
+  }
+
   test("q134 RRF fusion: fused set is drawn from the two component " +
     "top-10s, scores recompute from ranks, dual-system docs dominate " +
     "equal-rank singletons") {
