@@ -603,6 +603,18 @@ object Similarity extends QueryPack {
       .limit(10)
   }
 
+  /** Persist a serving index `partitionBy("cell")` — the layout every
+    * IVF query in this pack documents: a probe of nprobe cells becomes
+    * a PARTITION-PRUNED scan reading only those cells' files
+    * (PipelineOpsSpec proves the pruning physically via the scanned
+    * file list, the q96/geo-index discipline).
+    */
+  def ivfWrite(index: DataFrame, path: String): Unit =
+    index.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  def ivfRead(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path)
+
   // --- q136: quantized IVF serving (IVF-SQ8) --------------------------------
   /** The composition a production ANN service actually deploys (the
     * FAISS IVFx,SQ8 layout): q128's LEARNED coarse quantizer for

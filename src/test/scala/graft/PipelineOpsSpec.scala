@@ -691,6 +691,44 @@ class PipelineOpsSpec extends SparkTestBase {
       s"weighted sample mean $sampleMean must exceed corpus mean $corpusMean")
   }
 
+  test("ivfWrite: the partitionBy(cell) serving layout prunes a probe " +
+    "to the probed cells' files, content round-trips") {
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val (idx, _) = Similarity.ivfLearned(emb, k = 8, iters = 2)
+    val tmp = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    Similarity.ivfWrite(idx, tmp)
+    val cellsOnDisk = new java.io.File(tmp).listFiles
+      .count(_.getName.startsWith("cell="))
+    assert(cellsOnDisk >= 4, s"expected several cell dirs, got $cellsOnDisk")
+    val probe = Seq(1L, 2L, 3L)
+    val probed = Similarity.ivfRead(spark, tmp)
+      .filter(col("cell").isin(probe: _*))
+    // pruning reaches the scan logically...
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"), plan.take(1500))
+    // ...and physically: the executed scan's numFiles metric equals
+    // the file count under the PROBED cell dirs alone (inputFiles
+    // would lie here — it lists the relation's files pre-pruning)
+    probed.collect()
+    val scan = probed.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f }.get
+    val filesInProbedDirs = new java.io.File(tmp).listFiles
+      .filter(d => probe.exists(c => d.getName == s"cell=$c"))
+      .map(_.listFiles.count(_.getName.endsWith(".parquet"))).sum
+    val filesTotal = new java.io.File(tmp).listFiles
+      .filter(_.getName.startsWith("cell="))
+      .map(_.listFiles.count(_.getName.endsWith(".parquet"))).sum
+    assert(scan.metrics("numFiles").value == filesInProbedDirs.toLong,
+      s"scan read ${scan.metrics("numFiles").value} files, probed dirs " +
+        s"hold $filesInProbedDirs (of $filesTotal total)")
+    assert(filesTotal > filesInProbedDirs, "pruning must exclude something")
+    // content parity with the in-memory index restriction
+    val a = probed.select("vec_id").collect().map(_.getLong(0)).sorted
+    val b = idx.filter(col("cell").isin(probe: _*))
+      .select("vec_id").collect().map(_.getLong(0)).sorted
+    assert(a.sameElements(b))
+  }
+
   test("q136 IVF-SQ8: quantized probe recall vs full-precision probe " +
     "and exact brute force — the memory cut's measured accuracy price") {
     val exact = Similarity.q29BruteTopK(spark, sfDir).collect()
