@@ -337,7 +337,67 @@ object Anomaly extends QueryPack {
           4).as("residual"))
   }
 
+  // --- q137: matrix-profile discord census -----------------------------------
+  /** Top-3 DISCORDS of the hourly value series — the subsequences
+    * farthest from their nearest non-overlapping neighbor (the
+    * matrix-profile reading of "most anomalous window", Yeh et al.
+    * 2016, ICDM; the modern standard for exactly the reference's
+    * problem). discord(s) = min over |t−s| ≥ W of
+    * Σ_k (x[s+k] − x[t+k])² with W = 24 h: a window that resembles NO
+    * other day is an anomaly even when no single point trips a
+    * z-score — the subsequence-level complement of q32/q35's
+    * point detectors and q47's seasonal bands.
+    *
+    * Exactness: the series is integer cents (round(value·100)) on the
+    * q87 dense hour spine, so every pairwise distance is exact BIGINT
+    * arithmetic end to end — an all-pairs O(H²) computation under the
+    * hash gate.
+    *
+    * Scale shape: ONLY the first rollup touches raw events (q71's
+    * rule); everything after lives on the TIME-SPAN-BOUNDED series
+    * (720 hours for a 30-day corpus — one packed row), windows explode
+    * from it, and the pair join is a broadcast of that bounded frame
+    * against itself — the documented q40-class bounded
+    * nested-loop, never a data-sized cartesian. H² pairs ≈ 486k rows
+    * with an in-row 24-term integer fold; degenerate spans (< 2W
+    * hours) yield an empty census rather than a wrong one.
+    */
+  def q137Discord(s: SparkSession, dir: String): DataFrame =
+    discordCensus(Tables.events(s, dir))
+
+  /** The census over ANY (ts, value) frame — q137 applies it to the
+    * driver events; AnomalySpec feeds it a planted-discord series.
+    */
+  def discordCensus(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val W = 24
+    val e = events
+      .groupBy(expr("unix_micros(date_trunc('hour', ts)) div 3600000000")
+        .as("hi"))
+      .agg(sum(round($"value" * 100).cast("long")).as("x0"))
+    val b = e.agg(min($"hi").as("mn"), max($"hi").as("mx"))
+    val dense = b.select(explode(sequence($"mn", $"mx")).as("hi"), $"mn")
+      .join(e, Seq("hi"), "left").na.fill(0L, Seq("x0"))
+    val ser = dense.groupBy($"mn")
+      .agg(sort_array(collect_list(struct($"hi", $"x0"))).as("p"))
+      .select($"mn", transform($"p", x => x.getField("x0")).as("sv"))
+      .filter(size($"sv") >= 2 * W)
+    val wins = ser
+      .select($"mn", $"sv",
+        explode(sequence(lit(0), size($"sv") - W)).as("s"))
+      .select($"mn", $"s", slice($"sv", $"s" + 1, lit(W)).as("wa"))
+    val other = broadcast(wins.select($"s".as("t"), $"wa".as("wb")))
+    wins.join(other, abs($"s" - $"t") >= W)
+      .withColumn("d2", aggregate(
+        zip_with($"wa", $"wb", (x, y) => (x - y) * (x - y)),
+        lit(0L), _ + _))
+      .groupBy($"mn", $"s").agg(min($"d2").as("score"))
+      .select(($"mn" + $"s").as("win_start_h"), $"score")
+      .orderBy($"score".desc, $"win_start_h".asc).limit(3)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q137_discord"        -> (q137Discord _),
     "q47_anomaly_seasonal" -> (q47Seasonal _),
     "q87_decompose"       -> (q87Decompose _),
     "q32_anomaly_zscore"  -> (q32ZScore _),
@@ -351,6 +411,32 @@ object Anomaly extends QueryPack {
   private val v4Sql = "CAST(ROUND(value * 10000) AS BIGINT)"
 
   override def oracleSql: Map[String, String] = Map(
+    "q137_discord" ->
+      // same cents series on the same dense spine; the pair distances
+      // are an elementwise 24-term join (exact integers), discord =
+      // per-window MIN over non-overlapping partners
+      """WITH s AS (SELECT
+        |  epoch_us(date_trunc('hour', ts)) // 3600000000 AS hi,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x0
+        | FROM events GROUP BY 1),
+        |b AS (SELECT MIN(hi) mn, MAX(hi) mx FROM s),
+        |g AS (SELECT gs.hi FROM b, UNNEST(range(b.mn, b.mx + 1)) gs(hi)),
+        |d AS (SELECT g.hi, COALESCE(s.x0, 0) AS x FROM g LEFT JOIN s USING (hi)),
+        |ser AS (SELECT d.hi - b.mn AS idx, d.x FROM d CROSS JOIN b),
+        |n AS (SELECT CAST(MAX(idx) AS BIGINT) AS im FROM ser),
+        |win AS (SELECT gs.s FROM n, UNNEST(range(0, n.im - 24 + 2)) gs(s)
+        | WHERE n.im + 1 >= 48),
+        |pd AS (SELECT a.s AS sa, bb.s AS sb,
+        |  CAST(SUM((x1.x - x2.x) * (x1.x - x2.x)) AS BIGINT) AS d2
+        | FROM win a JOIN win bb ON abs(a.s - bb.s) >= 24
+        | CROSS JOIN UNNEST(range(0, 24)) kk(k)
+        | JOIN ser x1 ON x1.idx = a.s + kk.k
+        | JOIN ser x2 ON x2.idx = bb.s + kk.k
+        | GROUP BY 1, 2),
+        |sc AS (SELECT sa, MIN(d2) AS score FROM pd GROUP BY 1)
+        |SELECT CAST(b.mn + sc.sa AS BIGINT) AS win_start_h, score
+        |FROM sc CROSS JOIN b
+        |ORDER BY score DESC, win_start_h ASC LIMIT 3""".stripMargin,
     "q87_decompose" ->
       // dense spine via UNNEST(range(...)) — generate_series rejects
       // lateral column bounds; trend snap and seasonal means mirror

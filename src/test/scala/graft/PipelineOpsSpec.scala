@@ -691,6 +691,47 @@ class PipelineOpsSpec extends SparkTestBase {
       s"weighted sample mean $sampleMean must exceed corpus mean $corpusMean")
   }
 
+  test("q137 discord: driver-side matrix-profile recompute agrees, and " +
+    "a planted wild day is the top discord of a synthetic series") {
+    import spark.implicits._
+    import graft.operators.Anomaly
+    // driver recompute over the fixture
+    val got = Anomaly.q137Discord(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 3)
+    val hourly = graft.core.Tables.events(spark, sfDir)
+      .groupBy(expr("unix_micros(date_trunc('hour', ts)) div 3600000000")
+        .as("hi"))
+      .agg(sum(round($"value" * 100).cast("long")).as("x"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mn = hourly.keys.min; val mx = hourly.keys.max
+    val sv = (mn to mx).map(h => hourly.getOrElse(h, 0L)).toArray
+    val W = 24
+    val scores = (0 to sv.length - W).map { sIdx =>
+      val d = (0 to sv.length - W).iterator
+        .filter(t => math.abs(t - sIdx) >= W)
+        .map(t => (0 until W).map(k =>
+          (sv(sIdx + k) - sv(t + k)) * (sv(sIdx + k) - sv(t + k))).sum)
+        .min
+      (mn + sIdx, d)
+    }
+    val want = scores.sortBy { case (h, d) => (-d, h) }.take(3)
+    assert(got.toSeq == want, s"got ${got.toSeq} want $want")
+    // planted discord: 10 flat days, one wild day in the middle
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val synth = (0 until 240).flatMap { h =>
+      val wild = h >= 96 && h < 120
+      val v = if (wild) 500.0 + (h % 24) * 37.0 else 10.0
+      Seq((new java.sql.Timestamp(base + h * 3600000L), v))
+    }.toDF("ts", "value")
+    val top = Anomaly.discordCensus(synth).collect()
+    assert(top.nonEmpty)
+    val topStart = top.head.getLong(0)
+    val wildStart = (base / 3600000L) + 96
+    assert(topStart == wildStart,
+      s"top discord $topStart must be the planted wild day $wildStart")
+  }
+
   test("ivfWrite: the partitionBy(cell) serving layout prunes a probe " +
     "to the probed cells' files, content round-trips") {
     val emb = graft.core.Tables.embeddings(spark, sfDir)
