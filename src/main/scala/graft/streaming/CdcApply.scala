@@ -69,6 +69,21 @@ object CdcApply {
     spark.read.parquet(s"$statePath/$dir")
   }
 
+  /** TIME TRAVEL: the snapshot as of `batchId` (−1 = the initial
+    * seed). Versions are write-ahead and never rewritten, so every
+    * committed state remains readable — the lakehouse time-travel
+    * contract, free once the apply protocol is versioned. Throws for
+    * a batch id that never committed (readers must not silently get a
+    * neighboring version).
+    */
+  def stateAt(spark: org.apache.spark.sql.SparkSession,
+      statePath: String, batchId: Long): DataFrame = {
+    val dir = if (batchId < 0L) "v_init" else s"v$batchId"
+    require(Files.exists(Paths.get(statePath, dir)),
+      s"no committed version for batch $batchId under $statePath")
+    spark.read.parquet(s"$statePath/$dir")
+  }
+
   /** Apply one delta batch; returns false (untouched state) on replay. */
   def applyBatch(batch: DataFrame, batchId: Long,
       statePath: String): Boolean = {

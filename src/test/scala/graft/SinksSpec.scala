@@ -11,6 +11,28 @@ class SinksSpec extends SparkTestBase {
   lazy val routes = Geo.readRoutes(spark,
     "/root/reference/results/geoindex/d").cache()
 
+  test("orc sink: native columnar write, lossless roundtrip with " +
+    "predicate pushdown reaching the ORC scan") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("orc").toString
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    docs.write.mode("overwrite").orc(out)
+    assert(new java.io.File(out).listFiles()
+      .exists(_.getName.endsWith(".orc")))
+    val back = spark.read.orc(out)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", $"text", $"lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sorted.toSeq
+    assert(canon(back) == canon(docs))
+    // ORC scans take pushed filters like parquet — the format is a
+    // drop-in for every sink in this library
+    val plan = back.filter($"doc_id" > 100L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("doc_id"),
+      plan.take(1200))
+  }
+
   test("avro sink: executor-partitioned write, lossless roundtrip") {
     val out = java.nio.file.Files.createTempDirectory("avro").toString
     val sample = routes.limit(200).cache()

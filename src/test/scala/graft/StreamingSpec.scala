@@ -1029,5 +1029,15 @@ class StreamingSpec extends SparkTestBase {
     assert(!CdcApply.applyBatch(d2df, committed, statePath))
     assert(CdcApply.readPointer(statePath) == ((committed, dir)))
     assert(canon(CdcApply.currentState(spark, statePath)) == got)
+    // TIME TRAVEL: every committed version stays readable — the seed
+    // is the original docs, batch 0 is merge(docs, δ1), and reading a
+    // never-committed id refuses instead of approximating
+    assert(canon(CdcApply.stateAt(spark, statePath, -1L)) == canon(docs))
+    assert(canon(CdcApply.stateAt(spark, statePath, 0L)) ==
+      canon(Pipeline.mergeApply(docs, d1df).select("doc_id", "lang", "text")))
+    assert(canon(CdcApply.stateAt(spark, statePath, committed)) == got)
+    intercept[IllegalArgumentException] {
+      CdcApply.stateAt(spark, statePath, 99L)
+    }
   }
 }
