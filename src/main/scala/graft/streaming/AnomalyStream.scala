@@ -413,6 +413,75 @@ object AnomalyStream {
       }
   }
 
+  case class DiscordHit(seen: Long, win_start_h: Long, score: Long)
+
+  /** Streaming twin of batch q137: the matrix-profile discord over the
+    * LIVE hourly series — the subsequence-level anomaly detector next
+    * to the point detectors ([[zscoreDetector]]/[[ewmaDetector]]).
+    * State is the hourly cents map — bounded by the TIME SPAN (the
+    * q71/q137 contract: 720 entries per month), NOT by stream volume —
+    * under one global key (the series is global by definition; the
+    * per-batch work is a bounded H²·W fold over ≤ a-few-thousand
+    * hours, microseconds of CPU — a production long-horizon deployment
+    * swaps in the incremental STAMPI update, same state contract).
+    * Each batch emits the CURRENT top discord tagged with `seen`
+    * (max-seen = latest, the [[heavyHittersStream]] contract); no
+    * emission until the series spans 2 windows.
+    *
+    * Replay stability is UNCONDITIONAL ([[cmsStream]]'s class): the
+    * state is a sum map over the event multiset, so re-slicing cannot
+    * diverge, and the final snapshot equals batch
+    * [[graft.operators.Anomaly.discordCensus]] over the same rows
+    * (StreamingSpec pins both).
+    */
+  def discordStream(events: Dataset[Event]): Dataset[DiscordHit] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_ => 0)
+      .flatMapGroupsWithState[(Map[Long, Long], Long), DiscordHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_, it, state) =>
+          val (m0, seen0) = state.getOption.getOrElse(
+            (Map.empty[Long, Long], 0L))
+          var m = m0; var n = 0L
+          it.foreach { e =>
+            val h = micros(e.ts) / 3600000000L
+            m = m.updated(h, m.getOrElse(h, 0L) + math.round(e.value * 100))
+            n += 1
+          }
+          val seen = seen0 + n
+          state.update((m, seen))
+          topDiscord(m) match {
+            case Some((h, sc)) => Iterator.single(DiscordHit(seen, h, sc))
+            case None => Iterator.empty
+          }
+      }
+  }
+
+  /** q137's discord rule over a sparse hourly map: densify to the
+    * span, score every window by min distance to a non-overlapping
+    * partner, return the (max score, then smallest start) winner.
+    */
+  private[streaming] def topDiscord(m: Map[Long, Long],
+      w: Int = 24): Option[(Long, Long)] = {
+    if (m.isEmpty) return None
+    val mn = m.keys.min; val mx = m.keys.max
+    if (mx - mn + 1 < 2L * w) return None
+    val sv = (mn to mx).map(h => m.getOrElse(h, 0L)).toArray
+    val scores = (0 to sv.length - w).map { s =>
+      val d = (0 to sv.length - w).iterator
+        .filter(t => math.abs(t - s) >= w)
+        .map { t =>
+          var k = 0; var acc = 0L
+          while (k < w) {
+            val df = sv(s + k) - sv(t + k); acc += df * df; k += 1
+          }
+          acc
+        }.min
+      (mn + s, d)
+    }
+    Some(scores.minBy { case (h, d) => (-d, h) })
+  }
+
   /** q131's register address + rho: j = first md5 byte mod 64; rho =
     * leading-zero BITS of the next 52 (13 hex chars), derived by the
     * same string classification as the SQL device so the two are

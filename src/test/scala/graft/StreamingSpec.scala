@@ -857,6 +857,45 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("discord stream: final snapshot equals batch discordCensus top-1 " +
+    "over the same rows; slicing invariant; silent below two windows") {
+    import spark.implicits._
+    import graft.streaming.AnomalyStream.DiscordHit
+    implicit val sc = spark.sqlContext
+    val rows = graft.core.Tables.events(spark, sfDir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().toSeq
+    def run(slices: Seq[Seq[Event]]): Seq[DiscordHit] = {
+      val input = MemoryStream[Event]
+      val q = graft.streaming.AnomalyStream.discordStream(input.toDS())
+        .writeStream.outputMode("append").format("memory")
+        .queryName("discords").start()
+      try slices.foreach { s => input.addData(s); q.processAllAvailable() }
+      finally q.stop()
+      spark.table("discords").as[DiscordHit].collect().toSeq
+    }
+    val one = run(Seq(rows))
+    val sliced = run(rows.grouped(rows.size / 3 + 1).toSeq)
+    assert(one.nonEmpty && sliced.nonEmpty)
+    val fin1 = one.maxBy(_.seen); val fin2 = sliced.maxBy(_.seen)
+    assert(fin1.seen == rows.size.toLong && fin2.seen == rows.size.toLong)
+    assert((fin1.win_start_h, fin1.score) == ((fin2.win_start_h, fin2.score)),
+      "final discord must be slicing-invariant")
+    // parity with the batch census's top-1 on identical rows
+    val batch = graft.operators.Anomaly.discordCensus(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .collect().head
+    assert((fin1.win_start_h, fin1.score) ==
+      ((batch.getLong(0), batch.getLong(1))),
+      s"stream $fin1 vs batch (${batch.getLong(0)}, ${batch.getLong(1)})")
+    // below two windows the detector stays silent rather than guessing
+    val minH = rows.map(e =>
+      graft.streaming.AnomalyStream.micros(e.ts) / 3600000000L).min
+    val short = run(Seq(rows.filter(e =>
+      graft.streaming.AnomalyStream.micros(e.ts) / 3600000000L < minH + 40)))
+    assert(short.isEmpty)
+  }
+
   test("hll stream: slicing invariance, JVM/SQL register parity, and " +
     "snapshot equals the batch q131 device over the same rows") {
     import spark.implicits._
