@@ -118,8 +118,21 @@ object SkewBench {
     case object Plain extends Mode
     case object FullSalt extends Mode
     case object HotSalt extends Mode
-    def runHot(aqe: Boolean, mode: Mode): (Double, Long) = {
+    // AQE's OptimizeSkewedJoin is gated on the COMPRESSED size of the
+    // skewed shuffle partition (default threshold 256MB): this hot
+    // partition's small-int payload compresses below it, so default
+    // AQE never marks the join skewed (verified: no `skew=true` in the
+    // executed plan). "Tuned" drops the threshold to 64MB, where the
+    // split fires — measuring both separates "AQE can't" from "AQE
+    // won't until tuned".
+    def tune(on: Boolean): Unit = {
+      conf("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        if (on) "64MB" else "256MB")
+      conf("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
+    }
+    def runHot(aqe: Boolean, tuned: Boolean, mode: Mode): (Double, Long) = {
       conf("spark.sql.adaptive.enabled", aqe.toString)
+      tune(tuned)
       timed(listener, reps) {
         mode match {
           case Plain => hotRollup(probe.join(hotDim, $"k" === $"dk"))
@@ -130,15 +143,42 @@ object SkewBench {
         }
       }
     }
-    val (pNoAqeW, pNoAqeT) = runHot(aqe = false, Plain)
-    val (pAqeW, pAqeT) = runHot(aqe = true, Plain)
-    val (fW, fT) = runHot(aqe = true, FullSalt)
-    val (hW, hT) = runHot(aqe = true, HotSalt)
+    val (pNoAqeW, pNoAqeT) = runHot(aqe = false, tuned = false, Plain)
+    val (pAqeW, pAqeT) = runHot(aqe = true, tuned = false, Plain)
+    val (pTunW, pTunT) = runHot(aqe = true, tuned = true, Plain)
+    val (fW, fT) = runHot(aqe = true, tuned = false, FullSalt)
+    val (hW, hT) = runHot(aqe = true, tuned = false, HotSalt)
     println(s"""{"case":"hot30pct","n":$n,""" +
       s""""plain_noaqe_sec":$pNoAqeW,"plain_noaqe_max_task_ms":$pNoAqeT,""" +
       s""""plain_aqe_sec":$pAqeW,"plain_aqe_max_task_ms":$pAqeT,""" +
+      s""""plain_aqe_tuned_sec":$pTunW,"plain_aqe_tuned_max_task_ms":$pTunT,""" +
       s""""fullsalt_aqe_sec":$fW,"fullsalt_aqe_max_task_ms":$fT,""" +
       s""""hotsalt_aqe_sec":$hW,"hotsalt_aqe_max_task_ms":$hT}""")
+
+    // ---- case 3: JOIN-ONLY (no downstream aggregation) ----------------
+    // control: the same join feeding a noop sink, default vs tuned
+    // AQE vs salted — isolates the join stage from the rollup
+    def joinOnly(aqe: Boolean, tuned: Boolean,
+        salted: Boolean): (Double, Long) = {
+      conf("spark.sql.adaptive.enabled", aqe.toString)
+      tune(tuned)
+      timed(listener, reps) {
+        val j = if (salted)
+          graft.operators.SkewJoin.saltedJoinHot(
+            probe, hotDim, "k", "dk", hotKeys = Seq(0L), nSalts = 32)
+        else probe.join(hotDim, $"k" === $"dk")
+        j.write.format("noop").mode("overwrite").save()
+      }
+    }
+    val (joNo, joNoT) = joinOnly(aqe = false, tuned = false, salted = false)
+    val (joAqe, joAqeT) = joinOnly(aqe = true, tuned = false, salted = false)
+    val (joTun, joTunT) = joinOnly(aqe = true, tuned = true, salted = false)
+    val (joSalt, joSaltT) = joinOnly(aqe = true, tuned = false, salted = true)
+    println(s"""{"case":"hot30pct_joinonly","n":$n,""" +
+      s""""plain_noaqe_sec":$joNo,"plain_noaqe_max_task_ms":$joNoT,""" +
+      s""""plain_aqe_sec":$joAqe,"plain_aqe_max_task_ms":$joAqeT,""" +
+      s""""plain_aqe_tuned_sec":$joTun,"plain_aqe_tuned_max_task_ms":$joTunT,""" +
+      s""""hotsalt_aqe_sec":$joSalt,"hotsalt_aqe_max_task_ms":$joSaltT}""")
     spark.stop()
   }
 }

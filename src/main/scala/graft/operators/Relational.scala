@@ -951,9 +951,14 @@ object Relational extends QueryPack {
     * combinable. At driver SFs Catalyst may still elect to broadcast
     * the replicated dim — also correct, and the salt columns then cost
     * one extra projection; at 100 TB with a non-broadcastable dim the
-    * (key, salt) sort-merge join is the skew-safe plan AQE alone only
-    * approximates (AQE splits sort-merge skew partitions, but not for
-    * the build of a shuffled hash join or under required orderings).
+    * (key, salt) sort-merge join is the skew-safe plan. AQE's own
+    * skew split is the lighter cure WHEN it fires — SkewBench
+    * measured that its default 256 MB compressed-partition threshold
+    * misses a real 30%-hot-key join (small rows compress under it; no
+    * `skew=true` in the executed plan) until tuned down, and it does
+    * not apply to shuffled-hash builds or under required
+    * distributions; salting needs no threshold and composes with any
+    * plan. q121's census is the decision input for both.
     */
   def q127SaltedJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
