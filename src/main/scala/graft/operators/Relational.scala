@@ -786,6 +786,47 @@ object Relational extends QueryPack {
           .as("jaccard_est"))
   }
 
+  // --- q138: six-table analytical join (TPC-H Q5 shape) --------------------
+  /** Local-supplier revenue per nation — the canonical multi-join
+    * optimizer workout (TPC-H Q5 adapted to the driver schema):
+    * region → nation → {customer, supplier} → orders → lineitem with
+    * a region filter, an order-date year, and the
+    * customer-and-supplier-in-the-same-nation correlation, rolled up
+    * to revenue per nation. This is the query shape every BI layer
+    * emits; the engine's job is to DECLARE it and let Catalyst pick
+    * the plan — and the plan is right: the region/nation filter
+    * prunes at the region scan and PUSHES through the join chain, all
+    * four dims broadcast (no shuffle of the fact side; the only
+    * exchange is the final 25-row rollup's), and the date predicate
+    * reaches the orders parquet scan as a pushed filter.
+    *
+    * Revenue is summed in CENTS — round(ep·(1−disc)·100) — products
+    * of identical doubles round identically in both engines, and the
+    * integer sum is associative, so a 6-table float aggregate sits
+    * under the hash gate.
+    */
+  def q138LocalRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+    val c = Tables.customer(s, dir)
+    val su = Tables.supplier(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir).filter($"r_name" === "ASIA")
+    li.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(c, $"o_custkey" === $"c_custkey")
+      .join(su, $"l_suppkey" === $"s_suppkey" &&
+        $"c_nationkey" === $"s_nationkey")
+      .join(n, $"s_nationkey" === $"n_nationkey")
+      .join(r, $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100)
+          .cast("long")).as("revenue_cents"))
+  }
+
   // --- q131: HyperLogLog distinct-count sketch -----------------------------
   /** The FOURTH sketch family under the exact gate (KMV q103 keeps k
     * hashes, Misra–Gries q58 a heavy-hitter set, CMS q112 a counter
@@ -1172,6 +1213,7 @@ object Relational extends QueryPack {
     "q127_salted_join"  -> (q127SaltedJoin _),
     "q129_path_capped"  -> (q129PathCapped _),
     "q131_hll_distinct" -> (q131HllDistinct _),
+    "q138_local_revenue" -> (q138LocalRevenue _),
     "q126_disorder"     -> (q126DisorderCensus _),
     "q124_path_mining"  -> (q124PathMining _),
     "q123_attribution"  -> (q123Attribution _),
@@ -1210,6 +1252,24 @@ object Relational extends QueryPack {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q138_local_revenue" ->
+      // the same six-way join; revenue in cents so the float product
+      // rounds identically and the sum is associative integers
+      """SELECT n.n_name,
+        | COUNT(*) AS n_lines,
+        | CAST(SUM(CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount)
+        |   * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        | AND c.c_nationkey = s.s_nationkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        | AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        | AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1""".stripMargin,
     "q131_hll_distinct" ->
       // full register replay: same md5 addressing, same string-derived
       // rho, harmonic sum over exact integers (1 << (53 - m)), the

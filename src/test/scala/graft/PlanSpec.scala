@@ -487,6 +487,28 @@ class PlanSpec extends SparkTestBase {
     df.sparkSession.catalog.clearCache()
   }
 
+  test("q138: the six-table join broadcasts every dim — the fact side " +
+    "shuffles only for the final rollup, and both filters push to scans") {
+    val df = Relational.q138LocalRevenue(spark, sfDir)
+    val p = plan(df)
+    // all joins against lineitem are broadcast (no SortMergeJoin /
+    // ShuffledHashJoin anywhere: dims are region-pruned and tiny)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // the date range reaches the orders parquet scan as pushed filters
+    assert(p.contains("PushedFilters") &&
+      p.contains("GreaterThanOrEqual(o_orderdate") &&
+      p.contains("IsNotNull(r_name)"), p.take(3000))
+    // exactly one exchange: the 25-row rollup's (AQE may label it; the
+    // fact scan itself must not pre-shuffle)
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange") &&
+        !l.contains("reuse"))
+    assert(exchanges == 1, s"expected one shuffle exchange, got $exchanges:\n" +
+      p.take(2000))
+  }
+
   test("q130/q131/q132/q133: round-10 additions keep their scale shapes " +
     "— broadcast stats joins, TakeOrdered not global Sort, no Window, " +
     "no nested-loop blowup") {
