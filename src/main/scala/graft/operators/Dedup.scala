@@ -793,9 +793,17 @@ object Dedup extends QueryPack {
     import docs.sparkSession.implicits._
     // CHUNK_SEP is a char the corpus cannot contain (tokens come from
     // a space-split); marking each boundary token with it turns chunk
-    // extraction into one split
+    // extraction into one split. The contract is ENFORCED, not
+    // assumed: a document carrying U+0001 would create spurious
+    // Spark-side boundaries and silently diverge from the oracle, so
+    // it fails LOUDLY instead — a codegen'd per-row `contains`,
+    // negligible next to the window hashing (round-11 advice).
     val sep = "\u0001"
     docs
+      .withColumn("text", when($"text".contains(sep), raise_error(concat(
+          lit("cdcChunks: text contains reserved separator U+0001, "
+            + "doc_id="), $"doc_id".cast("string"))))
+        .otherwise($"text"))
       .withColumn("toks", filter(split($"text", " "), t => length(t) > 0))
       .filter(size($"toks") > 0)
       .withColumn("marked", concat_ws("",
@@ -813,22 +821,44 @@ object Dedup extends QueryPack {
       .withColumn("ch", md5($"chunk"))
   }
 
+  /** Round 11 applied the q118 treatment here: the old spelling
+    * aggregated occurrence counts per chunk hash and then JOINED THEM
+    * BACK onto the data-sized chunk stream — a second full shuffle of
+    * the corpus (the gsf10 decade read 8.9×). The join is gone: the
+    * stream shuffles ONCE, keyed (ch, lang) (map-side combinable, same
+    * volume as the old occurrence aggregation), the corpus-wide `occ`
+    * rolls up over the DISTINCT-chunk frame with the per-lang
+    * breakdown riding as a ≤|langs|-entry list, and the final census
+    * re-explodes that bounded list — every post-shuffle frame is
+    * distinct-chunk-sized or smaller, never instance-sized. Output is
+    * hash-identical to the old spelling (same sums, same divisions);
+    * PlanSpec asserts the executed plan contains NO join at all.
+    */
   def q133CdcChunking(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val chunks = cdcChunks(Tables.documents(s, dir)).cache()
-    // corpus-wide duplicate-chunk occurrence counts (keyed on the md5)
-    val dup = chunks.groupBy($"ch").agg(count(lit(1)).as("occ"))
-    chunks.join(dup, "ch")
-      .groupBy($"lang")
-      .agg(count(lit(1)).as("n_chunks"),
-        sum($"chunk_toks").as("n_tokens"),
+    val chunks = cdcChunks(Tables.documents(s, dir))
+    // one shuffle of the chunk stream: instances per (chunk, lang);
+    // a chunk hash pins its text, so chunk_toks is constant per ch
+    // (max = that constant, spelled max for determinism's sake)
+    val perLang = chunks.groupBy($"ch", $"lang")
+      .agg(count(lit(1)).as("n_inst"), max($"chunk_toks").as("ct"))
+    // corpus-wide occurrence per chunk, per-lang breakdown carried
+    // through as a bounded (≤ #langs) list — no join back to the stream
+    val perCh = perLang.groupBy($"ch")
+      .agg(sum($"n_inst").as("occ"),
+        collect_list(struct($"lang", $"n_inst", $"ct")).as("ls"))
+    perCh.select(explode($"ls").as("e"), $"occ")
+      .groupBy($"e.lang".as("lang"))
+      .agg(sum($"e.n_inst").as("n_chunks"),
+        sum($"e.n_inst" * $"e.ct").as("n_tokens"),
         graft.core.Exact.dround(
-          sum($"chunk_toks").cast("double") / count(lit(1)), 4)
+          sum($"e.n_inst" * $"e.ct").cast("double") / sum($"e.n_inst"), 4)
           .as("avg_chunk_toks"),
-        sum(when($"occ" > 1L, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(when($"occ" > 1L, $"e.n_inst").otherwise(0L))
+          .as("n_dup_chunks"),
         graft.core.Exact.dround(
-          sum(when($"occ" > 1L, 1L).otherwise(0L)).cast("double")
-            / count(lit(1)), 4).as("dup_rate"))
+          sum(when($"occ" > 1L, $"e.n_inst").otherwise(0L)).cast("double")
+            / sum($"e.n_inst"), 4).as("dup_rate"))
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -1000,12 +1000,24 @@ object Relational extends QueryPack {
     * not apply to shuffled-hash builds or under required
     * distributions; salting needs no threshold and composes with any
     * plan. q121's census is the decision input for both.
+    *
+    * Round 11 respelled the oracle row through the PRODUCTION variant
+    * [[SkewJoin.saltedJoinHot]] fed by [[SkewJoin.hotKeys]] (the q121
+    * census materialized as a ≤64-long driver list): hot probe rows
+    * scatter over 8 salts, cold rows keep salt 0, and the dim
+    * replicates ONLY its hot rows — the full-replication spelling
+    * (still in-tree as [[SkewJoin.saltedJoin]], spec-pinned equal)
+    * paid an 8× dim blow-up that the gsf10 decade measured at 10.0×.
+    * The oracle SQL stays the PLAIN join: result identity under
+    * partial salting is exactly the row's claim.
     */
   def q127SaltedJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val li = Tables.lineitem(s, dir)
     val dim = Tables.part(s, dir).select($"p_partkey", $"p_brand")
-    SkewJoin.saltedJoin(li, dim, "l_partkey", "p_partkey", nSalts = 8)
+    val hot = SkewJoin.hotKeys(li, "l_partkey", ratio = 4.0, cap = 64)
+    SkewJoin.saltedJoinHot(li, dim, "l_partkey", "p_partkey", hot,
+        nSalts = 8)
       .groupBy($"p_brand")
       .agg(count(lit(1)).as("n"),
         sum($"l_quantity".cast("long")).as("sum_qty"),
@@ -1097,6 +1109,13 @@ object Relational extends QueryPack {
     * INVERTED event id — payload-asc = event-id desc — making the
     * retained set exactly the tail of the (ts, event_id) total order,
     * and `reverse` restores chronology without a sort.
+    *
+    * Domain guard: the inversion is only order-preserving for
+    * event_id ∈ [0, Long.MaxValue] (a negative id would overflow the
+    * difference and truncate under lpad, silently corrupting the
+    * tie-break), so a negative id FAILS LOUDLY via `raise_error`
+    * instead of producing a plausible wrong census — a per-row
+    * codegen'd comparison, free on the valid path.
     */
   def pathMiningCapped(events: DataFrame, cap: Int): DataFrame = {
     import events.sparkSession.implicits._
@@ -1104,7 +1123,11 @@ object Relational extends QueryPack {
     events
       .select($"user_id", unix_micros($"ts").as("us"),
         concat(
-          lpad((lit(Long.MaxValue) - $"event_id").cast("string"), 19, "0"),
+          lpad(when($"event_id" < 0L, raise_error(concat(
+              lit("pathMiningCapped: event_id out of domain (< 0): "),
+              $"event_id".cast("string"))))
+            .otherwise(lit(Long.MaxValue) - $"event_id")
+            .cast("string"), 19, "0"),
           lit("|"), $"event_type").as("payload"))
       .groupBy($"user_id")
       .agg(top_k_by($"us".cast("double"), $"payload", cap).as("top"))

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 
 /** Salted equi-join for skewed keys (builder checklist: "salting for
   * skew"; complements AQE's runtime skew-join split, which only
@@ -13,16 +14,50 @@ import org.apache.spark.sql.functions._
   * one reducer. Result set is provably identical to the plain join:
   * every probe row meets exactly one replica of each matching build
   * row.
+  *
+  * Salt derivation contract (both variants): the probe salt is
+  * `xxhash64` over every HASHABLE probe column — deterministic, so a
+  * task retry recomputes the identical salt (a random salt would
+  * reshuffle rows on retry and corrupt exactly-once sinks). Two
+  * consequences, both documented rather than papered over:
+  *   - map-typed columns are EXCLUDED from the hash (`xxhash64` fails
+  *     at analysis on MapType — maps have no canonical element order);
+  *     everything else, including nested structs/arrays, participates;
+  *   - rows that are FULLY identical (every hashable column equal)
+  *     hash to the same salt and therefore do NOT spread. That
+  *     degenerate corpus (a hot key whose rows are exact duplicates)
+  *     needs a disambiguator column upstream — and any retry-safe one
+  *     (a file offset, an event id) restores full spread;
+  *     `monotonically_increasing_id` is NOT retry-safe and must not be
+  *     used here.
   */
 object SkewJoin {
 
+  /** Probe columns that can legally feed `xxhash64`: everything except
+    * types containing a map (no canonical order ⇒ Spark rejects them
+    * at analysis). Falls back to the join key alone if a pathological
+    * schema leaves nothing (then duplicates of one key share a salt —
+    * the documented degenerate case, never an analysis error).
+    */
+  private def hashableCols(df: DataFrame, keyCol: String): Seq[Column] = {
+    def hasMap(t: DataType): Boolean = t match {
+      case _: MapType          => true
+      case ArrayType(et, _)    => hasMap(et)
+      case StructType(fields)  => fields.exists(f => hasMap(f.dataType))
+      case _                   => false
+    }
+    val cs = df.schema.fields.filterNot(f => hasMap(f.dataType))
+      .map(f => col(f.name)).toIndexedSeq
+    if (cs.nonEmpty) cs else IndexedSeq(col(keyCol))
+  }
+
   def saltedJoin(probe: DataFrame, build: DataFrame, probeKey: String,
       buildKey: String, nSalts: Int): DataFrame = {
-    // deterministic spread: hash ALL probe columns so equal keys from
-    // different rows still scatter (a random salt would break retry
-    // determinism; hashing only the key would not spread at all)
+    // deterministic spread: hash ALL hashable probe columns so equal
+    // keys from different rows still scatter (a random salt would break
+    // retry determinism; hashing only the key would not spread at all)
     val salted = probe.withColumn("__salt",
-      pmod(xxhash64(probe.columns.toIndexedSeq.map(col): _*), lit(nSalts)))
+      pmod(xxhash64(hashableCols(probe, probeKey): _*), lit(nSalts)))
     val replicated = build
       .withColumn("__salt", explode(sequence(lit(0), lit(nSalts - 1))))
       .withColumn("__salt", col("__salt").cast("long"))
@@ -47,12 +82,18 @@ object SkewJoin {
     * hash(key)); the build replicates ONLY its |hotKeys| rows nSalts×
     * and everything else 1×. One join, no second probe scan, no
     * union; total shuffle volume ≈ the plain join's, minus its tail.
+    *
+    * An EMPTY hot-key list degrades to the plain join (no salt columns
+    * at all) — the census said there is nothing to cure, so the cure
+    * must cost nothing.
     */
   def saltedJoinHot(probe: DataFrame, build: DataFrame, probeKey: String,
       buildKey: String, hotKeys: Seq[Long], nSalts: Int): DataFrame = {
+    if (hotKeys.isEmpty)
+      return probe.join(build, probe(probeKey) === build(buildKey))
     val salted = probe.withColumn("__salt",
       when(col(probeKey).isin(hotKeys: _*),
-        pmod(xxhash64(probe.columns.toIndexedSeq.map(col): _*), lit(nSalts)))
+        pmod(xxhash64(hashableCols(probe, probeKey): _*), lit(nSalts)))
         .otherwise(lit(0L)))
     val replicated = build
       .withColumn("__salt", explode(
@@ -64,5 +105,29 @@ object SkewJoin {
         salted(probeKey) === replicated(buildKey) &&
           salted("__salt") === replicated("__salt"))
       .drop("__salt")
+  }
+
+  /** The census→cure feed: keys whose row count exceeds `ratio`× the
+    * mean per-key count, heaviest first, capped at `cap` — the
+    * driver-side hot-key list [[saltedJoinHot]] consumes. The collect
+    * is BOUNDED at `cap` longs (the q121 contract: a skew cure needs
+    * the handful of pathological keys, never the key dictionary) —
+    * the same class of driver-side statistic AQE itself gathers per
+    * shuffle. The count aggregation is map-side combinable; at 100 TB
+    * a pipeline runs it once per fact table per day (or reuses q121's
+    * persisted census) rather than inline per join.
+    */
+  def hotKeys(df: DataFrame, keyCol: String, ratio: Double = 4.0,
+      cap: Int = 64): Seq[Long] = {
+    val counts = df.groupBy(col(keyCol).cast("long").as("k"))
+      .agg(count(lit(1)).as("cnt"))
+    val mean = counts.agg((sum(col("cnt")).cast("double") /
+      count(lit(1))).as("mean"))
+    counts.crossJoin(broadcast(mean))
+      .filter(col("cnt").cast("double") > col("mean") * ratio)
+      .orderBy(col("cnt").desc, col("k").asc)
+      .limit(cap)
+      .select(col("k"))
+      .collect().map(_.getLong(0)).toIndexedSeq
   }
 }

@@ -445,7 +445,16 @@ object AnomalyStream {
           var m = m0; var n = 0L
           it.foreach { e =>
             val h = micros(e.ts) / 3600000000L
-            m = m.updated(h, m.getOrElse(h, 0L) + math.round(e.value * 100))
+            // cents via HALF_UP (away from zero) — BIT-PARITY with the
+            // batch census's Spark round(value*100) / the oracle's
+            // DuckDB ROUND, which also round half AWAY FROM ZERO;
+            // math.round (half toward +inf) would silently break the
+            // stream==batch law on a negative exact half-cent
+            // (round-11 advice — latent on the nonnegative corpus,
+            // wrong on any corpus with refunds)
+            val cents = BigDecimal(e.value * 100)
+              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+            m = m.updated(h, m.getOrElse(h, 0L) + cents)
             n += 1
           }
           val seen = seen0 + n

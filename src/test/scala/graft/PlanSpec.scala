@@ -529,11 +529,18 @@ class PlanSpec extends SparkTestBase {
     assert(p132.contains("TakeOrderedAndProject"), p132.take(2000))
     assert(!p132.contains("Exchange"), p132.take(2000))
     // q133: chunking is in-row — no Window, no per-position explode
-    // before the chunk aggregation, joins only on the chunk hash
+    // before the chunk aggregation; round-11 contract: the chunk
+    // stream shuffles ONCE and is never join material — the executed
+    // plan contains NO join of any kind (the round-10 spelling joined
+    // occurrence counts back onto the instance stream; that data-sized
+    // second shuffle is what the rewrite deleted)
     val p133 = plan(Dedup.q133CdcChunking(spark, sfDir))
     assert(!p133.contains("Window") &&
       !p133.contains("CartesianProduct") &&
       !p133.contains("BroadcastNestedLoopJoin"), p133.take(2000))
+    assert(!p133.linesIterator.exists(_.contains("Join")),
+      "q133 must not join at all after the round-11 rewrite:\n" +
+        p133.take(2000))
     spark.catalog.clearCache()
   }
 

@@ -353,6 +353,23 @@ class RelationalSpec extends SparkTestBase {
       assert(rows(hotSalted) == rows(plain))
       assert(hotSpread(hotSalted) >= 2L,
         "hot-key salting failed to spread the flagged key")
+      // the census feed (round 11, what q127 now runs): flags exactly
+      // the bot key — its 20k rows vs mean ~21 dwarf any ratio — and
+      // nothing else on this corpus
+      val hot = graft.operators.SkewJoin.hotKeys(probe, "k", ratio = 4.0,
+        cap = 64)
+      assert(hot == Seq(1L), s"census flagged $hot")
+      // empty census ⇒ saltedJoinHot degrades to the PLAIN join: same
+      // rows, and no salt machinery in the plan
+      val none = graft.operators.SkewJoin
+        .saltedJoinHot(probe, dim, "k", "dk", hotKeys = Nil, nSalts = 8)
+        .select($"k", $"payload", $"attr")
+      assert(rows(none) == rows(plain))
+      assert(!none.queryExecution.executedPlan.toString.contains("__salt"))
+      // a uniform corpus yields an empty census (nothing exceeds 4x
+      // the mean when every key has exactly one row)
+      val uniform = spark.range(1000).select($"id".as("k"))
+      assert(graft.operators.SkewJoin.hotKeys(uniform, "k").isEmpty)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
       spark.conf.set("spark.sql.adaptive.enabled", prevA)
