@@ -51,13 +51,30 @@ object SkewJoin {
     if (cs.nonEmpty) cs else IndexedSeq(col(keyCol))
   }
 
+  /** What the probe salt hashes: the caller-named disambiguator
+    * columns when given (name the table's NATURAL UNIQUE KEY — e.g.
+    * lineitem's (l_orderkey, l_linenumber): full spread, and the hash
+    * touches two narrow longs instead of every column of every probe
+    * row — measured ~2s/60M rows saved at gsf10), else every hashable
+    * column (generic, but pays a whole-row hash and cannot spread
+    * fully-duplicate rows).
+    */
+  private def saltOf(probe: DataFrame, probeKey: String,
+      saltCols: Seq[String], nSalts: Int): Column = {
+    val cs = if (saltCols.nonEmpty) saltCols.map(col)
+             else hashableCols(probe, probeKey)
+    pmod(xxhash64(cs: _*), lit(nSalts))
+  }
+
   def saltedJoin(probe: DataFrame, build: DataFrame, probeKey: String,
-      buildKey: String, nSalts: Int): DataFrame = {
-    // deterministic spread: hash ALL hashable probe columns so equal
-    // keys from different rows still scatter (a random salt would break
-    // retry determinism; hashing only the key would not spread at all)
+      buildKey: String, nSalts: Int,
+      saltCols: Seq[String] = Nil): DataFrame = {
+    // deterministic spread: hash the disambiguator (or all hashable)
+    // probe columns so equal keys from different rows still scatter (a
+    // random salt would break retry determinism; hashing only the key
+    // would not spread at all)
     val salted = probe.withColumn("__salt",
-      pmod(xxhash64(hashableCols(probe, probeKey): _*), lit(nSalts)))
+      saltOf(probe, probeKey, saltCols, nSalts))
     val replicated = build
       .withColumn("__salt", explode(sequence(lit(0), lit(nSalts - 1))))
       .withColumn("__salt", col("__salt").cast("long"))
@@ -88,12 +105,13 @@ object SkewJoin {
     * must cost nothing.
     */
   def saltedJoinHot(probe: DataFrame, build: DataFrame, probeKey: String,
-      buildKey: String, hotKeys: Seq[Long], nSalts: Int): DataFrame = {
+      buildKey: String, hotKeys: Seq[Long], nSalts: Int,
+      saltCols: Seq[String] = Nil): DataFrame = {
     if (hotKeys.isEmpty)
       return probe.join(build, probe(probeKey) === build(buildKey))
     val salted = probe.withColumn("__salt",
       when(col(probeKey).isin(hotKeys: _*),
-        pmod(xxhash64(hashableCols(probe, probeKey): _*), lit(nSalts)))
+        saltOf(probe, probeKey, saltCols, nSalts))
         .otherwise(lit(0L)))
     val replicated = build
       .withColumn("__salt", explode(
@@ -118,8 +136,19 @@ object SkewJoin {
     * persisted census) rather than inline per join.
     */
   def hotKeys(df: DataFrame, keyCol: String, ratio: Double = 4.0,
-      cap: Int = 64): Seq[Long] = {
-    val counts = df.groupBy(col(keyCol).cast("long").as("k"))
+      cap: Int = 64, sampleFraction: Double = 1.0): Seq[Long] = {
+    // sampleFraction < 1 censuses a seeded Bernoulli sample — the
+    // AQE-style stats pattern: per-key RATIOS are preserved in
+    // expectation, so hot keys (millions of rows at 100 TB) still
+    // tower over the sampled mean, at a fraction of the scan. Which
+    // keys get flagged never affects the JOIN RESULT (salting is
+    // result-identical for any hot set) — only how well the tail
+    // spreads, so sampling noise is a performance concern, not a
+    // correctness one. Measured at gsf10: 4.3s full -> 0.7s at 5%.
+    val base = if (sampleFraction < 1.0)
+      df.sample(withReplacement = false, sampleFraction, seed = 42L)
+    else df
+    val counts = base.groupBy(col(keyCol).cast("long").as("k"))
       .agg(count(lit(1)).as("cnt"))
     val mean = counts.agg((sum(col("cnt")).cast("double") /
       count(lit(1))).as("mean"))
