@@ -613,7 +613,80 @@ object Similarity extends QueryPack {
     index.write.mode("overwrite").partitionBy("cell").parquet(path)
 
   def ivfRead(s: SparkSession, path: String): DataFrame =
-    s.read.parquet(path)
+    // partition-dir inference types `cell` int32; restore the written
+    // index's long so read-back round-trips the schema (the cast sits
+    // ABOVE the scan — partition pruning on cell still applies)
+    s.read.parquet(path).withColumn("cell", col("cell").cast("long"))
+
+  /** Assign a NEW embedding batch to an EXISTING learned quantizer —
+    * the retrain-free half of incremental IVF maintenance: the exact
+    * [[kmeansAssign]] rule (bit-parity d2, smallest-cell ties) against
+    * frozen centroids, so a vector appended today lands in the same
+    * cell a full retrain-free rebuild would put it in. Zero-shuffle
+    * (the k-row centroid table broadcasts into one projection).
+    */
+  def ivfAssignNew(newEmb: DataFrame, cents: DataFrame): DataFrame =
+    kmeansAssign(newEmb,
+      cents.select(col("cell").as("cl"), col("centroid").as("cvec")))
+      .select(col("vec_id"), col("embedding"), col("cl").as("cell"))
+
+  /** Incremental IVF maintenance — the ANN analogue of q61's
+    * incremental dedup (reference analogue: the pretrained-model
+    * serving surface, Week#6_assignment.ipynb:443-499): append a new
+    * embedding batch into an existing [[ivfWrite]] serving layout
+    * WITHOUT retraining. Each new vector is assigned to its nearest
+    * FROZEN centroid and appended `partitionBy("cell")` — parquet
+    * append only creates files under the cells the batch actually
+    * touches, so untouched cells' files (and any page cache /
+    * replication state behind them) are never rewritten, and a probe
+    * stays a partition-pruned scan of nprobe cells over base+delta
+    * files alike. Centroid drift under sustained appends is the
+    * documented retrain trigger (re-run [[ivfLearned]] and
+    * [[ivfWrite]] when q102's avg_d2 census degrades); q139 puts the
+    * assignment-parity contract under the oracle gate and
+    * PipelineOpsSpec proves the file-level physics.
+    */
+  def ivfAppend(newEmb: DataFrame, cents: DataFrame, path: String): Unit =
+    ivfAssignNew(newEmb, cents)
+      .write.mode("append").partitionBy("cell").parquet(path)
+
+  // --- q139: incremental IVF append census ----------------------------------
+  /** The append contract as an oracle row: train the coarse quantizer
+    * on the FIRST HALF of the corpus (vec_id ≤ max/2 — yesterday's
+    * index), assign the second half against the frozen centroids
+    * (today's batch), and census the merged index per cell: base
+    * members, appended members, total, and the exact vec_id sum as
+    * the membership checksum. Every step is engine-replicable (q102's
+    * integer-snapped Lloyd trajectory + bit-parity d2 assignment), so
+    * "append == retrain-free assignment" is hash-checked, not
+    * asserted.
+    *
+    * Scale shape: q128's training stages (zero-shuffle assignment
+    * projections, one k-row aggregation per round) on the base; ONE
+    * zero-shuffle assignment projection for the batch; the census is
+    * one ≤k-row aggregation. The half split rides a broadcast 1-row
+    * max — no driver collect.
+    */
+  def q139IvfAppend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val half = broadcast(
+      emb.agg(floor(max($"vec_id") / 2).cast("long").as("split")))
+    val base = emb.crossJoin(half).filter($"vec_id" <= $"split")
+      .select($"vec_id", $"embedding")
+    val delta = emb.crossJoin(half).filter($"vec_id" > $"split")
+      .select($"vec_id", $"embedding")
+    val (idx, cents) = ivfLearned(base, k = 8, iters = 2)
+    val appended = ivfAssignNew(delta, cents)
+    idx.select($"vec_id", $"cell").withColumn("is_base", lit(1L))
+      .unionByName(appended.select($"vec_id", $"cell")
+        .withColumn("is_base", lit(0L)))
+      .groupBy($"cell")
+      .agg(sum($"is_base").as("n_base"),
+        sum(lit(1L) - $"is_base").as("n_new"),
+        count(lit(1)).as("n_total"),
+        sum($"vec_id").as("id_sum"))
+  }
 
   // --- q136: quantized IVF serving (IVF-SQ8) --------------------------------
   /** The composition a production ANN service actually deploys (the
@@ -759,6 +832,7 @@ object Similarity extends QueryPack {
     "q136_ann_ivf_sq8"     -> (q136AnnIvfSq8 _),
     "q102_kmeans_clusters" -> (q102KmeansClusters _),
     "q109_quantize_int8"   -> (q109QuantizeInt8 _),
+    "q139_ivf_append"      -> (q139IvfAppend _),
   )
 
   private val sqlDot =
@@ -1032,6 +1106,40 @@ object Similarity extends QueryPack {
          |ORDER BY ROUND(${cosSql("i.embedding", "q.qemb")}, 6) DESC,
          | i.vec_id ASC
          |LIMIT 10""".stripMargin,
+    "q139_ivf_append" ->
+      // q128's trained-on-base trajectory + frozen-centroid assignment
+      // of the second half: the merged-index census proves appended
+      // vectors land exactly where the assignment rule puts them
+      s"""WITH sp AS (SELECT MAX(vec_id) // 2 AS split FROM embeddings),
+         |base AS (SELECT vec_id, embedding FROM embeddings, sp
+         |  WHERE vec_id <= split),
+         |cent0 AS (SELECT vec_id AS cl, embedding AS cvec
+         |  FROM base WHERE vec_id BETWEEN 1 AND 8),
+         |a1 AS (SELECT e.vec_id, e.embedding, c.cl,
+         |  ${d2Sql("e.embedding", "c.cvec")} AS d2
+         | FROM base e CROSS JOIN cent0 c),
+         |asg1 AS (SELECT vec_id, embedding, cl FROM a1
+         |  QUALIFY row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY d2 ASC, cl ASC) = 1),
+         |ex AS (SELECT cl, i,
+         |  CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1048576.0) AS BIGINT) AS v
+         | FROM asg1, generate_series(1, 64) g(i)),
+         |cm AS (SELECT cl, i,
+         |  CAST(SUM(v) AS DOUBLE) / (COUNT(*) * 1048576.0) AS c
+         | FROM ex GROUP BY 1, 2),
+         |cent1 AS (SELECT cl, list(c ORDER BY i) AS cvec FROM cm GROUP BY 1),
+         |a2 AS (SELECT e.vec_id,
+         |  CASE WHEN e.vec_id <= sp.split THEN 1 ELSE 0 END AS is_base,
+         |  c.cl, ${d2Sql("e.embedding", "c.cvec")} AS d2
+         | FROM embeddings e CROSS JOIN sp CROSS JOIN cent1 c),
+         |asg2 AS (SELECT vec_id, is_base, cl AS cell FROM a2
+         |  QUALIFY row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY d2 ASC, cl ASC) = 1)
+         |SELECT cell, CAST(SUM(is_base) AS BIGINT) AS n_base,
+         | CAST(SUM(1 - is_base) AS BIGINT) AS n_new,
+         | COUNT(*) AS n_total,
+         | CAST(SUM(vec_id) AS BIGINT) AS id_sum
+         |FROM asg2 GROUP BY 1""".stripMargin,
     "q102_kmeans_clusters" ->
       // the identical 2-round Lloyd trajectory: fixed seed centroids
       // (vectors 1..8), argmin d2 with smallest-cl tie-break

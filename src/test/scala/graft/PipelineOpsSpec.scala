@@ -2105,6 +2105,67 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(!got.contains("gt_600s"), s"gt_600s must be structurally empty: $got")
   }
 
+  test("ivfAppend: appending a batch touches ONLY its cells' files, the " +
+    "merged layout equals base+assignment row-for-row, and a probe over " +
+    "the appended index stays partition-pruned with full parity") {
+    import spark.implicits._
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val maxId = emb.agg(max($"vec_id")).head().getLong(0)
+    val split = maxId / 2
+    val base = emb.filter($"vec_id" <= split)
+    val delta = emb.filter($"vec_id" > split)
+    val (idx, cents) = Similarity.ivfLearned(base, k = 8, iters = 2)
+    val tmp = java.nio.file.Files.createTempDirectory("ivfappend").toString
+    Similarity.ivfWrite(idx, tmp)
+    def fileMap(): Map[String, Set[String]] = new java.io.File(tmp).listFiles
+      .filter(_.getName.startsWith("cell="))
+      .map(d => d.getName -> d.listFiles.map(_.getName)
+        .filter(_.endsWith(".parquet")).toSet).toMap
+    val before = fileMap()
+    Similarity.ivfAppend(delta, cents, tmp)
+    val after = fileMap()
+    // file-level physics: cells the batch assigns into gained files;
+    // every other cell's file set is BYTE-UNTOUCHED (no rewrite)
+    val touched = Similarity.ivfAssignNew(delta, cents)
+      .select($"cell").distinct().collect().map(r => s"cell=${r.getLong(0)}").toSet
+    assert(touched.nonEmpty)
+    touched.foreach { c =>
+      assert(after(c).size > before.getOrElse(c, Set.empty).size,
+        s"$c must gain files on append")
+      assert(before.getOrElse(c, Set.empty).subsetOf(after(c)),
+        s"$c base files must survive append")
+    }
+    (after.keySet -- touched).foreach { c =>
+      assert(after(c) == before(c), s"untouched $c files changed")
+    }
+    // merged layout == base index + frozen-centroid assignment, row
+    // for row (vec_id -> cell)
+    val merged = Similarity.ivfRead(spark, tmp)
+      .select($"vec_id", $"cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val expected = (idx.select($"vec_id", $"cell").collect() ++
+      Similarity.ivfAssignNew(delta, cents)
+        .select($"vec_id", $"cell").collect())
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(merged.sameElements(expected),
+      "appended layout diverged from retrain-free assignment")
+    // probe parity over the merged index: same top-10 as the in-memory
+    // union, and the scan stays partition-pruned to the probed cells
+    val q = emb.filter($"vec_id" === 0)
+      .selectExpr("cast(embedding as array<double>)").head().getSeq[Double](0)
+    val onDisk = Similarity.ivfRead(spark, tmp).filter($"vec_id" =!= 0)
+    val inMem = idx.unionByName(Similarity.ivfAssignNew(delta, cents))
+      .filter($"vec_id" =!= 0)
+    def top(ix: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfSearch(ix, cents, q, nprobe = 3, topK = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(top(onDisk) == top(inMem), "probe parity broke after append")
+    val probed = onDisk.join(
+      broadcast(cents.orderBy($"cell".asc).limit(3).select($"cell")), "cell")
+    assert(probed.queryExecution.executedPlan.toString
+      .contains("PartitionFilters"), "probe lost partition pruning")
+  }
+
   test("q76: <= 3 terms per doc, ranks contiguous, scores non-increasing") {
     val rows = TextAnalysis.q76TfIdfTerms(spark, sfDir).collect()
     val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
