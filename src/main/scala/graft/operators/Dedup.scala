@@ -821,6 +821,45 @@ object Dedup extends QueryPack {
       .withColumn("ch", md5($"chunk"))
   }
 
+  /** JVM twin of [[cdcChunks]]'s per-document chunker — ONE boundary
+    * definition for the streaming layer (the semDedupStream /
+    * gridCellOf pattern): returns (chunk, chunk_toks, ch) per chunk in
+    * document order. Bit-parity with the Column spelling is
+    * spec-pinned over the corpus (StreamingSpec): same space-split,
+    * same trailing-4-token md5 window (first 4 hex chars mod 8), same
+    * md5 chunk hash.
+    */
+  def cdcChunksOf(text: String): Seq[(String, Long, String)] = {
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    val toks = text.split(" ").filter(_.nonEmpty)
+    if (toks.isEmpty) return Nil
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, String)]
+    val cur = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 1
+    while (i <= toks.length) {
+      cur += toks(i - 1)
+      val boundary = i < toks.length && i >= 4 &&
+        java.lang.Long.parseLong(
+          md5hex(toks.slice(i - 4, i).mkString(" ")).substring(0, 4),
+          16) % 8 == 0
+      if (boundary) {
+        val c = cur.mkString(" ")
+        out += ((c, cur.length.toLong, md5hex(c)))
+        cur.clear()
+      }
+      i += 1
+    }
+    if (cur.nonEmpty) {
+      val c = cur.mkString(" ")
+      out += ((c, cur.length.toLong, md5hex(c)))
+    }
+    out.toSeq
+  }
+
   /** Round 11 applied the q118 treatment here: the old spelling
     * aggregated occurrence counts per chunk hash and then JOINED THEM
     * BACK onto the data-sized chunk stream — a second full shuffle of

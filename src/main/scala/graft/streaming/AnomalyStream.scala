@@ -510,6 +510,56 @@ object AnomalyStream {
     (j, rho)
   }
 
+  case class DocEvent(doc_id: Long, lang: String, text: String)
+  case class ChunkSeen(ch: String, doc_id: Long, lang: String,
+      chunk_toks: Long, occ: Long)
+
+  /** Streaming twin of batch q133 CDC chunking — the incremental-crawl
+    * story `cdcChunks`' shift invariance exists for: each arriving
+    * document chunks IN-ROW through the ONE boundary definition
+    * ([[graft.operators.Dedup.cdcChunksOf]], spec-pinned bit-parity
+    * with the batch Column spelling), and each chunk instance matches
+    * against the corpus chunk-hash state — keyed by `ch`, state = one
+    * occurrence counter per distinct chunk. An emission's `occ` is the
+    * chunk's corpus-wide occurrence count AFTER this instance, so
+    * `occ > 1` is "this instance is a duplicate of something already
+    * crawled" — the q61 incremental-dedup reading at chunk grain.
+    *
+    * State is one long per DISTINCT CHUNK — corpus-dictionary-sized by
+    * the operator's nature (exactly q61's contract: an incremental
+    * index must remember what it has seen), sharded across executor
+    * state stores by the ch key; a production deployment backs it with
+    * the RocksDB state store and ages cold chunks by TTL.
+    *
+    * Replay stability is UNCONDITIONAL (the [[cmsStream]] class): the
+    * final state is the chunk-occurrence multiset — re-slicing cannot
+    * diverge it — and per-instance emissions are reproducible because
+    * within a batch instances apply in (doc_id, document chunk order)
+    * order. The final snapshot census equals batch
+    * [[graft.operators.Dedup.q133CdcChunking]] over the same rows
+    * (StreamingSpec pins the law).
+    */
+  def cdcChunkStream(docs: Dataset[DocEvent]): Dataset[ChunkSeen] = {
+    import docs.sparkSession.implicits._
+    docs.flatMap { d =>
+      graft.operators.Dedup.cdcChunksOf(d.text).zipWithIndex.map {
+        case ((_, toks, h), pos) => (h, d.doc_id, d.lang, toks, pos)
+      }
+    }
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, ChunkSeen](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (ch, it, state) =>
+          var occ = state.getOption.getOrElse(0L)
+          val out = it.toSeq.sortBy(r => (r._2, r._5)).map { r =>
+            occ += 1
+            ChunkSeen(ch, r._2, r._3, r._4, occ)
+          }
+          state.update(occ)
+          out.iterator
+      }
+  }
+
   case class RetentionHit(user_id: Long, cohort_day: Long,
       week_offset: Long)
 

@@ -1079,4 +1079,65 @@ class StreamingSpec extends SparkTestBase {
       CdcApply.stateAt(spark, statePath, 99L)
     }
   }
+
+  test("cdc chunk stream: JVM chunker is bit-parity with the batch " +
+    "Column spelling, the final snapshot census equals batch q133, and " +
+    "emissions are invariant under re-slicing") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.streaming.AnomalyStream.{ChunkSeen, DocEvent}
+    import graft.operators.Dedup
+    val docsDf = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("text"))
+    // 1. ONE boundary definition: the JVM chunker reproduces the batch
+    //    chunk stream exactly — per-doc ordered (chunk, toks, ch)
+    val batchChunks = Dedup.cdcChunks(docsDf)
+      .select("doc_id", "chunk", "chunk_toks", "ch").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .sorted
+    val docs = docsDf.collect()
+      .map(r => DocEvent(r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_.doc_id)
+    val jvmChunks = docs.flatMap(d => Dedup.cdcChunksOf(d.text)
+      .map { case (c, t, h) => (d.doc_id, c, t, h) }).sorted
+    assert(jvmChunks.sameElements(batchChunks),
+      "JVM chunker diverged from the batch Column spelling")
+
+    def run(name: String, slices: Seq[Seq[DocEvent]]): Seq[ChunkSeen] = {
+      val input = MemoryStream[DocEvent]
+      val q = AnomalyStream.cdcChunkStream(input.toDS())
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try {
+        slices.foreach { s =>
+          if (s.nonEmpty) input.addData(s: _*)
+          q.processAllAvailable()
+        }
+        spark.table(name).as[ChunkSeen].collect().toSeq
+      } finally q.stop()
+    }
+    val third = math.max(1, docs.length / 3)
+    val emitted = run("cdcs_a", docs.grouped(third).map(_.toSeq).toSeq)
+
+    // 2. snapshot census == batch q133 over the same rows: an instance
+    //    is a duplicate iff its chunk's FINAL occurrence count > 1
+    val finalOcc = emitted.groupBy(_.ch)
+      .view.mapValues(_.map(_.occ).max).toMap
+    val got = emitted.groupBy(_.lang).map { case (lang, cs) =>
+      (lang, cs.size.toLong, cs.map(_.chunk_toks).sum,
+        cs.count(c => finalOcc(c.ch) > 1L).toLong)
+    }.toSet
+    val want = Dedup.q133CdcChunking(spark, sfDir).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getAs[Long]("n_dup_chunks"))).toSet
+    assert(got == want, s"stream census $got != batch $want")
+
+    // 3. replay contract: a DIFFERENT slicing of the same ordered docs
+    //    yields the identical emission set (state is a sum multiset;
+    //    within-batch application order is pinned)
+    val emitted2 = run("cdcs_b", docs.grouped(math.max(1,
+      docs.length / 7)).map(_.toSeq).toSeq)
+    assert(emitted.toSet == emitted2.toSet,
+      "emissions diverged under re-slicing")
+  }
 }
