@@ -368,19 +368,32 @@ object Anomaly extends QueryPack {
   /** The census over ANY (ts, value) frame — q137 applies it to the
     * driver events; AnomalySpec feeds it a planted-discord series.
     */
-  def discordCensus(events: DataFrame): DataFrame = {
+  /** The DENSE hourly cents series packed into one (mn, sv) row — the
+    * shared spine of the subsequence detectors (q137 discords, q140
+    * CUSUM, q141 episodes): hourly integer-cents sums on a
+    * zero-filled hour range. TIME-SPAN-bounded by construction (720
+    * entries per 30-day corpus), so everything downstream is in-row
+    * array work however large the event stream grows; only the first
+    * rollup touches raw events (q71's rule).
+    */
+  private def packedHourlySeries(events: DataFrame): DataFrame = {
     import events.sparkSession.implicits._
-    val W = 24
     val e = events
       .groupBy(expr("unix_micros(date_trunc('hour', ts)) div 3600000000")
         .as("hi"))
       .agg(sum(round($"value" * 100).cast("long")).as("x0"))
     val b = e.agg(min($"hi").as("mn"), max($"hi").as("mx"))
-    val dense = b.select(explode(sequence($"mn", $"mx")).as("hi"), $"mn")
+    b.select(explode(sequence($"mn", $"mx")).as("hi"), $"mn")
       .join(e, Seq("hi"), "left").na.fill(0L, Seq("x0"))
-    val ser = dense.groupBy($"mn")
+      .groupBy($"mn")
       .agg(sort_array(collect_list(struct($"hi", $"x0"))).as("p"))
       .select($"mn", transform($"p", x => x.getField("x0")).as("sv"))
+  }
+
+  def discordCensus(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val W = 24
+    val ser = packedHourlySeries(events)
       .filter(size($"sv") >= 2 * W)
     val wins = ser
       .select($"mn", $"sv",
@@ -396,7 +409,97 @@ object Anomaly extends QueryPack {
       .orderBy($"score".desc, $"win_start_h".asc).limit(3)
   }
 
+  // --- q140: CUSUM changepoint census ----------------------------------------
+  /** Top-5 CUSUM level-shift points of the hourly value series — the
+    * classic Page (1954) changepoint statistic: C_t = max(0, C_{t−1} +
+    * (x_t − μ)), large where the series has ACCUMULATED drift above
+    * its global mean. The complement of q137's discords (a shape that
+    * matches no other day) and q32/q35's point outliers: a sustained
+    * small elevation trips CUSUM long before any single point trips a
+    * z-score — the canonical "slow leak" detector.
+    *
+    * Exactness: the recurrence has the closed form C_t = P_t −
+    * min_{0≤j≤t} P_j over prefix sums P of (x − μ); scaling by n
+    * clears the rational mean (n·P_t = n·Σx_i − t·S with S = Σx), so
+    * every value is exact BIGINT arithmetic and the census is under
+    * the hash gate; only the display drift divides.
+    *
+    * Scale shape: q137's first half — one event-stream rollup onto
+    * the TIME-SPAN-bounded packed series; the prefix sum and running
+    * min are windows PARTITIONED BY the series key over that bounded
+    * frame (≤720 rows per month per series — the q34/q85
+    * bounded-frame class, and exactly how the DuckDB oracle spells
+    * it; an earlier in-row O(H²) array spelling put the whole
+    * quadratic fold on ONE core and measured 30 s flat at every
+    * decade — rewritten to this, it is ~0.4 s). The top-5 rides
+    * TakeOrdered. At 100 TB the series key is the shard: one bounded
+    * window per metric series, never over the event stream.
+    */
+  def q140Cusum(s: SparkSession, dir: String): DataFrame =
+    cusumCensus(Tables.events(s, dir))
+
+  def cusumCensus(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val w = Window.partitionBy($"mn").orderBy($"pos")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    packedHourlySeries(events)
+      .select($"mn", size($"sv").cast("long").as("nh"),
+        aggregate($"sv", lit(0L), _ + _).as("sx"),
+        posexplode($"sv").as(Seq("pos", "x")))
+      .withColumn("pf", sum($"x").over(w))
+      .withColumn("tp", $"nh" * $"pf" - ($"pos" + 1).cast("long") * $"sx")
+      .withColumn("cus", $"tp" - least(lit(0L), min($"tp").over(w)))
+      .select(($"mn" + $"pos").as("hour_h"), $"cus".as("cusum_scaled"),
+        Exact.dround($"cus".cast("double")
+          / ($"nh".cast("double") * 100.0), 2).as("drift_dollars"))
+      .orderBy($"cusum_scaled".desc, $"hour_h".asc).limit(5)
+  }
+
+  // --- q141: sustained-episode (gaps-and-islands) census ---------------------
+  /** Top-5 SUSTAINED anomalous episodes: maximal runs of consecutive
+    * hours whose total sits strictly above the global hourly mean,
+    * ranked by run length (start-hour ties ascending) with the run's
+    * accumulated excess mass — the "elevated for six hours straight"
+    * product question that point detectors (q32), subsequence shapes
+    * (q137) and drift accumulation (q140) all answer differently.
+    * The gaps-and-islands pattern at value grain (q53 sessionization
+    * is the same pattern at time-gap grain).
+    *
+    * Exactness: the above-mean flag is the integer comparison
+    * n·x_t > S (no rational mean materialized); the island key for a
+    * flagged hour t is t − |{flagged j ≤ t}| — constant exactly
+    * within a consecutive run — and excess mass Σ(n·x_t − S) is
+    * BIGINT end to end.
+    *
+    * Scale shape: q140's — flagged hours filter the bounded frame, a
+    * row_number window partitioned by the series key assigns island
+    * keys (the oracle's own gaps-and-islands spelling), ONE ≤H-row
+    * aggregation by island, TakeOrdered for the top-5.
+    */
+  def q141Episodes(s: SparkSession, dir: String): DataFrame =
+    episodeCensus(Tables.events(s, dir))
+
+  def episodeCensus(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val w = Window.partitionBy($"mn").orderBy($"pos")
+    packedHourlySeries(events)
+      .select($"mn", size($"sv").cast("long").as("nh"),
+        aggregate($"sv", lit(0L), _ + _).as("sx"),
+        posexplode($"sv").as(Seq("pos", "x")))
+      .filter($"nh" * $"x" > $"sx")
+      .withColumn("grp", $"pos" - row_number().over(w))
+      .groupBy($"mn", $"nh", $"grp")
+      .agg(min($"pos").as("p0"), count(lit(1)).as("len_h"),
+        sum($"nh" * $"x" - $"sx").as("excess_scaled"))
+      .select(($"mn" + $"p0").as("start_h"), $"len_h", $"excess_scaled",
+        Exact.dround($"excess_scaled".cast("double")
+          / ($"nh".cast("double") * 100.0), 2).as("excess_dollars"))
+      .orderBy($"len_h".desc, $"start_h".asc).limit(5)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q140_cusum"          -> (q140Cusum _),
+    "q141_episodes"       -> (q141Episodes _),
     "q137_discord"        -> (q137Discord _),
     "q47_anomaly_seasonal" -> (q47Seasonal _),
     "q87_decompose"       -> (q87Decompose _),
@@ -411,6 +514,67 @@ object Anomaly extends QueryPack {
   private val v4Sql = "CAST(ROUND(value * 10000) AS BIGINT)"
 
   override def oracleSql: Map[String, String] = Map(
+    "q140_cusum" ->
+      // same cents series on the same dense spine; the closed-form
+      // CUSUM (prefix sum minus running min, scaled by n to clear the
+      // rational mean) replayed with window functions — exact BIGINT
+      // until the display division
+      """WITH s AS (SELECT
+        |  epoch_us(date_trunc('hour', ts)) // 3600000000 AS hi,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x0
+        | FROM events GROUP BY 1),
+        |b AS (SELECT MIN(hi) mn, MAX(hi) mx FROM s),
+        |g AS (SELECT gs.hi FROM b, UNNEST(range(b.mn, b.mx + 1)) gs(hi)),
+        |d AS (SELECT g.hi, COALESCE(s.x0, 0) AS x
+        |  FROM g LEFT JOIN s USING (hi)),
+        |ser AS (SELECT d.hi - b.mn AS idx, d.x FROM d CROSS JOIN b),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nh,
+        |  CAST(SUM(x) AS BIGINT) AS sx FROM ser),
+        |p AS (SELECT idx, CAST(SUM(x) OVER (ORDER BY idx
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |  AS pf FROM ser),
+        |t AS (SELECT idx, n.nh * pf - (idx + 1) * n.sx AS tp
+        |  FROM p CROSS JOIN n),
+        |c AS (SELECT idx, tp - LEAST(0, MIN(tp) OVER (ORDER BY idx
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cus
+        |  FROM t)
+        |SELECT CAST(b.mn + c.idx AS BIGINT) AS hour_h,
+        | CAST(cus AS BIGINT) AS cusum_scaled,
+        | CAST(ROUND(CAST(CAST(cus AS DOUBLE)
+        |   / (CAST(n.nh AS DOUBLE) * 100.0) AS DECIMAL(28,10)), 2)
+        |   AS DOUBLE) AS drift_dollars
+        |FROM c CROSS JOIN b CROSS JOIN n
+        |ORDER BY cusum_scaled DESC, hour_h ASC LIMIT 5""".stripMargin,
+    "q141_episodes" ->
+      // gaps-and-islands over the same spine: flagged = strictly above
+      // the scaled mean (n*x > S), island key = idx - row_number over
+      // flagged rows (the Spark side's t - prefix-flag-count, shifted
+      // by a constant), excess mass in exact scaled integers
+      """WITH s AS (SELECT
+        |  epoch_us(date_trunc('hour', ts)) // 3600000000 AS hi,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x0
+        | FROM events GROUP BY 1),
+        |b AS (SELECT MIN(hi) mn, MAX(hi) mx FROM s),
+        |g AS (SELECT gs.hi FROM b, UNNEST(range(b.mn, b.mx + 1)) gs(hi)),
+        |d AS (SELECT g.hi, COALESCE(s.x0, 0) AS x
+        |  FROM g LEFT JOIN s USING (hi)),
+        |ser AS (SELECT d.hi - b.mn AS idx, d.x FROM d CROSS JOIN b),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nh,
+        |  CAST(SUM(x) AS BIGINT) AS sx FROM ser),
+        |f AS (SELECT idx, x FROM ser CROSS JOIN n WHERE n.nh * x > n.sx),
+        |i AS (SELECT idx, x,
+        |  idx - ROW_NUMBER() OVER (ORDER BY idx) AS grp FROM f),
+        |r AS (SELECT grp, MIN(idx) AS p0,
+        |  CAST(COUNT(*) AS BIGINT) AS len_h,
+        |  CAST(SUM(n.nh * x - n.sx) AS BIGINT) AS excess_scaled
+        | FROM i CROSS JOIN n GROUP BY 1, n.nh, n.sx)
+        |SELECT CAST(b.mn + r.p0 AS BIGINT) AS start_h, len_h,
+        | excess_scaled,
+        | CAST(ROUND(CAST(CAST(excess_scaled AS DOUBLE)
+        |   / (CAST(n.nh AS DOUBLE) * 100.0) AS DECIMAL(28,10)), 2)
+        |   AS DOUBLE) AS excess_dollars
+        |FROM r CROSS JOIN b CROSS JOIN n
+        |ORDER BY len_h DESC, start_h ASC LIMIT 5""".stripMargin,
     "q137_discord" ->
       // same cents series on the same dense spine; the pair distances
       // are an elementwise 24-term join (exact integers), discord =

@@ -732,6 +732,89 @@ class PipelineOpsSpec extends SparkTestBase {
       s"top discord $topStart must be the planted wild day $wildStart")
   }
 
+  test("q140 CUSUM: driver recompute of the max(0, ...) recurrence agrees " +
+    "with the closed-form census, and a planted level shift puts the " +
+    "peak at the shift era's end") {
+    import spark.implicits._
+    import graft.operators.Anomaly
+    // driver recompute over the fixture: the SEQUENTIAL recurrence
+    // (not the closed form) — agreeing proves the prefix-min identity
+    val hourly = graft.core.Tables.events(spark, sfDir)
+      .groupBy(expr("unix_micros(date_trunc('hour', ts)) div 3600000000")
+        .as("hi"))
+      .agg(sum(round($"value" * 100).cast("long")).as("x"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mn = hourly.keys.min; val mx = hourly.keys.max
+    val sv = (mn to mx).map(h => hourly.getOrElse(h, 0L)).toArray
+    val n = sv.length.toLong; val sx = sv.sum
+    var c = 0L
+    val cus = sv.map { x => c = math.max(0L, c + (n * x - sx)); c }
+    val want = cus.zipWithIndex
+      .map { case (v, i) => (mn + i, v) }
+      .sortBy { case (h, v) => (-v, h) }.take(5).toSeq
+    val got = Anomaly.q140Cusum(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want, s"got $got want $want")
+    // planted level shift: flat at 10, hours 100-149 elevated to 30 —
+    // accumulated drift peaks exactly at the shift era's last hour
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val synth = (0 until 240).map { h =>
+      val v = if (h >= 100 && h < 150) 30.0 else 10.0
+      (new java.sql.Timestamp(base + h * 3600000L), v)
+    }.toDF("ts", "value")
+    val top = Anomaly.cusumCensus(synth).collect()
+    assert(top.head.getLong(0) == (base / 3600000L) + 149,
+      s"CUSUM peak ${top.head.getLong(0)} must be the shift-era end")
+  }
+
+  test("q141 episodes: driver gaps-and-islands recompute agrees, and a " +
+    "planted sustained elevation is the top episode with exact excess") {
+    import spark.implicits._
+    import graft.operators.Anomaly
+    val hourly = graft.core.Tables.events(spark, sfDir)
+      .groupBy(expr("unix_micros(date_trunc('hour', ts)) div 3600000000")
+        .as("hi"))
+      .agg(sum(round($"value" * 100).cast("long")).as("x"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mn = hourly.keys.min; val mx = hourly.keys.max
+    val sv = (mn to mx).map(h => hourly.getOrElse(h, 0L)).toArray
+    val n = sv.length.toLong; val sx = sv.sum
+    // driver islands: scan for maximal runs of n*x > sx
+    val runs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    var i = 0
+    while (i < sv.length) {
+      if (n * sv(i) > sx) {
+        val start = i; var excess = 0L
+        while (i < sv.length && n * sv(i) > sx) {
+          excess += n * sv(i) - sx; i += 1
+        }
+        runs += ((mn + start, (i - start).toLong, excess))
+      } else i += 1
+    }
+    val want = runs.sortBy { case (h, len, _) => (-len, h) }.take(5).toSeq
+    val got = Anomaly.q141Episodes(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want, s"got $got want $want")
+    // planted: two elevated runs, 12 h and 36 h — the 36 h run ranks
+    // first, and both excess masses are the exact planted arithmetic
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val synth = (0 until 240).map { h =>
+      val v = if (h >= 40 && h < 52) 50.0
+              else if (h >= 150 && h < 186) 50.0 else 10.0
+      (new java.sql.Timestamp(base + h * 3600000L), v)
+    }.toDF("ts", "value")
+    val top = Anomaly.episodeCensus(synth).collect()
+    assert(top.length == 2)
+    assert(top(0).getLong(0) == (base / 3600000L) + 150 &&
+      top(0).getLong(1) == 36L)
+    assert(top(1).getLong(0) == (base / 3600000L) + 40 &&
+      top(1).getLong(1) == 12L)
+    // exact excess: mean = (192*1000 + 48*5000)/240 cents·n arithmetic
+    val n2 = 240L; val sx2 = 192L * 1000L + 48L * 5000L
+    assert(top(0).getLong(2) == 36L * (n2 * 5000L - sx2))
+    assert(top(1).getLong(2) == 12L * (n2 * 5000L - sx2))
+  }
+
   test("ivfWrite: the partitionBy(cell) serving layout prunes a probe " +
     "to the probed cells' files, content round-trips") {
     val emb = graft.core.Tables.embeddings(spark, sfDir)

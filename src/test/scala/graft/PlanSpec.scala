@@ -541,6 +541,23 @@ class PlanSpec extends SparkTestBase {
     assert(!p133.linesIterator.exists(_.contains("Join")),
       "q133 must not join at all after the round-11 rewrite:\n" +
         p133.take(2000))
+    // q140/q141 (round 11): series work happens on the exploded
+    // TIME-SPAN-bounded frame; every window is PARTITIONED by the
+    // series key (never an unkeyed window, never over the event
+    // stream), no cartesian blowup, and the top-5 rides TakeOrdered
+    // not a global Sort
+    for (q <- Seq(graft.operators.Anomaly.q140Cusum _,
+        graft.operators.Anomaly.q141Episodes _)) {
+      val pq = plan(q(spark, sfDir))
+      assert(!pq.contains("CartesianProduct"), pq.take(2000))
+      assert(pq.contains("TakeOrderedAndProject"), pq.take(2000))
+      val specs = pq.linesIterator
+        .filter(_.contains("windowspecdefinition")).toSeq
+      assert(specs.nonEmpty &&
+        specs.forall(_.contains("windowspecdefinition(mn")),
+        "every window must be partitioned by the series key:\n" +
+          specs.mkString("\n"))
+    }
     spark.catalog.clearCache()
   }
 
