@@ -74,12 +74,13 @@ object Bench {
     */
   def hostJson(before: Option[(Double, Double, Double)],
                after: Option[(Double, Double, Double)],
-               procs: Int): String = {
+               procs: Int, quietWaitSec: Int = 0): String = {
     def l(x: Option[(Double, Double, Double)]): String = x match {
       case Some((a, b, c)) => s"[${r4(a)},${r4(b)},${r4(c)}]"
       case None            => "null"
     }
-    s"""{"load_before":${l(before)},"load_after":${l(after)},"procs":$procs}"""
+    s"""{"load_before":${l(before)},"load_after":${l(after)},""" +
+      s""""procs":$procs,"quiet_wait_sec":$quietWaitSec}"""
   }
 
   /** Assemble the one-line bench JSON from (query -> measured reps).
@@ -137,11 +138,39 @@ object Bench {
       case scala.util.control.NonFatal(_) => None
     }
 
+  /** Block until the 1-minute load average drops below `threshold`,
+    * polling every 10 s, for at most `capSec` seconds; returns the
+    * seconds actually waited. Rounds 8–10 all produced official bench
+    * artifacts on a loaded host that needed manual discounting against
+    * builder-run quiet anchors — this makes the artifact itself quiet
+    * whenever the contention is transient (the common case: a verify
+    * run's threads draining right before the bench starts). A
+    * genuinely busy host just costs the cap and is then recorded
+    * as-is in `load_before`.
+    */
+  def waitQuiet(threshold: Double, capSec: Int): Int = {
+    var waited = 0
+    while (waited < capSec &&
+        loadAvg().exists { case (l1, _, _) => l1 >= threshold }) {
+      Thread.sleep(10000)
+      waited += 10
+    }
+    waited
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1"
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
+    // SPARK_GRAFT_QUIET_WAIT caps the settle wait in seconds (0
+    // disables). Default 240 s: the full suite runs ~1 min of warmup
+    // before the measured loop anyway, so four quiet minutes up front
+    // is cheap insurance for a trustworthy artifact.
+    val quietCap = sys.env.getOrElse("SPARK_GRAFT_QUIET_WAIT", "240").toInt
+    val waitedSec = if (quietCap > 0) waitQuiet(1.0, quietCap) else 0
+    if (waitedSec > 0)
+      System.err.println(s"[bench] waited ${waitedSec}s for load < 1")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -175,7 +204,7 @@ object Bench {
       name -> times
     }
     val host = hostJson(loadBefore, loadAvg(),
-      Runtime.getRuntime.availableProcessors)
+      Runtime.getRuntime.availableProcessors, waitedSec)
     val line = renderJson(results, sfDir, reps, host)
     println(line)
     // SPARK_GRAFT_BENCH_OUT overrides the default repo-root path

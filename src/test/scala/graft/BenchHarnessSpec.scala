@@ -59,7 +59,8 @@ class BenchHarnessSpec extends SparkTestBase {
   // carry the host-load evidence a reader needs to discount such a run
   // without a re-measurement.
   test("host block records loadavg before/after and processor count") {
-    val host = Bench.hostJson(Some((1.25, 2.5, 3.75)), Some((4.0, 5.0, 6.0)), 32)
+    val host = Bench.hostJson(Some((1.25, 2.5, 3.75)), Some((4.0, 5.0, 6.0)),
+      32, quietWaitSec = 40)
     val line = Bench.renderJson(Seq("q1" -> Seq(1.0)), "/tmp/sfX", reps = 1, host)
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val h = mapper.readTree(line).get("host")
@@ -67,6 +68,13 @@ class BenchHarnessSpec extends SparkTestBase {
     assert(h.get("load_before").size() === 3)
     assert(h.get("load_after").get(2).asDouble() === 6.0)
     assert(h.get("procs").asInt() === 32)
+    // round 11: the artifact records how long the bench waited for a
+    // quiet host (the settle-wait that makes BENCH_rN itself
+    // trustworthy rather than needing quiet re-run anchors)
+    assert(h.get("quiet_wait_sec").asInt() === 40)
+    // an already-quiet host (any real load is below an absurd
+    // threshold) returns immediately
+    assert(Bench.waitQuiet(1e9, 60) === 0)
     // off-Linux degradation: null fields, stable schema, still valid JSON
     val none = Bench.renderJson(Seq("q1" -> Seq(1.0)), "/tmp/sfX", 1,
       Bench.hostJson(None, None, 8))
