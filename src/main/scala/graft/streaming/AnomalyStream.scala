@@ -510,6 +510,68 @@ object AnomalyStream {
     (j, rho)
   }
 
+  case class CusumHit(seen: Long, hour_h: Long, cusum_scaled: Long)
+
+  /** Streaming twin of batch q140 CUSUM — the drift detector as stream
+    * state, [[discordStream]]'s class exactly: state is the hourly
+    * cents map (TIME-SPAN-bounded, never stream-volume-bounded) under
+    * one global series key; each batch folds its events into the map
+    * and emits the CURRENT peak accumulated-drift point (largest
+    * scaled CUSUM, smallest hour on ties) tagged with `seen`
+    * (max-seen = latest). Cents round HALF_UP away from zero — bit
+    * parity with batch round()/DuckDB ROUND (the round-11 rule).
+    *
+    * Replay stability is UNCONDITIONAL: the state is a sum map over
+    * the event multiset, so re-slicing cannot diverge it, and the
+    * final snapshot's peak equals batch
+    * [[graft.operators.Anomaly.cusumCensus]]'s top row over the same
+    * rows (StreamingSpec pins both).
+    */
+  def cusumStream(events: Dataset[Event]): Dataset[CusumHit] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_ => 0)
+      .flatMapGroupsWithState[(Map[Long, Long], Long), CusumHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_, it, state) =>
+          val (m0, seen0) = state.getOption.getOrElse(
+            (Map.empty[Long, Long], 0L))
+          var m = m0; var n = 0L
+          it.foreach { e =>
+            val h = micros(e.ts) / 3600000000L
+            val cents = BigDecimal(e.value * 100)
+              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+            m = m.updated(h, m.getOrElse(h, 0L) + cents)
+            n += 1
+          }
+          val seen = seen0 + n
+          state.update((m, seen))
+          topCusum(m) match {
+            case Some((h, c)) => Iterator.single(CusumHit(seen, h, c))
+            case None         => Iterator.empty
+          }
+      }
+  }
+
+  /** q140's closed form over a sparse hourly map: densify to the span,
+    * scaled statistic n·P_t − t·S minus its running min (floored at
+    * the empty prefix), return the (max, then smallest hour) peak.
+    */
+  private[streaming] def topCusum(m: Map[Long, Long])
+      : Option[(Long, Long)] = {
+    if (m.isEmpty) return None
+    val mn = m.keys.min; val mx = m.keys.max
+    val sv = (mn to mx).map(h => m.getOrElse(h, 0L)).toArray
+    val n = sv.length.toLong; val sx = sv.sum
+    var c = 0L; var best = Long.MinValue; var bestH = mn
+    var i = 0
+    while (i < sv.length) {
+      c = math.max(0L, c + (n * sv(i) - sx))
+      if (c > best) { best = c; bestH = mn + i }
+      i += 1
+    }
+    Some((bestH, best))
+  }
+
   case class DocEvent(doc_id: Long, lang: String, text: String)
   case class ChunkSeen(ch: String, doc_id: Long, lang: String,
       chunk_toks: Long, occ: Long)

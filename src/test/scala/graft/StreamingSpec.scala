@@ -896,6 +896,41 @@ class StreamingSpec extends SparkTestBase {
     assert(short.isEmpty)
   }
 
+  test("cusum stream: final snapshot equals batch cusumCensus top-1 over " +
+    "the same rows; slicing invariant") {
+    import spark.implicits._
+    import graft.streaming.AnomalyStream.CusumHit
+    implicit val sc = spark.sqlContext
+    val rows = graft.core.Tables.events(spark, sfDir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().toSeq
+    def run(name: String, slices: Seq[Seq[Event]]): Seq[CusumHit] = {
+      val input = MemoryStream[Event]
+      val q = graft.streaming.AnomalyStream.cusumStream(input.toDS())
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try slices.foreach { s => input.addData(s); q.processAllAvailable() }
+      finally q.stop()
+      spark.table(name).as[CusumHit].collect().toSeq
+    }
+    val one = run("cusum_a", Seq(rows))
+    val sliced = run("cusum_b", rows.grouped(rows.size / 3 + 1).toSeq)
+    assert(one.nonEmpty && sliced.nonEmpty)
+    val fin1 = one.maxBy(_.seen); val fin2 = sliced.maxBy(_.seen)
+    assert(fin1.seen == rows.size.toLong && fin2.seen == rows.size.toLong)
+    assert((fin1.hour_h, fin1.cusum_scaled) ==
+      ((fin2.hour_h, fin2.cusum_scaled)),
+      "final CUSUM peak must be slicing-invariant")
+    // parity with the batch census's top row on identical rows — the
+    // streaming SEQUENTIAL recurrence against the batch closed form
+    val batch = graft.operators.Anomaly.cusumCensus(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .collect().head
+    assert((fin1.hour_h, fin1.cusum_scaled) ==
+      ((batch.getLong(0), batch.getLong(1))),
+      s"stream $fin1 vs batch (${batch.getLong(0)}, ${batch.getLong(1)})")
+  }
+
   test("hll stream: slicing invariance, JVM/SQL register parity, and " +
     "snapshot equals the batch q131 device over the same rows") {
     import spark.implicits._
