@@ -497,7 +497,77 @@ object Anomaly extends QueryPack {
       .orderBy($"len_h".desc, $"start_h".asc).limit(5)
   }
 
+  // --- q142: Holt–Winters forecast-residual anomaly census -------------------
+  /** Top-5 FORECAST-RESIDUAL anomalies of the hourly value series under
+    * an additive Holt–Winters model (Holt 1957 / Winters 1960) with
+    * period m = 24 h: level + trend + daily seasonality are tracked by
+    * the classic triple-exponential recurrences and each hour is
+    * scored by how far the actual lands from its one-step-ahead
+    * forecast l + b + s. The FORECASTING reading of "anomaly" —
+    * the model says what this hour SHOULD have been — complementing
+    * q47's static seasonal bands (no trend adaptation), q137's shape
+    * discords, and q140's drift accumulation. This is the reference's
+    * own problem statement (forecast-based time-series anomaly
+    * detection) as a first-class operator.
+    *
+    * Exactness: the textbook recurrences mix by rational α; floats
+    * would drift across engines over 700 steps. Instead the model runs
+    * in FIXED-POINT integer cents with α = β = γ = 1/2 and every mix
+    * an explicit floor-halving: floor(a/2) is shiftright(a, 1) on
+    * Spark and (a − ((a%2)+2)%2)//2 in DuckDB — identical BIGINTs step
+    * for step, so the whole trajectory (and the census) sits under the
+    * hash gate. Warmup is the standard init: l₀ = floor(mean of the
+    * first day), b₀ = 0, s = first-day deviations; residuals start at
+    * hour m.
+    *
+    * Scale shape: q137's rule — ONLY the first rollup touches raw
+    * events; the recurrence is inherently sequential (each state needs
+    * the previous), so it runs IN-ROW over the TIME-SPAN-BOUNDED
+    * packed series via one `aggregate` fold (≤720 steps × O(m) queue
+    * work per month — ~17k element ops, nothing like the O(H²)
+    * spelling q140's comment warns about). At 100 TB the series key
+    * is the shard: one bounded in-row fold per metric series, the
+    * event stream never shuffles twice. Degenerate spans (< 2m hours)
+    * yield an empty census.
+    */
+  def q142HoltWinters(s: SparkSession, dir: String): DataFrame =
+    holtWintersCensus(Tables.events(s, dir))
+
+  def holtWintersCensus(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val m = 24
+    val ser = packedHourlySeries(events).filter(size($"sv") >= 2 * m)
+      // warm-day mean, floored exactly: (w − pmod(w,24)) is divisible,
+      // so the truncating `div` IS floor division here
+      .withColumn("w24", aggregate(slice($"sv", 1, m), lit(0L), _ + _))
+      .withColumn("l0", expr("(w24 - pmod(w24, 24)) div 24"))
+      .withColumn("acc0", struct(
+        $"l0".as("l"), lit(0L).as("b"),
+        transform(slice($"sv", 1, m), x => x - $"l0").as("ss"),
+        expr("CAST(array() AS ARRAY<BIGINT>)").as("rs")))
+    // the seasonal queue's head is always s_{t-m}: pop it, push s_t
+    val fin = ser.select($"mn", aggregate(
+      slice($"sv", lit(m + 1), size($"sv") - m), $"acc0",
+      (acc, x) => {
+        val l  = acc.getField("l"); val b = acc.getField("b")
+        val ss = acc.getField("ss"); val sh = element_at(ss, lit(1))
+        val r  = x - (l + b + sh)                    // actual − forecast
+        val ln = shiftright(x - sh + l + b, 1)       // α = 1/2
+        val bn = shiftright(ln - l + b, 1)           // β = 1/2
+        val sn = shiftright(x - ln + sh, 1)          // γ = 1/2
+        struct(ln.as("l"), bn.as("b"),
+          concat(slice(ss, 2, m - 1), array(sn)).as("ss"),
+          concat(acc.getField("rs"), array(r)).as("rs"))
+      }).getField("rs").as("rs"))
+    fin.select($"mn", posexplode($"rs").as(Seq("p", "residual_scaled")))
+      .select(($"mn" + m + $"p").as("hour_h"), $"residual_scaled",
+        Exact.dround($"residual_scaled".cast("double") / 100.0, 2)
+          .as("residual_dollars"))
+      .orderBy(abs($"residual_scaled").desc, $"hour_h".asc).limit(5)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q142_holt_winters"   -> (q142HoltWinters _),
     "q140_cusum"          -> (q140Cusum _),
     "q141_episodes"       -> (q141Episodes _),
     "q137_discord"        -> (q137Discord _),
@@ -514,6 +584,47 @@ object Anomaly extends QueryPack {
   private val v4Sql = "CAST(ROUND(value * 10000) AS BIGINT)"
 
   override def oracleSql: Map[String, String] = Map(
+    "q142_holt_winters" ->
+      // same cents series on the same dense spine; the fixed-point
+      // Holt–Winters recurrence replayed step for step by a recursive
+      // CTE — floor-halving spelled (a − ((a%2)+2)%2)//2, the seasonal
+      // queue carried as a LIST (head = s_{t-m}, pop/push per step).
+      // Exact BIGINT end to end; only the display division rounds.
+      {
+        def fd2(e: String) = s"((($e) - (((($e) % 2) + 2) % 2)) // 2)"
+        val ln = fd2("ser.x - rec.ss[1] + rec.l + rec.b2")
+        val bn = fd2(s"$ln - rec.l + rec.b2")
+        val sn = fd2(s"ser.x - $ln + rec.ss[1]")
+        s"""WITH RECURSIVE s AS (SELECT
+          |  epoch_us(date_trunc('hour', ts)) // 3600000000 AS hi,
+          |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x0
+          | FROM events GROUP BY 1),
+          |b AS (SELECT MIN(hi) mn, MAX(hi) mx FROM s),
+          |g AS (SELECT gs.hi FROM b, UNNEST(range(b.mn, b.mx + 1)) gs(hi)),
+          |ser AS (SELECT g.hi - b.mn AS idx, COALESCE(s.x0, 0) AS x
+          |  FROM g CROSS JOIN b LEFT JOIN s ON s.hi = g.hi),
+          |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nh FROM ser),
+          |w AS (SELECT CAST(SUM(x) AS BIGINT) AS s24 FROM ser WHERE idx < 24),
+          |i AS (SELECT ((s24 - ((s24 % 24) + 24) % 24) // 24) AS l0 FROM w),
+          |s0 AS (SELECT list(ser.x - i.l0 ORDER BY ser.idx) AS ss
+          |  FROM ser, i WHERE ser.idx < 24),
+          |rec AS (
+          |  SELECT CAST(23 AS BIGINT) AS t, i.l0 AS l,
+          |    CAST(0 AS BIGINT) AS b2, s0.ss AS ss, CAST(NULL AS BIGINT) AS r
+          |  FROM i, s0
+          |  UNION ALL
+          |  SELECT ser.idx, CAST($ln AS BIGINT) AS l, CAST($bn AS BIGINT) AS b2,
+          |    list_concat(rec.ss[2:24], [CAST($sn AS BIGINT)]) AS ss,
+          |    CAST(ser.x - (rec.l + rec.b2 + rec.ss[1]) AS BIGINT) AS r
+          |  FROM rec JOIN ser ON ser.idx = rec.t + 1)
+          |SELECT CAST(b.mn + rec.t AS BIGINT) AS hour_h,
+          | rec.r AS residual_scaled,
+          | ${graft.core.Exact.sqlDround("CAST(rec.r AS DOUBLE) / 100.0", 2)}
+          |   AS residual_dollars
+          |FROM rec CROSS JOIN b CROSS JOIN n
+          |WHERE rec.r IS NOT NULL AND n.nh >= 48
+          |ORDER BY ABS(rec.r) DESC, hour_h ASC LIMIT 5""".stripMargin
+      },
     "q140_cusum" ->
       // same cents series on the same dense spine; the closed-form
       // CUSUM (prefix sum minus running min, scaled by n to clear the

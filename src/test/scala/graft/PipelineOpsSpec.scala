@@ -815,6 +815,53 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(top(1).getLong(2) == 12L * (n2 * 5000L - sx2))
   }
 
+  test("q142 Holt–Winters: driver recompute of the fixed-point recurrence " +
+    "agrees with the in-row fold, and a planted spike on a periodic " +
+    "series is the top residual") {
+    import spark.implicits._
+    import graft.operators.Anomaly
+    // driver recompute over the fixture: the same integer recurrence,
+    // floor-halving via arithmetic shift (Long >> 1 == floor(a/2))
+    val hourly = graft.core.Tables.events(spark, sfDir)
+      .groupBy(expr("unix_micros(date_trunc('hour', ts)) div 3600000000")
+        .as("hi"))
+      .agg(sum(round($"value" * 100).cast("long")).as("x"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mn = hourly.keys.min; val mx = hourly.keys.max
+    val sv = (mn to mx).map(h => hourly.getOrElse(h, 0L)).toArray
+    assert(sv.length >= 48, "fixture must span at least two days")
+    val w24 = sv.take(24).sum
+    val l0 = (w24 - (((w24 % 24) + 24) % 24)) / 24
+    var l = l0; var b = 0L
+    val ss = scala.collection.mutable.Queue(sv.take(24).map(_ - l0): _*)
+    val rs = (24 until sv.length).map { t =>
+      val sh = ss.dequeue(); val x = sv(t)
+      val r = x - (l + b + sh)
+      val ln = (x - sh + l + b) >> 1
+      val bn = (ln - l + b) >> 1
+      val sn = (x - ln + sh) >> 1
+      ss.enqueue(sn); l = ln; b = bn
+      (mn + t, r)
+    }
+    val want = rs.sortBy { case (h, r) => (-math.abs(r), h) }.take(5).toSeq
+    val got = Anomaly.q142HoltWinters(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want, s"got $got want $want")
+    // planted: a perfectly daily-periodic series the model locks onto
+    // (residuals shrink to floor-rounding cents), then one wild hour —
+    // the forecast reading flags exactly that hour, not its neighbors
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val synth = (0 until 240).map { h =>
+      val v = if (h == 170) 500.0 else 10.0 + (h % 24)
+      (new java.sql.Timestamp(base + h * 3600000L), v)
+    }.toDF("ts", "value")
+    val top = Anomaly.holtWintersCensus(synth).collect()
+    assert(top.head.getLong(0) == (base / 3600000L) + 170,
+      s"top residual ${top.head.getLong(0)} must be the planted spike hour")
+    assert(top.head.getLong(1) > 40000L,
+      s"spike residual ${top.head.getLong(1)} must be ~the planted mass")
+  }
+
   test("ivfWrite: the partitionBy(cell) serving layout prunes a probe " +
     "to the probed cells' files, content round-trips") {
     val emb = graft.core.Tables.embeddings(spark, sfDir)

@@ -558,6 +558,16 @@ class PlanSpec extends SparkTestBase {
         "every window must be partitioned by the series key:\n" +
           specs.mkString("\n"))
     }
+    // q142 (round 11): the sequential recurrence is ONE in-row fold
+    // over the packed bounded series — no Window at all (the join in
+    // the plan is the bounded dense-spine fill), and top-5 rides
+    // TakeOrdered
+    val p142 = plan(graft.operators.Anomaly.q142HoltWinters(spark, sfDir))
+    assert(!p142.contains("CartesianProduct"), p142.take(2000))
+    assert(!p142.contains("Window"),
+      "q142's recurrence must be the in-row fold, not a window:\n" +
+        p142.take(2000))
+    assert(p142.contains("TakeOrderedAndProject"), p142.take(2000))
     spark.catalog.clearCache()
   }
 
