@@ -526,6 +526,80 @@ object Pipeline extends QueryPack {
       .limit(10)
   }
 
+  // --- q143: triangle census / local clustering coefficient ----------------
+  /** Per-node triangle participation over an undirected graph given as
+    * distinct (a, b) edge rows with a < b — the third web-graph quality
+    * signal after PageRank (q106, importance) and connected components
+    * (q51, duplication): a node's TRIANGLE density separates genuinely
+    * interlinked communities from link farms and star spam, which have
+    * high degree but near-zero closure (Newman 2003's clustering
+    * coefficient; the standard spam/community feature CommonCrawl-class
+    * corpus curation computes).
+    *
+    * Algorithm: degree-ordered orientation (Cohen 2009 / the
+    * MapReduce-standard "node-iterator++") — orient every edge from its
+    * (degree, id)-smaller endpoint; each triangle then has exactly ONE
+    * apex (its order-minimal vertex) whose two out-edges span it, so
+    * wedges built per apex + ONE semi-join against the oriented edge
+    * set count each triangle exactly once, and out-degrees are bounded
+    * by O(√m), which bounds the wedge fanout — the reason this shape
+    * survives skewed degree distributions where naive neighborhood
+    * joins explode.
+    *
+    * Scale shape: two edge⨝degree joins (degree is node-sized, so
+    * these stay SHUFFLE joins — a node-sized broadcast would be the
+    * 100 TB mistake; at test scale AQE broadcasts it on its own), the
+    * wedge self-join keyed on the apex, one edge-keyed semi-join, one
+    * node-keyed rollup. Everything hash-partitions on graph keys;
+    * nothing is driver-side.
+    */
+  def triangleNodes(edges: DataFrame): DataFrame = {
+    import edges.sparkSession.implicits._
+    val deg = edges.select($"a".as("v")).unionAll(edges.select($"b".as("v")))
+      .groupBy($"v").agg(count(lit(1)).as("d"))
+    val lowFirst = $"da" < $"db" || ($"da" === $"db" && $"a" < $"b")
+    val oe = edges
+      .join(deg.toDF("a", "da"), "a").join(deg.toDF("b", "db"), "b")
+      .select(
+        when(lowFirst, $"a").otherwise($"b").as("u"),
+        when(lowFirst, $"b").otherwise($"a").as("w"),
+        when(lowFirst, $"db").otherwise($"da").as("dw"))
+    val w1 = oe.toDF("u", "v1", "dx1")
+    val w2 = oe.toDF("u", "v2", "dx2")
+    val tri = w1.join(w2, "u")
+      .filter($"dx1" < $"dx2" || ($"dx1" === $"dx2" && $"v1" < $"v2"))
+      .join(oe.select($"u".as("v1"), $"w".as("v2")),
+        Seq("v1", "v2"), "left_semi")
+      .select($"u", $"v1", $"v2")
+    tri.select(explode(array($"u", $"v1", $"v2")).as("v"))
+      .groupBy($"v").agg(count(lit(1)).as("tri_cnt"))
+      .join(deg, "v")
+  }
+
+  /** Top-5 triangle-dense nodes of a deterministic citation graph
+    * rebuilt from doc_id alone (q106's device): every doc i links to
+    * i div 2 AND i div 4 — so (i, i div 2, i div 4) closes a triangle
+    * for every i ≥ 4 and the census has real mass to rank (496
+    * triangles at sf0.01), with local clustering coefficient
+    * tri / C(deg, 2) as the quality signal.
+    */
+  def q143Triangles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nodes = Tables.documents(s, dir).select($"doc_id".as("id"))
+    val e = nodes.filter($"id" >= 2)
+      .select(least($"id", expr("id div 2")).as("a"),
+        greatest($"id", expr("id div 2")).as("b"))
+      .unionAll(nodes.filter($"id" >= 4)
+        .select(least($"id", expr("id div 4")).as("a"),
+          greatest($"id", expr("id div 4")).as("b")))
+      .filter($"a" =!= $"b").distinct()
+    triangleNodes(e)
+      .select($"v".as("doc_id"), $"tri_cnt",
+        graft.core.Exact.dround($"tri_cnt".cast("double")
+          / (($"d" * ($"d" - 1)).cast("double") / 2.0), 6).as("local_cc"))
+      .orderBy($"tri_cnt".desc, $"doc_id".asc).limit(5)
+  }
+
   // --- q111: corpus snapshot diff (crawl-refresh delta census) -------------
   /** Content-level diff between two corpus snapshots — the census an
     * incremental crawl pipeline runs before deciding what to
@@ -766,6 +840,7 @@ object Pipeline extends QueryPack {
     "q96_zorder_layout" -> (q96ZorderLayout _),
     "q104_url_canonical" -> (q104UrlCanonical _),
     "q106_pagerank"     -> (q106Pagerank _),
+    "q143_triangles"    -> (q143Triangles _),
     "q111_snapshot_diff" -> (q111SnapshotDiff _),
     "q125_merge_apply"   -> (q125MergeApply _),
     "q132_weighted_sample" -> (q132WeightedSample _),
@@ -848,6 +923,43 @@ object Pipeline extends QueryPack {
          |   ELSE 'unchanged' END AS status
          | FROM a FULL OUTER JOIN b USING (doc_id))
          |SELECT lang, status, COUNT(*) AS n FROM d GROUP BY 1, 2""".stripMargin,
+    "q143_triangles" ->
+      // same deterministic citation graph; the degree-ordered
+      // orientation replayed relationally — each triangle has exactly
+      // one (degree, id)-minimal apex, so the wedge join + EXISTS
+      // closure counts it once
+      """WITH nodes AS (SELECT doc_id AS id FROM documents),
+        |e0 AS (
+        |  SELECT DISTINCT LEAST(id, id // 2) AS a,
+        |    GREATEST(id, id // 2) AS b FROM nodes
+        |   WHERE id >= 2 AND LEAST(id, id // 2) <> GREATEST(id, id // 2)
+        |  UNION
+        |  SELECT DISTINCT LEAST(id, id // 4) AS a,
+        |    GREATEST(id, id // 4) AS b FROM nodes
+        |   WHERE id >= 4 AND LEAST(id, id // 4) <> GREATEST(id, id // 4)),
+        |deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        |  SELECT a AS v FROM e0 UNION ALL SELECT b AS v FROM e0) GROUP BY 1),
+        |oe AS (SELECT
+        |  CASE WHEN da.d < db.d OR (da.d = db.d AND e0.a < e0.b)
+        |    THEN e0.a ELSE e0.b END AS u,
+        |  CASE WHEN da.d < db.d OR (da.d = db.d AND e0.a < e0.b)
+        |    THEN e0.b ELSE e0.a END AS w,
+        |  CASE WHEN da.d < db.d OR (da.d = db.d AND e0.a < e0.b)
+        |    THEN db.d ELSE da.d END AS dw
+        | FROM e0 JOIN deg da ON da.v = e0.a JOIN deg db ON db.v = e0.b),
+        |tri AS (SELECT w1.u, w1.w AS v1, w2.w AS v2
+        |  FROM oe w1 JOIN oe w2 ON w1.u = w2.u
+        |   AND (w1.dw < w2.dw OR (w1.dw = w2.dw AND w1.w < w2.w))
+        |  WHERE EXISTS (SELECT 1 FROM oe c WHERE c.u = w1.w AND c.w = w2.w)),
+        |tn AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS tri_cnt FROM (
+        |  SELECT u AS v FROM tri UNION ALL SELECT v1 AS v FROM tri
+        |  UNION ALL SELECT v2 AS v FROM tri) GROUP BY 1)
+        |SELECT tn.v AS doc_id, tn.tri_cnt,
+        | CAST(ROUND(CAST(CAST(tn.tri_cnt AS DOUBLE)
+        |   / (CAST(deg.d * (deg.d - 1) AS DOUBLE) / 2.0)
+        |   AS DECIMAL(28,10)), 6) AS DOUBLE) AS local_cc
+        |FROM tn JOIN deg ON deg.v = tn.v
+        |ORDER BY tn.tri_cnt DESC, doc_id ASC LIMIT 5""".stripMargin,
     "q106_pagerank" ->
       // two unrolled power iterations; contributions snapped to
       // round(rank/od * 2^20) BIGINTs before the per-dst sum (exact/

@@ -827,6 +827,54 @@ object Relational extends QueryPack {
           .cast("long")).as("revenue_cents"))
   }
 
+  // --- q144: correlated scalar subquery, decorrelated (TPC-H Q17 shape) ----
+  /** Small-quantity revenue for one brand — TPC-H Q17's shape: "revenue
+    * from orders of a part at quantities below 20% of THAT PART's
+    * average order quantity". The textbook CORRELATED scalar subquery
+    * (the per-part average references the outer row's part), and the
+    * optimizer lesson is DECORRELATION: spelled as a subquery, a naive
+    * engine re-aggregates lineitem once per probe row; spelled — or
+    * rewritten by Catalyst — as a grouped aggregate joined back on
+    * partkey, it is one aggregation + one join. The engine declares the
+    * decorrelated form directly; both the Spark plan and the oracle
+    * run the identical algebra, and PlanSpec pins the plan: the
+    * brand-filtered side broadcasts, the per-part aggregate computes
+    * ONCE (its exchange keys on l_partkey), never per-row.
+    *
+    * Exactness: quantities are integral (OracleBoundSpec-class
+    * generator contract, asserted in the spec), so qty < avg/5 is
+    * evaluated as the INTEGER predicate 5·q·cnt < Σq — no double
+    * average, no boundary drift; revenue sums in cents (q138's rule).
+    *
+    * Scale shape: the per-part aggregate is a map-side-combined rollup
+    * of the fact table — the plan's ONLY full-data exchange, keyed on
+    * l_partkey — and its output is |parts| rows (data-independent
+    * cardinality), so it BROADCASTS back onto the fact side; the brand
+    * dim filter pushes to the part parquet scan and broadcasts too.
+    * Net: the fact table is scanned twice but never shuffled. If
+    * |parts| ever outgrew broadcast, both sides already key on
+    * l_partkey and the same spelling degrades to a co-partitioned
+    * sort-merge join.
+    */
+  def q144SmallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .select($"l_partkey", round($"l_quantity").cast("long").as("q"),
+        round($"l_extendedprice" * 100).cast("long").as("epc"))
+    val p = Tables.part(s, dir)
+      .filter($"p_brand" === "Brand#13").select($"p_partkey")
+    val avgq = li.groupBy($"l_partkey".as("ap"))
+      .agg(sum($"q").as("sq"), count(lit(1)).as("cq"))
+    li.join(p, $"l_partkey" === $"p_partkey")
+      .join(avgq, $"l_partkey" === $"ap")
+      .filter($"q" * 5L * $"cq" < $"sq")
+      .agg(count(lit(1)).as("n_lines"),
+        coalesce(sum($"epc"), lit(0L)).as("revenue_cents"),
+        graft.core.Exact.dround(
+          coalesce(sum($"epc"), lit(0L)).cast("double") / 100.0 / 7.0, 2)
+          .as("avg_yearly"))
+  }
+
   // --- q131: HyperLogLog distinct-count sketch -----------------------------
   /** The FOURTH sketch family under the exact gate (KMV q103 keeps k
     * hashes, Misra–Gries q58 a heavy-hitter set, CMS q112 a counter
@@ -1242,6 +1290,7 @@ object Relational extends QueryPack {
     "q129_path_capped"  -> (q129PathCapped _),
     "q131_hll_distinct" -> (q131HllDistinct _),
     "q138_local_revenue" -> (q138LocalRevenue _),
+    "q144_small_qty_revenue" -> (q144SmallQtyRevenue _),
     "q126_disorder"     -> (q126DisorderCensus _),
     "q124_path_mining"  -> (q124PathMining _),
     "q123_attribution"  -> (q123Attribution _),
@@ -1298,6 +1347,24 @@ object Relational extends QueryPack {
         | AND o.o_orderdate >= TIMESTAMP '1996-01-01'
         | AND o.o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY 1""".stripMargin,
+    "q144_small_qty_revenue" ->
+      // the decorrelated algebra verbatim: one per-part grouped
+      // aggregate joined back on partkey, the below-a-fifth-of-average
+      // predicate as the exact integer comparison 5·q·cnt < Σq
+      """WITH li AS (SELECT l_partkey,
+        |  CAST(ROUND(l_quantity) AS BIGINT) AS q,
+        |  CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS epc
+        | FROM lineitem),
+        |p AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#13'),
+        |a AS (SELECT l_partkey AS ap, CAST(SUM(q) AS BIGINT) AS sq,
+        |  CAST(COUNT(*) AS BIGINT) AS cq FROM li GROUP BY 1)
+        |SELECT COUNT(*) AS n_lines,
+        | CAST(COALESCE(SUM(li.epc), 0) AS BIGINT) AS revenue_cents,
+        | CAST(ROUND(CAST(CAST(COALESCE(SUM(li.epc), 0) AS DOUBLE)
+        |   / 100.0 / 7.0 AS DECIMAL(28,10)), 2) AS DOUBLE) AS avg_yearly
+        |FROM li JOIN p ON li.l_partkey = p.p_partkey
+        |JOIN a ON li.l_partkey = a.ap
+        |WHERE li.q * 5 * a.cq < a.sq""".stripMargin,
     "q131_hll_distinct" ->
       // full register replay: same md5 addressing, same string-derived
       // rho, harmonic sum over exact integers (1 << (53 - m)), the

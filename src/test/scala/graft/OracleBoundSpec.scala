@@ -43,4 +43,18 @@ class OracleBoundSpec extends SparkTestBase {
         s"bound (MaxDocSeries - 2 = ${OracleGen.MaxDocSeries - 2}) — " +
         "the DuckDB oracle would silently truncate that user's paths")
   }
+
+  test("lineitem quantities are integral (q144's exact below-average " +
+    "predicate depends on it)") {
+    // q144 evaluates qty < avg/5 as the integer comparison
+    // 5·q·cnt < Σq — exact only because quantities are whole numbers.
+    // A regenerated corpus with fractional quantities must fail HERE,
+    // not as a silent boundary drift between Spark and DuckDB.
+    val frac = Tables.lineitem(spark, sfDir)
+      .filter(col("l_quantity") =!= round(col("l_quantity")))
+      .count()
+    assert(frac == 0L,
+      s"$frac lineitem rows have fractional l_quantity — q144's exact " +
+        "integer predicate no longer matches the SQL average semantics")
+  }
 }

@@ -862,6 +862,39 @@ class PipelineOpsSpec extends SparkTestBase {
       s"spike residual ${top.head.getLong(1)} must be ~the planted mass")
   }
 
+  test("q143 triangles: driver brute-force recount agrees on the real " +
+    "citation graph; K4 closes fully, a star closes nothing") {
+    import spark.implicits._
+    import graft.operators.Pipeline
+    // brute-force recount over the sfDir citation graph via adjacency
+    // sets — validates the degree-ordered orientation end to end
+    val ids = graft.core.Tables.documents(spark, sfDir)
+      .select($"doc_id").collect().map(_.getLong(0))
+    val edges = (ids.filter(_ >= 2).map(i => (math.min(i, i / 2), math.max(i, i / 2))) ++
+      ids.filter(_ >= 4).map(i => (math.min(i, i / 4), math.max(i, i / 4))))
+      .filter { case (a, b) => a != b }.distinct
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val triPer = scala.collection.mutable.Map.empty[Long, Long]
+    for ((a, b) <- edges; c <- adj(a) if c > b && adj(b).contains(c)) {
+      for (v <- Seq(a, b, c)) triPer(v) = triPer.getOrElse(v, 0L) + 1L
+    }
+    val got = Pipeline.triangleNodes(edges.toSeq.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == triPer.toMap, s"per-node counts diverge: got ${got.size} " +
+      s"nodes want ${triPer.size}")
+    // K4: every node spans C(3,2)=3 triangles and closes completely
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("a", "b")
+    val k4got = Pipeline.triangleNodes(k4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(k4got == Seq((1L, 3L, 3L), (2L, 3L, 3L), (3L, 3L, 3L), (4L, 3L, 3L)))
+    // star: high degree, zero closure — the spam shape the signal exists
+    // to separate
+    val star = (1L to 5L).map(i => (0L, i)).toDF("a", "b")
+    assert(Pipeline.triangleNodes(star).isEmpty)
+  }
+
   test("ivfWrite: the partitionBy(cell) serving layout prunes a probe " +
     "to the probed cells' files, content round-trips") {
     val emb = graft.core.Tables.embeddings(spark, sfDir)

@@ -571,6 +571,24 @@ class PlanSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("q144: decorrelated Q17 — the fact side never shuffles: brand " +
+    "filter pushed to the part scan, both join sides broadcast, the " +
+    "per-part aggregate's map-combined exchange is the plan's only one") {
+    val p = plan(graft.operators.Relational.q144SmallQtyRevenue(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("EqualTo(p_brand"),
+      "brand filter must push to the part parquet scan:\n" + p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "both q144 joins must broadcast at test scale:\n" + p.take(2000))
+    val hashEx = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.size == 1 && hashEx.head.contains("l_partkey"),
+      "the per-part aggregate's exchange must be the only hash " +
+        s"exchange:\n${hashEx.mkString("\n")}")
+    spark.catalog.clearCache()
+  }
+
   test("q118: novelty joins only DOC-cardinality frames — the gram " +
     "stream feeds one aggregation and is never join-back material; no " +
     "candidate pairing, no Window, no nested-loop join") {
