@@ -572,6 +572,88 @@ object AnomalyStream {
     Some((bestH, best))
   }
 
+  case class HoltHit(seen: Long, hour_h: Long, residual_scaled: Long)
+
+  /** Streaming twin of batch q142 Holt–Winters — the FORECAST-residual
+    * detector as stream state, [[cusumStream]]'s class exactly: state
+    * is the hourly cents map (TIME-SPAN-bounded, never
+    * stream-volume-bounded) under one global series key; each batch
+    * folds its events into the map and emits the CURRENT top
+    * forecast-residual hour (largest |actual − (l+b+s)|, smallest hour
+    * on ties) tagged with `seen` (max-seen = latest). The fixed-point
+    * recurrence (α=β=γ=1/2, floor-halving — Long >> 1) replays from
+    * warmup over the densified span each batch: ≤720 steps of integer
+    * queue work per month of span, microseconds — a long-horizon
+    * deployment carries (l, b, season queue) incrementally instead,
+    * same state contract. Cents round HALF_UP away from zero — bit
+    * parity with batch round()/DuckDB ROUND (the round-11 rule). No
+    * emission until the series spans two periods.
+    *
+    * Replay stability is UNCONDITIONAL: the state is a sum map over
+    * the event multiset, so re-slicing cannot diverge it, and the
+    * final snapshot's peak equals batch
+    * [[graft.operators.Anomaly.holtWintersCensus]]'s top row over the
+    * same rows (StreamingSpec pins both).
+    */
+  def holtStream(events: Dataset[Event]): Dataset[HoltHit] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_ => 0)
+      .flatMapGroupsWithState[(Map[Long, Long], Long), HoltHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_, it, state) =>
+          val (m0, seen0) = state.getOption.getOrElse(
+            (Map.empty[Long, Long], 0L))
+          var m = m0; var n = 0L
+          it.foreach { e =>
+            val h = micros(e.ts) / 3600000000L
+            val cents = BigDecimal(e.value * 100)
+              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+            m = m.updated(h, m.getOrElse(h, 0L) + cents)
+            n += 1
+          }
+          val seen = seen0 + n
+          state.update((m, seen))
+          topHoltResidual(m) match {
+            case Some((h, r)) => Iterator.single(HoltHit(seen, h, r))
+            case None         => Iterator.empty
+          }
+      }
+  }
+
+  /** q142's fixed-point recurrence over a sparse hourly map: densify to
+    * the span, warm up on the first day (l₀ = floored mean, b₀ = 0,
+    * seasons = first-day deviations), step the floor-halving updates,
+    * return the (max |residual|, then smallest hour) peak. Long >> 1
+    * IS floor(a/2) — the same arithmetic the batch fold and the
+    * DuckDB oracle spell.
+    */
+  private[streaming] def topHoltResidual(m: Map[Long, Long])
+      : Option[(Long, Long)] = {
+    if (m.isEmpty) return None
+    val mn = m.keys.min; val mx = m.keys.max
+    if (mx - mn + 1 < 48L) return None
+    val sv = (mn to mx).map(h => m.getOrElse(h, 0L)).toArray
+    val w24 = sv.take(24).sum
+    val l0 = (w24 - (((w24 % 24) + 24) % 24)) / 24
+    var l = l0; var b = 0L
+    val q = scala.collection.mutable.Queue(sv.take(24).map(_ - l0): _*)
+    var bestAbs = -1L; var bestR = 0L; var bestH = mn
+    var t = 24
+    while (t < sv.length) {
+      val sh = q.dequeue(); val x = sv(t)
+      val r = x - (l + b + sh)
+      val ln = (x - sh + l + b) >> 1
+      val bn = (ln - l + b) >> 1
+      val sn = (x - ln + sh) >> 1
+      q.enqueue(sn); l = ln; b = bn
+      if (math.abs(r) > bestAbs) {
+        bestAbs = math.abs(r); bestR = r; bestH = mn + t
+      }
+      t += 1
+    }
+    Some((bestH, bestR))
+  }
+
   case class DocEvent(doc_id: Long, lang: String, text: String)
   case class ChunkSeen(ch: String, doc_id: Long, lang: String,
       chunk_toks: Long, occ: Long)

@@ -931,6 +931,48 @@ class StreamingSpec extends SparkTestBase {
       s"stream $fin1 vs batch (${batch.getLong(0)}, ${batch.getLong(1)})")
   }
 
+  test("holt stream: final snapshot equals batch holtWintersCensus top-1 " +
+    "over the same rows; slicing invariant; silent below two periods") {
+    import spark.implicits._
+    import graft.streaming.AnomalyStream.HoltHit
+    implicit val sc = spark.sqlContext
+    val rows = graft.core.Tables.events(spark, sfDir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().toSeq
+    def run(name: String, slices: Seq[Seq[Event]]): Seq[HoltHit] = {
+      val input = MemoryStream[Event]
+      val q = graft.streaming.AnomalyStream.holtStream(input.toDS())
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try slices.foreach { s => input.addData(s); q.processAllAvailable() }
+      finally q.stop()
+      spark.table(name).as[HoltHit].collect().toSeq
+    }
+    val one = run("holt_a", Seq(rows))
+    val sliced = run("holt_b", rows.grouped(rows.size / 3 + 1).toSeq)
+    assert(one.nonEmpty && sliced.nonEmpty)
+    val fin1 = one.maxBy(_.seen); val fin2 = sliced.maxBy(_.seen)
+    assert(fin1.seen == rows.size.toLong && fin2.seen == rows.size.toLong)
+    assert((fin1.hour_h, fin1.residual_scaled) ==
+      ((fin2.hour_h, fin2.residual_scaled)),
+      "final forecast-residual peak must be slicing-invariant")
+    // parity with the batch census's top row on identical rows — the
+    // streaming JVM recurrence against the batch in-row fold
+    val batch = graft.operators.Anomaly.holtWintersCensus(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .collect().head
+    assert((fin1.hour_h, fin1.residual_scaled) ==
+      ((batch.getLong(0), batch.getLong(1))),
+      s"stream $fin1 vs batch (${batch.getLong(0)}, ${batch.getLong(1)})")
+    // below two periods the model has no season to forecast from —
+    // silent rather than guessing
+    val minH = rows.map(e =>
+      graft.streaming.AnomalyStream.micros(e.ts) / 3600000000L).min
+    val short = run("holt_c", Seq(rows.filter(e =>
+      graft.streaming.AnomalyStream.micros(e.ts) / 3600000000L < minH + 40)))
+    assert(short.isEmpty)
+  }
+
   test("hll stream: slicing invariance, JVM/SQL register parity, and " +
     "snapshot equals the batch q131 device over the same rows") {
     import spark.implicits._
