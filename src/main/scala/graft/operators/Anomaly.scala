@@ -533,10 +533,16 @@ object Anomaly extends QueryPack {
   def q142HoltWinters(s: SparkSession, dir: String): DataFrame =
     holtWintersCensus(Tables.events(s, dir))
 
-  def holtWintersCensus(events: DataFrame): DataFrame = {
+  /** The shared Holt–Winters fold: packs the hourly series, warms up on
+    * the first day, steps the fixed-point recurrence in-row, and
+    * returns one row (mn, nh, fin) where fin = (l, b, ss, rs) is the
+    * final model state plus the full residual trajectory — q142 reads
+    * `rs`, q145 reads the terminal (l, b, ss).
+    */
+  private def holtFold(events: DataFrame): DataFrame = {
     import events.sparkSession.implicits._
     val m = 24
-    val ser = packedHourlySeries(events).filter(size($"sv") >= 2 * m)
+    packedHourlySeries(events).filter(size($"sv") >= 2 * m)
       // warm-day mean, floored exactly: (w − pmod(w,24)) is divisible,
       // so the truncating `div` IS floor division here
       .withColumn("w24", aggregate(slice($"sv", 1, m), lit(0L), _ + _))
@@ -545,29 +551,67 @@ object Anomaly extends QueryPack {
         $"l0".as("l"), lit(0L).as("b"),
         transform(slice($"sv", 1, m), x => x - $"l0").as("ss"),
         expr("CAST(array() AS ARRAY<BIGINT>)").as("rs")))
-    // the seasonal queue's head is always s_{t-m}: pop it, push s_t
-    val fin = ser.select($"mn", aggregate(
-      slice($"sv", lit(m + 1), size($"sv") - m), $"acc0",
-      (acc, x) => {
-        val l  = acc.getField("l"); val b = acc.getField("b")
-        val ss = acc.getField("ss"); val sh = element_at(ss, lit(1))
-        val r  = x - (l + b + sh)                    // actual − forecast
-        val ln = shiftright(x - sh + l + b, 1)       // α = 1/2
-        val bn = shiftright(ln - l + b, 1)           // β = 1/2
-        val sn = shiftright(x - ln + sh, 1)          // γ = 1/2
-        struct(ln.as("l"), bn.as("b"),
-          concat(slice(ss, 2, m - 1), array(sn)).as("ss"),
-          concat(acc.getField("rs"), array(r)).as("rs"))
-      }).getField("rs").as("rs"))
-    fin.select($"mn", posexplode($"rs").as(Seq("p", "residual_scaled")))
+      // the seasonal queue's head is always s_{t-m}: pop it, push s_t
+      .select($"mn", size($"sv").cast("long").as("nh"), aggregate(
+        slice($"sv", lit(m + 1), size($"sv") - m), $"acc0",
+        (acc, x) => {
+          val l  = acc.getField("l"); val b = acc.getField("b")
+          val ss = acc.getField("ss"); val sh = element_at(ss, lit(1))
+          val r  = x - (l + b + sh)                    // actual − forecast
+          val ln = shiftright(x - sh + l + b, 1)       // α = 1/2
+          val bn = shiftright(ln - l + b, 1)           // β = 1/2
+          val sn = shiftright(x - ln + sh, 1)          // γ = 1/2
+          struct(ln.as("l"), bn.as("b"),
+            concat(slice(ss, 2, m - 1), array(sn)).as("ss"),
+            concat(acc.getField("rs"), array(r)).as("rs"))
+        }).as("fin"))
+  }
+
+  def holtWintersCensus(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val m = 24
+    holtFold(events)
+      .select($"mn",
+        posexplode($"fin.rs").as(Seq("p", "residual_scaled")))
       .select(($"mn" + m + $"p").as("hour_h"), $"residual_scaled",
         Exact.dround($"residual_scaled".cast("double") / 100.0, 2)
           .as("residual_dollars"))
       .orderBy(abs($"residual_scaled").desc, $"hour_h".asc).limit(5)
   }
 
+  // --- q145: Holt–Winters next-day forecast -----------------------------------
+  /** The FORECAST surface q142's model earns: the next 24 hours beyond
+    * the series end, f(T+h) = l_T + h·b_T + s_{(T+h) mod 24} from the
+    * terminal model state — the capacity-planning product question
+    * ("what SHOULD tomorrow look like") that anomaly censuses answer
+    * only retrospectively. After the fold consumed hour T = mn+nh−1,
+    * the seasonal queue's h-th entry (1-based) is exactly the season of
+    * slot T+h, so the projection is element_at(ss, h). Same exactness
+    * contract as q142 (all-BIGINT state, display division only); same
+    * scale shape (one in-row fold, then a 24-row explode — the
+    * forecast itself is O(1) per series however large the history).
+    */
+  def q145HoltForecast(s: SparkSession, dir: String): DataFrame =
+    holtForecast(Tables.events(s, dir))
+
+  def holtForecast(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    holtFold(events)
+      .select($"mn", $"nh", $"fin.l".as("l"), $"fin.b".as("b"),
+        $"fin.ss".as("ss"),
+        explode(sequence(lit(1L), lit(24L))).as("h"))
+      .select(($"mn" + $"nh" - 1L + $"h").as("hour_h"),
+        ($"l" + $"h" * $"b" + element_at($"ss", $"h".cast("int")))
+          .as("forecast_scaled"))
+      .select($"hour_h", $"forecast_scaled",
+        Exact.dround($"forecast_scaled".cast("double") / 100.0, 2)
+          .as("forecast_dollars"))
+      .orderBy($"hour_h".asc)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q142_holt_winters"   -> (q142HoltWinters _),
+    "q145_holt_forecast"  -> (q145HoltForecast _),
     "q140_cusum"          -> (q140Cusum _),
     "q141_episodes"       -> (q141Episodes _),
     "q137_discord"        -> (q137Discord _),
@@ -624,6 +668,46 @@ object Anomaly extends QueryPack {
           |FROM rec CROSS JOIN b CROSS JOIN n
           |WHERE rec.r IS NOT NULL AND n.nh >= 48
           |ORDER BY ABS(rec.r) DESC, hour_h ASC LIMIT 5""".stripMargin
+      },
+    "q145_holt_forecast" ->
+      // q142's recursive CTE run to the terminal state row (t = nh−1),
+      // then 24 projections l + h·b + ss[h] — the queue's h-th entry
+      // IS the season of slot T+h
+      {
+        def fd2(e: String) = s"((($e) - (((($e) % 2) + 2) % 2)) // 2)"
+        val ln = fd2("ser.x - rec.ss[1] + rec.l + rec.b2")
+        val bn = fd2(s"$ln - rec.l + rec.b2")
+        val sn = fd2(s"ser.x - $ln + rec.ss[1]")
+        s"""WITH RECURSIVE s AS (SELECT
+          |  epoch_us(date_trunc('hour', ts)) // 3600000000 AS hi,
+          |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x0
+          | FROM events GROUP BY 1),
+          |b AS (SELECT MIN(hi) mn, MAX(hi) mx FROM s),
+          |g AS (SELECT gs.hi FROM b, UNNEST(range(b.mn, b.mx + 1)) gs(hi)),
+          |ser AS (SELECT g.hi - b.mn AS idx, COALESCE(s.x0, 0) AS x
+          |  FROM g CROSS JOIN b LEFT JOIN s ON s.hi = g.hi),
+          |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nh FROM ser),
+          |w AS (SELECT CAST(SUM(x) AS BIGINT) AS s24 FROM ser WHERE idx < 24),
+          |i AS (SELECT ((s24 - ((s24 % 24) + 24) % 24) // 24) AS l0 FROM w),
+          |s0 AS (SELECT list(ser.x - i.l0 ORDER BY ser.idx) AS ss
+          |  FROM ser, i WHERE ser.idx < 24),
+          |rec AS (
+          |  SELECT CAST(23 AS BIGINT) AS t, i.l0 AS l,
+          |    CAST(0 AS BIGINT) AS b2, s0.ss AS ss
+          |  FROM i, s0
+          |  UNION ALL
+          |  SELECT ser.idx, CAST($ln AS BIGINT) AS l, CAST($bn AS BIGINT) AS b2,
+          |    list_concat(rec.ss[2:24], [CAST($sn AS BIGINT)]) AS ss
+          |  FROM rec JOIN ser ON ser.idx = rec.t + 1)
+          |SELECT CAST(b.mn + rec.t + hs.h AS BIGINT) AS hour_h,
+          | CAST(rec.l + hs.h * rec.b2 + rec.ss[CAST(hs.h AS INT)] AS BIGINT)
+          |   AS forecast_scaled,
+          | ${graft.core.Exact.sqlDround(
+              "CAST(rec.l + hs.h * rec.b2 + rec.ss[CAST(hs.h AS INT)] " +
+              "AS DOUBLE) / 100.0", 2)} AS forecast_dollars
+          |FROM rec CROSS JOIN b CROSS JOIN n, UNNEST(range(1, 25)) hs(h)
+          |WHERE rec.t = n.nh - 1 AND n.nh >= 48
+          |ORDER BY hour_h ASC""".stripMargin
       },
     "q140_cusum" ->
       // same cents series on the same dense spine; the closed-form

@@ -862,6 +862,54 @@ class PipelineOpsSpec extends SparkTestBase {
       s"spike residual ${top.head.getLong(1)} must be ~the planted mass")
   }
 
+  test("q145 forecast: driver terminal-state projection agrees on the " +
+    "real series, and a periodic series forecasts its own next day " +
+    "to within floor-rounding cents") {
+    import spark.implicits._
+    import graft.operators.Anomaly
+    // driver recompute: run the recurrence to the end, project 24 ahead
+    val hourly = graft.core.Tables.events(spark, sfDir)
+      .groupBy(expr("unix_micros(date_trunc('hour', ts)) div 3600000000")
+        .as("hi"))
+      .agg(sum(round($"value" * 100).cast("long")).as("x"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mn = hourly.keys.min; val mx = hourly.keys.max
+    val sv = (mn to mx).map(h => hourly.getOrElse(h, 0L)).toArray
+    val w24 = sv.take(24).sum
+    val l0 = (w24 - (((w24 % 24) + 24) % 24)) / 24
+    var l = l0; var b = 0L
+    val ss = scala.collection.mutable.Queue(sv.take(24).map(_ - l0): _*)
+    (24 until sv.length).foreach { t =>
+      val sh = ss.dequeue(); val x = sv(t)
+      val ln = (x - sh + l + b) >> 1
+      val bn = (ln - l + b) >> 1
+      val sn = (x - ln + sh) >> 1
+      ss.enqueue(sn); l = ln; b = bn
+    }
+    val sArr = ss.toArray
+    val want = (1 to 24).map(h =>
+      (mx + h, l + h * b + sArr(h - 1))).toSeq
+    val got = Anomaly.q145HoltForecast(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want, s"got $got want $want")
+    // a perfectly periodic series: the forecast for tomorrow is
+    // (approximately) the daily pattern itself — floor-halving leaves
+    // only cents-scale bias, bounded well inside one pattern step
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val synth = (0 until 240).map { h =>
+      (new java.sql.Timestamp(base + h * 3600000L), 10.0 + (h % 24))
+    }.toDF("ts", "value")
+    val fc = Anomaly.holtForecast(synth).collect()
+    assert(fc.length == 24)
+    fc.foreach { r =>
+      val slot = ((r.getLong(0) % 24) + 24) % 24
+      val expected = (10.0 + slot) * 100.0
+      assert(math.abs(r.getLong(1) - expected) <= 50.0,
+        s"hour ${r.getLong(0)} forecast ${r.getLong(1)} should be near " +
+          s"the periodic value $expected")
+    }
+  }
+
   test("q143 triangles: driver brute-force recount agrees on the real " +
     "citation graph; K4 closes fully, a star closes nothing") {
     import spark.implicits._
