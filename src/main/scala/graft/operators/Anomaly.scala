@@ -552,7 +552,7 @@ object Anomaly extends QueryPack {
         transform(slice($"sv", 1, m), x => x - $"l0").as("ss"),
         expr("CAST(array() AS ARRAY<BIGINT>)").as("rs")))
       // the seasonal queue's head is always s_{t-m}: pop it, push s_t
-      .select($"mn", size($"sv").cast("long").as("nh"), aggregate(
+      .select($"mn", size($"sv").cast("long").as("nh"), $"sv", aggregate(
         slice($"sv", lit(m + 1), size($"sv") - m), $"acc0",
         (acc, x) => {
           val l  = acc.getField("l"); val b = acc.getField("b")
@@ -609,9 +609,48 @@ object Anomaly extends QueryPack {
       .orderBy($"hour_h".asc)
   }
 
+  // --- q146: forecast backtest census (model selection) ----------------------
+  /** One-step-ahead BACKTEST of three forecasters over the same scored
+    * hours (t = m..H−1): Holt–Winters (q142's residual trajectory),
+    * seasonal-naive (x[t−24] — "same hour yesterday", the baseline
+    * every forecasting paper must beat), and naive (x[t−1]). SSE in
+    * exact scaled integers picks `best_model` — the model-selection
+    * census a deployment runs before trusting q145's forecasts, and
+    * the honesty check on q142 itself: if seasonal-naive wins, the
+    * model is not earning its state.
+    *
+    * Exactness: every residual is a BIGINT difference (HW's from the
+    * fixed-point fold; the baselines are array-shift differences), so
+    * the three SSEs are exact integer sums — the winner is decided by
+    * integer comparison, never float accumulation order. Scale shape:
+    * the same ONE fold + in-row zips; nothing new touches raw events.
+    */
+  def q146Backtest(s: SparkSession, dir: String): DataFrame =
+    backtestCensus(Tables.events(s, dir))
+
+  def backtestCensus(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    holtFold(events).select(
+      (size($"sv") - 24).cast("long").as("n_scored"),
+      aggregate(transform($"fin.rs", r => r * r), lit(0L), _ + _)
+        .as("sse_hw"),
+      aggregate(zip_with(slice($"sv", lit(25), size($"sv") - 24),
+        slice($"sv", lit(1), size($"sv") - 24), (a, b) => (a - b) * (a - b)),
+        lit(0L), _ + _).as("sse_snaive"),
+      aggregate(zip_with(slice($"sv", lit(25), size($"sv") - 24),
+        slice($"sv", lit(24), size($"sv") - 24), (a, b) => (a - b) * (a - b)),
+        lit(0L), _ + _).as("sse_naive"))
+      .withColumn("best_model",
+        when($"sse_hw" <= $"sse_snaive" && $"sse_hw" <= $"sse_naive",
+          "holt_winters")
+          .when($"sse_snaive" <= $"sse_naive", "seasonal_naive")
+          .otherwise("naive"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q142_holt_winters"   -> (q142HoltWinters _),
     "q145_holt_forecast"  -> (q145HoltForecast _),
+    "q146_backtest"       -> (q146Backtest _),
     "q140_cusum"          -> (q140Cusum _),
     "q141_episodes"       -> (q141Episodes _),
     "q137_discord"        -> (q137Discord _),
@@ -708,6 +747,55 @@ object Anomaly extends QueryPack {
           |FROM rec CROSS JOIN b CROSS JOIN n, UNNEST(range(1, 25)) hs(h)
           |WHERE rec.t = n.nh - 1 AND n.nh >= 48
           |ORDER BY hour_h ASC""".stripMargin
+      },
+    "q146_backtest" ->
+      // q142's recursive CTE supplies the HW residuals; the baselines
+      // are LAG differences over the same dense spine; integer SSEs,
+      // identical CASE precedence for the winner
+      {
+        def fd2(e: String) = s"((($e) - (((($e) % 2) + 2) % 2)) // 2)"
+        val ln = fd2("ser.x - rec.ss[1] + rec.l + rec.b2")
+        val bn = fd2(s"$ln - rec.l + rec.b2")
+        val sn = fd2(s"ser.x - $ln + rec.ss[1]")
+        s"""WITH RECURSIVE s AS (SELECT
+          |  epoch_us(date_trunc('hour', ts)) // 3600000000 AS hi,
+          |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x0
+          | FROM events GROUP BY 1),
+          |b AS (SELECT MIN(hi) mn, MAX(hi) mx FROM s),
+          |g AS (SELECT gs.hi FROM b, UNNEST(range(b.mn, b.mx + 1)) gs(hi)),
+          |ser AS (SELECT g.hi - b.mn AS idx, COALESCE(s.x0, 0) AS x
+          |  FROM g CROSS JOIN b LEFT JOIN s ON s.hi = g.hi),
+          |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nh FROM ser),
+          |w AS (SELECT CAST(SUM(x) AS BIGINT) AS s24 FROM ser WHERE idx < 24),
+          |i AS (SELECT ((s24 - ((s24 % 24) + 24) % 24) // 24) AS l0 FROM w),
+          |s0 AS (SELECT list(ser.x - i.l0 ORDER BY ser.idx) AS ss
+          |  FROM ser, i WHERE ser.idx < 24),
+          |rec AS (
+          |  SELECT CAST(23 AS BIGINT) AS t, i.l0 AS l,
+          |    CAST(0 AS BIGINT) AS b2, s0.ss AS ss, CAST(NULL AS BIGINT) AS r
+          |  FROM i, s0
+          |  UNION ALL
+          |  SELECT ser.idx, CAST($ln AS BIGINT) AS l, CAST($bn AS BIGINT) AS b2,
+          |    list_concat(rec.ss[2:24], [CAST($sn AS BIGINT)]) AS ss,
+          |    CAST(ser.x - (rec.l + rec.b2 + rec.ss[1]) AS BIGINT) AS r
+          |  FROM rec JOIN ser ON ser.idx = rec.t + 1),
+          |hw AS (SELECT CAST(SUM(r * r) AS BIGINT) AS sse_hw
+          |  FROM rec WHERE r IS NOT NULL),
+          |bl AS (SELECT
+          |  CAST(SUM(CASE WHEN idx >= 24
+          |    THEN (x - x24) * (x - x24) END) AS BIGINT) AS sse_snaive,
+          |  CAST(SUM(CASE WHEN idx >= 24
+          |    THEN (x - x1) * (x - x1) END) AS BIGINT) AS sse_naive
+          | FROM (SELECT idx, x,
+          |    LAG(x, 24) OVER (ORDER BY idx) AS x24,
+          |    LAG(x, 1) OVER (ORDER BY idx) AS x1 FROM ser))
+          |SELECT CAST(n.nh - 24 AS BIGINT) AS n_scored,
+          | hw.sse_hw, bl.sse_snaive, bl.sse_naive,
+          | CASE WHEN sse_hw <= sse_snaive AND sse_hw <= sse_naive
+          |   THEN 'holt_winters'
+          |  WHEN sse_snaive <= sse_naive THEN 'seasonal_naive'
+          |  ELSE 'naive' END AS best_model
+          |FROM hw CROSS JOIN bl CROSS JOIN n WHERE n.nh >= 48""".stripMargin
       },
     "q140_cusum" ->
       // same cents series on the same dense spine; the closed-form

@@ -910,6 +910,51 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q146 backtest: driver SSE recompute agrees on real data, and " +
+    "Holt–Winters wins on a trending periodic series where both " +
+    "baselines structurally fail") {
+    import spark.implicits._
+    import graft.operators.Anomaly
+    val hourly = graft.core.Tables.events(spark, sfDir)
+      .groupBy(expr("unix_micros(date_trunc('hour', ts)) div 3600000000")
+        .as("hi"))
+      .agg(sum(round($"value" * 100).cast("long")).as("x"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mn = hourly.keys.min; val mx = hourly.keys.max
+    val sv = (mn to mx).map(h => hourly.getOrElse(h, 0L)).toArray
+    val w24 = sv.take(24).sum
+    val l0 = (w24 - (((w24 % 24) + 24) % 24)) / 24
+    var l = l0; var b = 0L; var sseHw = 0L
+    val ss = scala.collection.mutable.Queue(sv.take(24).map(_ - l0): _*)
+    (24 until sv.length).foreach { t =>
+      val sh = ss.dequeue(); val x = sv(t)
+      val r = x - (l + b + sh); sseHw += r * r
+      val ln = (x - sh + l + b) >> 1
+      val bn = (ln - l + b) >> 1
+      val sn = (x - ln + sh) >> 1
+      ss.enqueue(sn); l = ln; b = bn
+    }
+    val sseSn = (24 until sv.length)
+      .map(t => (sv(t) - sv(t - 24)) * (sv(t) - sv(t - 24))).sum
+    val sseN = (24 until sv.length)
+      .map(t => (sv(t) - sv(t - 1)) * (sv(t) - sv(t - 1))).sum
+    val got = Anomaly.q146Backtest(spark, sfDir).collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3))
+      == ((sv.length - 24L, sseHw, sseSn, sseN)),
+      s"SSEs diverge: $got vs ($sseHw, $sseSn, $sseN)")
+    // trending + periodic: seasonal-naive misses the trend every hour,
+    // naive misses every pattern step — only the model tracking BOTH
+    // components wins. The census must say so.
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val synth = (0 until 240).map { h =>
+      (new java.sql.Timestamp(base + h * 3600000L),
+        100.0 + (h % 24) * 3.0 + h * 0.5)
+    }.toDF("ts", "value")
+    val win = Anomaly.backtestCensus(synth).collect().head
+    assert(win.getString(4) == "holt_winters",
+      s"HW must win the trending periodic backtest, got $win")
+  }
+
   test("q143 triangles: driver brute-force recount agrees on the real " +
     "citation graph; K4 closes fully, a star closes nothing") {
     import spark.implicits._
