@@ -572,6 +572,74 @@ object AnomalyStream {
     Some((bestH, best))
   }
 
+  case class EpisodeHit(seen: Long, start_h: Long, len_h: Long,
+      excess_scaled: Long)
+
+  /** Streaming twin of batch q141 — the sustained-episode detector as
+    * stream state, [[cusumStream]]'s class exactly: state is the
+    * hourly cents map (TIME-SPAN-bounded) under one global series key;
+    * each batch emits the CURRENT top episode (longest maximal run of
+    * consecutive above-mean hours, smallest start on ties) with its
+    * exact accumulated excess mass, tagged with `seen`. The above-mean
+    * flag is the integer comparison n·x > S — no rational mean — so
+    * the scan is exact BIGINTs like the batch census. Cents round
+    * HALF_UP away from zero (the round-11 rule). Replay stability is
+    * UNCONDITIONAL (sum-map state); the final snapshot equals batch
+    * [[graft.operators.Anomaly.episodeCensus]]'s top row over the same
+    * rows (StreamingSpec pins both).
+    */
+  def episodeStream(events: Dataset[Event]): Dataset[EpisodeHit] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_ => 0)
+      .flatMapGroupsWithState[(Map[Long, Long], Long), EpisodeHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_, it, state) =>
+          val (m0, seen0) = state.getOption.getOrElse(
+            (Map.empty[Long, Long], 0L))
+          var m = m0; var n = 0L
+          it.foreach { e =>
+            val h = micros(e.ts) / 3600000000L
+            val cents = BigDecimal(e.value * 100)
+              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+            m = m.updated(h, m.getOrElse(h, 0L) + cents)
+            n += 1
+          }
+          val seen = seen0 + n
+          state.update((m, seen))
+          topEpisode(m) match {
+            case Some((h, len, ex)) =>
+              Iterator.single(EpisodeHit(seen, h, len, ex))
+            case None => Iterator.empty
+          }
+      }
+  }
+
+  /** q141's gaps-and-islands rule over a sparse hourly map: densify to
+    * the span, scan for maximal runs of n·x > S, return the (longest,
+    * then smallest start) run with its exact excess Σ(n·x − S).
+    */
+  private[streaming] def topEpisode(m: Map[Long, Long])
+      : Option[(Long, Long, Long)] = {
+    if (m.isEmpty) return None
+    val mn = m.keys.min; val mx = m.keys.max
+    val sv = (mn to mx).map(h => m.getOrElse(h, 0L)).toArray
+    val n = sv.length.toLong; val sx = sv.sum
+    var best: Option[(Long, Long, Long)] = None
+    var i = 0
+    while (i < sv.length) {
+      if (n * sv(i) > sx) {
+        val start = i; var excess = 0L
+        while (i < sv.length && n * sv(i) > sx) {
+          excess += n * sv(i) - sx; i += 1
+        }
+        val len = (i - start).toLong
+        if (best.forall(b => len > b._2))
+          best = Some((mn + start, len, excess))
+      } else i += 1
+    }
+    best
+  }
+
   case class HoltHit(seen: Long, hour_h: Long, residual_scaled: Long)
 
   /** Streaming twin of batch q142 Holt–Winters — the FORECAST-residual

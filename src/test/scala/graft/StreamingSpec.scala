@@ -973,6 +973,39 @@ class StreamingSpec extends SparkTestBase {
     assert(short.isEmpty)
   }
 
+  test("episode stream: final snapshot equals batch episodeCensus top-1 " +
+    "over the same rows; slicing invariant") {
+    import spark.implicits._
+    import graft.streaming.AnomalyStream.EpisodeHit
+    implicit val sc = spark.sqlContext
+    val rows = graft.core.Tables.events(spark, sfDir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().toSeq
+    def run(name: String, slices: Seq[Seq[Event]]): Seq[EpisodeHit] = {
+      val input = MemoryStream[Event]
+      val q = graft.streaming.AnomalyStream.episodeStream(input.toDS())
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try slices.foreach { s => input.addData(s); q.processAllAvailable() }
+      finally q.stop()
+      spark.table(name).as[EpisodeHit].collect().toSeq
+    }
+    val one = run("ep_a", Seq(rows))
+    val sliced = run("ep_b", rows.grouped(rows.size / 3 + 1).toSeq)
+    assert(one.nonEmpty && sliced.nonEmpty)
+    val fin1 = one.maxBy(_.seen); val fin2 = sliced.maxBy(_.seen)
+    assert(fin1.seen == rows.size.toLong && fin2.seen == rows.size.toLong)
+    assert((fin1.start_h, fin1.len_h, fin1.excess_scaled) ==
+      ((fin2.start_h, fin2.len_h, fin2.excess_scaled)),
+      "final top episode must be slicing-invariant")
+    val batch = graft.operators.Anomaly.episodeCensus(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .collect().head
+    assert((fin1.start_h, fin1.len_h, fin1.excess_scaled) ==
+      ((batch.getLong(0), batch.getLong(1), batch.getLong(2))),
+      s"stream $fin1 vs batch row $batch")
+  }
+
   test("hll stream: slicing invariance, JVM/SQL register parity, and " +
     "snapshot equals the batch q131 device over the same rows") {
     import spark.implicits._
