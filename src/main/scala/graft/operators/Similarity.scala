@@ -488,16 +488,22 @@ object Similarity extends QueryPack {
     * Empty clusters drop (standard Lloyd; deterministic here since
     * assignments match across engines).
     */
-  def kmeansUpdate(asg: DataFrame): DataFrame = {
+  def kmeansUpdate(asg: DataFrame): DataFrame = kmeansUpdate(asg, EmbDim)
+
+  /** [[kmeansUpdate]] for an arbitrary dimensionality — q147's PQ
+    * codebooks train on 16-dim subvectors through the same
+    * integer-snapped rule.
+    */
+  def kmeansUpdate(asg: DataFrame, dims: Int): DataFrame = {
     import asg.sparkSession.implicits._
     val snapped = transform(vec($"embedding"),
       v => round(v * 1048576.0).cast("long"))
-    val sums = (1 to EmbDim).map(i =>
+    val sums = (1 to dims).map(i =>
       sum(element_at($"snapped", i)).as(s"s$i"))
     asg.withColumn("snapped", snapped)
       .groupBy($"cl")
       .agg(count(lit(1)).as("n"), sums: _*)
-      .select($"cl", array((1 to EmbDim).map(i =>
+      .select($"cl", array((1 to dims).map(i =>
         col(s"s$i").cast("double") / ($"n" * 1048576.0)): _*).as("cvec"))
   }
 
@@ -729,6 +735,81 @@ object Similarity extends QueryPack {
       .limit(10)
   }
 
+  // --- q147: product quantization + ADC probe (the FAISS PQ family) --------
+  /** Product quantization (Jégou et al. 2011, the layout behind FAISS
+    * IVF-PQ): the 64-dim vector splits into M = 4 subspaces of 16
+    * dims; each subspace trains its OWN 16-codeword codebook (the
+    * q102 2-round integer-snapped Lloyd trajectory on slices — 4
+    * independent trajectories, all hash-checked); a vector's stored
+    * form is 4 code ids — 4 bytes against 256 for float32, a 64×
+    * memory cut, the step past q136's 4× SQ8. Probing is ADC
+    * (asymmetric distance computation): the query precomputes one
+    * d2(q_m, codeword) table per subspace (≤64 numbers) and a
+    * vector's approximate distance is the 4-term table-lookup sum —
+    * no vector arithmetic per candidate at all.
+    *
+    * Exactness: subspace training replays q102's rule per slice
+    * (bit-parity d2, smallest-cl ties, round(v·2^20) centroid sums);
+    * the ADC sum adds the four looked-up doubles in fixed syntactic
+    * order, so both engines produce identical bits end to end.
+    *
+    * Scale shape: training is 4 × (zero-shuffle assignment projection
+    * + one ≤16-row aggregation); encode + ADC is ONE zero-shuffle
+    * projection per vector against a broadcast packed codebook row
+    * (codebooks carry their query-distance tables with them); top-10
+    * rides TakeOrdered. The stored representation is what makes
+    * cluster-scale ANN fit in memory — the whole point of PQ.
+    */
+  def q147AnnPqAdc(s: SparkSession, dir: String): DataFrame =
+    pqAdc(Tables.embeddings(s, dir))
+
+  /** The PQ train/encode/ADC pipeline over ANY (vec_id, embedding)
+    * frame — q147 applies it to the driver embeddings; the spec feeds
+    * it a codeword-exact corpus where ADC must equal true d2.
+    */
+  def pqAdc(emb: DataFrame): DataFrame = {
+    import emb.sparkSession.implicits._
+    val M = 4; val SubDim = 16; val K = 16
+    def sub(c: Column, m: Int): Column = slice(vec(c), m * SubDim + 1, SubDim)
+    val q = emb.filter($"vec_id" === 0).select(vec($"embedding").as("qv"))
+    // per-subspace codebooks, each carrying its ADC table entry qd2
+    val packed = broadcast(
+      (0 until M).map { m =>
+        val sv = emb.select($"vec_id", sub($"embedding", m).as("embedding"))
+        val cent0 = sv.filter($"vec_id".between(1L, K.toLong))
+          .select($"vec_id".as("cl"), vec($"embedding").as("cvec"))
+        kmeansUpdate(kmeansAssign(sv, cent0), SubDim)
+          .crossJoin(q)
+          .select(lit(m).as("m"), struct($"cl", $"cvec",
+            (dot(slice($"qv", m * SubDim + 1, SubDim),
+              slice($"qv", m * SubDim + 1, SubDim))
+              - lit(2.0) * dot(slice($"qv", m * SubDim + 1, SubDim), $"cvec")
+              + dot($"cvec", $"cvec")).as("qd2")).as("cw"))
+      }.reduce(_ unionByName _)
+        .groupBy($"m").agg(collect_list($"cw").as("cb"))
+        .agg(sort_array(collect_list(struct($"m", $"cb"))).as("books")))
+    def best(m: Int): Column = array_min(transform(
+      element_at($"books", m + 1).getField("cb"), c =>
+        struct(
+          (dot(sub($"embedding", m), sub($"embedding", m))
+            - lit(2.0) * dot(sub($"embedding", m), c.getField("cvec"))
+            + dot(c.getField("cvec"), c.getField("cvec"))).as("d2"),
+          c.getField("cl").as("cl"),
+          c.getField("qd2").as("qd2")))).as(s"b$m")
+    emb.filter($"vec_id" =!= 0).crossJoin(packed)
+      .select($"vec_id", $"embedding", best(0), best(1), best(2), best(3))
+      .withColumn("adc_d2",
+        $"b0.qd2" + $"b1.qd2" + $"b2.qd2" + $"b3.qd2")
+      .crossJoin(broadcast(q))
+      .select($"vec_id",
+        concat_ws("-", $"b0.cl", $"b1.cl", $"b2.cl", $"b3.cl").as("code"),
+        graft.core.Exact.dround($"adc_d2", 6).as("adc_d2"),
+        graft.core.Exact.dround(cosine(vec($"embedding"), $"qv"), 6)
+          .as("cos_true"))
+      .orderBy(graft.core.Exact.dround($"adc_d2", 6).asc, $"vec_id".asc)
+      .limit(10)
+  }
+
   // --- q134: hybrid retrieval — reciprocal-rank fusion of BM25 + ANN -------
   /** RRF (Cormack et al. 2009, the standard hybrid-retrieval combiner):
     * fuse the LEXICAL ranking (q130's BM25 top-10) with the DENSE
@@ -833,6 +914,7 @@ object Similarity extends QueryPack {
     "q102_kmeans_clusters" -> (q102KmeansClusters _),
     "q109_quantize_int8"   -> (q109QuantizeInt8 _),
     "q139_ivf_append"      -> (q139IvfAppend _),
+    "q147_ann_pq_adc"      -> (q147AnnPqAdc _),
   )
 
   private val sqlDot =
@@ -1140,6 +1222,54 @@ object Similarity extends QueryPack {
          | COUNT(*) AS n_total,
          | CAST(SUM(vec_id) AS BIGINT) AS id_sum
          |FROM asg2 GROUP BY 1""".stripMargin,
+    "q147_ann_pq_adc" ->
+      // four independent q102-style subspace trajectories on slices,
+      // then ADC: the chosen codeword's query-distance entries sum in
+      // the same fixed left-to-right order as the Spark column
+      {
+        def subCtes(m: Int): String = {
+          val lo = m * 16 + 1; val hi = lo + 15
+          val sl = s"e.embedding[$lo:$hi]"
+          s"""cent0_$m AS (SELECT vec_id AS cl, embedding[$lo:$hi] AS cvec
+             |  FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
+             |a1_$m AS (SELECT e.vec_id, e.embedding[$lo:$hi] AS sv, c.cl,
+             |  ${d2Sql(sl, "c.cvec")} AS d2
+             | FROM embeddings e CROSS JOIN cent0_$m c),
+             |asg1_$m AS (SELECT vec_id, sv, cl FROM a1_$m
+             |  QUALIFY row_number() OVER
+             |    (PARTITION BY vec_id ORDER BY d2 ASC, cl ASC) = 1),
+             |ex_$m AS (SELECT cl, i,
+             |  CAST(ROUND(CAST(sv[i] AS DOUBLE) * 1048576.0) AS BIGINT) AS v
+             | FROM asg1_$m, generate_series(1, 16) g(i)),
+             |cm_$m AS (SELECT cl, i,
+             |  CAST(SUM(v) AS DOUBLE) / (COUNT(*) * 1048576.0) AS c
+             | FROM ex_$m GROUP BY 1, 2),
+             |cent1_$m AS (SELECT cl, list(c ORDER BY i) AS cvec
+             |  FROM cm_$m GROUP BY 1),
+             |enc_$m AS (SELECT e.vec_id, c.cl,
+             |  ${d2Sql(sl, "c.cvec")} AS d2,
+             |  ${d2Sql(s"q.qv[$lo:$hi]", "c.cvec")} AS qd2
+             | FROM embeddings e CROSS JOIN cent1_$m c CROSS JOIN q
+             | QUALIFY row_number() OVER
+             |    (PARTITION BY e.vec_id ORDER BY d2 ASC, c.cl ASC) = 1)"""
+            .stripMargin
+        }
+        val adc = "e0.qd2 + e1.qd2 + e2.qd2 + e3.qd2"
+        s"""WITH q AS (SELECT embedding AS qv FROM embeddings
+           |  WHERE vec_id = 0),
+           |${(0 until 4).map(subCtes).mkString(",\n")}
+           |SELECT e0.vec_id,
+           | CONCAT_WS('-', e0.cl, e1.cl, e2.cl, e3.cl) AS code,
+           | ${graft.core.Exact.sqlDround(adc, 6)} AS adc_d2,
+           | ${graft.core.Exact.sqlDround(
+               cosSql("emb.embedding", "q.qv"), 6)} AS cos_true
+           |FROM enc_0 e0 JOIN enc_1 e1 USING (vec_id)
+           | JOIN enc_2 e2 USING (vec_id) JOIN enc_3 e3 USING (vec_id)
+           | JOIN embeddings emb USING (vec_id) CROSS JOIN q
+           |WHERE vec_id != 0
+           |ORDER BY ${graft.core.Exact.sqlDround(adc, 6)} ASC, vec_id ASC
+           |LIMIT 10""".stripMargin
+      },
     "q102_kmeans_clusters" ->
       // the identical 2-round Lloyd trajectory: fixed seed centroids
       // (vectors 1..8), argmin d2 with smallest-cl tie-break

@@ -955,6 +955,45 @@ class PipelineOpsSpec extends SparkTestBase {
       s"HW must win the trending periodic backtest, got $win")
   }
 
+  test("q147 PQ-ADC: on a codeword-exact corpus the codebooks recover " +
+    "the patterns, encoding is lossless, and ADC equals true distance") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // 16 distinct dyadic-quarter patterns per subspace; vectors 1..16
+    // ARE the seed patterns, so Lloyd's update reproduces them exactly
+    // (means of identical dyadic values are exact), quantization error
+    // is zero, and ADC(x) = sum_m d2(q_m, pattern(x_m)) = d2(q, x)
+    val rng = new scala.util.Random(7)
+    val patterns = Array.fill(4, 16, 16)((rng.nextInt(17) - 8) / 4.0)
+    def buildVec(picks: Array[Int]): Array[Float] =
+      (0 until 4).flatMap(m => patterns(m)(picks(m)).map(_.toFloat)).toArray
+    val qPicks = Array(3, 7, 1, 12)
+    val seedRows = (1 to 16).map(i =>
+      (i.toLong, buildVec(Array(i - 1, i - 1, i - 1, i - 1))))
+    val otherPicks = (17L to 200L).map(i =>
+      i -> Array.fill(4)(rng.nextInt(16))).toMap
+    val rows = Seq((0L, buildVec(qPicks))) ++ seedRows ++
+      otherPicks.toSeq.sortBy(_._1).map { case (i, p) => (i, buildVec(p)) }
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.pqAdc(df).collect()
+    assert(got.length == 10)
+    val q64 = buildVec(qPicks).map(_.toDouble)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val picks = if (id <= 16) Array.fill(4)(id.toInt - 1)
+        else otherPicks(id)
+      // lossless encoding: the code names exactly the chosen patterns
+      assert(r.getString(1) == picks.map(_ + 1).mkString("-"),
+        s"vec $id code ${r.getString(1)} != planted ${picks.mkString("-")}")
+      // ADC == true squared distance (all-dyadic arithmetic — exact)
+      val x = buildVec(picks).map(_.toDouble)
+      val d2 = q64.zip(x).map { case (a, b) => (a - b) * (a - b) }.sum
+      assert(r.getDouble(2) == BigDecimal(d2).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble,
+        s"vec $id adc ${r.getDouble(2)} != true d2 $d2")
+    }
+  }
+
   test("q143 triangles: driver brute-force recount agrees on the real " +
     "citation graph; K4 closes fully, a star closes nothing") {
     import spark.implicits._
