@@ -780,24 +780,34 @@ object Similarity extends QueryPack {
           .select($"vec_id".as("cl"), vec($"embedding").as("cvec"))
         kmeansUpdate(kmeansAssign(sv, cent0), SubDim)
           .crossJoin(q)
+          // cc = c·c rides the broadcast so the per-row scan never
+          // recomputes a constant; qd2 is the ADC table entry
           .select(lit(m).as("m"), struct($"cl", $"cvec",
             (dot(slice($"qv", m * SubDim + 1, SubDim),
               slice($"qv", m * SubDim + 1, SubDim))
               - lit(2.0) * dot(slice($"qv", m * SubDim + 1, SubDim), $"cvec")
-              + dot($"cvec", $"cvec")).as("qd2")).as("cw"))
+              + dot($"cvec", $"cvec")).as("qd2"),
+            dot($"cvec", $"cvec").as("cc")).as("cw"))
       }.reduce(_ unionByName _)
         .groupBy($"m").agg(collect_list($"cw").as("cb"))
         .agg(sort_array(collect_list(struct($"m", $"cb"))).as("books")))
+    // hoist each subvector and its self-dot to ONE materialization per
+    // row — inside the argmin lambda they'd rebuild per codeword (64
+    // slice+cast array builds per row, measured 2× the whole query)
     def best(m: Int): Column = array_min(transform(
       element_at($"books", m + 1).getField("cb"), c =>
         struct(
-          (dot(sub($"embedding", m), sub($"embedding", m))
-            - lit(2.0) * dot(sub($"embedding", m), c.getField("cvec"))
-            + dot(c.getField("cvec"), c.getField("cvec"))).as("d2"),
+          (col(s"xx$m")
+            - lit(2.0) * dot(col(s"s$m"), c.getField("cvec"))
+            + c.getField("cc")).as("d2"),
           c.getField("cl").as("cl"),
           c.getField("qd2").as("qd2")))).as(s"b$m")
     emb.filter($"vec_id" =!= 0).crossJoin(packed)
-      .select($"vec_id", $"embedding", best(0), best(1), best(2), best(3))
+      .withColumns((0 until M).map(m => s"s$m" -> sub($"embedding", m)).toMap)
+      .withColumns((0 until M).map(m =>
+        s"xx$m" -> dot(col(s"s$m"), col(s"s$m"))).toMap)
+      .select(($"vec_id" +: $"embedding" +:
+        (0 until M).map(best)): _*)
       .withColumn("adc_d2",
         $"b0.qd2" + $"b1.qd2" + $"b2.qd2" + $"b3.qd2")
       .crossJoin(broadcast(q))
