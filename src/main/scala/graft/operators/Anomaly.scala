@@ -539,10 +539,20 @@ object Anomaly extends QueryPack {
     * final model state plus the full residual trajectory — q142 reads
     * `rs`, q145 reads the terminal (l, b, ss).
     */
-  private def holtFold(events: DataFrame): DataFrame = {
-    import events.sparkSession.implicits._
+  private def holtFold(events: DataFrame): DataFrame =
+    holtFoldPacked(packedHourlySeries(events))
+      .select(col("mn"), col("nh"), col("sv"), col("fin"))
+
+  /** The fold over an ALREADY-PACKED (… , mn, sv) frame — one series
+    * per row, any carried key columns preserved. This row-local shape
+    * is the whole 100 TB argument: q142/q145/q146 run it on the global
+    * series, q148 on one row PER EVENT TYPE — at cluster scale the
+    * series key is the shard and each fold is one row's in-row work.
+    */
+  private def holtFoldPacked(packed: DataFrame): DataFrame = {
+    import packed.sparkSession.implicits._
     val m = 24
-    packedHourlySeries(events).filter(size($"sv") >= 2 * m)
+    packed.filter(size($"sv") >= 2 * m)
       // warm-day mean, floored exactly: (w − pmod(w,24)) is divisible,
       // so the truncating `div` IS floor division here
       .withColumn("w24", aggregate(slice($"sv", 1, m), lit(0L), _ + _))
@@ -551,8 +561,9 @@ object Anomaly extends QueryPack {
         $"l0".as("l"), lit(0L).as("b"),
         transform(slice($"sv", 1, m), x => x - $"l0").as("ss"),
         expr("CAST(array() AS ARRAY<BIGINT>)").as("rs")))
+      .withColumn("nh", size($"sv").cast("long"))
       // the seasonal queue's head is always s_{t-m}: pop it, push s_t
-      .select($"mn", size($"sv").cast("long").as("nh"), $"sv", aggregate(
+      .withColumn("fin", aggregate(
         slice($"sv", lit(m + 1), size($"sv") - m), $"acc0",
         (acc, x) => {
           val l  = acc.getField("l"); val b = acc.getField("b")
@@ -564,7 +575,8 @@ object Anomaly extends QueryPack {
           struct(ln.as("l"), bn.as("b"),
             concat(slice(ss, 2, m - 1), array(sn)).as("ss"),
             concat(acc.getField("rs"), array(r)).as("rs"))
-        }).as("fin"))
+        }))
+      .drop("w24", "l0", "acc0")
   }
 
   def holtWintersCensus(events: DataFrame): DataFrame = {
@@ -609,6 +621,50 @@ object Anomaly extends QueryPack {
       .orderBy($"hour_h".asc)
   }
 
+  // --- q148: per-series Holt–Winters (the sharded form) -----------------------
+  /** q142 PER EVENT TYPE — the form a 100 TB deployment actually runs:
+    * one packed series row per metric key, the fold as row-local work,
+    * keys sharding freely across executors. Every scale claim the
+    * global queries make ("the series key is the shard") is this query
+    * executed: the ONLY data-sized stage is the (key, hour) rollup;
+    * everything after lives on one bounded row per key, and the final
+    * per-key top-1 is a window PARTITIONED BY the key (the q140 rule).
+    * Output: each type's single largest forecast-residual hour.
+    */
+  def q148HoltByType(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"event_type")
+      .orderBy(abs($"residual_scaled").desc, $"hour_h".asc)
+    holtFoldPacked(packedHourlySeriesBy(Tables.events(s, dir), "event_type"))
+      .select($"event_type", $"mn",
+        posexplode($"fin.rs").as(Seq("p", "residual_scaled")))
+      .select($"event_type", ($"mn" + 24 + $"p").as("hour_h"),
+        $"residual_scaled")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1).drop("rk")
+      .withColumn("residual_dollars",
+        Exact.dround($"residual_scaled".cast("double") / 100.0, 2))
+      .orderBy($"event_type".asc)
+  }
+
+  /** [[packedHourlySeries]] with a series key: one (key, mn, sv) row
+    * per key, each on the key's OWN dense hour spine.
+    */
+  private def packedHourlySeriesBy(events: DataFrame,
+      key: String): DataFrame = {
+    import events.sparkSession.implicits._
+    val e = events
+      .groupBy(col(key),
+        expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("hi"))
+      .agg(sum(round($"value" * 100).cast("long")).as("x0"))
+    val b = e.groupBy(col(key)).agg(min($"hi").as("mn"), max($"hi").as("mx"))
+    b.select(col(key), $"mn", explode(sequence($"mn", $"mx")).as("hi"))
+      .join(e, Seq(key, "hi"), "left").na.fill(0L, Seq("x0"))
+      .groupBy(col(key), $"mn")
+      .agg(sort_array(collect_list(struct($"hi", $"x0"))).as("p"))
+      .select(col(key), $"mn", transform($"p", x => x.getField("x0")).as("sv"))
+  }
+
   // --- q146: forecast backtest census (model selection) ----------------------
   /** One-step-ahead BACKTEST of three forecasters over the same scored
     * hours (t = m..H−1): Holt–Winters (q142's residual trajectory),
@@ -651,6 +707,7 @@ object Anomaly extends QueryPack {
     "q142_holt_winters"   -> (q142HoltWinters _),
     "q145_holt_forecast"  -> (q145HoltForecast _),
     "q146_backtest"       -> (q146Backtest _),
+    "q148_holt_by_type"   -> (q148HoltByType _),
     "q140_cusum"          -> (q140Cusum _),
     "q141_episodes"       -> (q141Episodes _),
     "q137_discord"        -> (q137Discord _),
@@ -796,6 +853,55 @@ object Anomaly extends QueryPack {
           |  WHEN sse_snaive <= sse_naive THEN 'seasonal_naive'
           |  ELSE 'naive' END AS best_model
           |FROM hw CROSS JOIN bl CROSS JOIN n WHERE n.nh >= 48""".stripMargin
+      },
+    "q148_holt_by_type" ->
+      // the q142 recurrence with a series key threaded through every
+      // CTE: all five series step in lockstep (one rec row per type
+      // per hour), each on its own dense spine; per-type top-1 via
+      // QUALIFY row_number
+      {
+        def fd2(e: String) = s"((($e) - (((($e) % 2) + 2) % 2)) // 2)"
+        val ln = fd2("ser.x - rec.ss[1] + rec.l + rec.b2")
+        val bn = fd2(s"$ln - rec.l + rec.b2")
+        val sn = fd2(s"ser.x - $ln + rec.ss[1]")
+        s"""WITH RECURSIVE s AS (SELECT event_type AS et,
+          |  epoch_us(date_trunc('hour', ts)) // 3600000000 AS hi,
+          |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x0
+          | FROM events GROUP BY 1, 2),
+          |b AS (SELECT et, MIN(hi) mn, MAX(hi) mx FROM s GROUP BY 1),
+          |g AS (SELECT b.et, gs.hi
+          |  FROM b, UNNEST(range(b.mn, b.mx + 1)) gs(hi)),
+          |ser AS (SELECT g.et, g.hi - b.mn AS idx, COALESCE(s.x0, 0) AS x
+          |  FROM g JOIN b ON b.et = g.et
+          |  LEFT JOIN s ON s.et = g.et AND s.hi = g.hi),
+          |n AS (SELECT et, CAST(COUNT(*) AS BIGINT) AS nh
+          |  FROM ser GROUP BY 1),
+          |w AS (SELECT et, CAST(SUM(x) AS BIGINT) AS s24 FROM ser
+          |  WHERE idx < 24 GROUP BY 1),
+          |i AS (SELECT et,
+          |  ((s24 - ((s24 % 24) + 24) % 24) // 24) AS l0 FROM w),
+          |s0 AS (SELECT ser.et, list(ser.x - i.l0 ORDER BY ser.idx) AS ss
+          |  FROM ser JOIN i USING (et) WHERE ser.idx < 24 GROUP BY ser.et),
+          |rec AS (
+          |  SELECT i.et, CAST(23 AS BIGINT) AS t, i.l0 AS l,
+          |    CAST(0 AS BIGINT) AS b2, s0.ss AS ss, CAST(NULL AS BIGINT) AS r
+          |  FROM i JOIN s0 USING (et)
+          |  UNION ALL
+          |  SELECT rec.et, ser.idx, CAST($ln AS BIGINT) AS l,
+          |    CAST($bn AS BIGINT) AS b2,
+          |    list_concat(rec.ss[2:24], [CAST($sn AS BIGINT)]) AS ss,
+          |    CAST(ser.x - (rec.l + rec.b2 + rec.ss[1]) AS BIGINT) AS r
+          |  FROM rec JOIN ser ON ser.et = rec.et AND ser.idx = rec.t + 1)
+          |SELECT rec.et AS event_type,
+          | CAST(b.mn + rec.t AS BIGINT) AS hour_h,
+          | rec.r AS residual_scaled,
+          | ${graft.core.Exact.sqlDround("CAST(rec.r AS DOUBLE) / 100.0", 2)}
+          |   AS residual_dollars
+          |FROM rec JOIN b ON b.et = rec.et JOIN n ON n.et = rec.et
+          |WHERE rec.r IS NOT NULL AND n.nh >= 48
+          |QUALIFY row_number() OVER (PARTITION BY rec.et
+          |  ORDER BY ABS(rec.r) DESC, hour_h ASC) = 1
+          |ORDER BY event_type ASC""".stripMargin
       },
     "q140_cusum" ->
       // same cents series on the same dense spine; the closed-form

@@ -994,6 +994,46 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q148 per-type Holt–Winters: driver per-series recompute agrees " +
+    "for every event type") {
+    import spark.implicits._
+    import graft.operators.Anomaly
+    val rows = graft.core.Tables.events(spark, sfDir)
+      .groupBy($"event_type",
+        expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("hi"))
+      .agg(sum(round($"value" * 100).cast("long")).as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = rows.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (et, hs) =>
+        val m = hs.map(t => t._2 -> t._3).toMap
+        val mn = m.keys.min; val mx = m.keys.max
+        val sv = (mn to mx).map(h => m.getOrElse(h, 0L)).toArray
+        if (sv.length < 48) None else {
+          val w24 = sv.take(24).sum
+          val l0 = (w24 - (((w24 % 24) + 24) % 24)) / 24
+          var l = l0; var b = 0L
+          val ss = scala.collection.mutable.Queue(
+            sv.take(24).map(_ - l0): _*)
+          val rs = (24 until sv.length).map { t =>
+            val sh = ss.dequeue(); val x = sv(t)
+            val r = x - (l + b + sh)
+            val ln = (x - sh + l + b) >> 1
+            val bn = (ln - l + b) >> 1
+            val sn = (x - ln + sh) >> 1
+            ss.enqueue(sn); l = ln; b = bn
+            (mn + t, r)
+          }
+          val top = rs.minBy { case (h, r) => (-math.abs(r), h) }
+          Some((et, top._1, top._2))
+        }
+    }
+    val got = Anomaly.q148HoltByType(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want, s"got $got want $want")
+    assert(got.map(_._1).distinct.size == got.size,
+      "exactly one row per event type")
+  }
+
   test("q143 triangles: driver brute-force recount agrees on the real " +
     "citation graph; K4 closes fully, a star closes nothing") {
     import spark.implicits._

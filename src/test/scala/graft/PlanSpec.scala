@@ -568,6 +568,17 @@ class PlanSpec extends SparkTestBase {
       "q142's recurrence must be the in-row fold, not a window:\n" +
         p142.take(2000))
     assert(p142.contains("TakeOrderedAndProject"), p142.take(2000))
+    // q148 (round 11): the sharded form — the fold stays in-row per
+    // key row; the only window is the per-key top-1, PARTITIONED BY
+    // the series key
+    val p148 = plan(graft.operators.Anomaly.q148HoltByType(spark, sfDir))
+    assert(!p148.contains("CartesianProduct"), p148.take(2000))
+    val w148 = p148.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(w148.nonEmpty &&
+      w148.forall(_.contains("windowspecdefinition(event_type")),
+      "q148's only window must partition by the series key:\n" +
+        w148.mkString("\n"))
     spark.catalog.clearCache()
   }
 
