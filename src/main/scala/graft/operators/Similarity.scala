@@ -820,6 +820,90 @@ object Similarity extends QueryPack {
       .limit(10)
   }
 
+  // --- q149: IVF-PQ — coarse cells + product-quantized residuals -----------
+  /** The COMPLETE FAISS IVF-PQ layout, composing everything the ANN
+    * stack built: q128's learned coarse quantizer prunes to nprobe
+    * cells; q147's product quantizer encodes each vector's RESIDUAL
+    * (x − its cell's centroid — residuals are smaller and
+    * better-centered than raw vectors, the reason IVF-PQ encodes them;
+    * Jégou et al. 2011 §IV); probing is per-cell ADC — the query's
+    * residual against cell c has its own 4×16 distance table, so a
+    * candidate's distance is still a 4-term lookup sum. Stored form
+    * per vector: (cell, 4 bytes).
+    *
+    * Exactness: the coarse trajectory is q128's, the residuals are
+    * elementwise double differences of already-bit-identical arrays,
+    * the four residual-codebook trajectories replay q102's rule on
+    * slices, and the ADC sum adds in fixed order — the ENTIRE composed
+    * layout sits under the hash gate.
+    *
+    * Scale shape: coarse + subspace training are k-row stages;
+    * residual/encode/ADC is one zero-shuffle projection per candidate
+    * against broadcast tables (probed cells × 4 × ≤16 entries);
+    * candidates are the probed cells' members only (partition-pruned
+    * under the ivfWrite layout). Top-10 rides TakeOrdered.
+    */
+  def q149AnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val M = 4; val SubDim = 16; val K = 16
+    def sl(c: Column, m: Int): Column = slice(c, m * SubDim + 1, SubDim)
+    val (idx, cents) = ivfLearned(emb, k = 8, iters = 2)
+    val withRes = idx
+      .join(broadcast(cents), "cell")
+      .withColumn("res",
+        zip_with(vec($"embedding"), $"centroid", (a, c) => a - c))
+    val books = (0 until M).map { m =>
+      val sv = withRes.select($"vec_id", sl($"res", m).as("embedding"))
+      val cent0 = sv.filter($"vec_id".between(1L, K.toLong))
+        .select($"vec_id".as("cl"), vec($"embedding").as("cvec"))
+      kmeansUpdate(kmeansAssign(sv, cent0), SubDim)
+    }
+    val q = broadcast(emb.filter($"vec_id" === 0)
+      .select(vec($"embedding").as("qv")))
+    val probe = cents.crossJoin(q)
+      .withColumn("qd2", dot($"qv", $"qv")
+        - lit(2.0) * dot($"qv", $"centroid")
+        + dot($"centroid", $"centroid"))
+      .orderBy($"qd2".asc, $"cell".asc).limit(3)
+      .select($"cell", $"centroid")
+    // per-(cell, m) ADC tables: the query's residual differs per cell
+    val tabs = broadcast(books.zipWithIndex.map { case (cb, m) =>
+      probe.crossJoin(q)
+        .withColumn("qres", zip_with($"qv", $"centroid", (a, c) => a - c))
+        .crossJoin(cb)
+        .select($"cell", lit(m).as("m"), struct($"cl", $"cvec",
+          (dot(sl($"qres", m), sl($"qres", m))
+            - lit(2.0) * dot(sl($"qres", m), $"cvec")
+            + dot($"cvec", $"cvec")).as("qd2"),
+          dot($"cvec", $"cvec").as("cc")).as("cw"))
+    }.reduce(_ unionByName _)
+      .groupBy($"cell", $"m").agg(collect_list($"cw").as("cb"))
+      .groupBy($"cell")
+      .agg(sort_array(collect_list(struct($"m", $"cb"))).as("books")))
+    def best(m: Int): Column = array_min(transform(
+      element_at($"books", m + 1).getField("cb"), c =>
+        struct(
+          (col(s"xx$m")
+            - lit(2.0) * dot(col(s"s$m"), c.getField("cvec"))
+            + c.getField("cc")).as("d2"),
+          c.getField("cl").as("cl"),
+          c.getField("qd2").as("qd2")))).as(s"b$m")
+    withRes.filter($"vec_id" =!= 0)
+      .join(tabs, "cell")
+      .withColumns((0 until M).map(m => s"s$m" -> sl($"res", m)).toMap)
+      .withColumns((0 until M).map(m =>
+        s"xx$m" -> dot(col(s"s$m"), col(s"s$m"))).toMap)
+      .select(($"vec_id" +: $"cell" +: (0 until M).map(best)): _*)
+      .withColumn("adc_d2",
+        $"b0.qd2" + $"b1.qd2" + $"b2.qd2" + $"b3.qd2")
+      .select($"vec_id", $"cell",
+        concat_ws("-", $"b0.cl", $"b1.cl", $"b2.cl", $"b3.cl").as("code"),
+        graft.core.Exact.dround($"adc_d2", 6).as("adc_d2"))
+      .orderBy(graft.core.Exact.dround($"adc_d2", 6).asc, $"vec_id".asc)
+      .limit(10)
+  }
+
   // --- q134: hybrid retrieval — reciprocal-rank fusion of BM25 + ANN -------
   /** RRF (Cormack et al. 2009, the standard hybrid-retrieval combiner):
     * fuse the LEXICAL ranking (q130's BM25 top-10) with the DENSE
@@ -925,6 +1009,7 @@ object Similarity extends QueryPack {
     "q109_quantize_int8"   -> (q109QuantizeInt8 _),
     "q139_ivf_append"      -> (q139IvfAppend _),
     "q147_ann_pq_adc"      -> (q147AnnPqAdc _),
+    "q149_ann_ivf_pq"      -> (q149AnnIvfPq _),
   )
 
   private val sqlDot =
@@ -1198,6 +1283,88 @@ object Similarity extends QueryPack {
          |ORDER BY ROUND(${cosSql("i.embedding", "q.qemb")}, 6) DESC,
          | i.vec_id ASC
          |LIMIT 10""".stripMargin,
+    "q149_ann_ivf_pq" ->
+      // q128's coarse trajectory + residuals + four q147-style subspace
+      // trajectories ON RESIDUAL SLICES + per-probed-cell ADC tables
+      // (the query's residual differs per cell); fixed-order ADC sum
+      {
+        def fd2m(m: Int): String = {
+          val lo = m * 16 + 1; val hi = lo + 15
+          s"""cent0_$m AS (SELECT vec_id AS cl, res[$lo:$hi] AS cvec
+             |  FROM res WHERE vec_id BETWEEN 1 AND 16),
+             |a1_$m AS (SELECT r.vec_id, r.res[$lo:$hi] AS sv, c.cl,
+             |  ${d2Sql(s"r.res[$lo:$hi]", "c.cvec")} AS d2
+             | FROM res r CROSS JOIN cent0_$m c),
+             |asg1_$m AS (SELECT vec_id, sv, cl FROM a1_$m
+             |  QUALIFY row_number() OVER
+             |    (PARTITION BY vec_id ORDER BY d2 ASC, cl ASC) = 1),
+             |ex_$m AS (SELECT cl, i,
+             |  CAST(ROUND(CAST(sv[i] AS DOUBLE) * 1048576.0) AS BIGINT) AS v
+             | FROM asg1_$m, generate_series(1, 16) g(i)),
+             |cm_$m AS (SELECT cl, i,
+             |  CAST(SUM(v) AS DOUBLE) / (COUNT(*) * 1048576.0) AS c
+             | FROM ex_$m GROUP BY 1, 2),
+             |cent1_$m AS (SELECT cl, list(c ORDER BY i) AS cvec
+             |  FROM cm_$m GROUP BY 1),
+             |enc_$m AS (SELECT r.vec_id, r.cell, c.cl,
+             |  ${d2Sql(s"r.res[$lo:$hi]", "c.cvec")} AS d2
+             | FROM res r CROSS JOIN cent1_$m c
+             | QUALIFY row_number() OVER
+             |    (PARTITION BY r.vec_id ORDER BY d2 ASC, c.cl ASC) = 1),
+             |tab_$m AS (SELECT t.cell, c.cl,
+             |  ${d2Sql(s"t.qres[$lo:$hi]", "c.cvec")} AS qd2
+             | FROM qres t CROSS JOIN cent1_$m c),
+             |encq_$m AS (SELECT e.vec_id, e.cell, e.cl, t.qd2
+             |  FROM enc_$m e JOIN tab_$m t
+             |   ON t.cell = e.cell AND t.cl = e.cl)""".stripMargin
+        }
+        val adc = "e0.qd2 + e1.qd2 + e2.qd2 + e3.qd2"
+        s"""WITH cent0 AS (SELECT vec_id AS cl, embedding AS cvec
+           |  FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+           |a1 AS (SELECT e.vec_id, e.embedding, c.cl,
+           |  ${d2Sql("e.embedding", "c.cvec")} AS d2
+           | FROM embeddings e CROSS JOIN cent0 c),
+           |asg1 AS (SELECT vec_id, embedding, cl FROM a1
+           |  QUALIFY row_number() OVER
+           |    (PARTITION BY vec_id ORDER BY d2 ASC, cl ASC) = 1),
+           |ex AS (SELECT cl, i,
+           |  CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1048576.0) AS BIGINT) AS v
+           | FROM asg1, generate_series(1, 64) g(i)),
+           |cm AS (SELECT cl, i,
+           |  CAST(SUM(v) AS DOUBLE) / (COUNT(*) * 1048576.0) AS c
+           | FROM ex GROUP BY 1, 2),
+           |cent1 AS (SELECT cl, list(c ORDER BY i) AS cvec FROM cm GROUP BY 1),
+           |a2 AS (SELECT e.vec_id, e.embedding, c.cl,
+           |  ${d2Sql("e.embedding", "c.cvec")} AS d2
+           | FROM embeddings e CROSS JOIN cent1 c),
+           |idx AS (SELECT vec_id, embedding, cl AS cell FROM a2
+           |  QUALIFY row_number() OVER
+           |    (PARTITION BY vec_id ORDER BY d2 ASC, cl ASC) = 1),
+           |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+           |  WHERE vec_id = 0),
+           |probe AS (SELECT c.cl AS cell, c.cvec AS centroid
+           |  FROM cent1 c CROSS JOIN q
+           |  ORDER BY ${d2Sql("q.qv", "c.cvec")} ASC, c.cl ASC LIMIT 3),
+           |rex AS (SELECT i.vec_id, i.cell, g.i,
+           |  CAST(i.embedding[g.i] AS DOUBLE) - c.cvec[g.i] AS v
+           | FROM idx i JOIN cent1 c ON c.cl = i.cell,
+           |  generate_series(1, 64) g(i)),
+           |res AS (SELECT vec_id, cell, list(v ORDER BY i) AS res
+           |  FROM rex GROUP BY 1, 2),
+           |qrx AS (SELECT p.cell, g.i, q.qv[g.i] - p.centroid[g.i] AS v
+           |  FROM probe p CROSS JOIN q, generate_series(1, 64) g(i)),
+           |qres AS (SELECT cell, list(v ORDER BY i) AS qres
+           |  FROM qrx GROUP BY 1),
+           |${(0 until 4).map(fd2m).mkString(",\n")}
+           |SELECT e0.vec_id, e0.cell,
+           | CONCAT_WS('-', e0.cl, e1.cl, e2.cl, e3.cl) AS code,
+           | ${graft.core.Exact.sqlDround(adc, 6)} AS adc_d2
+           |FROM encq_0 e0 JOIN encq_1 e1 USING (vec_id)
+           | JOIN encq_2 e2 USING (vec_id) JOIN encq_3 e3 USING (vec_id)
+           |WHERE e0.vec_id != 0
+           |ORDER BY ${graft.core.Exact.sqlDround(adc, 6)} ASC,
+           | e0.vec_id ASC LIMIT 10""".stripMargin
+      },
     "q139_ivf_append" ->
       // q128's trained-on-base trajectory + frozen-centroid assignment
       // of the second half: the merged-index census proves appended

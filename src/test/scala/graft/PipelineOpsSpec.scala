@@ -1034,6 +1034,35 @@ class PipelineOpsSpec extends SparkTestBase {
       "exactly one row per event type")
   }
 
+  test("q149 IVF-PQ: results come only from the probed cells, match the " +
+    "coarse index's assignments, and ADC is ascending") {
+    import spark.implicits._
+    val got = Similarity.q149AnnIvfPq(spark, sfDir).collect()
+    assert(got.length == 10)
+    // recompute the probe set from the same coarse trajectory the
+    // query trains — composition consistency, not a re-oracle
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val (idx, cents) = Similarity.ivfLearned(emb, k = 8, iters = 2)
+    val qv = emb.filter($"vec_id" === 0).select($"embedding")
+      .collect().head.getSeq[Float](0).map(_.toDouble).toArray
+    val probed = cents.collect().map { r =>
+      val c = r.getSeq[Double](1).toArray
+      val d2 = qv.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+      (d2, r.getLong(0))
+    }.sortBy(identity).take(3).map(_._2).toSet
+    assert(got.forall(r => probed.contains(r.getLong(1))),
+      s"every hit must come from a probed cell $probed")
+    val cellOf = idx.select($"vec_id", $"cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach(r => assert(cellOf(r.getLong(0)) == r.getLong(1),
+      s"vec ${r.getLong(0)} cell must match its index assignment"))
+    val adcs = got.map(_.getDouble(3))
+    assert(adcs.zip(adcs.tail).forall { case (a, b) => a <= b },
+      "ADC distances must be ascending")
+    assert(got.forall(_.getString(2).split("-").length == 4),
+      "every code must be 4 subspace ids")
+  }
+
   test("q143 triangles: driver brute-force recount agrees on the real " +
     "citation graph; K4 closes fully, a star closes nothing") {
     import spark.implicits._
