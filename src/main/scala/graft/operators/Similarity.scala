@@ -848,16 +848,29 @@ object Similarity extends QueryPack {
     val emb = Tables.embeddings(s, dir)
     val M = 4; val SubDim = 16; val K = 16
     def sl(c: Column, m: Int): Column = slice(c, m * SubDim + 1, SubDim)
-    val (idx, cents) = ivfLearned(emb, k = 8, iters = 2)
+    // q128's trajectory inlined so the trained centroids can be
+    // lineage-truncated: cents/books/withRes each feed 4-5 downstream
+    // branches, and without checkpoints every branch re-executes the
+    // whole coarse training (measured 18 s at gsf10 → ~7 s with them —
+    // the q51-loop rule applied to a DAG instead of a loop; on a
+    // cluster, checkpoint(dir) is the executor-loss-safe spelling)
+    val cent0 = emb.filter($"vec_id".between(1L, 8L))
+      .select($"vec_id".as("cl"), vec($"embedding").as("cvec"))
+    val centsK = kmeansUpdate(kmeansAssign(emb, cent0)).localCheckpoint()
+    val idx = kmeansAssign(emb, centsK)
+      .select($"vec_id", $"embedding", $"cl".as("cell"))
+    val cents = centsK.select($"cl".as("cell"), $"cvec".as("centroid"))
     val withRes = idx
       .join(broadcast(cents), "cell")
       .withColumn("res",
         zip_with(vec($"embedding"), $"centroid", (a, c) => a - c))
+      .select($"vec_id", $"cell", $"res")
+      .localCheckpoint()
     val books = (0 until M).map { m =>
       val sv = withRes.select($"vec_id", sl($"res", m).as("embedding"))
-      val cent0 = sv.filter($"vec_id".between(1L, K.toLong))
+      val cent0m = sv.filter($"vec_id".between(1L, K.toLong))
         .select($"vec_id".as("cl"), vec($"embedding").as("cvec"))
-      kmeansUpdate(kmeansAssign(sv, cent0), SubDim)
+      kmeansUpdate(kmeansAssign(sv, cent0m), SubDim).localCheckpoint()
     }
     val q = broadcast(emb.filter($"vec_id" === 0)
       .select(vec($"embedding").as("qv")))
