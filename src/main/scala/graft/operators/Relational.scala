@@ -875,6 +875,53 @@ object Relational extends QueryPack {
           .as("avg_yearly"))
   }
 
+  // --- q150: multi-existential anti-join, decorrelated (TPC-H Q21 shape) ---
+  /** "Suppliers who kept orders waiting" — TPC-H Q21's shape on the
+    * driver schema: count, per supplier, the multi-supplier orders
+    * where THAT supplier shipped late (> 90 days after the order date)
+    * and NO other supplier in the order did. The textbook double
+    * correlated quantifier (EXISTS another-supplier line ∧ NOT EXISTS
+    * another-late line) — the hardest decorrelation in the TPC-H deck.
+    * Declared decorrelated (q144's discipline): one (order, supplier)
+    * rollup with a late flag, one per-order census over it, and the
+    * two existentials become integer predicates — n_supp ≥ 2 ∧
+    * n_late = 1 ∧ late — no correlated re-scan per probe row, no
+    * anti-join cascade.
+    *
+    * Exactness: flags and counts are integers; the late comparison is
+    * timestamp arithmetic both engines share.
+    *
+    * Scale shape: lineitem joins orders on the orderkey (the one
+    * data-sized exchange pair), then two nested aggregations REUSE the
+    * same orderkey partitioning (ls keys on (ok, sk) — hash(ok, sk)
+    * requires a second narrow exchange of the ls rollup, oc's and the
+    * back-join's key on ok); the supplier dim broadcasts; the final
+    * rollup is supplier-sized. Top-10 rides TakeOrdered.
+    */
+  def q150WaitingSuppliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val l = Tables.lineitem(s, dir)
+      .select($"l_orderkey".as("ok"), $"l_suppkey".as("sk"), $"l_shipdate")
+    val o = Tables.orders(s, dir)
+      .select($"o_orderkey".as("ok"), $"o_orderdate")
+    val ls = l.join(o, "ok")
+      .groupBy($"ok", $"sk")
+      .agg(max(when($"l_shipdate" >
+        $"o_orderdate" + expr("INTERVAL 90 DAYS"), 1L).otherwise(0L))
+        .as("late"))
+    val oc = ls.groupBy($"ok")
+      .agg(count(lit(1)).as("n_supp"), sum($"late").as("n_late"))
+    ls.join(oc, "ok")
+      .filter($"late" === 1L && $"n_supp" >= 2L && $"n_late" === 1L)
+      .groupBy($"sk")
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(s, dir)
+        .select($"s_suppkey".as("sk"), $"s_name")), "sk")
+      .select($"s_name", $"sk".as("s_suppkey"), $"numwait")
+      .orderBy($"numwait".desc, $"s_suppkey".asc)
+      .limit(10)
+  }
+
   // --- q131: HyperLogLog distinct-count sketch -----------------------------
   /** The FOURTH sketch family under the exact gate (KMV q103 keeps k
     * hashes, Misra–Gries q58 a heavy-hitter set, CMS q112 a counter
@@ -1291,6 +1338,7 @@ object Relational extends QueryPack {
     "q131_hll_distinct" -> (q131HllDistinct _),
     "q138_local_revenue" -> (q138LocalRevenue _),
     "q144_small_qty_revenue" -> (q144SmallQtyRevenue _),
+    "q150_waiting_suppliers" -> (q150WaitingSuppliers _),
     "q126_disorder"     -> (q126DisorderCensus _),
     "q124_path_mining"  -> (q124PathMining _),
     "q123_attribution"  -> (q123Attribution _),
@@ -1365,6 +1413,25 @@ object Relational extends QueryPack {
         |FROM li JOIN p ON li.l_partkey = p.p_partkey
         |JOIN a ON li.l_partkey = a.ap
         |WHERE li.q * 5 * a.cq < a.sq""".stripMargin,
+    "q150_waiting_suppliers" ->
+      // the decorrelated algebra verbatim: the two existentials are
+      // integer predicates over one per-order census
+      """WITH l AS (SELECT l_orderkey AS ok, l_suppkey AS sk, l_shipdate
+        | FROM lineitem),
+        |o AS (SELECT o_orderkey AS ok, o_orderdate FROM orders),
+        |ls AS (SELECT l.ok, l.sk,
+        |  MAX(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+        |    THEN 1 ELSE 0 END) AS late
+        | FROM l JOIN o ON l.ok = o.ok GROUP BY 1, 2),
+        |oc AS (SELECT ok, CAST(COUNT(*) AS BIGINT) AS n_supp,
+        |  CAST(SUM(late) AS BIGINT) AS n_late FROM ls GROUP BY 1),
+        |w AS (SELECT ls.sk, CAST(COUNT(*) AS BIGINT) AS numwait
+        |  FROM ls JOIN oc USING (ok)
+        |  WHERE ls.late = 1 AND oc.n_supp >= 2 AND oc.n_late = 1
+        |  GROUP BY 1)
+        |SELECT s.s_name, w.sk AS s_suppkey, w.numwait
+        |FROM w JOIN supplier s ON s.s_suppkey = w.sk
+        |ORDER BY w.numwait DESC, s_suppkey ASC LIMIT 10""".stripMargin,
     "q131_hll_distinct" ->
       // full register replay: same md5 addressing, same string-derived
       // rho, harmonic sum over exact integers (1 << (53 - m)), the

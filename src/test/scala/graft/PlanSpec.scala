@@ -600,6 +600,21 @@ class PlanSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("q150: decorrelated Q21 — no correlated re-scan: the existentials " +
+    "are aggregate predicates, the supplier dim broadcasts, top-10 " +
+    "rides TakeOrdered") {
+    val p = plan(graft.operators.Relational.q150WaitingSuppliers(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // the decorrelation contract: no existential-subquery artifacts
+    // (a correlated spelling leaves anti/semi joins in the plan)
+    assert(!p.contains("LeftAnti") && !p.contains("LeftSemi"),
+      "the existentials must be aggregate predicates, not joins:\n" +
+        p.take(2000))
+    spark.catalog.clearCache()
+  }
+
   test("q118: novelty joins only DOC-cardinality frames — the gram " +
     "stream feeds one aggregation and is never join-back material; no " +
     "candidate pairing, no Window, no nested-loop join") {
