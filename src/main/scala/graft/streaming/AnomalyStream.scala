@@ -688,6 +688,45 @@ object AnomalyStream {
       }
   }
 
+  case class KeyedHoltHit(event_type: String, seen: Long, hour_h: Long,
+      residual_scaled: Long)
+
+  /** [[holtStream]] SHARDED BY THE SERIES KEY — the streaming twin of
+    * batch q148 and the form a cluster deployment runs: state is one
+    * hourly cents map PER EVENT TYPE (each bounded by its own time
+    * span), keys scale out across executors exactly as q148's packed
+    * rows do. Each batch emits every updated key's current peak
+    * forecast-residual hour tagged with that key's own `seen` count.
+    * Replay-stable unconditionally per key (sum-map state); the final
+    * snapshot per key equals the matching q148 row over the same rows
+    * (StreamingSpec pins it).
+    */
+  def holtStreamByType(events: Dataset[Event]): Dataset[KeyedHoltHit] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[(Map[Long, Long], Long), KeyedHoltHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key, it, state) =>
+          val (m0, seen0) = state.getOption.getOrElse(
+            (Map.empty[Long, Long], 0L))
+          var m = m0; var n = 0L
+          it.foreach { e =>
+            val h = micros(e.ts) / 3600000000L
+            val cents = BigDecimal(e.value * 100)
+              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+            m = m.updated(h, m.getOrElse(h, 0L) + cents)
+            n += 1
+          }
+          val seen = seen0 + n
+          state.update((m, seen))
+          topHoltResidual(m) match {
+            case Some((h, r)) =>
+              Iterator.single(KeyedHoltHit(key, seen, h, r))
+            case None => Iterator.empty
+          }
+      }
+  }
+
   /** q142's fixed-point recurrence over a sparse hourly map: densify to
     * the span, warm up on the first day (l₀ = floored mean, b₀ = 0,
     * seasons = first-day deviations), step the floor-halving updates,

@@ -1006,6 +1006,45 @@ class StreamingSpec extends SparkTestBase {
       s"stream $fin1 vs batch row $batch")
   }
 
+  test("keyed holt stream: per-type final snapshots equal the batch q148 " +
+    "rows over the same data; slicing invariant per key") {
+    import spark.implicits._
+    import graft.streaming.AnomalyStream.KeyedHoltHit
+    implicit val sc = spark.sqlContext
+    val rows = graft.core.Tables.events(spark, sfDir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().toSeq
+    def run(name: String, slices: Seq[Seq[Event]])
+        : Map[String, KeyedHoltHit] = {
+      val input = MemoryStream[Event]
+      val q = graft.streaming.AnomalyStream.holtStreamByType(input.toDS())
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try slices.foreach { s => input.addData(s); q.processAllAvailable() }
+      finally q.stop()
+      spark.table(name).as[KeyedHoltHit].collect()
+        .groupBy(_.event_type).map { case (k, hs) =>
+          k -> hs.maxBy(_.seen) }
+    }
+    val one = run("kh_a", Seq(rows))
+    val sliced = run("kh_b", rows.grouped(rows.size / 3 + 1).toSeq)
+    assert(one.keySet == sliced.keySet && one.nonEmpty)
+    one.keySet.foreach { k =>
+      assert((one(k).hour_h, one(k).residual_scaled) ==
+        ((sliced(k).hour_h, sliced(k).residual_scaled)),
+        s"per-key peak must be slicing-invariant for $k")
+    }
+    // per-key parity with batch q148 on the SAME rows
+    val batch = graft.operators.Anomaly.q148HoltByType(spark, sfDir)
+      .collect().map(r =>
+        r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(batch.keySet == one.keySet)
+    batch.foreach { case (k, (h, r)) =>
+      assert((one(k).hour_h, one(k).residual_scaled) == ((h, r)),
+        s"stream snapshot for $k diverges from batch q148")
+    }
+  }
+
   test("hll stream: slicing invariance, JVM/SQL register parity, and " +
     "snapshot equals the batch q131 device over the same rows") {
     import spark.implicits._
