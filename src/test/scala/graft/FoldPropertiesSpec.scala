@@ -206,6 +206,53 @@ class FoldPropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("holt fold: residual trajectory is EXACTLY translation-invariant " +
+    "(300 random series, signed offsets — the floor-halving law)") {
+    // adding a constant C to every hourly value shifts the level by
+    // exactly C and leaves trend, seasons and residuals untouched —
+    // floor((a + 2C)/2) = floor(a/2) + C holds for ALL signed longs,
+    // so the invariance is exact, not approximate. This is the law
+    // that breaks if anyone swaps the arithmetic shift for truncating
+    // division (which rounds toward zero on negatives).
+    def residuals(sv: Array[Long]): Seq[Long] = {
+      val w24 = sv.take(24).sum
+      val l0 = (w24 - (((w24 % 24) + 24) % 24)) / 24
+      var l = l0; var b = 0L
+      val ss = scala.collection.mutable.Queue(sv.take(24).map(_ - l0): _*)
+      (24 until sv.length).map { t =>
+        val sh = ss.dequeue(); val x = sv(t)
+        val r = x - (l + b + sh)
+        val ln = (x - sh + l + b) >> 1
+        val bn = (ln - l + b) >> 1
+        val sn = (x - ln + sh) >> 1
+        ss.enqueue(sn); l = ln; b = bn
+        r
+      }
+    }
+    val rnd = new scala.util.Random(23)
+    (1 to 300).foreach { _ =>
+      val n = 48 + rnd.nextInt(200)
+      val sv = Array.fill(n)(rnd.nextLong(2000001L) - 1000000L)
+      val c = rnd.nextLong(2000001L) - 1000000L
+      assert(residuals(sv) == residuals(sv.map(_ + c)),
+        s"translation by $c must not move residuals")
+    }
+    // the same law through the SPARK fold end to end (one case)
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    def frame(off: Double) = (0 until 96).map { h =>
+      (new java.sql.Timestamp(base + h * 3600000L),
+        (rnd.nextInt(2000) - 1000) / 100.0 + off)
+    }.toDF("ts", "value")
+    rnd.setSeed(91)
+    val a = graft.operators.Anomaly.holtWintersCensus(frame(0.0)).collect()
+    rnd.setSeed(91)
+    val b = graft.operators.Anomaly.holtWintersCensus(frame(537.29)).collect()
+    assert(a.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      b.map(r => (r.getLong(0), r.getLong(1))).toSeq,
+      "Spark fold must carry the same invariance")
+  }
+
   test("canonical selection: argmax property over 100 random clusters") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
