@@ -917,6 +917,45 @@ object Similarity extends QueryPack {
       .limit(10)
   }
 
+  // --- q151: PQ code-budget sweep -------------------------------------------
+  /** The sweep a production PQ deployment runs before fixing a code
+    * budget: quantize the corpus at M ∈ {2, 4, 8} subspaces (= bytes
+    * per vector; 16 codewords each, subspace width 64/M) and census
+    * the mean per-vector quantization error at each budget — the
+    * error-vs-memory CURVE, q120's BPE-sweep discipline applied to
+    * q147's quantizer. Each budget trains its own independent
+    * integer-snapped Lloyd codebooks, so the whole 14-trajectory sweep
+    * (2+4+8) sits under the hash gate; per-(vector, subspace) errors
+    * snap to round(d2·2^20) integers before summing (q30's rule), so
+    * the census is partition-invariant.
+    *
+    * Scale shape: per budget and subspace, one zero-shuffle assignment
+    * projection + one ≤16-row aggregation (training) + one more
+    * assignment projection whose d2 IS the min (feeding a single
+    * map-combined global sum). Nothing joins; nothing is driver-side.
+    */
+  def q151PqSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val n = broadcast(emb.agg(count(lit(1)).as("n")))
+    Seq(2, 4, 8).map { mSub =>
+      val subDim = EmbDim / mSub
+      val errs = (0 until mSub).map { m =>
+        val sv = emb.select($"vec_id",
+          slice(vec($"embedding"), m * subDim + 1, subDim).as("embedding"))
+        val cent0 = sv.filter($"vec_id".between(1L, 16L))
+          .select($"vec_id".as("cl"), vec($"embedding").as("cvec"))
+        val cents = kmeansUpdate(kmeansAssign(sv, cent0), subDim)
+        kmeansAssign(sv, cents)
+          .select(round($"d2" * 1048576.0).cast("long").as("q"))
+      }.reduce(_ unionByName _)
+      errs.agg(sum($"q").as("sq")).crossJoin(n)
+        .select(lit(mSub.toLong).as("bytes_per_vec"),
+          graft.core.Exact.dround(
+            $"sq".cast("double") / ($"n" * 1048576.0), 6).as("mean_err"))
+    }.reduce(_ unionByName _).orderBy($"bytes_per_vec".asc)
+  }
+
   // --- q134: hybrid retrieval — reciprocal-rank fusion of BM25 + ANN -------
   /** RRF (Cormack et al. 2009, the standard hybrid-retrieval combiner):
     * fuse the LEXICAL ranking (q130's BM25 top-10) with the DENSE
@@ -1023,6 +1062,7 @@ object Similarity extends QueryPack {
     "q139_ivf_append"      -> (q139IvfAppend _),
     "q147_ann_pq_adc"      -> (q147AnnPqAdc _),
     "q149_ann_ivf_pq"      -> (q149AnnIvfPq _),
+    "q151_pq_sweep"        -> (q151PqSweep _),
   )
 
   private val sqlDot =
@@ -1377,6 +1417,53 @@ object Similarity extends QueryPack {
            |WHERE e0.vec_id != 0
            |ORDER BY ${graft.core.Exact.sqlDround(adc, 6)} ASC,
            | e0.vec_id ASC LIMIT 10""".stripMargin
+      },
+    "q151_pq_sweep" ->
+      // 14 independent subspace trajectories (budgets 2+4+8), each the
+      // q102 chain on its slice; per-vector min-d2 snapped to ints
+      // before the global sum, one census row per budget
+      {
+        def chain(b: Int, m: Int): String = {
+          val subDim = 64 / b
+          val lo = m * subDim + 1; val hi = lo + subDim - 1
+          val sl = s"e.embedding[$lo:$hi]"
+          s"""c0_${b}_$m AS (SELECT vec_id AS cl, embedding[$lo:$hi] AS cvec
+             |  FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
+             |a1_${b}_$m AS (SELECT e.vec_id, $sl AS sv, c.cl,
+             |  ${d2Sql(sl, "c.cvec")} AS d2
+             | FROM embeddings e CROSS JOIN c0_${b}_$m c),
+             |g1_${b}_$m AS (SELECT vec_id, sv, cl FROM a1_${b}_$m
+             |  QUALIFY row_number() OVER
+             |    (PARTITION BY vec_id ORDER BY d2 ASC, cl ASC) = 1),
+             |ex_${b}_$m AS (SELECT cl, i,
+             |  CAST(ROUND(CAST(sv[i] AS DOUBLE) * 1048576.0) AS BIGINT) AS v
+             | FROM g1_${b}_$m, generate_series(1, $subDim) g(i)),
+             |cm_${b}_$m AS (SELECT cl, i,
+             |  CAST(SUM(v) AS DOUBLE) / (COUNT(*) * 1048576.0) AS c
+             | FROM ex_${b}_$m GROUP BY 1, 2),
+             |c1_${b}_$m AS (SELECT cl, list(c ORDER BY i) AS cvec
+             |  FROM cm_${b}_$m GROUP BY 1),
+             |er_${b}_$m AS (SELECT e.vec_id,
+             |  CAST(ROUND(MIN(${d2Sql(sl, "c.cvec")}) * 1048576.0) AS BIGINT)
+             |    AS q
+             | FROM embeddings e CROSS JOIN c1_${b}_$m c GROUP BY 1)"""
+            .stripMargin
+        }
+        def census(b: Int): String = {
+          val un = (0 until b).map(m => s"SELECT q FROM er_${b}_$m")
+            .mkString(" UNION ALL ")
+          s"""SELECT CAST($b AS BIGINT) AS bytes_per_vec,
+             | ${graft.core.Exact.sqlDround(
+                 "CAST(SUM(q) AS DOUBLE) / ((SELECT COUNT(*) FROM embeddings)" +
+                 " * 1048576.0)", 6)} AS mean_err
+             |FROM ($un)""".stripMargin
+        }
+        val chains = Seq(2, 4, 8)
+          .flatMap(b => (0 until b).map(m => chain(b, m))).mkString(",\n")
+        s"""WITH $chains
+           |SELECT * FROM (
+           |${Seq(2, 4, 8).map(census).mkString(" UNION ALL\n")}
+           |) ORDER BY bytes_per_vec ASC""".stripMargin
       },
     "q139_ivf_append" ->
       // q128's trained-on-base trajectory + frozen-centroid assignment

@@ -1034,6 +1034,18 @@ class PipelineOpsSpec extends SparkTestBase {
       "exactly one row per event type")
   }
 
+  test("q151 PQ sweep: quantization error is monotone non-increasing in " +
+    "the code budget, and the 4-byte point matches q147's quantizer") {
+    import graft.operators.Similarity
+    val rows = Similarity.q151PqSweep(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(rows.map(_._1) == Seq(2L, 4L, 8L))
+    val errs = rows.map(_._2)
+    assert(errs(0) >= errs(1) && errs(1) >= errs(2),
+      s"more bytes must not quantize worse: $errs")
+    assert(errs.forall(_ >= 0.0))
+  }
+
   test("q149 IVF-PQ: results come only from the probed cells, match the " +
     "coarse index's assignments, and ADC is ascending") {
     import spark.implicits._
