@@ -128,6 +128,50 @@ object Anomaly extends QueryPack {
     robustStatsFrom(s, dir,
       c => expr(s"approx_percentile($c, 0.5, $accuracy)").cast("double"))
 
+  // --- q152: exact quantiles via value-domain rollup --------------------------
+  /** Exact p50/p90/p99 per event type through the THIRD quantile
+    * spelling in the pack — and the one that scales furthest: roll the
+    * stream up to (type, cents-value) COUNTS first, then select ranks
+    * on the bounded count table. q35's percentile buffers ship every
+    * row's value into one aggregation buffer per type (exact, but a
+    * hot type's buffer is its row count); the approx twin bounds
+    * memory but pays rank error; THIS form is exact AND bounded —
+    * state is the VALUE DOMAIN (≤ ~50k distinct cents here), not the
+    * row count, the same bounding trick the hourly spine uses for
+    * time. The rank rule is the discrete quantile in pure integers:
+    * p-quantile = smallest value whose cumulative count satisfies
+    * 100·cum ≥ p100·total — no float rank, no ceil-of-double
+    * boundary drift (0.9·n in doubles rounds UP across engines at
+    * exact multiples; the integer form cannot).
+    *
+    * Scale shape: ONE map-combined data-sized rollup; the cumsum
+    * window runs per type over the bounded value table; the final
+    * aggregate is |type| rows. At 100 TB with a bounded-precision
+    * metric this is how you get exact tail latencies — the cents map
+    * is also [[graft.streaming.AnomalyStream.quantileStream]]'s state.
+    */
+  def q152ExactQuantiles(s: SparkSession, dir: String): DataFrame =
+    exactQuantiles(Tables.events(s, dir))
+
+  def exactQuantiles(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val counts = events
+      .select($"event_type", round($"value" * 100).cast("long").as("c"))
+      .groupBy($"event_type", $"c").agg(count(lit(1)).as("n"))
+    val wCum = Window.partitionBy($"event_type").orderBy($"c")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wTot = Window.partitionBy($"event_type")
+    val ranked = counts
+      .withColumn("cum", sum($"n").over(wCum))
+      .withColumn("tot", sum($"n").over(wTot))
+    def q(p100: Int): Column =
+      (min(when($"cum" * 100 >= $"tot" * p100, $"c"))
+        .cast("double") / 100.0).as(s"p$p100")
+    ranked.groupBy($"event_type")
+      .agg(max($"tot").as("n"), q(50), q(90), q(99))
+      .orderBy($"event_type".asc)
+  }
+
   // --- q47: seasonal baseline (hour-of-day slot) outliers ------------------
   /** Telemetry seasonality: each event compares against the statistics
     * of its own (event_type, hour-of-day) slot — a spike at 3am is
@@ -708,6 +752,7 @@ object Anomaly extends QueryPack {
     "q145_holt_forecast"  -> (q145HoltForecast _),
     "q146_backtest"       -> (q146Backtest _),
     "q148_holt_by_type"   -> (q148HoltByType _),
+    "q152_exact_quantiles" -> (q152ExactQuantiles _),
     "q140_cusum"          -> (q140Cusum _),
     "q141_episodes"       -> (q141Episodes _),
     "q137_discord"        -> (q137Discord _),
@@ -854,6 +899,28 @@ object Anomaly extends QueryPack {
           |  ELSE 'naive' END AS best_model
           |FROM hw CROSS JOIN bl CROSS JOIN n WHERE n.nh >= 48""".stripMargin
       },
+    "q152_exact_quantiles" ->
+      // the identical integer rank rule over the identical cents
+      // rollup — discrete quantile = smallest value with
+      // 100·cum ≥ p·total
+      """WITH c AS (SELECT event_type,
+        |  CAST(ROUND(value * 100) AS BIGINT) AS c,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        | FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, c, n,
+        |  CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY c
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum,
+        |  CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+        | FROM c)
+        |SELECT event_type, MAX(tot) AS n,
+        | CAST(MIN(CASE WHEN cum * 100 >= tot * 50 THEN c END) AS DOUBLE)
+        |   / 100.0 AS p50,
+        | CAST(MIN(CASE WHEN cum * 100 >= tot * 90 THEN c END) AS DOUBLE)
+        |   / 100.0 AS p90,
+        | CAST(MIN(CASE WHEN cum * 100 >= tot * 99 THEN c END) AS DOUBLE)
+        |   / 100.0 AS p99
+        |FROM r GROUP BY 1 ORDER BY event_type ASC""".stripMargin,
     "q148_holt_by_type" ->
       // the q142 recurrence with a series key threaded through every
       // CTE: all five series step in lockstep (one rec row per type

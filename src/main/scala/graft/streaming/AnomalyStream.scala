@@ -688,6 +688,57 @@ object AnomalyStream {
       }
   }
 
+  case class QuantileSnap(event_type: String, seen: Long, p50: Double,
+      p90: Double, p99: Double)
+
+  /** Streaming exact quantiles — the sketch-family member production
+    * asks for first (live p99), as state bounded by the VALUE DOMAIN:
+    * per event type, one cents→count map (the 2-decimal value contract
+    * makes cents lossless, so these are EXACT quantiles, not a
+    * GK/t-digest approximation; state is the ≤~50k distinct cents
+    * values, never the row count — batch q152's bounding trick as
+    * keyed stream state). Each batch emits the key's current
+    * p50/p90/p99 by the same pure-integer rank rule (smallest value
+    * with 100·cum ≥ p·total). Replay-stable UNCONDITIONALLY (sum-map
+    * state); the final snapshot equals the matching batch
+    * [[graft.operators.Anomaly.exactQuantiles]] row over the same rows
+    * (StreamingSpec pins it).
+    */
+  def quantileStream(events: Dataset[Event]): Dataset[QuantileSnap] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[(Map[Long, Long], Long), QuantileSnap](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key, it, state) =>
+          val (m0, seen0) = state.getOption.getOrElse(
+            (Map.empty[Long, Long], 0L))
+          var m = m0; var n = 0L
+          it.foreach { e =>
+            val cents = BigDecimal(e.value * 100)
+              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+            m = m.updated(cents, m.getOrElse(cents, 0L) + 1L)
+            n += 1
+          }
+          val seen = seen0 + n
+          state.update((m, seen))
+          if (m.isEmpty) Iterator.empty
+          else {
+            val sorted = m.toArray.sortBy(_._1)
+            val tot = sorted.map(_._2).sum
+            def q(p100: Long): Double = {
+              var cum = 0L; var i = 0
+              while (i < sorted.length && cum * 100 < tot * p100) {
+                cum += sorted(i)._2; i += 1
+              }
+              // loop exits at the first value whose cum satisfies the
+              // rank rule; i-1 indexes it (tot ≥ 1 here, so i ≥ 1)
+              sorted(i - 1)._1.toDouble / 100.0
+            }
+            Iterator.single(QuantileSnap(key, seen, q(50), q(90), q(99)))
+          }
+      }
+  }
+
   case class KeyedHoltHit(event_type: String, seen: Long, hour_h: Long,
       residual_scaled: Long)
 

@@ -1045,6 +1045,44 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("quantile stream: per-type final snapshots equal batch q152 rows " +
+    "over the same data; slicing invariant; monotone p50<=p90<=p99") {
+    import spark.implicits._
+    import graft.streaming.AnomalyStream.QuantileSnap
+    implicit val sc = spark.sqlContext
+    val rows = graft.core.Tables.events(spark, sfDir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().toSeq
+    def run(name: String, slices: Seq[Seq[Event]])
+        : Map[String, QuantileSnap] = {
+      val input = MemoryStream[Event]
+      val q = graft.streaming.AnomalyStream.quantileStream(input.toDS())
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try slices.foreach { s => input.addData(s); q.processAllAvailable() }
+      finally q.stop()
+      spark.table(name).as[QuantileSnap].collect()
+        .groupBy(_.event_type).map { case (k, hs) => k -> hs.maxBy(_.seen) }
+    }
+    val one = run("qs_a", Seq(rows))
+    val sliced = run("qs_b", rows.grouped(rows.size / 3 + 1).toSeq)
+    assert(one.keySet == sliced.keySet && one.nonEmpty)
+    one.keySet.foreach { k =>
+      assert((one(k).p50, one(k).p90, one(k).p99) ==
+        ((sliced(k).p50, sliced(k).p90, sliced(k).p99)),
+        s"snapshot quantiles must be slicing-invariant for $k")
+      assert(one(k).p50 <= one(k).p90 && one(k).p90 <= one(k).p99)
+    }
+    val batch = graft.operators.Anomaly.q152ExactQuantiles(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(batch.keySet == one.keySet)
+    batch.foreach { case (k, (p50, p90, p99)) =>
+      assert((one(k).p50, one(k).p90, one(k).p99) == ((p50, p90, p99)),
+        s"stream snapshot for $k diverges from batch q152")
+    }
+  }
+
   test("hll stream: slicing invariance, JVM/SQL register parity, and " +
     "snapshot equals the batch q131 device over the same rows") {
     import spark.implicits._
