@@ -665,6 +665,37 @@ object Anomaly extends QueryPack {
       .orderBy($"hour_h".asc)
   }
 
+  // --- q153: seasonal-adjusted CUSUM (changepoints on forecast residuals) ----
+  /** Page's CUSUM over q142's FORECAST RESIDUALS instead of raw
+    * values — the composition production changepoint detection
+    * actually deploys for seasonal series: q140 on raw values reads
+    * every daily peak as drift and needs the global-mean correction;
+    * on residuals the seasonal and trend structure is already
+    * subtracted by the model, so C_t = max(0, C_{t−1} + r_t)
+    * accumulates only UNEXPLAINED elevation — the slow leak the
+    * seasonality would otherwise mask. Same closed form as q140
+    * (prefix sum minus running min; residuals are model-centered, so
+    * no mean term), exact BIGINT end to end.
+    *
+    * Scale shape: q142's one fold + q140's keyed windows over the
+    * bounded exploded residuals; TakeOrdered top-5.
+    */
+  def q153ResidualCusum(s: SparkSession, dir: String): DataFrame =
+    residualCusum(Tables.events(s, dir))
+
+  def residualCusum(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val w = Window.partitionBy($"mn").orderBy($"p")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    holtFold(events)
+      .select($"mn", posexplode($"fin.rs").as(Seq("p", "r")))
+      .withColumn("pf", sum($"r").over(w))
+      .withColumn("cus", $"pf" - least(lit(0L), min($"pf").over(w)))
+      .select(($"mn" + 24 + $"p").as("hour_h"), $"cus".as("cusum_scaled"),
+        Exact.dround($"cus".cast("double") / 100.0, 2).as("drift_dollars"))
+      .orderBy($"cusum_scaled".desc, $"hour_h".asc).limit(5)
+  }
+
   // --- q148: per-series Holt–Winters (the sharded form) -----------------------
   /** q142 PER EVENT TYPE — the form a 100 TB deployment actually runs:
     * one packed series row per metric key, the fold as row-local work,
@@ -753,6 +784,7 @@ object Anomaly extends QueryPack {
     "q146_backtest"       -> (q146Backtest _),
     "q148_holt_by_type"   -> (q148HoltByType _),
     "q152_exact_quantiles" -> (q152ExactQuantiles _),
+    "q153_residual_cusum"  -> (q153ResidualCusum _),
     "q140_cusum"          -> (q140Cusum _),
     "q141_episodes"       -> (q141Episodes _),
     "q137_discord"        -> (q137Discord _),
@@ -898,6 +930,49 @@ object Anomaly extends QueryPack {
           |  WHEN sse_snaive <= sse_naive THEN 'seasonal_naive'
           |  ELSE 'naive' END AS best_model
           |FROM hw CROSS JOIN bl CROSS JOIN n WHERE n.nh >= 48""".stripMargin
+      },
+    "q153_residual_cusum" ->
+      // q142's recursive CTE supplies the residual stream; the CUSUM
+      // closed form (prefix sum minus running min, no mean term —
+      // residuals are model-centered) replays with window functions
+      {
+        def fd2(e: String) = s"((($e) - (((($e) % 2) + 2) % 2)) // 2)"
+        val ln = fd2("ser.x - rec.ss[1] + rec.l + rec.b2")
+        val bn = fd2(s"$ln - rec.l + rec.b2")
+        val sn = fd2(s"ser.x - $ln + rec.ss[1]")
+        s"""WITH RECURSIVE s AS (SELECT
+          |  epoch_us(date_trunc('hour', ts)) // 3600000000 AS hi,
+          |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x0
+          | FROM events GROUP BY 1),
+          |b AS (SELECT MIN(hi) mn, MAX(hi) mx FROM s),
+          |g AS (SELECT gs.hi FROM b, UNNEST(range(b.mn, b.mx + 1)) gs(hi)),
+          |ser AS (SELECT g.hi - b.mn AS idx, COALESCE(s.x0, 0) AS x
+          |  FROM g CROSS JOIN b LEFT JOIN s ON s.hi = g.hi),
+          |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nh FROM ser),
+          |w AS (SELECT CAST(SUM(x) AS BIGINT) AS s24 FROM ser WHERE idx < 24),
+          |i AS (SELECT ((s24 - ((s24 % 24) + 24) % 24) // 24) AS l0 FROM w),
+          |s0 AS (SELECT list(ser.x - i.l0 ORDER BY ser.idx) AS ss
+          |  FROM ser, i WHERE ser.idx < 24),
+          |rec AS (
+          |  SELECT CAST(23 AS BIGINT) AS t, i.l0 AS l,
+          |    CAST(0 AS BIGINT) AS b2, s0.ss AS ss, CAST(NULL AS BIGINT) AS r
+          |  FROM i, s0
+          |  UNION ALL
+          |  SELECT ser.idx, CAST($ln AS BIGINT) AS l, CAST($bn AS BIGINT) AS b2,
+          |    list_concat(rec.ss[2:24], [CAST($sn AS BIGINT)]) AS ss,
+          |    CAST(ser.x - (rec.l + rec.b2 + rec.ss[1]) AS BIGINT) AS r
+          |  FROM rec JOIN ser ON ser.idx = rec.t + 1),
+          |p AS (SELECT t, CAST(SUM(r) OVER (ORDER BY t
+          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          |  AS pf FROM rec WHERE r IS NOT NULL),
+          |c AS (SELECT t, pf - LEAST(0, MIN(pf) OVER (ORDER BY t
+          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cus FROM p)
+          |SELECT CAST(b.mn + c.t AS BIGINT) AS hour_h,
+          | CAST(cus AS BIGINT) AS cusum_scaled,
+          | ${graft.core.Exact.sqlDround("CAST(cus AS DOUBLE) / 100.0", 2)}
+          |   AS drift_dollars
+          |FROM c CROSS JOIN b CROSS JOIN n WHERE n.nh >= 48
+          |ORDER BY cusum_scaled DESC, hour_h ASC LIMIT 5""".stripMargin
       },
     "q152_exact_quantiles" ->
       // the identical integer rank rule over the identical cents

@@ -994,6 +994,50 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q153 residual CUSUM: driver recompute agrees, and a slow leak " +
+    "an order of magnitude below the seasonal amplitude is found at " +
+    "or after its onset") {
+    import spark.implicits._
+    import graft.operators.Anomaly
+    val hourly = graft.core.Tables.events(spark, sfDir)
+      .groupBy(expr("unix_micros(date_trunc('hour', ts)) div 3600000000")
+        .as("hi"))
+      .agg(sum(round($"value" * 100).cast("long")).as("x"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mn = hourly.keys.min; val mx = hourly.keys.max
+    val sv = (mn to mx).map(h => hourly.getOrElse(h, 0L)).toArray
+    val w24 = sv.take(24).sum
+    val l0 = (w24 - (((w24 % 24) + 24) % 24)) / 24
+    var l = l0; var b = 0L
+    val ss = scala.collection.mutable.Queue(sv.take(24).map(_ - l0): _*)
+    var pf = 0L; var mnp = 0L
+    val want = (24 until sv.length).map { t =>
+      val sh = ss.dequeue(); val x = sv(t)
+      val r = x - (l + b + sh)
+      val ln = (x - sh + l + b) >> 1
+      val bn = (ln - l + b) >> 1
+      val sn = (x - ln + sh) >> 1
+      ss.enqueue(sn); l = ln; b = bn
+      pf += r; mnp = math.min(mnp, pf)
+      (mn + t, pf - math.min(0L, mnp))
+    }.sortBy { case (h, c) => (-c, h) }.take(5).toSeq
+    val got = Anomaly.q153ResidualCusum(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want, s"got $got want $want")
+    // planted: ±20-amplitude daily pattern, +3.0 sustained leak from
+    // hour 150 — invisible to any raw threshold, but the residual
+    // CUSUM's peak accumulation sits at or after the onset
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val synth = (0 until 240).map { h =>
+      val leak = if (h >= 150) 3.0 else 0.0
+      (new java.sql.Timestamp(base + h * 3600000L),
+        100.0 + 20.0 * math.sin(2 * math.Pi * (h % 24) / 24.0) + leak)
+    }.toDF("ts", "value")
+    val top = Anomaly.residualCusum(synth).collect()
+    assert(top.head.getLong(0) >= (base / 3600000L) + 150,
+      s"peak ${top.head.getLong(0)} must sit at or after the leak onset")
+  }
+
   test("q148 per-type Holt–Winters: driver per-series recompute agrees " +
     "for every event type") {
     import spark.implicits._
