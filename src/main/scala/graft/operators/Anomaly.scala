@@ -696,6 +696,37 @@ object Anomaly extends QueryPack {
       .orderBy($"cusum_scaled".desc, $"hour_h".asc).limit(5)
   }
 
+  // --- q154: detector-ensemble census ------------------------------------------
+  /** The dashboard query the detector family exists for: which hours
+    * do the four complementary series detectors flag, and where do
+    * they AGREE — CUSUM drift (q140), sustained episodes (q141),
+    * forecast residuals (q142) and seasonal-adjusted residual CUSUM
+    * (q153) each contribute their top-5 hours; the census groups by
+    * hour with the detector roster. Corroborated hours (n ≥ 2) are
+    * what an on-call pages on; single-detector hours are each
+    * detector's unique signal (drift vs shape vs level — the reason
+    * four detectors exist). Pure composition: every branch is an
+    * already-oracle-checked census, so the ensemble is too.
+    *
+    * Scale shape: the four branches SHARE the one data-sized rollup
+    * class (each is a fold/window over the bounded spine); the union
+    * is ≤20 rows.
+    */
+  def q154DetectorEnsemble(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, dir)
+    Seq(
+      cusumCensus(e).select($"hour_h", lit("cusum").as("det")),
+      episodeCensus(e).select($"start_h".as("hour_h"), lit("episode").as("det")),
+      holtWintersCensus(e).select($"hour_h", lit("holt_residual").as("det")),
+      residualCusum(e).select($"hour_h", lit("residual_cusum").as("det")))
+      .reduce(_ unionByName _)
+      .groupBy($"hour_h")
+      .agg(count(lit(1)).as("n_detectors"),
+        concat_ws(",", sort_array(collect_list($"det"))).as("detectors"))
+      .orderBy($"n_detectors".desc, $"hour_h".asc)
+  }
+
   // --- q148: per-series Holt–Winters (the sharded form) -----------------------
   /** q142 PER EVENT TYPE — the form a 100 TB deployment actually runs:
     * one packed series row per metric key, the fold as row-local work,
@@ -785,6 +816,7 @@ object Anomaly extends QueryPack {
     "q148_holt_by_type"   -> (q148HoltByType _),
     "q152_exact_quantiles" -> (q152ExactQuantiles _),
     "q153_residual_cusum"  -> (q153ResidualCusum _),
+    "q154_detector_ensemble" -> (q154DetectorEnsemble _),
     "q140_cusum"          -> (q140Cusum _),
     "q141_episodes"       -> (q141Episodes _),
     "q137_discord"        -> (q137Discord _),
@@ -930,6 +962,80 @@ object Anomaly extends QueryPack {
           |  WHEN sse_snaive <= sse_naive THEN 'seasonal_naive'
           |  ELSE 'naive' END AS best_model
           |FROM hw CROSS JOIN bl CROSS JOIN n WHERE n.nh >= 48""".stripMargin
+      },
+    "q154_detector_ensemble" ->
+      // all four detectors off ONE shared spine + recurrence: each
+      // branch is its original oracle's final SELECT (top-5, identical
+      // tie rules), unioned and grouped; STRING_AGG(det ORDER BY det)
+      // mirrors concat_ws over sort_array
+      {
+        def fd2(e: String) = s"((($e) - (((($e) % 2) + 2) % 2)) // 2)"
+        val ln = fd2("ser.x - rec.ss[1] + rec.l + rec.b2")
+        val bn = fd2(s"$ln - rec.l + rec.b2")
+        val sn = fd2(s"ser.x - $ln + rec.ss[1]")
+        s"""WITH RECURSIVE s AS (SELECT
+          |  epoch_us(date_trunc('hour', ts)) // 3600000000 AS hi,
+          |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x0
+          | FROM events GROUP BY 1),
+          |b AS (SELECT MIN(hi) mn, MAX(hi) mx FROM s),
+          |g AS (SELECT gs.hi FROM b, UNNEST(range(b.mn, b.mx + 1)) gs(hi)),
+          |ser AS (SELECT g.hi - b.mn AS idx, COALESCE(s.x0, 0) AS x
+          |  FROM g CROSS JOIN b LEFT JOIN s ON s.hi = g.hi),
+          |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nh,
+          |  CAST(SUM(x) AS BIGINT) AS sx FROM ser),
+          |w AS (SELECT CAST(SUM(x) AS BIGINT) AS s24 FROM ser WHERE idx < 24),
+          |i AS (SELECT ((s24 - ((s24 % 24) + 24) % 24) // 24) AS l0 FROM w),
+          |s0 AS (SELECT list(ser.x - i.l0 ORDER BY ser.idx) AS ss
+          |  FROM ser, i WHERE ser.idx < 24),
+          |rec AS (
+          |  SELECT CAST(23 AS BIGINT) AS t, i.l0 AS l,
+          |    CAST(0 AS BIGINT) AS b2, s0.ss AS ss, CAST(NULL AS BIGINT) AS r
+          |  FROM i, s0
+          |  UNION ALL
+          |  SELECT ser.idx, CAST($ln AS BIGINT) AS l, CAST($bn AS BIGINT) AS b2,
+          |    list_concat(rec.ss[2:24], [CAST($sn AS BIGINT)]) AS ss,
+          |    CAST(ser.x - (rec.l + rec.b2 + rec.ss[1]) AS BIGINT) AS r
+          |  FROM rec JOIN ser ON ser.idx = rec.t + 1),
+          |p1 AS (SELECT idx, CAST(SUM(x) OVER (ORDER BY idx
+          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          |  AS pf FROM ser),
+          |t1 AS (SELECT idx, n.nh * pf - (idx + 1) * n.sx AS tp
+          |  FROM p1 CROSS JOIN n),
+          |c1 AS (SELECT idx, tp - LEAST(0, MIN(tp) OVER (ORDER BY idx
+          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cus
+          |  FROM t1),
+          |top_cusum AS (SELECT b.mn + c1.idx AS hour_h, 'cusum' AS det
+          |  FROM c1 CROSS JOIN b
+          |  ORDER BY c1.cus DESC, hour_h ASC LIMIT 5),
+          |f1 AS (SELECT idx, x FROM ser CROSS JOIN n WHERE n.nh * x > n.sx),
+          |i1 AS (SELECT idx,
+          |  idx - ROW_NUMBER() OVER (ORDER BY idx) AS grp FROM f1),
+          |r1 AS (SELECT grp, MIN(idx) AS p0, COUNT(*) AS len_h
+          |  FROM i1 GROUP BY 1),
+          |top_episode AS (SELECT b.mn + r1.p0 AS hour_h, 'episode' AS det
+          |  FROM r1 CROSS JOIN b
+          |  ORDER BY r1.len_h DESC, hour_h ASC LIMIT 5),
+          |top_holt AS (SELECT b.mn + rec.t AS hour_h, 'holt_residual' AS det
+          |  FROM rec CROSS JOIN b CROSS JOIN n
+          |  WHERE rec.r IS NOT NULL AND n.nh >= 48
+          |  ORDER BY ABS(rec.r) DESC, hour_h ASC LIMIT 5),
+          |p2 AS (SELECT t, CAST(SUM(r) OVER (ORDER BY t
+          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          |  AS pf FROM rec WHERE r IS NOT NULL),
+          |c2 AS (SELECT t, pf - LEAST(0, MIN(pf) OVER (ORDER BY t
+          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cus
+          |  FROM p2),
+          |top_rc AS (SELECT b.mn + c2.t AS hour_h, 'residual_cusum' AS det
+          |  FROM c2 CROSS JOIN b CROSS JOIN n WHERE n.nh >= 48
+          |  ORDER BY c2.cus DESC, hour_h ASC LIMIT 5),
+          |u AS (SELECT * FROM top_cusum UNION ALL
+          |  SELECT * FROM top_episode UNION ALL
+          |  SELECT * FROM top_holt UNION ALL SELECT * FROM top_rc)
+          |SELECT CAST(hour_h AS BIGINT) AS hour_h,
+          | CAST(COUNT(*) AS BIGINT) AS n_detectors,
+          | STRING_AGG(det, ',' ORDER BY det) AS detectors
+          |FROM u GROUP BY 1
+          |ORDER BY n_detectors DESC, hour_h ASC""".stripMargin
       },
     "q153_residual_cusum" ->
       // q142's recursive CTE supplies the residual stream; the CUSUM

@@ -1038,6 +1038,26 @@ class PipelineOpsSpec extends SparkTestBase {
       s"peak ${top.head.getLong(0)} must sit at or after the leak onset")
   }
 
+  test("q154 ensemble: rows are exactly the grouped union of the four " +
+    "detector censuses, ordered by corroboration") {
+    import graft.operators.Anomaly
+    val e = graft.core.Tables.events(spark, sfDir)
+    val want = (
+      Anomaly.cusumCensus(e).collect().map(_.getLong(0) -> "cusum") ++
+      Anomaly.episodeCensus(e).collect().map(_.getLong(0) -> "episode") ++
+      Anomaly.holtWintersCensus(e).collect()
+        .map(_.getLong(0) -> "holt_residual") ++
+      Anomaly.residualCusum(e).collect()
+        .map(_.getLong(0) -> "residual_cusum"))
+      .groupBy(_._1).map { case (h, ds) =>
+        (h, ds.length.toLong, ds.map(_._2).sorted.mkString(",")) }
+      .toSeq.sortBy { case (h, n, _) => (-n, h) }
+    val got = Anomaly.q154DetectorEnsemble(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == want, s"got $got\nwant $want")
+    assert(got.exists(_._2 >= 1) && got.map(_._1).distinct.size == got.size)
+  }
+
   test("q148 per-type Holt–Winters: driver per-series recompute agrees " +
     "for every event type") {
     import spark.implicits._
