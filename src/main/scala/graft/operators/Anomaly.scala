@@ -420,12 +420,30 @@ object Anomaly extends QueryPack {
     * array work however large the event stream grows; only the first
     * rollup touches raw events (q71's rule).
     */
-  private def packedHourlySeries(events: DataFrame): DataFrame = {
+  /** The raw (hi, x0) hourly cents rollup — the ONLY stage of the
+    * series-detector family that reads raw events. Split out so
+    * PlanSpec can pin the one-scan contract mechanically: this frame
+    * plans exactly one events scan, and [[packedHourlySeries]]
+    * checkpoints it so nothing downstream ever plans a file scan.
+    */
+  private[graft] def hourlyRollup(events: DataFrame): DataFrame = {
     import events.sparkSession.implicits._
-    val e = events
+    events
       .groupBy(expr("unix_micros(date_trunc('hour', ts)) div 3600000000")
         .as("hi"))
       .agg(sum(round($"value" * 100).cast("long")).as("x0"))
+  }
+
+  private[graft] def packedHourlySeries(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    // lazy localCheckpoint (q86's rule): the rollup is consumed TWICE
+    // (span bounds + dense-spine join) — uncheckpointed, Catalyst
+    // inlines the build at each reference and the bounds branch
+    // re-scans raw events just for min/max (a second full corpus scan
+    // at 100 TB, found by the round-12 plan audit). Checkpointed, the
+    // TIME-SPAN-bounded rollup (≤720 rows/month) materializes once and
+    // both consumers read it.
+    val e = hourlyRollup(events).localCheckpoint(false)
     val b = e.agg(min($"hi").as("mn"), max($"hi").as("mx"))
     b.select(explode(sequence($"mn", $"mx")).as("hi"), $"mn")
       .join(e, Seq("hi"), "left").na.fill(0L, Seq("x0"))
@@ -482,11 +500,18 @@ object Anomaly extends QueryPack {
   def q140Cusum(s: SparkSession, dir: String): DataFrame =
     cusumCensus(Tables.events(s, dir))
 
-  def cusumCensus(events: DataFrame): DataFrame = {
-    import events.sparkSession.implicits._
+  def cusumCensus(events: DataFrame): DataFrame =
+    cusumCensusPacked(packedHourlySeries(events))
+
+  /** The census over an ALREADY-PACKED (mn, sv) spine — q154 feeds all
+    * four detector branches from ONE materialized spine through these
+    * packed/fold variants, so the ensemble scans raw events once.
+    */
+  private[graft] def cusumCensusPacked(packed: DataFrame): DataFrame = {
+    import packed.sparkSession.implicits._
     val w = Window.partitionBy($"mn").orderBy($"pos")
       .rowsBetween(Window.unboundedPreceding, 0)
-    packedHourlySeries(events)
+    packed
       .select($"mn", size($"sv").cast("long").as("nh"),
         aggregate($"sv", lit(0L), _ + _).as("sx"),
         posexplode($"sv").as(Seq("pos", "x")))
@@ -523,10 +548,13 @@ object Anomaly extends QueryPack {
   def q141Episodes(s: SparkSession, dir: String): DataFrame =
     episodeCensus(Tables.events(s, dir))
 
-  def episodeCensus(events: DataFrame): DataFrame = {
-    import events.sparkSession.implicits._
+  def episodeCensus(events: DataFrame): DataFrame =
+    episodeCensusPacked(packedHourlySeries(events))
+
+  private[graft] def episodeCensusPacked(packed: DataFrame): DataFrame = {
+    import packed.sparkSession.implicits._
     val w = Window.partitionBy($"mn").orderBy($"pos")
-    packedHourlySeries(events)
+    packed
       .select($"mn", size($"sv").cast("long").as("nh"),
         aggregate($"sv", lit(0L), _ + _).as("sx"),
         posexplode($"sv").as(Seq("pos", "x")))
@@ -584,7 +612,10 @@ object Anomaly extends QueryPack {
     * `rs`, q145 reads the terminal (l, b, ss).
     */
   private def holtFold(events: DataFrame): DataFrame =
-    holtFoldPacked(packedHourlySeries(events))
+    holtFoldFromPacked(packedHourlySeries(events))
+
+  private[graft] def holtFoldFromPacked(packed: DataFrame): DataFrame =
+    holtFoldPacked(packed)
       .select(col("mn"), col("nh"), col("sv"), col("fin"))
 
   /** The fold over an ALREADY-PACKED (… , mn, sv) frame — one series
@@ -592,6 +623,15 @@ object Anomaly extends QueryPack {
     * is the whole 100 TB argument: q142/q145/q146 run it on the global
     * series, q148 on one row PER EVENT TYPE — at cluster scale the
     * series key is the shard and each fold is one row's in-row work.
+    *
+    * Work bound, honestly stated: the seasonal queue costs O(H·m)
+    * element ops, but the residual trajectory accumulates via
+    * `concat(rs, array(r))`, which copies the GROWING array every
+    * step — O(H²) element copies, ~260k for a 720-hour month (still
+    * microseconds in-row, and bounded because H is time-span-bounded).
+    * If spans ever grow past the monthly contract, emit residuals
+    * positionally (pre-size the array, write via transform over
+    * indices) instead of extending this append.
     */
   private def holtFoldPacked(packed: DataFrame): DataFrame = {
     import packed.sparkSession.implicits._
@@ -623,10 +663,16 @@ object Anomaly extends QueryPack {
       .drop("w24", "l0", "acc0")
   }
 
-  def holtWintersCensus(events: DataFrame): DataFrame = {
-    import events.sparkSession.implicits._
+  def holtWintersCensus(events: DataFrame): DataFrame =
+    holtWintersCensusFold(holtFold(events))
+
+  /** The census over an already-run fold frame — q154's q142 branch
+    * reads the SHARED fold output instead of re-running the recurrence.
+    */
+  private[graft] def holtWintersCensusFold(fold: DataFrame): DataFrame = {
+    import fold.sparkSession.implicits._
     val m = 24
-    holtFold(events)
+    fold
       .select($"mn",
         posexplode($"fin.rs").as(Seq("p", "residual_scaled")))
       .select(($"mn" + m + $"p").as("hour_h"), $"residual_scaled",
@@ -683,11 +729,14 @@ object Anomaly extends QueryPack {
   def q153ResidualCusum(s: SparkSession, dir: String): DataFrame =
     residualCusum(Tables.events(s, dir))
 
-  def residualCusum(events: DataFrame): DataFrame = {
-    import events.sparkSession.implicits._
+  def residualCusum(events: DataFrame): DataFrame =
+    residualCusumFold(holtFold(events))
+
+  private[graft] def residualCusumFold(fold: DataFrame): DataFrame = {
+    import fold.sparkSession.implicits._
     val w = Window.partitionBy($"mn").orderBy($"p")
       .rowsBetween(Window.unboundedPreceding, 0)
-    holtFold(events)
+    fold
       .select($"mn", posexplode($"fin.rs").as(Seq("p", "r")))
       .withColumn("pf", sum($"r").over(w))
       .withColumn("cus", $"pf" - least(lit(0L), min($"pf").over(w)))
@@ -708,18 +757,31 @@ object Anomaly extends QueryPack {
     * four detectors exist). Pure composition: every branch is an
     * already-oracle-checked census, so the ensemble is too.
     *
-    * Scale shape: the four branches SHARE the one data-sized rollup
-    * class (each is a fold/window over the bounded spine); the union
-    * is ≤20 rows.
+    * Scale shape: the four branches SHARE ONE materialized spine — the
+    * packed hourly rollup is lazily localCheckpoint-ed (the q86/q149
+    * lineage-truncation discipline) so raw events are scanned ONCE for
+    * the whole ensemble, and the Holt fold output is checkpointed the
+    * same way so the 700-step recurrence runs once for the q142 and
+    * q153 branches instead of twice. (Round 11 rebuilt the spine
+    * independently in all four branches — 4× the scan cost of the one
+    * dashboard query the family exists for; PlanSpec now pins the
+    * zero-direct-scan plan.) The union is ≤20 rows.
     */
   def q154DetectorEnsemble(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val e = Tables.events(s, dir)
+    // lazy localCheckpoint, not cache(): blocks free with the frame via
+    // the ContextCleaner instead of pinning in the CacheManager
+    val packed = packedHourlySeries(Tables.events(s, dir))
+      .localCheckpoint(false)
+    val fold = holtFoldFromPacked(packed).localCheckpoint(false)
     Seq(
-      cusumCensus(e).select($"hour_h", lit("cusum").as("det")),
-      episodeCensus(e).select($"start_h".as("hour_h"), lit("episode").as("det")),
-      holtWintersCensus(e).select($"hour_h", lit("holt_residual").as("det")),
-      residualCusum(e).select($"hour_h", lit("residual_cusum").as("det")))
+      cusumCensusPacked(packed).select($"hour_h", lit("cusum").as("det")),
+      episodeCensusPacked(packed)
+        .select($"start_h".as("hour_h"), lit("episode").as("det")),
+      holtWintersCensusFold(fold)
+        .select($"hour_h", lit("holt_residual").as("det")),
+      residualCusumFold(fold)
+        .select($"hour_h", lit("residual_cusum").as("det")))
       .reduce(_ unionByName _)
       .groupBy($"hour_h")
       .agg(count(lit(1)).as("n_detectors"),
@@ -756,19 +818,112 @@ object Anomaly extends QueryPack {
   /** [[packedHourlySeries]] with a series key: one (key, mn, sv) row
     * per key, each on the key's OWN dense hour spine.
     */
-  private def packedHourlySeriesBy(events: DataFrame,
+  private[graft] def packedHourlySeriesBy(events: DataFrame,
       key: String): DataFrame = {
     import events.sparkSession.implicits._
+    // same one-scan discipline as packedHourlySeries: the keyed rollup
+    // is consumed twice (per-key bounds + dense join), so checkpoint it
     val e = events
       .groupBy(col(key),
         expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("hi"))
       .agg(sum(round($"value" * 100).cast("long")).as("x0"))
+      .localCheckpoint(false)
     val b = e.groupBy(col(key)).agg(min($"hi").as("mn"), max($"hi").as("mx"))
     b.select(col(key), $"mn", explode(sequence($"mn", $"mx")).as("hi"))
       .join(e, Seq(key, "hi"), "left").na.fill(0L, Seq("x0"))
       .groupBy(col(key), $"mn")
       .agg(sort_array(collect_list(struct($"hi", $"x0"))).as("p"))
       .select(col(key), $"mn", transform($"p", x => x.getField("x0")).as("sv"))
+  }
+
+  // --- q155: per-series CUSUM (the sharded form of q140) ----------------------
+  /** q140 PER EVENT TYPE — CUSUM drift detection in the form a
+    * fleet-telemetry deployment runs (reference analogue: the
+    * per-digit/per-class anomaly framing of the VAE,
+    * Week#12_Assignment.ipynb:104-190): one packed series row per
+    * metric key, the closed-form statistic as key-partitioned window
+    * work, per-key top-1 via the q148 window rule. Output: each type's
+    * single largest accumulated-drift hour. Same exactness as q140
+    * (all-BIGINT, scaled by the key's own nh to clear the rational
+    * mean); the ONLY data-sized stage is the (key, hour) rollup.
+    */
+  def q155CusumByType(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"pos")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val top = Window.partitionBy($"event_type")
+      .orderBy($"cusum_scaled".desc, $"hour_h".asc)
+    packedHourlySeriesBy(Tables.events(s, dir), "event_type")
+      .select($"event_type", $"mn", size($"sv").cast("long").as("nh"),
+        aggregate($"sv", lit(0L), _ + _).as("sx"),
+        posexplode($"sv").as(Seq("pos", "x")))
+      .withColumn("pf", sum($"x").over(w))
+      .withColumn("tp", $"nh" * $"pf" - ($"pos" + 1).cast("long") * $"sx")
+      .withColumn("cus", $"tp" - least(lit(0L), min($"tp").over(w)))
+      .select($"event_type", ($"mn" + $"pos").as("hour_h"),
+        $"cus".as("cusum_scaled"),
+        Exact.dround($"cus".cast("double")
+          / ($"nh".cast("double") * 100.0), 2).as("drift_dollars"))
+      .withColumn("rk", row_number().over(top))
+      .filter($"rk" === 1).drop("rk")
+      .orderBy($"event_type".asc)
+  }
+
+  // --- q156: per-series sustained episodes (the sharded form of q141) --------
+  /** q141 PER EVENT TYPE: each key's longest maximal run of consecutive
+    * hours strictly above ITS OWN mean (n·x > S in the key's integers),
+    * with exact accumulated excess mass — per-key top-1 by (length
+    * desc, start asc). Same scale shape as q155: one (key, hour)
+    * rollup, then key-partitioned windows over the bounded frame.
+    */
+  def q156EpisodesByType(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"pos")
+    val top = Window.partitionBy($"event_type")
+      .orderBy($"len_h".desc, $"start_h".asc)
+    packedHourlySeriesBy(Tables.events(s, dir), "event_type")
+      .select($"event_type", $"mn", size($"sv").cast("long").as("nh"),
+        aggregate($"sv", lit(0L), _ + _).as("sx"),
+        posexplode($"sv").as(Seq("pos", "x")))
+      .filter($"nh" * $"x" > $"sx")
+      .withColumn("grp", $"pos" - row_number().over(w))
+      .groupBy($"event_type", $"mn", $"nh", $"grp")
+      .agg(min($"pos").as("p0"), count(lit(1)).as("len_h"),
+        sum($"nh" * $"x" - $"sx").as("excess_scaled"))
+      .select($"event_type", ($"mn" + $"p0").as("start_h"), $"len_h",
+        $"excess_scaled",
+        Exact.dround($"excess_scaled".cast("double")
+          / ($"nh".cast("double") * 100.0), 2).as("excess_dollars"))
+      .withColumn("rk", row_number().over(top))
+      .filter($"rk" === 1).drop("rk")
+      .orderBy($"event_type".asc)
+  }
+
+  // --- q157: per-series residual CUSUM (the sharded form of q153) ------------
+  /** q153 PER EVENT TYPE: each key runs its own fixed-point
+    * Holt–Winters fold (one in-row fold per packed key row — q148's
+    * sharding argument verbatim) and CUSUMs its own forecast
+    * residuals; per-key top-1 is the key's largest unexplained-drift
+    * hour. Keys whose span is under two periods drop out (the fold's
+    * own guard), exactly as a per-metric deployment would skip
+    * series too young to model.
+    */
+  def q157ResidualCusumByType(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"p")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val top = Window.partitionBy($"event_type")
+      .orderBy($"cusum_scaled".desc, $"hour_h".asc)
+    holtFoldPacked(packedHourlySeriesBy(Tables.events(s, dir), "event_type"))
+      .select($"event_type", $"mn", posexplode($"fin.rs").as(Seq("p", "r")))
+      .withColumn("pf", sum($"r").over(w))
+      .withColumn("cus", $"pf" - least(lit(0L), min($"pf").over(w)))
+      .select($"event_type", ($"mn" + 24 + $"p").as("hour_h"),
+        $"cus".as("cusum_scaled"),
+        Exact.dround($"cus".cast("double") / 100.0, 2).as("drift_dollars"))
+      .withColumn("rk", row_number().over(top))
+      .filter($"rk" === 1).drop("rk")
+      .orderBy($"event_type".asc)
   }
 
   // --- q146: forecast backtest census (model selection) ----------------------
@@ -817,6 +972,9 @@ object Anomaly extends QueryPack {
     "q152_exact_quantiles" -> (q152ExactQuantiles _),
     "q153_residual_cusum"  -> (q153ResidualCusum _),
     "q154_detector_ensemble" -> (q154DetectorEnsemble _),
+    "q155_cusum_by_type"   -> (q155CusumByType _),
+    "q156_episodes_by_type" -> (q156EpisodesByType _),
+    "q157_residual_cusum_by_type" -> (q157ResidualCusumByType _),
     "q140_cusum"          -> (q140Cusum _),
     "q141_episodes"       -> (q141Episodes _),
     "q137_discord"        -> (q137Discord _),
@@ -1149,6 +1307,126 @@ object Anomaly extends QueryPack {
           |WHERE rec.r IS NOT NULL AND n.nh >= 48
           |QUALIFY row_number() OVER (PARTITION BY rec.et
           |  ORDER BY ABS(rec.r) DESC, hour_h ASC) = 1
+          |ORDER BY event_type ASC""".stripMargin
+      },
+    "q155_cusum_by_type" ->
+      // q140's closed form with the series key threaded through every
+      // CTE — each type's CUSUM over its own dense spine and mean,
+      // per-type top-1 via QUALIFY row_number
+      """WITH s AS (SELECT event_type AS et,
+        |  epoch_us(date_trunc('hour', ts)) // 3600000000 AS hi,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x0
+        | FROM events GROUP BY 1, 2),
+        |b AS (SELECT et, MIN(hi) mn, MAX(hi) mx FROM s GROUP BY 1),
+        |g AS (SELECT b.et, gs.hi
+        |  FROM b, UNNEST(range(b.mn, b.mx + 1)) gs(hi)),
+        |ser AS (SELECT g.et, g.hi - b.mn AS idx, COALESCE(s.x0, 0) AS x
+        |  FROM g JOIN b ON b.et = g.et
+        |  LEFT JOIN s ON s.et = g.et AND s.hi = g.hi),
+        |n AS (SELECT et, CAST(COUNT(*) AS BIGINT) AS nh,
+        |  CAST(SUM(x) AS BIGINT) AS sx FROM ser GROUP BY 1),
+        |p AS (SELECT et, idx, CAST(SUM(x) OVER (PARTITION BY et
+        |  ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |  AS BIGINT) AS pf FROM ser),
+        |t AS (SELECT p.et, idx, n.nh * pf - (idx + 1) * n.sx AS tp
+        |  FROM p JOIN n ON n.et = p.et),
+        |c AS (SELECT et, idx, tp - LEAST(0, MIN(tp) OVER (PARTITION BY et
+        |  ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |  AS cus FROM t)
+        |SELECT c.et AS event_type, CAST(b.mn + c.idx AS BIGINT) AS hour_h,
+        | CAST(cus AS BIGINT) AS cusum_scaled,
+        | CAST(ROUND(CAST(CAST(cus AS DOUBLE)
+        |   / (CAST(n.nh AS DOUBLE) * 100.0) AS DECIMAL(28,10)), 2)
+        |   AS DOUBLE) AS drift_dollars
+        |FROM c JOIN b ON b.et = c.et JOIN n ON n.et = c.et
+        |QUALIFY row_number() OVER (PARTITION BY c.et
+        |  ORDER BY cus DESC, hour_h ASC) = 1
+        |ORDER BY event_type ASC""".stripMargin,
+    "q156_episodes_by_type" ->
+      // q141's gaps-and-islands with the series key threaded through:
+      // flagged = above the KEY's own scaled mean, island keys per
+      // key, per-type top-1 via QUALIFY row_number
+      """WITH s AS (SELECT event_type AS et,
+        |  epoch_us(date_trunc('hour', ts)) // 3600000000 AS hi,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x0
+        | FROM events GROUP BY 1, 2),
+        |b AS (SELECT et, MIN(hi) mn, MAX(hi) mx FROM s GROUP BY 1),
+        |g AS (SELECT b.et, gs.hi
+        |  FROM b, UNNEST(range(b.mn, b.mx + 1)) gs(hi)),
+        |ser AS (SELECT g.et, g.hi - b.mn AS idx, COALESCE(s.x0, 0) AS x
+        |  FROM g JOIN b ON b.et = g.et
+        |  LEFT JOIN s ON s.et = g.et AND s.hi = g.hi),
+        |n AS (SELECT et, CAST(COUNT(*) AS BIGINT) AS nh,
+        |  CAST(SUM(x) AS BIGINT) AS sx FROM ser GROUP BY 1),
+        |f AS (SELECT ser.et, idx, x FROM ser JOIN n ON n.et = ser.et
+        |  WHERE n.nh * x > n.sx),
+        |i AS (SELECT et, idx, x,
+        |  idx - ROW_NUMBER() OVER (PARTITION BY et ORDER BY idx) AS grp
+        |  FROM f),
+        |r AS (SELECT i.et, grp, MIN(idx) AS p0,
+        |  CAST(COUNT(*) AS BIGINT) AS len_h,
+        |  CAST(SUM(n.nh * x - n.sx) AS BIGINT) AS excess_scaled
+        | FROM i JOIN n ON n.et = i.et GROUP BY 1, 2, n.nh, n.sx)
+        |SELECT r.et AS event_type, CAST(b.mn + r.p0 AS BIGINT) AS start_h,
+        | len_h, excess_scaled,
+        | CAST(ROUND(CAST(CAST(excess_scaled AS DOUBLE)
+        |   / (CAST(n.nh AS DOUBLE) * 100.0) AS DECIMAL(28,10)), 2)
+        |   AS DOUBLE) AS excess_dollars
+        |FROM r JOIN b ON b.et = r.et JOIN n ON n.et = r.et
+        |QUALIFY row_number() OVER (PARTITION BY r.et
+        |  ORDER BY len_h DESC, start_h ASC) = 1
+        |ORDER BY event_type ASC""".stripMargin,
+    "q157_residual_cusum_by_type" ->
+      // q148's keyed recursive recurrence supplies each type's residual
+      // stream; the CUSUM closed form runs PARTITIONED BY the key;
+      // per-type top-1 via QUALIFY row_number
+      {
+        def fd2(e: String) = s"((($e) - (((($e) % 2) + 2) % 2)) // 2)"
+        val ln = fd2("ser.x - rec.ss[1] + rec.l + rec.b2")
+        val bn = fd2(s"$ln - rec.l + rec.b2")
+        val sn = fd2(s"ser.x - $ln + rec.ss[1]")
+        s"""WITH RECURSIVE s AS (SELECT event_type AS et,
+          |  epoch_us(date_trunc('hour', ts)) // 3600000000 AS hi,
+          |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x0
+          | FROM events GROUP BY 1, 2),
+          |b AS (SELECT et, MIN(hi) mn, MAX(hi) mx FROM s GROUP BY 1),
+          |g AS (SELECT b.et, gs.hi
+          |  FROM b, UNNEST(range(b.mn, b.mx + 1)) gs(hi)),
+          |ser AS (SELECT g.et, g.hi - b.mn AS idx, COALESCE(s.x0, 0) AS x
+          |  FROM g JOIN b ON b.et = g.et
+          |  LEFT JOIN s ON s.et = g.et AND s.hi = g.hi),
+          |n AS (SELECT et, CAST(COUNT(*) AS BIGINT) AS nh
+          |  FROM ser GROUP BY 1),
+          |w AS (SELECT et, CAST(SUM(x) AS BIGINT) AS s24 FROM ser
+          |  WHERE idx < 24 GROUP BY 1),
+          |i AS (SELECT et,
+          |  ((s24 - ((s24 % 24) + 24) % 24) // 24) AS l0 FROM w),
+          |s0 AS (SELECT ser.et, list(ser.x - i.l0 ORDER BY ser.idx) AS ss
+          |  FROM ser JOIN i USING (et) WHERE ser.idx < 24 GROUP BY ser.et),
+          |rec AS (
+          |  SELECT i.et, CAST(23 AS BIGINT) AS t, i.l0 AS l,
+          |    CAST(0 AS BIGINT) AS b2, s0.ss AS ss, CAST(NULL AS BIGINT) AS r
+          |  FROM i JOIN s0 USING (et)
+          |  UNION ALL
+          |  SELECT rec.et, ser.idx, CAST($ln AS BIGINT) AS l,
+          |    CAST($bn AS BIGINT) AS b2,
+          |    list_concat(rec.ss[2:24], [CAST($sn AS BIGINT)]) AS ss,
+          |    CAST(ser.x - (rec.l + rec.b2 + rec.ss[1]) AS BIGINT) AS r
+          |  FROM rec JOIN ser ON ser.et = rec.et AND ser.idx = rec.t + 1),
+          |p AS (SELECT et, t, CAST(SUM(r) OVER (PARTITION BY et ORDER BY t
+          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          |  AS pf FROM rec WHERE r IS NOT NULL),
+          |c AS (SELECT et, t, pf - LEAST(0, MIN(pf) OVER (PARTITION BY et
+          |  ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+          |  AS cus FROM p)
+          |SELECT c.et AS event_type, CAST(b.mn + c.t AS BIGINT) AS hour_h,
+          | CAST(cus AS BIGINT) AS cusum_scaled,
+          | ${graft.core.Exact.sqlDround("CAST(cus AS DOUBLE) / 100.0", 2)}
+          |   AS drift_dollars
+          |FROM c JOIN b ON b.et = c.et JOIN n ON n.et = c.et
+          |WHERE n.nh >= 48
+          |QUALIFY row_number() OVER (PARTITION BY c.et
+          |  ORDER BY cus DESC, hour_h ASC) = 1
           |ORDER BY event_type ASC""".stripMargin
       },
     "q140_cusum" ->

@@ -533,18 +533,7 @@ object AnomalyStream {
       .flatMapGroupsWithState[(Map[Long, Long], Long), CusumHit](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (_, it, state) =>
-          val (m0, seen0) = state.getOption.getOrElse(
-            (Map.empty[Long, Long], 0L))
-          var m = m0; var n = 0L
-          it.foreach { e =>
-            val h = micros(e.ts) / 3600000000L
-            val cents = BigDecimal(e.value * 100)
-              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
-            m = m.updated(h, m.getOrElse(h, 0L) + cents)
-            n += 1
-          }
-          val seen = seen0 + n
-          state.update((m, seen))
+          val (m, seen) = foldHourlyCents(it, state)
           topCusum(m) match {
             case Some((h, c)) => Iterator.single(CusumHit(seen, h, c))
             case None         => Iterator.empty
@@ -594,18 +583,7 @@ object AnomalyStream {
       .flatMapGroupsWithState[(Map[Long, Long], Long), EpisodeHit](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (_, it, state) =>
-          val (m0, seen0) = state.getOption.getOrElse(
-            (Map.empty[Long, Long], 0L))
-          var m = m0; var n = 0L
-          it.foreach { e =>
-            val h = micros(e.ts) / 3600000000L
-            val cents = BigDecimal(e.value * 100)
-              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
-            m = m.updated(h, m.getOrElse(h, 0L) + cents)
-            n += 1
-          }
-          val seen = seen0 + n
-          state.update((m, seen))
+          val (m, seen) = foldHourlyCents(it, state)
           topEpisode(m) match {
             case Some((h, len, ex)) =>
               Iterator.single(EpisodeHit(seen, h, len, ex))
@@ -669,18 +647,7 @@ object AnomalyStream {
       .flatMapGroupsWithState[(Map[Long, Long], Long), HoltHit](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (_, it, state) =>
-          val (m0, seen0) = state.getOption.getOrElse(
-            (Map.empty[Long, Long], 0L))
-          var m = m0; var n = 0L
-          it.foreach { e =>
-            val h = micros(e.ts) / 3600000000L
-            val cents = BigDecimal(e.value * 100)
-              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
-            m = m.updated(h, m.getOrElse(h, 0L) + cents)
-            n += 1
-          }
-          val seen = seen0 + n
-          state.update((m, seen))
+          val (m, seen) = foldHourlyCents(it, state)
           topHoltResidual(m) match {
             case Some((h, r)) => Iterator.single(HoltHit(seen, h, r))
             case None         => Iterator.empty
@@ -758,24 +725,153 @@ object AnomalyStream {
       .flatMapGroupsWithState[(Map[Long, Long], Long), KeyedHoltHit](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (key, it, state) =>
-          val (m0, seen0) = state.getOption.getOrElse(
-            (Map.empty[Long, Long], 0L))
-          var m = m0; var n = 0L
-          it.foreach { e =>
-            val h = micros(e.ts) / 3600000000L
-            val cents = BigDecimal(e.value * 100)
-              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
-            m = m.updated(h, m.getOrElse(h, 0L) + cents)
-            n += 1
-          }
-          val seen = seen0 + n
-          state.update((m, seen))
+          val (m, seen) = foldHourlyCents(it, state)
           topHoltResidual(m) match {
             case Some((h, r)) =>
               Iterator.single(KeyedHoltHit(key, seen, h, r))
             case None => Iterator.empty
           }
       }
+  }
+
+  case class KeyedCusumHit(event_type: String, seen: Long, hour_h: Long,
+      cusum_scaled: Long)
+
+  /** [[cusumStream]] SHARDED BY THE SERIES KEY — the streaming twin of
+    * batch q155 and the fleet-telemetry deployment form
+    * ([[holtStreamByType]]'s class exactly): state is one hourly cents
+    * map PER EVENT TYPE (each bounded by its own time span), keys
+    * scale out across executor state stores as q155's packed rows do
+    * across tasks. Each batch emits every updated key's current peak
+    * accumulated-drift hour tagged with that key's own `seen`.
+    * Replay-stable unconditionally per key (sum-map state); the final
+    * snapshot per key equals the matching q155 row over the same rows
+    * (StreamingSpec pins it).
+    */
+  def cusumStreamByType(events: Dataset[Event]): Dataset[KeyedCusumHit] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[(Map[Long, Long], Long), KeyedCusumHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key, it, state) =>
+          val (m, seen) = foldHourlyCents(it, state)
+          topCusum(m) match {
+            case Some((h, c)) =>
+              Iterator.single(KeyedCusumHit(key, seen, h, c))
+            case None => Iterator.empty
+          }
+      }
+  }
+
+  case class KeyedEpisodeHit(event_type: String, seen: Long, start_h: Long,
+      len_h: Long, excess_scaled: Long)
+
+  /** [[episodeStream]] SHARDED BY THE SERIES KEY — the streaming twin
+    * of batch q156: per-key hourly cents map state, each batch emits
+    * every updated key's current top sustained episode against the
+    * key's OWN mean. Same replay/parity contract as
+    * [[cusumStreamByType]] (StreamingSpec pins snapshot == q156).
+    */
+  def episodeStreamByType(events: Dataset[Event])
+      : Dataset[KeyedEpisodeHit] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[(Map[Long, Long], Long), KeyedEpisodeHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key, it, state) =>
+          val (m, seen) = foldHourlyCents(it, state)
+          topEpisode(m) match {
+            case Some((h, len, ex)) =>
+              Iterator.single(KeyedEpisodeHit(key, seen, h, len, ex))
+            case None => Iterator.empty
+          }
+      }
+  }
+
+  case class KeyedRcHit(event_type: String, seen: Long, hour_h: Long,
+      cusum_scaled: Long)
+
+  /** Seasonal-adjusted residual CUSUM SHARDED BY THE SERIES KEY — the
+    * streaming twin of batch q157: per key, the fixed-point
+    * Holt–Winters recurrence replays over the key's densified span and
+    * Page's statistic accumulates over ITS residuals; each batch emits
+    * the key's current peak unexplained-drift hour. Silent until the
+    * key spans two periods (the fold's own guard, like
+    * [[holtStreamByType]]). Same replay/parity contract (StreamingSpec
+    * pins snapshot == q157).
+    */
+  def residualCusumStreamByType(events: Dataset[Event])
+      : Dataset[KeyedRcHit] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[(Map[Long, Long], Long), KeyedRcHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key, it, state) =>
+          val (m, seen) = foldHourlyCents(it, state)
+          topResidualCusum(m) match {
+            case Some((h, c)) =>
+              Iterator.single(KeyedRcHit(key, seen, h, c))
+            case None => Iterator.empty
+          }
+      }
+  }
+
+  /** Fold a batch of events into the (hourly cents map, seen count)
+    * state and persist it — the shared state-update step of every
+    * series-detector stream (cents round HALF_UP away from zero, the
+    * round-11 bit-parity rule).
+    */
+  private def foldHourlyCents(it: Iterator[Event],
+      state: org.apache.spark.sql.streaming.GroupState[(Map[Long, Long], Long)])
+      : (Map[Long, Long], Long) = {
+    val (m0, seen0) = state.getOption.getOrElse((Map.empty[Long, Long], 0L))
+    var m = m0; var n = 0L
+    it.foreach { e =>
+      val h = micros(e.ts) / 3600000000L
+      val cents = BigDecimal(e.value * 100)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      m = m.updated(h, m.getOrElse(h, 0L) + cents)
+      n += 1
+    }
+    val seen = seen0 + n
+    state.update((m, seen))
+    (m, seen)
+  }
+
+  /** q153/q157's composition over a sparse hourly map: replay the
+    * fixed-point Holt–Winters recurrence over the densified span and
+    * accumulate Page's statistic over the residual stream (prefix sum
+    * minus running min, floored at the empty prefix — residuals are
+    * model-centered so there is no mean term), returning the
+    * (max CUSUM, then smallest hour) peak. None below two periods.
+    */
+  private[streaming] def topResidualCusum(m: Map[Long, Long])
+      : Option[(Long, Long)] = {
+    if (m.isEmpty) return None
+    val mn = m.keys.min; val mx = m.keys.max
+    if (mx - mn + 1 < 48L) return None
+    val sv = (mn to mx).map(h => m.getOrElse(h, 0L)).toArray
+    val w24 = sv.take(24).sum
+    val l0 = (w24 - (((w24 % 24) + 24) % 24)) / 24
+    var l = l0; var b = 0L
+    val q = scala.collection.mutable.Queue(sv.take(24).map(_ - l0): _*)
+    var pf = 0L; var minPf = Long.MaxValue
+    var best = Long.MinValue; var bestH = mn
+    var t = 24
+    while (t < sv.length) {
+      val sh = q.dequeue(); val x = sv(t)
+      val r = x - (l + b + sh)
+      val ln = (x - sh + l + b) >> 1
+      val bn = (ln - l + b) >> 1
+      val sn = (x - ln + sh) >> 1
+      q.enqueue(sn); l = ln; b = bn
+      pf += r
+      minPf = math.min(minPf, pf)
+      val cus = pf - math.min(0L, minPf)
+      if (cus > best) { best = cus; bestH = mn + t }
+      t += 1
+    }
+    Some((bestH, best))
   }
 
   /** q142's fixed-point recurrence over a sparse hourly map: densify to

@@ -615,6 +615,56 @@ class PlanSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("q154: the detector ensemble shares ONE materialized spine — " +
+    "zero direct events scans in the executed plan (all four branches " +
+    "read the checkpointed packed series / fold), and the spine itself " +
+    "is exactly one events scan") {
+    // the round-11 spelling rebuilt packedHourlySeries independently in
+    // all four branches (4 scans of raw events) and ran the Holt fold
+    // twice; the round-12 contract is: raw events are scanned once to
+    // build the spine, everything downstream is bounded in-row/window
+    // work off the two checkpointed frames
+    val df = Anomaly.q154DetectorEnsemble(spark, sfDir)
+    assert(fileScans(df) == 0,
+      "every ensemble branch must read the checkpointed spine, not " +
+        s"re-scan events — saw ${fileScans(df)} direct file scans")
+    assert(!plan(df).contains("CartesianProduct"), plan(df).take(2000))
+    // the one-scan proof decomposes: the hourly rollup (the only
+    // file-reading subtree in the whole family) plans exactly ONE
+    // events scan, and the packed spine built over its checkpoint
+    // plans NONE — so any spine consumer reads events exactly once
+    val roll = Anomaly.hourlyRollup(graft.core.Tables.events(spark, sfDir))
+    assert(fileScans(roll) == 1,
+      s"hourly rollup must scan events exactly once, saw ${fileScans(roll)}")
+    val spine = Anomaly.packedHourlySeries(
+      graft.core.Tables.events(spark, sfDir))
+    assert(fileScans(spine) == 0,
+      "the spine's bounds/dense-join must read the checkpointed " +
+        s"rollup, not re-scan events — saw ${fileScans(spine)} scans")
+    // and the result is still the four censuses' union (19-20 rows of
+    // corroborated hours at this SF, never empty)
+    assert(df.count() > 0)
+    spark.catalog.clearCache()
+  }
+
+  test("q155/q156/q157: keyed detectors — every window partitions by " +
+    "the series key; no CartesianProduct; the fold stays in-row (q157 " +
+    "plans no Window over the recurrence itself)") {
+    for (df <- Seq(Anomaly.q155CusumByType(spark, sfDir),
+        Anomaly.q156EpisodesByType(spark, sfDir),
+        Anomaly.q157ResidualCusumByType(spark, sfDir))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), p.take(2000))
+      val specs = p.linesIterator
+        .filter(_.contains("windowspecdefinition")).toSeq
+      assert(specs.nonEmpty &&
+        specs.forall(_.contains("windowspecdefinition(event_type")),
+        "every keyed-detector window must partition by event_type:\n" +
+          specs.mkString("\n"))
+    }
+    spark.catalog.clearCache()
+  }
+
   test("q118: novelty joins only DOC-cardinality frames — the gram " +
     "stream feeds one aggregation and is never join-back material; no " +
     "candidate pairing, no Window, no nested-loop join") {

@@ -1045,6 +1045,126 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("keyed cusum stream: per-type final snapshots equal the batch " +
+    "q155 rows over the same data; slicing invariant per key") {
+    import spark.implicits._
+    import graft.streaming.AnomalyStream.KeyedCusumHit
+    implicit val sc = spark.sqlContext
+    val rows = graft.core.Tables.events(spark, sfDir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().toSeq
+    def run(name: String, slices: Seq[Seq[Event]])
+        : Map[String, KeyedCusumHit] = {
+      val input = MemoryStream[Event]
+      val q = graft.streaming.AnomalyStream.cusumStreamByType(input.toDS())
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try slices.foreach { s => input.addData(s); q.processAllAvailable() }
+      finally q.stop()
+      spark.table(name).as[KeyedCusumHit].collect()
+        .groupBy(_.event_type).map { case (k, hs) => k -> hs.maxBy(_.seen) }
+    }
+    val one = run("kc_a", Seq(rows))
+    val sliced = run("kc_b", rows.grouped(rows.size / 3 + 1).toSeq)
+    assert(one.keySet == sliced.keySet && one.nonEmpty)
+    one.keySet.foreach { k =>
+      assert((one(k).hour_h, one(k).cusum_scaled) ==
+        ((sliced(k).hour_h, sliced(k).cusum_scaled)),
+        s"per-key CUSUM peak must be slicing-invariant for $k")
+    }
+    val batch = graft.operators.Anomaly.q155CusumByType(spark, sfDir)
+      .collect().map(r =>
+        r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(batch.keySet == one.keySet)
+    batch.foreach { case (k, (h, c)) =>
+      assert((one(k).hour_h, one(k).cusum_scaled) == ((h, c)),
+        s"stream snapshot for $k diverges from batch q155")
+    }
+  }
+
+  test("keyed episode stream: per-type final snapshots equal the batch " +
+    "q156 rows over the same data; slicing invariant per key") {
+    import spark.implicits._
+    import graft.streaming.AnomalyStream.KeyedEpisodeHit
+    implicit val sc = spark.sqlContext
+    val rows = graft.core.Tables.events(spark, sfDir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().toSeq
+    def run(name: String, slices: Seq[Seq[Event]])
+        : Map[String, KeyedEpisodeHit] = {
+      val input = MemoryStream[Event]
+      val q = graft.streaming.AnomalyStream.episodeStreamByType(input.toDS())
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try slices.foreach { s => input.addData(s); q.processAllAvailable() }
+      finally q.stop()
+      spark.table(name).as[KeyedEpisodeHit].collect()
+        .groupBy(_.event_type).map { case (k, hs) => k -> hs.maxBy(_.seen) }
+    }
+    val one = run("ke_a", Seq(rows))
+    val sliced = run("ke_b", rows.grouped(rows.size / 3 + 1).toSeq)
+    assert(one.keySet == sliced.keySet && one.nonEmpty)
+    one.keySet.foreach { k =>
+      assert((one(k).start_h, one(k).len_h, one(k).excess_scaled) ==
+        ((sliced(k).start_h, sliced(k).len_h, sliced(k).excess_scaled)),
+        s"per-key top episode must be slicing-invariant for $k")
+    }
+    val batch = graft.operators.Anomaly.q156EpisodesByType(spark, sfDir)
+      .collect().map(r =>
+        r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(batch.keySet == one.keySet)
+    batch.foreach { case (k, (h, len, ex)) =>
+      assert((one(k).start_h, one(k).len_h, one(k).excess_scaled) ==
+        ((h, len, ex)),
+        s"stream snapshot for $k diverges from batch q156")
+    }
+  }
+
+  test("keyed residual-cusum stream: per-type final snapshots equal the " +
+    "batch q157 rows over the same data; slicing invariant per key; " +
+    "silent below two periods") {
+    import spark.implicits._
+    import graft.streaming.AnomalyStream.KeyedRcHit
+    implicit val sc = spark.sqlContext
+    val rows = graft.core.Tables.events(spark, sfDir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().toSeq
+    def run(name: String, slices: Seq[Seq[Event]])
+        : Map[String, KeyedRcHit] = {
+      val input = MemoryStream[Event]
+      val q = graft.streaming.AnomalyStream
+        .residualCusumStreamByType(input.toDS())
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try slices.foreach { s => input.addData(s); q.processAllAvailable() }
+      finally q.stop()
+      spark.table(name).as[KeyedRcHit].collect()
+        .groupBy(_.event_type).map { case (k, hs) => k -> hs.maxBy(_.seen) }
+    }
+    val one = run("krc_a", Seq(rows))
+    val sliced = run("krc_b", rows.grouped(rows.size / 3 + 1).toSeq)
+    assert(one.keySet == sliced.keySet && one.nonEmpty)
+    one.keySet.foreach { k =>
+      assert((one(k).hour_h, one(k).cusum_scaled) ==
+        ((sliced(k).hour_h, sliced(k).cusum_scaled)),
+        s"per-key residual-CUSUM peak must be slicing-invariant for $k")
+    }
+    val batch = graft.operators.Anomaly.q157ResidualCusumByType(spark, sfDir)
+      .collect().map(r =>
+        r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(batch.keySet == one.keySet)
+    batch.foreach { case (k, (h, c)) =>
+      assert((one(k).hour_h, one(k).cusum_scaled) == ((h, c)),
+        s"stream snapshot for $k diverges from batch q157")
+    }
+    // below two periods every key stays silent rather than guessing
+    val minH = rows.map(e =>
+      graft.streaming.AnomalyStream.micros(e.ts) / 3600000000L).min
+    val short = run("krc_c", Seq(rows.filter(e =>
+      graft.streaming.AnomalyStream.micros(e.ts) / 3600000000L < minH + 40)))
+    assert(short.isEmpty)
+  }
+
   test("quantile stream: per-type final snapshots equal batch q152 rows " +
     "over the same data; slicing invariant; monotone p50<=p90<=p99") {
     import spark.implicits._
