@@ -656,6 +656,51 @@ object Similarity extends QueryPack {
     ivfAssignNew(newEmb, cents)
       .write.mode("append").partitionBy("cell").parquet(path)
 
+  /** Tombstone DELETE for the [[ivfWrite]] serving layout — the CRUD
+    * leg [[ivfAppend]] left open: a vector removed upstream (dedup
+    * verdict, takedown, TTL) must leave the index WITHOUT rewriting
+    * immutable cell files. Deleted ids append to `_tombstones/` under
+    * the index root — the underscore prefix makes the directory
+    * invisible to Spark's file listing, so [[ivfRead]] of the base
+    * layout is untouched and only [[ivfReadLive]] pays the filter.
+    * This is the parquet rendition of the LSM delete marker, and the
+    * same dead/live split [[graft.operators.Pipeline.resolveDeltas]]
+    * models at corpus grain.
+    */
+  def ivfDelete(ids: DataFrame, path: String): Unit =
+    ids.select(col("vec_id").cast("long"))
+      .write.mode("append").parquet(s"$path/_tombstones")
+
+  /** The serving read: base+delta files MINUS tombstones. The
+    * anti-join broadcasts the tombstone set (bounded by
+    * deletes-since-compaction — a deployment compacts via
+    * [[ivfCompact]] before it outgrows the broadcast threshold, the
+    * LSM discipline) and sits ABOVE the scan, so a probe's
+    * partition pruning on `cell` still reads only the probed cells'
+    * files (PipelineOpsSpec proves this physically via the scan's
+    * numFiles metric, and probe parity after delete).
+    */
+  def ivfReadLive(s: SparkSession, path: String): DataFrame = {
+    val idx = ivfRead(s, path)
+    val fs = new java.io.File(s"$path/_tombstones")
+    if (!fs.exists()) idx
+    else idx.join(
+      broadcast(s.read.parquet(s"$path/_tombstones").distinct()),
+      Seq("vec_id"), "left_anti")
+  }
+
+  /** Fold tombstones into the files: rewrite the LIVE set as a fresh
+    * [[ivfWrite]] layout at `dest` (no `_tombstones` dir — the
+    * deleted rows are physically gone). Written to a NEW root because
+    * overwriting a path while reading it is undefined; the caller
+    * swaps serving roots atomically (the q96 snapshot discipline).
+    * Untouched at probe time — compaction is the background half of
+    * the delete story, exactly like [[graft.sources.Compaction]] for
+    * the corpus files.
+    */
+  def ivfCompact(s: SparkSession, path: String, dest: String): Unit =
+    ivfWrite(ivfReadLive(s, path), dest)
+
   // --- q139: incremental IVF append census ----------------------------------
   /** The append contract as an oracle row: train the coarse quantizer
     * on the FIRST HALF of the corpus (vec_id ≤ max/2 — yesterday's
@@ -692,6 +737,37 @@ object Similarity extends QueryPack {
         sum(lit(1L) - $"is_base").as("n_new"),
         count(lit(1)).as("n_total"),
         sum($"vec_id").as("id_sum"))
+  }
+
+  // --- q158: IVF tombstone-delete census --------------------------------------
+  /** The delete contract as an oracle row, closing the IVF CRUD
+    * lifecycle (train q102 → index q128 → append q139 → DELETE here):
+    * train the coarse quantizer on the corpus, tombstone a
+    * deterministic id set (vec_id ≡ 3 mod 7 — the dedup-verdict
+    * stand-in), and census the SERVING view per cell: live members,
+    * tombstoned members, and the live vec_id sum as the membership
+    * checksum. The live set must be exactly "assignment minus
+    * tombstones" — engine-replicable because the trajectory is q102's
+    * integer-snapped Lloyd and the tombstone predicate is pure integer
+    * arithmetic. The FILE-level surface (ivfDelete / ivfReadLive /
+    * ivfCompact with pruning intact) is PipelineOpsSpec's half, the
+    * q128 probe-vs-layout split.
+    *
+    * Scale shape: q128's training stages + ONE k-row census
+    * aggregation; the tombstone mark is an in-row predicate, no join.
+    */
+  def q158IvfDelete(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val (idx, _) = ivfLearned(emb, k = 8, iters = 2)
+    idx.select($"vec_id", $"cell")
+      .withColumn("dead",
+        when($"vec_id" % 7 === 3, 1L).otherwise(0L))
+      .groupBy($"cell")
+      .agg(sum(lit(1L) - $"dead").as("n_live"),
+        sum($"dead").as("n_deleted"),
+        sum(when($"dead" === 0L, $"vec_id").otherwise(0L))
+          .as("live_id_sum"))
   }
 
   // --- q136: quantized IVF serving (IVF-SQ8) --------------------------------
@@ -1060,6 +1136,7 @@ object Similarity extends QueryPack {
     "q102_kmeans_clusters" -> (q102KmeansClusters _),
     "q109_quantize_int8"   -> (q109QuantizeInt8 _),
     "q139_ivf_append"      -> (q139IvfAppend _),
+    "q158_ivf_delete"      -> (q158IvfDelete _),
     "q147_ann_pq_adc"      -> (q147AnnPqAdc _),
     "q149_ann_ivf_pq"      -> (q149AnnIvfPq _),
     "q151_pq_sweep"        -> (q151PqSweep _),
@@ -1498,6 +1575,37 @@ object Similarity extends QueryPack {
          | CAST(SUM(1 - is_base) AS BIGINT) AS n_new,
          | COUNT(*) AS n_total,
          | CAST(SUM(vec_id) AS BIGINT) AS id_sum
+         |FROM asg2 GROUP BY 1""".stripMargin,
+    "q158_ivf_delete" ->
+      // q102's trained trajectory (the asg2 assignment), tombstones as
+      // the pure-integer predicate vec_id % 7 = 3, live/dead census
+      s"""WITH cent0 AS (SELECT vec_id AS cl, embedding AS cvec
+         |  FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+         |a1 AS (SELECT e.vec_id, e.embedding, c.cl,
+         |  ${d2Sql("e.embedding", "c.cvec")} AS d2
+         | FROM embeddings e CROSS JOIN cent0 c),
+         |asg1 AS (SELECT vec_id, embedding, cl FROM a1
+         |  QUALIFY row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY d2 ASC, cl ASC) = 1),
+         |ex AS (SELECT cl, i,
+         |  CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1048576.0) AS BIGINT) AS v
+         | FROM asg1, generate_series(1, 64) g(i)),
+         |cm AS (SELECT cl, i,
+         |  CAST(SUM(v) AS DOUBLE) / (COUNT(*) * 1048576.0) AS c
+         | FROM ex GROUP BY 1, 2),
+         |cent1 AS (SELECT cl, list(c ORDER BY i) AS cvec FROM cm GROUP BY 1),
+         |a2 AS (SELECT e.vec_id, c.cl,
+         |  ${d2Sql("e.embedding", "c.cvec")} AS d2
+         | FROM embeddings e CROSS JOIN cent1 c),
+         |asg2 AS (SELECT vec_id, cl AS cell,
+         |  CASE WHEN vec_id % 7 = 3 THEN 1 ELSE 0 END AS dead
+         | FROM a2
+         |  QUALIFY row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY d2 ASC, cl ASC) = 1)
+         |SELECT cell, CAST(SUM(1 - dead) AS BIGINT) AS n_live,
+         | CAST(SUM(dead) AS BIGINT) AS n_deleted,
+         | CAST(SUM(CASE WHEN dead = 0 THEN vec_id ELSE 0 END) AS BIGINT)
+         |   AS live_id_sum
          |FROM asg2 GROUP BY 1""".stripMargin,
     "q147_ann_pq_adc" ->
       // four independent q102-style subspace trajectories on slices,

@@ -670,8 +670,24 @@ object AnomalyStream {
     * state); the final snapshot equals the matching batch
     * [[graft.operators.Anomaly.exactQuantiles]] row over the same rows
     * (StreamingSpec pins it).
+    *
+    * STATE BOUND, honestly stated (the batch query's contract,
+    * Anomaly.scala q152 doc, carried here because a stream never gets
+    * to "re-run smaller"): the cents map is bounded by the DISTINCT
+    * OBSERVED VALUES, which is only a bound when the metric has
+    * bounded precision and range — the 2-decimal dollar contract here.
+    * For an unbounded-domain metric (free-floating doubles,
+    * micro-precision latencies) the map grows with cardinality, and
+    * the escape hatches are: (1) `capCents` — values above the cap
+    * clamp INTO the cap bucket, so state is ≤ cap+1 entries and every
+    * quantile at or below the cap stays EXACT (only quantiles landing
+    * above report the cap itself — a one-sided floor, the
+    * StreamingSpec-pinned behavior); or (2) fall back to the approx
+    * sketch family (the q35 `approx_percentile` twin) when even a
+    * capped domain is too wide.
     */
-  def quantileStream(events: Dataset[Event]): Dataset[QuantileSnap] = {
+  def quantileStream(events: Dataset[Event],
+      capCents: Long = Long.MaxValue): Dataset[QuantileSnap] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.event_type)
       .flatMapGroupsWithState[(Map[Long, Long], Long), QuantileSnap](
@@ -681,8 +697,9 @@ object AnomalyStream {
             (Map.empty[Long, Long], 0L))
           var m = m0; var n = 0L
           it.foreach { e =>
-            val cents = BigDecimal(e.value * 100)
-              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+            val cents = math.min(capCents,
+              BigDecimal(e.value * 100)
+                .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
             m = m.updated(cents, m.getOrElse(cents, 0L) + 1L)
             n += 1
           }

@@ -1210,6 +1210,74 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(a.sameElements(b))
   }
 
+  test("ivfDelete: tombstones hide rows from the live read without " +
+    "touching base files; probe pruning survives; compaction folds " +
+    "them in physically") {
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val (idx, _) = Similarity.ivfLearned(emb, k = 8, iters = 2)
+    val tmp = java.nio.file.Files.createTempDirectory("ivfdel").toString
+    Similarity.ivfWrite(idx, tmp)
+    val all = idx.select("vec_id").collect().map(_.getLong(0)).toSet
+    val dead = all.filter(_ % 7 == 3)
+    assert(dead.nonEmpty && dead.size < all.size)
+    import spark.implicits._
+    Similarity.ivfDelete(dead.toSeq.toDF("vec_id"), tmp)
+    // base read is untouched (the _ prefix hides the tombstone dir)
+    val baseIds = Similarity.ivfRead(spark, tmp)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(baseIds == all, "ivfRead of the base layout must not change")
+    // live read = all minus tombstones
+    val liveIds = Similarity.ivfReadLive(spark, tmp)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(liveIds == (all -- dead),
+      s"live read must exclude exactly the tombstoned ids")
+    // probe parity after delete: probed-cell content equals the
+    // in-memory index restriction minus the dead set...
+    val probe = Seq(1L, 2L, 3L)
+    val probed = Similarity.ivfReadLive(spark, tmp)
+      .filter(col("cell").isin(probe: _*))
+    probed.collect()
+    val a = probed.select("vec_id").collect().map(_.getLong(0)).sorted
+    val b = idx.filter(col("cell").isin(probe: _*))
+      .select("vec_id").collect().map(_.getLong(0))
+      .filterNot(dead.contains).sorted
+    assert(a.sameElements(b), "probe after delete must equal " +
+      "assignment-minus-tombstones in the probed cells")
+    // ...and the anti-join did not break physical partition pruning.
+    // The join pulls the plan under AQE, which hides scans inside
+    // query stages — descend through them explicitly.
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allScans(q.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(allScans)
+    }
+    val scan = allScans(probed.queryExecution.executedPlan).find(f =>
+      f.relation.location.rootPaths.exists(_.toString.contains("ivfdel")) &&
+        !f.relation.location.rootPaths.exists(
+          _.toString.contains("_tombstones"))).get
+    val filesInProbedDirs = new java.io.File(tmp).listFiles
+      .filter(d => probe.exists(c => d.getName == s"cell=$c"))
+      .map(_.listFiles.count(_.getName.endsWith(".parquet"))).sum
+    assert(scan.metrics("numFiles").value == filesInProbedDirs.toLong,
+      s"probe must still prune: read ${scan.metrics("numFiles").value} " +
+        s"files, probed dirs hold $filesInProbedDirs")
+    // compaction physically drops the dead rows and the tombstone dir
+    val dest = java.nio.file.Files.createTempDirectory("ivfcomp").toString
+    Similarity.ivfCompact(spark, tmp, dest)
+    val compIds = Similarity.ivfRead(spark, dest)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(compIds == (all -- dead))
+    assert(!new java.io.File(s"$dest/_tombstones").exists())
+    // idempotent serving: live read of the compacted root is identical
+    val compLive = Similarity.ivfReadLive(spark, dest)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(compLive == compIds)
+  }
+
   test("q136 IVF-SQ8: quantized probe recall vs full-precision probe " +
     "and exact brute force — the memory cut's measured accuracy price") {
     val exact = Similarity.q29BruteTopK(spark, sfDir).collect()

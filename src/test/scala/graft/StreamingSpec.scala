@@ -1203,6 +1203,39 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("quantile stream with a forced capCents: quantiles at or below " +
+    "the cap stay exact, quantiles above clamp to the cap (the " +
+    "bounded-state escape hatch for unbounded value domains)") {
+    import spark.implicits._
+    import graft.streaming.AnomalyStream.QuantileSnap
+    implicit val sc = spark.sqlContext
+    // deterministic values 0.01..1.00 dollars (cents 1..100): true
+    // p50 = 0.50, p90 = 0.90, p99 = 0.99
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val evs = (1 to 100).map(i =>
+      Event(i.toLong, t0, 1L, "m", i.toDouble / 100.0))
+    def run(name: String, cap: Long): QuantileSnap = {
+      val input = MemoryStream[Event]
+      val q = graft.streaming.AnomalyStream
+        .quantileStream(input.toDS(), capCents = cap)
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try { input.addData(evs); q.processAllAvailable() } finally q.stop()
+      spark.table(name).as[QuantileSnap].collect().maxBy(_.seen)
+    }
+    // cap above the domain: behavior identical to uncapped
+    val free = run("qcap_free", 1000L)
+    assert((free.p50, free.p90, free.p99) == ((0.50, 0.90, 0.99)))
+    // cap at 75 cents: p50 exact (below the cap), p90/p99 clamp to the
+    // cap — a one-sided floor, never a wrong value below the cap
+    val capped = run("qcap_75", 75L)
+    assert(capped.p50 == 0.50,
+      s"p50 sits below the cap and must stay exact, got ${capped.p50}")
+    assert(capped.p90 == 0.75 && capped.p99 == 0.75,
+      s"quantiles above the cap must clamp to it, got " +
+        s"(${capped.p90}, ${capped.p99})")
+  }
+
   test("hll stream: slicing invariance, JVM/SQL register parity, and " +
     "snapshot equals the batch q131 device over the same rows") {
     import spark.implicits._
