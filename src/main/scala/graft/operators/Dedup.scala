@@ -569,10 +569,36 @@ object Dedup extends QueryPack {
     val rare = grams.groupBy($"gram").agg(count(lit(1)).as("df"))
       .filter($"df" <= 4 && $"df" >= 2).select($"gram")
     val rg = grams.join(rare, "gram")
+    // lazy localCheckpoint (q86's rule): cand now feeds THREE subtrees
+    // (both candDocs branches + the intersection join) — uncheckpointed,
+    // Catalyst re-runs the whole rare-census + pairing pipeline per
+    // reference. The frame is bounded at 3·|rare| pairs.
     val cand = rg.toDF("gram", "i").join(rg.toDF("gram", "j"), "gram")
       .filter($"i" < $"j").select($"i", $"j").distinct()
-    val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
-    val ga = grams.toDF("i", "grama"); val gb = grams.toDF("j2", "gramb")
+      .localCheckpoint(false)
+    // round-12 rewrite: restrict the gram stream to CANDIDATE DOCS
+    // before intersecting. The old spelling joined the FULL gram
+    // stream on (doc, gram) — a stage probe at the decades measured
+    // that join at 45 s of the query's 32 s gsf10 total (137M rows
+    // shuffle-sorted to serve 36 candidate pairs). Candidate docs are
+    // ≤ 2·|cand| ≤ 6·|rare| ids (the df≤4 band caps pair fan-out), so
+    // they broadcast as a semi-filter — ONE linear pass over the
+    // cached stream — and the intersection join runs over
+    // candidate-doc grams only (~560·|candDocs| rows, not the corpus).
+    // The broadcast hint encodes the dedup-candidate assumption
+    // (candidates ≪ corpus); were a corpus to break it, dropping the
+    // hint shuffles only candidate-doc grams — still never the full
+    // stream. Sizes restricted the same way are exact: Jaccard only
+    // reads denominators for candidate docs.
+    val candDocs = cand.select($"i".as("doc_id"))
+      .union(cand.select($"j".as("doc_id"))).distinct()
+    // checkpointed for the same reason: three consumers (sizes, both
+    // intersection sides) must not each re-scan the corpus-sized gram
+    // stream; the frame is bounded at ~560·|candDocs| rows
+    val gcand = grams.join(broadcast(candDocs), "doc_id")
+      .localCheckpoint(false)
+    val sizes = gcand.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+    val ga = gcand.toDF("i", "grama"); val gb = gcand.toDF("j2", "gramb")
     val inter = cand.join(ga, "i")
       .join(gb, $"j" === $"j2" && $"grama" === $"gramb")
       .groupBy($"i", $"j").agg(count(lit(1)).as("inter"))
