@@ -452,6 +452,19 @@ object Anomaly extends QueryPack {
       .select($"mn", transform($"p", x => x.getField("x0")).as("sv"))
   }
 
+  /** Σ_k (wa[k] − wb[k])² as an UNROLLED sum of element_at terms
+    * instead of aggregate(zip_with(...)): higher-order functions run
+    * interpreted with a fresh 24-element array per pair, and the pair
+    * frames evaluate this millions of times — the unrolled expression
+    * stays inside whole-stage codegen (straight-line long arithmetic,
+    * zero allocation). Exact BIGINT either way.
+    */
+  private def pairD2(w: Int): Column =
+    (1 to w).map { k =>
+      val d = element_at(col("wa"), k) - element_at(col("wb"), k)
+      d * d
+    }.reduce(_ + _)
+
   def discordCensus(events: DataFrame): DataFrame = {
     import events.sparkSession.implicits._
     val W = 24
@@ -462,10 +475,13 @@ object Anomaly extends QueryPack {
         explode(sequence(lit(0), size($"sv") - W)).as("s"))
       .select($"mn", $"s", slice($"sv", $"s" + 1, lit(W)).as("wa"))
     val other = broadcast(wins.select($"s".as("t"), $"wa".as("wb")))
-    wins.join(other, abs($"s" - $"t") >= W)
-      .withColumn("d2", aggregate(
-        zip_with($"wa", $"wb", (x, y) => (x - y) * (x - y)),
-        lit(0L), _ + _))
+    // spread the probe side: wins explodes from ONE packed row, so
+    // without this the whole H²-pair fold runs on one task (q159's
+    // keyed twin measured the same effect 8× worse) — the shuffle
+    // moves only the bounded window frame
+    wins.repartition($"s")
+      .join(other, abs($"s" - $"t") >= W)
+      .withColumn("d2", pairD2(W))
       .groupBy($"mn", $"s").agg(min($"d2").as("score"))
       .select(($"mn" + $"s").as("win_start_h"), $"score")
       .orderBy($"score".desc, $"win_start_h".asc).limit(3)
@@ -926,6 +942,49 @@ object Anomaly extends QueryPack {
       .orderBy($"event_type".asc)
   }
 
+  // --- q159: per-series discord census (the sharded form of q137) ------------
+  /** q137 PER EVENT TYPE — the last detector to get the keyed
+    * spelling, completing the family (q148 Holt–Winters, q155 CUSUM,
+    * q156 episodes, q157 residual CUSUM): each type's most anomalous
+    * 24 h window by matrix-profile discord distance against ITS OWN
+    * history, per-key top-1. Exactness as q137 (integer cents, exact
+    * BIGINT distances).
+    *
+    * Scale shape: the pair frame is the TIME-SPAN × |types|-bounded
+    * window set broadcast against itself WITH the key equality — the
+    * documented q40-class bounded nested loop (~5 types × 697 windows
+    * here; at a large type count the join keys on the type and
+    * co-partitions instead of broadcasting — same plan class as q148's
+    * sharding argument, one bounded quadratic per key).
+    */
+  def q159DiscordByType(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val W = 24
+    val top = Window.partitionBy($"event_type")
+      .orderBy($"score".desc, $"win_start_h".asc)
+    val ser = packedHourlySeriesBy(Tables.events(s, dir), "event_type")
+      .filter(size($"sv") >= 2 * W)
+    val wins = ser
+      .select($"event_type", $"mn", $"sv",
+        explode(sequence(lit(0), size($"sv") - W)).as("s"))
+      .select($"event_type", $"mn", $"s",
+        slice($"sv", $"s" + 1, lit(W)).as("wa"))
+    val other = broadcast(wins.select($"event_type".as("et2"),
+      $"s".as("t"), $"wa".as("wb")))
+    // spread the probe side BEFORE the pair join: wins explodes from
+    // |types| packed rows, so without this the H²-pair × 24-term fold
+    // lands on ≤|types| tasks (measured 16 s at sf0.1; ~2 s spread).
+    // The shuffle moves only the bounded window frame.
+    wins.repartition($"event_type", $"s")
+      .join(other, $"et2" === $"event_type" && abs($"s" - $"t") >= W)
+      .withColumn("d2", pairD2(W))
+      .groupBy($"event_type", $"mn", $"s").agg(min($"d2").as("score"))
+      .select($"event_type", ($"mn" + $"s").as("win_start_h"), $"score")
+      .withColumn("rk", row_number().over(top))
+      .filter($"rk" === 1).drop("rk")
+      .orderBy($"event_type".asc)
+  }
+
   // --- q146: forecast backtest census (model selection) ----------------------
   /** One-step-ahead BACKTEST of three forecasters over the same scored
     * hours (t = m..H−1): Holt–Winters (q142's residual trajectory),
@@ -975,6 +1034,7 @@ object Anomaly extends QueryPack {
     "q155_cusum_by_type"   -> (q155CusumByType _),
     "q156_episodes_by_type" -> (q156EpisodesByType _),
     "q157_residual_cusum_by_type" -> (q157ResidualCusumByType _),
+    "q159_discord_by_type" -> (q159DiscordByType _),
     "q140_cusum"          -> (q140Cusum _),
     "q141_episodes"       -> (q141Episodes _),
     "q137_discord"        -> (q137Discord _),
@@ -1490,6 +1550,45 @@ object Anomaly extends QueryPack {
         |   AS DOUBLE) AS excess_dollars
         |FROM r CROSS JOIN b CROSS JOIN n
         |ORDER BY len_h DESC, start_h ASC LIMIT 5""".stripMargin,
+    "q159_discord_by_type" ->
+      // q137's pair-distance rule with the series key threaded
+      // through; distances computed by LIST INDEXING into per-window
+      // arrays (mirroring Spark's slice/zip_with) rather than the
+      // q137 oracle's k-unnest + double ser join — the join spelling
+      // blew to 54M joined rows across 5 keys and ran minutes, the
+      // list form runs ~3 s; per-type top-1 via QUALIFY row_number
+      """WITH s AS (SELECT event_type AS et,
+        |  epoch_us(date_trunc('hour', ts)) // 3600000000 AS hi,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x0
+        | FROM events GROUP BY 1, 2),
+        |b AS (SELECT et, MIN(hi) mn, MAX(hi) mx FROM s GROUP BY 1),
+        |g AS (SELECT b.et, gs.hi
+        |  FROM b, UNNEST(range(b.mn, b.mx + 1)) gs(hi)),
+        |ser AS (SELECT g.et, g.hi - b.mn AS idx, COALESCE(s.x0, 0) AS x
+        |  FROM g JOIN b ON b.et = g.et
+        |  LEFT JOIN s ON s.et = g.et AND s.hi = g.hi),
+        |n AS (SELECT et, CAST(MAX(idx) AS BIGINT) AS im
+        |  FROM ser GROUP BY 1),
+        |win AS (SELECT n.et, gs.s
+        |  FROM n, UNNEST(range(0, n.im - 24 + 2)) gs(s)
+        | WHERE n.im + 1 >= 48),
+        |wl AS (SELECT w.et, w.s, list(ser.x ORDER BY ser.idx) AS wa
+        |  FROM win w JOIN ser ON ser.et = w.et
+        |    AND ser.idx BETWEEN w.s AND w.s + 23
+        |  GROUP BY 1, 2),
+        |pd AS (SELECT a.et, a.s AS sa,
+        |  CAST(MIN(list_sum(list_transform(range(1, 25),
+        |    k -> (a.wa[CAST(k AS INT)] - bb.wa[CAST(k AS INT)])
+        |       * (a.wa[CAST(k AS INT)] - bb.wa[CAST(k AS INT)]))))
+        |    AS BIGINT) AS score
+        | FROM wl a JOIN wl bb ON bb.et = a.et AND abs(a.s - bb.s) >= 24
+        | GROUP BY 1, 2)
+        |SELECT pd.et AS event_type,
+        | CAST(b.mn + pd.sa AS BIGINT) AS win_start_h, score
+        |FROM pd JOIN b ON b.et = pd.et
+        |QUALIFY row_number() OVER (PARTITION BY pd.et
+        |  ORDER BY score DESC, win_start_h ASC) = 1
+        |ORDER BY event_type ASC""".stripMargin,
     "q137_discord" ->
       // same cents series on the same dense spine; the pair distances
       // are an elementwise 24-term join (exact integers), discord =

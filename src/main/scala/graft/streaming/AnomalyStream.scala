@@ -440,25 +440,7 @@ object AnomalyStream {
       .flatMapGroupsWithState[(Map[Long, Long], Long), DiscordHit](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (_, it, state) =>
-          val (m0, seen0) = state.getOption.getOrElse(
-            (Map.empty[Long, Long], 0L))
-          var m = m0; var n = 0L
-          it.foreach { e =>
-            val h = micros(e.ts) / 3600000000L
-            // cents via HALF_UP (away from zero) — BIT-PARITY with the
-            // batch census's Spark round(value*100) / the oracle's
-            // DuckDB ROUND, which also round half AWAY FROM ZERO;
-            // math.round (half toward +inf) would silently break the
-            // stream==batch law on a negative exact half-cent
-            // (round-11 advice — latent on the nonnegative corpus,
-            // wrong on any corpus with refunds)
-            val cents = BigDecimal(e.value * 100)
-              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
-            m = m.updated(h, m.getOrElse(h, 0L) + cents)
-            n += 1
-          }
-          val seen = seen0 + n
-          state.update((m, seen))
+          val (m, seen) = foldHourlyCents(it, state)
           topDiscord(m) match {
             case Some((h, sc)) => Iterator.single(DiscordHit(seen, h, sc))
             case None => Iterator.empty
@@ -805,6 +787,33 @@ object AnomalyStream {
       }
   }
 
+  case class KeyedDiscordHit(event_type: String, seen: Long,
+      win_start_h: Long, score: Long)
+
+  /** [[discordStream]] SHARDED BY THE SERIES KEY — the streaming twin
+    * of batch q159: per key, the matrix-profile discord over the
+    * key's own live hourly series. State is one time-span-bounded
+    * hourly map per event type; each batch's per-key work is the
+    * bounded H²·W fold. Silent until the key spans two windows. Same
+    * replay/parity contract as the other keyed twins (StreamingSpec
+    * pins snapshot == q159 per key).
+    */
+  def discordStreamByType(events: Dataset[Event])
+      : Dataset[KeyedDiscordHit] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[(Map[Long, Long], Long), KeyedDiscordHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key, it, state) =>
+          val (m, seen) = foldHourlyCents(it, state)
+          topDiscord(m) match {
+            case Some((h, sc)) =>
+              Iterator.single(KeyedDiscordHit(key, seen, h, sc))
+            case None => Iterator.empty
+          }
+      }
+  }
+
   case class KeyedRcHit(event_type: String, seen: Long, hour_h: Long,
       cusum_scaled: Long)
 
@@ -835,8 +844,13 @@ object AnomalyStream {
 
   /** Fold a batch of events into the (hourly cents map, seen count)
     * state and persist it — the shared state-update step of every
-    * series-detector stream (cents round HALF_UP away from zero, the
-    * round-11 bit-parity rule).
+    * series-detector stream. Cents round HALF_UP (away from zero) for
+    * BIT-PARITY with the batch censuses' Spark round(value*100) and
+    * the oracle's DuckDB ROUND, which also round half away from zero;
+    * math.round (half toward +inf) would silently break the
+    * stream==batch law on a negative exact half-cent (round-11
+    * advice — latent on the nonnegative corpus, wrong on any corpus
+    * with refunds).
     */
   private def foldHourlyCents(it: Iterator[Event],
       state: org.apache.spark.sql.streaming.GroupState[(Map[Long, Long], Long)])

@@ -647,12 +647,13 @@ class PlanSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
-  test("q155/q156/q157: keyed detectors — every window partitions by " +
-    "the series key; no CartesianProduct; the fold stays in-row (q157 " +
-    "plans no Window over the recurrence itself)") {
+  test("q155/q156/q157/q159: keyed detectors — every window partitions " +
+    "by the series key; no CartesianProduct; the fold stays in-row " +
+    "(q157 plans no Window over the recurrence itself)") {
     for (df <- Seq(Anomaly.q155CusumByType(spark, sfDir),
         Anomaly.q156EpisodesByType(spark, sfDir),
-        Anomaly.q157ResidualCusumByType(spark, sfDir))) {
+        Anomaly.q157ResidualCusumByType(spark, sfDir),
+        Anomaly.q159DiscordByType(spark, sfDir))) {
       val p = plan(df)
       assert(!p.contains("CartesianProduct"), p.take(2000))
       val specs = p.linesIterator

@@ -1203,6 +1203,49 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("keyed discord stream: per-type final snapshots equal the batch " +
+    "q159 rows over the same data; slicing invariant per key; silent " +
+    "below two windows") {
+    import spark.implicits._
+    import graft.streaming.AnomalyStream.KeyedDiscordHit
+    implicit val sc = spark.sqlContext
+    val rows = graft.core.Tables.events(spark, sfDir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().toSeq
+    def run(name: String, slices: Seq[Seq[Event]])
+        : Map[String, KeyedDiscordHit] = {
+      val input = MemoryStream[Event]
+      val q = graft.streaming.AnomalyStream.discordStreamByType(input.toDS())
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try slices.foreach { s => input.addData(s); q.processAllAvailable() }
+      finally q.stop()
+      spark.table(name).as[KeyedDiscordHit].collect()
+        .groupBy(_.event_type).map { case (k, hs) => k -> hs.maxBy(_.seen) }
+    }
+    val one = run("kd_a", Seq(rows))
+    val sliced = run("kd_b", rows.grouped(rows.size / 3 + 1).toSeq)
+    assert(one.keySet == sliced.keySet && one.nonEmpty)
+    one.keySet.foreach { k =>
+      assert((one(k).win_start_h, one(k).score) ==
+        ((sliced(k).win_start_h, sliced(k).score)),
+        s"per-key discord must be slicing-invariant for $k")
+    }
+    val batch = graft.operators.Anomaly.q159DiscordByType(spark, sfDir)
+      .collect().map(r =>
+        r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(batch.keySet == one.keySet)
+    batch.foreach { case (k, (h, sc)) =>
+      assert((one(k).win_start_h, one(k).score) == ((h, sc)),
+        s"stream snapshot for $k diverges from batch q159")
+    }
+    val minH = rows.map(e =>
+      graft.streaming.AnomalyStream.micros(e.ts) / 3600000000L).min
+    val short = run("kd_c", Seq(rows.filter(e =>
+      graft.streaming.AnomalyStream.micros(e.ts) / 3600000000L < minH + 40)))
+    assert(short.isEmpty)
+  }
+
   test("quantile stream with a forced capCents: quantiles at or below " +
     "the cap stay exact, quantiles above clamp to the cap (the " +
     "bounded-state escape hatch for unbounded value domains)") {
