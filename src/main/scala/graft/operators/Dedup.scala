@@ -71,16 +71,29 @@ object Dedup extends QueryPack {
     // duplicate-heavy corpora: 8.5M candidate pairs at sf0.1 here; the
     // star shape yields ≤ 3N and the same keep/dup cluster links.)
     val reps = bands.groupBy($"b", $"bk").agg(min($"doc_id").as("i"))
+    // checkpointed: three consumers (both candDocs branches + inter) —
+    // the q28 rule; bounded at ≤3N star pairs
     val cand = bands.join(reps, Seq("b", "bk"))
       .filter($"doc_id" > $"i")
       .select($"i", $"doc_id".as("j")).distinct()
+      .localCheckpoint(false)
 
-    // exact Jaccard, computed only for candidates. Filter on the RAW
-    // ratio (identical IEEE division in both engines), round only for
-    // display — filtering on the rounded value would disagree with the
-    // oracle on boundary values.
-    val sizes = dt.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
-    val ta = dt.toDF("i", "tok"); val tb = dt.toDF("j2", "tokb")
+    // exact Jaccard, computed only for candidates — and only over
+    // CANDIDATE DOCS' tokens (the q28 r12 rewrite): the old spelling
+    // joined the FULL token stream on (doc, tok) however few docs the
+    // bands flagged. The broadcast semi-filter is one linear pass over
+    // the cached frame; on a corpus where candidates approach all docs
+    // the filter degrades to a no-op pass, never a blowup (and if
+    // candDocs ever outgrew the broadcast threshold, dropping the hint
+    // shuffles candidate-doc tokens only — still ≤ the full stream).
+    // Filter on the RAW ratio (identical IEEE division in both
+    // engines), round only for display — filtering on the rounded
+    // value would disagree with the oracle on boundary values.
+    val candDocs = cand.select($"i".as("doc_id"))
+      .union(cand.select($"j".as("doc_id"))).distinct()
+    val dtc = dt.join(broadcast(candDocs), "doc_id").localCheckpoint(false)
+    val sizes = dtc.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+    val ta = dtc.toDF("i", "tok"); val tb = dtc.toDF("j2", "tokb")
     val inter = cand.join(ta, "i")
       .join(tb, $"j" === $"j2" && $"tok" === $"tokb")
       .groupBy($"i", $"j").agg(count(lit(1)).as("inter"))
@@ -760,9 +773,11 @@ object Dedup extends QueryPack {
       struct(lit(2).as("b"), md5(concat($"m4", $"m5")).as("bk"))
     )).as("band")).select($"doc_id", $"band.b", $"band.bk")
     val reps = bands.groupBy($"b", $"bk").agg(min($"doc_id").as("i"))
+    // cand feeds est + both candDocs branches + inter (the q28 rule)
     val cand = bands.join(reps, Seq("b", "bk"))
       .filter($"doc_id" > $"i")
       .select($"i", $"doc_id".as("j")).distinct()
+      .localCheckpoint(false)
     val sa = sigs.toDF(("i" +: (0 until K).map(i => s"a$i")): _*)
     val sb = sigs.toDF(("j" +: (0 until K).map(i => s"b$i")): _*)
     val nMatch = (0 until K)
@@ -770,8 +785,13 @@ object Dedup extends QueryPack {
       .reduce(_ + _)
     val est = cand.join(sa, "i").join(sb, "j")
       .select($"i", $"j", nMatch.as("n_match"))
-    val sizes = dt.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
-    val ta = dt.toDF("i", "tok"); val tb = dt.toDF("j2", "tokb")
+    // candidate-doc token prefilter — the q28/minhashLinksFrom r12
+    // rewrite: never join the full token stream to serve ≤3N pairs
+    val candDocs = cand.select($"i".as("doc_id"))
+      .union(cand.select($"j".as("doc_id"))).distinct()
+    val dtc = dt.join(broadcast(candDocs), "doc_id").localCheckpoint(false)
+    val sizes = dtc.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+    val ta = dtc.toDF("i", "tok"); val tb = dtc.toDF("j2", "tokb")
     val inter = cand.join(ta, "i")
       .join(tb, $"j" === $"j2" && $"tok" === $"tokb")
       .groupBy($"i", $"j").agg(count(lit(1)).as("inter"))
