@@ -483,16 +483,23 @@ object Pipeline extends QueryPack {
   def pagerankFixed(nodes: DataFrame, edges: DataFrame, iters: Int,
       damping: Double = 0.85, checkpointEvery: Int = 4): DataFrame = {
     import nodes.sparkSession.implicits._
+    // lazy localCheckpoints (the iterative-graph rule GraphX calls
+    // caching the graph): the weighted edge frame is consumed once PER
+    // ITERATION and the node frame once per iteration plus the seed —
+    // uncheckpointed, every iteration re-derives both from the raw
+    // corpus (ScanAudit read 11 documents scans for 2 rounds of q106;
+    // 3 after). Both frames are narrow graph-key columns.
+    val n = nodes.localCheckpoint(false)
     val outdeg = edges.groupBy($"src").agg(count(lit(1)).as("od"))
-    val e = edges.join(outdeg, "src")
+    val e = edges.join(outdeg, "src").localCheckpoint(false)
     (1 to iters).foldLeft(
-      nodes.select($"id", lit(1.0).as("rank"))) { (r, round0) =>
+      n.select($"id", lit(1.0).as("rank"))) { (r, round0) =>
       val contrib = e.join(r, e("src") === r("id"))
         .select($"dst",
           round($"rank" / $"od" * 1048576.0).cast("long").as("q"))
         .groupBy($"dst").agg(sum($"q").as("qs"))
-      val next = nodes.join(contrib, nodes("id") === contrib("dst"), "left")
-        .select(nodes("id"),
+      val next = n.join(contrib, n("id") === contrib("dst"), "left")
+        .select(n("id"),
           (lit(1.0 - damping) + lit(damping) *
             (coalesce($"qs", lit(0L)).cast("double") / 1048576.0))
             .as("rank"))
@@ -555,15 +562,25 @@ object Pipeline extends QueryPack {
     */
   def triangleNodes(edges: DataFrame): DataFrame = {
     import edges.sparkSession.implicits._
-    val deg = edges.select($"a".as("v")).unionAll(edges.select($"b".as("v")))
+    // lazy localCheckpoints (the q28/q154 multiply-consumed-subtree
+    // rule): the caller's edge frame feeds degree (twice) + the
+    // orientation join, and the oriented edge set feeds BOTH wedge
+    // sides + the closing semi-join — uncheckpointed, each reference
+    // re-derives edges from the raw corpus (ScanAudit read 34
+    // documents scans for q143; 2 after). Both frames are narrow
+    // graph-key columns, edge-scale.
+    val ec = edges.localCheckpoint(false)
+    val deg = ec.select($"a".as("v")).unionAll(ec.select($"b".as("v")))
       .groupBy($"v").agg(count(lit(1)).as("d"))
+      .localCheckpoint(false)
     val lowFirst = $"da" < $"db" || ($"da" === $"db" && $"a" < $"b")
-    val oe = edges
+    val oe = ec
       .join(deg.toDF("a", "da"), "a").join(deg.toDF("b", "db"), "b")
       .select(
         when(lowFirst, $"a").otherwise($"b").as("u"),
         when(lowFirst, $"b").otherwise($"a").as("w"),
         when(lowFirst, $"db").otherwise($"da").as("dw"))
+      .localCheckpoint(false)
     val w1 = oe.toDF("u", "v1", "dx1")
     val w2 = oe.toDF("u", "v2", "dx2")
     val tri = w1.join(w2, "u")
