@@ -1450,14 +1450,22 @@ object TextAnalysis extends QueryPack {
   def q130Bm25(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val k1 = 1.2; val b = 0.75
-    val docs = Tables.documents(s, dir)
-      .withColumn("toks", filter(split($"text", " "), t => length(t) > 0))
-    val dl = docs.select($"doc_id", $"lang",
-      size($"toks").cast("long").as("dl"))
-    val corpus = broadcast(dl.agg(count(lit(1)).as("nd"), sum($"dl").as("tl")))
-    val tf = docs
-      .select($"doc_id", explode($"toks").as("tok"))
-      .filter($"tok".isin(Bm25Query: _*))
+    // ONE corpus scan (r12; ScanAudit read 5 before): doc length and
+    // the query-term occurrences project in the same pass onto a
+    // narrow checkpointed frame (doc_id, lang, dl, ≤|query| matching
+    // tokens per doc); lengths, corpus stats, tf and idf all derive
+    // from it
+    val base = Tables.documents(s, dir)
+      .select($"doc_id", $"lang",
+        size(filter(split($"text", " "), t => length(t) > 0))
+          .cast("long").as("dl"),
+        filter(split($"text", " "),
+          t => Bm25Query.map(q => t === q).reduce(_ || _)).as("qtoks"))
+      .localCheckpoint(false)
+    val dl = base.select($"doc_id", $"lang", $"dl")
+    val corpus = broadcast(base.agg(count(lit(1)).as("nd"), sum($"dl").as("tl")))
+    val tf = base
+      .select($"doc_id", explode($"qtoks").as("tok"))
       .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
     val idf = broadcast(tf.groupBy($"tok")
       .agg(countDistinct($"doc_id").as("df"))
