@@ -28,6 +28,41 @@ class PlanSpec extends SparkTestBase {
     root.collect { case f: FileSourceScanExec => f }.size
   }
 
+  test("scan-count gate: no query plans more than 2 scans of any one " +
+    "table, except the named synthetic-construction exceptions — the " +
+    "r12 ScanAudit cleanup, locked in") {
+    // 2 is the documented two-pass class (stats pass + scoring pass
+    // with a broadcast join back, or sketch census + exact twin). The
+    // exceptions build their OWN comparison data from the corpus
+    // (snapshot-B families, delta feeds, recipe compositions) — the
+    // operator under test is single-scan per side; the extra scans are
+    // the synthetic second side a real deployment reads from its own
+    // storage. Anything above its bound here is a regression of the
+    // kind this round removed (q143 read the corpus 34x, q147 14x).
+    val exceptions = Map(
+      "q55_contamination" -> 3, // corpus + synthetic benchmark suite
+      "q57_corpus_recipe" -> 3, // multi-op recipe (r11 audit)
+      "q111_snapshot_diff" -> 3, // snapshot B derived from A
+      "q125_merge_apply" -> 4) // 3-branch synthetic delta feed + snap
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val root = fn(spark, sfDir).queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.initialPlan
+          case p => p
+        }
+        val byTable = root.collect { case f: FileSourceScanExec =>
+          f.relation.location.rootPaths.headOption
+            .map(_.getName).getOrElse("?") }
+          .groupBy(identity).map { case (t, fs) => (t, fs.size) }
+        val cap = exceptions.getOrElse(name, 2)
+        byTable.collect { case (t, n) if n > cap => s"$name: $t x$n (cap $cap)" }
+    }
+    spark.catalog.clearCache()
+    assert(bad.isEmpty, "queries over their scan cap:\n" + bad.mkString("\n"))
+  }
+
   test("q2: predicate pushes down to the parquet scan") {
     val p = plan(Relational.q2FilterProject(spark, sfDir))
     assert(p.contains("PushedFilters:") &&
