@@ -1447,6 +1447,42 @@ object TextAnalysis extends QueryPack {
     */
   private[graft] val Bm25Query = Seq("data", "hash", "scan")
 
+  /** The BM25 oracle — shared verbatim by q130 (scan-time scoring) and
+    * q160 (serving-layout probe): identical integer tf/df/dl/N inputs
+    * → identical LN operand and IEEE saturation terms (constants
+    * spelled as the SAME double expressions Spark compiles: 1.2 + 1.0,
+    * 1.0 − 0.75); per-doc sum snaps through DECIMAL(28,10), rank on
+    * the ROUNDED score with doc_id tie-break.
+    */
+  private val Bm25OracleSql: String =
+    s"""WITH d AS (SELECT doc_id, lang,
+       |  list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+       | FROM documents),
+       |dl AS (SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS dl FROM d),
+       |c AS (SELECT COUNT(*) AS nd, CAST(SUM(dl) AS BIGINT) AS tl FROM dl),
+       |tf AS (SELECT doc_id, tok, COUNT(*) AS tf
+       | FROM (SELECT doc_id, unnest(toks) AS tok FROM d)
+       | WHERE tok IN (${Bm25Query.map(t => s"'$t'").mkString(", ")})
+       | GROUP BY 1, 2),
+       |idf AS (SELECT f.tok,
+       |  LN(1.0 + (CAST(c.nd - f.df AS DOUBLE) + 0.5)
+       |    / (CAST(f.df AS DOUBLE) + 0.5)) AS idf
+       | FROM (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1) f
+       | CROSS JOIN c),
+       |s AS (SELECT t.doc_id, dl.lang, dl.dl,
+       |  i.idf * (CAST(t.tf AS DOUBLE) * (1.2 + 1.0))
+       |   / (CAST(t.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
+       |     + 0.75 * CAST(dl.dl AS DOUBLE)
+       |       / (CAST(c.tl AS DOUBLE) / CAST(c.nd AS DOUBLE)))) AS ts
+       | FROM tf t JOIN idf i USING (tok) JOIN dl USING (doc_id)
+       | CROSS JOIN c)
+       |SELECT doc_id, lang, dl,
+       | ${graft.core.Exact.sqlDround(
+           "CAST(SUM(CAST(ts AS DECIMAL(28,10))) AS DOUBLE)", 6)} AS score,
+       | COUNT(*) AS n_terms
+       |FROM s GROUP BY 1, 2, 3
+       |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin
+
   def q130Bm25(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val k1 = 1.2; val b = 0.75
@@ -1489,8 +1525,92 @@ object TextAnalysis extends QueryPack {
       .orderBy($"score".desc, $"doc_id".asc).limit(10)
   }
 
+  // --- q160: BM25 serving layout — bucketed inverted index + pruned probe ----
+  /** Materialize the postings layout a lexical retrieval SERVICE
+    * actually reads — the IVF-serving story (q128/ivfWrite) applied to
+    * text: one row per (term, doc) posting carrying tf, doc length and
+    * lang, written partitionBy(tb) with tb = xxhash64(term) mod
+    * `buckets`, so a q-term probe is a PARTITION-PRUNED scan of ≤q
+    * buckets however large the corpus. Corpus stats (N, total length)
+    * ride in an underscore-hidden `_stats` sidecar the base listing
+    * never sees (the ivfDelete trick). Build = one corpus scan + one
+    * (term, doc) shuffle + the stats rollup; at 100 TB the bucket
+    * count scales up and the probe's byte footprint stays |postings
+    * of the query terms| — q130 scans the corpus per query, this
+    * layout amortizes that scan across every query the service ever
+    * answers.
+    */
+  def bm25IndexWrite(docs: DataFrame, path: String,
+      buckets: Int = 64): Unit = {
+    import docs.sparkSession.implicits._
+    val base = docs
+      .select($"doc_id", $"lang",
+        filter(split($"text", " "), t => length(t) > 0).as("toks"))
+      .select($"doc_id", $"lang", size($"toks").cast("long").as("dl"),
+        explode($"toks").as("tok"))
+    base.groupBy($"tok", $"doc_id", $"lang", $"dl")
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("tb", pmod(xxhash64($"tok"), lit(buckets.toLong)))
+      .write.mode("overwrite").partitionBy("tb").parquet(path)
+    docs.select(size(filter(split($"text", " "), t => length(t) > 0))
+        .cast("long").as("dl"))
+      .agg(count(lit(1)).as("nd"), sum($"dl").as("tl"))
+      .write.mode("overwrite").parquet(s"$path/_stats")
+  }
+
+  /** Probe the layout: prune to the query terms' buckets (the bucket
+    * ids evaluate on a literal-only plan — no data read — so the
+    * filter carries LITERALS the planner prunes partitions with),
+    * rebuild df/idf from the matching postings (identical to q130's,
+    * whose tf frame is restricted to the query terms the same way),
+    * score and TakeOrdered. Output is hash-identical to q130 on the
+    * same corpus and query — the oracle gate proves the LAYOUT, not
+    * just the formula.
+    */
+  def bm25Probe(s: SparkSession, path: String, terms: Seq[String],
+      k: Int = 10, buckets: Int = 64): DataFrame = {
+    import s.implicits._
+    val k1 = 1.2; val b = 0.75
+    val tbs = s.range(1).select(
+      terms.map(t => pmod(xxhash64(lit(t)), lit(buckets.toLong)).as(t)): _*)
+      .head().toSeq.map(_.asInstanceOf[Long]).distinct
+    val stats = broadcast(s.read.parquet(s"$path/_stats"))
+    val post = s.read.parquet(path)
+      .filter($"tb".isin(tbs: _*) && $"tok".isin(terms: _*))
+    val idf = broadcast(post.groupBy($"tok")
+      .agg(countDistinct($"doc_id").as("df"))
+      .crossJoin(stats)
+      .select($"tok", log(lit(1.0) +
+        (($"nd" - $"df").cast("double") + lit(0.5))
+          / ($"df".cast("double") + lit(0.5))).as("idf")))
+    post.join(idf, "tok")
+      .crossJoin(stats)
+      .withColumn("term_score", $"idf" *
+        ($"tf".cast("double") * lit(k1 + 1.0))
+        / ($"tf".cast("double") + lit(k1) * (lit(1.0 - b)
+          + lit(b) * $"dl".cast("double")
+            / ($"tl".cast("double") / $"nd".cast("double")))))
+      .groupBy($"doc_id", $"lang", $"dl")
+      .agg(graft.core.Exact.dround(
+        sum($"term_score".cast(org.apache.spark.sql.types.DecimalType(28, 10)))
+          .cast("double"), 6).as("score"),
+        count(lit(1)).as("n_terms"))
+      .orderBy($"score".desc, $"doc_id".asc).limit(k)
+  }
+
+  /** Build + probe as one oracle row: the layout's answer must equal
+    * the scan-time q130's (same SQL oracle verbatim) — write-path and
+    * read-path both under the hash gate.
+    */
+  def q160Bm25Probe(s: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    bm25IndexWrite(Tables.documents(s, dir), path)
+    bm25Probe(s, path, Bm25Query)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q130_bm25"              -> (q130Bm25 _),
+    "q160_bm25_probe"        -> (q160Bm25Probe _),
     "q122_pmi_pairs"         -> (q122PmiPairs _),
     "q120_bpe_sweep"         -> (q120BpeSweep _),
     "q119_zipf_slope"        -> (q119ZipfSlope _),
@@ -1560,39 +1680,11 @@ object TextAnalysis extends QueryPack {
        | FROM $vIn CROSS JOIN b$r)""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
-    "q130_bm25" ->
-      // identical integer tf/df/dl/N inputs -> identical LN operand
-      // and IEEE saturation terms (constants spelled as the SAME
-      // double expressions Spark compiles: 1.2 + 1.0, 1.0 - 0.75);
-      // per-doc sum snaps through DECIMAL(28,10), rank on the ROUNDED
-      // score with doc_id tie-break
-      s"""WITH d AS (SELECT doc_id, lang,
-         |  list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
-         | FROM documents),
-         |dl AS (SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS dl FROM d),
-         |c AS (SELECT COUNT(*) AS nd, CAST(SUM(dl) AS BIGINT) AS tl FROM dl),
-         |tf AS (SELECT doc_id, tok, COUNT(*) AS tf
-         | FROM (SELECT doc_id, unnest(toks) AS tok FROM d)
-         | WHERE tok IN (${Bm25Query.map(t => s"'$t'").mkString(", ")})
-         | GROUP BY 1, 2),
-         |idf AS (SELECT f.tok,
-         |  LN(1.0 + (CAST(c.nd - f.df AS DOUBLE) + 0.5)
-         |    / (CAST(f.df AS DOUBLE) + 0.5)) AS idf
-         | FROM (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1) f
-         | CROSS JOIN c),
-         |s AS (SELECT t.doc_id, dl.lang, dl.dl,
-         |  i.idf * (CAST(t.tf AS DOUBLE) * (1.2 + 1.0))
-         |   / (CAST(t.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
-         |     + 0.75 * CAST(dl.dl AS DOUBLE)
-         |       / (CAST(c.tl AS DOUBLE) / CAST(c.nd AS DOUBLE)))) AS ts
-         | FROM tf t JOIN idf i USING (tok) JOIN dl USING (doc_id)
-         | CROSS JOIN c)
-         |SELECT doc_id, lang, dl,
-         | ${graft.core.Exact.sqlDround(
-             "CAST(SUM(CAST(ts AS DECIMAL(28,10))) AS DOUBLE)", 6)} AS score,
-         | COUNT(*) AS n_terms
-         |FROM s GROUP BY 1, 2, 3
-         |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin,
+    "q130_bm25" -> Bm25OracleSql,
+    // q160 serves the SAME answer from the materialized layout — the
+    // identical oracle IS the parity claim (write + probe == scan-time
+    // scoring, hash-checked)
+    "q160_bm25_probe" -> Bm25OracleSql,
     "q122_pmi_pairs" ->
       // identical integer counts -> identical LN operand; rank on the
       // ROUNDED pmi with (w1, w2) tie-breaks, a total order

@@ -1278,6 +1278,54 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(compLive == compIds)
   }
 
+  test("bm25 serving layout: the probe physically prunes to the query " +
+    "terms' buckets, and its answer equals scan-time q130 row for row") {
+    import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val tmp = java.nio.file.Files.createTempDirectory("bm25l").toString
+    TextAnalysis.bm25IndexWrite(docs, tmp)
+    val bucketsOnDisk = new java.io.File(tmp).listFiles
+      .count(_.getName.startsWith("tb="))
+    assert(bucketsOnDisk >= 8, s"expected many bucket dirs, got $bucketsOnDisk")
+    val probe = TextAnalysis.bm25Probe(spark, tmp, TextAnalysis.Bm25Query)
+    val got = probe.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSeq
+    // physical pruning: the postings scan's numFiles equals the file
+    // count under the PROBED buckets alone (the ivfWrite discipline)
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allScans(q.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(allScans)
+    }
+    val scan = allScans(probe.queryExecution.executedPlan).find(f =>
+      f.relation.location.rootPaths.exists(_.toString.contains("bm25l")) &&
+        !f.relation.location.rootPaths.exists(
+          _.toString.contains("_stats"))).get
+    val tbs = spark.range(1).select(TextAnalysis.Bm25Query.map(t =>
+      pmod(xxhash64(lit(t)), lit(64L)).as(t)): _*)
+      .head().toSeq.map(_.asInstanceOf[Long]).distinct
+    val filesInProbed = new java.io.File(tmp).listFiles
+      .filter(d => tbs.exists(x => d.getName == s"tb=$x"))
+      .map(_.listFiles.count(_.getName.endsWith(".parquet"))).sum
+    val filesTotal = new java.io.File(tmp).listFiles
+      .filter(_.getName.startsWith("tb="))
+      .map(_.listFiles.count(_.getName.endsWith(".parquet"))).sum
+    assert(scan.metrics("numFiles").value == filesInProbed.toLong,
+      s"probe read ${scan.metrics("numFiles").value} files, probed " +
+        s"buckets hold $filesInProbed (of $filesTotal)")
+    assert(filesTotal > filesInProbed, "pruning must exclude buckets")
+    // row-for-row parity with scan-time scoring
+    val expect = TextAnalysis.q130Bm25(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSeq
+    assert(got == expect, "layout probe must equal scan-time q130")
+  }
+
   test("q136 IVF-SQ8: quantized probe recall vs full-precision probe " +
     "and exact brute force — the memory cut's measured accuracy price") {
     val exact = Similarity.q29BruteTopK(spark, sfDir).collect()
