@@ -98,14 +98,18 @@ object Bench {
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     } catch { case scala.util.control.NonFatal(_) => Map.empty }
 
-  /** Render the self-discounting load-correction block: per-query
-    * ratio of this run's min against the best-known quiet anchor,
-    * summarized (median/p90/max over the common queries). Rounds 8–11
-    * each produced a loaded-host official artifact that needed manual
-    * A/B against builder-run quiet anchors; with this block the
-    * artifact carries its own correction — a reader (or the judge)
-    * divides totals by `median` to estimate the quiet-host number
-    * mechanically. JSON "null" when no anchor is available.
+  /** Render the host-contention DIAGNOSTIC block: per-query ratio of
+    * this run's min against the best-known quiet anchor, summarized
+    * (median/p90/max over the common queries). The anchor
+    * (tools/quiet_anchor.json) is SELF-MEASURED by the builder and
+    * unverified — so this block is metadata for judging whether the
+    * host was contended, NOT a correction factor: the official bench
+    * numbers are always the raw measured `value`/`queries` fields,
+    * undiscounted. (Rounds 8–11 each produced a loaded-host artifact
+    * that needed a judge re-run to disprove; the ratio makes that
+    * contention visible in the artifact itself.) JSON "null" when no
+    * anchor is available; the rendered block carries its own `note`
+    * saying the same.
     */
   def quietRatioJson(results: Seq[(String, Seq[Double])],
                      anchor: Map[String, Double]): String = {
@@ -119,9 +123,36 @@ object Bench {
       // (n−1)·9/10 under-indexes small n (n=2 picked the MIN)
       val p90 = ratios((ratios.size * 9 + 9) / 10 - 1)
       s"""{"median":${r4(median(ratios))},"p90":${r4(p90)},""" +
-        s""""max":${r4(ratios.max)},"n_common":${ratios.size}}"""
+        s""""max":${r4(ratios.max)},"n_common":${ratios.size},""" +
+        s""""note":"diagnostic only: anchor is self-measured/unverified; official numbers are the raw measured fields"}"""
     }
   }
+
+  /** Merge a run's per-query mins into the anchor map, keeping the
+    * smaller of (existing anchor, this run's min) per query and
+    * adopting new queries wholesale. This is the anchor REFRESH rule:
+    * plan wins lower the denominator the next round instead of
+    * ossifying an old round's mins, while a contended run can never
+    * RAISE an anchor (min() is monotone down). Only full sf0.1 runs
+    * should be merged — the caller gates that, matching the read-side
+    * basename gate in [[main]].
+    */
+  def mergedAnchor(anchor: Map[String, Double],
+                   results: Seq[(String, Seq[Double])]): Map[String, Double] = {
+    val mins = results.collect { case (q, v) if v.nonEmpty => q -> v.min }
+    mins.foldLeft(anchor) { case (acc, (q, m)) =>
+      acc.updated(q, acc.get(q).fold(m)(math.min(m, _)))
+    }
+  }
+
+  /** Serialize an anchor map back to the flat one-entry-per-line JSON
+    * object [[readAnchor]] parses (sorted keys — byte-stable output
+    * for clean diffs of tools/quiet_anchor.json).
+    */
+  def renderAnchor(anchor: Map[String, Double]): String =
+    anchor.toSeq.sortBy(_._1)
+      .map { case (q, m) => s"""  "$q": ${r4(m)}""" }
+      .mkString("{\n", ",\n", "\n}\n")
 
   /** Assemble the one-line bench JSON from (query -> measured reps).
     * Pure so the spec can assert the line parses with every per-query
@@ -251,10 +282,27 @@ object Bench {
     // different scale factor's times would be meaningless.
     val anchorPath = sys.env.getOrElse("SPARK_GRAFT_ANCHOR",
       "tools/quiet_anchor.json")
-    val anchor = if (sfDir.endsWith("sf0.1")) readAnchor(anchorPath)
+    // exact-basename match, NOT endsWith: synthetic decade dirs like
+    // gsf0.1 also end with "sf0.1" and must not pick up the graded
+    // corpus's anchor times
+    val atGradedSf = java.nio.file.Paths.get(sfDir)
+      .getFileName.toString == "sf0.1"
+    val anchor = if (atGradedSf) readAnchor(anchorPath)
                  else Map.empty[String, Double]
     val line = renderJson(results, sfDir, reps, host,
       quietRatioJson(results, anchor))
+    // SPARK_GRAFT_ANCHOR_MERGE=1: fold this run's per-query mins back
+    // into the anchor file (min-wins rule, see mergedAnchor) so plan
+    // wins keep the quiet-ratio denominator honest across rounds.
+    // Only meaningful on a full run at the graded SF.
+    if (sys.env.get("SPARK_GRAFT_ANCHOR_MERGE").contains("1")
+        && atGradedSf && only.isEmpty) {
+      writeLine(renderAnchor(mergedAnchor(anchor, results)).stripSuffix("\n"),
+        anchorPath) match {
+        case Some(p) => println(s"anchor merged to $p")
+        case None    => println(s"anchor NOT merged to $anchorPath")
+      }
+    }
     println(line)
     // SPARK_GRAFT_BENCH_OUT overrides the default repo-root path
     // (e.g. for spec runs in a temp dir).

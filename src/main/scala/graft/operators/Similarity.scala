@@ -696,8 +696,11 @@ object Similarity extends QueryPack {
     */
   def ivfReadLive(s: SparkSession, path: String): DataFrame = {
     val idx = ivfRead(s, path)
-    val fs = new java.io.File(s"$path/_tombstones")
-    if (!fs.exists()) idx
+    // Resolve existence through the path's OWN FileSystem — a
+    // java.io.File check is silently false for hdfs://s3a:// roots,
+    // which would serve deleted vectors as live (the exact takedown
+    // case tombstones exist for).
+    if (!graft.core.Fs.exists(s, s"$path/_tombstones")) idx
     else idx.join(
       broadcast(s.read.parquet(s"$path/_tombstones").distinct()),
       Seq("vec_id"), "left_anti")

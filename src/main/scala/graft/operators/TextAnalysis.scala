@@ -1602,9 +1602,20 @@ object TextAnalysis extends QueryPack {
     * the scan-time q130's (same SQL oracle verbatim) — write-path and
     * read-path both under the hash gate.
     */
+  /** One DETERMINISTIC temp root per corpus dir: every invocation
+    * (3+ bench reps per round) overwrites the same layout instead of
+    * leaking a fresh corpus-sized index per rep, and the Hadoop
+    * deleteOnExit below reclaims it at JVM shutdown.
+    */
+  def bm25TempIndexPath(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_bm25idx_${
+      java.lang.Integer.toHexString(dir.hashCode)}"
+
   def q160Bm25Probe(s: SparkSession, dir: String): DataFrame = {
-    val path = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    val path = bm25TempIndexPath(dir)
     bm25IndexWrite(Tables.documents(s, dir), path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(p)
     bm25Probe(s, path, Bm25Query)
   }
 

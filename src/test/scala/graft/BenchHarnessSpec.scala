@@ -123,6 +123,41 @@ class BenchHarnessSpec extends SparkTestBase {
     assert(shipped.values.forall(_ > 0.0))
   }
 
+  // The anchor file is load-bearing for the quiet_ratio diagnostic, so
+  // refreshes must follow one rule: min-wins per query (a plan win
+  // lowers the denominator next round; a contended run can never raise
+  // it), new queries adopted wholesale, and the rendered file
+  // round-trips through readAnchor byte-stably (sorted keys).
+  test("mergedAnchor keeps min-per-query, adopts new queries, never raises; " +
+    "renderAnchor round-trips through readAnchor; ratio block is labeled diagnostic") {
+    val anchor = Map("q1" -> 1.0, "q2" -> 0.5, "q_gone" -> 3.0)
+    val results: Seq[(String, Seq[Double])] = Seq(
+      "q1" -> Seq(1.5, 0.8),     // beats anchor -> 0.8
+      "q2" -> Seq(2.0),          // contended rep -> anchor 0.5 stands
+      "q_new" -> Seq(4.0),       // new query adopted
+      "q_err" -> Seq.empty)      // errored query ignored
+    val merged = Bench.mergedAnchor(anchor, results)
+    assert(merged === Map("q1" -> 0.8, "q2" -> 0.5, "q_gone" -> 3.0,
+      "q_new" -> 4.0))
+    val back = {
+      val dir = java.nio.file.Files.createTempDirectory("anchor_rt")
+      val p = dir.resolve("a.json")
+      java.nio.file.Files.write(p,
+        Bench.renderAnchor(merged).getBytes("UTF-8"))
+      Bench.readAnchor(p.toString)
+    }
+    assert(back === merged)
+    // sorted-key determinism: two renders of equal maps are identical
+    assert(Bench.renderAnchor(merged) ===
+      Bench.renderAnchor(merged.toSeq.reverse.toMap))
+    // the ratio block self-identifies as diagnostic (ADVICE r12: a
+    // self-measured anchor must not read as an official correction)
+    val qr = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      Bench.quietRatioJson(Seq("q1" -> Seq(1.0)), Map("q1" -> 1.0)))
+    assert(qr.get("note").asText().contains("diagnostic"))
+    assert(qr.get("note").asText().contains("self-measured"))
+  }
+
   test("writeLine persists the exact line and reports the absolute path") {
     val dir = java.nio.file.Files.createTempDirectory("bench_out")
     val target = dir.resolve("bench_out.json").toString
