@@ -863,13 +863,20 @@ object Anomaly extends QueryPack {
     * (all-BIGINT, scaled by the key's own nh to clear the rational
     * mean); the ONLY data-sized stage is the (key, hour) rollup.
     */
-  def q155CusumByType(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  def q155CusumByType(s: SparkSession, dir: String): DataFrame =
+    cusumByTypePacked(packedHourlySeriesBy(Tables.events(s, dir), "event_type"))
+
+  /** q155's census over an ALREADY-PACKED keyed spine — q161 runs all
+    * four keyed detectors off ONE shared spine, so each detector needs
+    * the packed-input form (the q154 holtWintersCensusFold split).
+    */
+  private[graft] def cusumByTypePacked(packed: DataFrame): DataFrame = {
+    import packed.sparkSession.implicits._
     val w = Window.partitionBy($"event_type").orderBy($"pos")
       .rowsBetween(Window.unboundedPreceding, 0)
     val top = Window.partitionBy($"event_type")
       .orderBy($"cusum_scaled".desc, $"hour_h".asc)
-    packedHourlySeriesBy(Tables.events(s, dir), "event_type")
+    packed
       .select($"event_type", $"mn", size($"sv").cast("long").as("nh"),
         aggregate($"sv", lit(0L), _ + _).as("sx"),
         posexplode($"sv").as(Seq("pos", "x")))
@@ -892,12 +899,17 @@ object Anomaly extends QueryPack {
     * desc, start asc). Same scale shape as q155: one (key, hour)
     * rollup, then key-partitioned windows over the bounded frame.
     */
-  def q156EpisodesByType(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  def q156EpisodesByType(s: SparkSession, dir: String): DataFrame =
+    episodesByTypePacked(
+      packedHourlySeriesBy(Tables.events(s, dir), "event_type"))
+
+  /** q156 over an already-packed keyed spine (see [[cusumByTypePacked]]). */
+  private[graft] def episodesByTypePacked(packed: DataFrame): DataFrame = {
+    import packed.sparkSession.implicits._
     val w = Window.partitionBy($"event_type").orderBy($"pos")
     val top = Window.partitionBy($"event_type")
       .orderBy($"len_h".desc, $"start_h".asc)
-    packedHourlySeriesBy(Tables.events(s, dir), "event_type")
+    packed
       .select($"event_type", $"mn", size($"sv").cast("long").as("nh"),
         aggregate($"sv", lit(0L), _ + _).as("sx"),
         posexplode($"sv").as(Seq("pos", "x")))
@@ -924,13 +936,21 @@ object Anomaly extends QueryPack {
     * own guard), exactly as a per-metric deployment would skip
     * series too young to model.
     */
-  def q157ResidualCusumByType(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  def q157ResidualCusumByType(s: SparkSession, dir: String): DataFrame =
+    residualCusumByTypeFold(holtFoldPacked(
+      packedHourlySeriesBy(Tables.events(s, dir), "event_type")))
+
+  /** q157 over an already-run KEYED fold frame (see [[cusumByTypePacked]];
+    * the fold half of the split is [[holtFoldPacked]] itself, which
+    * q161 checkpoints once and shares).
+    */
+  private[graft] def residualCusumByTypeFold(fold: DataFrame): DataFrame = {
+    import fold.sparkSession.implicits._
     val w = Window.partitionBy($"event_type").orderBy($"p")
       .rowsBetween(Window.unboundedPreceding, 0)
     val top = Window.partitionBy($"event_type")
       .orderBy($"cusum_scaled".desc, $"hour_h".asc)
-    holtFoldPacked(packedHourlySeriesBy(Tables.events(s, dir), "event_type"))
+    fold
       .select($"event_type", $"mn", posexplode($"fin.rs").as(Seq("p", "r")))
       .withColumn("pf", sum($"r").over(w))
       .withColumn("cus", $"pf" - least(lit(0L), min($"pf").over(w)))
@@ -957,13 +977,17 @@ object Anomaly extends QueryPack {
     * co-partitions instead of broadcasting — same plan class as q148's
     * sharding argument, one bounded quadratic per key).
     */
-  def q159DiscordByType(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  def q159DiscordByType(s: SparkSession, dir: String): DataFrame =
+    discordByTypePacked(
+      packedHourlySeriesBy(Tables.events(s, dir), "event_type"))
+
+  /** q159 over an already-packed keyed spine (see [[cusumByTypePacked]]). */
+  private[graft] def discordByTypePacked(packed: DataFrame): DataFrame = {
+    import packed.sparkSession.implicits._
     val W = 24
     val top = Window.partitionBy($"event_type")
       .orderBy($"score".desc, $"win_start_h".asc)
-    val ser = packedHourlySeriesBy(Tables.events(s, dir), "event_type")
-      .filter(size($"sv") >= 2 * W)
+    val ser = packed.filter(size($"sv") >= 2 * W)
     val wins = ser
       .select($"event_type", $"mn", $"sv",
         explode(sequence(lit(0), size($"sv") - W)).as("s"))
@@ -983,6 +1007,51 @@ object Anomaly extends QueryPack {
       .withColumn("rk", row_number().over(top))
       .filter($"rk" === 1).drop("rk")
       .orderBy($"event_type".asc)
+  }
+
+  // --- q161: keyed detector-ensemble census -----------------------------------
+  /** q154's corroboration census over the KEYED detector family — the
+    * actual paging surface a fleet deployment runs: for each
+    * (event_type, hour), which of the four per-type detectors flagged
+    * it as that type's top anomaly — CUSUM drift (q155), sustained
+    * episodes (q156), seasonal-adjusted residual CUSUM (q157) and
+    * matrix-profile discord (q159). `n_detectors ≥ 2` is the page; a
+    * single-detector row is that detector's unique signal for the
+    * type. Pure composition: every branch is an already-oracle-checked
+    * keyed census, so the ensemble is too. (The discord branch flags a
+    * WINDOW start rather than a point hour — corroboration with a
+    * point detector at the same hour means "the drift/level break
+    * begins exactly where the shape anomaly does", the strongest page.)
+    *
+    * Scale shape, q154's discipline applied to the keyed family: ONE
+    * (key, hour) rollup builds ONE packed keyed spine, lazily
+    * localCheckpoint-ed so raw events are scanned ONCE for all four
+    * branches; the keyed Holt fold runs ONCE (checkpointed) and feeds
+    * the q157 branch; everything downstream lives on |types| bounded
+    * rows. PlanSpec pins the one-scan plan. The union is ≤4·|types|
+    * rows.
+    */
+  def q161KeyedEnsemble(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val packed = packedHourlySeriesBy(Tables.events(s, dir), "event_type")
+      .localCheckpoint(false)
+    val fold = holtFoldPacked(packed).localCheckpoint(false)
+    Seq(
+      cusumByTypePacked(packed)
+        .select($"event_type", $"hour_h", lit("cusum").as("det")),
+      episodesByTypePacked(packed)
+        .select($"event_type", $"start_h".as("hour_h"),
+          lit("episode").as("det")),
+      residualCusumByTypeFold(fold)
+        .select($"event_type", $"hour_h", lit("residual_cusum").as("det")),
+      discordByTypePacked(packed)
+        .select($"event_type", $"win_start_h".as("hour_h"),
+          lit("discord").as("det")))
+      .reduce(_ unionByName _)
+      .groupBy($"event_type", $"hour_h")
+      .agg(count(lit(1)).as("n_detectors"),
+        concat_ws(",", sort_array(collect_list($"det"))).as("detectors"))
+      .orderBy($"n_detectors".desc, $"event_type".asc, $"hour_h".asc)
   }
 
   // --- q146: forecast backtest census (model selection) ----------------------
@@ -1035,6 +1104,7 @@ object Anomaly extends QueryPack {
     "q156_episodes_by_type" -> (q156EpisodesByType _),
     "q157_residual_cusum_by_type" -> (q157ResidualCusumByType _),
     "q159_discord_by_type" -> (q159DiscordByType _),
+    "q161_keyed_ensemble"  -> (q161KeyedEnsemble _),
     "q140_cusum"          -> (q140Cusum _),
     "q141_episodes"       -> (q141Episodes _),
     "q137_discord"        -> (q137Discord _),
@@ -1589,6 +1659,108 @@ object Anomaly extends QueryPack {
         |QUALIFY row_number() OVER (PARTITION BY pd.et
         |  ORDER BY score DESC, win_start_h ASC) = 1
         |ORDER BY event_type ASC""".stripMargin,
+    "q161_keyed_ensemble" ->
+      // the four KEYED oracles off ONE shared keyed spine + keyed
+      // recurrence: each branch is its original oracle's per-type
+      // top-1 (identical tie rules), unioned and grouped;
+      // STRING_AGG(det, ',' ORDER BY det) mirrors concat_ws over
+      // sort_array
+      {
+        def fd2(e: String) = s"((($e) - (((($e) % 2) + 2) % 2)) // 2)"
+        val ln = fd2("ser.x - rec.ss[1] + rec.l + rec.b2")
+        val bn = fd2(s"$ln - rec.l + rec.b2")
+        val sn = fd2(s"ser.x - $ln + rec.ss[1]")
+        s"""WITH RECURSIVE s AS (SELECT event_type AS et,
+          |  epoch_us(date_trunc('hour', ts)) // 3600000000 AS hi,
+          |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x0
+          | FROM events GROUP BY 1, 2),
+          |b AS (SELECT et, MIN(hi) mn, MAX(hi) mx FROM s GROUP BY 1),
+          |g AS (SELECT b.et, gs.hi
+          |  FROM b, UNNEST(range(b.mn, b.mx + 1)) gs(hi)),
+          |ser AS (SELECT g.et, g.hi - b.mn AS idx, COALESCE(s.x0, 0) AS x
+          |  FROM g JOIN b ON b.et = g.et
+          |  LEFT JOIN s ON s.et = g.et AND s.hi = g.hi),
+          |n AS (SELECT et, CAST(COUNT(*) AS BIGINT) AS nh,
+          |  CAST(SUM(x) AS BIGINT) AS sx FROM ser GROUP BY 1),
+          |p1 AS (SELECT et, idx, CAST(SUM(x) OVER (PARTITION BY et
+          |  ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |  AS BIGINT) AS pf FROM ser),
+          |t1 AS (SELECT p1.et, idx, n.nh * pf - (idx + 1) * n.sx AS tp
+          |  FROM p1 JOIN n ON n.et = p1.et),
+          |c1 AS (SELECT et, idx, tp - LEAST(0, MIN(tp) OVER (PARTITION BY et
+          |  ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+          |  AS cus FROM t1),
+          |top_cusum AS (SELECT c1.et, CAST(b.mn + c1.idx AS BIGINT) AS hour_h,
+          |  'cusum' AS det FROM c1 JOIN b ON b.et = c1.et
+          | QUALIFY row_number() OVER (PARTITION BY c1.et
+          |   ORDER BY cus DESC, hour_h ASC) = 1),
+          |f1 AS (SELECT ser.et, idx, x FROM ser JOIN n ON n.et = ser.et
+          |  WHERE n.nh * x > n.sx),
+          |i1 AS (SELECT et, idx, x,
+          |  idx - ROW_NUMBER() OVER (PARTITION BY et ORDER BY idx) AS grp
+          |  FROM f1),
+          |r1 AS (SELECT et, grp, MIN(idx) AS p0,
+          |  CAST(COUNT(*) AS BIGINT) AS len_h FROM i1 GROUP BY 1, 2),
+          |top_episode AS (SELECT r1.et, CAST(b.mn + r1.p0 AS BIGINT) AS hour_h,
+          |  'episode' AS det FROM r1 JOIN b ON b.et = r1.et
+          | QUALIFY row_number() OVER (PARTITION BY r1.et
+          |   ORDER BY len_h DESC, hour_h ASC) = 1),
+          |w AS (SELECT et, CAST(SUM(x) AS BIGINT) AS s24 FROM ser
+          |  WHERE idx < 24 GROUP BY 1),
+          |i AS (SELECT et,
+          |  ((s24 - ((s24 % 24) + 24) % 24) // 24) AS l0 FROM w),
+          |s0 AS (SELECT ser.et, list(ser.x - i.l0 ORDER BY ser.idx) AS ss
+          |  FROM ser JOIN i USING (et) WHERE ser.idx < 24 GROUP BY ser.et),
+          |rec AS (
+          |  SELECT i.et, CAST(23 AS BIGINT) AS t, i.l0 AS l,
+          |    CAST(0 AS BIGINT) AS b2, s0.ss AS ss, CAST(NULL AS BIGINT) AS r
+          |  FROM i JOIN s0 USING (et)
+          |  UNION ALL
+          |  SELECT rec.et, ser.idx, CAST($ln AS BIGINT) AS l,
+          |    CAST($bn AS BIGINT) AS b2,
+          |    list_concat(rec.ss[2:24], [CAST($sn AS BIGINT)]) AS ss,
+          |    CAST(ser.x - (rec.l + rec.b2 + rec.ss[1]) AS BIGINT) AS r
+          |  FROM rec JOIN ser ON ser.et = rec.et AND ser.idx = rec.t + 1),
+          |p2 AS (SELECT et, t, CAST(SUM(r) OVER (PARTITION BY et ORDER BY t
+          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          |  AS pf FROM rec WHERE r IS NOT NULL),
+          |c2 AS (SELECT et, t, pf - LEAST(0, MIN(pf) OVER (PARTITION BY et
+          |  ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+          |  AS cus FROM p2),
+          |top_rc AS (SELECT c2.et, CAST(b.mn + c2.t AS BIGINT) AS hour_h,
+          |  'residual_cusum' AS det
+          | FROM c2 JOIN b ON b.et = c2.et JOIN n ON n.et = c2.et
+          | WHERE n.nh >= 48
+          | QUALIFY row_number() OVER (PARTITION BY c2.et
+          |   ORDER BY cus DESC, hour_h ASC) = 1),
+          |nim AS (SELECT et, CAST(MAX(idx) AS BIGINT) AS im
+          |  FROM ser GROUP BY 1),
+          |win AS (SELECT nim.et, gs.s
+          |  FROM nim, UNNEST(range(0, nim.im - 24 + 2)) gs(s)
+          | WHERE nim.im + 1 >= 48),
+          |wl AS (SELECT w2.et, w2.s, list(ser.x ORDER BY ser.idx) AS wa
+          |  FROM win w2 JOIN ser ON ser.et = w2.et
+          |    AND ser.idx BETWEEN w2.s AND w2.s + 23
+          |  GROUP BY 1, 2),
+          |pd AS (SELECT a.et, a.s AS sa,
+          |  CAST(MIN(list_sum(list_transform(range(1, 25),
+          |    k -> (a.wa[CAST(k AS INT)] - bb.wa[CAST(k AS INT)])
+          |       * (a.wa[CAST(k AS INT)] - bb.wa[CAST(k AS INT)]))))
+          |    AS BIGINT) AS score
+          | FROM wl a JOIN wl bb ON bb.et = a.et AND abs(a.s - bb.s) >= 24
+          | GROUP BY 1, 2),
+          |top_disc AS (SELECT pd.et, CAST(b.mn + pd.sa AS BIGINT) AS hour_h,
+          |  'discord' AS det FROM pd JOIN b ON b.et = pd.et
+          | QUALIFY row_number() OVER (PARTITION BY pd.et
+          |   ORDER BY score DESC, hour_h ASC) = 1),
+          |u AS (SELECT * FROM top_cusum UNION ALL SELECT * FROM top_episode
+          |  UNION ALL SELECT * FROM top_rc UNION ALL SELECT * FROM top_disc)
+          |SELECT u.et AS event_type, u.hour_h,
+          | CAST(COUNT(*) AS BIGINT) AS n_detectors,
+          | STRING_AGG(det, ',' ORDER BY det) AS detectors
+          |FROM u GROUP BY 1, 2
+          |ORDER BY n_detectors DESC, event_type ASC, hour_h ASC""".stripMargin
+      },
     "q137_discord" ->
       // same cents series on the same dense spine; the pair distances
       // are an elementwise 24-term join (exact integers), discord =

@@ -701,6 +701,35 @@ class PlanSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("q161: the keyed ensemble shares ONE keyed spine — zero direct " +
+    "events scans in the plan (all four keyed branches read the " +
+    "checkpointed packed series / keyed fold), and the spine's keyed " +
+    "rollup is exactly one events scan") {
+    // the q154 contract applied to the keyed family: raw events are
+    // scanned once to build the (key, hour) rollup; the packed spine
+    // and the keyed Holt fold are checkpointed and shared, so the
+    // whole four-detector corroboration census costs one events scan
+    val df = Anomaly.q161KeyedEnsemble(spark, sfDir)
+    assert(fileScans(df) == 0,
+      "every keyed-ensemble branch must read the checkpointed spine, " +
+        s"not re-scan events — saw ${fileScans(df)} direct file scans")
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the spine itself: one events scan inside the keyed rollup, none
+    // in the dense-join over its checkpoint
+    val spine = Anomaly.packedHourlySeriesBy(
+      graft.core.Tables.events(spark, sfDir), "event_type")
+    assert(fileScans(spine) == 0,
+      "the keyed spine's bounds/dense-join must read the checkpointed " +
+        s"rollup, not re-scan events — saw ${fileScans(spine)} scans")
+    // census shape: one row per (type, flagged hour); every type
+    // appears (each contributes at least its cusum+episode top-1s)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getString(0)).distinct.length >= 2)
+    spark.catalog.clearCache()
+  }
+
   test("q118: novelty joins only DOC-cardinality frames — the gram " +
     "stream feeds one aggregation and is never join-back material; no " +
     "candidate pairing, no Window, no nested-loop join") {
