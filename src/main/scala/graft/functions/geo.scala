@@ -111,6 +111,14 @@ object geo {
     col(org.apache.spark.sql.graft.BottomKDistinctAggregate(ex(c), k)
       .toAggregateExpression())
 
+  /** Fixed-point Holt–Winters fold over one packed series row —
+    * struct(l, b, ss, rs): final level/trend, seasonal queue, full
+    * residual trajectory. Positional O(H + m) kernel; null for series
+    * under two seasons. The shared kernel of the q142 detector family.
+    */
+  def holt_fold(sv: Column, m: Int = 24): Column =
+    col(org.apache.spark.sql.graft.HoltFoldExpr(ex(sv), m))
+
   /** Sketch/heap aggregates take size parameters as integer literals
     * in SQL (`freq_items(tok, 256)`); anything non-foldable is a user
     * error worth a clear message, not an analysis mystery.
@@ -146,6 +154,10 @@ object geo {
       es => NfcNormalizeExpr(es.head)),
     ("z_order16", classOf[org.apache.spark.sql.graft.ZOrder16Expr].getName,
       es => org.apache.spark.sql.graft.ZOrder16Expr(es(0), es(1))),
+    ("holt_fold", classOf[org.apache.spark.sql.graft.HoltFoldExpr].getName, { es =>
+      val m = if (es.size >= 2) intArg(es(1), "holt_fold season length") else 24
+      org.apache.spark.sql.graft.HoltFoldExpr(es(0), m)
+    }),
     // aggregates: the analyzer wraps a bare AggregateFunction returned
     // from a registry builder in its AggregateExpression
     ("freq_items",

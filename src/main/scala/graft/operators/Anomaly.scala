@@ -637,46 +637,26 @@ object Anomaly extends QueryPack {
   /** The fold over an ALREADY-PACKED (… , mn, sv) frame — one series
     * per row, any carried key columns preserved. This row-local shape
     * is the whole 100 TB argument: q142/q145/q146 run it on the global
-    * series, q148 on one row PER EVENT TYPE — at cluster scale the
-    * series key is the shard and each fold is one row's in-row work.
+    * series, q148/q157/q161 on one row PER EVENT TYPE — at cluster
+    * scale the series key is the shard and each fold is one row's
+    * in-row work.
     *
-    * Work bound, honestly stated: the seasonal queue costs O(H·m)
-    * element ops, but the residual trajectory accumulates via
-    * `concat(rs, array(r))`, which copies the GROWING array every
-    * step — O(H²) element copies, ~260k for a 720-hour month (still
-    * microseconds in-row, and bounded because H is time-span-bounded).
-    * If spans ever grow past the monthly contract, emit residuals
-    * positionally (pre-size the array, write via transform over
-    * indices) instead of extending this append.
+    * The recurrence runs as ONE codegen'd static call per series row
+    * ([[graft.functions.SeriesMath.holtFold]], surfaced as the
+    * `holt_fold` expression) — O(H + m) element ops with the residual
+    * trajectory written positionally into a pre-sized array. (The
+    * previous declarative `aggregate` fold accumulated residuals via
+    * `concat(rs, array(r))`, copying the growing array every step:
+    * O(H²) element copies, ~260k per 720-hour month, in the single
+    * most reused kernel in the engine. Outputs are hash-identical —
+    * the kernel executes the same BIGINT floor-halving steps.)
     */
   private def holtFoldPacked(packed: DataFrame): DataFrame = {
     import packed.sparkSession.implicits._
     val m = 24
     packed.filter(size($"sv") >= 2 * m)
-      // warm-day mean, floored exactly: (w − pmod(w,24)) is divisible,
-      // so the truncating `div` IS floor division here
-      .withColumn("w24", aggregate(slice($"sv", 1, m), lit(0L), _ + _))
-      .withColumn("l0", expr("(w24 - pmod(w24, 24)) div 24"))
-      .withColumn("acc0", struct(
-        $"l0".as("l"), lit(0L).as("b"),
-        transform(slice($"sv", 1, m), x => x - $"l0").as("ss"),
-        expr("CAST(array() AS ARRAY<BIGINT>)").as("rs")))
       .withColumn("nh", size($"sv").cast("long"))
-      // the seasonal queue's head is always s_{t-m}: pop it, push s_t
-      .withColumn("fin", aggregate(
-        slice($"sv", lit(m + 1), size($"sv") - m), $"acc0",
-        (acc, x) => {
-          val l  = acc.getField("l"); val b = acc.getField("b")
-          val ss = acc.getField("ss"); val sh = element_at(ss, lit(1))
-          val r  = x - (l + b + sh)                    // actual − forecast
-          val ln = shiftright(x - sh + l + b, 1)       // α = 1/2
-          val bn = shiftright(ln - l + b, 1)           // β = 1/2
-          val sn = shiftright(x - ln + sh, 1)          // γ = 1/2
-          struct(ln.as("l"), bn.as("b"),
-            concat(slice(ss, 2, m - 1), array(sn)).as("ss"),
-            concat(acc.getField("rs"), array(r)).as("rs"))
-        }))
-      .drop("w24", "l0", "acc0")
+      .withColumn("fin", graft.functions.geo.holt_fold($"sv", m))
   }
 
   def holtWintersCensus(events: DataFrame): DataFrame =

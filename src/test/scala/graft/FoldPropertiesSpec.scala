@@ -253,6 +253,49 @@ class FoldPropertiesSpec extends SparkTestBase {
       "Spark fold must carry the same invariance")
   }
 
+  test("holt kernel: the positional O(H+m) ring-buffer fold is " +
+    "bit-identical to the reference queue recurrence — full state AND " +
+    "trajectory, 300 random series + degenerate guards") {
+    // the r12→r13 rewrite moved the fold from a declarative
+    // aggregate(concat(rs, array(r))) to SeriesMath.holtFold's
+    // pre-sized positional writes; this law pins every output field
+    // (l, b, seasonal queue order, residual trajectory) to the same
+    // reference implementation the translation-invariance test uses
+    def reference(sv: Array[Long]): (Long, Long, Seq[Long], Seq[Long]) = {
+      val w24 = sv.take(24).sum
+      val l0 = (w24 - (((w24 % 24) + 24) % 24)) / 24
+      var l = l0; var b = 0L
+      val ss = scala.collection.mutable.Queue(sv.take(24).map(_ - l0): _*)
+      val rs = (24 until sv.length).map { t =>
+        val sh = ss.dequeue(); val x = sv(t)
+        val r = x - (l + b + sh)
+        val ln = (x - sh + l + b) >> 1
+        val bn = (ln - l + b) >> 1
+        val sn = (x - ln + sh) >> 1
+        ss.enqueue(sn); l = ln; b = bn
+        r
+      }
+      (l, b, ss.toSeq, rs)
+    }
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rnd = new scala.util.Random(47)
+    (1 to 300).foreach { _ =>
+      val n = 48 + rnd.nextInt(700) // up to the ~720-hour month bound
+      val sv = Array.fill(n)(rnd.nextLong(2000001L) - 1000000L)
+      val row = graft.functions.SeriesMath.holtFold(
+        new GenericArrayData(sv), 24)
+      val (l, b, ss, rs) = reference(sv)
+      assert(row.getLong(0) == l && row.getLong(1) == b)
+      assert(row.getArray(2).toLongArray().toSeq == ss,
+        "seasonal queue must come out in head..tail order")
+      assert(row.getArray(3).toLongArray().toSeq == rs,
+        "residual trajectory must be positionally identical")
+    }
+    // under two seasons -> null (callers filter, the kernel guards)
+    assert(graft.functions.SeriesMath.holtFold(
+      new GenericArrayData(Array.fill(47)(1L)), 24) == null)
+  }
+
   test("canonical selection: argmax property over 100 random clusters") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
