@@ -1454,10 +1454,17 @@ object TextAnalysis extends QueryPack {
     * 1.0 − 0.75); per-doc sum snaps through DECIMAL(28,10), rank on
     * the ROUNDED score with doc_id tie-break.
     */
-  private val Bm25OracleSql: String =
+  private val Bm25OracleSql: String = bm25OracleOver("TRUE")
+
+  /** The scan-time BM25 pipeline over `documents WHERE <pred>` — the
+    * q130/q160 oracle generalized so q162 can state
+    * "probe-after-delete == rebuild WITHOUT the deleted docs" as the
+    * same SQL with the delete predicate inverted.
+    */
+  private def bm25OracleOver(pred: String): String =
     s"""WITH d AS (SELECT doc_id, lang,
        |  list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
-       | FROM documents),
+       | FROM documents WHERE $pred),
        |dl AS (SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS dl FROM d),
        |c AS (SELECT COUNT(*) AS nd, CAST(SUM(dl) AS BIGINT) AS tl FROM dl),
        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf
@@ -1540,22 +1547,133 @@ object TextAnalysis extends QueryPack {
     * layout amortizes that scan across every query the service ever
     * answers.
     */
-  def bm25IndexWrite(docs: DataFrame, path: String,
-      buckets: Int = 64): Unit = {
+  /** The (term, doc) postings frame for a doc batch — shared by the
+    * base build and the append path so a posting written today is
+    * byte-identical to the one a full rebuild would write.
+    */
+  private def bm25Postings(docs: DataFrame, buckets: Int): DataFrame = {
     import docs.sparkSession.implicits._
-    val base = docs
+    docs
       .select($"doc_id", $"lang",
         filter(split($"text", " "), t => length(t) > 0).as("toks"))
       .select($"doc_id", $"lang", size($"toks").cast("long").as("dl"),
         explode($"toks").as("tok"))
-    base.groupBy($"tok", $"doc_id", $"lang", $"dl")
+      .groupBy($"tok", $"doc_id", $"lang", $"dl")
       .agg(count(lit(1)).as("tf"))
       .withColumn("tb", pmod(xxhash64($"tok"), lit(buckets.toLong)))
-      .write.mode("overwrite").partitionBy("tb").parquet(path)
-    docs.select(size(filter(split($"text", " "), t => length(t) > 0))
+  }
+
+  /** One (doc_id, dl) row per doc in the batch — the `_docs` sidecar's
+    * grain (the forward doc-length table every BM25 layout keeps).
+    * Derived from the DOCS frame, not the postings, so zero-token docs
+    * still count toward N (they have no postings but q130's corpus
+    * stats include them).
+    */
+  private def bm25DocLens(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id",
+      size(filter(split($"text", " "), t => length(t) > 0))
         .cast("long").as("dl"))
+  }
+
+  def bm25IndexWrite(docs: DataFrame, path: String,
+      buckets: Int = 64): Unit = {
+    import docs.sparkSession.implicits._
+    val s = docs.sparkSession
+    // a rebuild must not inherit a previous generation's sidecars
+    // (`_tombstones` would silently hide live docs): clear the root
+    // explicitly — partitioned overwrite only replaces partition dirs
+    graft.core.Fs.deleteRecursive(s, path)
+    bm25Postings(docs, buckets)
+      .write.mode("overwrite").partitionBy("tb").parquet(path)
+    bm25DocLens(docs).write.mode("overwrite").parquet(s"$path/_docs")
+    // corpus stats derive from the just-written doc-length sidecar
+    // (tiny read-back) — `_stats` is APPEND-delta structured: probes
+    // SUM the rows, so append/delete maintenance adjusts stats by
+    // appending a delta row instead of rewriting
+    s.read.parquet(s"$path/_docs")
       .agg(count(lit(1)).as("nd"), sum($"dl").as("tl"))
       .write.mode("overwrite").parquet(s"$path/_stats")
+  }
+
+  /** Incremental postings APPEND — the ivfAppend story
+    * (graft.operators.Similarity.ivfAppend) on the lexical layout: a
+    * new crawl batch's postings land under the buckets its terms hash
+    * to (parquet append creates files only under touched `tb=`
+    * dirs — untouched buckets' files are never rewritten), the
+    * `_docs` sidecar grows by the batch, and `_stats` gains ONE
+    * exact delta row (+n docs, +sum dl). A probe after append reads
+    * base+delta postings alike through the same pruned scan and its
+    * answer equals a full rebuild's — q162 puts that under the hash
+    * gate. Batches are assumed doc-disjoint from the base (the crawl
+    * contract); re-ingesting a live doc_id is an upstream dedup bug
+    * this layout surfaces via double-counted stats, not silently.
+    */
+  def bm25Append(docs: DataFrame, path: String, buckets: Int = 64): Unit = {
+    import docs.sparkSession.implicits._
+    bm25Postings(docs, buckets)
+      .write.mode("append").partitionBy("tb").parquet(path)
+    bm25DocLens(docs).write.mode("append").parquet(s"$path/_docs")
+    bm25DocLens(docs)
+      .agg(count(lit(1)).as("nd"), sum($"dl").as("tl"))
+      .write.mode("append").parquet(s"$path/_stats")
+  }
+
+  /** Tombstone DELETE — ivfDelete's LSM marker on the lexical layout:
+    * deleted doc ids append to `_tombstones/` (underscore-hidden from
+    * the base listing), probes filter live rows, and `_stats` gains
+    * the exact NEGATIVE delta (−n docs, −sum dl) computed from the
+    * `_docs` sidecar — a doc-cardinality join, never a postings scan.
+    * Only ids that are currently LIVE (in `_docs`, not already
+    * tombstoned) count, so deleting twice is idempotent in both the
+    * tombstone set's effect and the stats.
+    */
+  def bm25Delete(ids: DataFrame, path: String): Unit = {
+    val s = ids.sparkSession
+    import s.implicits._
+    val docs = s.read.parquet(s"$path/_docs")
+    val live =
+      if (!graft.core.Fs.exists(s, s"$path/_tombstones")) docs
+      else docs.join(
+        broadcast(s.read.parquet(s"$path/_tombstones").distinct()),
+        Seq("doc_id"), "left_anti")
+    // consumed twice (tombstone write + stats delta): checkpoint so
+    // the _docs join runs once
+    val victims = live.join(ids.select($"doc_id".cast("long")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .localCheckpoint(false)
+    victims.select($"doc_id")
+      .write.mode("append").parquet(s"$path/_tombstones")
+    victims.agg((lit(0L) - count(lit(1))).as("nd"),
+        (lit(0L) - coalesce(sum($"dl"), lit(0L))).as("tl"))
+      .write.mode("append").parquet(s"$path/_stats")
+  }
+
+  /** Fold tombstones into the files — ivfCompact on the lexical
+    * layout: rewrite the LIVE postings as a fresh layout at `dest`
+    * (no `_tombstones`, `_docs` pruned, `_stats` collapsed to one
+    * exact row). Written to a NEW root; the caller swaps serving
+    * roots atomically (the q96 snapshot discipline).
+    */
+  def bm25Compact(s: SparkSession, path: String, dest: String,
+      buckets: Int = 64): Unit = {
+    import s.implicits._
+    graft.core.Fs.deleteRecursive(s, dest)
+    val tomb =
+      if (!graft.core.Fs.exists(s, s"$path/_tombstones")) None
+      else Some(broadcast(s.read.parquet(s"$path/_tombstones").distinct()))
+    def live(df: DataFrame): DataFrame =
+      tomb.fold(df)(t => df.join(t, Seq("doc_id"), "left_anti"))
+    live(s.read.parquet(path))
+      // partition-dir inference types tb int32; restore the long the
+      // write path hashes to, so compaction round-trips the layout
+      .withColumn("tb", col("tb").cast("long"))
+      .write.mode("overwrite").partitionBy("tb").parquet(dest)
+    live(s.read.parquet(s"$path/_docs"))
+      .write.mode("overwrite").parquet(s"$dest/_docs")
+    s.read.parquet(s"$dest/_docs")
+      .agg(count(lit(1)).as("nd"), sum($"dl").as("tl"))
+      .write.mode("overwrite").parquet(s"$dest/_stats")
   }
 
   /** Probe the layout: prune to the query terms' buckets (the bucket
@@ -1574,9 +1692,20 @@ object TextAnalysis extends QueryPack {
     val tbs = s.range(1).select(
       terms.map(t => pmod(xxhash64(lit(t)), lit(buckets.toLong)).as(t)): _*)
       .head().toSeq.map(_.asInstanceOf[Long]).distinct
-    val stats = broadcast(s.read.parquet(s"$path/_stats"))
-    val post = s.read.parquet(path)
+    // `_stats` is append-delta structured (build row + one row per
+    // append/delete): the live corpus stats are the SUM of the rows
+    val stats = broadcast(s.read.parquet(s"$path/_stats")
+      .agg(sum($"nd").as("nd"), sum($"tl").as("tl")))
+    val postBase = s.read.parquet(path)
       .filter($"tb".isin(tbs: _*) && $"tok".isin(terms: _*))
+    // live view: tombstoned docs drop out BEFORE df/idf, so the probe
+    // equals a rebuild-without-those-docs (the ivfReadLive discipline;
+    // the anti-join sits above the pruned scan, pruning intact)
+    val post =
+      if (!graft.core.Fs.exists(s, s"$path/_tombstones")) postBase
+      else postBase.join(
+        broadcast(s.read.parquet(s"$path/_tombstones").distinct()),
+        Seq("doc_id"), "left_anti")
     val idf = broadcast(post.groupBy($"tok")
       .agg(countDistinct($"doc_id").as("df"))
       .crossJoin(stats)
@@ -1619,9 +1748,55 @@ object TextAnalysis extends QueryPack {
     bm25Probe(s, path, Bm25Query)
   }
 
+  /** The q160 layout's MAINTENANCE lifecycle as one oracle row — the
+    * ivf CRUD story (q139 append + q158 delete) on the lexical index:
+    * build on the first half of the corpus (yesterday's index), APPEND
+    * the second half (today's crawl batch), probe — the answer must
+    * equal a full rebuild's (q130's oracle verbatim); then tombstone
+    * every doc with doc_id ≡ 3 (mod 7) (the takedown/dedup-verdict
+    * stand-in), probe again — the answer must equal a rebuild WITHOUT
+    * those docs (same oracle, inverted predicate). Both probes under
+    * one hash gate, stages tagged. Stats stay exact throughout via
+    * `_stats` delta rows (+batch on append, −victims on delete), never
+    * a postings rescan.
+    *
+    * Scale shape: the build/append are two batch-sized postings
+    * shuffles (each a one-off write cost); the delete is a
+    * doc-cardinality `_docs` join; each probe is the q160
+    * partition-pruned scan of ≤|terms| buckets with a broadcast
+    * tombstone anti-join above it.
+    */
+  def q162Bm25Maintain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = bm25TempIndexPath(dir) + "_maint"
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(p)
+    val docs = Tables.documents(s, dir)
+    val half = broadcast(
+      docs.agg(floor(max($"doc_id") / 2).cast("long").as("split")))
+    val cols = docs.columns.map(col).toSeq
+    bm25IndexWrite(
+      docs.crossJoin(half).filter($"doc_id" <= $"split").select(cols: _*),
+      path)
+    bm25Append(
+      docs.crossJoin(half).filter($"doc_id" > $"split").select(cols: _*),
+      path)
+    // EAGER checkpoint before the delete mutates the sidecars: the
+    // probe's `_stats`/postings reads are lazy, and this frame must
+    // capture the pre-delete state
+    val afterAppend = bm25Probe(s, path, Bm25Query)
+      .withColumn("stage", lit("after_append"))
+      .localCheckpoint(true)
+    bm25Delete(docs.filter($"doc_id" % 7 === 3).select($"doc_id"), path)
+    afterAppend.unionByName(
+      bm25Probe(s, path, Bm25Query)
+        .withColumn("stage", lit("after_delete")))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q130_bm25"              -> (q130Bm25 _),
     "q160_bm25_probe"        -> (q160Bm25Probe _),
+    "q162_bm25_maintain"     -> (q162Bm25Maintain _),
     "q122_pmi_pairs"         -> (q122PmiPairs _),
     "q120_bpe_sweep"         -> (q120BpeSweep _),
     "q119_zipf_slope"        -> (q119ZipfSlope _),
@@ -1696,6 +1871,18 @@ object TextAnalysis extends QueryPack {
     // identical oracle IS the parity claim (write + probe == scan-time
     // scoring, hash-checked)
     "q160_bm25_probe" -> Bm25OracleSql,
+    "q162_bm25_maintain" ->
+      // probe-after-append == rebuild over ALL docs (q130's oracle
+      // verbatim); probe-after-delete == rebuild WITHOUT the
+      // tombstoned docs (same pipeline, inverted delete predicate)
+      s"""SELECT * FROM (
+         |SELECT doc_id, lang, dl, score, n_terms,
+         |  'after_append' AS stage FROM (${bm25OracleOver("TRUE")})
+         |UNION ALL
+         |SELECT doc_id, lang, dl, score, n_terms,
+         |  'after_delete' AS stage
+         |FROM (${bm25OracleOver("doc_id % 7 <> 3")}))
+         |ORDER BY stage ASC, score DESC, doc_id ASC""".stripMargin,
     "q122_pmi_pairs" ->
       // identical integer counts -> identical LN operand; rank on the
       // ROUNDED pmi with (w1, w2) tie-breaks, a total order

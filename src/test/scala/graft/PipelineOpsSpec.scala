@@ -1326,6 +1326,64 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got == expect, "layout probe must equal scan-time q130")
   }
 
+  test("bm25 maintenance: append touches only new files, delete is " +
+    "idempotent with exact stats deltas, compact folds tombstones and " +
+    "probes identically to the live view") {
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .localCheckpoint(false)
+    val tmp = java.nio.file.Files.createTempDirectory("bm25m").toString
+    val base = docs.filter($"doc_id" % 2 === 0)
+    val delta = docs.filter($"doc_id" % 2 =!= 0)
+    TextAnalysis.bm25IndexWrite(base, tmp)
+    val filesBefore = new java.io.File(tmp).listFiles
+      .filter(_.getName.startsWith("tb="))
+      .flatMap(_.listFiles.filter(_.getName.endsWith(".parquet")))
+      .map(_.getName).toSet
+    TextAnalysis.bm25Append(delta, tmp)
+    // append only ADDS files — no base file rewritten or removed
+    val filesAfter = new java.io.File(tmp).listFiles
+      .filter(_.getName.startsWith("tb="))
+      .flatMap(_.listFiles.filter(_.getName.endsWith(".parquet")))
+      .map(_.getName).toSet
+    assert(filesBefore.subsetOf(filesAfter) &&
+      filesAfter.size > filesBefore.size)
+    // stats deltas sum to the full corpus exactly
+    def stats() = spark.read.parquet(s"$tmp/_stats")
+      .agg(fsum("nd"), fsum("tl")).head()
+    val nDocs = docs.count()
+    assert(stats().getLong(0) == nDocs)
+    // delete: victims drop from the probe; repeating the SAME delete
+    // appends no stats delta (idempotent — only live ids count)
+    val dead = docs.filter($"doc_id" % 5 === 1).select($"doc_id")
+    TextAnalysis.bm25Delete(dead, tmp)
+    val ndAfterDelete = stats().getLong(0)
+    assert(ndAfterDelete == nDocs - dead.count())
+    TextAnalysis.bm25Delete(dead, tmp)
+    assert(stats().getLong(0) == ndAfterDelete, "double delete must not " +
+      "double-count stats")
+    val liveProbe = TextAnalysis
+      .bm25Probe(spark, tmp, TextAnalysis.Bm25Query).collect().toSeq
+    assert(liveProbe.nonEmpty &&
+      !liveProbe.map(_.getLong(0)).exists(_ % 5 == 1))
+    // compact: fresh root, no tombstone dir, identical probe answer
+    val dest = java.nio.file.Files.createTempDirectory("bm25c").toString
+    TextAnalysis.bm25Compact(spark, tmp, dest)
+    assert(!new java.io.File(s"$dest/_tombstones").exists())
+    assert(spark.read.parquet(s"$dest/_stats").count() == 1)
+    val compactProbe = TextAnalysis
+      .bm25Probe(spark, dest, TextAnalysis.Bm25Query).collect().toSeq
+    assert(compactProbe == liveProbe,
+      "compacted layout must probe identically to the live view")
+    // compacted postings rows == live rows (tombstoned docs physically gone)
+    val liveRows = spark.read.parquet(tmp)
+      .join(spark.read.parquet(s"$tmp/_tombstones").distinct(),
+        Seq("doc_id"), "left_anti").count()
+    assert(spark.read.parquet(dest).count() == liveRows)
+    spark.catalog.clearCache()
+  }
+
   test("q136 IVF-SQ8: quantized probe recall vs full-precision probe " +
     "and exact brute force — the memory cut's measured accuracy price") {
     val exact = Similarity.q29BruteTopK(spark, sfDir).collect()
