@@ -706,6 +706,56 @@ object Similarity extends QueryPack {
       Seq("vec_id"), "left_anti")
   }
 
+  /** Persist everything an IVF probe needs so serving never retrains
+    * or rescans the corpus: the index `partitionBy("cell")` at
+    * `root/index`, the k-row centroid table at `root/_cents`, and the
+    * query vector at `root/_query` (stand-in for the request payload —
+    * a real service gets it over the wire). One-off build cost;
+    * [[ivfProbeStored]] then reads ≤nprobe cells' files per query
+    * however large the corpus.
+    */
+  def ivfServingSetup(s: SparkSession, dir: String, root: String,
+      k: Int = 8, iters: Int = 2): Unit = {
+    import s.implicits._
+    val emb = embCached(s, dir)
+    val (idx, cents) = ivfLearned(emb, k, iters)
+    ivfWrite(idx, s"$root/index")
+    cents.write.mode("overwrite").parquet(s"$root/_cents")
+    emb.filter($"vec_id" === 0)
+      .select(vec($"embedding").as("qv"))
+      .write.mode("overwrite").parquet(s"$root/_query")
+  }
+
+  /** The probe-only serving path against a persisted [[ivfServingSetup]]
+    * layout — what a query actually costs once the index exists: pick
+    * nprobe cells from the BROADCAST k-row centroid table (the cell
+    * ids collect to a bounded ≤nprobe driver list — the
+    * SkewJoin.hotKeys class — so the index filter carries LITERALS the
+    * planner prunes partitions with), then exact cosine top-k inside
+    * those cells via [[ivfReadLive]] (tombstones honored). Identical
+    * ranking rule to q128; its answer on an un-deleted layout equals
+    * q128's.
+    */
+  def ivfProbeStored(s: SparkSession, root: String, nprobe: Int = 3,
+      k: Int = 10, excludeVecId: Option[Long] = None): DataFrame = {
+    import s.implicits._
+    val q = broadcast(s.read.parquet(s"$root/_query"))
+    val cells = s.read.parquet(s"$root/_cents").crossJoin(q)
+      .withColumn("qd2", dot($"qv", $"qv")
+        - lit(2.0) * dot($"qv", $"centroid")
+        + dot($"centroid", $"centroid"))
+      .orderBy($"qd2".asc, $"cell".asc).limit(nprobe)
+      .select($"cell").collect().map(_.getLong(0)).toSeq
+    val base = ivfReadLive(s, s"$root/index")
+      .filter($"cell".isin(cells: _*))
+    excludeVecId.fold(base)(id => base.filter($"vec_id" =!= id))
+      .crossJoin(q)
+      .withColumn("cos", cosine(vec($"embedding"), $"qv"))
+      .select($"vec_id", $"cell", round($"cos", 6).as("cos"))
+      .orderBy(round($"cos", 6).desc, $"vec_id".asc)
+      .limit(k)
+  }
+
   /** Fold tombstones into the files: rewrite the LIVE set as a fresh
     * [[ivfWrite]] layout at `dest` (no `_tombstones` dir — the
     * deleted rows are physically gone). Written to a NEW root because

@@ -1326,6 +1326,34 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got == expect, "layout probe must equal scan-time q130")
   }
 
+  test("ivfProbeStored: the probe-only serving path answers exactly " +
+    "q128's in-query build+probe, reads only the probed cells' files, " +
+    "and honors tombstones") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("ivfsrv").toString
+    Similarity.ivfServingSetup(spark, sfDir, root)
+    val probe = Similarity.ivfProbeStored(spark, root,
+      excludeVecId = Some(0L))
+    val got = probe.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val expect = Similarity.q128AnnIvfLearned(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expect, "stored probe must equal in-query q128")
+    // pruning evidence off the executed plan (the ServingBench metric)
+    val (filesRead, bytesRead) = ServingBench.scanStats(probe, "ivfsrv")
+    val (filesTotal, bytesTotal) = ServingBench.layoutTotals(s"$root/index")
+    assert(filesRead > 0 && filesRead < filesTotal,
+      s"probe must read a strict subset: $filesRead of $filesTotal")
+    assert(bytesRead < bytesTotal)
+    // tombstoning the top hit removes it from the served answer
+    val topId = got.head._1
+    Similarity.ivfDelete(Seq(topId).toDF("vec_id"), s"$root/index")
+    val afterDelete = Similarity.ivfProbeStored(spark, root,
+      excludeVecId = Some(0L)).collect().map(_.getLong(0)).toSeq
+    assert(!afterDelete.contains(topId))
+    spark.catalog.clearCache()
+  }
+
   test("bm25 maintenance: append touches only new files, delete is " +
     "idempotent with exact stats deltas, compact folds tombstones and " +
     "probes identically to the live view") {
