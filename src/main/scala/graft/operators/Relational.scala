@@ -948,10 +948,22 @@ object Relational extends QueryPack {
     */
   def q131HllDistinct(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val h = Tables.orders(s, dir)
-      .select($"o_orderpriority".as("grp"), $"o_custkey",
-        md5($"o_custkey".cast("string")).as("hx"))
-      .select($"grp", $"o_custkey",
+    hllCensus(Tables.orders(s, dir)
+      .select($"o_orderpriority".as("grp"),
+        $"o_custkey".cast("string").as("k")))
+  }
+
+  /** The q131 HLL register pipeline over ANY (grp, k) frame — q131
+    * runs it on order custkeys, q163 on document tokens per lang (the
+    * batch twin of [[graft.streaming.AnomalyStream.hllStream]]'s exact
+    * key/value domain; hllRegister is the same md5 device, so a final
+    * stream snapshot is directly comparable to this census).
+    */
+  private[operators] def hllCensus(rows: DataFrame): DataFrame = {
+    import rows.sparkSession.implicits._
+    val h = rows
+      .select($"grp", $"k", md5($"k").as("hx"))
+      .select($"grp", $"k",
         (conv(substring($"hx", 1, 2), 16, 10).cast("long") % 64L).as("j"),
         ltrim(substring($"hx", 3, 13), "0").as("st"))
       .withColumn("rho", when(length($"st") === 0, lit(53L))
@@ -961,7 +973,7 @@ object Relational extends QueryPack {
             .when(substring($"st", 1, 1) >= "2", 2L).otherwise(3L) + lit(1L)))
     val regs = h.groupBy($"grp", $"j").agg(max($"rho").as("m"))
     val exact = h.groupBy($"grp")
-      .agg(countDistinct($"o_custkey").as("n_exact"))
+      .agg(countDistinct($"k").as("n_exact"))
     regs.groupBy($"grp")
       .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - m AS INT))"))
         .as("spart"),

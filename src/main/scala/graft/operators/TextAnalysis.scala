@@ -1793,10 +1793,34 @@ object TextAnalysis extends QueryPack {
         .withColumn("stage", lit("after_delete")))
   }
 
+  // --- q163: per-lang HLL vocabulary census ----------------------------------
+  /** The batch twin of [[graft.streaming.AnomalyStream.hllStream]]'s
+    * EXACT domain — distinct-token (vocabulary) estimation per
+    * language over the corpus, through q131's md5-addressed 64-register
+    * HLL device (same register addressing and rho derivation as
+    * hllRegister, so a final stream snapshot is directly comparable to
+    * this census row for row). Closes the last batch↔stream asymmetry
+    * in the sketch family: every streaming sketch (KMV, CMS,
+    * Misra–Gries, HLL) now has an oracle-gated batch census on the
+    * SAME key/value domain it streams over.
+    *
+    * Scale shape: one map-side-combined aggregation into ≤64 rows per
+    * lang — O(1) state per group however large the corpus; the exact
+    * countDistinct twin rides along only for the census (the q103
+    * rule; a deployment drops it and keeps the registers).
+    */
+  def q163HllVocab(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Relational.hllCensus(Tables.documents(s, dir)
+      .select($"lang".as("grp"),
+        explode(filter(split($"text", " "), t => length(t) > 0)).as("k")))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q130_bm25"              -> (q130Bm25 _),
     "q160_bm25_probe"        -> (q160Bm25Probe _),
     "q162_bm25_maintain"     -> (q162Bm25Maintain _),
+    "q163_hll_vocab"         -> (q163HllVocab _),
     "q122_pmi_pairs"         -> (q122PmiPairs _),
     "q120_bpe_sweep"         -> (q120BpeSweep _),
     "q119_zipf_slope"        -> (q119ZipfSlope _),
@@ -1871,6 +1895,52 @@ object TextAnalysis extends QueryPack {
     // identical oracle IS the parity claim (write + probe == scan-time
     // scoring, hash-checked)
     "q160_bm25_probe" -> Bm25OracleSql,
+    "q163_hll_vocab" ->
+      // q131's full register replay on the token domain: same md5
+      // addressing, same string-derived rho, harmonic sum over exact
+      // integers, alpha spelled as the SAME double expression
+      """WITH t AS (SELECT lang AS grp,
+        |  unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS k
+        | FROM documents),
+        |h AS (SELECT grp, k,
+        |  CAST(('0x' || substr(md5(k), 1, 2)) AS BIGINT) % 64 AS j,
+        |  ltrim(substr(md5(k), 3, 13), '0') AS st
+        | FROM t),
+        |r AS (SELECT grp, k, j,
+        |  CASE WHEN len(st) = 0 THEN 53
+        |   ELSE 4 * (13 - len(st)) +
+        |    (CASE WHEN substr(st, 1, 1) >= '8' THEN 0
+        |      WHEN substr(st, 1, 1) >= '4' THEN 1
+        |      WHEN substr(st, 1, 1) >= '2' THEN 2 ELSE 3 END) + 1
+        |   END AS rho
+        | FROM h),
+        |regs AS (SELECT grp, j, MAX(rho) AS m FROM r GROUP BY 1, 2),
+        |ex AS (SELECT grp, COUNT(DISTINCT k) AS n_exact
+        | FROM h GROUP BY 1),
+        |agg AS (SELECT grp,
+        |  CAST(SUM(CAST(1 AS BIGINT) << CAST(53 - m AS INTEGER)) AS BIGINT)
+        |    AS spart,
+        |  COUNT(*) AS npresent,
+        |  CAST(SUM(j * m) AS BIGINT) AS reg_checksum
+        | FROM regs GROUP BY 1),
+        |est AS (SELECT grp, reg_checksum, (64 - npresent) AS v,
+        |  spart + (64 - npresent) * 9007199254740992 AS ssum
+        | FROM agg),
+        |e2 AS (SELECT grp, reg_checksum, v,
+        |  (0.7213 / (1.0 + 1.079 / 64.0)) * 4096.0 * 9007199254740992.0
+        |    / CAST(ssum AS DOUBLE) AS eraw
+        | FROM est),
+        |e3 AS (SELECT grp, reg_checksum,
+        |  CASE WHEN eraw <= 160.0 AND v > 0
+        |   THEN 64.0 * LN(64.0 / CAST(v AS DOUBLE)) ELSE eraw END AS est
+        | FROM e2)
+        |SELECT e3.grp, ex.n_exact,
+        | CAST(ROUND(CAST(est AS DECIMAL(28,10)), 1) AS DOUBLE) AS n_est,
+        | CAST(ROUND(CAST(ABS(est - CAST(n_exact AS DOUBLE))
+        |   / CAST(n_exact AS DOUBLE) AS DECIMAL(28,10)), 4) AS DOUBLE)
+        |   AS rel_err,
+        | reg_checksum
+        |FROM e3 JOIN ex ON e3.grp = ex.grp""".stripMargin,
     "q162_bm25_maintain" ->
       // probe-after-append == rebuild over ALL docs (q130's oracle
       // verbatim); probe-after-delete == rebuild WITHOUT the
