@@ -842,6 +842,51 @@ object AnomalyStream {
       }
   }
 
+  case class KeyedEnsembleHit(event_type: String, seen: Long, hour_h: Long,
+      n_detectors: Long, detectors: String)
+
+  /** The LIVE twin of batch q161 — per-type corroboration across all
+    * four keyed detectors off ONE shared state: each key keeps the
+    * single hourly cents map every keyed twin uses
+    * ([[foldHourlyCents]]), and each batch re-runs the four bounded
+    * in-JVM detector folds (CUSUM, episodes, residual CUSUM via the
+    * Holt replay, discord) over it, emitting the key's CURRENT
+    * corroboration census: one row per flagged hour with the sorted
+    * detector roster. `n_detectors ≥ 2` is the live page. Consumers
+    * read max-seen per key for the snapshot; the final snapshot equals
+    * the batch q161 rows for the key over the same events
+    * (StreamingSpec pins it). Replay-stable unconditionally (sum-map
+    * state, the cusumStreamByType class); detectors whose span guards
+    * aren't met yet (two periods / two windows) simply don't vote,
+    * exactly as their batch forms drop short series.
+    *
+    * Scale shape: ONE state store entry per key — running the four
+    * detectors as separate streams keeps four copies of the same
+    * hourly map and pays four shuffles of the event stream; this
+    * composition pays one of each.
+    */
+  def ensembleStreamByType(events: Dataset[Event])
+      : Dataset[KeyedEnsembleHit] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[(Map[Long, Long], Long), KeyedEnsembleHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key, it, state) =>
+          val (m, seen) = foldHourlyCents(it, state)
+          val flags = Seq(
+            topCusum(m).map { case (h, _) => (h, "cusum") },
+            topEpisode(m).map { case (h, _, _) => (h, "episode") },
+            topResidualCusum(m).map { case (h, _) => (h, "residual_cusum") },
+            topDiscord(m).map { case (h, _) => (h, "discord") }).flatten
+          flags.groupBy(_._1).toSeq
+            .map { case (h, fs) =>
+              KeyedEnsembleHit(key, seen, h, fs.size.toLong,
+                fs.map(_._2).sorted.mkString(","))
+            }
+            .sortBy(r => (-r.n_detectors, r.hour_h)).iterator
+      }
+  }
+
   /** Fold a batch of events into the (hourly cents map, seen count)
     * state and persist it — the shared state-update step of every
     * series-detector stream. Cents round HALF_UP (away from zero) for

@@ -1246,6 +1246,53 @@ class StreamingSpec extends SparkTestBase {
     assert(short.isEmpty)
   }
 
+  test("keyed ensemble stream: per-type final corroboration censuses " +
+    "equal the batch q161 rows over the same data; slicing invariant; " +
+    "one shared state drives all four detectors") {
+    import spark.implicits._
+    import graft.streaming.AnomalyStream.KeyedEnsembleHit
+    implicit val sc = spark.sqlContext
+    val rows = graft.core.Tables.events(spark, sfDir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().toSeq
+    def run(name: String, slices: Seq[Seq[Event]])
+        : Map[String, Seq[(Long, Long, String)]] = {
+      val input = MemoryStream[Event]
+      val q = graft.streaming.AnomalyStream.ensembleStreamByType(input.toDS())
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try slices.foreach { s => input.addData(s); q.processAllAvailable() }
+      finally q.stop()
+      spark.table(name).as[KeyedEnsembleHit].collect()
+        .groupBy(_.event_type).map { case (k, hs) =>
+          val last = hs.map(_.seen).max
+          k -> hs.filter(_.seen == last)
+            .map(h => (h.hour_h, h.n_detectors, h.detectors))
+            .sortBy(_._1).toSeq
+        }
+    }
+    val one = run("ke_a", Seq(rows))
+    val sliced = run("ke_b", rows.grouped(rows.size / 3 + 1).toSeq)
+    assert(one == sliced, "per-key censuses must be slicing-invariant")
+    assert(one.nonEmpty)
+    // final snapshot == batch q161 per key (hour, count, roster)
+    val batch = graft.operators.Anomaly.q161KeyedEnsemble(spark, sfDir)
+      .collect()
+      .groupBy(_.getString(0)).map { case (k, rs) =>
+        k -> rs.map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+          .sortBy(_._1).toSeq
+      }
+    assert(batch == one, "stream censuses diverge from batch q161")
+    // corroboration exists somewhere in the corpus-wide snapshot, and
+    // every roster is sorted/deduped
+    val allRows = one.values.flatten
+    assert(allRows.forall { case (_, n, det) =>
+      val ds = det.split(",").toSeq
+      ds.length == n && ds == ds.sorted && ds.distinct == ds
+    })
+    spark.catalog.clearCache()
+  }
+
   test("quantile stream with a forced capCents: quantiles at or below " +
     "the cap stay exact, quantiles above clamp to the cap (the " +
     "bounded-state escape hatch for unbounded value domains)") {
