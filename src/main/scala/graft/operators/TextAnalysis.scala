@@ -1454,14 +1454,25 @@ object TextAnalysis extends QueryPack {
     * 1.0 − 0.75); per-doc sum snaps through DECIMAL(28,10), rank on
     * the ROUNDED score with doc_id tie-break.
     */
+  /** The fixed multi-query batch for q164 — three queries of varying
+    * length sharing terms (so bucket pruning unions and df reuse are
+    * both exercised).
+    */
+  private[graft] val Bm25Batch: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("data", "hash", "scan"),
+    2L -> Seq("scan", "model"),
+    3L -> Seq("graph", "data", "join", "key"))
+
   private val Bm25OracleSql: String = bm25OracleOver("TRUE")
 
   /** The scan-time BM25 pipeline over `documents WHERE <pred>` — the
     * q130/q160 oracle generalized so q162 can state
     * "probe-after-delete == rebuild WITHOUT the deleted docs" as the
-    * same SQL with the delete predicate inverted.
+    * same SQL with the delete predicate inverted, and q164 can replay
+    * each batch query's scoring with its own term list.
     */
-  private def bm25OracleOver(pred: String): String =
+  private def bm25OracleOver(pred: String,
+      terms: Seq[String] = Bm25Query): String =
     s"""WITH d AS (SELECT doc_id, lang,
        |  list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
        | FROM documents WHERE $pred),
@@ -1469,7 +1480,7 @@ object TextAnalysis extends QueryPack {
        |c AS (SELECT COUNT(*) AS nd, CAST(SUM(dl) AS BIGINT) AS tl FROM dl),
        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf
        | FROM (SELECT doc_id, unnest(toks) AS tok FROM d)
-       | WHERE tok IN (${Bm25Query.map(t => s"'$t'").mkString(", ")})
+       | WHERE tok IN (${terms.map(t => s"'$t'").mkString(", ")})
        | GROUP BY 1, 2),
        |idf AS (SELECT f.tok,
        |  LN(1.0 + (CAST(c.nd - f.df AS DOUBLE) + 0.5)
@@ -1727,10 +1738,83 @@ object TextAnalysis extends QueryPack {
       .orderBy($"score".desc, $"doc_id".asc).limit(k)
   }
 
+  /** MULTI-QUERY batch probe — the form a reranking / eval pipeline
+    * actually runs against the layout: N queries answered in ONE
+    * pruned pass instead of N probe round-trips. The postings scan
+    * prunes to the UNION of all queries' term buckets (still ≤
+    * Σ|terms| partitions however large the corpus), each posting fans
+    * out to the queries that asked for its term via a broadcast
+    * (query_id, tok) table, df/idf compute once per TERM (shared
+    * across queries — term df is query-independent), and per-query
+    * top-k rides one window partitioned by query_id over the ≤
+    * |matching docs| scored frame. Per-query results are
+    * hash-identical to running [[bm25Probe]] per query (q164 pins the
+    * batch against three independent scan-time replays).
+    */
+  def bm25ProbeBatch(s: SparkSession, path: String,
+      queryTerms: Seq[(Long, Seq[String])], k: Int = 10,
+      buckets: Int = 64): DataFrame = {
+    import s.implicits._
+    val k1 = 1.2; val b = 0.75
+    val allTerms = queryTerms.flatMap(_._2).distinct
+    val tbs = s.range(1).select(
+      allTerms.map(t => pmod(xxhash64(lit(t)), lit(buckets.toLong)).as(t)): _*)
+      .head().toSeq.map(_.asInstanceOf[Long]).distinct
+    val qt = broadcast(
+      queryTerms.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+        .toDF("query_id", "tok"))
+    val stats = broadcast(s.read.parquet(s"$path/_stats")
+      .agg(sum($"nd").as("nd"), sum($"tl").as("tl")))
+    val postBase = s.read.parquet(path)
+      .filter($"tb".isin(tbs: _*) && $"tok".isin(allTerms: _*))
+    val post =
+      if (!graft.core.Fs.exists(s, s"$path/_tombstones")) postBase
+      else postBase.join(
+        broadcast(s.read.parquet(s"$path/_tombstones").distinct()),
+        Seq("doc_id"), "left_anti")
+    val idf = broadcast(post.groupBy($"tok")
+      .agg(countDistinct($"doc_id").as("df"))
+      .crossJoin(stats)
+      .select($"tok", log(lit(1.0) +
+        (($"nd" - $"df").cast("double") + lit(0.5))
+          / ($"df".cast("double") + lit(0.5))).as("idf")))
+    import org.apache.spark.sql.expressions.Window
+    val top = Window.partitionBy($"query_id")
+      .orderBy($"score".desc, $"doc_id".asc)
+    post.join(qt, "tok")
+      .join(idf, "tok")
+      .crossJoin(stats)
+      .withColumn("term_score", $"idf" *
+        ($"tf".cast("double") * lit(k1 + 1.0))
+        / ($"tf".cast("double") + lit(k1) * (lit(1.0 - b)
+          + lit(b) * $"dl".cast("double")
+            / ($"tl".cast("double") / $"nd".cast("double")))))
+      .groupBy($"query_id", $"doc_id", $"lang", $"dl")
+      .agg(graft.core.Exact.dround(
+        sum($"term_score".cast(org.apache.spark.sql.types.DecimalType(28, 10)))
+          .cast("double"), 6).as("score"),
+        count(lit(1)).as("n_terms"))
+      .withColumn("rk", row_number().over(top))
+      .filter($"rk" <= k).drop("rk")
+      .orderBy($"query_id".asc, $"score".desc, $"doc_id".asc)
+  }
+
   /** Build + probe as one oracle row: the layout's answer must equal
     * the scan-time q130's (same SQL oracle verbatim) — write-path and
     * read-path both under the hash gate.
     */
+  /** Batch-serving as one oracle row: N queries in one pruned pass,
+    * per-query results hash-identical to N independent scan-time
+    * replays (each with its own term list).
+    */
+  def q164Bm25BatchProbe(s: SparkSession, dir: String): DataFrame = {
+    val path = bm25TempIndexPath(dir)
+    bm25IndexWrite(Tables.documents(s, dir), path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(p)
+    bm25ProbeBatch(s, path, Bm25Batch)
+  }
+
   /** One DETERMINISTIC temp root per corpus dir: every invocation
     * (3+ bench reps per round) overwrites the same layout instead of
     * leaking a fresh corpus-sized index per rep, and the Hadoop
@@ -1821,6 +1905,7 @@ object TextAnalysis extends QueryPack {
     "q160_bm25_probe"        -> (q160Bm25Probe _),
     "q162_bm25_maintain"     -> (q162Bm25Maintain _),
     "q163_hll_vocab"         -> (q163HllVocab _),
+    "q164_bm25_batch_probe"  -> (q164Bm25BatchProbe _),
     "q122_pmi_pairs"         -> (q122PmiPairs _),
     "q120_bpe_sweep"         -> (q120BpeSweep _),
     "q119_zipf_slope"        -> (q119ZipfSlope _),
@@ -1941,6 +2026,15 @@ object TextAnalysis extends QueryPack {
         |   AS rel_err,
         | reg_checksum
         |FROM e3 JOIN ex ON e3.grp = ex.grp""".stripMargin,
+    "q164_bm25_batch_probe" ->
+      // each batch query replayed independently at scan time with its
+      // own term list — the batch pass must reproduce all three
+      s"""SELECT * FROM (${Bm25Batch.map { case (qid, terms) =>
+            s"""SELECT CAST($qid AS BIGINT) AS query_id, doc_id, lang, dl,
+               |  score, n_terms
+               |FROM (${bm25OracleOver("TRUE", terms)})""".stripMargin
+          }.mkString("\nUNION ALL\n")})
+         |ORDER BY query_id ASC, score DESC, doc_id ASC""".stripMargin,
     "q162_bm25_maintain" ->
       // probe-after-append == rebuild over ALL docs (q130's oracle
       // verbatim); probe-after-delete == rebuild WITHOUT the
