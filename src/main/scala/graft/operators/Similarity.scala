@@ -623,6 +623,51 @@ object Similarity extends QueryPack {
       .limit(10)
   }
 
+  /** The three query vectors of the q165 batch (and their exclusion
+    * set — a query vector is not servable as its own neighbor).
+    */
+  private[graft] val AnnBatchIds: Seq[Long] = Seq(0L, 1L, 2L)
+
+  // --- q165: multi-query batch ANN probe --------------------------------------
+  /** q128's serving contract for a QUERY BATCH — the dense twin of
+    * q164's batch BM25: N query vectors answered in ONE pass over the
+    * index instead of N probe round-trips. Each query picks its nprobe
+    * cells from the broadcast k-row centroid table (per-query window,
+    * same d2/tie rules as q128), the cell→query fan-out joins the
+    * index ONCE (a member vector scores against exactly the queries
+    * probing its cell), and per-query top-10 is one window over the
+    * scored frame. At 100 TB this is the reranking-pipeline shape: the
+    * index shuffles zero times, the probe frame is |queries|·nprobe
+    * rows, and scoring touches only probed cells' members — the same
+    * bytes N independent probes would read, in one scheduling pass.
+    */
+  def q165AnnBatchProbe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val emb = embCached(s, dir)
+    val (idx, cents) = ivfLearned(emb, k = 8, iters = 2)
+    val qs = emb.filter($"vec_id".isin(AnnBatchIds: _*))
+      .select($"vec_id".as("query_id"), vec($"embedding").as("qv"))
+    val pickW = Window.partitionBy($"query_id")
+      .orderBy($"qd2".asc, $"cell".asc)
+    val probe = broadcast(cents.crossJoin(broadcast(qs))
+      .withColumn("qd2", dot($"qv", $"qv")
+        - lit(2.0) * dot($"qv", $"centroid")
+        + dot($"centroid", $"centroid"))
+      .withColumn("rk", row_number().over(pickW))
+      .filter($"rk" <= 3)
+      .select($"query_id", $"qv", $"cell"))
+    val topW = Window.partitionBy($"query_id")
+      .orderBy($"cos".desc, $"vec_id".asc)
+    idx.filter(!$"vec_id".isin(AnnBatchIds: _*))
+      .join(probe, "cell")
+      .withColumn("cos", round(cosine(vec($"embedding"), $"qv"), 6))
+      .select($"query_id", $"vec_id", $"cell", $"cos")
+      .withColumn("rk", row_number().over(topW))
+      .filter($"rk" <= 10).drop("rk")
+      .orderBy($"query_id".asc, $"cos".desc, $"vec_id".asc)
+  }
+
   /** Persist a serving index `partitionBy("cell")` — the layout every
     * IVF query in this pack documents: a probe of nprobe cells becomes
     * a PARTITION-PRUNED scan reading only those cells' files
@@ -1205,6 +1250,7 @@ object Similarity extends QueryPack {
     "q117_semdedup_sweep"  -> (q117SemdedupSweep _),
     "q101_ann_ivf"         -> (q101AnnIvf _),
     "q128_ann_ivf_learned" -> (q128AnnIvfLearned _),
+    "q165_ann_batch_probe" -> (q165AnnBatchProbe _),
     "q134_rrf_fusion"      -> (q134RrfFusion _),
     "q136_ann_ivf_sq8"     -> (q136AnnIvfSq8 _),
     "q102_kmeans_clusters" -> (q102KmeansClusters _),
@@ -1487,6 +1533,45 @@ object Similarity extends QueryPack {
          |ORDER BY ROUND(${cosSql("i.embedding", "q.qemb")}, 6) DESC,
          | i.vec_id ASC
          |LIMIT 10""".stripMargin,
+    "q165_ann_batch_probe" ->
+      // q128's trained trajectory shared verbatim; the probe/scoring
+      // tail generalizes to the query batch via per-query windows
+      // (same d2/tie rules, same rounded-cosine rank)
+      s"""WITH cent0 AS (SELECT vec_id AS cl, embedding AS cvec
+         |  FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+         |a1 AS (SELECT e.vec_id, e.embedding, c.cl,
+         |  ${d2Sql("e.embedding", "c.cvec")} AS d2
+         | FROM embeddings e CROSS JOIN cent0 c),
+         |asg1 AS (SELECT vec_id, embedding, cl FROM a1
+         |  QUALIFY row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY d2 ASC, cl ASC) = 1),
+         |ex AS (SELECT cl, i,
+         |  CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1048576.0) AS BIGINT) AS v
+         | FROM asg1, generate_series(1, 64) g(i)),
+         |cm AS (SELECT cl, i,
+         |  CAST(SUM(v) AS DOUBLE) / (COUNT(*) * 1048576.0) AS c
+         | FROM ex GROUP BY 1, 2),
+         |cent1 AS (SELECT cl, list(c ORDER BY i) AS cvec FROM cm GROUP BY 1),
+         |a2 AS (SELECT e.vec_id, e.embedding, c.cl,
+         |  ${d2Sql("e.embedding", "c.cvec")} AS d2
+         | FROM embeddings e CROSS JOIN cent1 c),
+         |idx AS (SELECT vec_id, embedding, cl AS cell FROM a2
+         |  QUALIFY row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY d2 ASC, cl ASC) = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qemb
+         |  FROM embeddings WHERE vec_id IN (0, 1, 2)),
+         |probe AS (SELECT q.query_id, c.cl AS cell, q.qemb
+         |  FROM cent1 c CROSS JOIN q
+         |  QUALIFY row_number() OVER (PARTITION BY q.query_id
+         |    ORDER BY ${d2Sql("q.qemb", "c.cvec")} ASC, c.cl ASC) <= 3),
+         |sc AS (SELECT p.query_id, i.vec_id, i.cell,
+         |  ROUND(${cosSql("i.embedding", "p.qemb")}, 6) AS cos
+         | FROM idx i JOIN probe p USING (cell)
+         | WHERE i.vec_id NOT IN (0, 1, 2))
+         |SELECT query_id, vec_id, cell, cos FROM sc
+         |QUALIFY row_number() OVER (PARTITION BY query_id
+         |  ORDER BY cos DESC, vec_id ASC) <= 10
+         |ORDER BY query_id ASC, cos DESC, vec_id ASC""".stripMargin,
     "q149_ann_ivf_pq" ->
       // q128's coarse trajectory + residuals + four q147-style subspace
       // trajectories ON RESIDUAL SLICES + per-probed-cell ADC tables
