@@ -1195,6 +1195,60 @@ object Similarity extends QueryPack {
       .orderBy($"rrf".desc, $"doc_id".asc).limit(10)
   }
 
+  /** The hybrid batch: q164's lexical queries paired 1:1 with q165's
+    * query vectors — each hybrid query is (terms, vector).
+    */
+  private[operators] val HybridBatch: Seq[(Long, Long)] =
+    graft.operators.TextAnalysis.Bm25Batch.map(_._1).zip(AnnBatchIds)
+
+  // --- q166: batch hybrid retrieval (RRF over the two batch probes) ---------
+  /** q134's reciprocal-rank fusion for a QUERY BATCH — the full
+    * hybrid-retrieval serving shape: the lexical side is q164's
+    * one-pass batch BM25 probe (per-query ranks off the layout), the
+    * dense side is q29's exact-cosine device per query vector (one
+    * corpus×|queries| broadcast fan-out, per-query top-10 window), and
+    * the fusion is the same rank-only Σ 1/(60+rank) per (query, doc).
+    * Post-retrieval work touches only two 10·|queries|-row frames —
+    * the component retrievals carry their own 100 TB shapes (q164's
+    * bucket pruning; the brute side swaps to q165's IVF probe when
+    * exactness of the dense ranking is not contractual).
+    */
+  def q166RrfBatchFusion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wB = Window.partitionBy($"query_id")
+      .orderBy($"score".desc, $"doc_id".asc)
+    val bm = graft.operators.TextAnalysis.q164Bm25BatchProbe(s, dir)
+      .select($"query_id", $"doc_id", $"score")
+      .withColumn("rank", row_number().over(wB).cast("long"))
+      .select($"query_id", $"doc_id", lit("bm25").as("sys"), $"rank")
+    val emb = embCached(s, dir)
+    val pairsDf = HybridBatch.toDF("query_id", "qvec")
+    val qs = broadcast(emb.join(broadcast(pairsDf), $"vec_id" === $"qvec")
+      .select($"query_id", $"qvec", vec($"embedding").as("qv")))
+    val wA = Window.partitionBy($"query_id")
+      .orderBy($"cos".desc, $"doc_id".asc)
+    val ann = emb.crossJoin(qs)
+      .filter($"vec_id" =!= $"qvec")
+      .withColumn("cos", round(cosine(vec($"embedding"), $"qv"), 6))
+      .select($"query_id", $"vec_id".as("doc_id"), $"cos")
+      .withColumn("rank", row_number().over(wA).cast("long"))
+      .filter($"rank" <= 10)
+      .select($"query_id", $"doc_id", lit("ann").as("sys"), $"rank")
+    val fuseW = Window.partitionBy($"query_id")
+      .orderBy($"rrf".desc, $"doc_id".asc)
+    bm.unionByName(ann)
+      .groupBy($"query_id", $"doc_id")
+      .agg(graft.core.Exact.dround(
+        sum(lit(1.0) / (lit(60.0) + $"rank".cast("double"))), 6).as("rrf"),
+        count(lit(1)).as("n_systems"),
+        min(when($"sys" === "bm25", $"rank")).as("bm25_rank"),
+        min(when($"sys" === "ann", $"rank")).as("ann_rank"))
+      .withColumn("rk", row_number().over(fuseW))
+      .filter($"rk" <= 10).drop("rk")
+      .orderBy($"query_id".asc, $"rrf".desc, $"doc_id".asc)
+  }
+
   // --- q109: int8 scalar quantization of the embedding column -------------
   /** Symmetric per-vector scalar quantization to int8 — the standard
     * 4× memory cut before an ANN index is sharded across a cluster
@@ -1251,6 +1305,7 @@ object Similarity extends QueryPack {
     "q101_ann_ivf"         -> (q101AnnIvf _),
     "q128_ann_ivf_learned" -> (q128AnnIvfLearned _),
     "q165_ann_batch_probe" -> (q165AnnBatchProbe _),
+    "q166_rrf_batch_fusion" -> (q166RrfBatchFusion _),
     "q134_rrf_fusion"      -> (q134RrfFusion _),
     "q136_ann_ivf_sq8"     -> (q136AnnIvfSq8 _),
     "q102_kmeans_clusters" -> (q102KmeansClusters _),
@@ -1572,6 +1627,43 @@ object Similarity extends QueryPack {
          |QUALIFY row_number() OVER (PARTITION BY query_id
          |  ORDER BY cos DESC, vec_id ASC) <= 10
          |ORDER BY query_id ASC, cos DESC, vec_id ASC""".stripMargin,
+    "q166_rrf_batch_fusion" ->
+      // q134's fusion per batch query: each query's lexical chain is
+      // its own bm25OracleOver replay, its dense chain q29's brute
+      // device on its own vector, fused with the identical rank-only
+      // arithmetic, per-query LIMIT 10
+      {
+        val perQuery = HybridBatch.map { case (qid, vid) =>
+          val terms = graft.operators.TextAnalysis.Bm25Batch
+            .find(_._1 == qid).get._2
+          s"""SELECT CAST($qid AS BIGINT) AS query_id, doc_id, rrf,
+             | n_systems, bm25_rank, ann_rank FROM (
+             |WITH bm AS (SELECT doc_id, 'bm25' AS sys, row_number() OVER
+             |  (ORDER BY score DESC, doc_id ASC) AS rank
+             | FROM (${graft.operators.TextAnalysis
+                        .bm25OracleOver("TRUE", terms)})),
+             |anntop AS (SELECT e.vec_id AS doc_id,
+             |  ROUND(${cosSql("e.embedding", "q.embedding")}, 6) AS cos
+             | FROM embeddings e CROSS JOIN
+             |  (SELECT embedding FROM embeddings WHERE vec_id = $vid) q
+             | WHERE e.vec_id != $vid
+             | ORDER BY ROUND(${cosSql("e.embedding", "q.embedding")}, 6)
+             |   DESC, e.vec_id ASC LIMIT 10),
+             |ann AS (SELECT doc_id, 'ann' AS sys, row_number() OVER
+             |  (ORDER BY cos DESC, doc_id ASC) AS rank FROM anntop),
+             |u AS (SELECT * FROM bm UNION ALL SELECT * FROM ann)
+             |SELECT doc_id,
+             | ${graft.core.Exact.sqlDround(
+                 "SUM(1.0 / (60.0 + CAST(rank AS DOUBLE)))", 6)} AS rrf,
+             | COUNT(*) AS n_systems,
+             | MIN(CASE WHEN sys = 'bm25' THEN rank END) AS bm25_rank,
+             | MIN(CASE WHEN sys = 'ann' THEN rank END) AS ann_rank
+             |FROM u GROUP BY 1
+             |ORDER BY rrf DESC, doc_id ASC LIMIT 10)""".stripMargin
+        }
+        perQuery.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+          ")\nORDER BY query_id ASC, rrf DESC, doc_id ASC")
+      },
     "q149_ann_ivf_pq" ->
       // q128's coarse trajectory + residuals + four q147-style subspace
       // trajectories ON RESIDUAL SLICES + per-probed-cell ADC tables

@@ -1471,7 +1471,7 @@ object TextAnalysis extends QueryPack {
     * same SQL with the delete predicate inverted, and q164 can replay
     * each batch query's scoring with its own term list.
     */
-  private def bm25OracleOver(pred: String,
+  private[operators] def bm25OracleOver(pred: String,
       terms: Seq[String] = Bm25Query): String =
     s"""WITH d AS (SELECT doc_id, lang,
        |  list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
