@@ -105,6 +105,8 @@ object ServingBench {
     val queries: Seq[(String, () => DataFrame)] = Seq(
       "bm25_probe_only" -> (() =>
         TextAnalysis.bm25Probe(spark, bm25Root, TextAnalysis.Bm25Query)),
+      "bm25_batch_probe_only" -> (() =>
+        TextAnalysis.bm25ProbeBatch(spark, bm25Root, TextAnalysis.Bm25Batch)),
       "ivf_probe_only" -> (() =>
         Similarity.ivfProbeStored(spark, ivfRoot, excludeVecId = Some(0L))),
       "inquery_q160_bm25" -> (() =>
@@ -124,11 +126,12 @@ object ServingBench {
     }
     // pruning evidence: run each probe once more to a collected result
     // and read the scan metrics off the executed plan
-    def pruned(fn: () => DataFrame, root: String): (Long, Long) = {
-      val df = fn(); df.collect(); scanStats(df, root)
+    def pruned(name: String, root: String): (Long, Long) = {
+      val df = queries.find(_._1 == name).get._2()
+      df.collect(); scanStats(df, root)
     }
-    val (bmFiles, bmBytes) = pruned(queries(0)._2, "bm25")
-    val (ivFiles, ivBytes) = pruned(queries(1)._2, "ivf/index")
+    val (bmFiles, bmBytes) = pruned("bm25_probe_only", "bm25")
+    val (ivFiles, ivBytes) = pruned("ivf_probe_only", "ivf/index")
     val (bmTotF, bmTotB) = layoutTotals(bm25Root)
     val (ivTotF, ivTotB) = layoutTotals(s"$ivfRoot/index")
 

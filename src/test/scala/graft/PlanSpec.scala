@@ -730,6 +730,29 @@ class PlanSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("q164/q165/q166: batch probes — per-query windows partition by " +
+    "query_id, the fan-out joins broadcast, no CartesianProduct") {
+    // the batch-serving contract: N queries must not multiply the
+    // data-sized work — query/term tables ride broadcasts, ranking is
+    // per-query windows over bounded scored frames
+    for (df <- Seq(
+        TextAnalysis.q164Bm25BatchProbe(spark, sfDir),
+        graft.operators.Similarity.q165AnnBatchProbe(spark, sfDir),
+        graft.operators.Similarity.q166RrfBatchFusion(spark, sfDir))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), p.take(2000))
+      assert(!p.contains("SortMergeJoin"),
+        "batch fan-out joins must broadcast:\n" + p.take(2000))
+      val specs = p.linesIterator
+        .filter(_.contains("windowspecdefinition")).toSeq
+      assert(specs.nonEmpty &&
+        specs.forall(_.contains("windowspecdefinition(query_id")),
+        "every batch-probe window must partition by query_id:\n" +
+          specs.mkString("\n"))
+    }
+    spark.catalog.clearCache()
+  }
+
   test("q118: novelty joins only DOC-cardinality frames — the gram " +
     "stream feeds one aggregation and is never join-back material; no " +
     "candidate pairing, no Window, no nested-loop join") {
