@@ -109,6 +109,8 @@ object ServingBench {
         TextAnalysis.bm25ProbeBatch(spark, bm25Root, TextAnalysis.Bm25Batch)),
       "ivf_probe_only" -> (() =>
         Similarity.ivfProbeStored(spark, ivfRoot, excludeVecId = Some(0L))),
+      "ivf_batch_probe_only" -> (() =>
+        Similarity.ivfProbeStoredBatch(spark, ivfRoot)),
       "inquery_q160_bm25" -> (() =>
         TextAnalysis.q160Bm25Probe(spark, sfDir)),
       "inquery_q128_ivf" -> (() =>

@@ -769,6 +769,51 @@ object Similarity extends QueryPack {
     emb.filter($"vec_id" === 0)
       .select(vec($"embedding").as("qv"))
       .write.mode("overwrite").parquet(s"$root/_query")
+    emb.filter($"vec_id".isin(AnnBatchIds: _*))
+      .select($"vec_id".as("query_id"), vec($"embedding").as("qv"))
+      .write.mode("overwrite").parquet(s"$root/_queries")
+  }
+
+  /** [[ivfProbeStored]] for a QUERY BATCH against the persisted
+    * layout — the serving form of q165: per-query nprobe cells from
+    * the broadcast centroid×queries product (per-query window, q128's
+    * rules), the UNION of probed cells collected to a bounded
+    * ≤|queries|·nprobe literal list so the index scan still prunes
+    * partitions statically, then ONE cell→query fan-out join and one
+    * per-query top-k window. Query vectors themselves are excluded
+    * from results (q165's contract — its answer on an un-deleted
+    * layout equals q165's); tombstones honored via [[ivfReadLive]].
+    */
+  def ivfProbeStoredBatch(s: SparkSession, root: String, nprobe: Int = 3,
+      k: Int = 10): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val qs = broadcast(s.read.parquet(s"$root/_queries"))
+    val pickW = Window.partitionBy($"query_id")
+      .orderBy($"qd2".asc, $"cell".asc)
+    val probe = broadcast(s.read.parquet(s"$root/_cents").crossJoin(qs)
+      .withColumn("qd2", dot($"qv", $"qv")
+        - lit(2.0) * dot($"qv", $"centroid")
+        + dot($"centroid", $"centroid"))
+      .withColumn("rk", row_number().over(pickW))
+      .filter($"rk" <= nprobe)
+      .select($"query_id", $"qv", $"cell"))
+    // bounded driver list (the hotKeys class): literal cell filter so
+    // the partitioned scan prunes statically for the whole batch
+    val cells = probe.select($"cell").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val topW = Window.partitionBy($"query_id")
+      .orderBy($"cos".desc, $"vec_id".asc)
+    ivfReadLive(s, s"$root/index")
+      .filter($"cell".isin(cells: _*))
+      .join(broadcast(qs.select($"query_id".as("vec_id"))),
+        Seq("vec_id"), "left_anti")
+      .join(probe, "cell")
+      .withColumn("cos", round(cosine(vec($"embedding"), $"qv"), 6))
+      .select($"query_id", $"vec_id", $"cell", $"cos")
+      .withColumn("rk", row_number().over(topW))
+      .filter($"rk" <= k).drop("rk")
+      .orderBy($"query_id".asc, $"cos".desc, $"vec_id".asc)
   }
 
   /** The probe-only serving path against a persisted [[ivfServingSetup]]

@@ -1345,6 +1345,15 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(filesRead > 0 && filesRead < filesTotal,
       s"probe must read a strict subset: $filesRead of $filesTotal")
     assert(bytesRead < bytesTotal)
+    // the stored BATCH probe answers exactly the in-query q165
+    val gotBatch = Similarity.ivfProbeStoredBatch(spark, root).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    val expectBatch = Similarity.q165AnnBatchProbe(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(gotBatch == expectBatch,
+      "stored batch probe must equal in-query q165")
     // tombstoning the top hit removes it from the served answer
     val topId = got.head._1
     Similarity.ivfDelete(Seq(topId).toDF("vec_id"), s"$root/index")
