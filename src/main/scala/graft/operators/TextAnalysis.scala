@@ -1558,17 +1558,30 @@ object TextAnalysis extends QueryPack {
     * layout amortizes that scan across every query the service ever
     * answers.
     */
-  /** The (term, doc) postings frame for a doc batch — shared by the
-    * base build and the append path so a posting written today is
-    * byte-identical to the one a full rebuild would write.
+  /** One tokenized (doc_id, lang, dl, toks) frame per write/append —
+    * lazily checkpointed because BOTH layout writes (postings and the
+    * `_docs` sidecar) derive from it: the doc batch is scanned and
+    * tokenized ONCE per maintenance operation instead of once per
+    * artifact (the build is q162/q164's scan term — this halves it).
     */
-  private def bm25Postings(docs: DataFrame, buckets: Int): DataFrame = {
+  private def bm25Tokenized(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     docs
       .select($"doc_id", $"lang",
         filter(split($"text", " "), t => length(t) > 0).as("toks"))
       .select($"doc_id", $"lang", size($"toks").cast("long").as("dl"),
-        explode($"toks").as("tok"))
+        $"toks")
+      .localCheckpoint(false)
+  }
+
+  /** The (term, doc) postings frame off a [[bm25Tokenized]] frame —
+    * shared by the base build and the append path so a posting written
+    * today is byte-identical to the one a full rebuild would write.
+    */
+  private def bm25Postings(tokenized: DataFrame, buckets: Int): DataFrame = {
+    import tokenized.sparkSession.implicits._
+    tokenized
+      .select($"doc_id", $"lang", $"dl", explode($"toks").as("tok"))
       .groupBy($"tok", $"doc_id", $"lang", $"dl")
       .agg(count(lit(1)).as("tf"))
       .withColumn("tb", pmod(xxhash64($"tok"), lit(buckets.toLong)))
@@ -1576,15 +1589,13 @@ object TextAnalysis extends QueryPack {
 
   /** One (doc_id, dl) row per doc in the batch — the `_docs` sidecar's
     * grain (the forward doc-length table every BM25 layout keeps).
-    * Derived from the DOCS frame, not the postings, so zero-token docs
-    * still count toward N (they have no postings but q130's corpus
-    * stats include them).
+    * Derived from the tokenized DOCS frame, not the postings, so
+    * zero-token docs still count toward N (they have no postings but
+    * q130's corpus stats include them).
     */
-  private def bm25DocLens(docs: DataFrame): DataFrame = {
-    import docs.sparkSession.implicits._
-    docs.select($"doc_id",
-      size(filter(split($"text", " "), t => length(t) > 0))
-        .cast("long").as("dl"))
+  private def bm25DocLens(tokenized: DataFrame): DataFrame = {
+    import tokenized.sparkSession.implicits._
+    tokenized.select($"doc_id", $"dl")
   }
 
   def bm25IndexWrite(docs: DataFrame, path: String,
@@ -1595,9 +1606,10 @@ object TextAnalysis extends QueryPack {
     // (`_tombstones` would silently hide live docs): clear the root
     // explicitly — partitioned overwrite only replaces partition dirs
     graft.core.Fs.deleteRecursive(s, path)
-    bm25Postings(docs, buckets)
+    val tokenized = bm25Tokenized(docs)
+    bm25Postings(tokenized, buckets)
       .write.mode("overwrite").partitionBy("tb").parquet(path)
-    bm25DocLens(docs).write.mode("overwrite").parquet(s"$path/_docs")
+    bm25DocLens(tokenized).write.mode("overwrite").parquet(s"$path/_docs")
     // corpus stats derive from the just-written doc-length sidecar
     // (tiny read-back) — `_stats` is APPEND-delta structured: probes
     // SUM the rows, so append/delete maintenance adjusts stats by
@@ -1622,10 +1634,11 @@ object TextAnalysis extends QueryPack {
     */
   def bm25Append(docs: DataFrame, path: String, buckets: Int = 64): Unit = {
     import docs.sparkSession.implicits._
-    bm25Postings(docs, buckets)
+    val tokenized = bm25Tokenized(docs)
+    bm25Postings(tokenized, buckets)
       .write.mode("append").partitionBy("tb").parquet(path)
-    bm25DocLens(docs).write.mode("append").parquet(s"$path/_docs")
-    bm25DocLens(docs)
+    bm25DocLens(tokenized).write.mode("append").parquet(s"$path/_docs")
+    bm25DocLens(tokenized)
       .agg(count(lit(1)).as("nd"), sum($"dl").as("tl"))
       .write.mode("append").parquet(s"$path/_stats")
   }
