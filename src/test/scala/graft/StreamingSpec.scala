@@ -1293,6 +1293,53 @@ class StreamingSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("bm25 ingest stream: probe after streaming a doc batch in slices " +
+    "equals a full rebuild; replayed micro-batches leave the layout " +
+    "untouched (exactly-once via the commit pointer)") {
+    import spark.implicits._
+    import graft.streaming.AnomalyStream.DocEvent
+    import org.apache.spark.sql.functions.{sum => fsum}
+    implicit val sc = spark.sqlContext
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .localCheckpoint(false)
+    val base = docs.filter($"doc_id" % 2 === 0)
+    val delta = docs.filter($"doc_id" % 2 =!= 0)
+      .select($"doc_id", $"lang", $"text").as[DocEvent].collect().toSeq
+    val tmp = java.nio.file.Files.createTempDirectory("bm25ing").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("bm25ing_ck").toString
+    graft.operators.TextAnalysis.bm25IndexWrite(base, tmp)
+    val input = MemoryStream[DocEvent]
+    val q = graft.streaming.Bm25Ingest.bm25IngestStream(
+      input.toDF(), tmp, ckpt)
+    try delta.grouped(delta.size / 3 + 1).foreach { s =>
+      input.addData(s); q.processAllAvailable()
+    } finally q.stop()
+    // probe == a from-scratch rebuild over ALL docs
+    val streamed = graft.operators.TextAnalysis.bm25Probe(spark, tmp,
+      graft.operators.TextAnalysis.Bm25Query).collect().toSeq
+    val rebuilt = java.nio.file.Files.createTempDirectory("bm25rb").toString
+    graft.operators.TextAnalysis.bm25IndexWrite(docs, rebuilt)
+    val fresh = graft.operators.TextAnalysis.bm25Probe(spark, rebuilt,
+      graft.operators.TextAnalysis.Bm25Query).collect().toSeq
+    assert(streamed == fresh,
+      "probe after streamed ingest must equal a full rebuild")
+    // replay: an already-committed batch id is a no-op on stats AND
+    // postings (bm25Append is not idempotent — the pointer makes the
+    // protocol so)
+    def stats() = spark.read.parquet(s"$tmp/_stats")
+      .agg(fsum("nd"), fsum("tl")).head()
+    val before = (stats().getLong(0), stats().getLong(1),
+      spark.read.parquet(tmp).count())
+    val committed = graft.streaming.Bm25Ingest.committedBatch(tmp)
+    assert(committed >= 0L)
+    assert(!graft.streaming.Bm25Ingest.applyBatch(
+      docs.limit(5), committed, tmp), "replay must be refused")
+    val after = (stats().getLong(0), stats().getLong(1),
+      spark.read.parquet(tmp).count())
+    assert(before == after, "replayed batch must leave the layout untouched")
+    spark.catalog.clearCache()
+  }
+
   test("quantile stream with a forced capCents: quantiles at or below " +
     "the cap stay exact, quantiles above clamp to the cap (the " +
     "bounded-state escape hatch for unbounded value domains)") {
