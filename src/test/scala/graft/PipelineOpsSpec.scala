@@ -1421,6 +1421,60 @@ class PipelineOpsSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("bm25 maintenance property: 3 random append/delete interleavings " +
+    "each probe identically to a rebuild from the resulting live set, " +
+    "with exact stats") {
+    import org.apache.spark.sql.functions.{sum => fsum}
+    import spark.implicits._
+    // q162 pins ONE lifecycle path (build, append, delete); this law
+    // pins the general contract: ANY op sequence == rebuild-from-live
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .localCheckpoint(false)
+    val ids = docs.select($"doc_id").as[Long].collect().sorted
+    val rnd = new scala.util.Random(13)
+    (1 to 3).foreach { trial =>
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"bm25prop$trial").toString
+      // start from a random third of the corpus
+      val baseSet = ids.filter(_ => rnd.nextInt(3) == 0).toSet
+      var live = baseSet
+      var pool = ids.filterNot(baseSet).toSet
+      TextAnalysis.bm25IndexWrite(docs.filter($"doc_id".isin(
+        baseSet.toSeq: _*)), tmp)
+      (1 to 4).foreach { _ =>
+        if (rnd.nextBoolean() && pool.nonEmpty) {
+          val batch = pool.toSeq.sorted.filter(_ => rnd.nextBoolean()).toSet
+          if (batch.nonEmpty) {
+            TextAnalysis.bm25Append(
+              docs.filter($"doc_id".isin(batch.toSeq: _*)), tmp)
+            live ++= batch; pool --= batch
+          }
+        } else if (live.nonEmpty) {
+          val dead = live.toSeq.sorted.filter(_ => rnd.nextInt(4) == 0)
+          if (dead.nonEmpty) {
+            TextAnalysis.bm25Delete(dead.toDF("doc_id"), tmp)
+            live --= dead.toSet
+          }
+        }
+      }
+      val got = TextAnalysis
+        .bm25Probe(spark, tmp, TextAnalysis.Bm25Query).collect().toSeq
+      val rb = java.nio.file.Files
+        .createTempDirectory(s"bm25propr$trial").toString
+      TextAnalysis.bm25IndexWrite(docs.filter($"doc_id".isin(
+        live.toSeq: _*)), rb)
+      val expect = TextAnalysis
+        .bm25Probe(spark, rb, TextAnalysis.Bm25Query).collect().toSeq
+      assert(got == expect,
+        s"trial $trial: maintained layout diverges from rebuild-from-live")
+      val nd = spark.read.parquet(s"$tmp/_stats").agg(fsum("nd")).head()
+        .getLong(0)
+      assert(nd == live.size.toLong,
+        s"trial $trial: stats nd=$nd != live=${live.size}")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("q136 IVF-SQ8: quantized probe recall vs full-precision probe " +
     "and exact brute force — the memory cut's measured accuracy price") {
     val exact = Similarity.q29BruteTopK(spark, sfDir).collect()
