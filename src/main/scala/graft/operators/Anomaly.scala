@@ -989,6 +989,33 @@ object Anomaly extends QueryPack {
       .orderBy($"event_type".asc)
   }
 
+  // --- q167: per-type Holt–Winters forecast ------------------------------------
+  /** q145's FORECAST surface PER EVENT TYPE — the last global↔keyed
+    * asymmetry in the Holt family (q142↔q148 residuals, q153↔q157
+    * residual CUSUM, q154↔q161 ensemble; the forecast side had only
+    * the global form): each type's next 24 hours from ITS OWN terminal
+    * model state, f(T+h) = l_T + h·b_T + ss[h] — the per-metric
+    * capacity-planning table a fleet deployment actually serves. Same
+    * exactness contract as q145 (all-BIGINT state, display division
+    * only); same scale shape as q148 (one in-row fold per key row, the
+    * 24-row explode is O(1) per series however large the history).
+    * Keys under two periods drop out (the fold's own guard).
+    */
+  def q167HoltForecastByType(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    holtFoldPacked(packedHourlySeriesBy(Tables.events(s, dir), "event_type"))
+      .select($"event_type", $"mn", $"nh", $"fin.l".as("l"),
+        $"fin.b".as("b"), $"fin.ss".as("ss"),
+        explode(sequence(lit(1L), lit(24L))).as("h"))
+      .select($"event_type", ($"mn" + $"nh" - 1L + $"h").as("hour_h"),
+        ($"l" + $"h" * $"b" + element_at($"ss", $"h".cast("int")))
+          .as("forecast_scaled"))
+      .select($"event_type", $"hour_h", $"forecast_scaled",
+        Exact.dround($"forecast_scaled".cast("double") / 100.0, 2)
+          .as("forecast_dollars"))
+      .orderBy($"event_type".asc, $"hour_h".asc)
+  }
+
   // --- q161: keyed detector-ensemble census -----------------------------------
   /** q154's corroboration census over the KEYED detector family — the
     * actual paging surface a fleet deployment runs: for each
@@ -1085,6 +1112,7 @@ object Anomaly extends QueryPack {
     "q157_residual_cusum_by_type" -> (q157ResidualCusumByType _),
     "q159_discord_by_type" -> (q159DiscordByType _),
     "q161_keyed_ensemble"  -> (q161KeyedEnsemble _),
+    "q167_holt_forecast_by_type" -> (q167HoltForecastByType _),
     "q140_cusum"          -> (q140Cusum _),
     "q141_episodes"       -> (q141Episodes _),
     "q137_discord"        -> (q137Discord _),
@@ -1639,6 +1667,55 @@ object Anomaly extends QueryPack {
         |QUALIFY row_number() OVER (PARTITION BY pd.et
         |  ORDER BY score DESC, win_start_h ASC) = 1
         |ORDER BY event_type ASC""".stripMargin,
+    "q167_holt_forecast_by_type" ->
+      // q157's keyed recursive recurrence run to each key's terminal
+      // state row (t = nh−1), then 24 projections per key — the
+      // queue's h-th entry IS the season of slot T+h (q145's device,
+      // keyed)
+      {
+        def fd2(e: String) = s"((($e) - (((($e) % 2) + 2) % 2)) // 2)"
+        val ln = fd2("ser.x - rec.ss[1] + rec.l + rec.b2")
+        val bn = fd2(s"$ln - rec.l + rec.b2")
+        val sn = fd2(s"ser.x - $ln + rec.ss[1]")
+        s"""WITH RECURSIVE s AS (SELECT event_type AS et,
+          |  epoch_us(date_trunc('hour', ts)) // 3600000000 AS hi,
+          |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x0
+          | FROM events GROUP BY 1, 2),
+          |b AS (SELECT et, MIN(hi) mn, MAX(hi) mx FROM s GROUP BY 1),
+          |g AS (SELECT b.et, gs.hi
+          |  FROM b, UNNEST(range(b.mn, b.mx + 1)) gs(hi)),
+          |ser AS (SELECT g.et, g.hi - b.mn AS idx, COALESCE(s.x0, 0) AS x
+          |  FROM g JOIN b ON b.et = g.et
+          |  LEFT JOIN s ON s.et = g.et AND s.hi = g.hi),
+          |n AS (SELECT et, CAST(COUNT(*) AS BIGINT) AS nh
+          |  FROM ser GROUP BY 1),
+          |w AS (SELECT et, CAST(SUM(x) AS BIGINT) AS s24 FROM ser
+          |  WHERE idx < 24 GROUP BY 1),
+          |i AS (SELECT et,
+          |  ((s24 - ((s24 % 24) + 24) % 24) // 24) AS l0 FROM w),
+          |s0 AS (SELECT ser.et, list(ser.x - i.l0 ORDER BY ser.idx) AS ss
+          |  FROM ser JOIN i USING (et) WHERE ser.idx < 24 GROUP BY ser.et),
+          |rec AS (
+          |  SELECT i.et, CAST(23 AS BIGINT) AS t, i.l0 AS l,
+          |    CAST(0 AS BIGINT) AS b2, s0.ss AS ss
+          |  FROM i JOIN s0 USING (et)
+          |  UNION ALL
+          |  SELECT rec.et, ser.idx, CAST($ln AS BIGINT) AS l,
+          |    CAST($bn AS BIGINT) AS b2,
+          |    list_concat(rec.ss[2:24], [CAST($sn AS BIGINT)]) AS ss
+          |  FROM rec JOIN ser ON ser.et = rec.et AND ser.idx = rec.t + 1)
+          |SELECT rec.et AS event_type,
+          | CAST(b.mn + rec.t + hs.h AS BIGINT) AS hour_h,
+          | CAST(rec.l + hs.h * rec.b2 + rec.ss[CAST(hs.h AS INT)] AS BIGINT)
+          |   AS forecast_scaled,
+          | ${graft.core.Exact.sqlDround(
+              "CAST(rec.l + hs.h * rec.b2 + rec.ss[CAST(hs.h AS INT)] " +
+              "AS DOUBLE) / 100.0", 2)} AS forecast_dollars
+          |FROM rec JOIN b ON b.et = rec.et JOIN n ON n.et = rec.et,
+          | UNNEST(range(1, 25)) hs(h)
+          |WHERE rec.t = n.nh - 1 AND n.nh >= 48
+          |ORDER BY event_type ASC, hour_h ASC""".stripMargin
+      },
     "q161_keyed_ensemble" ->
       // the four KEYED oracles off ONE shared keyed spine + keyed
       // recurrence: each branch is its original oracle's per-type
