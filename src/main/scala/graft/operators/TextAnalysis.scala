@@ -1724,12 +1724,18 @@ object TextAnalysis extends QueryPack {
       .filter($"tb".isin(tbs: _*) && $"tok".isin(terms: _*))
     // live view: tombstoned docs drop out BEFORE df/idf, so the probe
     // equals a rebuild-without-those-docs (the ivfReadLive discipline;
-    // the anti-join sits above the pruned scan, pruning intact)
-    val post =
-      if (!graft.core.Fs.exists(s, s"$path/_tombstones")) postBase
-      else postBase.join(
-        broadcast(s.read.parquet(s"$path/_tombstones").distinct()),
-        Seq("doc_id"), "left_anti")
+    // the anti-join sits above the pruned scan, pruning intact).
+    // Lazily checkpointed: the live postings feed BOTH the df/idf pass
+    // and the scoring pass — without reuse the pruned scan (and the
+    // tombstone anti-join) runs twice (ScanAudit finding)
+    val post = {
+      val p0 =
+        if (!graft.core.Fs.exists(s, s"$path/_tombstones")) postBase
+        else postBase.join(
+          broadcast(s.read.parquet(s"$path/_tombstones").distinct()),
+          Seq("doc_id"), "left_anti")
+      p0.localCheckpoint(false)
+    }
     val idf = broadcast(post.groupBy($"tok")
       .agg(countDistinct($"doc_id").as("df"))
       .crossJoin(stats)
@@ -1780,11 +1786,16 @@ object TextAnalysis extends QueryPack {
       .agg(sum($"nd").as("nd"), sum($"tl").as("tl")))
     val postBase = s.read.parquet(path)
       .filter($"tb".isin(tbs: _*) && $"tok".isin(allTerms: _*))
-    val post =
-      if (!graft.core.Fs.exists(s, s"$path/_tombstones")) postBase
-      else postBase.join(
-        broadcast(s.read.parquet(s"$path/_tombstones").distinct()),
-        Seq("doc_id"), "left_anti")
+    // same one-scan reuse as bm25Probe: the live postings feed df/idf
+    // AND the scoring fan-out
+    val post = {
+      val p0 =
+        if (!graft.core.Fs.exists(s, s"$path/_tombstones")) postBase
+        else postBase.join(
+          broadcast(s.read.parquet(s"$path/_tombstones").distinct()),
+          Seq("doc_id"), "left_anti")
+      p0.localCheckpoint(false)
+    }
     val idf = broadcast(post.groupBy($"tok")
       .agg(countDistinct($"doc_id").as("df"))
       .crossJoin(stats)
