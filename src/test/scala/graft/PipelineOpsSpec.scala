@@ -1302,13 +1302,27 @@ class PipelineOpsSpec extends SparkTestBase {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
       case other => other.children.flatMap(allScans)
     }
-    val scan = allScans(probe.queryExecution.executedPlan).find(f =>
-      f.relation.location.rootPaths.exists(_.toString.contains("bm25l")) &&
-        !f.relation.location.rootPaths.exists(
-          _.toString.contains("_stats"))).get
+    // r13: the probe lazily checkpoints the live postings (one pruned
+    // scan for df/idf AND scoring), so the executed probe plan reads
+    // the checkpoint, not files — assert the pruning on the exact
+    // pruned-read shape the probe materializes, and assert the probe
+    // plan itself carries NO file scan of the layout (the checkpoint
+    // reuse is the point)
+    assert(allScans(probe.queryExecution.executedPlan).forall(f =>
+      !f.relation.location.rootPaths.exists(p =>
+        p.toString.contains("bm25l") && !p.toString.contains("_stats"))),
+      "probe must read postings via the checkpoint, not a second scan")
     val tbs = spark.range(1).select(TextAnalysis.Bm25Query.map(t =>
       pmod(xxhash64(lit(t)), lit(64L)).as(t)): _*)
       .head().toSeq.map(_.asInstanceOf[Long]).distinct
+    import org.apache.spark.sql.functions.col
+    val prunedRead = spark.read.parquet(tmp)
+      .filter(col("tb").isin(tbs: _*) &&
+        col("tok").isin(TextAnalysis.Bm25Query: _*))
+    prunedRead.collect()
+    val scan = allScans(prunedRead.queryExecution.executedPlan).find(f =>
+      f.relation.location.rootPaths.exists(_.toString.contains("bm25l")))
+      .get
     val filesInProbed = new java.io.File(tmp).listFiles
       .filter(d => tbs.exists(x => d.getName == s"tb=$x"))
       .map(_.listFiles.count(_.getName.endsWith(".parquet"))).sum
