@@ -325,6 +325,40 @@ object TextAnalysis extends QueryPack {
         $"top_bigram_frac", $"dup_trigram_frac", $"rep_keep".as("keep"))
   }
 
+  // --- q168: quality-filter cascade census -----------------------------------
+  /** The C4/RefinedWeb-style CLEANING CASCADE as one census — the
+    * composition every corpus-curation pipeline runs before training:
+    * each doc flows through the ordered filters (too short → low
+    * quality → repetitive) and gets ONE verdict, the FIRST failing
+    * filter (so drop counts attribute to the filter that actually
+    * fired, not to every filter that would have). The census reports
+    * per-verdict doc count, exact-decimal mean quality and total token
+    * mass — the numbers a curation run publishes ("dropped 8% too
+    * short, 11% repetitive, kept N tokens"). All three signals are
+    * q22/q52's already-oracle-checked columns off ONE
+    * [[corpusFilterCols]] pass.
+    *
+    * Scale shape: one corpus scan of codegen'd projections + one
+    * ≤4-row aggregation — the cascade adds zero shuffles to the
+    * signals it composes.
+    */
+  def q168FilterCascade(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    corpusFilterCols(Tables.documents(s, dir))
+      .withColumn("verdict",
+        when($"n_words" < 20, "too_short")
+          .when($"quality" < 0.6, "low_quality")
+          .when(!$"rep_keep", "repetitive")
+          .otherwise("keep"))
+      .groupBy($"verdict")
+      .agg(count(lit(1)).as("n"),
+        graft.core.Exact.dround(
+          sum($"quality".cast(org.apache.spark.sql.types.DecimalType(28, 10)))
+            .cast("double") / count(lit(1)), 4).as("avg_quality"),
+        sum($"n_words").as("n_words_total"))
+      .orderBy($"verdict".asc)
+  }
+
   // --- q58: per-language heavy hitters via the Misra–Gries sketch ----------
   /** Top-5 tokens per language through `freq_items` (bounded-state
     * sketch) instead of a full groupBy(token).count: the sketch caps
@@ -1930,6 +1964,7 @@ object TextAnalysis extends QueryPack {
     "q162_bm25_maintain"     -> (q162Bm25Maintain _),
     "q163_hll_vocab"         -> (q163HllVocab _),
     "q164_bm25_batch_probe"  -> (q164Bm25BatchProbe _),
+    "q168_filter_cascade"    -> (q168FilterCascade _),
     "q122_pmi_pairs"         -> (q122PmiPairs _),
     "q120_bpe_sweep"         -> (q120BpeSweep _),
     "q119_zipf_slope"        -> (q119ZipfSlope _),
@@ -2050,6 +2085,46 @@ object TextAnalysis extends QueryPack {
         |   AS rel_err,
         | reg_checksum
         |FROM e3 JOIN ex ON e3.grp = ex.grp""".stripMargin,
+    "q168_filter_cascade" ->
+      // q52's repetition CTEs + q22's quality expression composed into
+      // the ordered-cascade CASE; first failing filter wins; exact
+      // decimal mean quality
+      s"""WITH wx AS (SELECT doc_id, string_split(text, ' ') ws,
+        |  len(string_split(text, ' ')) nw FROM documents),
+        |words AS (SELECT doc_id, unnest(ws) tok FROM wx),
+        |big AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] bg
+        |  FROM wx, generate_series(1, ${OracleGen.MaxDocSeries}) t(i)
+        |  WHERE i <= nw - 1),
+        |tri AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] tg
+        |  FROM wx, generate_series(1, ${OracleGen.MaxDocSeries}) t(i)
+        |  WHERE i <= nw - 2),
+        |wstat AS (SELECT doc_id, MAX(c) topw FROM
+        |  (SELECT doc_id, tok, COUNT(*) c FROM words GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |bstat AS (SELECT doc_id, MAX(c) topb, CAST(SUM(c) AS BIGINT) nb FROM
+        |  (SELECT doc_id, bg, COUNT(*) c FROM big GROUP BY 1, 2) GROUP BY 1),
+        |tstat AS (SELECT doc_id, COUNT(*) nt, COUNT(DISTINCT tg) dt
+        |  FROM tri GROUP BY 1),
+        |rep AS (SELECT wx.doc_id, nw,
+        |  (topw / nw <= 0.20 AND COALESCE(topb / nb, 0) <= 0.18
+        |    AND COALESCE((nt - dt) / nt, 0) <= 0.30) AS rep_keep
+        | FROM wx JOIN wstat USING (doc_id) LEFT JOIN bstat USING (doc_id)
+        | LEFT JOIN tstat USING (doc_id)),
+        |q AS (SELECT doc_id, $QualitySqlExpr AS quality FROM documents),
+        |v AS (SELECT rep.doc_id,
+        |  CASE WHEN rep.nw < 20 THEN 'too_short'
+        |   WHEN q.quality < 0.6 THEN 'low_quality'
+        |   WHEN NOT rep.rep_keep THEN 'repetitive'
+        |   ELSE 'keep' END AS verdict,
+        |  q.quality, rep.nw
+        | FROM rep JOIN q USING (doc_id))
+        |SELECT verdict, COUNT(*) AS n,
+        | ${graft.core.Exact.sqlDround(
+            "CAST(SUM(CAST(quality AS DECIMAL(28,10))) AS DOUBLE) " +
+            "/ COUNT(*)", 4)} AS avg_quality,
+        | CAST(SUM(nw) AS BIGINT) AS n_words_total
+        |FROM v GROUP BY 1
+        |ORDER BY verdict ASC""".stripMargin,
     "q164_bm25_batch_probe" ->
       // each batch query replayed independently at scan time with its
       // own term list — the batch pass must reproduce all three
