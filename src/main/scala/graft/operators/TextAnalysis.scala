@@ -1873,6 +1873,32 @@ object TextAnalysis extends QueryPack {
     bm25ProbeBatch(s, path, Bm25Batch)
   }
 
+  /** Curation-verdict → serving-takedown, end to end as one oracle
+    * row: exact dedup (q25's md5-fingerprint rule, keep the min
+    * doc_id per content group) produces the LOSER set, [[bm25Delete]]
+    * tombstones them in the live index, and the probe must equal a
+    * rebuild over the KEEPERS alone — the pipeline a production corpus
+    * actually runs when dedup verdicts land after the index is built
+    * (same stats-exactness story as q162: the losers' doc lengths
+    * leave `_stats` via the `_docs` join, never a postings scan).
+    */
+  def q169DedupTakedown(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = bm25TempIndexPath(dir) + "_takedown"
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(p)
+    val docs = Tables.documents(s, dir)
+    bm25IndexWrite(docs, path)
+    val keepers = docs.withColumn("fp", md5($"text"))
+      .groupBy($"fp").agg(min($"doc_id").as("keeper"))
+    val losers = docs.withColumn("fp", md5($"text"))
+      .join(broadcast(keepers), "fp")
+      .filter($"doc_id" =!= $"keeper")
+      .select($"doc_id")
+    bm25Delete(losers, path)
+    bm25Probe(s, path, Bm25Query)
+  }
+
   /** One DETERMINISTIC temp root per corpus dir: every invocation
     * (3+ bench reps per round) overwrites the same layout instead of
     * leaking a fresh corpus-sized index per rep, and the Hadoop
@@ -1965,6 +1991,7 @@ object TextAnalysis extends QueryPack {
     "q163_hll_vocab"         -> (q163HllVocab _),
     "q164_bm25_batch_probe"  -> (q164Bm25BatchProbe _),
     "q168_filter_cascade"    -> (q168FilterCascade _),
+    "q169_dedup_takedown"    -> (q169DedupTakedown _),
     "q122_pmi_pairs"         -> (q122PmiPairs _),
     "q120_bpe_sweep"         -> (q120BpeSweep _),
     "q119_zipf_slope"        -> (q119ZipfSlope _),
@@ -2085,6 +2112,11 @@ object TextAnalysis extends QueryPack {
         |   AS rel_err,
         | reg_checksum
         |FROM e3 JOIN ex ON e3.grp = ex.grp""".stripMargin,
+    "q169_dedup_takedown" ->
+      // probe-after-takedown == rebuild over the exact-dedup KEEPERS
+      // (q25's min-doc_id-per-fingerprint rule as the oracle predicate)
+      bm25OracleOver(
+        "doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text))"),
     "q168_filter_cascade" ->
       // q52's repetition CTEs + q22's quality expression composed into
       // the ordered-cascade CASE; first failing filter wins; exact
