@@ -1099,6 +1099,39 @@ object Anomaly extends QueryPack {
           .otherwise("naive"))
   }
 
+  // --- q170: per-type forecast backtest (model selection, keyed) -------------
+  /** q146's model-selection census PER EVENT TYPE — the per-metric
+    * honesty check a fleet deployment keeps next to q167's forecasts:
+    * for each type, which of the three forecasters (Holt–Winters /
+    * seasonal-naive / naive) wins the one-step-ahead backtest on ITS
+    * OWN series, by exact integer SSE. If seasonal-naive wins a type,
+    * that type's model is not earning its state and q167's forecast
+    * for it should be read accordingly. Same exactness as q146 (every
+    * residual a BIGINT difference, integer SSE comparison); same scale
+    * shape as the keyed family (one rollup, one in-row fold + in-row
+    * zips per key row).
+    */
+  def q170BacktestByType(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    holtFoldPacked(packedHourlySeriesBy(Tables.events(s, dir), "event_type"))
+      .select($"event_type",
+        (size($"sv") - 24).cast("long").as("n_scored"),
+        aggregate(transform($"fin.rs", r => r * r), lit(0L), _ + _)
+          .as("sse_hw"),
+        aggregate(zip_with(slice($"sv", lit(25), size($"sv") - 24),
+          slice($"sv", lit(1), size($"sv") - 24), (a, b) => (a - b) * (a - b)),
+          lit(0L), _ + _).as("sse_snaive"),
+        aggregate(zip_with(slice($"sv", lit(25), size($"sv") - 24),
+          slice($"sv", lit(24), size($"sv") - 24), (a, b) => (a - b) * (a - b)),
+          lit(0L), _ + _).as("sse_naive"))
+      .withColumn("best_model",
+        when($"sse_hw" <= $"sse_snaive" && $"sse_hw" <= $"sse_naive",
+          "holt_winters")
+          .when($"sse_snaive" <= $"sse_naive", "seasonal_naive")
+          .otherwise("naive"))
+      .orderBy($"event_type".asc)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q142_holt_winters"   -> (q142HoltWinters _),
     "q145_holt_forecast"  -> (q145HoltForecast _),
@@ -1113,6 +1146,7 @@ object Anomaly extends QueryPack {
     "q159_discord_by_type" -> (q159DiscordByType _),
     "q161_keyed_ensemble"  -> (q161KeyedEnsemble _),
     "q167_holt_forecast_by_type" -> (q167HoltForecastByType _),
+    "q170_backtest_by_type" -> (q170BacktestByType _),
     "q140_cusum"          -> (q140Cusum _),
     "q141_episodes"       -> (q141Episodes _),
     "q137_discord"        -> (q137Discord _),
@@ -1667,6 +1701,65 @@ object Anomaly extends QueryPack {
         |QUALIFY row_number() OVER (PARTITION BY pd.et
         |  ORDER BY score DESC, win_start_h ASC) = 1
         |ORDER BY event_type ASC""".stripMargin,
+    "q170_backtest_by_type" ->
+      // q146's backtest with the series key threaded through: the
+      // keyed recurrence supplies each type's HW residuals, the
+      // baselines are keyed LAG differences, integer SSEs, identical
+      // CASE precedence for the winner
+      {
+        def fd2(e: String) = s"((($e) - (((($e) % 2) + 2) % 2)) // 2)"
+        val ln = fd2("ser.x - rec.ss[1] + rec.l + rec.b2")
+        val bn = fd2(s"$ln - rec.l + rec.b2")
+        val sn = fd2(s"ser.x - $ln + rec.ss[1]")
+        s"""WITH RECURSIVE s AS (SELECT event_type AS et,
+          |  epoch_us(date_trunc('hour', ts)) // 3600000000 AS hi,
+          |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x0
+          | FROM events GROUP BY 1, 2),
+          |b AS (SELECT et, MIN(hi) mn, MAX(hi) mx FROM s GROUP BY 1),
+          |g AS (SELECT b.et, gs.hi
+          |  FROM b, UNNEST(range(b.mn, b.mx + 1)) gs(hi)),
+          |ser AS (SELECT g.et, g.hi - b.mn AS idx, COALESCE(s.x0, 0) AS x
+          |  FROM g JOIN b ON b.et = g.et
+          |  LEFT JOIN s ON s.et = g.et AND s.hi = g.hi),
+          |n AS (SELECT et, CAST(COUNT(*) AS BIGINT) AS nh
+          |  FROM ser GROUP BY 1),
+          |w AS (SELECT et, CAST(SUM(x) AS BIGINT) AS s24 FROM ser
+          |  WHERE idx < 24 GROUP BY 1),
+          |i AS (SELECT et,
+          |  ((s24 - ((s24 % 24) + 24) % 24) // 24) AS l0 FROM w),
+          |s0 AS (SELECT ser.et, list(ser.x - i.l0 ORDER BY ser.idx) AS ss
+          |  FROM ser JOIN i USING (et) WHERE ser.idx < 24 GROUP BY ser.et),
+          |rec AS (
+          |  SELECT i.et, CAST(23 AS BIGINT) AS t, i.l0 AS l,
+          |    CAST(0 AS BIGINT) AS b2, s0.ss AS ss, CAST(NULL AS BIGINT) AS r
+          |  FROM i JOIN s0 USING (et)
+          |  UNION ALL
+          |  SELECT rec.et, ser.idx, CAST($ln AS BIGINT) AS l,
+          |    CAST($bn AS BIGINT) AS b2,
+          |    list_concat(rec.ss[2:24], [CAST($sn AS BIGINT)]) AS ss,
+          |    CAST(ser.x - (rec.l + rec.b2 + rec.ss[1]) AS BIGINT) AS r
+          |  FROM rec JOIN ser ON ser.et = rec.et AND ser.idx = rec.t + 1),
+          |hw AS (SELECT et, CAST(SUM(r * r) AS BIGINT) AS sse_hw
+          |  FROM rec WHERE r IS NOT NULL GROUP BY 1),
+          |bl AS (SELECT et,
+          |  CAST(SUM(CASE WHEN idx >= 24
+          |    THEN (x - x24) * (x - x24) END) AS BIGINT) AS sse_snaive,
+          |  CAST(SUM(CASE WHEN idx >= 24
+          |    THEN (x - x1) * (x - x1) END) AS BIGINT) AS sse_naive
+          | FROM (SELECT et, idx, x,
+          |    LAG(x, 24) OVER (PARTITION BY et ORDER BY idx) AS x24,
+          |    LAG(x, 1) OVER (PARTITION BY et ORDER BY idx) AS x1 FROM ser)
+          | GROUP BY 1)
+          |SELECT hw.et AS event_type, CAST(n.nh - 24 AS BIGINT) AS n_scored,
+          | hw.sse_hw, bl.sse_snaive, bl.sse_naive,
+          | CASE WHEN sse_hw <= sse_snaive AND sse_hw <= sse_naive
+          |   THEN 'holt_winters'
+          |  WHEN sse_snaive <= sse_naive THEN 'seasonal_naive'
+          |  ELSE 'naive' END AS best_model
+          |FROM hw JOIN bl ON bl.et = hw.et JOIN n ON n.et = hw.et
+          |WHERE n.nh >= 48
+          |ORDER BY event_type ASC""".stripMargin
+      },
     "q167_holt_forecast_by_type" ->
       // q157's keyed recursive recurrence run to each key's terminal
       // state row (t = nh−1), then 24 projections per key — the
