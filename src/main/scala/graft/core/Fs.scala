@@ -1,6 +1,8 @@
 package graft.core
 
-import org.apache.hadoop.fs.Path
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileContext, Options, Path}
 import org.apache.spark.sql.SparkSession
 
 /** Hadoop-FileSystem path helpers for the serving layouts' sidecar
@@ -30,5 +32,114 @@ object Fs {
     val p = new Path(path)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) { fs.delete(p, true); () }
+  }
+
+  /** Whole-file UTF-8 read — the commit-pointer sidecars
+    * (`_INGEST_COMMIT`, CDC `VERSION`) are a few bytes; routing them
+    * through the path's own FileSystem is what makes the replay guard
+    * scheme-correct. `java.nio.file.Files` against an hdfs:// or
+    * s3a:// root silently reports "absent", so the guard never fires
+    * and a replayed micro-batch double-applies — the exact failure the
+    * pointer exists to prevent.
+    */
+  def readUtf8(s: SparkSession, path: String): String = {
+    val p = new Path(path)
+    val in = p.getFileSystem(s.sparkContext.hadoopConfiguration).open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
+      new String(out.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  /** Write `content` to `path` via write-tmp + overwrite-rename
+    * through [[FileContext]], whose `Rename.OVERWRITE` is the
+    * documented atomic pointer swap on HDFS (and a posix rename on
+    * file:). CAVEAT, stated not hidden: on object stores without
+    * atomic rename (plain s3a://) the swap is copy+delete — a reader
+    * can observe a missing pointer for an instant, which the
+    * ingest protocols tolerate (missing pointer reads as "nothing
+    * committed", and every batch apply is scrub-first idempotent), but
+    * deployments wanting a hard guarantee should put the pointer on a
+    * rename-atomic store (HDFS, S3+directory-bucket, abfs).
+    */
+  def writeUtf8Atomic(s: SparkSession, path: String, content: String): Unit = {
+    val p = new Path(path)
+    val tmp = new Path(path + ".tmp")
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    FileContext.getFileContext(p.toUri, conf)
+      .rename(tmp, p, Options.Rename.OVERWRITE)
+  }
+
+  /** Delete every file matching a Hadoop glob (e.g. the partitioned
+    * form "layout/tb=STAR/b7-STAR.parquet" with STAR = the glob
+    * wildcard) — the scrub step that makes a staged batch publish
+    * idempotent: a crashed half-published attempt's batch-tagged files
+    * are removed before the retry re-stages.
+    */
+  def deleteGlob(s: SparkSession, pattern: String): Unit = {
+    val p = new Path(pattern)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    Option(fs.globStatus(p)).toSeq.flatten
+      .foreach(st => fs.delete(st.getPath, false))
+  }
+
+  /** All data files under `root`, recursively, as (relative-dir,
+    * path) sorted by relative path — a DETERMINISTIC enumeration, so
+    * a publish retry assigns each staged file the same published name.
+    * Spark bookkeeping files (`_SUCCESS`, `.crc`, anything not
+    * `.parquet`) are skipped.
+    */
+  def listParquet(s: SparkSession, root: String): Seq[(String, Path)] = {
+    val rp = new Path(root)
+    val fs = rp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rp)) return Seq.empty
+    val it = fs.listFiles(rp, true)
+    val buf = Seq.newBuilder[(String, Path)]
+    val rootUri = fs.makeQualified(rp).toUri
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.endsWith(".parquet")) {
+        val rel = rootUri.relativize(fs.makeQualified(f).toUri).getPath
+        val relDir = rel.lastIndexOf('/') match {
+          case -1 => ""
+          case i  => rel.substring(0, i)
+        }
+        buf += ((relDir, f))
+      }
+    }
+    buf.result().sortBy { case (d, p) => (d, p.getName) }
+  }
+
+  /** PUBLISH a staged parquet tree into a live layout: every
+    * `.parquet` file under `stagedRoot` renames to
+    * `destRoot/<same-relative-dir>/<tag>-<k>.parquet` (k = the file's
+    * index in the deterministic [[listParquet]] order). Relative dirs
+    * are preserved, so a `partitionBy` staging tree lands under the
+    * live layout's matching partition dirs. Renames are per-file (a
+    * crash mid-publish leaves a prefix published) — callers get
+    * exactly-once END STATE by scrubbing `<tag>-*` files via
+    * [[deleteGlob]] before retrying, which is the
+    * [[graft.streaming.IngestCommit]] protocol.
+    */
+  def publishParquet(s: SparkSession, stagedRoot: String, destRoot: String,
+      tag: String): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = new Path(destRoot).getFileSystem(conf)
+    listParquet(s, stagedRoot).zipWithIndex.foreach {
+      case ((relDir, src), k) =>
+        val destDir =
+          if (relDir.isEmpty) new Path(destRoot)
+          else new Path(destRoot, relDir)
+        if (!fs.exists(destDir)) fs.mkdirs(destDir)
+        val dest = new Path(destDir, s"$tag-$k.parquet")
+        if (fs.exists(dest)) fs.delete(dest, false)
+        if (!fs.rename(src, dest))
+          throw new java.io.IOException(s"rename $src -> $dest failed")
+    }
   }
 }

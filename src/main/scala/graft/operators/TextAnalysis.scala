@@ -1677,6 +1677,28 @@ object TextAnalysis extends QueryPack {
       .write.mode("append").parquet(s"$path/_stats")
   }
 
+  /** [[bm25Append]]'s artifacts written to a STAGING root instead of
+    * the live layout — the write half of
+    * [[graft.streaming.IngestCommit]]'s staged-publish protocol
+    * (postings under `post/` with the same `partitionBy(tb)` tree the
+    * live layout uses, doc lengths under `docs/`, the one exact stats
+    * delta under `stats/`). Same tokenize-once discipline and same
+    * posting bytes as a direct append, so publish-by-rename lands a
+    * layout byte-equivalent to [[bm25Append]]'s.
+    */
+  def bm25AppendStage(docs: DataFrame, stagingRoot: String,
+      buckets: Int = 64): Unit = {
+    import docs.sparkSession.implicits._
+    val tokenized = bm25Tokenized(docs)
+    bm25Postings(tokenized, buckets)
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$stagingRoot/post")
+    bm25DocLens(tokenized).write.mode("overwrite")
+      .parquet(s"$stagingRoot/docs")
+    bm25DocLens(tokenized)
+      .agg(count(lit(1)).as("nd"), sum($"dl").as("tl"))
+      .write.mode("overwrite").parquet(s"$stagingRoot/stats")
+  }
+
   /** Tombstone DELETE — ivfDelete's LSM marker on the lexical layout:
     * deleted doc ids append to `_tombstones/` (underscore-hidden from
     * the base listing), probes filter live rows, and `_stats` gains

@@ -1,10 +1,9 @@
 package graft.streaming
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
-
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.core.Fs
 
 /** Streaming twin of the q125 CDC merge ([[graft.operators.Pipeline
   * .mergeApply]]): a delta FEED applied to a maintained snapshot via
@@ -38,34 +37,33 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object CdcApply {
 
-  private def versionFile(statePath: String) = Paths.get(statePath, "VERSION")
+  private def versionFile(statePath: String) = s"$statePath/VERSION"
 
   /** Seed the maintained snapshot; must run once before the stream. */
   def initState(snapshot: DataFrame, statePath: String): Unit = {
     snapshot.select("doc_id", "lang", "text")
       .write.mode("overwrite").parquet(s"$statePath/v_init")
-    commitPointer(statePath, -1L, "v_init")
+    commitPointer(snapshot.sparkSession, statePath, -1L, "v_init")
   }
 
-  /** (lastCommittedBatchId, dataDirName). */
-  def readPointer(statePath: String): (Long, String) = {
-    val parts = new String(Files.readAllBytes(versionFile(statePath)),
-      StandardCharsets.UTF_8).trim.split("\t")
+  /** (lastCommittedBatchId, dataDirName). Routed through the path's
+    * own Hadoop FileSystem ([[Fs.readUtf8]]) — a `java.nio` read is
+    * silently absent on hdfs://s3a:// roots, which would disable the
+    * replay guard and double-apply redelivered batches (round-13
+    * advice; same discipline as the `_tombstones` checks).
+    */
+  def readPointer(s: SparkSession, statePath: String): (Long, String) = {
+    val parts = Fs.readUtf8(s, versionFile(statePath)).trim.split("\t")
     (parts(0).toLong, parts(1))
   }
 
-  private def commitPointer(statePath: String, batchId: Long,
-      dir: String): Unit = {
-    val tmp = Paths.get(statePath, "VERSION.tmp")
-    Files.write(tmp, s"$batchId\t$dir".getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, versionFile(statePath),
-      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-  }
+  private def commitPointer(s: SparkSession, statePath: String,
+      batchId: Long, dir: String): Unit =
+    Fs.writeUtf8Atomic(s, versionFile(statePath), s"$batchId\t$dir")
 
   /** The current maintained snapshot (doc_id, lang, text). */
-  def currentState(spark: org.apache.spark.sql.SparkSession,
-      statePath: String): DataFrame = {
-    val (_, dir) = readPointer(statePath)
+  def currentState(spark: SparkSession, statePath: String): DataFrame = {
+    val (_, dir) = readPointer(spark, statePath)
     spark.read.parquet(s"$statePath/$dir")
   }
 
@@ -76,24 +74,30 @@ object CdcApply {
     * a batch id that never committed (readers must not silently get a
     * neighboring version).
     */
-  def stateAt(spark: org.apache.spark.sql.SparkSession,
-      statePath: String, batchId: Long): DataFrame = {
+  def stateAt(spark: SparkSession, statePath: String,
+      batchId: Long): DataFrame = {
     val dir = if (batchId < 0L) "v_init" else s"v$batchId"
-    require(Files.exists(Paths.get(statePath, dir)),
+    require(Fs.exists(spark, s"$statePath/$dir"),
       s"no committed version for batch $batchId under $statePath")
     spark.read.parquet(s"$statePath/$dir")
   }
 
-  /** Apply one delta batch; returns false (untouched state) on replay. */
+  /** Apply one delta batch; returns false (untouched state) on replay.
+    * Exactly-once on state by write-ahead: the new version dir is
+    * fully written BEFORE the pointer swaps, versions are never
+    * rewritten in place, and a crash between the two re-runs the batch
+    * against the still-live previous version — the rewrite of
+    * `v<batchId>` on retry converges to the clean-run state.
+    */
   def applyBatch(batch: DataFrame, batchId: Long,
       statePath: String): Boolean = {
-    val (committed, dir) = readPointer(statePath)
+    val (committed, dir) = readPointer(batch.sparkSession, statePath)
     if (batchId <= committed) return false
     val cur = batch.sparkSession.read.parquet(s"$statePath/$dir")
     graft.operators.Pipeline.mergeApply(cur, batch)
       .select("doc_id", "lang", "text")
       .write.mode("overwrite").parquet(s"$statePath/v$batchId")
-    commitPointer(statePath, batchId, s"v$batchId")
+    commitPointer(batch.sparkSession, statePath, batchId, s"v$batchId")
     true
   }
 

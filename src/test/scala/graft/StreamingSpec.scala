@@ -1330,7 +1330,7 @@ class StreamingSpec extends SparkTestBase {
       .agg(fsum("nd"), fsum("tl")).head()
     val before = (stats().getLong(0), stats().getLong(1),
       spark.read.parquet(tmp).count())
-    val committed = graft.streaming.Bm25Ingest.committedBatch(tmp)
+    val committed = graft.streaming.Bm25Ingest.committedBatch(spark, tmp)
     assert(committed >= 0L)
     assert(!graft.streaming.Bm25Ingest.applyBatch(
       docs.limit(5), committed, tmp), "replay must be refused")
@@ -1540,10 +1540,10 @@ class StreamingSpec extends SparkTestBase {
     // replay guard: re-delivering the last committed batch id must
     // not touch state (foreachBatch is at-least-once; the pointer
     // makes the apply exactly-once)
-    val (committed, dir) = CdcApply.readPointer(statePath)
+    val (committed, dir) = CdcApply.readPointer(spark, statePath)
     assert(committed >= 1L)
     assert(!CdcApply.applyBatch(d2df, committed, statePath))
-    assert(CdcApply.readPointer(statePath) == ((committed, dir)))
+    assert(CdcApply.readPointer(spark, statePath) == ((committed, dir)))
     assert(canon(CdcApply.currentState(spark, statePath)) == got)
     // TIME TRAVEL: every committed version stays readable — the seed
     // is the original docs, batch 0 is merge(docs, δ1), and reading a
@@ -1616,5 +1616,112 @@ class StreamingSpec extends SparkTestBase {
       docs.length / 7)).map(_.toSeq).toSeq)
     assert(emitted.toSet == emitted2.toSet,
       "emissions diverged under re-slicing")
+  }
+
+  test("ingest commit protocol: a crash mid-publish (postings renamed " +
+    "in, sidecars and pointer missing) converges to the clean-run end " +
+    "state on redelivery — driven through an explicit file: scheme so " +
+    "every pointer/scrub op resolves its FileSystem, never assumes " +
+    "local paths") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    import graft.streaming.{Bm25Ingest, IngestCommit}
+    import org.apache.spark.sql.functions.{sum => fsum}
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .localCheckpoint(false)
+    val base = docs.filter($"doc_id" % 2 === 0)
+    val delta = docs.filter($"doc_id" % 2 =!= 0)
+      .select($"doc_id", $"lang", $"text").localCheckpoint(false)
+    // the scheme-qualified root: java.nio would silently no-op here
+    val crash = "file:" +
+      java.nio.file.Files.createTempDirectory("bm25crash").toString
+    val ctrl = java.nio.file.Files.createTempDirectory("bm25ctrl").toString
+    TextAnalysis.bm25IndexWrite(base, crash)
+    TextAnalysis.bm25IndexWrite(base, ctrl)
+    assert(Bm25Ingest.applyBatch(delta, 0L, ctrl), "clean apply")
+    // simulated crash: stage the batch and publish ONLY the postings
+    // artifact — no _docs, no _stats, no pointer commit (the exact
+    // window the round-13 advice flagged on the append-then-commit
+    // protocol)
+    val staged = IngestCommit.stagingDir(crash, 0L)
+    TextAnalysis.bm25AppendStage(delta, staged)
+    graft.core.Fs.publishParquet(spark, s"$staged/post", crash,
+      IngestCommit.tag(0L))
+    assert(Bm25Ingest.committedBatch(spark, crash) == -1L,
+      "crash left nothing committed")
+    // redelivery: the scrub must remove the orphan tagged postings and
+    // the retry must land the clean-run layout exactly once
+    assert(Bm25Ingest.applyBatch(delta, 0L, crash), "retry applies")
+    assert(Bm25Ingest.committedBatch(spark, crash) == 0L)
+    def census(p: String) = (
+      spark.read.parquet(p).count(),
+      spark.read.parquet(s"$p/_docs").count(),
+      spark.read.parquet(s"$p/_stats")
+        .agg(fsum("nd"), fsum("tl")).head().toSeq)
+    assert(census(crash) == census(ctrl),
+      "crash-retry layout diverges from the clean run")
+    assert(TextAnalysis.bm25Probe(spark, crash, TextAnalysis.Bm25Query)
+        .collect().toSeq ==
+      TextAnalysis.bm25Probe(spark, ctrl, TextAnalysis.Bm25Query)
+        .collect().toSeq, "probe diverges after crash-retry")
+    // staging dir cleaned; replay of the committed id refused untouched
+    assert(!graft.core.Fs.exists(spark, staged))
+    assert(!Bm25Ingest.applyBatch(delta, 0L, crash), "replay refused")
+    assert(census(crash) == census(ctrl))
+    spark.catalog.clearCache()
+  }
+
+  test("ivf ingest stream: probe after streaming an embedding batch in " +
+    "slices equals batch ivfAppend of the same rows; replayed " +
+    "micro-batches leave the layout untouched") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    import graft.streaming.IvfIngest
+    implicit val sc = spark.sqlContext
+    val rootA = java.nio.file.Files.createTempDirectory("ivfingA").toString
+    val rootB = java.nio.file.Files.createTempDirectory("ivfingB").toString
+    // ivfLearned is deterministic (integer-snapped Lloyd), so two
+    // setups from the same corpus are identical layouts
+    Similarity.ivfServingSetup(spark, sfDir, rootA)
+    Similarity.ivfServingSetup(spark, sfDir, rootB)
+    val maxId = spark.read.parquet(s"$rootA/index")
+      .agg(max($"vec_id")).head().getLong(0)
+    // the "new crawl batch": existing vectors re-keyed past the max id
+    val delta = graft.core.Tables.embeddings(spark, sfDir)
+      .filter($"vec_id" % 5 === 1)
+      .select(($"vec_id" + maxId + 1L).as("vec_id"), $"embedding")
+      .localCheckpoint(false)
+    val rows = delta.as[(Long, Seq[Float])].collect().toSeq
+    val ckpt = java.nio.file.Files.createTempDirectory("ivfing_ck").toString
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = IvfIngest.ivfIngestStream(
+      input.toDF().toDF("vec_id", "embedding"), rootA, ckpt)
+    try rows.grouped(rows.size / 3 + 1).foreach { s =>
+      input.addData(s); q.processAllAvailable()
+    } finally q.stop()
+    // control: ONE batch ivfAppend of the same rows against the same
+    // frozen centroids
+    Similarity.ivfAppend(delta,
+      spark.read.parquet(s"$rootB/_cents"), s"$rootB/index")
+    def census(root: String) = spark.read.parquet(s"$root/index")
+      .groupBy($"cell").agg(count(lit(1)).as("n"), sum($"vec_id").as("sv"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(census(rootA) == census(rootB),
+      "streamed cells diverge from batch ivfAppend")
+    assert(Similarity.ivfProbeStored(spark, rootA,
+        excludeVecId = Some(0L)).collect().toSeq ==
+      Similarity.ivfProbeStored(spark, rootB,
+        excludeVecId = Some(0L)).collect().toSeq,
+      "probe after streamed ingest diverges from batch append")
+    // replay: an already-committed batch id is refused untouched
+    val committed = IvfIngest.committedBatch(spark, rootA)
+    assert(committed >= 0L)
+    val before = census(rootA)
+    assert(!IvfIngest.applyBatch(delta.limit(5), committed, rootA),
+      "replay must be refused")
+    assert(census(rootA) == before,
+      "replayed batch must leave the layout untouched")
+    spark.catalog.clearCache()
   }
 }
