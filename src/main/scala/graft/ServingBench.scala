@@ -126,14 +126,22 @@ object ServingBench {
       }
       name -> times.min
     }
-    // pruning evidence: run each probe once more to a collected result
-    // and read the scan metrics off the executed plan
-    def pruned(name: String, root: String): (Long, Long) = {
-      val df = queries.find(_._1 == name).get._2()
+    // pruning evidence: run each probe's PHYSICAL READ once more to a
+    // collected result and read the scan metrics off the executed
+    // plan. For bm25 that read is bm25LivePostings — the probe itself
+    // wraps a lazy localCheckpoint around it (one scan feeding both
+    // the df/idf and scoring passes), which replaces the scan with an
+    // RDD in the probe's own executed plan and hides the metrics
+    // (round-13 advice); the pre-checkpoint frame IS the plan the
+    // checkpoint materializes, so its scan stats are the probe's.
+    def pruned(df: DataFrame, root: String): (Long, Long) = {
       df.collect(); scanStats(df, root)
     }
-    val (bmFiles, bmBytes) = pruned("bm25_probe_only", "bm25")
-    val (ivFiles, ivBytes) = pruned("ivf_probe_only", "ivf/index")
+    val (bmFiles, bmBytes) = pruned(
+      TextAnalysis.bm25LivePostings(spark, bm25Root, TextAnalysis.Bm25Query),
+      "bm25")
+    val (ivFiles, ivBytes) = pruned(
+      queries.find(_._1 == "ivf_probe_only").get._2(), "ivf/index")
     val (bmTotF, bmTotB) = layoutTotals(bm25Root)
     val (ivTotF, ivTotB) = layoutTotals(s"$ivfRoot/index")
 

@@ -1765,33 +1765,47 @@ object TextAnalysis extends QueryPack {
     * same corpus and query — the oracle gate proves the LAYOUT, not
     * just the formula.
     */
+  /** The pruned LIVE postings frame for a term set — the physical
+    * read both probe forms run: a partition-pruned scan of the terms'
+    * buckets (bucket ids evaluate on a literal-only plan, so the
+    * filter carries LITERALS the planner prunes with) with the
+    * broadcast tombstone anti-join above it. Exposed PRE-checkpoint so
+    * ServingBench can measure files/bytes read off THIS plan's
+    * FileSourceScan — the probes wrap a lazy localCheckpoint around it
+    * (the scan feeds both the df/idf and scoring passes), which
+    * replaces the scan with an RDD in their own executed plans and
+    * hides the pruning evidence (round-13 advice).
+    */
+  def bm25LivePostings(s: SparkSession, path: String, terms: Seq[String],
+      buckets: Int = 64): DataFrame = {
+    import s.implicits._
+    val tbs = s.range(1).select(
+      terms.map(t => pmod(xxhash64(lit(t)), lit(buckets.toLong)).as(t)): _*)
+      .head().toSeq.map(_.asInstanceOf[Long]).distinct
+    val postBase = s.read.parquet(path)
+      .filter($"tb".isin(tbs: _*) && $"tok".isin(terms: _*))
+    // live view: tombstoned docs drop out BEFORE df/idf, so a probe
+    // equals a rebuild-without-those-docs (the ivfReadLive discipline;
+    // the anti-join sits above the pruned scan, pruning intact)
+    if (!graft.core.Fs.exists(s, s"$path/_tombstones")) postBase
+    else postBase.join(
+      broadcast(s.read.parquet(s"$path/_tombstones").distinct()),
+      Seq("doc_id"), "left_anti")
+  }
+
   def bm25Probe(s: SparkSession, path: String, terms: Seq[String],
       k: Int = 10, buckets: Int = 64): DataFrame = {
     import s.implicits._
     val k1 = 1.2; val b = 0.75
-    val tbs = s.range(1).select(
-      terms.map(t => pmod(xxhash64(lit(t)), lit(buckets.toLong)).as(t)): _*)
-      .head().toSeq.map(_.asInstanceOf[Long]).distinct
     // `_stats` is append-delta structured (build row + one row per
     // append/delete): the live corpus stats are the SUM of the rows
     val stats = broadcast(s.read.parquet(s"$path/_stats")
       .agg(sum($"nd").as("nd"), sum($"tl").as("tl")))
-    val postBase = s.read.parquet(path)
-      .filter($"tb".isin(tbs: _*) && $"tok".isin(terms: _*))
-    // live view: tombstoned docs drop out BEFORE df/idf, so the probe
-    // equals a rebuild-without-those-docs (the ivfReadLive discipline;
-    // the anti-join sits above the pruned scan, pruning intact).
-    // Lazily checkpointed: the live postings feed BOTH the df/idf pass
+    // lazily checkpointed: the live postings feed BOTH the df/idf pass
     // and the scoring pass — without reuse the pruned scan (and the
     // tombstone anti-join) runs twice (ScanAudit finding)
-    val post = {
-      val p0 =
-        if (!graft.core.Fs.exists(s, s"$path/_tombstones")) postBase
-        else postBase.join(
-          broadcast(s.read.parquet(s"$path/_tombstones").distinct()),
-          Seq("doc_id"), "left_anti")
-      p0.localCheckpoint(false)
-    }
+    val post = bm25LivePostings(s, path, terms, buckets)
+      .localCheckpoint(false)
     val idf = broadcast(post.groupBy($"tok")
       .agg(countDistinct($"doc_id").as("df"))
       .crossJoin(stats)
@@ -1832,26 +1846,16 @@ object TextAnalysis extends QueryPack {
     import s.implicits._
     val k1 = 1.2; val b = 0.75
     val allTerms = queryTerms.flatMap(_._2).distinct
-    val tbs = s.range(1).select(
-      allTerms.map(t => pmod(xxhash64(lit(t)), lit(buckets.toLong)).as(t)): _*)
-      .head().toSeq.map(_.asInstanceOf[Long]).distinct
     val qt = broadcast(
       queryTerms.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
         .toDF("query_id", "tok"))
     val stats = broadcast(s.read.parquet(s"$path/_stats")
       .agg(sum($"nd").as("nd"), sum($"tl").as("tl")))
-    val postBase = s.read.parquet(path)
-      .filter($"tb".isin(tbs: _*) && $"tok".isin(allTerms: _*))
     // same one-scan reuse as bm25Probe: the live postings feed df/idf
-    // AND the scoring fan-out
-    val post = {
-      val p0 =
-        if (!graft.core.Fs.exists(s, s"$path/_tombstones")) postBase
-        else postBase.join(
-          broadcast(s.read.parquet(s"$path/_tombstones").distinct()),
-          Seq("doc_id"), "left_anti")
-      p0.localCheckpoint(false)
-    }
+    // AND the scoring fan-out (pruned to the UNION of all queries'
+    // term buckets)
+    val post = bm25LivePostings(s, path, allTerms, buckets)
+      .localCheckpoint(false)
     val idf = broadcast(post.groupBy($"tok")
       .agg(countDistinct($"doc_id").as("df"))
       .crossJoin(stats)
