@@ -156,6 +156,18 @@ class BenchHarnessSpec extends SparkTestBase {
       Bench.quietRatioJson(Seq("q1" -> Seq(1.0)), Map("q1" -> 1.0)))
     assert(qr.get("note").asText().contains("diagnostic"))
     assert(qr.get("note").asText().contains("self-measured"))
+    // rendered anchors FLOOR, never round up: a re-read value must be
+    // <= the measured min for ANY input (ADVICE r13 — %.4f half-up
+    // could write a merged min 5e-5 high, raising an anchor)
+    Seq(0.12345999, 0.99999, 1.00005, 2.0, 0.00004).foreach { m =>
+      val dir = java.nio.file.Files.createTempDirectory("anchor_fl")
+      val p = dir.resolve("a.json")
+      java.nio.file.Files.write(p,
+        Bench.renderAnchor(Map("q" -> m)).getBytes("UTF-8"))
+      val got = Bench.readAnchor(p.toString)("q")
+      assert(got <= m && m - got < 1e-4,
+        s"floor rule violated: $m rendered as $got")
+    }
   }
 
   test("writeLine persists the exact line and reports the absolute path") {
