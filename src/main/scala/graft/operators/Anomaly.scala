@@ -172,6 +172,69 @@ object Anomaly extends QueryPack {
       .orderBy($"event_type".asc)
   }
 
+  // --- q171: per-type quantiles over PACKED cents maps ------------------------
+  /** q152's answer computed through the STREAM'S state shape — the
+    * last batch↔stream asymmetry in the detector/sketch matrix:
+    * [[graft.streaming.AnomalyStream.quantileStream]] keeps one
+    * cents→count map per event type and selects ranks row-locally at
+    * emission; this is the identical plan as a batch — the (type,
+    * cents) rollup packs to ONE sorted-array row per type (the q148
+    * packed-spine pattern applied to the value domain instead of the
+    * time domain), and all three rank selections are a single
+    * row-local fold over that array. No cumsum window at all: q152
+    * pays two window passes over the bounded value table; here
+    * everything after the rollup is row-local work on |type| rows,
+    * which is the shape that shards freely at 100 TB (the key is the
+    * shard, exactly like every other keyed detector).
+    *
+    * Output adds `n_state` (distinct cents values = the entries in
+    * the stream's per-key map) — the operational state-size census a
+    * deployment watches to know the bounded-domain contract still
+    * holds before the map outgrows executor memory.
+    *
+    * Scale shape: ONE map-combined data-sized rollup (the only
+    * data-sized stage), one bounded shuffle to pack, row-local
+    * selection. Oracle: q152's integer rank rule verbatim + the
+    * per-group entry count.
+    */
+  def q171QuantilesPacked(s: SparkSession, dir: String): DataFrame =
+    quantilesPacked(Tables.events(s, dir))
+
+  def quantilesPacked(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val packed = events
+      .select($"event_type", round($"value" * 100).cast("long").as("c"))
+      .groupBy($"event_type", $"c").agg(count(lit(1)).as("n"))
+      .groupBy($"event_type")
+      .agg(sort_array(collect_list(struct($"c", $"n"))).as("p"),
+        sum($"n").as("tot"), count(lit(1)).as("n_state"))
+    // one fold pass selects all three ranks: carry the running cum and
+    // capture the FIRST value satisfying each rank rule (null until
+    // hit — a sentinel value would collide with negative-cents
+    // domains). Interpreted HOF, deliberately: the frame is |type|
+    // rows here and |key| rows in general — never data-sized.
+    val nul = lit(null).cast("long")
+    val folded = aggregate($"p",
+      struct(lit(0L).as("cum"), nul.as("a50"), nul.as("a90"),
+        nul.as("a99")),
+      (acc, x) => {
+        val cum = acc.getField("cum") + x.getField("n")
+        def pick(prev: Column, p100: Int): Column =
+          when(prev.isNotNull, prev)
+            .otherwise(when(cum * 100 >= $"tot" * p100, x.getField("c")))
+        struct(cum.as("cum"),
+          pick(acc.getField("a50"), 50).as("a50"),
+          pick(acc.getField("a90"), 90).as("a90"),
+          pick(acc.getField("a99"), 99).as("a99"))
+      })
+    packed.withColumn("f", folded)
+      .select($"event_type", $"tot".as("n"), $"n_state",
+        ($"f.a50".cast("double") / 100.0).as("p50"),
+        ($"f.a90".cast("double") / 100.0).as("p90"),
+        ($"f.a99".cast("double") / 100.0).as("p99"))
+      .orderBy($"event_type".asc)
+  }
+
   // --- q47: seasonal baseline (hour-of-day slot) outliers ------------------
   /** Telemetry seasonality: each event compares against the statistics
     * of its own (event_type, hour-of-day) slot — a spike at 3am is
@@ -1138,6 +1201,7 @@ object Anomaly extends QueryPack {
     "q146_backtest"       -> (q146Backtest _),
     "q148_holt_by_type"   -> (q148HoltByType _),
     "q152_exact_quantiles" -> (q152ExactQuantiles _),
+    "q171_quantiles_packed" -> (q171QuantilesPacked _),
     "q153_residual_cusum"  -> (q153ResidualCusum _),
     "q154_detector_ensemble" -> (q154DetectorEnsemble _),
     "q155_cusum_by_type"   -> (q155CusumByType _),
@@ -1425,6 +1489,29 @@ object Anomaly extends QueryPack {
         |  CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS tot
         | FROM c)
         |SELECT event_type, MAX(tot) AS n,
+        | CAST(MIN(CASE WHEN cum * 100 >= tot * 50 THEN c END) AS DOUBLE)
+        |   / 100.0 AS p50,
+        | CAST(MIN(CASE WHEN cum * 100 >= tot * 90 THEN c END) AS DOUBLE)
+        |   / 100.0 AS p90,
+        | CAST(MIN(CASE WHEN cum * 100 >= tot * 99 THEN c END) AS DOUBLE)
+        |   / 100.0 AS p99
+        |FROM r GROUP BY 1 ORDER BY event_type ASC""".stripMargin,
+    "q171_quantiles_packed" ->
+      // q152's integer rank rule verbatim + the per-group entry count
+      // (the stream's per-key map size) — the packed plan must land
+      // the identical quantiles
+      """WITH c AS (SELECT event_type,
+        |  CAST(ROUND(value * 100) AS BIGINT) AS c,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        | FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, c, n,
+        |  CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY c
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum,
+        |  CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+        | FROM c)
+        |SELECT event_type, MAX(tot) AS n,
+        | CAST(COUNT(*) AS BIGINT) AS n_state,
         | CAST(MIN(CASE WHEN cum * 100 >= tot * 50 THEN c END) AS DOUBLE)
         |   / 100.0 AS p50,
         | CAST(MIN(CASE WHEN cum * 100 >= tot * 90 THEN c END) AS DOUBLE)

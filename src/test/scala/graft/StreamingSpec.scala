@@ -1201,6 +1201,19 @@ class StreamingSpec extends SparkTestBase {
       assert((one(k).p50, one(k).p90, one(k).p99) == ((p50, p90, p99)),
         s"stream snapshot for $k diverges from batch q152")
     }
+    // the PACKED batch plan (q171 — the stream's per-key map as one
+    // sorted-array row, row-local rank selection) lands the identical
+    // quantiles, and its n_state is the stream's state-size census
+    // (1 <= distinct cents <= row count)
+    val packedQ = graft.operators.Anomaly.q171QuantilesPacked(spark, sfDir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(packedQ.keySet == batch.keySet)
+    packedQ.foreach { case (k, (n, nState, p50, p90, p99)) =>
+      assert((p50, p90, p99) == batch(k),
+        s"packed q171 quantiles for $k diverge from q152")
+      assert(nState >= 1L && nState <= n)
+    }
   }
 
   test("keyed discord stream: per-type final snapshots equal the batch " +
