@@ -1925,6 +1925,109 @@ object TextAnalysis extends QueryPack {
     bm25Probe(s, path, Bm25Query)
   }
 
+  // --- q172: compaction-policy census over the serving layouts ---------------
+  /** The operational "compact now?" decision every LSM-style serving
+    * fleet runs on a schedule, as one oracle row per layout: tombstone
+    * deletes ([[bm25Delete]] / Similarity.ivfDelete) leave DEAD rows
+    * in the immutable base files — logically invisible to probes, but
+    * their bytes are still scanned and anti-joined on every query —
+    * and this census reads each layout's base + `_tombstones` sidecar
+    * to report how much of the physical layout is dead: (layout,
+    * n_total, n_dead, dead_frac, compact_now), with compact_now =
+    * dead_frac ≥ `threshold` (the policy knob; compaction cost is a
+    * full rewrite, so fleets trigger at 10–30% dead). Composes the
+    * q162 (bm25) and q158 (ivf) maintenance parts into the decision
+    * row that schedules [[bm25Compact]] / Similarity.ivfCompact.
+    *
+    * Scale shape: one scan + one broadcast tombstone join per layout
+    * (tombstone sets are bounded by deletes-since-compaction — the
+    * same broadcast contract the probes rely on), aggregated to one
+    * row each; dead-rows-per-bucket (the skew view — one hot bucket
+    * can be 90% dead while the layout average looks healthy) rides
+    * [[bm25DeadByBucket]], spec-pinned to sum to this census.
+    */
+  def compactionCensus(s: SparkSession, bm25Path: String,
+      ivfIndexPath: String, threshold: Double): DataFrame = {
+    import s.implicits._
+    def leg(name: String, base: DataFrame, idCol: String): DataFrame = {
+      val tombPath = (if (name == "bm25") bm25Path else ivfIndexPath) +
+        "/_tombstones"
+      val dead =
+        if (!graft.core.Fs.exists(s, tombPath)) lit(0L)
+        else coalesce($"is_dead", lit(0L))
+      val flagged =
+        if (!graft.core.Fs.exists(s, tombPath)) base
+        else base.join(
+          broadcast(s.read.parquet(tombPath).distinct()
+            .withColumn("is_dead", lit(1L))),
+          Seq(idCol), "left")
+      flagged
+        .agg(count(lit(1)).as("n_total"), sum(dead).as("n_dead"))
+        .select(lit(name).as("layout"), $"n_total", $"n_dead",
+          graft.core.Exact.dround(
+            $"n_dead".cast("double") / $"n_total".cast("double"), 4)
+            .as("dead_frac"))
+        .withColumn("compact_now",
+          when($"dead_frac" >= threshold, 1L).otherwise(0L))
+    }
+    leg("bm25", s.read.parquet(bm25Path), "doc_id")
+      .unionByName(leg("ivf", s.read.parquet(ivfIndexPath), "vec_id"))
+      .orderBy($"layout".asc)
+  }
+
+  /** The per-bucket skew view of the census: dead/total posting rows
+    * per `tb` partition (bucket bytes are proportional to posting rows
+    * — fixed-grain rows — so dead row fraction IS the reclaimable-byte
+    * fraction per bucket). Spec-pinned to sum to [[compactionCensus]]'
+    * bm25 row; a deployment compacts per-bucket when one hot bucket
+    * outruns the layout average (parquet partition dirs rewrite
+    * independently).
+    */
+  def bm25DeadByBucket(s: SparkSession, path: String): DataFrame = {
+    import s.implicits._
+    val base = s.read.parquet(path)
+    val tombPath = s"$path/_tombstones"
+    val flagged =
+      if (!graft.core.Fs.exists(s, tombPath))
+        base.withColumn("is_dead", lit(0L))
+      else base.join(
+        broadcast(s.read.parquet(tombPath).distinct()
+          .withColumn("is_dead", lit(1L))),
+        Seq("doc_id"), "left")
+    flagged
+      .groupBy($"tb")
+      .agg(count(lit(1)).as("n_total"),
+        sum(coalesce($"is_dead", lit(0L))).as("n_dead"))
+      .orderBy($"tb".asc)
+  }
+
+  /** Build-then-mutate both serving layouts, then the census as one
+    * oracle row pair: bm25 built on the full corpus with q162's
+    * takedown rule (doc_id ≡ 3 mod 7) tombstoned; ivf via the learned
+    * serving setup with q158's rule (vec_id ≡ 3 mod 7) tombstoned.
+    * 1/7 ≈ 14.3% dead against a 10% policy threshold → both layouts
+    * vote compact — and the fractions are hash-gated, so the decision
+    * inputs are exact, not a sampled estimate.
+    */
+  def q172CompactionCensus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bmPath = bm25TempIndexPath(dir) + "_census"
+    val ivfRoot = bm25TempIndexPath(dir) + "_ivfcensus"
+    Seq(bmPath, ivfRoot).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(p)
+    }
+    val docs = Tables.documents(s, dir)
+    bm25IndexWrite(docs, bmPath)
+    bm25Delete(docs.filter($"doc_id" % 7 === 3).select($"doc_id"), bmPath)
+    Similarity.ivfServingSetup(s, dir, ivfRoot)
+    Similarity.ivfDelete(
+      Tables.embeddings(s, dir).filter($"vec_id" % 7 === 3)
+        .select($"vec_id"),
+      s"$ivfRoot/index")
+    compactionCensus(s, bmPath, s"$ivfRoot/index", threshold = 0.10)
+  }
+
   /** One DETERMINISTIC temp root per corpus dir: every invocation
     * (3+ bench reps per round) overwrites the same layout instead of
     * leaking a fresh corpus-sized index per rep, and the Hadoop
@@ -2018,6 +2121,7 @@ object TextAnalysis extends QueryPack {
     "q164_bm25_batch_probe"  -> (q164Bm25BatchProbe _),
     "q168_filter_cascade"    -> (q168FilterCascade _),
     "q169_dedup_takedown"    -> (q169DedupTakedown _),
+    "q172_compaction_census" -> (q172CompactionCensus _),
     "q122_pmi_pairs"         -> (q122PmiPairs _),
     "q120_bpe_sweep"         -> (q120BpeSweep _),
     "q119_zipf_slope"        -> (q119ZipfSlope _),
@@ -2138,6 +2242,33 @@ object TextAnalysis extends QueryPack {
         |   AS rel_err,
         | reg_checksum
         |FROM e3 JOIN ex ON e3.grp = ex.grp""".stripMargin,
+    "q172_compaction_census" ->
+      // the decision inputs recomputed from first principles: bm25
+      // dead postings = distinct (tok, doc) pairs of the tombstoned
+      // docs (q162's takedown rule), ivf dead vectors = q158's rule
+      // over embeddings; compact_now = rounded dead_frac >= 0.10
+      s"""WITH d AS (SELECT doc_id,
+         |  list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+         | FROM documents),
+         |post AS (SELECT DISTINCT doc_id, tok
+         | FROM (SELECT doc_id, unnest(toks) AS tok FROM d)),
+         |b AS (SELECT 'bm25' AS layout,
+         |  CAST(COUNT(*) AS BIGINT) AS n_total,
+         |  CAST(SUM(CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dead FROM post),
+         |i AS (SELECT 'ivf' AS layout,
+         |  CAST(COUNT(*) AS BIGINT) AS n_total,
+         |  CAST(SUM(CASE WHEN vec_id % 7 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dead FROM embeddings),
+         |u AS (SELECT * FROM b UNION ALL SELECT * FROM i)
+         |SELECT layout, n_total, n_dead,
+         | ${graft.core.Exact.sqlDround(
+             "CAST(n_dead AS DOUBLE) / CAST(n_total AS DOUBLE)", 4)}
+         |   AS dead_frac,
+         | CAST(CASE WHEN ${graft.core.Exact.sqlDround(
+             "CAST(n_dead AS DOUBLE) / CAST(n_total AS DOUBLE)", 4)}
+         |   >= 0.10 THEN 1 ELSE 0 END AS BIGINT) AS compact_now
+         |FROM u ORDER BY layout ASC""".stripMargin,
     "q169_dedup_takedown" ->
       // probe-after-takedown == rebuild over the exact-dedup KEEPERS
       // (q25's min-doc_id-per-fingerprint rule as the oracle predicate)

@@ -2898,4 +2898,42 @@ class PipelineOpsSpec extends SparkTestBase {
       assert(scores.forall(_ >= 0.0))
     }
   }
+
+  test("q172 compaction census: per-bucket dead/total rows sum to the " +
+    "layout-level census, cover exactly the layout's tb partitions, and " +
+    "a fresh (undeleted) layout votes no-compact with zero dead") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val path = java.nio.file.Files
+      .createTempDirectory("bm25census").toString
+    val ivfRoot = java.nio.file.Files
+      .createTempDirectory("ivfcensus").toString
+    TextAnalysis.bm25IndexWrite(docs, path)
+    graft.operators.Similarity.ivfServingSetup(spark, sfDir, ivfRoot)
+    val ivfIdx = s"$ivfRoot/index"
+    // fresh layouts: no tombstones -> 0 dead everywhere, compact_now=0
+    val fresh = TextAnalysis.compactionCensus(spark, path, ivfIdx, 0.10)
+      .collect()
+    assert(fresh.forall(r => r.getLong(2) == 0L && r.getLong(4) == 0L))
+    TextAnalysis.bm25Delete(
+      docs.filter($"doc_id" % 7 === 3).select($"doc_id"), path)
+    val census = TextAnalysis.compactionCensus(spark, path, ivfIdx, 0.10)
+      .filter($"layout" === "bm25").head()
+    val byBucket = TextAnalysis.bm25DeadByBucket(spark, path).collect()
+    assert(byBucket.map(_.getLong(1)).sum == census.getLong(1),
+      "per-bucket totals must sum to the layout census")
+    assert(byBucket.map(_.getLong(2)).sum == census.getLong(2),
+      "per-bucket dead rows must sum to the layout census")
+    // bucket set == the layout's physical tb partition dirs
+    val dirs = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("tb="))
+      .map(_.getName.stripPrefix("tb=").toLong).toSet
+    // tb reads back int32 from partition-dir inference
+    assert(byBucket.map(_.getAs[Number](0).longValue).toSet == dirs)
+    // 1/7 of docs tombstoned -> the layout votes compact at a 10%
+    // threshold, and dead_frac is in a sane band around 1/7
+    assert(census.getLong(4) == 1L)
+    assert(census.getDouble(3) > 0.05 && census.getDouble(3) < 0.30)
+  }
 }
