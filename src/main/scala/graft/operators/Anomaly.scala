@@ -878,15 +878,16 @@ object Anomaly extends QueryPack {
     * per key, each on the key's OWN dense hour spine.
     */
   private[graft] def packedHourlySeriesBy(events: DataFrame,
-      key: String): DataFrame = {
+      key: String, checkpointDir: Option[String] = None): DataFrame = {
     import events.sparkSession.implicits._
     // same one-scan discipline as packedHourlySeries: the keyed rollup
     // is consumed twice (per-key bounds + dense join), so checkpoint it
-    val e = events
+    // (durably when the caller threads a reliable dir — Ckpt's rule)
+    val e = graft.core.Ckpt.truncate(events
       .groupBy(col(key),
         expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("hi"))
-      .agg(sum(round($"value" * 100).cast("long")).as("x0"))
-      .localCheckpoint(false)
+      .agg(sum(round($"value" * 100).cast("long")).as("x0")),
+      eager = false, checkpointDir)
     val b = e.groupBy(col(key)).agg(min($"hi").as("mn"), max($"hi").as("mx"))
     b.select(col(key), $"mn", explode(sequence($"mn", $"mx")).as("hi"))
       .join(e, Seq(key, "hi"), "left").na.fill(0L, Seq("x0"))
@@ -1101,11 +1102,26 @@ object Anomaly extends QueryPack {
     * rows. PlanSpec pins the one-scan plan. The union is ≤4·|types|
     * rows.
     */
-  def q161KeyedEnsemble(s: SparkSession, dir: String): DataFrame = {
+  def q161KeyedEnsemble(s: SparkSession, dir: String): DataFrame =
+    keyedEnsembleCensus(Tables.events(s, dir))
+
+  /** q161 over any events frame, with the durable-checkpoint knob: the
+    * shared packed spine and the one keyed Holt fold are each consumed
+    * by multiple detector branches, so both are checkpointed —
+    * localCheckpoint by default, reliable checkpoint(dir) when a
+    * cluster caller passes `checkpointDir` (see [[graft.core.Ckpt]];
+    * spec pins identical censuses through the durable path).
+    */
+  def keyedEnsembleCensus(events: DataFrame,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val s = events.sparkSession
     import s.implicits._
-    val packed = packedHourlySeriesBy(Tables.events(s, dir), "event_type")
-      .localCheckpoint(false)
-    val fold = holtFoldPacked(packed).localCheckpoint(false)
+    graft.core.Ckpt.init(events, checkpointDir)
+    val packed = graft.core.Ckpt.truncate(
+      packedHourlySeriesBy(events, "event_type", checkpointDir),
+      eager = false, checkpointDir)
+    val fold = graft.core.Ckpt.truncate(holtFoldPacked(packed),
+      eager = false, checkpointDir)
     Seq(
       cusumByTypePacked(packed)
         .select($"event_type", $"hour_h", lit("cusum").as("det")),

@@ -200,8 +200,15 @@ object Dedup extends QueryPack {
     * drop" — the eager-checkpoint + isEmpty spelling paid a second
     * scheduler round trip per round for the same scan.
     */
-  def connectedComponents(links: DataFrame, maxRounds: Int = 48): DataFrame =
-    connectedComponentsWithRounds(links, maxRounds)._1
+  /** `checkpointDir = Some(hdfsRoot)` switches every round's lineage
+    * truncation from localCheckpoint to reliable checkpoint(dir) —
+    * the executor-loss-safe spelling a preemptible 1000-executor run
+    * needs (see [[graft.core.Ckpt]]); labels are identical either way
+    * (spec-pinned).
+    */
+  def connectedComponents(links: DataFrame, maxRounds: Int = 48,
+      checkpointDir: Option[String] = None): DataFrame =
+    connectedComponentsWithRounds(links, maxRounds, checkpointDir)._1
 
   /** [[connectedComponents]] plus the round count it converged in —
     * the convergence specs assert the logarithmic bound through this
@@ -209,9 +216,11 @@ object Dedup extends QueryPack {
     * parallel in one JVM, so a "last rounds" field would race).
     */
   private[graft] def connectedComponentsWithRounds(
-      links: DataFrame, maxRounds: Int = 48): (DataFrame, Int) = {
+      links: DataFrame, maxRounds: Int = 48,
+      checkpointDir: Option[String] = None): (DataFrame, Int) = {
     val s = links.sparkSession
     import s.implicits._
+    graft.core.Ckpt.init(links, checkpointDir)
     val edges = links.toDF("i", "j")
       .unionByName(links.toDF("j", "i").select($"i", $"j"))
       .cache()
@@ -222,9 +231,10 @@ object Dedup extends QueryPack {
     // link graphs still need one change round + one confirmation round
     // with or without it — round floor is diameter-bound, and the extra
     // self-join exchange bought nothing.)
-    var labels = edges.groupBy($"i").agg(min($"j").as("mj"))
-      .select($"i".as("node"), least($"i", $"mj").as("lab"))
-      .localCheckpoint(true)
+    var labels = graft.core.Ckpt.truncate(
+      edges.groupBy($"i").agg(min($"j").as("mj"))
+        .select($"i".as("node"), least($"i", $"mj").as("lab")),
+      eager = true, checkpointDir)
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
@@ -238,12 +248,12 @@ object Dedup extends QueryPack {
       // lab(lab(x)) — collapsing chains exponentially, so rounds are
       // O(log diameter) instead of O(diameter). Every label is itself
       // a node id, so the self-join is total.
-      val next = hop.as("a")
+      val next = graft.core.Ckpt.truncate(hop.as("a")
         .join(hop.select($"node".as("ln"), $"lab1".as("llab")).as("b"),
           $"a.lab1" === $"b.ln", "left")
         .select($"node",
-          least($"lab1", coalesce($"llab", $"lab1")).as("lab"), $"old")
-        .localCheckpoint(false)
+          least($"lab1", coalesce($"llab", $"lab1")).as("lab"), $"old"),
+        eager = false, checkpointDir)
       // full-scan count (NOT isEmpty — its limit(1) can stop early and
       // leave checkpoint partitions unmaterialized for a fill-in job to
       // redo): this one action materializes every partition of `next`
@@ -298,13 +308,16 @@ object Dedup extends QueryPack {
     * next \ cur = ∅ (both sides are distinct, canonically oriented
     * (larger, smaller) — set equality, no orientation ambiguity).
     */
-  def connectedComponentsStars(links: DataFrame, maxRounds: Int = 48): DataFrame =
-    connectedComponentsStarsWithRounds(links, maxRounds)._1
+  def connectedComponentsStars(links: DataFrame, maxRounds: Int = 48,
+      checkpointDir: Option[String] = None): DataFrame =
+    connectedComponentsStarsWithRounds(links, maxRounds, checkpointDir)._1
 
   private[graft] def connectedComponentsStarsWithRounds(
-      links: DataFrame, maxRounds: Int = 48): (DataFrame, Int) = {
+      links: DataFrame, maxRounds: Int = 48,
+      checkpointDir: Option[String] = None): (DataFrame, Int) = {
     val s = links.sparkSession
     import s.implicits._
+    graft.core.Ckpt.init(links, checkpointDir)
 
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.unionByName(e.select($"j".as("i"), $"i".as("j")))
@@ -334,18 +347,19 @@ object Dedup extends QueryPack {
     // is (n, n) has no star edge at convergence but still owes a
     // (n, n) label row under the contract — the final left-join
     // restores exactly those
-    val allNodes = links.toDF("i", "j")
-      .select(explode(array($"i", $"j")).as("node")).distinct()
-      .localCheckpoint(true)
-    var cur = links.toDF("i", "j")
+    val allNodes = graft.core.Ckpt.truncate(links.toDF("i", "j")
+      .select(explode(array($"i", $"j")).as("node")).distinct(),
+      eager = true, checkpointDir)
+    var cur = graft.core.Ckpt.truncate(links.toDF("i", "j")
       .filter($"i" =!= $"j")
       .select(greatest($"i", $"j").as("i"), least($"i", $"j").as("j"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct(),
+      eager = true, checkpointDir)
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
-      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val next = graft.core.Ckpt.truncate(smallStar(largeStar(cur)),
+        eager = true, checkpointDir)
       // fixpoint test on materialized data: sizes match AND next ⊆ cur
       // (both distinct) ⇒ sets equal
       converged = next.count() == cur.count() && next.except(cur).isEmpty

@@ -429,6 +429,36 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(bigRounds <= 10, s"jump loop took $bigRounds rounds on the 512-chain")
   }
 
+  test("durable-checkpoint knob: identical labels and keyed censuses " +
+    "through reliable checkpoint(dir) — the executor-loss-safe " +
+    "spelling cluster callers thread into the loop helpers") {
+    import spark.implicits._
+    import graft.operators.{Anomaly, Dedup}
+    val chain = ((0L until 64L).map(i => (i, i + 1)) :+ (100L, 100L))
+      .toDF("i", "j")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("ckpt_cc").toString
+    assert(canon(Dedup.connectedComponents(chain)) ==
+      canon(Dedup.connectedComponents(chain, checkpointDir = Some(dir))),
+      "jump-loop labels diverge under reliable checkpoint")
+    assert(canon(Dedup.connectedComponentsStars(chain)) ==
+      canon(Dedup.connectedComponentsStars(chain,
+        checkpointDir = Some(dir))),
+      "star-loop labels diverge under reliable checkpoint")
+    // the reliable store actually received the rounds' blocks
+    assert(new java.io.File(dir).listFiles().nonEmpty,
+      "checkpoint dir unused — the durable path did not engage")
+    val ev = graft.core.Tables.events(spark, sfDir)
+    val dir2 = java.nio.file.Files.createTempDirectory("ckpt_ens").toString
+    val local = Anomaly.keyedEnsembleCensus(ev).collect().map(_.toSeq).toSeq
+    val durable = Anomaly.keyedEnsembleCensus(ev, Some(dir2))
+      .collect().map(_.toSeq).toSeq
+    assert(local == durable,
+      "keyed ensemble census diverges under reliable checkpoint")
+    assert(new java.io.File(dir2).listFiles().nonEmpty)
+  }
+
   test("connectedComponentsStars: byte-identical labels to the jump " +
     "loop on chains, islands, and random graphs; log-bounded rounds") {
     import spark.implicits._
