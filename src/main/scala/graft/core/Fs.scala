@@ -14,6 +14,27 @@ import org.apache.spark.sql.SparkSession
   * read (the same discipline as [[graft.sources.AvroSink]] /
   * [[graft.sources.Compaction]]).
   */
+/** A Hadoop Configuration that survives task serialization — the
+  * standard wrapper (write/readFields through Java serialization) for
+  * shipping the SESSION'S conf to executor-side FileSystem.get calls:
+  * a bare `new Configuration()` on an executor loses every session
+  * setting (s3a credentials, endpoint overrides), and Spark's own
+  * SerializableConfiguration is private[spark].
+  */
+class SerializableHadoopConf(
+    @transient var value: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
+  }
+}
+
 object Fs {
   /** True iff `path` exists on its OWN filesystem (file:, hdfs:,
     * s3a:, ... — whatever the URI scheme resolves to under the

@@ -134,10 +134,19 @@ object ProtoSink {
   /** Routes container: executor-side, one file per partition
     * (`part-N.pb` / `.pb.snappy`) — the reference's single in-memory
     * message cannot scale; per-partition containers preserve message
-    * semantics and parallel I/O.
+    * semantics and parallel I/O. Each task writes through the output
+    * path's OWN Hadoop FileSystem (the session conf broadcast to
+    * executors), so the sink is cluster-correct on hdfs://s3a://
+    * roots — java.nio on an executor wrote to that machine's LOCAL
+    * disk, a shared-FS assumption that silently scatters the
+    * container across the fleet.
     */
   def write(routes: DataFrame, out: String, snappy: Boolean): Unit = {
-    new java.io.File(out).mkdirs()
+    val sc = routes.sparkSession.sparkContext
+    val confB = sc.broadcast(
+      new graft.core.SerializableHadoopConf(sc.hadoopConfiguration))
+    val root = new org.apache.hadoop.fs.Path(out)
+    root.getFileSystem(sc.hadoopConfiguration).mkdirs(root)
     routes.rdd.mapPartitionsWithIndex { (idx, rows) =>
       if (rows.hasNext) {
         val o = new ByteArrayOutputStream()
@@ -146,22 +155,34 @@ object ProtoSink {
         val (bytes, ext) =
           if (snappy) (org.xerial.snappy.Snappy.compress(raw), ".pb.snappy")
           else (raw, ".pb")
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(out, f"part-$idx%05d$ext"), bytes)
+        val p = new org.apache.hadoop.fs.Path(out, f"part-$idx%05d$ext")
+        val os = p.getFileSystem(confB.value.value).create(p, true)
+        try os.write(bytes) finally os.close()
         Iterator.single(1)
       } else Iterator.empty
     }.count(): Unit
   }
 
-  /** Count + decode routes from a container dir (roundtrip check). */
-  def readRouteCount(dir: String): Long = {
-    val files = new java.io.File(dir).listFiles()
-      .filter(f => f.getName.startsWith("part-"))
-    files.map { f =>
-      val raw0 = java.nio.file.Files.readAllBytes(f.toPath)
-      val raw = if (f.getName.endsWith(".snappy"))
-        org.xerial.snappy.Snappy.uncompress(raw0) else raw0
-      ProtoWire.decode(raw).count(t => t._1 == 1 && t._2 == 2)
-    }.sum
+  /** Count + decode routes from a container dir (roundtrip check) —
+    * same FileSystem routing as the writer.
+    */
+  def readRouteCount(dir: String,
+      conf: org.apache.hadoop.conf.Configuration =
+        new org.apache.hadoop.conf.Configuration()): Long = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(conf)
+    fs.listStatus(root)
+      .filter(_.getPath.getName.startsWith("part-"))
+      .map { st =>
+        val in = fs.open(st.getPath)
+        val raw0 = try {
+          val buf = new ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+          buf.toByteArray
+        } finally in.close()
+        val raw = if (st.getPath.getName.endsWith(".snappy"))
+          org.xerial.snappy.Snappy.uncompress(raw0) else raw0
+        ProtoWire.decode(raw).count(t => t._1 == 1 && t._2 == 2).toLong
+      }.sum
   }
 }
