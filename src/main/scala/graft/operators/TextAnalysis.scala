@@ -2028,6 +2028,51 @@ object TextAnalysis extends QueryPack {
     compactionCensus(s, bmPath, s"$ivfRoot/index", threshold = 0.10)
   }
 
+  // --- q173: compact + atomic root swap, probed end to end --------------------
+  /** The compaction DAY-2 path as one oracle row — the leg q162 left
+    * to specs: build the live index, tombstone the q162 victims
+    * (doc_id ≡ 3 mod 7), probe THROUGH the [[graft.core.Roots]]
+    * pointer (stage `tombstoned` — anti-join pays per query), then
+    * [[bm25Compact]] into the NEXT generation, [[graft.core.Roots
+    * .publish]] the swap, and probe through the pointer again (stage
+    * `compacted` — dead rows physically gone, no tombstone join).
+    * BOTH probes must equal a rebuild WITHOUT the victims (one oracle,
+    * two stage tags): the tombstone view and the compacted view are
+    * the same logical index, so the swap is invisible to answers —
+    * what "atomic generation flip" must mean for a serving fleet.
+    * PipelineOpsSpec adds the physics: the old generation stays
+    * byte-readable after the swap (in-flight reader contract) and the
+    * new generation's postings count equals the live count.
+    *
+    * Scale shape: q162's build/delete terms; compaction is the one
+    * full rewrite (the cost q172's census decides to pay); each probe
+    * stays a ≤|terms|-bucket pruned scan. The pointer is one atomic
+    * rename — no reader coordination.
+    */
+  def q173CompactSwap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = bm25TempIndexPath(dir) + "_swap"
+    graft.core.Fs.deleteRecursive(s, base)
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(p)
+    val docs = Tables.documents(s, dir)
+    bm25IndexWrite(docs, s"$base/gen0")
+    graft.core.Roots.publish(s, base, "gen0")
+    bm25Delete(docs.filter($"doc_id" % 7 === 3).select($"doc_id"),
+      graft.core.Roots.current(s, base))
+    // EAGER checkpoint: freeze the tombstone-view answer before the
+    // swap mutates what the pointer resolves to
+    val tombstoned = bm25Probe(s, graft.core.Roots.current(s, base),
+        Bm25Query)
+      .withColumn("stage", lit("tombstoned"))
+      .localCheckpoint(true)
+    bm25Compact(s, s"$base/gen0", s"$base/gen1")
+    graft.core.Roots.publish(s, base, "gen1")
+    tombstoned.unionByName(
+      bm25Probe(s, graft.core.Roots.current(s, base), Bm25Query)
+        .withColumn("stage", lit("compacted")))
+  }
+
   /** One DETERMINISTIC temp root per corpus dir: every invocation
     * (3+ bench reps per round) overwrites the same layout instead of
     * leaking a fresh corpus-sized index per rep, and the Hadoop
@@ -2122,6 +2167,7 @@ object TextAnalysis extends QueryPack {
     "q168_filter_cascade"    -> (q168FilterCascade _),
     "q169_dedup_takedown"    -> (q169DedupTakedown _),
     "q172_compaction_census" -> (q172CompactionCensus _),
+    "q173_compact_swap"      -> (q173CompactSwap _),
     "q122_pmi_pairs"         -> (q122PmiPairs _),
     "q120_bpe_sweep"         -> (q120BpeSweep _),
     "q119_zipf_slope"        -> (q119ZipfSlope _),
@@ -2242,6 +2288,17 @@ object TextAnalysis extends QueryPack {
         |   AS rel_err,
         | reg_checksum
         |FROM e3 JOIN ex ON e3.grp = ex.grp""".stripMargin,
+    "q173_compact_swap" ->
+      // both stages equal a rebuild WITHOUT the victims — the
+      // tombstone view and the compacted view are one logical index
+      s"""SELECT * FROM (
+         |SELECT doc_id, lang, dl, score, n_terms,
+         |  'tombstoned' AS stage FROM (${bm25OracleOver("doc_id % 7 <> 3")})
+         |UNION ALL
+         |SELECT doc_id, lang, dl, score, n_terms,
+         |  'compacted' AS stage
+         |FROM (${bm25OracleOver("doc_id % 7 <> 3")}))
+         |ORDER BY stage ASC, score DESC, doc_id ASC""".stripMargin,
     "q172_compaction_census" ->
       // the decision inputs recomputed from first principles: bm25
       // dead postings = distinct (tok, doc) pairs of the tombstoned

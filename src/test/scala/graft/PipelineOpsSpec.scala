@@ -429,6 +429,44 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(bigRounds <= 10, s"jump loop took $bigRounds rounds on the 512-chain")
   }
 
+  test("q173 root swap physics: the old generation stays byte-readable " +
+    "after publish (in-flight reader contract), the compacted " +
+    "generation physically drops exactly the dead rows, and an " +
+    "unpublished base / unwritten generation both refuse") {
+    import spark.implicits._
+    import graft.core.Roots
+    import graft.operators.TextAnalysis
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val base = java.nio.file.Files.createTempDirectory("swap").toString
+    intercept[IllegalArgumentException](Roots.currentGen(spark, base))
+    intercept[IllegalArgumentException](Roots.publish(spark, base, "gen9"))
+    TextAnalysis.bm25IndexWrite(docs, s"$base/gen0")
+    Roots.publish(spark, base, "gen0")
+    assert(Roots.current(spark, base) == s"$base/gen0")
+    TextAnalysis.bm25Delete(
+      docs.filter($"doc_id" % 7 === 3).select($"doc_id"),
+      Roots.current(spark, base))
+    val gen0Total = spark.read.parquet(s"$base/gen0").count()
+    val gen0Dead = spark.read.parquet(s"$base/gen0")
+      .join(spark.read.parquet(s"$base/gen0/_tombstones").distinct(),
+        Seq("doc_id"), "left_semi").count()
+    val tombstonedProbe = TextAnalysis.bm25Probe(spark,
+      Roots.current(spark, base), TextAnalysis.Bm25Query).collect().toSeq
+    TextAnalysis.bm25Compact(spark, s"$base/gen0", s"$base/gen1")
+    Roots.publish(spark, base, "gen1")
+    assert(Roots.current(spark, base) == s"$base/gen1")
+    // compacted generation = live rows only, no tombstone sidecar
+    assert(spark.read.parquet(s"$base/gen1").count() ==
+      gen0Total - gen0Dead)
+    assert(!graft.core.Fs.exists(spark, s"$base/gen1/_tombstones"))
+    // swap is answer-invariant, and the OLD generation still serves
+    // the identical answer for readers that resolved it pre-swap
+    assert(TextAnalysis.bm25Probe(spark, Roots.current(spark, base),
+      TextAnalysis.Bm25Query).collect().toSeq == tombstonedProbe)
+    assert(TextAnalysis.bm25Probe(spark, s"$base/gen0",
+      TextAnalysis.Bm25Query).collect().toSeq == tombstonedProbe)
+  }
+
   test("durable-checkpoint knob: identical labels and keyed censuses " +
     "through reliable checkpoint(dir) — the executor-loss-safe " +
     "spelling cluster callers thread into the loop helpers") {
