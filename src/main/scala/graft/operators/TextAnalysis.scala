@@ -1699,6 +1699,56 @@ object TextAnalysis extends QueryPack {
       .write.mode("overwrite").parquet(s"$stagingRoot/stats")
   }
 
+  /** One CRUD micro-batch's artifacts written to a STAGING root — the
+    * write half of [[graft.streaming.Bm25Maintain]]'s exactly-once
+    * protocol, generalizing [[bm25AppendStage]] to a mixed feed:
+    * `adds` (doc_id, lang, text) stage postings/doc-lengths exactly as
+    * an append; `dels` (doc_id) stage tombstone rows and the exact
+    * negative stats delta computed against the live view AS OF THIS
+    * BATCH (existing `_docs` minus existing tombstones, PLUS this
+    * batch's own adds — so within one batch add-then-delete of the
+    * same doc nets to a correctly-priced tombstone). One `stats`
+    * subtree carries the add and delete deltas together, so the whole
+    * batch publishes or none of it does.
+    *
+    * Contract carried from the layout (worth stating because the
+    * tombstone filter is id-based): doc_ids are never REUSED — a
+    * re-crawl of a taken-down document must arrive under a fresh id
+    * (or after a compaction retired the tombstone), otherwise the old
+    * tombstone keeps hiding it. The crawl pipeline's id discipline,
+    * same as [[bm25Append]]'s no-duplicate-ids contract.
+    */
+  def bm25MaintainStage(adds: DataFrame, dels: DataFrame, path: String,
+      stagingRoot: String, buckets: Int = 64): Unit = {
+    val s = adds.sparkSession
+    import s.implicits._
+    val tokenized = bm25Tokenized(adds)
+    bm25Postings(tokenized, buckets)
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$stagingRoot/post")
+    val addLens = bm25DocLens(tokenized)
+    addLens.write.mode("overwrite").parquet(s"$stagingRoot/docs")
+    val liveNow = {
+      val prior = s.read.parquet(s"$path/_docs")
+      val all =
+        if (!graft.core.Fs.exists(s, s"$path/_tombstones")) prior
+        else prior.join(
+          broadcast(s.read.parquet(s"$path/_tombstones").distinct()),
+          Seq("doc_id"), "left_anti")
+      all.unionByName(addLens)
+    }
+    // consumed twice (tombstone rows + stats delta) — one computation
+    val victims = liveNow
+      .join(dels.select($"doc_id".cast("long")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .localCheckpoint(false)
+    victims.select($"doc_id")
+      .write.mode("overwrite").parquet(s"$stagingRoot/tomb")
+    addLens.agg(count(lit(1)).as("nd"), sum($"dl").as("tl"))
+      .unionByName(victims.agg((lit(0L) - count(lit(1))).as("nd"),
+        (lit(0L) - coalesce(sum($"dl"), lit(0L))).as("tl")))
+      .write.mode("overwrite").parquet(s"$stagingRoot/stats")
+  }
+
   /** Tombstone DELETE — ivfDelete's LSM marker on the lexical layout:
     * deleted doc ids append to `_tombstones/` (underscore-hidden from
     * the base listing), probes filter live rows, and `_stats` gains

@@ -1684,6 +1684,77 @@ class StreamingSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("bm25 CRUD maintenance stream: a mixed add/del feed in slices " +
+    "lands probe == rebuild-on-survivors with exact stats; add+del of " +
+    "the same doc in ONE batch nets to a tombstone; replay refused") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    import graft.streaming.Bm25Maintain
+    import org.apache.spark.sql.functions.{sum => fsum}
+    implicit val sc = spark.sqlContext
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .localCheckpoint(false)
+    val base = docs.filter($"doc_id" % 2 === 0)
+    val adds = docs.filter($"doc_id" % 2 =!= 0)
+      .select(lit("add").as("op"), $"doc_id", $"lang", $"text")
+      .as[(String, Long, String, String)].collect().toSeq
+    // dels hit BOTH base docs and streamed adds; ordered after every
+    // add so the final state is slicing-invariant
+    val dels = docs.filter($"doc_id" % 7 === 3)
+      .select(lit("del").as("op"), $"doc_id", lit(null: String),
+        lit(null: String))
+      .as[(String, Long, String, String)].collect().toSeq
+    val feed = adds ++ dels
+    val tmp = java.nio.file.Files.createTempDirectory("bm25mnt").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("bm25mnt_ck").toString
+    TextAnalysis.bm25IndexWrite(base, tmp)
+    val input = MemoryStream[(String, Long, String, String)]
+    val q = Bm25Maintain.bm25MaintainStream(
+      input.toDF().toDF("op", "doc_id", "lang", "text"), tmp, ckpt)
+    try feed.grouped(feed.size / 4 + 1).foreach { s =>
+      input.addData(s); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = TextAnalysis.bm25Probe(spark, tmp,
+      TextAnalysis.Bm25Query).collect().toSeq
+    // control: rebuild on the survivors only
+    val rebuilt = java.nio.file.Files.createTempDirectory("bm25mrb").toString
+    TextAnalysis.bm25IndexWrite(docs.filter($"doc_id" % 7 =!= 3), rebuilt)
+    val fresh = TextAnalysis.bm25Probe(spark, rebuilt,
+      TextAnalysis.Bm25Query).collect().toSeq
+    assert(streamed == fresh,
+      "probe after CRUD stream must equal a rebuild on survivors")
+    // stats exactness: the summed deltas equal the survivor stats
+    def stats(p: String) = spark.read.parquet(s"$p/_stats")
+      .agg(fsum("nd"), fsum("tl")).head()
+    assert(stats(tmp) == stats(rebuilt),
+      "summed stats deltas diverge from the survivor rebuild")
+    // replay refused untouched
+    val committed = Bm25Maintain.committedBatch(spark, tmp)
+    assert(committed >= 0L)
+    val before = (stats(tmp), spark.read.parquet(tmp).count())
+    assert(!Bm25Maintain.applyBatch(
+      Seq(("del", 2L, null: String, null: String))
+        .toDF("op", "doc_id", "lang", "text"), committed, tmp),
+      "replay must be refused")
+    assert((stats(tmp), spark.read.parquet(tmp).count()) == before)
+    // within-batch ordering: add X' then delete X' in ONE batch ends
+    // tombstoned with stats unchanged (the add's delta nets against
+    // the delete's)
+    val x = docs.orderBy($"doc_id".desc).select($"lang", $"text")
+      .head()
+    val newId = docs.agg(max($"doc_id")).head().getLong(0) + 1000L
+    assert(Bm25Maintain.applyBatch(
+      Seq(("add", newId, x.getString(0), x.getString(1)),
+        ("del", newId, null: String, null: String))
+        .toDF("op", "doc_id", "lang", "text"), committed + 1L, tmp))
+    assert(stats(tmp) == stats(rebuilt),
+      "within-batch add+del must net to zero stats delta")
+    assert(TextAnalysis.bm25Probe(spark, tmp, TextAnalysis.Bm25Query)
+      .collect().toSeq == fresh,
+      "within-batch add+del must leave the probe unchanged")
+    spark.catalog.clearCache()
+  }
+
   test("ivf ingest stream: probe after streaming an embedding batch in " +
     "slices equals batch ivfAppend of the same rows; replayed " +
     "micro-batches leave the layout untouched") {
