@@ -1631,6 +1631,61 @@ class StreamingSpec extends SparkTestBase {
       "emissions diverged under re-slicing")
   }
 
+  test("ivf CRUD maintenance stream: a mixed add/del feed in slices " +
+    "equals batch ivfAppend+ivfDelete of the same rows; replay refused " +
+    "untouched") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    import graft.streaming.IvfMaintain
+    implicit val sc = spark.sqlContext
+    val rootA = java.nio.file.Files.createTempDirectory("ivfmntA").toString
+    val rootB = java.nio.file.Files.createTempDirectory("ivfmntB").toString
+    Similarity.ivfServingSetup(spark, sfDir, rootA)
+    Similarity.ivfServingSetup(spark, sfDir, rootB)
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val maxId = emb.agg(max($"vec_id")).head().getLong(0)
+    val addsDf = emb.filter($"vec_id" % 5 === 1)
+      .select(($"vec_id" + maxId + 1L).as("vec_id"), $"embedding")
+      .localCheckpoint(false)
+    val delsDf = emb.filter($"vec_id" % 7 === 3).select($"vec_id")
+      .localCheckpoint(false)
+    val adds = addsDf.as[(Long, Seq[Float])].collect().toSeq
+      .map { case (id, e) => ("add", id, e) }
+    val dels = delsDf.as[Long].collect().toSeq
+      .map(id => ("del", id, Seq.empty[Float]))
+    val feed = adds ++ dels
+    val ckpt = java.nio.file.Files.createTempDirectory("ivfmnt_ck").toString
+    val input = MemoryStream[(String, Long, Seq[Float])]
+    val q = IvfMaintain.ivfMaintainStream(
+      input.toDF().toDF("op", "vec_id", "embedding"), rootA, ckpt)
+    try feed.grouped(feed.size / 4 + 1).foreach { s =>
+      input.addData(s); q.processAllAvailable()
+    } finally q.stop()
+    // control: batch append + delete against the identical twin layout
+    Similarity.ivfAppend(addsDf,
+      spark.read.parquet(s"$rootB/_cents"), s"$rootB/index")
+    Similarity.ivfDelete(delsDf, s"$rootB/index")
+    def probe(root: String) = Similarity.ivfProbeStored(spark, root,
+      excludeVecId = Some(0L)).collect().toSeq
+    assert(probe(rootA) == probe(rootB),
+      "probe after CRUD stream diverges from batch append+delete")
+    def live(root: String) = Similarity.ivfReadLive(spark, s"$root/index")
+      .groupBy($"cell").agg(count(lit(1)).as("n"), sum($"vec_id").as("sv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(live(rootA) == live(rootB),
+      "live cell census diverges from batch append+delete")
+    val committed = IvfMaintain.committedBatch(spark, rootA)
+    assert(committed >= 0L)
+    val before = live(rootA)
+    assert(!IvfMaintain.applyBatch(
+      Seq(("del", 2L, Seq.empty[Float]))
+        .toDF("op", "vec_id", "embedding"),
+      committed, rootA), "replay must be refused")
+    assert(live(rootA) == before)
+    spark.catalog.clearCache()
+  }
+
   test("ingest commit protocol: a crash mid-publish (postings renamed " +
     "in, sidecars and pointer missing) converges to the clean-run end " +
     "state on redelivery — driven through an explicit file: scheme so " +
