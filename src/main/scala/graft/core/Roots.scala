@@ -48,4 +48,32 @@ object Roots {
       s"generation $gen not written under $base — publish after the build")
     Fs.writeUtf8Atomic(s, pointer(base), gen)
   }
+
+  /** All generation subdirs under `base` (names matching `gen<N>`),
+    * sorted by N.
+    */
+  def generations(s: SparkSession, base: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Seq.empty
+    fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.matches("gen\\d+"))
+      .map(_.getPath.getName)
+      .sortBy(_.stripPrefix("gen").toLong)
+  }
+
+  /** Retire old generations: delete all but the newest `keepLatest`
+    * (and NEVER the current one, whatever its age) — the cleanup half
+    * of the swap contract, run once a deployment's in-flight readers
+    * have drained (a retention window, a reader lease — policy the
+    * caller owns; this is the mechanism). Returns the deleted names.
+    */
+  def retire(s: SparkSession, base: String, keepLatest: Int = 2): Seq[String] = {
+    require(keepLatest >= 1, "keepLatest must be >= 1")
+    val gens = generations(s, base)
+    val cur = currentGen(s, base)
+    val victims = gens.dropRight(keepLatest).filterNot(_ == cur)
+    victims.foreach(g => Fs.deleteRecursive(s, s"$base/$g"))
+    victims
+  }
 }

@@ -858,6 +858,32 @@ object Similarity extends QueryPack {
   def ivfCompact(s: SparkSession, path: String, dest: String): Unit =
     ivfWrite(ivfReadLive(s, path), dest)
 
+  /** Per-cell dead/total member census — the IVF twin of
+    * TextAnalysis.bm25DeadByBucket (q172's skew view on the dense
+    * layout): cell files are fixed-grain rows, so the dead-row
+    * fraction per cell is the reclaimable-byte fraction, and one hot
+    * cell can be mostly dead while the layout average looks healthy.
+    * One scan + a broadcast tombstone join, grouped to ≤k rows;
+    * spec-pinned to sum to the q172 census's ivf row.
+    */
+  def ivfDeadByCell(s: SparkSession, path: String): DataFrame = {
+    import s.implicits._
+    val base = ivfRead(s, path)
+    val tombPath = s"$path/_tombstones"
+    val flagged =
+      if (!graft.core.Fs.exists(s, tombPath))
+        base.withColumn("is_dead", lit(0L))
+      else base.join(
+        broadcast(s.read.parquet(tombPath).distinct()
+          .withColumn("is_dead", lit(1L))),
+        Seq("vec_id"), "left")
+    flagged
+      .groupBy($"cell")
+      .agg(count(lit(1)).as("n_total"),
+        sum(coalesce($"is_dead", lit(0L))).as("n_dead"))
+      .orderBy($"cell".asc)
+  }
+
   // --- q139: incremental IVF append census ----------------------------------
   /** The append contract as an oracle row: train the coarse quantizer
     * on the FIRST HALF of the corpus (vec_id ≤ max/2 — yesterday's

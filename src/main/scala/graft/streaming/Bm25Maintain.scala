@@ -67,4 +67,77 @@ object Bm25Maintain {
         applyBatch(batch, batchId, path); ()
       }
       .start()
+
+  /** The cheap compaction TRIGGER for the managed stream: fraction of
+    * tombstoned docs over all indexed docs — two doc-cardinality
+    * counts off the sidecars, never a postings scan. A doc-count
+    * proxy for the posting-row dead fraction q172's census computes
+    * exactly (the exact census is the audit; this is the per-batch
+    * heartbeat — at per-batch cadence the trigger must cost sidecar
+    * reads only).
+    */
+  def deadDocFrac(s: SparkSession, path: String): Double = {
+    if (!graft.core.Fs.exists(s, s"$path/_tombstones")) return 0.0
+    val docs = s.read.parquet(s"$path/_docs")
+    val dead = docs.join(
+      s.read.parquet(s"$path/_tombstones").distinct(),
+      Seq("doc_id"), "left_semi").count()
+    val total = docs.count()
+    if (total == 0L) 0.0 else dead.toDouble / total.toDouble
+  }
+
+  /** Compact the CURRENT generation into the next and swap, CARRYING
+    * the replay pointer — without the carry, committedBatch on the
+    * fresh generation reads −1 and a post-swap redelivery would
+    * double-apply into the compacted layout (the exactly-once
+    * guarantee must survive generation flips). Old generations are
+    * retained for in-flight readers; [[graft.core.Roots.retire]] is
+    * the caller's cleanup policy.
+    */
+  def compactAndSwap(s: SparkSession, base: String,
+      buckets: Int = 64): String = {
+    val curGen = graft.core.Roots.currentGen(s, base)
+    val next = "gen" + (curGen.stripPrefix("gen").toLong + 1L)
+    graft.operators.TextAnalysis.bm25Compact(
+      s, s"$base/$curGen", s"$base/$next", buckets)
+    val committed = IngestCommit.committed(s, s"$base/$curGen")
+    if (committed >= 0L)
+      graft.core.Fs.writeUtf8Atomic(s,
+        s"$base/$next/_INGEST_COMMIT", committed.toString)
+    graft.core.Roots.publish(s, base, next)
+    next
+  }
+
+  /** The MANAGED maintenance loop — the full operational composition
+    * every piece of the serving lifecycle was built for, as one call:
+    * the CRUD feed applies exactly-once against the generation the
+    * [[graft.core.Roots]] pointer names, and after each committed
+    * batch the dead-doc trigger decides "compact now?" (q172's policy
+    * question at per-batch cadence); at or over `compactAt`, the
+    * layout compacts OFFLINE into the next generation and the pointer
+    * swaps atomically — probes never see a half-written layout,
+    * replay protection survives the flip (pointer carried), and a
+    * crash between commit and compaction merely defers the compaction
+    * to the next trigger (benign: compaction is an optimization,
+    * correctness lives in tombstones).
+    *
+    * Base must hold a published generation (bm25IndexWrite into
+    * `base/gen0` + Roots.publish). StreamingSpec drives a feed sized
+    * to trigger ≥1 auto-compaction and pins probe == rebuild-on-
+    * survivors, generation advance, and post-swap replay refusal.
+    */
+  def bm25MaintainStreamManaged(feed: DataFrame, base: String,
+      checkpoint: String, compactAt: Double = 0.2,
+      buckets: Int = 64): StreamingQuery =
+    feed.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val cur = graft.core.Roots.current(s, base)
+        if (applyBatch(batch, batchId, cur) &&
+            deadDocFrac(s, cur) >= compactAt) {
+          compactAndSwap(s, base, buckets); ()
+        }
+      }
+      .start()
 }

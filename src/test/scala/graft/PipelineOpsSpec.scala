@@ -3003,5 +3003,16 @@ class PipelineOpsSpec extends SparkTestBase {
     // threshold, and dead_frac is in a sane band around 1/7
     assert(census.getLong(4) == 1L)
     assert(census.getDouble(3) > 0.05 && census.getDouble(3) < 0.30)
+    // ivf twin: per-cell dead/total sums to the layout-level ivf row
+    graft.operators.Similarity.ivfDelete(
+      graft.core.Tables.embeddings(spark, sfDir)
+        .filter($"vec_id" % 7 === 3).select($"vec_id"), ivfIdx)
+    val ivfCensus = TextAnalysis.compactionCensus(spark, path, ivfIdx, 0.10)
+      .filter($"layout" === "ivf").head()
+    val byCell = graft.operators.Similarity.ivfDeadByCell(spark, ivfIdx)
+      .collect()
+    assert(byCell.map(_.getLong(1)).sum == ivfCensus.getLong(1))
+    assert(byCell.map(_.getLong(2)).sum == ivfCensus.getLong(2))
+    assert(ivfCensus.getLong(4) == 1L)
   }
 }

@@ -1631,6 +1631,72 @@ class StreamingSpec extends SparkTestBase {
       "emissions diverged under re-slicing")
   }
 
+  test("managed bm25 maintenance: auto-compaction fires mid-stream, " +
+    "the generation swap carries the replay pointer, the probe equals " +
+    "a rebuild on survivors, and retire keeps the live generation") {
+    import spark.implicits._
+    import graft.core.Roots
+    import graft.operators.TextAnalysis
+    import graft.streaming.Bm25Maintain
+    implicit val sc = spark.sqlContext
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .localCheckpoint(false)
+    val base = java.nio.file.Files.createTempDirectory("bm25mng").toString
+    TextAnalysis.bm25IndexWrite(docs.filter($"doc_id" % 2 === 0),
+      s"$base/gen0")
+    Roots.publish(spark, base, "gen0")
+    val adds = docs.filter($"doc_id" % 2 =!= 0)
+      .select(lit("add").as("op"), $"doc_id", $"lang", $"text")
+      .as[(String, Long, String, String)].collect().toSeq
+    // a third of ALL docs deleted — far over the 10% trigger, so the
+    // stream must compact at least once; dels after adds for a
+    // slicing-invariant end state
+    val dels = docs.filter($"doc_id" % 3 === 0)
+      .select(lit("del").as("op"), $"doc_id", lit(null: String),
+        lit(null: String))
+      .as[(String, Long, String, String)].collect().toSeq
+    val feed = adds ++ dels
+    val ckpt = java.nio.file.Files.createTempDirectory("bm25mng_ck").toString
+    val input = MemoryStream[(String, Long, String, String)]
+    val q = Bm25Maintain.bm25MaintainStreamManaged(
+      input.toDF().toDF("op", "doc_id", "lang", "text"), base, ckpt,
+      compactAt = 0.10)
+    val nBatches = {
+      val slices = feed.grouped(feed.size / 5 + 1).toSeq
+      try slices.foreach { s => input.addData(s); q.processAllAvailable() }
+      finally q.stop()
+      slices.size
+    }
+    assert(Roots.currentGen(spark, base) != "gen0",
+      "auto-compaction never fired")
+    assert(Roots.generations(spark, base).size >= 2)
+    val rebuilt = java.nio.file.Files.createTempDirectory("bm25mngrb")
+      .toString
+    TextAnalysis.bm25IndexWrite(docs.filter($"doc_id" % 3 =!= 0), rebuilt)
+    assert(TextAnalysis.bm25Probe(spark, Roots.current(spark, base),
+        TextAnalysis.Bm25Query).collect().toSeq ==
+      TextAnalysis.bm25Probe(spark, rebuilt, TextAnalysis.Bm25Query)
+        .collect().toSeq,
+      "managed stream diverges from a rebuild on survivors")
+    // replay protection SURVIVED the generation flip (pointer carried)
+    val committed = Bm25Maintain.committedBatch(spark,
+      Roots.current(spark, base))
+    assert(committed == nBatches - 1L,
+      s"carried pointer reads $committed, expected ${nBatches - 1}")
+    assert(!Bm25Maintain.applyBatch(
+      Seq(("del", 2L, null: String, null: String))
+        .toDF("op", "doc_id", "lang", "text"),
+      committed, Roots.current(spark, base)), "post-swap replay accepted")
+    // retire: old generations go, the live one stays, probes unaffected
+    val retired = Roots.retire(spark, base, keepLatest = 1)
+    assert(retired.contains("gen0"))
+    assert(Roots.generations(spark, base) ==
+      Seq(Roots.currentGen(spark, base)))
+    assert(TextAnalysis.bm25Probe(spark, Roots.current(spark, base),
+      TextAnalysis.Bm25Query).collect().nonEmpty)
+    spark.catalog.clearCache()
+  }
+
   test("ivf CRUD maintenance stream: a mixed add/del feed in slices " +
     "equals batch ivfAppend+ivfDelete of the same rows; replay refused " +
     "untouched") {
