@@ -145,6 +145,43 @@ object Bench {
     }
   }
 
+  /** Median of this run's per-query min/anchor ratios over the common
+    * queries - the quiet-gate statistic (None when the anchor shares
+    * no queries with the run, in which case the gate cannot judge and
+    * must pass the run through).
+    */
+  def medianRatio(rs: Seq[(String, Seq[Double])],
+      anchor: Map[String, Double]): Option[Double] = {
+    val ratios = rs.collect {
+      case (q, v) if v.nonEmpty && anchor.getOrElse(q, 0.0) > 0.0 =>
+        v.min / anchor(q)
+    }
+    if (ratios.isEmpty) None else Some(median(ratios))
+  }
+
+  /** The attempt the gate EMITS: lowest quiet-ratio median (an
+    * anchor-less attempt ranks last). One attempt's raw measurements,
+    * never a min-merge across attempts - discarding a noisier
+    * re-measurement is the point; mixing attempts would fabricate a
+    * run that never happened.
+    */
+  def pickQuietest[A](attempts: Seq[(Seq[(String, Seq[Double])], A)],
+      anchor: Map[String, Double]): (Seq[(String, Seq[Double])], A) =
+    attempts.minBy(a => medianRatio(a._1, anchor)
+      .getOrElse(Double.MaxValue))
+
+  /** The disclosure block: every attempt's median in measurement
+    * order, so a reader sees what the gate saw and what it discarded.
+    */
+  def quietGateJson(attemptsInOrder: Seq[Seq[(String, Seq[Double])]],
+      anchor: Map[String, Double], thr: Double, passed: Boolean): String = {
+    val meds = attemptsInOrder
+      .map(a => medianRatio(a, anchor).fold("null")(r4))
+      .mkString("[", ",", "]")
+    s"""{"threshold":${r4(thr)},"attempts":${attemptsInOrder.size},""" +
+      s""""attempt_medians":$meds,"passed":$passed}"""
+  }
+
   /** Serialize an anchor map back to the flat one-entry-per-line JSON
     * object [[readAnchor]] parses (sorted keys — byte-stable output
     * for clean diffs of tools/quiet_anchor.json). Values FLOOR to 4
@@ -301,13 +338,6 @@ object Bench {
       (results, hostJson(loadBefore, loadAvg(),
         Runtime.getRuntime.availableProcessors, waited))
     }
-    def medianRatio(rs: Seq[(String, Seq[Double])]): Option[Double] = {
-      val ratios = rs.collect {
-        case (q, v) if v.nonEmpty && anchor.getOrElse(q, 0.0) > 0.0 =>
-          v.min / anchor(q)
-      }
-      if (ratios.isEmpty) None else Some(median(ratios))
-    }
     // QUIET GATE: the checked-in closing artifact is what future
     // rounds A/B against, so a contended full run at the graded SF
     // re-measures (after another quiet wait) instead of shipping noise
@@ -326,24 +356,18 @@ object Bench {
     val gateActive = gateThr > 0.0 && atGradedSf && only.isEmpty
     var attempts = List(measureOnce(waitedSec))
     while (gateActive && attempts.size <= gateRetries &&
-        medianRatio(attempts.head._1).exists(_ > gateThr)) {
+        medianRatio(attempts.head._1, anchor).exists(_ > gateThr)) {
       System.err.println(s"[bench] quiet-ratio median " +
-        f"${medianRatio(attempts.head._1).get}%.3f > $gateThr%.2f — " +
-        s"host contended; re-measuring (attempt ${attempts.size + 1})")
+        f"${medianRatio(attempts.head._1, anchor).get}%.3f > $gateThr%.2f " +
+        s"- host contended; re-measuring (attempt ${attempts.size + 1})")
       val w = if (quietCap > 0) waitQuiet(1.0, quietCap) else 0
       attempts ::= measureOnce(w)
     }
-    val (results, host) = attempts.minBy(a =>
-      medianRatio(a._1).getOrElse(Double.MaxValue))
+    val (results, host) = pickQuietest(attempts, anchor)
     val gateJson =
       if (!gateActive) "null"
-      else {
-        val meds = attempts.reverse
-          .map(a => medianRatio(a._1).fold("null")(r4)).mkString("[", ",", "]")
-        s"""{"threshold":${r4(gateThr)},"attempts":${attempts.size},""" +
-          s""""attempt_medians":$meds,"passed":${
-            medianRatio(results).forall(_ <= gateThr)}}"""
-      }
+      else quietGateJson(attempts.reverse.map(_._1), anchor, gateThr,
+        medianRatio(results, anchor).forall(_ <= gateThr))
     val line = renderJson(results, sfDir, reps, host,
       quietRatioJson(results, anchor), gateJson)
     // SPARK_GRAFT_ANCHOR_MERGE=1: fold this run's per-query mins back

@@ -69,4 +69,67 @@ object IvfMaintain {
         applyBatch(batch, batchId, root); ()
       }
       .start()
+
+  /** Cheap compaction trigger: distinct tombstone ids over index row
+    * count — an UPPER BOUND on the true dead fraction (a tombstoned id
+    * absent from the index inflates it; deletes normally target known
+    * ids, so the bound is tight), priced at one tombstone-sized
+    * distinct + one count, never an id join. The exact audit is
+    * [[graft.operators.Similarity.ivfDeadByCell]] / q172's census.
+    */
+  def deadVecFrac(s: SparkSession, root: String): Double = {
+    val tombPath = s"${index(root)}/_tombstones"
+    if (!graft.core.Fs.exists(s, tombPath)) return 0.0
+    val dead = s.read.parquet(tombPath).distinct().count()
+    val total = s.read.parquet(index(root)).count()
+    if (total == 0L) 0.0 else dead.toDouble / total.toDouble
+  }
+
+  /** Compact the CURRENT generation into the next and swap, carrying
+    * the replay pointer ([[Bm25Maintain.compactAndSwap]]'s rule) AND
+    * the serving sidecars: an IVF generation is the whole root (index
+    * + frozen `_cents` + the q165 query tables), so the k-row centroid
+    * table and query payloads copy forward — centroids do not change
+    * on compaction (that would be a retrain, a different operation).
+    */
+  def compactAndSwap(s: SparkSession, base: String): String = {
+    val curGen = graft.core.Roots.currentGen(s, base)
+    val next = "gen" + (curGen.stripPrefix("gen").toLong + 1L)
+    graft.core.Fs.deleteRecursive(s, s"$base/$next")
+    graft.operators.Similarity.ivfCompact(
+      s, s"$base/$curGen/index", s"$base/$next/index")
+    Seq("_cents", "_query", "_queries").foreach { side =>
+      if (graft.core.Fs.exists(s, s"$base/$curGen/$side"))
+        s.read.parquet(s"$base/$curGen/$side")
+          .write.mode("overwrite").parquet(s"$base/$next/$side")
+    }
+    val committed = IngestCommit.committed(s, s"$base/$curGen/index")
+    if (committed >= 0L)
+      graft.core.Fs.writeUtf8Atomic(s,
+        s"$base/$next/index/_INGEST_COMMIT", committed.toString)
+    graft.core.Roots.publish(s, base, next)
+    next
+  }
+
+  /** The managed loop — [[Bm25Maintain.bm25MaintainStreamManaged]]'s
+    * composition on the dense layout: CRUD feed applied exactly-once
+    * against the generation the [[graft.core.Roots]] pointer names,
+    * per-batch dead-vector trigger, offline compaction into the next
+    * generation, pointer-carried atomic swap. Base must hold a
+    * published generation (ivfServingSetup into `base/gen0` +
+    * Roots.publish).
+    */
+  def ivfMaintainStreamManaged(feed: DataFrame, base: String,
+      checkpoint: String, compactAt: Double = 0.2): StreamingQuery =
+    feed.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val cur = graft.core.Roots.current(s, base)
+        if (applyBatch(batch, batchId, cur) &&
+            deadVecFrac(s, cur) >= compactAt) {
+          compactAndSwap(s, base); ()
+        }
+      }
+      .start()
 }

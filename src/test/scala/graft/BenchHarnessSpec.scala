@@ -170,6 +170,37 @@ class BenchHarnessSpec extends SparkTestBase {
     }
   }
 
+  test("quiet-gate helpers: medianRatio over common queries only, " +
+    "pickQuietest emits one attempt's raw numbers, disclosure block " +
+    "carries every attempt's median in order") {
+    val anchor = Map("q1" -> 1.0, "q2" -> 2.0)
+    // common queries only; errored and anchor-less queries ignored
+    val noisy: Seq[(String, Seq[Double])] = Seq(
+      "q1" -> Seq(2.0, 3.0), "q2" -> Seq(2.4), "q_new" -> Seq(9.0),
+      "q_err" -> Seq.empty)
+    val quiet: Seq[(String, Seq[Double])] = Seq(
+      "q1" -> Seq(1.05), "q2" -> Seq(2.1, 2.5), "q_new" -> Seq(1.0))
+    assert(Bench.medianRatio(noisy, anchor).contains((2.0 + 1.2) / 2))
+    assert(Bench.medianRatio(quiet, anchor).contains((1.05 + 1.05) / 2))
+    assert(Bench.medianRatio(noisy, Map.empty).isEmpty,
+      "no common queries -> the gate cannot judge")
+    // the quietest attempt is emitted verbatim — never a min-merge
+    val picked = Bench.pickQuietest(
+      Seq((noisy, "host_noisy"), (quiet, "host_quiet")), anchor)
+    assert(picked == ((quiet, "host_quiet")))
+    // anchor-less attempts rank last, never win over a judged one
+    assert(Bench.pickQuietest(
+      Seq((Seq("q_x" -> Seq(0.1)), "a"), (quiet, "b")), anchor)._2 == "b")
+    val gate = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      Bench.quietGateJson(Seq(noisy, quiet), anchor, 1.05, passed = true))
+    assert(gate.get("attempts").asInt == 2)
+    assert(gate.get("attempt_medians").size == 2)
+    assert(gate.get("attempt_medians").get(0).asDouble == 1.6)
+    assert(gate.get("attempt_medians").get(1).asDouble == 1.05)
+    assert(gate.get("passed").asBoolean)
+    assert(gate.get("threshold").asDouble == 1.05)
+  }
+
   test("writeLine persists the exact line and reports the absolute path") {
     val dir = java.nio.file.Files.createTempDirectory("bench_out")
     val target = dir.resolve("bench_out.json").toString

@@ -1752,6 +1752,60 @@ class StreamingSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("managed ivf maintenance: auto-compaction fires, the swap " +
+    "carries pointer AND serving sidecars, probe == batch-maintained " +
+    "control on the survivors") {
+    import spark.implicits._
+    import graft.core.Roots
+    import graft.operators.Similarity
+    import graft.streaming.IvfMaintain
+    implicit val sc = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("ivfmng").toString
+    Similarity.ivfServingSetup(spark, sfDir, s"$base/gen0")
+    Roots.publish(spark, base, "gen0")
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val maxId = emb.agg(max($"vec_id")).head().getLong(0)
+    val addsDf = emb.filter($"vec_id" % 5 === 1)
+      .select(($"vec_id" + maxId + 1L).as("vec_id"), $"embedding")
+      .localCheckpoint(false)
+    val delsDf = emb.filter($"vec_id" % 3 === 0).select($"vec_id")
+      .localCheckpoint(false)
+    val feed = addsDf.as[(Long, Seq[Float])].collect().toSeq
+        .map { case (id, e) => ("add", id, e) } ++
+      delsDf.as[Long].collect().toSeq.map(id => ("del", id, Seq.empty[Float]))
+    val ckpt = java.nio.file.Files.createTempDirectory("ivfmng_ck").toString
+    val input = MemoryStream[(String, Long, Seq[Float])]
+    val q = IvfMaintain.ivfMaintainStreamManaged(
+      input.toDF().toDF("op", "vec_id", "embedding"), base, ckpt,
+      compactAt = 0.10)
+    val nBatches = {
+      val slices = feed.grouped(feed.size / 4 + 1).toSeq
+      try slices.foreach { s => input.addData(s); q.processAllAvailable() }
+      finally q.stop()
+      slices.size
+    }
+    assert(Roots.currentGen(spark, base) != "gen0",
+      "auto-compaction never fired")
+    // control: batch-maintained twin (append + delete, no compaction —
+    // compaction must be answer-invariant)
+    val ctrl = java.nio.file.Files.createTempDirectory("ivfmngc").toString
+    Similarity.ivfServingSetup(spark, sfDir, ctrl)
+    Similarity.ivfAppend(addsDf,
+      spark.read.parquet(s"$ctrl/_cents"), s"$ctrl/index")
+    Similarity.ivfDelete(delsDf, s"$ctrl/index")
+    def probe(root: String) = Similarity.ivfProbeStored(spark, root,
+      excludeVecId = Some(0L)).collect().toSeq
+    assert(probe(Roots.current(spark, base)) == probe(ctrl),
+      "managed ivf stream diverges from the batch-maintained control")
+    // sidecars carried: the batch probe still runs on the new gen
+    assert(Similarity.ivfProbeStoredBatch(spark,
+      Roots.current(spark, base)).collect().nonEmpty)
+    // pointer carried across the swap
+    assert(IvfMaintain.committedBatch(spark, Roots.current(spark, base))
+      == nBatches - 1L)
+    spark.catalog.clearCache()
+  }
+
   test("ingest commit protocol: a crash mid-publish (postings renamed " +
     "in, sidecars and pointer missing) converges to the clean-run end " +
     "state on redelivery — driven through an explicit file: scheme so " +
