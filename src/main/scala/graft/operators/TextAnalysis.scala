@@ -2070,10 +2070,15 @@ object TextAnalysis extends QueryPack {
     val docs = Tables.documents(s, dir)
     bm25IndexWrite(docs, bmPath)
     bm25Delete(docs.filter($"doc_id" % 7 === 3).select($"doc_id"), bmPath)
-    Similarity.ivfServingSetup(s, dir, ivfRoot)
+    // the census reads index rows + tombstones only, and its oracle is
+    // assignment-independent — the q101 fixed-centroid shape (iters=1)
+    // prices the layout without q128's training rounds, and no query
+    // sidecars are written (nothing probes this layout)
+    val emb = Tables.embeddings(s, dir).localCheckpoint(false)
+    val (idx, _) = Similarity.ivfLearned(emb, k = 8, iters = 1)
+    Similarity.ivfWrite(idx, s"$ivfRoot/index")
     Similarity.ivfDelete(
-      Tables.embeddings(s, dir).filter($"vec_id" % 7 === 3)
-        .select($"vec_id"),
+      emb.filter($"vec_id" % 7 === 3).select($"vec_id"),
       s"$ivfRoot/index")
     compactionCensus(s, bmPath, s"$ivfRoot/index", threshold = 0.10)
   }
