@@ -49,6 +49,14 @@ import graft.core.Fs
   * layouts use (tag-prefixed files directly under the dest dir, and
   * under its first-level partition dirs); a deeper `partitionBy` tree
   * would need its globs listed here.
+  *
+  * SINGLE-WRITER contract: one maintenance stream per layout. The
+  * pointer records one monotone batch-id sequence — two concurrent
+  * streams (each with its own foreachBatch counter) would collide on
+  * ids and scrub each other's files. Multiplex adds and deletes into
+  * ONE feed instead ([[Bm25Maintain]]/[[IvfMaintain]] exist precisely
+  * for that); this matches Structured Streaming's own
+  * one-writer-per-checkpoint model.
   */
 object IngestCommit {
 
