@@ -753,6 +753,54 @@ class PlanSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("q171: the packed quantile plan has NO windows at all — the " +
+    "point of the state-shape spelling vs q152's two cumsum window " +
+    "passes; one events scan; rank selection is in-row") {
+    val df = Anomaly.q171QuantilesPacked(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("windowspecdefinition"),
+      "the packed plan must not plan a Window:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+    assert(fileScans(df) == 1,
+      s"one data-sized rollup scan expected, saw ${fileScans(df)}")
+    // the window-based q152 it replaces DOES plan windows — the
+    // contrast the pin exists to keep honest
+    assert(plan(Anomaly.q152ExactQuantiles(spark, sfDir))
+      .contains("windowspecdefinition"))
+    spark.catalog.clearCache()
+  }
+
+  test("q172/q173: compaction census joins broadcast the tombstone " +
+    "sets (no sort-merge join reaches a layout scan); the q173 probes " +
+    "carry partition filters on the term buckets") {
+    import graft.operators.TextAnalysis
+    // census over freshly built+mutated layouts (the q172 body without
+    // the oracle wrapper): every join must be broadcast — tombstones
+    // are bounded by deletes-since-compaction BY CONTRACT
+    val censusPlan = plan(TextAnalysis.q172CompactionCensus(spark, sfDir))
+    assert(!censusPlan.contains("SortMergeJoin"),
+      "census tombstone joins must broadcast:\n" + censusPlan.take(2000))
+    assert(!censusPlan.contains("CartesianProduct"))
+    // bm25 probes crossJoin the broadcast 1-row stats frame — planned
+    // as BroadcastNestedLoopJoin, never a CartesianProduct
+    val swapPlan = plan(TextAnalysis.q173CompactSwap(spark, sfDir))
+    assert(!swapPlan.contains("CartesianProduct"), swapPlan.take(2000))
+    // the probe's pruned scan hides behind its localCheckpoint in the
+    // probe's own plan (the ServingBench lesson) — pin the pruning on
+    // the pre-checkpoint live-postings frame over the compacted
+    // generation the q173 call just built and swapped to
+    val gen1 = TextAnalysis.bm25TempIndexPath(sfDir) + "_swap/gen1"
+    val livePlan = plan(TextAnalysis.bm25LivePostings(
+      spark, gen1, TextAnalysis.Bm25Query))
+    val scanLines = livePlan.linesIterator
+      .filter(l => l.contains("PartitionFilters: [") && l.contains("tb#"))
+      .toSeq
+    assert(scanLines.nonEmpty && scanLines.forall(_.contains(" IN ")),
+      "the compacted-generation probe read must carry a static tb IN " +
+        "partition filter:\n" + livePlan.take(2000))
+    spark.catalog.clearCache()
+  }
+
   test("q118: novelty joins only DOC-cardinality frames — the gram " +
     "stream feeds one aggregation and is never join-back material; no " +
     "candidate pairing, no Window, no nested-loop join") {
