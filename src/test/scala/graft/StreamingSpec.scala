@@ -1930,6 +1930,56 @@ class StreamingSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("ingest commit crash-point law: for EVERY crash window in the " +
+    "protocol (post-stage, each partial-publish prefix, full publish " +
+    "without commit) a redelivered batch converges to the clean-run " +
+    "layout") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    import graft.streaming.{Bm25Ingest, IngestCommit}
+    import org.apache.spark.sql.functions.{sum => fsum}
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .localCheckpoint(false)
+    val base = docs.filter($"doc_id" % 2 === 0)
+    val delta = docs.filter($"doc_id" % 2 =!= 0)
+      .select($"doc_id", $"lang", $"text").localCheckpoint(false)
+    val ctrl = java.nio.file.Files.createTempDirectory("cp_ctrl").toString
+    TextAnalysis.bm25IndexWrite(base, ctrl)
+    assert(Bm25Ingest.applyBatch(delta, 0L, ctrl))
+    def census(p: String) = (
+      spark.read.parquet(p).count(),
+      spark.read.parquet(s"$p/_docs").count(),
+      spark.read.parquet(s"$p/_stats")
+        .agg(fsum("nd"), fsum("tl")).head().toSeq)
+    val want = census(ctrl)
+    // crash points: publish 0, 1, 2 or all 3 artifacts (in protocol
+    // order), never commit — plus the stage-only window (publish 0)
+    val artifacts = Seq("post" -> "", "docs" -> "_docs",
+      "stats" -> "_stats")
+    for (published <- 0 to artifacts.size) {
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"cp_$published").toString
+      TextAnalysis.bm25IndexWrite(base, tmp)
+      val staged = IngestCommit.stagingDir(tmp, 0L)
+      TextAnalysis.bm25AppendStage(delta, staged)
+      artifacts.take(published).foreach { case (sub, destSub) =>
+        val dest = if (destSub.isEmpty) tmp else s"$tmp/$destSub"
+        graft.core.Fs.publishParquet(spark, s"$staged/$sub", dest,
+          IngestCommit.tag(0L))
+      }
+      assert(Bm25Ingest.committedBatch(spark, tmp) == -1L)
+      assert(Bm25Ingest.applyBatch(delta, 0L, tmp),
+        s"retry after crash point $published must apply")
+      assert(census(tmp) == want,
+        s"crash point $published did not converge to the clean run")
+      assert(TextAnalysis.bm25Probe(spark, tmp, TextAnalysis.Bm25Query)
+          .collect().toSeq ==
+        TextAnalysis.bm25Probe(spark, ctrl, TextAnalysis.Bm25Query)
+          .collect().toSeq, s"probe diverges at crash point $published")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("ivf ingest stream: probe after streaming an embedding batch in " +
     "slices equals batch ivfAppend of the same rows; replayed " +
     "micro-batches leave the layout untouched") {
