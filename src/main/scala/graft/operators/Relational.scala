@@ -419,6 +419,59 @@ object Relational extends QueryPack {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  // --- q174: k-anonymity / l-diversity release audit ---------------------------
+  /** The privacy audit a training-data release runs before shipping
+    * event-level data (Sweeney 2002 k-anonymity; Machanavajjhala 2007
+    * l-diversity): group the rows by their QUASI-IDENTIFIER tuple —
+    * attributes an adversary can link externally — and census the
+    * group-size distribution. A row in a group smaller than k is
+    * re-identifiable ("rows at risk"); a group whose SENSITIVE
+    * attribute takes too few distinct values leaks it even at size ≥ k
+    * (l-diversity). One exact census row: rows, QI groups, min/max
+    * group size, groups below k, rows at risk, and the minimum
+    * distinct-sensitive count over groups (l_min).
+    *
+    * Scale shape: ONE map-combined rollup to the QI grain carrying
+    * count + exact distinct-sensitive per group (the QI table is the
+    * bounded frame — its cardinality is the product of the
+    * quasi-identifier domains, not the row count), then a single
+    * aggregation over it. At 100 TB the only data-sized stage is the
+    * first rollup; countDistinct inside it is per-group exact (the
+    * audit's contract — an HLL estimate cannot certify l-diversity).
+    */
+  def kAnonymityCensus(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: String, k: Int): DataFrame = {
+    import df.sparkSession.implicits._
+    val groups = df
+      .groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(sensitiveCol)).as("l"))
+    groups.agg(
+      sum($"n").as("n_rows"),
+      count(lit(1)).as("n_groups"),
+      min($"n").as("min_group"),
+      max($"n").as("max_group"),
+      sum(when($"n" < k, 1L).otherwise(0L)).as("n_small_groups"),
+      sum(when($"n" < k, $"n").otherwise(0L)).as("rows_at_risk"),
+      min($"l").as("l_min"))
+      .withColumn("k", lit(k.toLong))
+      .withColumn("anonymous",
+        when($"n_small_groups" === 0L, 1L).otherwise(0L))
+  }
+
+  /** q174 on events: QI = (event_type, hour-of-day, $10 value band) —
+    * the linkable shape of a telemetry row; sensitive = user_id. k=5.
+    */
+  def q174KAnonymity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    kAnonymityCensus(
+      Tables.events(s, dir)
+        .select($"user_id", $"event_type",
+          hour($"ts").cast("long").as("hod"),
+          floor($"value" / 10.0).cast("long").as("band")),
+      Seq("event_type", "hod", "band"), "user_id", k = 5)
+  }
+
   // --- q79: weekly cohort retention ----------------------------------------
   /** Users grouped by first-activity week (cohort), counted in each
     * later week they return — the standard retention triangle.
@@ -1376,6 +1429,7 @@ object Relational extends QueryPack {
     "q71_resample_ffill" -> (q71ResampleFfill _),
     "q53_sessionize"    -> (q53Sessionize _),
     "q78_funnel"        -> (q78Funnel _),
+    "q174_kanonymity"   -> (q174KAnonymity _),
     "q79_retention"     -> (q79Retention _),
     "q80_transitions"   -> (q80Transitions _),
     "q83_rfm_segments"  -> (q83RfmSegments _),
@@ -1874,6 +1928,27 @@ object Relational extends QueryPack {
         |SELECT tc.cur, tc.nxt, tc.n_trans,
         | CAST(ROUND(CAST((tc.n_trans / tot.n_from) AS DECIMAL(28,10)), 4) AS DOUBLE) AS p_next
         |FROM tc JOIN tot USING (cur)""".stripMargin,
+    "q174_kanonymity" ->
+      // identical QI rollup; group-size + distinct-sensitive census
+      // replayed over it — the audit's decision inputs are exact
+      """WITH g AS (SELECT event_type,
+        |  CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+        |  CAST(FLOOR(value / 10.0) AS BIGINT) AS band,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS l
+        | FROM events GROUP BY 1, 2, 3)
+        |SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+        | CAST(COUNT(*) AS BIGINT) AS n_groups,
+        | MIN(n) AS min_group, MAX(n) AS max_group,
+        | CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_small_groups,
+        | CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+        |   AS rows_at_risk,
+        | MIN(l) AS l_min,
+        | CAST(5 AS BIGINT) AS k,
+        | CAST(CASE WHEN SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) = 0
+        |   THEN 1 ELSE 0 END AS BIGINT) AS anonymous
+        |FROM g""".stripMargin,
     "q79_retention" ->
       """WITH uw AS (SELECT DISTINCT user_id,
         |  CAST(date_trunc('week', ts) AS DATE) AS week FROM events),

@@ -408,4 +408,33 @@ class RelationalSpec extends SparkTestBase {
       .view.mapValues(_.size.toLong).toMap
     assert(got == want, s"got $got want $want")
   }
+  test("q174 k-anonymity census: hand-computed groups — rows at risk, " +
+    "small-group count, l_min from the least-diverse group; a fully " +
+    "anonymous frame votes anonymous") {
+    import spark.implicits._
+    // QI = (a, b); sensitive = u. Groups: (x,1): 5 rows 2 users;
+    // (x,2): 2 rows 2 users (below k=5, at risk); (y,1): 6 rows 1 user
+    // (size fine, l=1 — the l-diversity leak k-anonymity misses)
+    val df = (
+      Seq.fill(3)(("x", 1L, 10L)) ++ Seq.fill(2)(("x", 1L, 11L)) ++
+      Seq(("x", 2L, 20L), ("x", 2L, 21L)) ++
+      Seq.fill(6)(("y", 1L, 30L))
+    ).toDF("a", "b", "u")
+    val r = graft.operators.Relational
+      .kAnonymityCensus(df, Seq("a", "b"), "u", k = 5).head()
+    assert(r.getAs[Long]("n_rows") == 13L)
+    assert(r.getAs[Long]("n_groups") == 3L)
+    assert(r.getAs[Long]("min_group") == 2L)
+    assert(r.getAs[Long]("max_group") == 6L)
+    assert(r.getAs[Long]("n_small_groups") == 1L)
+    assert(r.getAs[Long]("rows_at_risk") == 2L)
+    assert(r.getAs[Long]("l_min") == 1L)
+    assert(r.getAs[Long]("anonymous") == 0L)
+    // drop the risky group -> anonymous=1, but l_min still exposes the
+    // single-user group (the two audits are independent by design)
+    val r2 = graft.operators.Relational.kAnonymityCensus(
+      df.filter($"b" =!= 2L), Seq("a", "b"), "u", k = 5).head()
+    assert(r2.getAs[Long]("anonymous") == 1L)
+    assert(r2.getAs[Long]("l_min") == 1L)
+  }
 }
