@@ -2083,6 +2083,115 @@ object TextAnalysis extends QueryPack {
     compactionCensus(s, bmPath, s"$ivfRoot/index", threshold = 0.10)
   }
 
+  // --- q175: multi-tenant BM25 layout — two-level partition pruning -----------
+  /** The per-tenant serving layout a multilingual / multi-customer
+    * retrieval fleet runs ONE physical index for: postings written
+    * `partitionBy(lang, tb)` so a tenant's probe is a TWO-LEVEL
+    * statically-pruned scan (its language dir, then ≤|terms| buckets
+    * inside it), and corpus stats keep one append-delta row PER
+    * TENANT — BM25's N and avgdl are tenant-relative, so a tenant's
+    * ranking equals an index built over its documents alone (the
+    * isolation contract; the oracle proves it by replaying q130's
+    * pipeline over `WHERE lang = tenant`). Build cost is one corpus
+    * scan + one (term, doc) shuffle, exactly the single-tenant
+    * layout's; the probe's byte footprint is |tenant's postings of the
+    * query terms| however many tenants share the index.
+    */
+  def bm25IndexWriteTenants(docs: DataFrame, path: String,
+      buckets: Int = 64): Unit = {
+    import docs.sparkSession.implicits._
+    val s = docs.sparkSession
+    graft.core.Fs.deleteRecursive(s, path)
+    val tokenized = bm25Tokenized(docs)
+    bm25Postings(tokenized, buckets)
+      .write.mode("overwrite").partitionBy("lang", "tb").parquet(path)
+    tokenized.select($"doc_id", $"lang", $"dl")
+      .write.mode("overwrite").parquet(s"$path/_docs")
+    s.read.parquet(s"$path/_docs")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("nd"), sum($"dl").as("tl"))
+      .write.mode("overwrite").parquet(s"$path/_stats")
+  }
+
+  /** One tenant's probe against the shared layout: the tenant's own
+    * stats row (summed over append deltas), a (lang, tb, tok)-pruned
+    * scan, q130's scoring. Identical columns/rule to [[bm25Probe]].
+    */
+  def bm25ProbeTenant(s: SparkSession, path: String, lang: String,
+      terms: Seq[String], k: Int = 10, buckets: Int = 64): DataFrame = {
+    import s.implicits._
+    val k1 = 1.2; val b = 0.75
+    val tbs = s.range(1).select(
+      terms.map(t => pmod(xxhash64(lit(t)), lit(buckets.toLong)).as(t)): _*)
+      .head().toSeq.map(_.asInstanceOf[Long]).distinct
+    val stats = broadcast(s.read.parquet(s"$path/_stats")
+      .filter($"lang" === lang)
+      .agg(sum($"nd").as("nd"), sum($"tl").as("tl")))
+    // one pruned scan feeds df/idf AND scoring (the bm25Probe rule);
+    // PlanSpec pins the two-level pruning on the pre-checkpoint frame
+    val post = bm25TenantPostings(s, path, lang, terms, buckets, tbs)
+      .localCheckpoint(false)
+    val idf = broadcast(post.groupBy($"tok")
+      .agg(countDistinct($"doc_id").as("df"))
+      .crossJoin(stats)
+      .select($"tok", log(lit(1.0) +
+        (($"nd" - $"df").cast("double") + lit(0.5))
+          / ($"df".cast("double") + lit(0.5))).as("idf")))
+    post.join(idf, "tok")
+      .crossJoin(stats)
+      .withColumn("term_score", $"idf" *
+        ($"tf".cast("double") * lit(k1 + 1.0))
+        / ($"tf".cast("double") + lit(k1) * (lit(1.0 - b)
+          + lit(b) * $"dl".cast("double")
+            / ($"tl".cast("double") / $"nd".cast("double")))))
+      .groupBy($"doc_id", $"lang", $"dl")
+      .agg(graft.core.Exact.dround(
+        sum($"term_score".cast(org.apache.spark.sql.types.DecimalType(28, 10)))
+          .cast("double"), 6).as("score"),
+        count(lit(1)).as("n_terms"))
+      .orderBy($"score".desc, $"doc_id".asc).limit(k)
+  }
+
+  /** The tenant probe's physical read, PRE-checkpoint (the
+    * [[bm25LivePostings]] exposure rule): lang dir + term buckets both
+    * as static partition filters.
+    */
+  def bm25TenantPostings(s: SparkSession, path: String, lang: String,
+      terms: Seq[String], buckets: Int = 64,
+      tbsPre: Seq[Long] = Seq.empty): DataFrame = {
+    import s.implicits._
+    val tbs =
+      if (tbsPre.nonEmpty) tbsPre
+      else s.range(1).select(
+        terms.map(t =>
+          pmod(xxhash64(lit(t)), lit(buckets.toLong)).as(t)): _*)
+        .head().toSeq.map(_.asInstanceOf[Long]).distinct
+    s.read.parquet(path)
+      .filter($"lang" === lang && $"tb".isin(tbs: _*) &&
+        $"tok".isin(terms: _*))
+  }
+
+  /** Build + two tenants' probes as one oracle row: each tenant's
+    * ranking from the SHARED layout must equal q130 restricted to
+    * that tenant's documents — tenant isolation under the hash gate.
+    */
+  def q175TenantProbe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = bm25TempIndexPath(dir) + "_tenants"
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(p)
+    bm25IndexWriteTenants(Tables.documents(s, dir), path)
+    TenantLangs.map { lang =>
+      bm25ProbeTenant(s, path, lang, Bm25Query)
+        .withColumn("tenant", lit(lang))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The two tenants the q175 oracle replays (largest + a CJK tenant —
+    * different tokenization mass, same rule).
+    */
+  private[graft] val TenantLangs: Seq[String] = Seq("en", "zh")
+
   // --- q173: compact + atomic root swap, probed end to end --------------------
   /** The compaction DAY-2 path as one oracle row — the leg q162 left
     * to specs: build the live index, tombstone the q162 victims
@@ -2223,6 +2332,7 @@ object TextAnalysis extends QueryPack {
     "q169_dedup_takedown"    -> (q169DedupTakedown _),
     "q172_compaction_census" -> (q172CompactionCensus _),
     "q173_compact_swap"      -> (q173CompactSwap _),
+    "q175_tenant_probe"      -> (q175TenantProbe _),
     "q122_pmi_pairs"         -> (q122PmiPairs _),
     "q120_bpe_sweep"         -> (q120BpeSweep _),
     "q119_zipf_slope"        -> (q119ZipfSlope _),
@@ -2343,6 +2453,15 @@ object TextAnalysis extends QueryPack {
         |   AS rel_err,
         | reg_checksum
         |FROM e3 JOIN ex ON e3.grp = ex.grp""".stripMargin,
+    "q175_tenant_probe" ->
+      // tenant isolation: each tenant's ranking from the SHARED layout
+      // equals q130's pipeline over that tenant's documents alone
+      s"""SELECT * FROM (${TenantLangs.map { lang =>
+            s"""SELECT doc_id, lang, dl, score, n_terms,
+               |  '$lang' AS tenant
+               |FROM (${bm25OracleOver(s"lang = '$lang'")})""".stripMargin
+          }.mkString("\nUNION ALL\n")})
+         |ORDER BY tenant ASC, score DESC, doc_id ASC""".stripMargin,
     "q173_compact_swap" ->
       // both stages equal a rebuild WITHOUT the victims — the
       // tombstone view and the compacted view are one logical index

@@ -801,6 +801,23 @@ class PlanSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("q175: the tenant probe's read carries BOTH static partition " +
+    "filters (lang dir AND term buckets) — two-level pruning on the " +
+    "shared multi-tenant layout") {
+    import graft.operators.TextAnalysis
+    // q175 builds the layout as a side effect of planning it
+    plan(TextAnalysis.q175TenantProbe(spark, sfDir))
+    val path = TextAnalysis.bm25TempIndexPath(sfDir) + "_tenants"
+    val p = plan(TextAnalysis.bm25TenantPostings(spark, path, "en",
+      TextAnalysis.Bm25Query))
+    val scanLines = p.linesIterator
+      .filter(_.contains("PartitionFilters: [")).toSeq
+    assert(scanLines.nonEmpty &&
+      scanLines.forall(l => l.contains("lang#") && l.contains("tb#")),
+      "tenant probe must prune on lang AND tb:\n" + p.take(2000))
+    spark.catalog.clearCache()
+  }
+
   test("q118: novelty joins only DOC-cardinality frames — the gram " +
     "stream feeds one aggregation and is never join-back material; no " +
     "candidate pairing, no Window, no nested-loop join") {
