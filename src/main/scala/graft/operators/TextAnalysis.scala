@@ -2083,6 +2083,73 @@ object TextAnalysis extends QueryPack {
     compactionCensus(s, bmPath, s"$ivfRoot/index", threshold = 0.10)
   }
 
+  // --- q176: PSI drift census between corpus snapshots -------------------------
+  /** Population Stability Index over quality-score bands — THE standard
+    * production data-drift monitor (credit-scoring lineage, applied
+    * here to the corpus pipeline): two crawl snapshots' quality
+    * distributions compared band by band, PSI = Σ (pA−pB)·ln(pA/pB);
+    * fleet rule of thumb: <0.1 stable, 0.1–0.2 watch, ≥0.2 shifted —
+    * the alarm that fires when a crawler change or source rot moves
+    * the corpus under a trained model. Output: one row per band with
+    * both counts, both (Laplace-smoothed) proportions and the PSI
+    * term — per-band rows, not just the scalar, because the FIRST
+    * question after "PSI fired" is "which band moved".
+    *
+    * Exactness: bands come from the integer-scaled quality (q4 =
+    * round(quality·10⁴) — integer div, no float floor at a band
+    * edge); proportions are (c+1)/(n+10) Laplace-smoothed ratios of
+    * exact integers (empty bands stay defined), so the LN operand is
+    * a ratio of integer products — identical doubles in both engines
+    * (the q95/q122 LN class). Snapshots here: doc_id parity (the
+    * deterministic two-crawls stand-in; a deployment passes two real
+    * snapshot frames to [[psiBands]]).
+    *
+    * Scale shape: one corpus scan into a 10-row banded rollup
+    * (map-side combined), a 10-row spine join, one broadcast totals
+    * row — nothing after the scan is data-sized.
+    */
+  def psiBands(a: DataFrame, b: DataFrame): DataFrame = {
+    val s = a.sparkSession
+    import s.implicits._
+    def banded(df: DataFrame, side: String) = df
+      .select((expr("CAST(ROUND(quality * 10000) AS BIGINT)") // exact
+        .cast("long")).as("q4"))
+      .select(least(lit(9L), expr("q4 div 1000")).as("band"))
+      .groupBy($"band").agg(count(lit(1)).as(s"n_$side"))
+    val spine = s.range(0, 10).select($"id".as("band"))
+    val full = spine
+      .join(banded(a, "a"), Seq("band"), "left")
+      .join(banded(b, "b"), Seq("band"), "left")
+      .na.fill(0L, Seq("n_a", "n_b"))
+    val tot = broadcast(full.agg(sum($"n_a").as("ta"),
+      sum($"n_b").as("tb")))
+    full.crossJoin(tot)
+      .select($"band", $"n_a", $"n_b",
+        graft.core.Exact.dround(
+          ($"n_a" + 1).cast("double") / ($"ta" + 10).cast("double"), 6)
+          .as("p_a"),
+        graft.core.Exact.dround(
+          ($"n_b" + 1).cast("double") / ($"tb" + 10).cast("double"), 6)
+          .as("p_b"),
+        graft.core.Exact.dround(
+          ((($"n_a" + 1).cast("double") / ($"ta" + 10).cast("double"))
+            - (($"n_b" + 1).cast("double") / ($"tb" + 10).cast("double")))
+          * log((($"n_a" + 1).cast("double") * ($"tb" + 10).cast("double"))
+            / (($"n_b" + 1).cast("double") * ($"ta" + 10).cast("double"))),
+          6).as("psi_term"))
+      .orderBy($"band".asc)
+  }
+
+  def q176PsiDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = corpusFilterCols(Tables.documents(s, dir))
+      .select($"doc_id", $"quality")
+      // both snapshots derive from one scored frame — scan once
+      .localCheckpoint(false)
+    psiBands(scored.filter($"doc_id" % 2 === 0),
+      scored.filter($"doc_id" % 2 =!= 0))
+  }
+
   // --- q175: multi-tenant BM25 layout — two-level partition pruning -----------
   /** The per-tenant serving layout a multilingual / multi-customer
     * retrieval fleet runs ONE physical index for: postings written
@@ -2333,6 +2400,7 @@ object TextAnalysis extends QueryPack {
     "q172_compaction_census" -> (q172CompactionCensus _),
     "q173_compact_swap"      -> (q173CompactSwap _),
     "q175_tenant_probe"      -> (q175TenantProbe _),
+    "q176_psi_drift"         -> (q176PsiDrift _),
     "q122_pmi_pairs"         -> (q122PmiPairs _),
     "q120_bpe_sweep"         -> (q120BpeSweep _),
     "q119_zipf_slope"        -> (q119ZipfSlope _),
@@ -2453,6 +2521,40 @@ object TextAnalysis extends QueryPack {
         |   AS rel_err,
         | reg_checksum
         |FROM e3 JOIN ex ON e3.grp = ex.grp""".stripMargin,
+    "q176_psi_drift" ->
+      // identical integer-scaled banding, Laplace-smoothed integer
+      // ratios, LN of a ratio of integer products (the q95/q122 class)
+      s"""WITH q AS (SELECT doc_id, $QualitySqlExpr AS quality
+         |  FROM documents),
+         |bq AS (SELECT doc_id,
+         |  LEAST(9, CAST(ROUND(quality * 10000) AS BIGINT) // 1000)
+         |    AS band FROM q),
+         |ca AS (SELECT band, CAST(COUNT(*) AS BIGINT) AS n_a0 FROM bq
+         |  WHERE doc_id % 2 = 0 GROUP BY 1),
+         |cb AS (SELECT band, CAST(COUNT(*) AS BIGINT) AS n_b0 FROM bq
+         |  WHERE doc_id % 2 <> 0 GROUP BY 1),
+         |sp AS (SELECT CAST(g AS BIGINT) AS band
+         |  FROM generate_series(0, 9) t(g)),
+         |f AS (SELECT band, COALESCE(n_a0, 0) AS n_a,
+         |  COALESCE(n_b0, 0) AS n_b
+         | FROM sp LEFT JOIN ca USING (band) LEFT JOIN cb USING (band)),
+         |t AS (SELECT CAST(SUM(n_a) AS BIGINT) AS ta,
+         |  CAST(SUM(n_b) AS BIGINT) AS tb FROM f)
+         |SELECT band, n_a, n_b,
+         | ${graft.core.Exact.sqlDround(
+             "CAST(n_a + 1 AS DOUBLE) / CAST(ta + 10 AS DOUBLE)", 6)}
+         |   AS p_a,
+         | ${graft.core.Exact.sqlDround(
+             "CAST(n_b + 1 AS DOUBLE) / CAST(tb + 10 AS DOUBLE)", 6)}
+         |   AS p_b,
+         | ${graft.core.Exact.sqlDround(
+             "(CAST(n_a + 1 AS DOUBLE) / CAST(ta + 10 AS DOUBLE)" +
+             " - CAST(n_b + 1 AS DOUBLE) / CAST(tb + 10 AS DOUBLE))" +
+             " * LN((CAST(n_a + 1 AS DOUBLE) * CAST(tb + 10 AS DOUBLE))" +
+             " / (CAST(n_b + 1 AS DOUBLE) * CAST(ta + 10 AS DOUBLE)))", 6)}
+         |   AS psi_term
+         |FROM f CROSS JOIN t
+         |ORDER BY band ASC""".stripMargin,
     "q175_tenant_probe" ->
       // tenant isolation: each tenant's ranking from the SHARED layout
       // equals q130's pipeline over that tenant's documents alone

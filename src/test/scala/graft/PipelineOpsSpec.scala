@@ -429,6 +429,35 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(bigRounds <= 10, s"jump loop took $bigRounds rounds on the 512-chain")
   }
 
+  test("q176 PSI laws: identical snapshots read exactly zero per band; " +
+    "every term is non-negative (same-sign difference and log); a " +
+    "deliberately shifted distribution crosses the 0.2 alarm") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    def quality(docs: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.corpusFilterCols(docs).select($"doc_id", $"quality")
+    val docs = quality(graft.core.Tables.documents(spark, sfDir))
+      .localCheckpoint(false)
+    // PSI(X, X) == 0 in every band, exactly (integer counts equal)
+    val self = TextAnalysis.psiBands(docs, docs).collect()
+    assert(self.length == 10)
+    assert(self.forall(_.getDouble(5) == 0.0), self.mkString("\n"))
+    // non-negativity: (pA−pB) and ln(pA/pB) always share a sign
+    val split = TextAnalysis.psiBands(
+      docs.filter($"doc_id" % 2 === 0), docs.filter($"doc_id" % 2 =!= 0))
+      .collect()
+    assert(split.forall(_.getDouble(5) >= 0.0))
+    // a corpus whose quality collapsed (all text identical spam) must
+    // fire the 0.2 alarm against the real corpus
+    val spam = quality(graft.core.Tables.documents(spark, sfDir)
+      .withColumn("text", lit("spam spam spam"))
+      .withColumn("n_chars", lit(14L)))
+    val drifted = TextAnalysis.psiBands(docs, spam).collect()
+    assert(drifted.map(_.getDouble(5)).sum >= 0.2,
+      s"collapsed corpus must read as shifted: ${drifted.mkString("\n")}")
+    spark.catalog.clearCache()
+  }
+
   test("q173 root swap physics: the old generation stays byte-readable " +
     "after publish (in-flight reader contract), the compacted " +
     "generation physically drops exactly the dead rows, and an " +
