@@ -2191,9 +2191,13 @@ object TextAnalysis extends QueryPack {
     val tbs = s.range(1).select(
       terms.map(t => pmod(xxhash64(lit(t)), lit(buckets.toLong)).as(t)): _*)
       .head().toSeq.map(_.asInstanceOf[Long]).distinct
+    // the 1-row stats frame feeds idf AND scoring — checkpoint it so
+    // the sidecar is scanned once per tenant, not once per consumer
+    // (the q175 union of two tenant probes read _stats 4x without it)
     val stats = broadcast(s.read.parquet(s"$path/_stats")
       .filter($"lang" === lang)
-      .agg(sum($"nd").as("nd"), sum($"tl").as("tl")))
+      .agg(sum($"nd").as("nd"), sum($"tl").as("tl"))
+      .localCheckpoint(false))
     // one pruned scan feeds df/idf AND scoring (the bm25Probe rule);
     // PlanSpec pins the two-level pruning on the pre-checkpoint frame
     val post = bm25TenantPostings(s, path, lang, terms, buckets, tbs)
