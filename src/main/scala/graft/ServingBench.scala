@@ -101,6 +101,9 @@ object ServingBench {
     val buildBm25 = timed(TextAnalysis.bm25IndexWrite(
       graft.core.Tables.documents(spark, sfDir), bm25Root))
     val buildIvf = timed(Similarity.ivfServingSetup(spark, sfDir, ivfRoot))
+    val tenantRoot = s"$out/bm25_tenants"
+    val buildTenants = timed(TextAnalysis.bm25IndexWriteTenants(
+      graft.core.Tables.documents(spark, sfDir), tenantRoot))
 
     val queries: Seq[(String, () => DataFrame)] = Seq(
       "bm25_probe_only" -> (() =>
@@ -111,6 +114,9 @@ object ServingBench {
         Similarity.ivfProbeStored(spark, ivfRoot, excludeVecId = Some(0L))),
       "ivf_batch_probe_only" -> (() =>
         Similarity.ivfProbeStoredBatch(spark, ivfRoot)),
+      "bm25_tenant_probe_only" -> (() =>
+        TextAnalysis.bm25ProbeTenant(spark, tenantRoot, "en",
+          TextAnalysis.Bm25Query)),
       "inquery_q160_bm25" -> (() =>
         TextAnalysis.q160Bm25Probe(spark, sfDir)),
       "inquery_q128_ivf" -> (() =>
@@ -142,8 +148,15 @@ object ServingBench {
       "bm25")
     val (ivFiles, ivBytes) = pruned(
       queries.find(_._1 == "ivf_probe_only").get._2(), "ivf/index")
+    // tenant pruning: the en probe must read only en-dir bucket files —
+    // the two-level claim as a measured number against the SHARED
+    // multi-tenant layout's totals
+    val (tnFiles, tnBytes) = pruned(
+      TextAnalysis.bm25TenantPostings(spark, tenantRoot, "en",
+        TextAnalysis.Bm25Query), "bm25_tenants")
     val (bmTotF, bmTotB) = layoutTotals(bm25Root)
     val (ivTotF, ivTotB) = layoutTotals(s"$ivfRoot/index")
+    val (tnTotF, tnTotB) = layoutTotals(tenantRoot)
 
     val host = Bench.hostJson(loadBefore, Bench.loadAvg(),
       Runtime.getRuntime.availableProcessors)
@@ -152,11 +165,13 @@ object ServingBench {
     val qs = timedQs.map { case (n, t) => s""""$n":${r4(t)}""" }.mkString(",")
     println(s"""{"metric":"serving_probe_only","unit":"sec","sf":"$sfDir",""" +
       s""""reps":$reps,"queries":{$qs},""" +
-      s""""setup_sec":{"bm25_build":${r4(buildBm25)},"ivf_build":${r4(buildIvf)}},""" +
+      s""""setup_sec":{"bm25_build":${r4(buildBm25)},"ivf_build":${r4(buildIvf)},"tenants_build":${r4(buildTenants)}},""" +
       s""""pruning":{"bm25":{"files_read":$bmFiles,"files_total":$bmTotF,""" +
       s""""bytes_read":$bmBytes,"bytes_total":$bmTotB},""" +
       s""""ivf":{"files_read":$ivFiles,"files_total":$ivTotF,""" +
-      s""""bytes_read":$ivBytes,"bytes_total":$ivTotB}},"host":$host}""")
+      s""""bytes_read":$ivBytes,"bytes_total":$ivTotB},""" +
+      s""""bm25_tenants":{"files_read":$tnFiles,"files_total":$tnTotF,""" +
+      s""""bytes_read":$tnBytes,"bytes_total":$tnTotB}},"host":$host}""")
     spark.stop()
   }
 }
