@@ -884,6 +884,60 @@ object Similarity extends QueryPack {
       .orderBy($"cell".asc)
   }
 
+  // --- q177: semantic train/eval contamination census -------------------------
+  /** The EMBEDDING-level decontamination screen (q55 is the lexical
+    * 13-gram one — paraphrased or reformatted eval leakage passes it;
+    * this catches what embeds nearby): for every eval-set vector, the
+    * nearest train-set cosine, censused into 10 similarity bands with
+    * a flagged count at the τ=0.95 leak threshold — the report a
+    * training run reads before trusting its eval numbers. Split here
+    * is vec_id mod 5 (the deterministic eval-sample stand-in; a
+    * deployment passes its real benchmark set).
+    *
+    * Exactness: per-pair cosines round to 6 (q29's class, undefined
+    * cosines coalesce to −2 so zero-norm junk ranks lowest instead of
+    * NULL-vanishing), the per-eval max is over identical doubles, and
+    * banding runs on the INTEGER-scaled max (div after clamping —
+    * trunc-vs-floor divergence on negatives is clamped into band 0 in
+    * both engines).
+    *
+    * Scale shape: the eval set BROADCASTS (it is a benchmark sample —
+    * bounded by contract), so the pair scoring is one zero-shuffle
+    * projection over train×|eval| rows with a map-combined per-eval
+    * max; the census is a 10-row spine join. At corpus scale the
+    * exact form runs on an LSH-prefiltered candidate set (q30/q31's
+    * machinery) — this is the exact-evidence form those candidates
+    * feed.
+    */
+  def q177SemanticContamination(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = embCached(s, dir)
+    // norms precompute ONCE per side (identical doubles to a per-pair
+    // sqrt — same inputs, same ops — at a third of the pair flops)
+    val eval = broadcast(emb.filter($"vec_id" % 5 === 2)
+      .select($"vec_id".as("eval_id"), vec($"embedding").as("ev"))
+      .withColumn("evn", sqrt(dot($"ev", $"ev"))))
+    val train = emb.filter($"vec_id" % 5 =!= 2)
+      .select(vec($"embedding").as("tv"))
+      .withColumn("tvn", sqrt(dot($"tv", $"tv")))
+    val perEval = train.crossJoin(eval)
+      .groupBy($"eval_id")
+      .agg(max(coalesce(
+        round(try_divide(dot($"tv", $"ev"), $"tvn" * $"evn"), 6),
+        lit(-2.0))).as("max_cos"))
+    val banded = perEval.select(
+      greatest(lit(0L), least(lit(9L),
+        expr("CAST(ROUND(max_cos * 1000000) AS BIGINT) div 100000")))
+        .as("band"),
+      when($"max_cos" >= 0.95, 1L).otherwise(0L).as("fl"))
+    s.range(0, 10).select($"id".as("band"))
+      .join(banded, Seq("band"), "left")
+      .groupBy($"band")
+      .agg(count($"fl").as("n_eval"),
+        coalesce(sum($"fl"), lit(0L)).as("n_flagged"))
+      .orderBy($"band".asc)
+  }
+
   // --- q139: incremental IVF append census ----------------------------------
   /** The append contract as an oracle row: train the coarse quantizer
     * on the FIRST HALF of the corpus (vec_id ≤ max/2 — yesterday's
@@ -1367,6 +1421,7 @@ object Similarity extends QueryPack {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_ann_brute_topk"   -> (q29BruteTopK _),
+    "q177_contamination_semantic" -> (q177SemanticContamination _),
     "q30_ann_lsh_buckets"  -> (q30LshBuckets _),
     "q31_embedding_neardup" -> (q31EmbeddingNearDup _),
     "q50_ann_grid_cell"    -> (q50AnnGridCell _),
@@ -1431,6 +1486,28 @@ object Similarity extends QueryPack {
          |ORDER BY CAST(ROUND(CAST(d2 AS DECIMAL(28,10)), 4) AS DOUBLE) DESC,
          | vec_id ASC
          |LIMIT 10""".stripMargin,
+    "q177_contamination_semantic" ->
+      // identical per-pair rounded cosines (undefined -> -2), per-eval
+      // max over identical doubles, integer-scaled banding with the
+      // negative side clamped into band 0 in both engines
+      s"""WITH ev AS (SELECT vec_id AS eval_id, embedding AS evv
+         |  FROM embeddings WHERE vec_id % 5 = 2),
+         |tr AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id % 5 <> 2),
+         |sc AS (SELECT eval_id,
+         |  MAX(COALESCE(ROUND(${cosSql("tr.embedding", "ev.evv")}, 6),
+         |    -2.0)) AS max_cos
+         | FROM tr CROSS JOIN ev GROUP BY 1),
+         |b AS (SELECT GREATEST(0, LEAST(9,
+         |    CAST(ROUND(max_cos * 1000000) AS BIGINT) // 100000))
+         |    AS band,
+         |  CASE WHEN max_cos >= 0.95 THEN 1 ELSE 0 END AS fl FROM sc),
+         |sp AS (SELECT CAST(g AS BIGINT) AS band
+         |  FROM generate_series(0, 9) t(g))
+         |SELECT sp.band, CAST(COUNT(b.band) AS BIGINT) AS n_eval,
+         | CAST(COALESCE(SUM(fl), 0) AS BIGINT) AS n_flagged
+         |FROM sp LEFT JOIN b USING (band)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q29_ann_brute_topk" ->
       s"""SELECT e.vec_id, e.label,
          | ROUND(${cosSql("e.embedding", "q.embedding")}, 6) AS cos

@@ -429,6 +429,47 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(bigRounds <= 10, s"jump loop took $bigRounds rounds on the 512-chain")
   }
 
+  test("q177 semantic contamination: bands partition the eval set, " +
+    "flagged rows only where cos>=0.95 can live, and the " +
+    "precomputed-norm scoring equals the per-pair cosine spelling " +
+    "band for band") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val census = Similarity.q177SemanticContamination(spark, sfDir)
+      .collect()
+    assert(census.length == 10)
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val nEval = emb.filter($"vec_id" % 5 === 2).count()
+    assert(census.map(_.getLong(1)).sum == nEval,
+      "band counts must partition the eval set")
+    census.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+    assert(census.filter(_.getLong(0) < 9L).forall(_.getLong(2) == 0L),
+      "flagged (cos>=0.95) eval docs can only land in the top band")
+    // independent spelling: per-pair cosine (norms recomputed inside
+    // every pair) must land the identical per-eval maxima — the
+    // precomputed-norm optimization preserves every double
+    val eval = broadcast(emb.filter($"vec_id" % 5 === 2)
+      .select($"vec_id".as("eval_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("ev")))
+    val alt = emb.filter($"vec_id" % 5 =!= 2)
+      .select(expr("transform(embedding, x -> cast(x as double))")
+        .as("tv"))
+      .crossJoin(eval)
+      .groupBy($"eval_id")
+      .agg(max(coalesce(round(Similarity.cosine($"tv", $"ev"), 6),
+        lit(-2.0))).as("max_cos"))
+      .select(greatest(lit(0L), least(lit(9L),
+        expr("CAST(ROUND(max_cos * 1000000) AS BIGINT) div 100000")))
+        .as("band"))
+      .groupBy($"band").agg(count(lit(1)).as("n_eval"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val got = census.map(r => (r.getLong(0), r.getLong(1)))
+      .filter(_._2 > 0L).toMap
+    assert(got == alt,
+      s"precomputed-norm census $got diverges from per-pair $alt")
+    spark.catalog.clearCache()
+  }
+
   test("q176 PSI laws: identical snapshots read exactly zero per band; " +
     "every term is non-negative (same-sign difference and log); a " +
     "deliberately shifted distribution crosses the 0.2 alarm") {
