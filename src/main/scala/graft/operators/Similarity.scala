@@ -938,6 +938,71 @@ object Similarity extends QueryPack {
       .orderBy($"band".asc)
   }
 
+  // --- q178: embedding-space drift census (per-cell PSI) ----------------------
+  /** The DENSE drift monitor — q176's PSI over the quantizer's OWN
+    * partition of embedding space instead of a scalar's band spine:
+    * train the coarse quantizer on the earlier snapshot (vec_id ≤
+    * max/2 — yesterday's index, q139's split), assign BOTH snapshots
+    * against the frozen centroids, and compare per-cell occupancy
+    * with the same Laplace-smoothed PSI terms. This is the alarm a
+    * serving fleet reads for "did the corpus move out from under the
+    * trained quantizer" — the documented retrain trigger (see
+    * [[ivfAppend]]) turned into a per-cell report: a cell whose share
+    * collapsed or exploded names WHERE the distribution moved, and
+    * Σ psi_term against the 0.1/0.2 thresholds is the fleet rule.
+    *
+    * Exactness: the trajectory is q102's integer-snapped Lloyd
+    * (bit-parity d2, smallest-cell ties), counts are exact integers,
+    * and the PSI terms are q176's class — Laplace-smoothed ratios of
+    * integers, LN of a ratio of integer products, identical doubles
+    * in both engines, dround(6).
+    *
+    * Scale shape: q139's training stages (zero-shuffle assignment
+    * projections over the checkpointed train set, one k-row
+    * aggregation per round) + ONE zero-shuffle assignment projection
+    * over the full corpus folding straight into a k-row census;
+    * everything after is 8-row arithmetic on a broadcast totals row.
+    */
+  def q178EmbeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = embCached(s, dir)
+    val half = broadcast(
+      emb.agg(floor(max($"vec_id") / 2).cast("long").as("split")))
+    val base = emb.crossJoin(half).filter($"vec_id" <= $"split")
+      .select($"vec_id", $"embedding")
+    val (_, cents) = ivfLearned(base, k = 8, iters = 2)
+    // ONE assignment pass over both snapshots; the snapshot tag is
+    // recovered from vec_id, so the census is a single k-row aggregation
+    val counts = ivfAssignNew(emb, cents)
+      .crossJoin(half)
+      .select($"cell",
+        when($"vec_id" <= $"split", 1L).otherwise(0L).as("in_a"))
+      .groupBy($"cell")
+      .agg(sum($"in_a").as("n_a0"),
+        (count(lit(1)) - sum($"in_a")).as("n_b0"))
+    val full = s.range(1, 9).select($"id".as("cell"))
+      .join(counts, Seq("cell"), "left")
+      .select($"cell", coalesce($"n_a0", lit(0L)).as("n_a"),
+        coalesce($"n_b0", lit(0L)).as("n_b"))
+    val tot = broadcast(full.agg(sum($"n_a").as("ta"),
+      sum($"n_b").as("tb")))
+    full.crossJoin(tot)
+      .select($"cell", $"n_a", $"n_b",
+        graft.core.Exact.dround(
+          ($"n_a" + 1).cast("double") / ($"ta" + 8).cast("double"), 6)
+          .as("p_a"),
+        graft.core.Exact.dround(
+          ($"n_b" + 1).cast("double") / ($"tb" + 8).cast("double"), 6)
+          .as("p_b"),
+        graft.core.Exact.dround(
+          ((($"n_a" + 1).cast("double") / ($"ta" + 8).cast("double"))
+            - (($"n_b" + 1).cast("double") / ($"tb" + 8).cast("double")))
+          * log((($"n_a" + 1).cast("double") * ($"tb" + 8).cast("double"))
+            / (($"n_b" + 1).cast("double") * ($"ta" + 8).cast("double"))),
+          6).as("psi_term"))
+      .orderBy($"cell".asc)
+  }
+
   // --- q139: incremental IVF append census ----------------------------------
   /** The append contract as an oracle row: train the coarse quantizer
     * on the FIRST HALF of the corpus (vec_id ≤ max/2 — yesterday's
@@ -1422,6 +1487,7 @@ object Similarity extends QueryPack {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_ann_brute_topk"   -> (q29BruteTopK _),
     "q177_contamination_semantic" -> (q177SemanticContamination _),
+    "q178_embedding_drift" -> (q178EmbeddingDrift _),
     "q30_ann_lsh_buckets"  -> (q30LshBuckets _),
     "q31_embedding_neardup" -> (q31EmbeddingNearDup _),
     "q50_ann_grid_cell"    -> (q50AnnGridCell _),
@@ -1508,6 +1574,59 @@ object Similarity extends QueryPack {
          | CAST(COALESCE(SUM(fl), 0) AS BIGINT) AS n_flagged
          |FROM sp LEFT JOIN b USING (band)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q178_embedding_drift" ->
+      // q139's trained-on-base trajectory + frozen-centroid assignment
+      // of the full corpus, then q176's PSI spelling over the k-cell
+      // spine (Laplace +1/+8, LN of a ratio of integer products)
+      s"""WITH sp AS (SELECT MAX(vec_id) // 2 AS split FROM embeddings),
+         |base AS (SELECT vec_id, embedding FROM embeddings, sp
+         |  WHERE vec_id <= split),
+         |cent0 AS (SELECT vec_id AS cl, embedding AS cvec
+         |  FROM base WHERE vec_id BETWEEN 1 AND 8),
+         |a1 AS (SELECT e.vec_id, e.embedding, c.cl,
+         |  ${d2Sql("e.embedding", "c.cvec")} AS d2
+         | FROM base e CROSS JOIN cent0 c),
+         |asg1 AS (SELECT vec_id, embedding, cl FROM a1
+         |  QUALIFY row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY d2 ASC, cl ASC) = 1),
+         |ex AS (SELECT cl, i,
+         |  CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1048576.0) AS BIGINT) AS v
+         | FROM asg1, generate_series(1, 64) g(i)),
+         |cm AS (SELECT cl, i,
+         |  CAST(SUM(v) AS DOUBLE) / (COUNT(*) * 1048576.0) AS c
+         | FROM ex GROUP BY 1, 2),
+         |cent1 AS (SELECT cl, list(c ORDER BY i) AS cvec FROM cm GROUP BY 1),
+         |a2 AS (SELECT e.vec_id,
+         |  CASE WHEN e.vec_id <= sp.split THEN 1 ELSE 0 END AS in_a,
+         |  c.cl, ${d2Sql("e.embedding", "c.cvec")} AS d2
+         | FROM embeddings e CROSS JOIN sp CROSS JOIN cent1 c),
+         |asg2 AS (SELECT vec_id, in_a, cl AS cell FROM a2
+         |  QUALIFY row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY d2 ASC, cl ASC) = 1),
+         |cnt AS (SELECT cell, CAST(SUM(in_a) AS BIGINT) AS n_a0,
+         |  CAST(SUM(1 - in_a) AS BIGINT) AS n_b0 FROM asg2 GROUP BY 1),
+         |spn AS (SELECT CAST(g AS BIGINT) AS cell
+         |  FROM generate_series(1, 8) t(g)),
+         |f AS (SELECT cell, COALESCE(n_a0, 0) AS n_a,
+         |  COALESCE(n_b0, 0) AS n_b
+         | FROM spn LEFT JOIN cnt USING (cell)),
+         |t AS (SELECT CAST(SUM(n_a) AS BIGINT) AS ta,
+         |  CAST(SUM(n_b) AS BIGINT) AS tb FROM f)
+         |SELECT cell, n_a, n_b,
+         | ${graft.core.Exact.sqlDround(
+             "CAST(n_a + 1 AS DOUBLE) / CAST(ta + 8 AS DOUBLE)", 6)}
+         |   AS p_a,
+         | ${graft.core.Exact.sqlDround(
+             "CAST(n_b + 1 AS DOUBLE) / CAST(tb + 8 AS DOUBLE)", 6)}
+         |   AS p_b,
+         | ${graft.core.Exact.sqlDround(
+             "(CAST(n_a + 1 AS DOUBLE) / CAST(ta + 8 AS DOUBLE)" +
+             " - CAST(n_b + 1 AS DOUBLE) / CAST(tb + 8 AS DOUBLE))" +
+             " * LN((CAST(n_a + 1 AS DOUBLE) * CAST(tb + 8 AS DOUBLE))" +
+             " / (CAST(n_b + 1 AS DOUBLE) * CAST(ta + 8 AS DOUBLE)))", 6)}
+         |   AS psi_term
+         |FROM f CROSS JOIN t
+         |ORDER BY cell ASC""".stripMargin,
     "q29_ann_brute_topk" ->
       s"""SELECT e.vec_id, e.label,
          | ROUND(${cosSql("e.embedding", "q.embedding")}, 6) AS cos
