@@ -1003,6 +1003,82 @@ object Similarity extends QueryPack {
       .orderBy($"cell".asc)
   }
 
+  // --- q179: IVF recall-vs-nprobe curve ---------------------------------------
+  /** The quality-vs-cost curve every ANN deployment publishes next to
+    * its latency numbers: recall@10 of the q128 probe against the
+    * exact brute-force answer, swept over nprobe = 1..k, with the
+    * probe's COST (members the pruned scan touches) on the same row.
+    * ServingBench measures the serving path's bytes; this row makes
+    * the recall those bytes buy an ORACLE-CHECKED number instead of a
+    * spec-only one (PipelineOpsSpec's recall census stays as the
+    * layout-level half). Reading the row left to right answers the
+    * fleet's tuning question: the smallest nprobe whose recall
+    * clears the SLO.
+    *
+    * Exactness: the trajectory is q102's integer-snapped Lloyd; probe
+    * order is q128's rule (qd2 asc, cell asc) as a FULL ranking;
+    * per-candidate cosines round to 6 before ranking (vec_id-asc
+    * ties); recall is an integer count over 10.
+    *
+    * Scale shape: the sweep does NOT rescan the index per nprobe —
+    * ONE scored pass folds into per-cell top-10s (≤10·k rows, since
+    * the top-10 of any cell union is inside the union of per-cell
+    * top-10s), and the 8-point sweep, the exact baseline, and the
+    * hit counts are all windows over that ≤80-row frame. Cost comes
+    * from the k-row cell-size census. Single-partition windows are
+    * fine at ≤80 rows.
+    */
+  def q179RecallCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val emb = embCached(s, dir)
+    val (idx, cents) = ivfLearned(emb, k = 8, iters = 2)
+    val q = broadcast(emb.filter($"vec_id" === 0)
+      .select(vec($"embedding").as("qv")))
+    val cellRank = broadcast(cents.crossJoin(q)
+      .withColumn("qd2", dot($"qv", $"qv")
+        - lit(2.0) * dot($"qv", $"centroid")
+        + dot($"centroid", $"centroid"))
+      .withColumn("prk", row_number().over(
+        Window.orderBy($"qd2".asc, $"cell".asc)))
+      .select($"cell", $"prk"))
+    val members = idx.filter($"vec_id" =!= 0).join(cellRank, "cell")
+    // per-cell top-10: the only data-sized pass; ≤10·k rows out
+    val perCell = members.crossJoin(q)
+      .withColumn("cos", round(cosine(vec($"embedding"), $"qv"), 6))
+      .withColumn("crk", row_number().over(Window.partitionBy($"cell")
+        .orderBy($"cos".desc, $"vec_id".asc)))
+      .filter($"crk" <= 10)
+      .select($"vec_id", $"cos", $"prk")
+      .localCheckpoint(false) // feeds baseline + 8 sweep points once
+    val exact = perCell
+      .withColumn("erk", row_number().over(
+        Window.orderBy($"cos".desc, $"vec_id".asc)))
+      .filter($"erk" <= 10)
+      .select($"vec_id", lit(1L).as("is_exact"))
+    val spine = s.range(1, 9).select($"id".as("nprobe"))
+    val hits = perCell.join(spine, $"prk" <= $"nprobe")
+      .withColumn("rk", row_number().over(Window.partitionBy($"nprobe")
+        .orderBy($"cos".desc, $"vec_id".asc)))
+      .filter($"rk" <= 10)
+      .join(exact, Seq("vec_id"), "left")
+      .groupBy($"nprobe")
+      .agg(coalesce(sum($"is_exact"), lit(0L)).as("n_hits"))
+    val cost = spine
+      .join(members.groupBy($"cell", $"prk").agg(count(lit(1)).as("nm")),
+        $"prk" <= $"nprobe")
+      .groupBy($"nprobe").agg(sum($"nm").as("n_scanned"))
+    spine.join(hits, Seq("nprobe"), "left")
+      .join(cost, Seq("nprobe"), "left")
+      .select($"nprobe",
+        coalesce($"n_scanned", lit(0L)).as("n_scanned"),
+        coalesce($"n_hits", lit(0L)).as("n_hits"),
+        graft.core.Exact.dround(
+          coalesce($"n_hits", lit(0L)).cast("double") / lit(10.0), 6)
+          .as("recall"))
+      .orderBy($"nprobe".asc)
+  }
+
   // --- q139: incremental IVF append census ----------------------------------
   /** The append contract as an oracle row: train the coarse quantizer
     * on the FIRST HALF of the corpus (vec_id ≤ max/2 — yesterday's
@@ -1488,6 +1564,7 @@ object Similarity extends QueryPack {
     "q29_ann_brute_topk"   -> (q29BruteTopK _),
     "q177_contamination_semantic" -> (q177SemanticContamination _),
     "q178_embedding_drift" -> (q178EmbeddingDrift _),
+    "q179_recall_curve"    -> (q179RecallCurve _),
     "q30_ann_lsh_buckets"  -> (q30LshBuckets _),
     "q31_embedding_neardup" -> (q31EmbeddingNearDup _),
     "q50_ann_grid_cell"    -> (q50AnnGridCell _),
@@ -1627,6 +1704,69 @@ object Similarity extends QueryPack {
          |   AS psi_term
          |FROM f CROSS JOIN t
          |ORDER BY cell ASC""".stripMargin,
+    "q179_recall_curve" ->
+      // q128's trained index + FULL probe ranking, per-cell top-10s,
+      // then the 8-point sweep / exact baseline / hit counts as
+      // windows over that <=80-row frame — same decomposition as the
+      // engine so every tie decision is shared
+      s"""WITH cent0 AS (SELECT vec_id AS cl, embedding AS cvec
+         |  FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+         |a1 AS (SELECT e.vec_id, e.embedding, c.cl,
+         |  ${d2Sql("e.embedding", "c.cvec")} AS d2
+         | FROM embeddings e CROSS JOIN cent0 c),
+         |asg1 AS (SELECT vec_id, embedding, cl FROM a1
+         |  QUALIFY row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY d2 ASC, cl ASC) = 1),
+         |ex AS (SELECT cl, i,
+         |  CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1048576.0) AS BIGINT) AS v
+         | FROM asg1, generate_series(1, 64) g(i)),
+         |cm AS (SELECT cl, i,
+         |  CAST(SUM(v) AS DOUBLE) / (COUNT(*) * 1048576.0) AS c
+         | FROM ex GROUP BY 1, 2),
+         |cent1 AS (SELECT cl, list(c ORDER BY i) AS cvec FROM cm GROUP BY 1),
+         |a2 AS (SELECT e.vec_id, e.embedding, c.cl,
+         |  ${d2Sql("e.embedding", "c.cvec")} AS d2
+         | FROM embeddings e CROSS JOIN cent1 c),
+         |idx AS (SELECT vec_id, embedding, cl AS cell FROM a2
+         |  QUALIFY row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY d2 ASC, cl ASC) = 1),
+         |q AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0),
+         |crk AS (SELECT c.cl AS cell, row_number() OVER
+         |    (ORDER BY ${d2Sql("q.qemb", "c.cvec")} ASC, c.cl ASC) AS prk
+         |  FROM cent1 c CROSS JOIN q),
+         |mem AS (SELECT i.vec_id, i.embedding, i.cell, crk.prk
+         |  FROM idx i JOIN crk USING (cell) WHERE i.vec_id != 0),
+         |pc AS (SELECT vec_id, cos, prk FROM (
+         |   SELECT m.vec_id, m.cell, m.prk,
+         |    ROUND(${cosSql("m.embedding", "q.qemb")}, 6) AS cos
+         |   FROM mem m CROSS JOIN q)
+         |  QUALIFY row_number() OVER
+         |    (PARTITION BY cell ORDER BY cos DESC, vec_id ASC) <= 10),
+         |exact AS (SELECT vec_id FROM pc
+         |  QUALIFY row_number() OVER
+         |    (ORDER BY cos DESC, vec_id ASC) <= 10),
+         |spn AS (SELECT CAST(g AS BIGINT) AS nprobe
+         |  FROM generate_series(1, 8) t(g)),
+         |pr AS (SELECT nprobe, vec_id FROM (
+         |   SELECT n.nprobe, pc.vec_id, pc.cos
+         |   FROM spn n JOIN pc ON pc.prk <= n.nprobe)
+         |  QUALIFY row_number() OVER
+         |    (PARTITION BY nprobe ORDER BY cos DESC, vec_id ASC) <= 10),
+         |hits AS (SELECT nprobe,
+         |  CAST(COUNT(e.vec_id) AS BIGINT) AS n_hits
+         | FROM pr LEFT JOIN exact e USING (vec_id) GROUP BY 1),
+         |sizes AS (SELECT prk, CAST(COUNT(*) AS BIGINT) AS nm
+         |  FROM mem GROUP BY 1),
+         |cost AS (SELECT n.nprobe, CAST(SUM(s.nm) AS BIGINT) AS n_scanned
+         |  FROM spn n JOIN sizes s ON s.prk <= n.nprobe GROUP BY 1)
+         |SELECT n.nprobe, COALESCE(cost.n_scanned, 0) AS n_scanned,
+         | COALESCE(hits.n_hits, 0) AS n_hits,
+         | ${graft.core.Exact.sqlDround(
+             "CAST(COALESCE(hits.n_hits, 0) AS DOUBLE) / 10.0", 6)}
+         |   AS recall
+         |FROM spn n LEFT JOIN hits USING (nprobe)
+         |LEFT JOIN cost USING (nprobe)
+         |ORDER BY n.nprobe ASC""".stripMargin,
     "q29_ann_brute_topk" ->
       s"""SELECT e.vec_id, e.label,
          | ROUND(${cosSql("e.embedding", "q.embedding")}, 6) AS cos
