@@ -2199,8 +2199,14 @@ object TextAnalysis extends QueryPack {
       .agg(sum($"nd").as("nd"), sum($"tl").as("tl"))
       .localCheckpoint(false))
     // one pruned scan feeds df/idf AND scoring (the bm25Probe rule);
-    // PlanSpec pins the two-level pruning on the pre-checkpoint frame
-    val post = bm25TenantPostings(s, path, lang, terms, buckets, tbs)
+    // PlanSpec pins the two-level pruning on the pre-checkpoint frame.
+    // Tombstones (tenant purges, q180) anti-join ABOVE the pruned scan
+    // — the bm25LivePostings discipline, pruning intact
+    val postPruned = bm25TenantPostings(s, path, lang, terms, buckets, tbs)
+    val post = (if (!graft.core.Fs.exists(s, s"$path/_tombstones")) postPruned
+      else postPruned.join(
+        broadcast(s.read.parquet(s"$path/_tombstones").distinct()),
+        Seq("doc_id"), "left_anti"))
       .localCheckpoint(false)
     val idf = broadcast(post.groupBy($"tok")
       .agg(countDistinct($"doc_id").as("df"))
@@ -2262,6 +2268,66 @@ object TextAnalysis extends QueryPack {
     * different tokenization mass, same rule).
     */
   private[graft] val TenantLangs: Seq[String] = Seq("en", "zh")
+
+  // --- q180: tenant purge — offboarding / right-to-erasure ---------------------
+  /** Purge an ENTIRE tenant from the shared [[bm25IndexWriteTenants]]
+    * layout: every live doc of `lang` is tombstoned and the tenant's
+    * stats leave through one exact per-tenant delta row — the
+    * offboarding / legal-erasure request every multi-tenant serving
+    * fleet must honor. Logical-now, physical-at-compaction: the
+    * tombstone makes the tenant unservable immediately (probes
+    * anti-join it), and the next [[bm25Compact]]-class rewrite drops
+    * the bytes — on this layout the tenant's `lang=` partition dirs
+    * rewrite independently of every other tenant's.
+    *
+    * Scale shape: the victim list is one `_docs`-sidecar scan filtered
+    * to the tenant (never a postings scan), the stats delta is one
+    * aggregated row, and no other tenant's files are touched.
+    */
+  def bm25PurgeTenant(s: SparkSession, path: String, lang: String): Unit = {
+    import s.implicits._
+    val docs = s.read.parquet(s"$path/_docs").filter($"lang" === lang)
+    val live =
+      if (!graft.core.Fs.exists(s, s"$path/_tombstones")) docs
+      else docs.join(
+        broadcast(s.read.parquet(s"$path/_tombstones").distinct()),
+        Seq("doc_id"), "left_anti")
+    // consumed twice (tombstone write + stats delta): checkpoint so
+    // the sidecar join runs once (the bm25Delete discipline)
+    val victims = live.localCheckpoint(false)
+    victims.select($"doc_id")
+      .write.mode("append").parquet(s"$path/_tombstones")
+    victims.agg((lit(0L) - count(lit(1))).as("nd"),
+        (lit(0L) - coalesce(sum($"dl"), lit(0L))).as("tl"))
+      .withColumn("lang", lit(lang))
+      .select($"lang", $"nd", $"tl")
+      .write.mode("append").parquet(s"$path/_stats")
+  }
+
+  /** Purge-then-prove as one oracle row: build the shared two-tenant
+    * layout, [[bm25PurgeTenant]] the CJK tenant, then probe BOTH
+    * tenants through the live view. The survivor's ranking must equal
+    * q130 over its documents alone (isolation survives the neighbor's
+    * erasure — the oracle is exactly q175's survivor leg), and the
+    * purged tenant's probe must contribute ZERO rows — any leaked row
+    * fails the driver's row-count gate because the oracle has no
+    * purged-tenant rows to match it. PipelineOpsSpec adds the
+    * physical half: post-purge live postings hold no purged-tenant
+    * rows, and the stats fold to exactly (0, 0).
+    */
+  def q180TenantPurge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = bm25TempIndexPath(dir) + "_purge"
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(p)
+    bm25IndexWriteTenants(Tables.documents(s, dir), path)
+    bm25PurgeTenant(s, path, TenantLangs(1))
+    TenantLangs.map { lang =>
+      bm25ProbeTenant(s, path, lang, Bm25Query)
+        .withColumn("tenant", lit(lang))
+    }.reduce(_ unionByName _)
+      .orderBy($"tenant".asc, $"score".desc, $"doc_id".asc)
+  }
 
   // --- q173: compact + atomic root swap, probed end to end --------------------
   /** The compaction DAY-2 path as one oracle row — the leg q162 left
@@ -2404,6 +2470,7 @@ object TextAnalysis extends QueryPack {
     "q172_compaction_census" -> (q172CompactionCensus _),
     "q173_compact_swap"      -> (q173CompactSwap _),
     "q175_tenant_probe"      -> (q175TenantProbe _),
+    "q180_tenant_purge"      -> (q180TenantPurge _),
     "q176_psi_drift"         -> (q176PsiDrift _),
     "q122_pmi_pairs"         -> (q122PmiPairs _),
     "q120_bpe_sweep"         -> (q120BpeSweep _),
@@ -2559,6 +2626,14 @@ object TextAnalysis extends QueryPack {
          |   AS psi_term
          |FROM f CROSS JOIN t
          |ORDER BY band ASC""".stripMargin,
+    "q180_tenant_purge" ->
+      // the survivor's ranking is exactly q175's survivor leg; the
+      // purged tenant contributes no oracle rows, so any engine-side
+      // leak fails the row-count gate
+      s"""SELECT doc_id, lang, dl, score, n_terms,
+         |  '${TenantLangs.head}' AS tenant
+         |FROM (${bm25OracleOver(s"lang = '${TenantLangs.head}'")})
+         |ORDER BY tenant ASC, score DESC, doc_id ASC""".stripMargin,
     "q175_tenant_probe" ->
       // tenant isolation: each tenant's ranking from the SHARED layout
       // equals q130's pipeline over that tenant's documents alone

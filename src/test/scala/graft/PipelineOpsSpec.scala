@@ -537,6 +537,42 @@ class PipelineOpsSpec extends SparkTestBase {
       TextAnalysis.Bm25Query).collect().toSeq == tombstonedProbe)
   }
 
+  test("q180 tenant purge physics: live postings hold zero purged-tenant " +
+    "rows, the tenant's stats fold to exactly (0,0), the survivor's " +
+    "probe is byte-identical to pre-purge, and a second purge is a " +
+    "no-op (idempotent offboarding)") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val path = java.nio.file.Files.createTempDirectory("purge").toString
+    TextAnalysis.bm25IndexWriteTenants(docs, path)
+    val survivor = TextAnalysis.TenantLangs.head
+    val purged = TextAnalysis.TenantLangs(1)
+    val preSurvivor = TextAnalysis.bm25ProbeTenant(spark, path,
+      survivor, TextAnalysis.Bm25Query).collect().toSeq
+    TextAnalysis.bm25PurgeTenant(spark, path, purged)
+    def liveZh() = spark.read.parquet(path)
+      .filter($"lang" === purged)
+      .join(spark.read.parquet(s"$path/_tombstones").distinct(),
+        Seq("doc_id"), "left_anti").count()
+    def statsZh() = spark.read.parquet(s"$path/_stats")
+      .filter($"lang" === purged)
+      .agg(sum($"nd"), sum($"tl")).head()
+    def tombs() = spark.read.parquet(s"$path/_tombstones").count()
+    assert(liveZh() == 0L)
+    assert(statsZh().getLong(0) == 0L && statsZh().getLong(1) == 0L)
+    assert(TextAnalysis.bm25ProbeTenant(spark, path, purged,
+      TextAnalysis.Bm25Query).count() == 0L)
+    assert(TextAnalysis.bm25ProbeTenant(spark, path, survivor,
+      TextAnalysis.Bm25Query).collect().toSeq == preSurvivor)
+    // idempotence: re-purging an already-purged tenant appends nothing
+    val t1 = tombs()
+    TextAnalysis.bm25PurgeTenant(spark, path, purged)
+    assert(tombs() == t1)
+    assert(statsZh().getLong(0) == 0L && statsZh().getLong(1) == 0L)
+    graft.core.Fs.deleteRecursive(spark, path)
+  }
+
   test("durable-checkpoint knob: identical labels and keyed censuses " +
     "through reliable checkpoint(dir) — the executor-loss-safe " +
     "spelling cluster callers thread into the loop helpers") {
