@@ -413,6 +413,76 @@ object AnomalyStream {
       }
   }
 
+  // --- PSI drift stream (q176's live twin) -----------------------------------
+  /** Reference band counts for [[psiStream]] — yesterday's snapshot
+    * distribution as 10 longs, collected ONCE at stream construction
+    * (an audited bounded collect, the SkewJoin.hotKeys class: the
+    * spine is fixed at 10 bands by the q176 contract, so this is 10
+    * numbers however large the reference corpus is).
+    */
+  def psiRefCounts(ref: DataFrame): Seq[Long] = {
+    import ref.sparkSession.implicits._
+    val m = ref.select(least(lit(9L),
+        expr("CAST(ROUND(quality * 10000) AS BIGINT) div 1000")).as("band"))
+      .groupBy($"band").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 9L).map(b => m.getOrElse(b, 0L))
+  }
+
+  /** Streaming twin of batch q176: the PSI drift monitor on the LIVE
+    * scored-ingest stream — per watermarked tumbling window, the
+    * quality-band distribution against a FROZEN reference snapshot
+    * (the trained model's corpus), emitted as q176's per-band rows
+    * (both counts, both Laplace-smoothed proportions, the psi_term)
+    * so the alarm read is identical batch or live: Σ psi_term per
+    * window vs the 0.1/0.2 fleet thresholds, then "which band moved".
+    *
+    * One streaming aggregation (10 conditional sums + the total per
+    * window — Structured Streaming's single-agg rule), then the band
+    * explode, the 10-literal reference lookup, and the PSI arithmetic
+    * are stateless projections above it. State = one row per open
+    * window; append emits a window's 10 rows once its watermark
+    * passes. Exactness is q176's: integer-scaled banding, Laplace
+    * (+1/+10) ratios of exact integers, LN of a ratio of integer
+    * products — so a closed window's rows equal batch
+    * [[graft.operators.TextAnalysis.psiBands]] over (window rows,
+    * reference rows) exactly (StreamingSpec pins it).
+    */
+  def psiStream(scored: DataFrame, refCounts: Seq[Long],
+      watermark: String = "10 minutes",
+      window_ : String = "60 minutes"): DataFrame = {
+    require(refCounts.size == 10, "refCounts must have exactly 10 bands")
+    val refTot = refCounts.sum
+    val refArr = array(refCounts.map(lit(_)): _*)
+    val sums = (0 to 9).map(b =>
+      sum(when(col("band") === b, 1L).otherwise(0L)).as(s"b$b")) :+
+      count(lit(1)).as("n_tot")
+    val agg = scored
+      .withWatermark("ts", watermark)
+      .select(col("ts"), least(lit(9L),
+        expr("CAST(ROUND(quality * 10000) AS BIGINT) div 1000")).as("band"))
+      .groupBy(window(col("ts"), window_))
+      .agg(sums.head, sums.tail: _*)
+    val pc = (col("n_cur") + 1).cast("double") /
+      (col("n_tot") + 10).cast("double")
+    val pr = (col("n_ref") + 1).cast("double") /
+      (lit(refTot) + 10L).cast("double")
+    agg
+      .select(col("window.start").as("window_start"), col("n_tot"),
+        posexplode(array((0 to 9).map(b => col(s"b$b")): _*)))
+      .select(col("window_start"), col("pos").cast("long").as("band"),
+        col("col").as("n_cur"), col("n_tot"),
+        element_at(refArr, (col("pos") + 1).cast("int")).as("n_ref"))
+      .select(col("window_start"), col("band"), col("n_cur"), col("n_ref"),
+        graft.core.Exact.dround(pc, 6).as("p_cur"),
+        graft.core.Exact.dround(pr, 6).as("p_ref"),
+        graft.core.Exact.dround((pc - pr) *
+          log(((col("n_cur") + 1).cast("double")
+            * (lit(refTot) + 10L).cast("double"))
+            / ((col("n_ref") + 1).cast("double")
+              * (col("n_tot") + 10).cast("double"))), 6).as("psi_term"))
+  }
+
   case class DiscordHit(seen: Long, win_start_h: Long, score: Long)
 
   /** Streaming twin of batch q137: the matrix-profile discord over the

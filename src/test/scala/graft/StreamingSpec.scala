@@ -1165,6 +1165,62 @@ class StreamingSpec extends SparkTestBase {
     assert(short.isEmpty)
   }
 
+  test("psi stream: a closed window's per-band rows equal batch psiBands " +
+    "over (window rows, reference rows); a window whose distribution " +
+    "IS the reference reads exactly zero psi per band") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val scored = graft.operators.TextAnalysis.corpusFilterCols(
+        graft.core.Tables.documents(spark, sfDir))
+      .select($"doc_id", $"quality").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val even = scored.filter(_._1 % 2 == 0)
+    val odd = scored.filter(_._1 % 2 != 0)
+    val refCounts = graft.streaming.AnomalyStream.psiRefCounts(
+      odd.toDF("doc_id", "quality"))
+    val input = MemoryStream[(java.sql.Timestamp, Double)]
+    val q = graft.streaming.AnomalyStream.psiStream(
+        input.toDF().toDF("ts", "quality"), refCounts,
+        watermark = "1 minutes", window_ = "1 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("psis").start()
+    try {
+      // window [0,60): the even half; window [60,120): the odd half
+      // (== the reference); then a sentinel closes both
+      input.addData(even.map(d => (ts(10), d._2)))
+      input.addData(odd.map(d => (ts(70), d._2)))
+      q.processAllAvailable()
+      input.addData(Seq((ts(100000), 0.5)))
+      q.processAllAvailable()
+      val rows = spark.table("psis").collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("window_start").getTime,
+          r.getAs[Long]("band"), r.getAs[Long]("n_cur"),
+          r.getAs[Long]("n_ref"), r.getAs[Double]("p_cur"),
+          r.getAs[Double]("p_ref"), r.getAs[Double]("psi_term")))
+      val w0 = rows.filter(_._1 == 0L).sortBy(_._2)
+      val w1 = rows.filter(_._1 == 60000L).sortBy(_._2)
+      assert(w0.size == 10 && w1.size == 10,
+        s"both closed windows must emit their 10 band rows: ${rows.toSeq}")
+      // law 1: the even window == batch psiBands(even, odd), field for field
+      val batch = graft.operators.TextAnalysis.psiBands(
+          even.toDF("doc_id", "quality"), odd.toDF("doc_id", "quality"))
+        .collect().map(r => (r.getAs[Long]("band"), r.getAs[Long]("n_a"),
+          r.getAs[Long]("n_b"), r.getAs[Double]("p_a"),
+          r.getAs[Double]("p_b"), r.getAs[Double]("psi_term")))
+        .sortBy(_._1)
+      w0.zip(batch).foreach { case (st, ba) =>
+        assert((st._2, st._3, st._4, st._5, st._6, st._7) == ba,
+          s"stream band ${st._2} diverges from batch psiBands: $st vs $ba")
+      }
+      // law 2: the odd window's distribution IS the reference — every
+      // band's counts match and psi_term is exactly +-0.0
+      w1.foreach { st =>
+        assert(st._3 == st._4, s"band ${st._2}: n_cur must equal n_ref")
+        assert(st._7 == 0.0, s"band ${st._2}: psi must be exactly zero")
+      }
+    } finally q.stop()
+  }
+
   test("quantile stream: per-type final snapshots equal batch q152 rows " +
     "over the same data; slicing invariant; monotone p50<=p90<=p99") {
     import spark.implicits._
