@@ -981,7 +981,7 @@ object Similarity extends QueryPack {
       .agg(sum($"in_a").as("n_a0"),
         (count(lit(1)) - sum($"in_a")).as("n_b0"))
     val full = s.range(1, 9).select($"id".as("cell"))
-      .join(counts, Seq("cell"), "left")
+      .join(broadcast(counts), Seq("cell"), "left")
       .select($"cell", coalesce($"n_a0", lit(0L)).as("n_a"),
         coalesce($"n_b0", lit(0L)).as("n_b"))
     val tot = broadcast(full.agg(sum($"n_a").as("ta"),
@@ -1061,15 +1061,15 @@ object Similarity extends QueryPack {
       .withColumn("rk", row_number().over(Window.partitionBy($"nprobe")
         .orderBy($"cos".desc, $"vec_id".asc)))
       .filter($"rk" <= 10)
-      .join(exact, Seq("vec_id"), "left")
+      .join(broadcast(exact), Seq("vec_id"), "left")
       .groupBy($"nprobe")
       .agg(coalesce(sum($"is_exact"), lit(0L)).as("n_hits"))
     val cost = spine
       .join(members.groupBy($"cell", $"prk").agg(count(lit(1)).as("nm")),
         $"prk" <= $"nprobe")
       .groupBy($"nprobe").agg(sum($"nm").as("n_scanned"))
-    spine.join(hits, Seq("nprobe"), "left")
-      .join(cost, Seq("nprobe"), "left")
+    spine.join(broadcast(hits), Seq("nprobe"), "left")
+      .join(broadcast(cost), Seq("nprobe"), "left")
       .select($"nprobe",
         coalesce($"n_scanned", lit(0L)).as("n_scanned"),
         coalesce($"n_hits", lit(0L)).as("n_hits"),

@@ -818,6 +818,50 @@ class PlanSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("q178/q179: drift census and recall curve keep the broadcast " +
+    "discipline — centroid/spine joins never sort-merge, no " +
+    "CartesianProduct; q179's sweep windows run over the per-cell " +
+    "top-10 frame, not the index") {
+    for (df <- Seq(
+        Similarity.q178EmbeddingDrift(spark, sfDir),
+        Similarity.q179RecallCurve(spark, sfDir))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), p.take(2000))
+      assert(!p.contains("SortMergeJoin"),
+        "k-row centroid/spine joins must broadcast:\n" + p.take(2000))
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("q180: the purged layout's probe read keeps BOTH static " +
+    "partition filters, and the tombstone anti-join sits ABOVE the " +
+    "pruned scan as a broadcast join") {
+    import graft.operators.TextAnalysis
+    // q180 builds + purges the layout as a side effect of planning it
+    plan(TextAnalysis.q180TenantPurge(spark, sfDir))
+    val path = TextAnalysis.bm25TempIndexPath(sfDir) + "_purge"
+    val pruned = plan(TextAnalysis.bm25TenantPostings(spark, path, "en",
+      TextAnalysis.Bm25Query))
+    val scanLines = pruned.linesIterator
+      .filter(_.contains("PartitionFilters: [")).toSeq
+    assert(scanLines.nonEmpty &&
+      scanLines.forall(l => l.contains("lang#") && l.contains("tb#")),
+      "post-purge probe must still prune on lang AND tb:\n" +
+        pruned.take(2000))
+    // live view = pruned scan + broadcast anti-join (the
+    // bm25LivePostings discipline applied to the tenant probe)
+    import spark.implicits._
+    val live = TextAnalysis.bm25TenantPostings(spark, path, "en",
+        TextAnalysis.Bm25Query)
+      .join(org.apache.spark.sql.functions.broadcast(
+          spark.read.parquet(s"$path/_tombstones").distinct()),
+        Seq("doc_id"), "left_anti")
+    val lp = plan(live)
+    assert(lp.contains("LeftAnti") && lp.contains("BroadcastExchange"),
+      lp.take(2000))
+    spark.catalog.clearCache()
+  }
+
   test("q118: novelty joins only DOC-cardinality frames — the gram " +
     "stream feeds one aggregation and is never join-back material; no " +
     "candidate pairing, no Window, no nested-loop join") {
