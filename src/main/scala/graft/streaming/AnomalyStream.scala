@@ -452,24 +452,38 @@ object AnomalyStream {
       watermark: String = "10 minutes",
       window_ : String = "60 minutes"): DataFrame = {
     require(refCounts.size == 10, "refCounts must have exactly 10 bands")
+    psiWindowedCore(scored.select(col("ts"), least(lit(9L),
+        expr("CAST(ROUND(quality * 10000) AS BIGINT) div 1000")).as("band")),
+      refCounts, watermark, window_)
+  }
+
+  /** The shared windowed-PSI skeleton behind [[psiStream]] (quality
+    * bands) and [[driftStream]] (quantizer cells): one streaming
+    * aggregation per window (n conditional sums + the total), then the
+    * band explode, the n-literal reference lookup, and q176's PSI
+    * arithmetic (Laplace +1/+n, LN of a ratio of integer products) as
+    * stateless projections above it. Smoothing denominator = band
+    * count, matching each batch twin exactly.
+    */
+  private def psiWindowedCore(banded: DataFrame, refCounts: Seq[Long],
+      watermark: String, window_ : String): DataFrame = {
+    val n = refCounts.size
     val refTot = refCounts.sum
     val refArr = array(refCounts.map(lit(_)): _*)
-    val sums = (0 to 9).map(b =>
+    val sums = (0 until n).map(b =>
       sum(when(col("band") === b, 1L).otherwise(0L)).as(s"b$b")) :+
       count(lit(1)).as("n_tot")
-    val agg = scored
+    val agg = banded
       .withWatermark("ts", watermark)
-      .select(col("ts"), least(lit(9L),
-        expr("CAST(ROUND(quality * 10000) AS BIGINT) div 1000")).as("band"))
       .groupBy(window(col("ts"), window_))
       .agg(sums.head, sums.tail: _*)
     val pc = (col("n_cur") + 1).cast("double") /
-      (col("n_tot") + 10).cast("double")
+      (col("n_tot") + n).cast("double")
     val pr = (col("n_ref") + 1).cast("double") /
-      (lit(refTot) + 10L).cast("double")
+      (lit(refTot) + n.toLong).cast("double")
     agg
       .select(col("window.start").as("window_start"), col("n_tot"),
-        posexplode(array((0 to 9).map(b => col(s"b$b")): _*)))
+        posexplode(array((0 until n).map(b => col(s"b$b")): _*)))
       .select(col("window_start"), col("pos").cast("long").as("band"),
         col("col").as("n_cur"), col("n_tot"),
         element_at(refArr, (col("pos") + 1).cast("int")).as("n_ref"))
@@ -478,9 +492,70 @@ object AnomalyStream {
         graft.core.Exact.dround(pr, 6).as("p_ref"),
         graft.core.Exact.dround((pc - pr) *
           log(((col("n_cur") + 1).cast("double")
-            * (lit(refTot) + 10L).cast("double"))
+            * (lit(refTot) + n.toLong).cast("double"))
             / ((col("n_ref") + 1).cast("double")
-              * (col("n_tot") + 10).cast("double"))), 6).as("psi_term"))
+              * (col("n_tot") + n).cast("double"))), 6).as("psi_term"))
+  }
+
+  /** Frozen centroids for [[driftStream]], collected ONCE at stream
+    * construction from a trained quantizer's (cell, centroid) frame —
+    * k×dim doubles, the bounded-collect class (k = 8 here).
+    */
+  def driftCentroids(cents: DataFrame): Seq[(Long, Seq[Double])] =
+    cents.collect().map(r => (r.getLong(0),
+      r.getSeq[Double](1).toSeq)).toSeq.sortBy(_._1)
+
+  /** Per-cell reference counts for [[driftStream]]: the training
+    * snapshot's own assignment censused over the k-cell spine (cells
+    * are seed ids 1..k; missing cells read 0).
+    */
+  def driftRefCounts(idx: DataFrame, k: Int = 8): Seq[Long] = {
+    import idx.sparkSession.implicits._
+    val m = idx.groupBy($"cell").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to k.toLong).map(c => m.getOrElse(c, 0L))
+  }
+
+  /** Streaming twin of batch q178: the DENSE drift monitor on the
+    * live embedding-ingest stream — each vector is assigned to its
+    * nearest FROZEN centroid (bit-parity with the batch
+    * `kmeansAssign` rule: same composed-dot d2, smallest-cell ties),
+    * and per watermarked tumbling window the cell-occupancy
+    * distribution is compared against the training snapshot's with
+    * q178's exact PSI terms. A window's rows ARE the retrain alarm:
+    * Σ psi_term vs the 0.1/0.2 thresholds, then "which cell moved".
+    *
+    * The centroid table rides the stream as LITERALS (k×dim doubles —
+    * the assignment is one stateless codegen'd projection, no
+    * stream-static join); state is one row per open window.
+    * Exactness and the psi-term symmetry law ((x−y)·ln(x/y) is
+    * orientation-invariant) are pinned by StreamingSpec against the
+    * batch q178 machinery over the same rows.
+    */
+  def driftStream(vecs: DataFrame, centroids: Seq[(Long, Seq[Double])],
+      refCounts: Seq[Long], watermark: String = "10 minutes",
+      window_ : String = "60 minutes"): DataFrame = {
+    require(centroids.nonEmpty && refCounts.size == centroids.size,
+      "refCounts must have one entry per centroid cell")
+    val centsLit = array(centroids.map { case (cl, cv) =>
+      struct(lit(cl).as("cl"),
+        array(cv.map(lit(_)): _*).as("cvec"))
+    }: _*)
+    val ev = transform(col("embedding"), _.cast("double"))
+    val d2 = (c: org.apache.spark.sql.Column) =>
+      graft.functions.geo.dot_product(ev, ev) -
+        lit(2.0) * graft.functions.geo.dot_product(ev, c) +
+        graft.functions.geo.dot_product(c, c)
+    val cell = array_min(transform(centsLit, c =>
+      struct(d2(c.getField("cvec")).as("d2"),
+        c.getField("cl").as("cl")))).getField("cl")
+    psiWindowedCore(
+      vecs.select(col("ts"), (cell - 1L).as("band")),
+      refCounts, watermark, window_)
+      .withColumnRenamed("band", "cellm1")
+      .withColumn("cell", col("cellm1") + 1L)
+      .select(col("window_start"), col("cell"), col("n_cur"),
+        col("n_ref"), col("p_cur"), col("p_ref"), col("psi_term"))
   }
 
   case class DiscordHit(seen: Long, win_start_h: Long, score: Long)

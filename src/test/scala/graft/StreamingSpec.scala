@@ -1221,6 +1221,80 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("drift stream: a closed window's per-cell counts equal batch " +
+    "q178's over the same split, psi terms agree with a driver " +
+    "recompute of the exact formula, and a window that IS the " +
+    "training snapshot reads exactly zero psi per cell") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.streaming.AnomalyStream
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val split = emb.agg(floor(max($"vec_id") / 2).cast("long")).head.getLong(0)
+    val base = emb.filter($"vec_id" <= split).select($"vec_id", $"embedding")
+    val (idx, cents) = graft.operators.Similarity.ivfLearned(base,
+      k = 8, iters = 2)
+    val centroids = AnomalyStream.driftCentroids(cents)
+    val refCounts = AnomalyStream.driftRefCounts(
+      idx.select($"vec_id", $"cell"))
+    val rows = emb.select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val delta = rows.filter(_._1 > split)
+    val baseRows = rows.filter(_._1 <= split)
+    val input = MemoryStream[(java.sql.Timestamp, Array[Float])]
+    val q = AnomalyStream.driftStream(input.toDF().toDF("ts", "embedding"),
+        centroids, refCounts, watermark = "1 minutes", window_ = "1 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("drifts").start()
+    try {
+      // window [0,60): the delta half; window [60,120): the training
+      // snapshot itself; sentinel closes both
+      input.addData(delta.map(d => (ts(10), d._2)).toSeq)
+      input.addData(baseRows.map(d => (ts(70), d._2)).toSeq)
+      q.processAllAvailable()
+      input.addData(Seq((ts(100000), rows.head._2)))
+      q.processAllAvailable()
+      val out = spark.table("drifts").collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("window_start").getTime,
+          r.getAs[Long]("cell"), r.getAs[Long]("n_cur"),
+          r.getAs[Long]("n_ref"), r.getAs[Double]("psi_term")))
+      val w0 = out.filter(_._1 == 0L).sortBy(_._2)
+      val w1 = out.filter(_._1 == 60000L).sortBy(_._2)
+      assert(w0.size == 8 && w1.size == 8,
+        s"both closed windows must emit their 8 cell rows: ${out.toSeq}")
+      // law 1: window counts == batch q178's (n_b, n_a) per cell, and
+      // the psi term equals a driver recompute of the stream's exact
+      // formula (and q178's within the rounding grain — the term is
+      // orientation-invariant analytically)
+      val batch = graft.operators.Similarity
+        .q178EmbeddingDrift(spark, sfDir).collect()
+        .map(r => (r.getAs[Long]("cell"), r.getAs[Long]("n_a"),
+          r.getAs[Long]("n_b"), r.getAs[Double]("psi_term"))).sortBy(_._1)
+      val totCur = w0.map(_._3).sum
+      val totRef = refCounts.sum
+      def dround6(x: Double): Double =
+        BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      w0.zip(batch).foreach { case (st, ba) =>
+        assert(st._2 == ba._1 && st._3 == ba._3 && st._4 == ba._2,
+          s"window counts must equal batch q178's per cell: $st vs $ba")
+        val pc = (st._3 + 1).toDouble / (totCur + 8).toDouble
+        val pr = (st._4 + 1).toDouble / (totRef + 8).toDouble
+        val want = dround6((pc - pr) *
+          math.log(((st._3 + 1).toDouble * (totRef + 8).toDouble)
+            / ((st._4 + 1).toDouble * (totCur + 8).toDouble)))
+        assert(st._5 == want, s"cell ${st._2}: psi $st vs recompute $want")
+        assert(math.abs(st._5 - ba._4) <= 2e-6,
+          s"cell ${st._2}: stream psi ${st._5} vs batch q178 ${ba._4}")
+      }
+      // law 2: the training snapshot's window reads exactly zero
+      w1.foreach { st =>
+        assert(st._3 == st._4,
+          s"cell ${st._2}: snapshot window counts must equal reference")
+        assert(st._5 == 0.0, s"cell ${st._2}: psi must be exactly zero")
+      }
+    } finally q.stop()
+  }
+
   test("quantile stream: per-type final snapshots equal batch q152 rows " +
     "over the same data; slicing invariant; monotone p50<=p90<=p99") {
     import spark.implicits._
