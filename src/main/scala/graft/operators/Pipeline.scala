@@ -93,6 +93,83 @@ object Pipeline extends QueryPack {
         min($"train_id").as("example_train_id"))
   }
 
+  // --- q181: combined decontamination verdict (lexical + semantic) ---------
+  /** The decontamination REPORT a training run actually gates on:
+    * both screens — q55's lexical 13-gram overlap AND q177's semantic
+    * nearest-train cosine — run over ONE shared eval split (q55's
+    * md5-bucket < 20 rule; the embedding side maps by the
+    * vec_id == doc_id correspondence the RRF queries already use),
+    * joined into one row per eval document with each signal, each
+    * flag, and the final verdict: `drop` if EITHER fires. Lexical
+    * catches verbatim leakage, semantic catches paraphrase — a
+    * production gate needs the union, and needs it per document so
+    * flagged items can be audited, not just counted.
+    *
+    * Exactness: the lexical leg is q55's machinery verbatim; the
+    * semantic leg is q177's (per-pair rounded cosines, undefined →
+    * −2, max over identical doubles); the verdict is pure integer/
+    * threshold logic on those.
+    *
+    * Scale shape: each leg keeps its own audited shape (shingle join
+    * with the df ≤ 16 prefilter; broadcast eval set × one train
+    * projection with a map-combined max); the final assembly is two
+    * broadcast left joins onto the eval-id spine — eval-sized, never
+    * corpus-sized.
+    */
+  def q181DecontamVerdict(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bucketOf = (c: Column) =>
+      conv(substring(md5(c.cast("string")), 1, 6), 16, 10)
+        .cast("long") % 100
+    val docs = Tables.documents(s, dir)
+      .withColumn("bucket", bucketOf($"doc_id"))
+    // lexical leg — q55 verbatim (shared split)
+    val shingles = docs
+      .select($"doc_id", $"bucket",
+        explode(graft.functions.geo.token_shingle_hashes($"text", 13))
+          .as("sh"))
+    val evalSh = shingles.filter($"bucket" < 20)
+      .select($"doc_id".as("eval_id"), $"sh")
+    val trainSh = shingles.filter($"bucket" >= 20)
+      .select($"doc_id".as("train_id"), $"sh")
+    val rare = trainSh.groupBy($"sh").agg(count(lit(1)).as("df"))
+      .filter($"df" <= 16).select($"sh")
+    val lex = evalSh.join(trainSh.join(rare, "sh"), "sh")
+      .select($"eval_id", $"train_id").distinct()
+      .groupBy($"eval_id")
+      .agg(count(lit(1)).as("n_lex_overlaps"))
+    // semantic leg — q177's rules on the shared split
+    val emb = Tables.embeddings(s, dir)
+      .withColumn("bucket", bucketOf($"vec_id"))
+    val vec = (c: Column) => transform(c, _.cast("double"))
+    val dot = (a: Column, b: Column) => graft.functions.geo.dot_product(a, b)
+    val evalV = broadcast(emb.filter($"bucket" < 20)
+      .select($"vec_id".as("eval_id"), vec($"embedding").as("ev"))
+      .withColumn("evn", sqrt(dot($"ev", $"ev"))))
+    val trainV = emb.filter($"bucket" >= 20)
+      .select(vec($"embedding").as("tv"))
+      .withColumn("tvn", sqrt(dot($"tv", $"tv")))
+    val sem = trainV.crossJoin(evalV)
+      .groupBy($"eval_id")
+      .agg(max(coalesce(
+        round(try_divide(dot($"tv", $"ev"), $"tvn" * $"evn"), 6),
+        lit(-2.0))).as("max_cos"))
+    // assembly: the eval-id spine left-joins both signals
+    docs.filter($"bucket" < 20).select($"doc_id".as("eval_id"))
+      .join(broadcast(lex), Seq("eval_id"), "left")
+      .join(broadcast(sem), Seq("eval_id"), "left")
+      .select($"eval_id",
+        coalesce($"n_lex_overlaps", lit(0L)).as("n_lex_overlaps"),
+        $"max_cos",
+        when(coalesce($"n_lex_overlaps", lit(0L)) > 0, 1L).otherwise(0L)
+          .as("flag_lex"),
+        when($"max_cos" >= 0.95, 1L).otherwise(0L).as("flag_sem"))
+      .withColumn("verdict",
+        when($"flag_lex" + $"flag_sem" > 0, lit("drop"))
+          .otherwise(lit("keep")))
+      .orderBy($"eval_id".asc)
+  }
+
   // --- q56: mixture-weight token-budget sampling ---------------------------
   /** Data-mixing stage: select documents per language against fixed
     * mixture weights (en 40%, others 15% of a 1000-token budget) in a
@@ -850,6 +927,7 @@ object Pipeline extends QueryPack {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_pack"          -> (q54Pack _),
     "q55_contamination" -> (q55Contamination _),
+    "q181_decontam_verdict" -> (q181DecontamVerdict _),
     "q56_mixture"       -> (q56Mixture _),
     "q116_temperature_mix" -> (q116TemperatureMix _),
     "q57_corpus_recipe" -> (q57CorpusRecipe _),
@@ -1174,6 +1252,45 @@ object Pipeline extends QueryPack {
         | CAST(SUM(CASE WHEN cum_before + n <= quota THEN n ELSE 0 END) AS BIGINT) AS tok_sel,
         | MIN(CASE WHEN cum_before + n <= quota THEN doc_id END) AS first_doc_id
         |FROM q GROUP BY lang""".stripMargin,
+    "q181_decontam_verdict" ->
+      // q55's lexical CTEs + q177's semantic rules on ONE shared
+      // md5-bucket split; verdict = either flag fires
+      s"""WITH ws AS (SELECT doc_id,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100 AS bucket,
+        |  string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, bucket,
+        |  md5(array_to_string(w[i:i+12], ' ')) AS sh
+        | FROM ws, generate_series(1, ${OracleGen.MaxDocSeries}) t(i) WHERE i <= len(w) - 12),
+        |ev AS (SELECT doc_id eval_id, sh FROM sh WHERE bucket < 20),
+        |tr AS (SELECT doc_id train_id, sh FROM sh WHERE bucket >= 20),
+        |rare AS (SELECT sh FROM tr GROUP BY sh HAVING COUNT(*) <= 16),
+        |pairs AS (SELECT DISTINCT eval_id, train_id
+        | FROM ev JOIN tr USING (sh) JOIN rare USING (sh)),
+        |lex AS (SELECT eval_id, COUNT(*) AS n_lex FROM pairs GROUP BY 1),
+        |eb AS (SELECT vec_id, embedding,
+        |  CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100 AS bucket
+        | FROM embeddings),
+        |evv AS (SELECT vec_id AS eval_id, embedding AS evv FROM eb
+        |  WHERE bucket < 20),
+        |trv AS (SELECT embedding FROM eb WHERE bucket >= 20),
+        |sem AS (SELECT eval_id,
+        |  MAX(COALESCE(ROUND(
+        |    list_dot_product(CAST(trv.embedding AS DOUBLE[]), CAST(evv.evv AS DOUBLE[]))
+        |    / (SQRT(list_dot_product(CAST(trv.embedding AS DOUBLE[]), CAST(trv.embedding AS DOUBLE[])))
+        |      * SQRT(list_dot_product(CAST(evv.evv AS DOUBLE[]), CAST(evv.evv AS DOUBLE[])))), 6),
+        |    -2.0)) AS max_cos
+        | FROM trv CROSS JOIN evv GROUP BY 1),
+        |spine AS (SELECT doc_id AS eval_id FROM ws WHERE bucket < 20)
+        |SELECT s.eval_id,
+        | CAST(COALESCE(lex.n_lex, 0) AS BIGINT) AS n_lex_overlaps,
+        | sem.max_cos,
+        | CAST(CASE WHEN COALESCE(lex.n_lex, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS flag_lex,
+        | CAST(CASE WHEN sem.max_cos >= 0.95 THEN 1 ELSE 0 END AS BIGINT) AS flag_sem,
+        | CASE WHEN COALESCE(lex.n_lex, 0) > 0 OR sem.max_cos >= 0.95
+        |   THEN 'drop' ELSE 'keep' END AS verdict
+        |FROM spine s LEFT JOIN lex USING (eval_id)
+        |LEFT JOIN sem USING (eval_id)
+        |ORDER BY s.eval_id ASC""".stripMargin,
     "q55_contamination" ->
       s"""WITH ws AS (SELECT doc_id,
         |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100 AS bucket,
