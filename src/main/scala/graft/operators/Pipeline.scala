@@ -123,11 +123,16 @@ object Pipeline extends QueryPack {
         .cast("long") % 100
     val docs = Tables.documents(s, dir)
       .withColumn("bucket", bucketOf($"doc_id"))
-    // lexical leg — q55 verbatim (shared split)
+    // lexical leg — q55 verbatim (shared split). The shingle stream
+    // feeds THREE consumers (eval side, train side, rare-df filter):
+    // checkpoint it so the corpus is tokenized once, not three times
+    // (and the scan-count gate holds — the stream is (doc_id, bucket,
+    // hash) longs, far narrower than the corpus it derives from)
     val shingles = docs
       .select($"doc_id", $"bucket",
         explode(graft.functions.geo.token_shingle_hashes($"text", 13))
           .as("sh"))
+      .localCheckpoint(false)
     val evalSh = shingles.filter($"bucket" < 20)
       .select($"doc_id".as("eval_id"), $"sh")
     val trainSh = shingles.filter($"bucket" >= 20)
@@ -168,6 +173,45 @@ object Pipeline extends QueryPack {
         when($"flag_lex" + $"flag_sem" > 0, lit("drop"))
           .otherwise(lit("keep")))
       .orderBy($"eval_id".asc)
+  }
+
+  // --- q183: mixture-budget solver (the recipe calculator) -----------------
+  /** The planning row that runs BEFORE q56's sampler: given target
+    * mixture shares (q56's weights — en 40%, others 15%) and the
+    * corpus's ACTUAL per-language token mass, solve for the largest
+    * assembled corpus that honors the shares without upsampling —
+    * T* = min over languages of (mass·100)/share — and report, per
+    * language, the take and the sampling rate. The language that
+    * attains the min is the BINDING constraint (rate ≈ 1): the row a
+    * data-acquisition team reads to learn which language to crawl
+    * more of, and the budget every other language must downsample to.
+    *
+    * Exactness: pure integer arithmetic — masses are exact token
+    * counts, T* and the takes use integer division (both engines'
+    * `div`), only the final rate is a dround(6) ratio of integers.
+    *
+    * Scale shape: one corpus scan into a ≤|langs|-row aggregation;
+    * the solver is arithmetic over that census row set (one broadcast
+    * min). Nothing after the scan is data-sized.
+    */
+  def q183MixtureSolver(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val mass = Tables.documents(s, dir)
+      .select($"lang", size(split($"text", " ")).cast("long").as("n"))
+      .groupBy($"lang").agg(sum($"n").as("m_tokens"))
+      .withColumn("p_target",
+        when($"lang" === "en", 40L).otherwise(15L))
+      // consumed by the min AND the per-lang report: one scan
+      .localCheckpoint(false)
+    val tstar = broadcast(mass
+      .select(min(expr("(m_tokens * 100) div p_target")).as("t_star")))
+    mass.crossJoin(tstar)
+      .withColumn("take_tokens", expr("(t_star * p_target) div 100"))
+      .select($"lang", $"m_tokens", $"p_target", $"t_star", $"take_tokens",
+        graft.core.Exact.dround(
+          $"take_tokens".cast("double") / $"m_tokens".cast("double"), 6)
+          .as("rate"))
+      .orderBy($"lang".asc)
   }
 
   // --- q56: mixture-weight token-budget sampling ---------------------------
@@ -928,6 +972,7 @@ object Pipeline extends QueryPack {
     "q54_pack"          -> (q54Pack _),
     "q55_contamination" -> (q55Contamination _),
     "q181_decontam_verdict" -> (q181DecontamVerdict _),
+    "q183_mixture_solver" -> (q183MixtureSolver _),
     "q56_mixture"       -> (q56Mixture _),
     "q116_temperature_mix" -> (q116TemperatureMix _),
     "q57_corpus_recipe" -> (q57CorpusRecipe _),
@@ -1252,6 +1297,22 @@ object Pipeline extends QueryPack {
         | CAST(SUM(CASE WHEN cum_before + n <= quota THEN n ELSE 0 END) AS BIGINT) AS tok_sel,
         | MIN(CASE WHEN cum_before + n <= quota THEN doc_id END) AS first_doc_id
         |FROM q GROUP BY lang""".stripMargin,
+    "q183_mixture_solver" ->
+      // exact integer masses, integer-division solver, dround(6) rate
+      s"""WITH m AS (SELECT lang,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS m_tokens
+        | FROM documents GROUP BY 1),
+        |w AS (SELECT lang, m_tokens,
+        |  CAST(CASE WHEN lang = 'en' THEN 40 ELSE 15 END AS BIGINT)
+        |    AS p_target FROM m),
+        |t AS (SELECT MIN((m_tokens * 100) // p_target) AS t_star FROM w)
+        |SELECT lang, m_tokens, p_target, t_star,
+        | CAST((t_star * p_target) // 100 AS BIGINT) AS take_tokens,
+        | ${graft.core.Exact.sqlDround(
+            "CAST((t_star * p_target) // 100 AS DOUBLE)" +
+            " / CAST(m_tokens AS DOUBLE)", 6)} AS rate
+        |FROM w CROSS JOIN t
+        |ORDER BY lang ASC""".stripMargin,
     "q181_decontam_verdict" ->
       // q55's lexical CTEs + q177's semantic rules on ONE shared
       // md5-bucket split; verdict = either flag fires

@@ -1975,6 +1975,61 @@ object TextAnalysis extends QueryPack {
     bm25Probe(s, path, Bm25Query)
   }
 
+  // --- q182: index-freshness census (serving lag dashboard) -------------------
+  /** The STALENESS dashboard every serving fleet keeps next to q172's
+    * compaction census: the index was built from yesterday's snapshot
+    * (doc_id ≤ max/2 — q139's split rule), the corpus has since both
+    * GROWN (the second half arrived) and SHRUNK (q162's takedown rule,
+    * doc_id ≡ 3 mod 7, removed docs), and this census reads the live
+    * corpus against the layout's `_docs` sidecar to report, per
+    * tenant lang: docs in the corpus not yet indexed (ingest lag —
+    * `Bm25Ingest`'s backlog) and index entries whose doc left the
+    * corpus (pending deletes — `bm25Delete`'s backlog). The two
+    * numbers schedule the two maintenance streams.
+    *
+    * Scale shape: the census never touches postings — corpus
+    * projection ⟗ doc-level sidecar, ONE doc_id-keyed full-outer
+    * shuffle folding straight into a per-lang aggregation. (Both
+    * sides are doc-cardinality; at 100 TB this is the one join whose
+    * both sides are data-sized, and doc_id equi-partitioning is
+    * exactly how it should shuffle.)
+    */
+  def indexFreshness(corpus: DataFrame, indexPath: String): DataFrame = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    val c = corpus.select($"doc_id", $"lang".as("c_lang"),
+      lit(1L).as("in_c"))
+    val i = s.read.parquet(s"$indexPath/_docs")
+      .select($"doc_id", $"lang".as("i_lang"), lit(1L).as("in_i"))
+    c.join(i, Seq("doc_id"), "full_outer")
+      .select(coalesce($"c_lang", $"i_lang").as("lang"),
+        coalesce($"in_c", lit(0L)).as("in_c"),
+        coalesce($"in_i", lit(0L)).as("in_i"))
+      .groupBy($"lang")
+      .agg(sum($"in_c").as("n_corpus"),
+        sum($"in_i").as("n_indexed"),
+        sum($"in_c" * (lit(1L) - $"in_i")).as("n_missing"),
+        sum($"in_i" * (lit(1L) - $"in_c")).as("n_orphan"))
+      .orderBy($"lang".asc)
+  }
+
+  def q182IndexFreshness(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = bm25TempIndexPath(dir) + "_fresh"
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(p)
+    val docs = Tables.documents(s, dir)
+    val half = broadcast(
+      docs.agg(floor(max($"doc_id") / 2).cast("long").as("split")))
+    // the tenant layout's _docs sidecar carries lang — the per-tenant
+    // freshness view is the one a shared-index fleet actually reads
+    bm25IndexWriteTenants(
+      docs.crossJoin(half).filter($"doc_id" <= $"split")
+        .select(docs.columns.map(col): _*), path)
+    indexFreshness(
+      docs.filter($"doc_id" % 7 =!= 3).select($"doc_id", $"lang"), path)
+  }
+
   // --- q172: compaction-policy census over the serving layouts ---------------
   /** The operational "compact now?" decision every LSM-style serving
     * fleet runs on a schedule, as one oracle row per layout: tombstone
@@ -2471,6 +2526,7 @@ object TextAnalysis extends QueryPack {
     "q173_compact_swap"      -> (q173CompactSwap _),
     "q175_tenant_probe"      -> (q175TenantProbe _),
     "q180_tenant_purge"      -> (q180TenantPurge _),
+    "q182_index_freshness"   -> (q182IndexFreshness _),
     "q176_psi_drift"         -> (q176PsiDrift _),
     "q122_pmi_pairs"         -> (q122PmiPairs _),
     "q120_bpe_sweep"         -> (q120BpeSweep _),
@@ -2626,6 +2682,24 @@ object TextAnalysis extends QueryPack {
          |   AS psi_term
          |FROM f CROSS JOIN t
          |ORDER BY band ASC""".stripMargin,
+    "q182_index_freshness" ->
+      // the engine reads the real _docs sidecar; the oracle recomputes
+      // index membership from the deterministic build predicate
+      // (doc_id <= max/2) and corpus-now from the takedown predicate
+      s"""WITH sp AS (SELECT MAX(doc_id) // 2 AS split FROM documents),
+         |c AS (SELECT doc_id, lang FROM documents
+         |  WHERE doc_id % 7 <> 3),
+         |i AS (SELECT doc_id, lang FROM documents, sp
+         |  WHERE doc_id <= split),
+         |f AS (SELECT COALESCE(c.lang, i.lang) AS lang,
+         |  CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END AS in_c,
+         |  CASE WHEN i.doc_id IS NULL THEN 0 ELSE 1 END AS in_i
+         | FROM c FULL OUTER JOIN i USING (doc_id))
+         |SELECT lang, CAST(SUM(in_c) AS BIGINT) AS n_corpus,
+         | CAST(SUM(in_i) AS BIGINT) AS n_indexed,
+         | CAST(SUM(in_c * (1 - in_i)) AS BIGINT) AS n_missing,
+         | CAST(SUM(in_i * (1 - in_c)) AS BIGINT) AS n_orphan
+         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
     "q180_tenant_purge" ->
       // the survivor's ranking is exactly q175's survivor leg; the
       // purged tenant contributes no oracle rows, so any engine-side
