@@ -96,46 +96,53 @@ object Pipeline extends QueryPack {
   // --- q181: combined decontamination verdict (lexical + semantic) ---------
   /** The decontamination REPORT a training run actually gates on:
     * both screens — q55's lexical 13-gram overlap AND q177's semantic
-    * nearest-train cosine — run over ONE shared eval split (q55's
-    * md5-bucket < 20 rule; the embedding side maps by the
-    * vec_id == doc_id correspondence the RRF queries already use),
-    * joined into one row per eval document with each signal, each
-    * flag, and the final verdict: `drop` if EITHER fires. Lexical
-    * catches verbatim leakage, semantic catches paraphrase — a
-    * production gate needs the union, and needs it per document so
-    * flagged items can be audited, not just counted.
+    * nearest-train cosine — run over ONE shared FIXED-SIZE eval
+    * sample (`Similarity.evalSampleIds`, the 256 smallest
+    * md5(doc_id); the embedding side maps by the vec_id == doc_id
+    * correspondence the RRF queries already use), joined into one row
+    * per eval document with each signal, each flag, and the final
+    * verdict: `drop` if EITHER fires. Lexical catches verbatim
+    * leakage, semantic catches paraphrase — a production gate needs
+    * the union, and needs it per document so flagged items can be
+    * audited, not just counted.
     *
-    * Exactness: the lexical leg is q55's machinery verbatim; the
-    * semantic leg is q177's (per-pair rounded cosines, undefined →
-    * −2, max over identical doubles); the verdict is pure integer/
-    * threshold logic on those.
+    * Exactness: the lexical leg is q55's machinery (same shingle
+    * hashes, same df ≤ 16 rare filter); the semantic leg is q177's
+    * (per-pair rounded cosines, undefined → −2, max over identical
+    * doubles); the verdict is pure integer/threshold logic on those.
     *
-    * Scale shape: each leg keeps its own audited shape (shingle join
-    * with the df ≤ 16 prefilter; broadcast eval set × one train
-    * projection with a map-combined max); the final assembly is two
-    * broadcast left joins onto the eval-id spine — eval-sized, never
-    * corpus-sized.
+    * Scale shape: each leg keeps its audited shape (shingle join with
+    * the df ≤ 16 prefilter; fixed-size broadcast eval set ×
+    * round-robin-spread train projection with a map-combined max —
+    * linear in the corpus BECAUSE the sample is fixed); the final
+    * assembly is two broadcast left joins onto the eval-id spine —
+    * sample-sized, never corpus-sized.
     */
   def q181DecontamVerdict(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val bucketOf = (c: Column) =>
-      conv(substring(md5(c.cast("string")), 1, 6), 16, 10)
-        .cast("long") % 100
     val docs = Tables.documents(s, dir)
-      .withColumn("bucket", bucketOf($"doc_id"))
-    // lexical leg — q55 verbatim (shared split). The shingle stream
-    // feeds THREE consumers (eval side, train side, rare-df filter):
-    // checkpoint it so the corpus is tokenized once, not three times
-    // (and the scan-count gate holds — the stream is (doc_id, bucket,
-    // hash) longs, far narrower than the corpus it derives from)
+    // ONE fixed-size eval sample shared by BOTH screens (the
+    // vec_id == doc_id correspondence): a benchmark is O(hundreds) of
+    // items by contract — a corpus-proportional eval split would make
+    // the exact semantic screen quadratic in the corpus
+    // five consumers (two joins, two anti-joins, the spine):
+    // checkpoint the 256-row sample so the corpus id scan runs once
+    val ids = broadcast(Similarity.evalSampleIds(
+      docs.select($"doc_id"), Similarity.EvalSampleN)
+      .localCheckpoint(false))
+    // lexical leg — q55's machinery on the shared sample. The shingle
+    // stream feeds THREE consumers (eval side, train side, rare-df
+    // filter): checkpoint it so the corpus is tokenized once, not
+    // three times (the stream is (doc_id, hash) longs, far narrower
+    // than the corpus it derives from)
     val shingles = docs
-      .select($"doc_id", $"bucket",
+      .select($"doc_id",
         explode(graft.functions.geo.token_shingle_hashes($"text", 13))
           .as("sh"))
       .localCheckpoint(false)
-    val evalSh = shingles.filter($"bucket" < 20)
-      .select($"doc_id".as("eval_id"), $"sh")
-    val trainSh = shingles.filter($"bucket" >= 20)
+    val evalSh = shingles.join(ids, $"doc_id" === $"eval_id")
+      .select($"eval_id", $"sh")
+    val trainSh = shingles.join(ids, $"doc_id" === $"eval_id", "left_anti")
       .select($"doc_id".as("train_id"), $"sh")
     val rare = trainSh.groupBy($"sh").agg(count(lit(1)).as("df"))
       .filter($"df" <= 16).select($"sh")
@@ -143,24 +150,19 @@ object Pipeline extends QueryPack {
       .select($"eval_id", $"train_id").distinct()
       .groupBy($"eval_id")
       .agg(count(lit(1)).as("n_lex_overlaps"))
-    // semantic leg — q177's rules on the shared split
+    // semantic leg — q177's rules on the shared sample
     val emb = Tables.embeddings(s, dir)
-      .withColumn("bucket", bucketOf($"vec_id"))
     val vec = (c: Column) => transform(c, _.cast("double"))
     val dot = (a: Column, b: Column) => graft.functions.geo.dot_product(a, b)
-    val evalV = broadcast(emb.filter($"bucket" < 20)
-      .select($"vec_id".as("eval_id"), vec($"embedding").as("ev"))
-      .withColumn("evn", sqrt(dot($"ev", $"ev"))))
-    val trainV = emb.filter($"bucket" >= 20)
+    val evalV = emb.join(ids, $"vec_id" === $"eval_id")
+      .select($"eval_id", vec($"embedding").as("ev"))
+      .withColumn("evn", sqrt(dot($"ev", $"ev")))
+    val trainV = emb.join(ids, $"vec_id" === $"eval_id", "left_anti")
       .select(vec($"embedding").as("tv"))
       .withColumn("tvn", sqrt(dot($"tv", $"tv")))
-    val sem = trainV.crossJoin(evalV)
-      .groupBy($"eval_id")
-      .agg(max(coalesce(
-        round(try_divide(dot($"tv", $"ev"), $"tvn" * $"evn"), 6),
-        lit(-2.0))).as("max_cos"))
+    val sem = Similarity.maxCosPairs(trainV, evalV)
     // assembly: the eval-id spine left-joins both signals
-    docs.filter($"bucket" < 20).select($"doc_id".as("eval_id"))
+    ids
       .join(broadcast(lex), Seq("eval_id"), "left")
       .join(broadcast(sem), Seq("eval_id"), "left")
       .select($"eval_id",
@@ -1315,25 +1317,25 @@ object Pipeline extends QueryPack {
         |ORDER BY lang ASC""".stripMargin,
     "q181_decontam_verdict" ->
       // q55's lexical CTEs + q177's semantic rules on ONE shared
-      // md5-bucket split; verdict = either flag fires
-      s"""WITH ws AS (SELECT doc_id,
-        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100 AS bucket,
-        |  string_split(text, ' ') AS w FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, bucket,
+      // fixed-size smallest-md5 sample; verdict = either flag fires
+      s"""WITH ids AS (SELECT doc_id AS eval_id FROM documents
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+        |  LIMIT ${graft.operators.Similarity.EvalSampleN}),
+        |ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
         |  md5(array_to_string(w[i:i+12], ' ')) AS sh
         | FROM ws, generate_series(1, ${OracleGen.MaxDocSeries}) t(i) WHERE i <= len(w) - 12),
-        |ev AS (SELECT doc_id eval_id, sh FROM sh WHERE bucket < 20),
-        |tr AS (SELECT doc_id train_id, sh FROM sh WHERE bucket >= 20),
+        |ev AS (SELECT eval_id, sh FROM sh JOIN ids ON doc_id = eval_id),
+        |tr AS (SELECT doc_id train_id, sh FROM sh
+        |  WHERE doc_id NOT IN (SELECT eval_id FROM ids)),
         |rare AS (SELECT sh FROM tr GROUP BY sh HAVING COUNT(*) <= 16),
         |pairs AS (SELECT DISTINCT eval_id, train_id
         | FROM ev JOIN tr USING (sh) JOIN rare USING (sh)),
         |lex AS (SELECT eval_id, COUNT(*) AS n_lex FROM pairs GROUP BY 1),
-        |eb AS (SELECT vec_id, embedding,
-        |  CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100 AS bucket
-        | FROM embeddings),
-        |evv AS (SELECT vec_id AS eval_id, embedding AS evv FROM eb
-        |  WHERE bucket < 20),
-        |trv AS (SELECT embedding FROM eb WHERE bucket >= 20),
+        |evv AS (SELECT eval_id, embedding AS evv FROM embeddings
+        |  JOIN ids ON vec_id = eval_id),
+        |trv AS (SELECT embedding FROM embeddings
+        |  WHERE vec_id NOT IN (SELECT eval_id FROM ids)),
         |sem AS (SELECT eval_id,
         |  MAX(COALESCE(ROUND(
         |    list_dot_product(CAST(trv.embedding AS DOUBLE[]), CAST(evv.evv AS DOUBLE[]))
@@ -1341,7 +1343,7 @@ object Pipeline extends QueryPack {
         |      * SQRT(list_dot_product(CAST(evv.evv AS DOUBLE[]), CAST(evv.evv AS DOUBLE[])))), 6),
         |    -2.0)) AS max_cos
         | FROM trv CROSS JOIN evv GROUP BY 1),
-        |spine AS (SELECT doc_id AS eval_id FROM ws WHERE bucket < 20)
+        |spine AS (SELECT eval_id FROM ids)
         |SELECT s.eval_id,
         | CAST(COALESCE(lex.n_lex, 0) AS BIGINT) AS n_lex_overlaps,
         | sem.max_cos,

@@ -890,9 +890,12 @@ object Similarity extends QueryPack {
     * this catches what embeds nearby): for every eval-set vector, the
     * nearest train-set cosine, censused into 10 similarity bands with
     * a flagged count at the τ=0.95 leak threshold — the report a
-    * training run reads before trusting its eval numbers. Split here
-    * is vec_id mod 5 (the deterministic eval-sample stand-in; a
-    * deployment passes its real benchmark set).
+    * training run reads before trusting its eval numbers. The eval
+    * set here is the FIXED-SIZE deterministic sample
+    * [[evalSampleIds]] (the [[EvalSampleN]] smallest md5(vec_id) —
+    * a benchmark is O(hundreds) of items by contract, and a
+    * corpus-proportional stand-in would make the exact screen
+    * quadratic; a deployment passes its real benchmark set).
     *
     * Exactness: per-pair cosines round to 6 (q29's class, undefined
     * cosines coalesce to −2 so zero-norm junk ranks lowest instead of
@@ -901,30 +904,79 @@ object Similarity extends QueryPack {
     * trunc-vs-floor divergence on negatives is clamped into band 0 in
     * both engines).
     *
-    * Scale shape: the eval set BROADCASTS (it is a benchmark sample —
-    * bounded by contract), so the pair scoring is one zero-shuffle
-    * projection over train×|eval| rows with a map-combined per-eval
-    * max; the census is a 10-row spine join. At corpus scale the
-    * exact form runs on an LSH-prefiltered candidate set (q30/q31's
-    * machinery) — this is the exact-evidence form those candidates
-    * feed.
+    * Scale shape: the eval set BROADCASTS (fixed size), the train
+    * side spreads round-robin before the nested-loop score
+    * ([[maxCosPairs]] — the r13 spelling's corpus-proportional eval
+    * set plus a one-split train table measured 55 s at gsf1 on one
+    * core; bounding |eval| makes the screen LINEAR in the corpus and
+    * the repartition makes it cluster-wide), map-combined per-eval
+    * max; the census is a 10-row spine join. For screens that must
+    * scan the nearest neighbor across the WHOLE corpus rather than a
+    * benchmark, the LSH-prefiltered candidate set (q30/q31's
+    * machinery) is the corpus-scale path — this is the exact-evidence
+    * form those candidates feed.
     */
-  def q177SemanticContamination(s: SparkSession, dir: String): DataFrame = {
+  /** Per-eval max train cosine: broadcast eval set (bounded by the
+    * benchmark contract — use [[evalSampleIds]] for the fixed-size
+    * stand-in) × ONE round-robin-spread projection over the train
+    * side, map-combined per-eval max. The explicit repartition
+    * matters: a small-footprint train table can arrive as ONE parquet
+    * split, and a nested-loop score of |train|·|eval| pairs on one
+    * core was the 55 s-at-gsf1 failure mode — spreading to the
+    * session's shuffle width costs one narrow exchange of the
+    * (tv, tvn) projection and buys full-cluster scoring. (An in-row
+    * `transform` over a packed eval array was measured WORSE —
+    * higher-order lambdas evaluate interpreted per element, and this
+    * kernel is all arithmetic.) Arithmetic per pair: dot, try_divide,
+    * round 6, undefined → −2 — unchanged from the q177 oracle.
+    */
+  private[graft] def maxCosPairs(train: DataFrame,
+      eval: DataFrame): DataFrame = {
+    val s = train.sparkSession
     import s.implicits._
-    val emb = embCached(s, dir)
-    // norms precompute ONCE per side (identical doubles to a per-pair
-    // sqrt — same inputs, same ops — at a third of the pair flops)
-    val eval = broadcast(emb.filter($"vec_id" % 5 === 2)
-      .select($"vec_id".as("eval_id"), vec($"embedding").as("ev"))
-      .withColumn("evn", sqrt(dot($"ev", $"ev"))))
-    val train = emb.filter($"vec_id" % 5 =!= 2)
-      .select(vec($"embedding").as("tv"))
-      .withColumn("tvn", sqrt(dot($"tv", $"tv")))
-    val perEval = train.crossJoin(eval)
+    val width = s.conf.get("spark.sql.shuffle.partitions").toInt
+    train.repartition(width).crossJoin(broadcast(eval))
       .groupBy($"eval_id")
       .agg(max(coalesce(
         round(try_divide(dot($"tv", $"ev"), $"tvn" * $"evn"), 6),
         lit(-2.0))).as("max_cos"))
+  }
+
+  /** Fixed benchmark-sample size for q177/q181 (and any screen using
+    * [[evalSampleIds]]): large enough for a 10-band census, small
+    * enough that |train|·|eval| exact scoring stays linear-in-corpus.
+    */
+  private[graft] val EvalSampleN: Int = 256
+
+  /** The fixed-size benchmark-sample stand-in: the `n` vec_ids with
+    * the smallest md5(vec_id) — a deterministic pseudo-random draw
+    * whose SIZE does not grow with the corpus, which is what makes
+    * the exact contamination screen linear in the corpus instead of
+    * quadratic (|train|·|eval| with |eval| = O(n)). One
+    * TakeOrderedAndProject over an id projection; the result
+    * broadcasts.
+    */
+  private[graft] def evalSampleIds(ids: DataFrame, n: Int): DataFrame = {
+    import ids.sparkSession.implicits._
+    ids.select(col(ids.columns.head).as("eval_id"))
+      .withColumn("h", md5($"eval_id".cast("string")))
+      .orderBy($"h".asc, $"eval_id".asc).limit(n)
+      .select($"eval_id")
+  }
+
+  def q177SemanticContamination(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = embCached(s, dir)
+    val ids = broadcast(evalSampleIds(emb.select($"vec_id"), EvalSampleN))
+    // norms precompute ONCE per side (identical doubles to a per-pair
+    // sqrt — same inputs, same ops — at a third of the pair flops)
+    val eval = emb.join(ids, $"vec_id" === $"eval_id")
+      .select($"eval_id", vec($"embedding").as("ev"))
+      .withColumn("evn", sqrt(dot($"ev", $"ev")))
+    val train = emb.join(ids, $"vec_id" === $"eval_id", "left_anti")
+      .select(vec($"embedding").as("tv"))
+      .withColumn("tvn", sqrt(dot($"tv", $"tv")))
+    val perEval = maxCosPairs(train, eval)
     val banded = perEval.select(
       greatest(lit(0L), least(lit(9L),
         expr("CAST(ROUND(max_cos * 1000000) AS BIGINT) div 100000")))
@@ -1632,11 +1684,15 @@ object Similarity extends QueryPack {
     "q177_contamination_semantic" ->
       // identical per-pair rounded cosines (undefined -> -2), per-eval
       // max over identical doubles, integer-scaled banding with the
-      // negative side clamped into band 0 in both engines
-      s"""WITH ev AS (SELECT vec_id AS eval_id, embedding AS evv
-         |  FROM embeddings WHERE vec_id % 5 = 2),
+      // negative side clamped into band 0 in both engines; eval set =
+      // the fixed-size smallest-md5 sample (the engine's evalSampleIds)
+      s"""WITH ids AS (SELECT vec_id AS eval_id FROM embeddings
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+         |  LIMIT $EvalSampleN),
+         |ev AS (SELECT eval_id, embedding AS evv
+         |  FROM embeddings JOIN ids ON vec_id = eval_id),
          |tr AS (SELECT vec_id, embedding FROM embeddings
-         |  WHERE vec_id % 5 <> 2),
+         |  WHERE vec_id NOT IN (SELECT eval_id FROM ids)),
          |sc AS (SELECT eval_id,
          |  MAX(COALESCE(ROUND(${cosSql("tr.embedding", "ev.evv")}, 6),
          |    -2.0)) AS max_cos

@@ -439,19 +439,21 @@ class PipelineOpsSpec extends SparkTestBase {
       .collect()
     assert(census.length == 10)
     val emb = graft.core.Tables.embeddings(spark, sfDir)
-    val nEval = emb.filter($"vec_id" % 5 === 2).count()
+    val ids = Similarity.evalSampleIds(emb.select($"vec_id"),
+      Similarity.EvalSampleN)
+    val nEval = ids.count()
     assert(census.map(_.getLong(1)).sum == nEval,
-      "band counts must partition the eval set")
+      "band counts must partition the eval sample")
     census.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
     assert(census.filter(_.getLong(0) < 9L).forall(_.getLong(2) == 0L),
       "flagged (cos>=0.95) eval docs can only land in the top band")
     // independent spelling: per-pair cosine (norms recomputed inside
     // every pair) must land the identical per-eval maxima — the
     // precomputed-norm optimization preserves every double
-    val eval = broadcast(emb.filter($"vec_id" % 5 === 2)
-      .select($"vec_id".as("eval_id"),
+    val eval = broadcast(emb.join(ids, $"vec_id" === $"eval_id")
+      .select($"eval_id",
         expr("transform(embedding, x -> cast(x as double))").as("ev")))
-    val alt = emb.filter($"vec_id" % 5 =!= 2)
+    val alt = emb.join(ids, $"vec_id" === $"eval_id", "left_anti")
       .select(expr("transform(embedding, x -> cast(x as double))")
         .as("tv"))
       .crossJoin(eval)
