@@ -2060,6 +2060,76 @@ class StreamingSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("snapshot-diff drives index maintenance: diff(A,B) rendered as " +
+    "a CRUD feed (removed/modified -> del of the old id, added -> " +
+    "add, modified re-adds under FRESH ids per the no-id-reuse " +
+    "contract) lands probe == rebuild on the renumbered snapshot B") {
+    import spark.implicits._
+    import graft.operators.{Pipeline, TextAnalysis}
+    import graft.streaming.Bm25Maintain
+    import org.apache.spark.sql.functions.{sum => fsum}
+    implicit val sc = spark.sqlContext
+    val docsA = graft.core.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang", $"text").localCheckpoint(false)
+    // q111's synthetic snapshot B: %7==0 removed, %5==0 texts updated,
+    // %11==0 re-added as fresh negative-id docs
+    val b = docsA.filter($"doc_id" % 7 =!= 0)
+      .select($"doc_id", $"lang",
+        when($"doc_id" % 5 === 0, concat($"text", lit(" updated")))
+          .otherwise($"text").as("text"))
+      .unionByName(docsA.filter($"doc_id" % 11 === 0)
+        .select((-$"doc_id" - 1).as("doc_id"), $"lang",
+          concat($"text", lit(" new")).as("text")))
+      .localCheckpoint(false)
+    val diff = Pipeline.snapshotDiff(docsA, b).localCheckpoint(false)
+    val Off = 1000000000L
+    val bTxt = b.select($"doc_id", $"lang".as("b_lang"),
+      $"text".as("b_text"))
+    val dels = diff.filter($"status".isin("removed", "modified"))
+      .select(lit("del").as("op"), $"doc_id",
+        lit(null: String).as("lang"), lit(null: String).as("text"))
+    val adds = diff.filter($"status" === "added").join(bTxt, "doc_id")
+      .select(lit("add").as("op"), $"doc_id",
+        $"b_lang".as("lang"), $"b_text".as("text"))
+      .unionByName(diff.filter($"status" === "modified")
+        .join(bTxt, "doc_id")
+        .select(lit("add").as("op"), ($"doc_id" + Off).as("doc_id"),
+          $"b_lang".as("lang"), $"b_text".as("text")))
+    val feed = (adds.as[(String, Long, String, String)].collect() ++
+      dels.as[(String, Long, String, String)].collect()).toSeq
+    assert(feed.exists(_._1 == "del") && feed.count(_._1 == "add") > 2,
+      "fixture must exercise all three diff statuses")
+    val tmp = java.nio.file.Files.createTempDirectory("diffmnt").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("diffmnt_ck").toString
+    TextAnalysis.bm25IndexWrite(docsA, tmp)
+    val input = MemoryStream[(String, Long, String, String)]
+    val q = Bm25Maintain.bm25MaintainStream(
+      input.toDF().toDF("op", "doc_id", "lang", "text"), tmp, ckpt)
+    try feed.grouped(feed.size / 3 + 1).foreach { s =>
+      input.addData(s); q.processAllAvailable()
+    } finally q.stop()
+    // control: snapshot B with modified docs renumbered (the id-
+    // versioning discipline the id-based tombstone filter requires)
+    val modIds = diff.filter($"status" === "modified")
+      .select($"doc_id", lit(1L).as("m"))
+    val bPrime = b.join(broadcast(modIds), Seq("doc_id"), "left")
+      .select(when($"m".isNotNull, $"doc_id" + Off)
+        .otherwise($"doc_id").as("doc_id"), $"lang", $"text")
+    val rebuilt = java.nio.file.Files.createTempDirectory("diffmrb").toString
+    TextAnalysis.bm25IndexWrite(bPrime, rebuilt)
+    val streamed = TextAnalysis.bm25Probe(spark, tmp,
+      TextAnalysis.Bm25Query).collect().toSeq
+    val fresh = TextAnalysis.bm25Probe(spark, rebuilt,
+      TextAnalysis.Bm25Query).collect().toSeq
+    assert(streamed == fresh,
+      "diff-driven maintenance must equal a rebuild on snapshot B'")
+    def stats(p: String) = spark.read.parquet(s"$p/_stats")
+      .agg(fsum("nd"), fsum("tl")).head()
+    assert(stats(tmp) == stats(rebuilt),
+      "summed stats deltas diverge from the snapshot-B' rebuild")
+    spark.catalog.clearCache()
+  }
+
   test("ingest commit crash-point law: for EVERY crash window in the " +
     "protocol (post-stage, each partial-publish prefix, full publish " +
     "without commit) a redelivered batch converges to the clean-run " +
