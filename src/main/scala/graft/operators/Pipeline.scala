@@ -216,6 +216,56 @@ object Pipeline extends QueryPack {
       .orderBy($"lang".asc)
   }
 
+  // --- q184: SCD2 temporal versioning ----------------------------------------
+  /** Slowly-changing-dimension (type 2) history from a versioned CDC
+    * feed — the temporal-table shape every warehouse keeps for
+    * dimensions and every training-data audit wants for "what did the
+    * corpus say at version v": base snapshot = version 0, each delta
+    * batch carries a version, and the history row for an upsert is
+    * valid [ver, next event's ver) — a delete closes its
+    * predecessor's interval without opening one, and a later upsert
+    * resurrects the key. The current state at ANY version is then one
+    * predicate (`ver_from <= v < coalesce(ver_to, ∞)`), which is what
+    * makes the as-of read (q36's family) a filter instead of a replay
+    * — PipelineOpsSpec pins history-sliced-at-v == the q125
+    * mergeApply chain prefix, tying the temporal table to the CDC
+    * machinery it summarizes.
+    *
+    * Scale shape: one union + ONE per-key window over (base ∪ deltas)
+    * ordered by version — a single doc_id shuffle; versions-per-key
+    * is bounded by feed cadence, never corpus size.
+    */
+  def scd2History(base: DataFrame, deltas: DataFrame): DataFrame = {
+    val s = base.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = base.select($"doc_id", $"lang", lit(0L).as("ver"),
+        lit("upsert").as("op"))
+      .unionByName(deltas.select($"doc_id", $"lang", $"ver", $"op"))
+    val w = Window.partitionBy($"doc_id").orderBy($"ver".asc)
+    ev.withColumn("ver_to", lead($"ver", 1).over(w))
+      .filter($"op" === "upsert")
+      .select($"doc_id", $"lang", $"ver".as("ver_from"), $"ver_to",
+        when($"ver_to".isNull, 1L).otherwise(0L).as("is_current"))
+  }
+
+  def q184Scd2History(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select($"doc_id", $"lang")
+      // three delta generations derive from one scored frame: scan once
+      .localCheckpoint(false)
+    val deltas = docs.filter($"doc_id" % 5 === 0)
+      .select($"doc_id", $"lang", lit(1L).as("ver"), lit("upsert").as("op"))
+      .unionByName(docs.filter($"doc_id" % 7 === 0)
+        .select($"doc_id", $"lang", lit(2L).as("ver"),
+          lit("delete").as("op")))
+      .unionByName(docs.filter($"doc_id" % 3 === 0)
+        .select($"doc_id", $"lang", lit(3L).as("ver"),
+          lit("upsert").as("op")))
+    scd2History(docs, deltas)
+      .orderBy($"doc_id".asc, $"ver_from".asc)
+  }
+
   // --- q56: mixture-weight token-budget sampling ---------------------------
   /** Data-mixing stage: select documents per language against fixed
     * mixture weights (en 40%, others 15% of a 1000-token budget) in a
@@ -975,6 +1025,7 @@ object Pipeline extends QueryPack {
     "q55_contamination" -> (q55Contamination _),
     "q181_decontam_verdict" -> (q181DecontamVerdict _),
     "q183_mixture_solver" -> (q183MixtureSolver _),
+    "q184_scd2_history" -> (q184Scd2History _),
     "q56_mixture"       -> (q56Mixture _),
     "q116_temperature_mix" -> (q116TemperatureMix _),
     "q57_corpus_recipe" -> (q57CorpusRecipe _),
@@ -1299,6 +1350,26 @@ object Pipeline extends QueryPack {
         | CAST(SUM(CASE WHEN cum_before + n <= quota THEN n ELSE 0 END) AS BIGINT) AS tok_sel,
         | MIN(CASE WHEN cum_before + n <= quota THEN doc_id END) AS first_doc_id
         |FROM q GROUP BY lang""".stripMargin,
+    "q184_scd2_history" ->
+      // identical event union + one lead() window per key; deletes
+      // close intervals without opening
+      """WITH ev AS (
+        |  SELECT doc_id, lang, CAST(0 AS BIGINT) AS ver, 'upsert' AS op
+        |   FROM documents
+        |  UNION ALL SELECT doc_id, lang, 1, 'upsert' FROM documents
+        |   WHERE doc_id % 5 = 0
+        |  UNION ALL SELECT doc_id, lang, 2, 'delete' FROM documents
+        |   WHERE doc_id % 7 = 0
+        |  UNION ALL SELECT doc_id, lang, 3, 'upsert' FROM documents
+        |   WHERE doc_id % 3 = 0),
+        |h AS (SELECT doc_id, lang, op, ver,
+        |  lead(ver) OVER (PARTITION BY doc_id ORDER BY ver) AS ver_to
+        | FROM ev)
+        |SELECT doc_id, lang, ver AS ver_from, CAST(ver_to AS BIGINT) AS ver_to,
+        | CAST(CASE WHEN ver_to IS NULL THEN 1 ELSE 0 END AS BIGINT)
+        |   AS is_current
+        |FROM h WHERE op = 'upsert'
+        |ORDER BY doc_id ASC, ver_from ASC""".stripMargin,
     "q183_mixture_solver" ->
       // exact integer masses, integer-division solver, dround(6) rate
       s"""WITH m AS (SELECT lang,

@@ -575,6 +575,61 @@ class PipelineOpsSpec extends SparkTestBase {
     graft.core.Fs.deleteRecursive(spark, path)
   }
 
+  test("q184 SCD2: slicing the history at ANY version equals the " +
+    "mergeApply chain prefix at that version (key set and lang); " +
+    "per-key intervals are ordered and non-overlapping; a delete " +
+    "closes without opening and a later upsert resurrects") {
+    import spark.implicits._
+    import graft.operators.Pipeline
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang", $"text").localCheckpoint(false)
+    def delta(pred: org.apache.spark.sql.Column, op: String) =
+      docs.filter(pred).select($"doc_id", lit(op).as("op"), $"lang",
+        $"text")
+    val d1 = delta($"doc_id" % 5 === 0, "upsert")
+    val d2 = delta($"doc_id" % 7 === 0, "delete")
+    val d3 = delta($"doc_id" % 3 === 0, "upsert")
+    val hist = Pipeline.q184Scd2History(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) Long.MaxValue else r.getLong(3)))
+    // point-in-time law at every version boundary
+    val states = Seq(d1, d2, d3).scanLeft(docs) { (s0, d) =>
+      Pipeline.mergeApply(s0, d).select($"doc_id", $"lang", $"text")
+        .localCheckpoint(false)
+    }
+    states.zipWithIndex.foreach { case (st, v) =>
+      val want = st.select($"doc_id", $"lang").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      val got = hist.filter(h => h._3 <= v && v < h._4)
+        .map(h => (h._1, h._2)).toSet
+      assert(got == want, s"history sliced at v=$v diverges from the " +
+        s"mergeApply chain prefix (${got.size} vs ${want.size} keys)")
+    }
+    // interval discipline per key
+    hist.groupBy(_._1).foreach { case (k, rows) =>
+      val sorted = rows.sortBy(_._3)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 <= b._3, s"key $k: overlapping intervals $a $b")
+        case _ =>
+      }
+      assert(sorted.count(_._4 == Long.MaxValue) <= 1,
+        s"key $k: more than one open interval")
+    }
+    // resurrection: a key hit by the v2 delete AND the v3 upsert has
+    // a closed interval at 2 and a current one opening at 3
+    val res = hist.filter(h => h._1 % 7 == 0 && h._1 % 3 == 0 &&
+      h._1 % 5 != 0)
+    assert(res.nonEmpty)
+    val k0 = res.head._1
+    val kRows = hist.filter(_._1 == k0).sortBy(_._3)
+    assert(kRows.map(h => (h._3, h._4)).toSeq ==
+      Seq((0L, 2L), (3L, Long.MaxValue)),
+      s"key $k0: expected close-at-delete + resurrection, got " +
+        kRows.mkString(", "))
+    spark.catalog.clearCache()
+  }
+
   test("durable-checkpoint knob: identical labels and keyed censuses " +
     "through reliable checkpoint(dir) — the executor-loss-safe " +
     "spelling cluster callers thread into the loop helpers") {
