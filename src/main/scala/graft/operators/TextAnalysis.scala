@@ -2338,6 +2338,14 @@ object TextAnalysis extends QueryPack {
     * Scale shape: the victim list is one `_docs`-sidecar scan filtered
     * to the tenant (never a postings scan), the stats delta is one
     * aggregated row, and no other tenant's files are touched.
+    *
+    * Crash discipline: two sidecar writes (tombstones, then the stats
+    * delta), the [[bm25Delete]] shape — NOT crash-atomic. A purge
+    * that dies between them must be re-driven through the atomic
+    * staged-publish path ([[graft.streaming.IngestCommit]] /
+    * Bm25Maintain, which publishes tombstones and stats together) or
+    * re-applied against a restored layout; a bare re-run finds the
+    * victims already tombstoned and cannot repair the stats.
     */
   def bm25PurgeTenant(s: SparkSession, path: String, lang: String): Unit = {
     import s.implicits._
