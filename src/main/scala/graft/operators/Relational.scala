@@ -975,6 +975,39 @@ object Relational extends QueryPack {
       .limit(10)
   }
 
+  // --- q185: TPC-H Q22 shape — decorrelated anti-join opportunity census ----
+  /** TPC-H Q22 ("global sales opportunity") restated on this schema:
+    * customers whose balance beats the average POSITIVE balance but
+    * who have never ordered, censused by nation — the classic
+    * correlated-scalar-subquery + NOT EXISTS pair, decorrelated the
+    * way a 100 TB plan must be: the scalar subquery becomes ONE
+    * broadcast (Σ positive cents, n positive) row and the threshold
+    * test becomes the INTEGER cross-multiplication
+    * `cents · n > Σ` (no division — cents·n and Σ are exact BIGINTs,
+    * so the "above average" boundary cannot drift between engines);
+    * NOT EXISTS becomes one left-anti join on the customer key.
+    *
+    * Scale shape: customer scans twice (threshold row + main — the
+    * documented two-pass class), the anti-join is the one data-sized
+    * exchange pair (custkey equi — orders projects to its key column
+    * only), the census is nation-sized.
+    */
+  def q185SalesOpportunity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, dir)
+      .select($"c_custkey", $"c_nationkey",
+        expr("CAST(ROUND(c_acctbal * 100) AS BIGINT)").as("cents"))
+    val thr = broadcast(cust.filter($"cents" > 0)
+      .agg(sum($"cents").as("sp"), count(lit(1)).as("np")))
+    cust.crossJoin(thr)
+      .filter($"cents" * $"np" > $"sp")
+      .join(Tables.orders(s, dir).select($"o_custkey".as("c_custkey")),
+        Seq("c_custkey"), "left_anti")
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("numcust"), sum($"cents").as("tot_cents"))
+      .orderBy($"c_nationkey".asc)
+  }
+
   // --- q131: HyperLogLog distinct-count sketch -----------------------------
   /** The FOURTH sketch family under the exact gate (KMV q103 keeps k
     * hashes, Misra–Gries q58 a heavy-hitter set, CMS q112 a counter
@@ -1404,6 +1437,7 @@ object Relational extends QueryPack {
     "q138_local_revenue" -> (q138LocalRevenue _),
     "q144_small_qty_revenue" -> (q144SmallQtyRevenue _),
     "q150_waiting_suppliers" -> (q150WaitingSuppliers _),
+    "q185_sales_opportunity" -> (q185SalesOpportunity _),
     "q126_disorder"     -> (q126DisorderCensus _),
     "q124_path_mining"  -> (q124PathMining _),
     "q123_attribution"  -> (q123Attribution _),
@@ -1479,6 +1513,19 @@ object Relational extends QueryPack {
         |FROM li JOIN p ON li.l_partkey = p.p_partkey
         |JOIN a ON li.l_partkey = a.ap
         |WHERE li.q * 5 * a.cq < a.sq""".stripMargin,
+    "q185_sales_opportunity" ->
+      // identical integer cents, cross-multiplied threshold (no
+      // division), NOT IN over the orders key
+      """WITH c AS (SELECT c_custkey, c_nationkey,
+        |  CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+        |t AS (SELECT CAST(SUM(cents) AS BIGINT) AS sp,
+        |  CAST(COUNT(*) AS BIGINT) AS np FROM c WHERE cents > 0)
+        |SELECT c_nationkey, COUNT(*) AS numcust,
+        | CAST(SUM(cents) AS BIGINT) AS tot_cents
+        |FROM c CROSS JOIN t
+        |WHERE cents * np > sp
+        | AND c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q150_waiting_suppliers" ->
       // the decorrelated algebra verbatim: the two existentials are
       // integer predicates over one per-order census
