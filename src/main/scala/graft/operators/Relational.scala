@@ -1008,6 +1008,44 @@ object Relational extends QueryPack {
       .orderBy($"c_nationkey".asc)
   }
 
+  // --- q186: TPC-H Q15 shape — top supplier(s) by window revenue -----------
+  /** TPC-H Q15 ("top supplier"): revenue per supplier over one
+    * quarter, return the supplier(s) ATTAINING the maximum — the
+    * max-over-an-aggregate pattern the reference SQL spells as a view
+    * referenced twice (revenue + its MAX). Decorrelated for scale:
+    * ONE shuffled supplier rollup, its 1-row MAX broadcast back, an
+    * integer equality filter — the rollup is never recomputed and
+    * never re-scanned (the census frame checkpoints, the q175 stats
+    * discipline). Ties all surface, ordered by key — TPC-H's own
+    * semantics.
+    *
+    * Exactness: revenue in integer cents (q138's rule —
+    * round(extprice·(1−disc)·100) per line, summed as BIGINT), so the
+    * max and the equality are integer decisions in both engines.
+    *
+    * Scale shape: one lineitem scan filtered to the quarter →
+    * supplier-keyed rollup (map-side combined); MAX is a broadcast
+    * 1-row crossJoin; the supplier dim broadcasts for names.
+    */
+  def q186TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rev = Tables.lineitem(s, dir)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
+      .groupBy($"l_suppkey")
+      .agg(sum(round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100)
+        .cast("long")).as("rev_cents"))
+      // consumed twice (max + filter): one rollup, not two scans
+      .localCheckpoint(false)
+    val mx = broadcast(rev.agg(max($"rev_cents").as("mx")))
+    rev.crossJoin(mx)
+      .filter($"rev_cents" === $"mx")
+      .join(broadcast(Tables.supplier(s, dir)
+        .select($"s_suppkey".as("l_suppkey"), $"s_name")), "l_suppkey")
+      .select($"l_suppkey".as("s_suppkey"), $"s_name", $"rev_cents")
+      .orderBy($"s_suppkey".asc)
+  }
+
   // --- q131: HyperLogLog distinct-count sketch -----------------------------
   /** The FOURTH sketch family under the exact gate (KMV q103 keeps k
     * hashes, Misra–Gries q58 a heavy-hitter set, CMS q112 a counter
@@ -1438,6 +1476,7 @@ object Relational extends QueryPack {
     "q144_small_qty_revenue" -> (q144SmallQtyRevenue _),
     "q150_waiting_suppliers" -> (q150WaitingSuppliers _),
     "q185_sales_opportunity" -> (q185SalesOpportunity _),
+    "q186_top_supplier" -> (q186TopSupplier _),
     "q126_disorder"     -> (q126DisorderCensus _),
     "q124_path_mining"  -> (q124PathMining _),
     "q123_attribution"  -> (q123Attribution _),
@@ -1513,6 +1552,21 @@ object Relational extends QueryPack {
         |FROM li JOIN p ON li.l_partkey = p.p_partkey
         |JOIN a ON li.l_partkey = a.ap
         |WHERE li.q * 5 * a.cq < a.sq""".stripMargin,
+    "q186_top_supplier" ->
+      // integer-cents revenue, max + equality as integer decisions
+      """WITH rev AS (SELECT l_suppkey,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS rev_cents
+        | FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |   AND l_shipdate < TIMESTAMP '1996-04-01'
+        | GROUP BY 1),
+        |m AS (SELECT MAX(rev_cents) AS mx FROM rev)
+        |SELECT r.l_suppkey AS s_suppkey, s.s_name, r.rev_cents
+        |FROM rev r CROSS JOIN m JOIN supplier s
+        |  ON r.l_suppkey = s.s_suppkey
+        |WHERE r.rev_cents = m.mx
+        |ORDER BY s_suppkey ASC""".stripMargin,
     "q185_sales_opportunity" ->
       // identical integer cents, cross-multiplied threshold (no
       // division), NOT IN over the orders key
