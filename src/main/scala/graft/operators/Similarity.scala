@@ -1131,6 +1131,61 @@ object Similarity extends QueryPack {
       .orderBy($"nprobe".asc)
   }
 
+  // --- q187: Matryoshka dimension-truncation recall curve ----------------------
+  /** The MRL serving decision (Kusupati et al. 2022 — matryoshka
+    * representations): how much recall does each PREFIX of the
+    * embedding dimensions buy? For dim ∈ {16, 32, 48, 64}, rank the
+    * corpus by cosine over the first `dim` coordinates against q29's
+    * query vector and census recall@10 vs the full-dimension exact
+    * answer — the curve that decides how many coordinates the serving
+    * tier stores/ships (a 16-dim prefix is a 4× bandwidth/memory cut
+    * BEFORE any quantization, composable with q109/q147's). Sits
+    * beside q179 (recall vs nprobe) and q151 (error vs PQ bytes) as
+    * the third axis of the serving cost/quality surface.
+    *
+    * Exactness: prefix cosines are dots over array slices, rounded to
+    * 6 before ranking (q29's class, vec_id-asc ties); recall is an
+    * integer count over 10.
+    *
+    * Scale shape: ONE corpus scan computes all four prefix cosines
+    * per row (each a codegen'd dot over a slice — the checkpointed
+    * scored frame is (vec_id, 4 doubles)); each sweep point is a
+    * TakeOrdered top-10 off that frame, never a global sort; the
+    * recall join is 10×4 rows against a 10-row broadcast.
+    */
+  def q187MatryoshkaRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = embCached(s, dir)
+    val q = broadcast(emb.filter($"vec_id" === 0)
+      .select(vec($"embedding").as("qv")))
+    val dims = Seq(16, 32, 48, 64)
+    val scored = emb.filter($"vec_id" =!= 0).crossJoin(q)
+      .select(Seq($"vec_id") ++ dims.map(d =>
+        round(try_divide(
+          dot(vec(slice($"embedding", 1, d)), slice($"qv", 1, d)),
+          sqrt(dot(vec(slice($"embedding", 1, d)),
+            vec(slice($"embedding", 1, d))))
+            * sqrt(dot(slice($"qv", 1, d), slice($"qv", 1, d)))), 6)
+          .as(s"cos$d")): _*)
+      .localCheckpoint(false) // one scan feeds all four sweep points
+    def top10(d: Int): DataFrame = scored
+      .select($"vec_id", col(s"cos$d").as("cos"))
+      .orderBy($"cos".desc, $"vec_id".asc).limit(10)
+    val exact = broadcast(top10(64)
+      .select($"vec_id", lit(1L).as("is_exact")))
+    dims.map { d =>
+      top10(d)
+        .join(exact, Seq("vec_id"), "left")
+        .agg(lit(d.toLong).as("dim"),
+          coalesce(sum($"is_exact"), lit(0L)).as("n_hits"))
+        .select($"dim", $"n_hits",
+          graft.core.Exact.dround(
+            coalesce($"n_hits", lit(0L)).cast("double") / lit(10.0), 6)
+            .as("recall"))
+    }.reduce(_ unionByName _)
+      .orderBy($"dim".asc)
+  }
+
   // --- q139: incremental IVF append census ----------------------------------
   /** The append contract as an oracle row: train the coarse quantizer
     * on the FIRST HALF of the corpus (vec_id ≤ max/2 — yesterday's
@@ -1617,6 +1672,7 @@ object Similarity extends QueryPack {
     "q177_contamination_semantic" -> (q177SemanticContamination _),
     "q178_embedding_drift" -> (q178EmbeddingDrift _),
     "q179_recall_curve"    -> (q179RecallCurve _),
+    "q187_matryoshka_recall" -> (q187MatryoshkaRecall _),
     "q30_ann_lsh_buckets"  -> (q30LshBuckets _),
     "q31_embedding_neardup" -> (q31EmbeddingNearDup _),
     "q50_ann_grid_cell"    -> (q50AnnGridCell _),
@@ -1823,6 +1879,35 @@ object Similarity extends QueryPack {
          |FROM spn n LEFT JOIN hits USING (nprobe)
          |LEFT JOIN cost USING (nprobe)
          |ORDER BY n.nprobe ASC""".stripMargin,
+    "q187_matryoshka_recall" -> {
+      val dims = Seq(16, 32, 48, 64)
+      def pcos(d: Int): String = {
+        val ee = s"CAST(e.embedding[1:$d] AS DOUBLE[])"
+        val qq = s"CAST(q.qemb[1:$d] AS DOUBLE[])"
+        s"ROUND(list_dot_product($ee, $qq) / " +
+          s"(SQRT(list_dot_product($ee, $ee)) * " +
+          s"SQRT(list_dot_product($qq, $qq))), 6)"
+      }
+      // identical rounded prefix cosines, identical top-10 tie rules,
+      // recall as an integer intersection count vs the dim-64 answer
+      s"""WITH q AS (SELECT embedding AS qemb FROM embeddings
+         |  WHERE vec_id = 0),
+         |sc AS (SELECT e.vec_id,
+         |  ${dims.map(d => s"${pcos(d)} AS cos$d").mkString(",\n|  ")}
+         | FROM embeddings e CROSS JOIN q WHERE e.vec_id != 0),
+         |${dims.map(d =>
+              s"t$d AS (SELECT vec_id FROM sc ORDER BY cos$d DESC, " +
+                s"vec_id ASC LIMIT 10)").mkString(",\n|")},
+         |h AS (${dims.map(d =>
+              s"SELECT CAST($d AS BIGINT) AS dim, CAST((SELECT COUNT(*) " +
+                s"FROM t$d a JOIN t64 b ON a.vec_id = b.vec_id) " +
+                s"AS BIGINT) AS n_hits")
+              .mkString("\n| UNION ALL ")})
+         |SELECT dim, n_hits,
+         | ${graft.core.Exact.sqlDround("CAST(n_hits AS DOUBLE) / 10.0", 6)}
+         |   AS recall
+         |FROM h ORDER BY dim ASC""".stripMargin
+    },
     "q29_ann_brute_topk" ->
       s"""SELECT e.vec_id, e.label,
          | ROUND(${cosSql("e.embedding", "q.embedding")}, 6) AS cos
