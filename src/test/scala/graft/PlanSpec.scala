@@ -862,6 +862,35 @@ class PlanSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("q184/q185/q186/q187: the continuation additions keep their " +
+    "scale shapes — SCD2 is one keyed window; Q22's threshold rides " +
+    "a broadcast and the NOT-EXISTS is a real anti-join; Q15's max " +
+    "is a broadcast over the checkpointed rollup; the matryoshka " +
+    "sweep points are TakeOrdered, never a global sort") {
+    import graft.operators.Pipeline
+    val p184 = plan(Pipeline.q184Scd2History(spark, sfDir))
+    assert(!p184.contains("CartesianProduct"), p184.take(2000))
+    assert(p184.linesIterator.count(_.contains("windowspecdefinition")) >= 1
+      && p184.contains("windowspecdefinition(doc_id"),
+      "SCD2 must window per doc_id:\n" + p184.take(2000))
+    val p185 = plan(Relational.q185SalesOpportunity(spark, sfDir))
+    assert(p185.contains("LeftAnti"), p185.take(2000))
+    assert(p185.contains("BroadcastNestedLoopJoin") ||
+      p185.contains("BroadcastExchange"),
+      "Q22's scalar threshold must broadcast:\n" + p185.take(2000))
+    assert(!p185.contains("CartesianProduct"), p185.take(2000))
+    val p186 = plan(Relational.q186TopSupplier(spark, sfDir))
+    assert(!p186.contains("CartesianProduct"), p186.take(2000))
+    assert(!p186.contains("SortMergeJoin"),
+      "Q15's max + name joins must broadcast:\n" + p186.take(2000))
+    val p187 = plan(Similarity.q187MatryoshkaRecall(spark, sfDir))
+    assert(p187.contains("TakeOrderedAndProject"),
+      "matryoshka sweep points must be TakeOrdered:\n" + p187.take(2000))
+    assert(!p187.contains("CartesianProduct") &&
+      !p187.contains("SortMergeJoin"), p187.take(2000))
+    spark.catalog.clearCache()
+  }
+
   test("q118: novelty joins only DOC-cardinality frames — the gram " +
     "stream feeds one aggregation and is never join-back material; no " +
     "candidate pairing, no Window, no nested-loop join") {
