@@ -2030,6 +2030,59 @@ object TextAnalysis extends QueryPack {
       docs.filter($"doc_id" % 7 =!= 3).select($"doc_id", $"lang"), path)
   }
 
+  // --- q188: hard-negative mining for retriever training ----------------------
+  /** The contrastive-training data miner: for each query, the
+    * documents the LEXICAL retriever ranks in its top-10 that the
+    * DENSE top-10 does NOT contain — lexically relevant but
+    * semantically distant, the classic hard negatives a dual-encoder
+    * trains against (the BM25-negatives recipe of DPR, Karpukhin et
+    * al. 2020). Queries are the q164/q165 batch pair (text terms +
+    * the id-matched query vector); output rows carry the query, the
+    * negative doc, its lexical rank and score — the training-pair
+    * feed, per query, auditable.
+    *
+    * Exactness: the lexical leg is q164's batch probe (hash-gated
+    * elsewhere); the dense leg is q29's rounded-cosine top-10 per
+    * query (vec_id-asc ties); the mining step is an exact anti-join.
+    *
+    * Scale shape: lexical = one bucket-pruned batch probe against the
+    * in-query-built layout (the build is the oracle-discipline cost,
+    * q164's note); dense = the bounded query batch broadcast against
+    * one corpus projection with per-query top-10 windows; the
+    * anti-join runs on two 10·|queries|-row frames.
+    */
+  def q188HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val path = bm25TempIndexPath(dir) + "_negmine"
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(p)
+    bm25IndexWrite(Tables.documents(s, dir), path)
+    val queries = Bm25Batch.filter(q => q._1 == 1L || q._1 == 2L)
+    val lex = bm25ProbeBatch(s, path, queries)
+      .withColumn("bm25_rank", row_number().over(
+        Window.partitionBy($"query_id")
+          .orderBy($"score".desc, $"doc_id".asc)))
+      .select($"query_id", $"doc_id", $"bm25_rank", $"score")
+    val emb = Tables.embeddings(s, dir)
+    val vec = (c: org.apache.spark.sql.Column) =>
+      transform(c, _.cast("double"))
+    val qids = queries.map(_._1)
+    val qs = broadcast(emb.filter($"vec_id".isin(qids: _*))
+      .select($"vec_id".as("query_id"), vec($"embedding").as("qv")))
+    val topW = Window.partitionBy($"query_id")
+      .orderBy($"cos".desc, $"vec_id".asc)
+    val dense = emb.filter(!$"vec_id".isin(qids: _*))
+      .crossJoin(qs)
+      .withColumn("cos",
+        round(Similarity.cosine(vec($"embedding"), $"qv"), 6))
+      .withColumn("rk", row_number().over(topW))
+      .filter($"rk" <= 10)
+      .select($"query_id", $"vec_id".as("doc_id"))
+    lex.join(broadcast(dense), Seq("query_id", "doc_id"), "left_anti")
+      .orderBy($"query_id".asc, $"bm25_rank".asc)
+  }
+
   // --- q172: compaction-policy census over the serving layouts ---------------
   /** The operational "compact now?" decision every LSM-style serving
     * fleet runs on a schedule, as one oracle row per layout: tombstone
@@ -2535,6 +2588,7 @@ object TextAnalysis extends QueryPack {
     "q175_tenant_probe"      -> (q175TenantProbe _),
     "q180_tenant_purge"      -> (q180TenantPurge _),
     "q182_index_freshness"   -> (q182IndexFreshness _),
+    "q188_hard_negatives"    -> (q188HardNegatives _),
     "q176_psi_drift"         -> (q176PsiDrift _),
     "q122_pmi_pairs"         -> (q122PmiPairs _),
     "q120_bpe_sweep"         -> (q120BpeSweep _),
@@ -2690,6 +2744,39 @@ object TextAnalysis extends QueryPack {
          |   AS psi_term
          |FROM f CROSS JOIN t
          |ORDER BY band ASC""".stripMargin,
+    "q188_hard_negatives" -> {
+      def cosSql(a: String, b: String): String = {
+        val d = (x: String, y: String) =>
+          s"list_dot_product(CAST($x AS DOUBLE[]), CAST($y AS DOUBLE[]))"
+        s"(${d(a, b)} / (SQRT(${d(a, a)}) * SQRT(${d(b, b)})))"
+      }
+      val qids = Bm25Batch.filter(q => q._1 == 1L || q._1 == 2L)
+      // lexical = q164's per-query replay + rank; dense = q29's
+      // rounded-cosine top-10 per query vector; mining = NOT IN
+      s"""WITH lex AS (${qids.map { case (qid, terms) =>
+            s"""SELECT CAST($qid AS BIGINT) AS query_id, doc_id, score,
+               |  row_number() OVER (ORDER BY score DESC, doc_id ASC)
+               |    AS bm25_rank
+               |FROM (${bm25OracleOver("TRUE", terms)})""".stripMargin
+          }.mkString("\nUNION ALL\n")}),
+         |d AS (${qids.map { case (qid, _) =>
+            s"""SELECT CAST($qid AS BIGINT) AS query_id,
+               | vec_id AS doc_id FROM (
+               |  SELECT e.vec_id,
+               |   ROUND(${cosSql("e.embedding", "q.qv")}, 6) AS cos
+               |  FROM embeddings e CROSS JOIN
+               |   (SELECT embedding AS qv FROM embeddings
+               |     WHERE vec_id = $qid) q
+               |  WHERE e.vec_id NOT IN (1, 2)
+               |  ORDER BY cos DESC, e.vec_id ASC LIMIT 10)""".stripMargin
+          }.mkString("\nUNION ALL\n")})
+         |SELECT l.query_id, l.doc_id, CAST(l.bm25_rank AS BIGINT)
+         |   AS bm25_rank, l.score
+         |FROM lex l LEFT JOIN d
+         |  ON l.query_id = d.query_id AND l.doc_id = d.doc_id
+         |WHERE d.doc_id IS NULL
+         |ORDER BY l.query_id ASC, bm25_rank ASC""".stripMargin
+    },
     "q182_index_freshness" ->
       // the engine reads the real _docs sidecar; the oracle recomputes
       // index membership from the deterministic build predicate
