@@ -33,6 +33,45 @@ object Dedup extends QueryPack {
       .agg(count(lit(1)).as("n_groups"), sum($"n_copies").as("n_docs"))
   }
 
+  // --- q189: dedup-savings census (capacity planning) -------------------------
+  /** The number a curation budget meeting actually asks for: how much
+    * does exact dedup SAVE, by duplicate-group size band — groups,
+    * docs, removable docs (all but the keeper) and removable TOKENS
+    * per band ('1' unique through '9+' heavy clones). Heavy-clone
+    * bands dominating the removable mass means boilerplate/mirror
+    * content (fix the crawler); mass in band '2' means organic
+    * near-misses (tune the near-dup thresholds instead). q25 counts
+    * the groups; this row prices them.
+    *
+    * Exactness: md5 groups (q25's rule), integer token counts;
+    * identical texts have identical counts so removable tokens =
+    * Σ tok − min tok per group, exactly.
+    *
+    * Scale shape: one corpus scan → fingerprint rollup (map-side
+    * combined) → a ≤5-row band rollup; nothing after the first
+    * aggregation is data-sized.
+    */
+  def q189DedupSavings(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(md5($"text").as("fp"),
+        size(split($"text", " ")).cast("long").as("tok"))
+      .groupBy($"fp")
+      .agg(count(lit(1)).as("n"), sum($"tok").as("sum_tok"),
+        min($"tok").as("min_tok"))
+      .select(
+        when($"n" === 1, "1").when($"n" === 2, "2")
+          .when($"n" <= 4, "3-4").when($"n" <= 8, "5-8")
+          .otherwise("9+").as("band"),
+        $"n", $"sum_tok", $"min_tok")
+      .groupBy($"band")
+      .agg(count(lit(1)).as("n_groups"),
+        sum($"n").as("n_docs"),
+        sum($"n" - 1).as("n_dup_docs"),
+        sum($"sum_tok" - $"min_tok").as("dup_tokens"))
+      .orderBy($"band".asc)
+  }
+
   /** MinHash signature column i: min over tokens of md5(i || '#' || tok).
     * md5 on identical strings is identical across engines, so signatures
     * (and the DuckDB oracle) match exactly.
@@ -965,6 +1004,7 @@ object Dedup extends QueryPack {
     "q113_minhash_err"    -> (q113MinhashErr _),
     "q49_dedup_editdist"  -> (q49EditDistance _),
     "q25_dedup_exact"     -> (q25Exact _),
+    "q189_dedup_savings"  -> (q189DedupSavings _),
     "q26_dedup_minhash"   -> (q26MinHashLsh _),
     "q27_dedup_simhash"   -> (q27SimHash _),
     "q28_dedup_ngram"     -> (q28NgramJaccard _),
@@ -1112,6 +1152,21 @@ object Dedup extends QueryPack {
         |  GREATEST(length(da.text), length(db.text)) * 3
         | AND levenshtein(da.text, db.text) * 10 <=
         |  GREATEST(length(da.text), length(db.text)) * 3""".stripMargin,
+    "q189_dedup_savings" ->
+      // q25's md5 groups priced: identical integer token counts, band
+      // labels as identical CASE strings
+      """WITH g AS (SELECT md5(text) AS fp, COUNT(*) AS n,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tok,
+        |  CAST(MIN(len(string_split(text, ' '))) AS BIGINT) AS min_tok
+        | FROM documents GROUP BY 1)
+        |SELECT CASE WHEN n = 1 THEN '1' WHEN n = 2 THEN '2'
+        |  WHEN n <= 4 THEN '3-4' WHEN n <= 8 THEN '5-8'
+        |  ELSE '9+' END AS band,
+        | COUNT(*) AS n_groups,
+        | CAST(SUM(n) AS BIGINT) AS n_docs,
+        | CAST(SUM(n - 1) AS BIGINT) AS n_dup_docs,
+        | CAST(SUM(sum_tok - min_tok) AS BIGINT) AS dup_tokens
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
     "q25_dedup_exact" ->
       """WITH g AS (SELECT md5(text) fp, MIN(doc_id) keep_id, COUNT(*) n_copies
         | FROM documents GROUP BY 1)
