@@ -814,7 +814,14 @@ object Dedup extends QueryPack {
     * turn out disjoint (possible only via md5 band collisions) keep
     * exact_jac = 0 through the left join rather than vanishing.
     */
-  def q113MinhashErr(s: SparkSession, dir: String): DataFrame = {
+  /** The shared LSH-candidate pair-statistics frame behind q113 and
+    * q190: (i, j, n_match, inter, si, sj) for every distinct
+    * (rep, later-doc) band-bucket candidate — exact token
+    * intersection via the candidate-doc prefilter (the q28/
+    * minhashLinksFrom r12 rewrite: never join the full token stream
+    * to serve ≤3N pairs).
+    */
+  private def minhashPairStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val dt = docTokens(Tables.documents(s, dir)).cache()
     val sigCols = (0 until K).map(i =>
@@ -852,12 +859,59 @@ object Dedup extends QueryPack {
       .withColumn("inter", coalesce($"inter", lit(0L)))
       .join(sizes.toDF("i", "si"), "i")
       .join(sizes.toDF("j", "sj"), "j")
+  }
+
+  def q113MinhashErr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    minhashPairStats(s, dir)
       .withColumn("estj", $"n_match" / lit(K.toDouble))
       .withColumn("exj", $"inter" / ($"si" + $"sj" - $"inter"))
       .select($"i", $"j", $"n_match",
         graft.core.Exact.dround($"estj", 4).as("est_jac"),
         graft.core.Exact.dround($"exj", 4).as("exact_jac"),
         graft.core.Exact.dround(abs($"estj" - $"exj"), 4).as("abs_err"))
+  }
+
+  // --- q190: near-dup savings threshold sweep ----------------------------------
+  /** The lexical half of the threshold-tuning pair (q117 sweeps
+    * SemDeDup's τ): for Jaccard thresholds τ ∈ {40, 50, 70, 90}%,
+    * how many documents (and tokens) would star-dedup remove — a doc
+    * drops at τ if it has ANY candidate link of exact Jaccard ≥ τ to
+    * an earlier doc. Read next to q189 (exact-dup savings): together
+    * they price the whole dedup ladder, and the marginal mass between
+    * thresholds is the data the τ decision is actually about.
+    *
+    * Exactness: the threshold test is the integer cross-
+    * multiplication `100·inter ≥ τ·(si + sj − inter)` — no float at
+    * any boundary; counts and token sums are exact integers.
+    *
+    * Scale shape: ONE candidate-pair frame (the q113 machinery,
+    * checkpointed) × a 4-row threshold spine; per-τ dedup of the
+    * removable-doc set is a (τ, j) aggregation bounded by
+    * 4·|candidates|. Nothing rescans the corpus per threshold.
+    */
+  def q190NeardupSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pj = minhashPairStats(s, dir)
+      .select($"i", $"j", $"inter", $"si", $"sj")
+      .localCheckpoint(false) // one pair frame feeds all 4 sweep points
+    val taus = s.range(0, 4).select(
+      element_at(array(lit(40L), lit(50L), lit(70L), lit(90L)),
+        ($"id" + 1).cast("int")).as("tau"))
+    val hits = pj.crossJoin(broadcast(taus))
+      .filter($"inter" * 100 >= $"tau" * ($"si" + $"sj" - $"inter"))
+    val pairCounts = hits.groupBy($"tau").agg(count(lit(1)).as("n_pairs"))
+    val docTok = hits.groupBy($"tau", $"j").agg(max($"sj").as("sj"))
+      .groupBy($"tau")
+      .agg(count(lit(1)).as("n_docs_removable"),
+        sum($"sj").as("tokens_removable"))
+    taus.join(broadcast(pairCounts), Seq("tau"), "left")
+      .join(broadcast(docTok), Seq("tau"), "left")
+      .select($"tau",
+        coalesce($"n_pairs", lit(0L)).as("n_pairs"),
+        coalesce($"n_docs_removable", lit(0L)).as("n_docs_removable"),
+        coalesce($"tokens_removable", lit(0L)).as("tokens_removable"))
+      .orderBy($"tau".asc)
   }
 
   // --- q133: content-defined chunking (CDC) census ---------------------------
@@ -1005,6 +1059,7 @@ object Dedup extends QueryPack {
     "q49_dedup_editdist"  -> (q49EditDistance _),
     "q25_dedup_exact"     -> (q25Exact _),
     "q189_dedup_savings"  -> (q189DedupSavings _),
+    "q190_neardup_sweep"  -> (q190NeardupSweep _),
     "q26_dedup_minhash"   -> (q26MinHashLsh _),
     "q27_dedup_simhash"   -> (q27SimHash _),
     "q28_dedup_ngram"     -> (q28NgramJaccard _),
@@ -1092,6 +1147,49 @@ object Dedup extends QueryPack {
                " / COUNT(*)", 4)} AS dup_rate
          |FROM ch JOIN dup ON md5(ch.chunk) = dup.h
          |GROUP BY 1""".stripMargin,
+    "q190_neardup_sweep" ->
+      // q113's candidate chain + the integer cross-multiplied
+      // threshold sweep; removable docs dedupe per (tau, j)
+      """WITH dt AS MATERIALIZED (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS tok
+        |  FROM documents),
+        |sig AS MATERIALIZED (SELECT doc_id,
+        |  MIN(md5('0#'||tok)) m0, MIN(md5('1#'||tok)) m1,
+        |  MIN(md5('2#'||tok)) m2, MIN(md5('3#'||tok)) m3,
+        |  MIN(md5('4#'||tok)) m4, MIN(md5('5#'||tok)) m5
+        | FROM dt GROUP BY doc_id),
+        |bands AS (
+        | SELECT doc_id, 0 b, md5(m0||m1) bk FROM sig UNION ALL
+        | SELECT doc_id, 1 b, md5(m2||m3) bk FROM sig UNION ALL
+        | SELECT doc_id, 2 b, md5(m4||m5) bk FROM sig),
+        |reps AS (SELECT b, bk, MIN(doc_id) i FROM bands GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT r.i, bd.doc_id j
+        | FROM bands bd JOIN reps r USING (b, bk)
+        | WHERE bd.doc_id > r.i),
+        |ctok AS MATERIALIZED (SELECT c.i, c.j, a.tok
+        | FROM cand c JOIN dt a ON a.doc_id = c.i),
+        |sizes AS (SELECT doc_id, COUNT(*) sz FROM dt GROUP BY 1),
+        |inter AS (SELECT ct.i, ct.j, COUNT(*) inter FROM ctok ct
+        |  JOIN dt b2 ON b2.doc_id = ct.j AND b2.tok = ct.tok
+        |  GROUP BY ct.i, ct.j),
+        |pj AS (SELECT c.i, c.j,
+        |  CAST(COALESCE(it.inter, 0) AS BIGINT) AS inter,
+        |  CAST(si.sz AS BIGINT) AS si, CAST(sj.sz AS BIGINT) AS sj
+        | FROM cand c LEFT JOIN inter it ON it.i = c.i AND it.j = c.j
+        | JOIN sizes si ON c.i = si.doc_id
+        | JOIN sizes sj ON c.j = sj.doc_id),
+        |taus AS (SELECT CAST(unnest([40, 50, 70, 90]) AS BIGINT) AS tau),
+        |hits AS (SELECT t.tau, p.i, p.j, p.sj
+        | FROM pj p CROSS JOIN taus t
+        | WHERE p.inter * 100 >= t.tau * (p.si + p.sj - p.inter)),
+        |pc AS (SELECT tau, COUNT(*) AS n_pairs FROM hits GROUP BY 1),
+        |dk AS (SELECT tau, j, MAX(sj) AS sj FROM hits GROUP BY 1, 2),
+        |dc AS (SELECT tau, CAST(COUNT(*) AS BIGINT) AS n_docs_removable,
+        |  CAST(SUM(sj) AS BIGINT) AS tokens_removable FROM dk GROUP BY 1)
+        |SELECT t.tau, COALESCE(pc.n_pairs, 0) AS n_pairs,
+        | COALESCE(dc.n_docs_removable, 0) AS n_docs_removable,
+        | COALESCE(dc.tokens_removable, 0) AS tokens_removable
+        |FROM taus t LEFT JOIN pc USING (tau) LEFT JOIN dc USING (tau)
+        |ORDER BY t.tau ASC""".stripMargin,
     "q113_minhash_err" ->
       // q26's candidate chain, minus the 0.7 filter, plus the
       // signature-agreement estimate: everything is integer ratios
