@@ -575,6 +575,42 @@ class PipelineOpsSpec extends SparkTestBase {
     graft.core.Fs.deleteRecursive(spark, path)
   }
 
+  test("q189/q190 savings laws: the band census partitions the corpus " +
+    "exactly; the threshold sweep is monotone non-increasing in tau; " +
+    "every exact-dup loser is removable at every tau") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val n = docs.count()
+    val bands = Dedup.q189DedupSavings(spark, sfDir).collect()
+    assert(bands.map(_.getLong(2)).sum == n,
+      "q189 band doc counts must partition the corpus")
+    // dup tokens only in dup bands; the '1' band removes nothing
+    bands.filter(_.getString(0) == "1").foreach { r =>
+      assert(r.getLong(3) == 0L && r.getLong(4) == 0L)
+    }
+    val sweep = Dedup.q190NeardupSweep(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    sweep.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(lo._2 >= hi._2 && lo._3 >= hi._3 && lo._4 >= hi._4,
+          s"sweep must be monotone non-increasing: $lo vs $hi")
+      case _ =>
+    }
+    // exact-dup losers have Jaccard 1 with their keeper, and identical
+    // texts share every band bucket, so they are candidates — every
+    // exact loser must be removable even at the strictest tau
+    val losers = docs.withColumn("fp", md5($"text"))
+      .groupBy($"fp").agg(count(lit(1)).as("nc"))
+      .filter($"nc" > 1)
+      .agg(coalesce(sum($"nc" - 1), lit(0L))).head().getLong(0)
+    assert(sweep.last._3 >= losers,
+      s"tau=90 removable (${sweep.last._3}) must cover the " +
+        s"$losers exact-dup losers")
+    spark.catalog.clearCache()
+  }
+
   test("q184 SCD2: slicing the history at ANY version equals the " +
     "mergeApply chain prefix at that version (key set and lang); " +
     "per-key intervals are ordered and non-overlapping; a delete " +
