@@ -36,10 +36,30 @@ object Bench {
     * `clearCache()` in finally: q26/q28/q49 cache their gram/token
     * streams for intra-query reuse; without scoping, those blocks
     * accumulate across a 49-query run and skew every later query.
+    *
+    * `getPersistentRDDs` sweep after clearCache: `clearCache()` drops
+    * cached *tables* (the CacheManager), but NOT the RDD blocks pinned
+    * by the engine's ~70 `localCheckpoint(false)` sites — those live
+    * only in the SparkContext's persistentRdds registry. Left alone
+    * they accumulate across a 190-query suite until the block manager
+    * is full of dead checkpoint blocks, and eviction churn mispriced a
+    * contiguous band (q155–q158 read 7–24× their quiet anchors in ALL
+    * reps of BENCH_r14 while an isolated rerun of each landed exactly
+    * on anchor). Safe because every rep rebuilds its DataFrame from
+    * the query lambda AND the one cross-query frame memo
+    * (Dedup.sharedClusters) is evicted first — a memoized
+    * truncated-lineage frame whose blocks were swept would be
+    * unrecoverable for the next consumer, and evicting it also makes
+    * every query's timing standalone-honest.
     */
   def runScoped(spark: SparkSession, df: DataFrame): Unit =
     try df.write.format("noop").mode("overwrite").save()
-    finally spark.catalog.clearCache()
+    finally {
+      operators.Dedup.evictSharedClusters()
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -205,6 +205,17 @@ object Dedup extends QueryPack {
   private val clusterMemo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
+  /** Drop every memoized cluster frame. Bench scoping calls this
+    * before it sweeps leaked checkpoint blocks out of the block
+    * manager ([[graft.Bench.runScoped]]): a memoized frame whose
+    * blocks were swept is UNRECOVERABLE (localCheckpoint truncates
+    * lineage — the next consumer dies with
+    * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND), so under bench scoping the
+    * memo must empty in the same breath and every query prices as
+    * standalone — which is also the honest per-query timing.
+    */
+  private[graft] def evictSharedClusters(): Unit = clusterMemo.clear()
+
   private[graft] def sharedClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // evict entries pinned to stopped sessions so a long-lived JVM
@@ -530,7 +541,10 @@ object Dedup extends QueryPack {
     * cluster frame twice and shuffles three times). The cluster labels
     * come from [[sharedClusters]]: when q51 already ran in this
     * session, q74 is JUST the quality join over the materialized
-    * checkpoint, not a second MinHash+CC run.
+    * checkpoint, not a second MinHash+CC run. Under Bench scoping the
+    * memo is evicted between queries (see [[evictSharedClusters]]),
+    * so q74's BENCH time prices the full standalone recompute — the
+    * anchor was re-based accordingly in round 15.
     */
   def q74ClusterCanonical(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

@@ -239,9 +239,19 @@ object Pipeline extends QueryPack {
     val s = base.sparkSession
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val ev = base.select($"doc_id", $"lang", lit(0L).as("ver"),
+    val raw = base.select($"doc_id", $"lang", lit(0L).as("ver"),
         lit("upsert").as("op"))
       .unionByName(deltas.select($"doc_id", $"lang", $"ver", $"op"))
+    // a real CDC feed can carry two events at one (doc_id, ver) —
+    // without this fold the lead() window's interval assignment is
+    // nondeterministic. Collapse to ONE winner per version with a
+    // total order (upsert beats delete, then max lang) so history is
+    // a function of the event SET, not of shuffle order; a feed with
+    // unique versions (the q184 fixture) is untouched. One extra
+    // map-side-combinable aggregation, versions-per-key bounded.
+    val ev = raw.groupBy($"doc_id", $"ver")
+      .agg(max(struct($"op", $"lang")).as("w"))
+      .select($"doc_id", $"w.lang".as("lang"), $"ver", $"w.op".as("op"))
     val w = Window.partitionBy($"doc_id").orderBy($"ver".asc)
     ev.withColumn("ver_to", lead($"ver", 1).over(w))
       .filter($"op" === "upsert")

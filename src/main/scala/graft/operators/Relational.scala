@@ -1569,7 +1569,9 @@ object Relational extends QueryPack {
         |ORDER BY s_suppkey ASC""".stripMargin,
     "q185_sales_opportunity" ->
       // identical integer cents, cross-multiplied threshold (no
-      // division), NOT IN over the orders key
+      // division), NOT EXISTS over the orders key — NOT IN would
+      // return zero rows if orders ever carried a NULL custkey,
+      // silently diverging from the engine's left-anti join
       """WITH c AS (SELECT c_custkey, c_nationkey,
         |  CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
         |t AS (SELECT CAST(SUM(cents) AS BIGINT) AS sp,
@@ -1578,7 +1580,8 @@ object Relational extends QueryPack {
         | CAST(SUM(cents) AS BIGINT) AS tot_cents
         |FROM c CROSS JOIN t
         |WHERE cents * np > sp
-        | AND c_custkey NOT IN (SELECT o_custkey FROM orders)
+        | AND NOT EXISTS (SELECT 1 FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q150_waiting_suppliers" ->
       // the decorrelated algebra verbatim: the two existentials are

@@ -934,7 +934,11 @@ object Similarity extends QueryPack {
       eval: DataFrame): DataFrame = {
     val s = train.sparkSession
     import s.implicits._
-    val width = s.conf.get("spark.sql.shuffle.partitions").toInt
+    // the conf can be non-numeric on AQE-managed deployments ("auto");
+    // fall back to the cluster's default parallelism rather than throw
+    val width = scala.util.Try(
+      s.conf.get("spark.sql.shuffle.partitions").toInt)
+      .getOrElse(s.sparkContext.defaultParallelism).max(1)
     train.repartition(width).crossJoin(broadcast(eval))
       .groupBy($"eval_id")
       .agg(max(coalesce(

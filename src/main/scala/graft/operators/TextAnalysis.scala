@@ -2059,7 +2059,9 @@ object TextAnalysis extends QueryPack {
     p.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(p)
     bm25IndexWrite(Tables.documents(s, dir), path)
     val queries = Bm25Batch.filter(q => q._1 == 1L || q._1 == 2L)
-    val lex = bm25ProbeBatch(s, path, queries)
+    // k=10 explicitly: the oracle's LIMIT 10 encodes this contract —
+    // a future bm25ProbeBatch default change must not alter the query
+    val lex = bm25ProbeBatch(s, path, queries, k = 10)
       .withColumn("bm25_rank", row_number().over(
         Window.partitionBy($"query_id")
           .orderBy($"score".desc, $"doc_id".asc)))
@@ -2393,12 +2395,17 @@ object TextAnalysis extends QueryPack {
     * aggregated row, and no other tenant's files are touched.
     *
     * Crash discipline: two sidecar writes (tombstones, then the stats
-    * delta), the [[bm25Delete]] shape — NOT crash-atomic. A purge
-    * that dies between them must be re-driven through the atomic
-    * staged-publish path ([[graft.streaming.IngestCommit]] /
-    * Bm25Maintain, which publishes tombstones and stats together) or
-    * re-applied against a restored layout; a bare re-run finds the
-    * victims already tombstoned and cannot repair the stats.
+    * delta) — still not one atomic publish, but the pair is
+    * CONVERGENT under re-run: the delta is computed as the negation
+    * of the tenant's CURRENT net `_stats` (not from the victim list),
+    * so a purge that crashed between the writes is repaired by simply
+    * re-running it — the retry finds no new victims but still zeroes
+    * whatever net stats remain, and a retry after full success
+    * appends an exact (0, 0) no-op. Duplicate tombstone rows are
+    * harmless (every reader distincts the sidecar). Single-writer
+    * contract as everywhere on this layout ([[graft.streaming
+    * .IngestCommit]]); a purge multiplexed into a live maintenance
+    * feed should ride Bm25Maintain's staged publish instead.
     */
   def bm25PurgeTenant(s: SparkSession, path: String, lang: String): Unit = {
     import s.implicits._
@@ -2408,15 +2415,18 @@ object TextAnalysis extends QueryPack {
       else docs.join(
         broadcast(s.read.parquet(s"$path/_tombstones").distinct()),
         Seq("doc_id"), "left_anti")
-    // consumed twice (tombstone write + stats delta): checkpoint so
-    // the sidecar join runs once (the bm25Delete discipline)
-    val victims = live.localCheckpoint(false)
-    victims.select($"doc_id")
+    live.select($"doc_id")
       .write.mode("append").parquet(s"$path/_tombstones")
-    victims.agg((lit(0L) - count(lit(1))).as("nd"),
-        (lit(0L) - coalesce(sum($"dl"), lit(0L))).as("tl"))
-      .withColumn("lang", lit(lang))
-      .select($"lang", $"nd", $"tl")
+    // negate the tenant's net stats AS THE SIDECAR RECORDS THEM —
+    // the 1-row read happens strictly before the append (a bounded
+    // driver materialization, never data-sized), so the same path is
+    // never read and written in one job
+    val net = s.read.parquet(s"$path/_stats").filter($"lang" === lang)
+      .agg(coalesce(sum($"nd"), lit(0L)).as("nd"),
+        coalesce(sum($"tl"), lit(0L)).as("tl"))
+      .as[(Long, Long)].head()
+    s.createDataFrame(Seq((lang, -net._1, -net._2)))
+      .toDF("lang", "nd", "tl")
       .write.mode("append").parquet(s"$path/_stats")
   }
 
