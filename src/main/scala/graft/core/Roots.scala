@@ -49,6 +49,18 @@ object Roots {
     Fs.writeUtf8Atomic(s, pointer(base), gen)
   }
 
+  /** A PINNED generation's full path — the point-in-time read: any
+    * retired-but-retained generation stays probe-able (immutable dirs)
+    * for audit / reproduction ("what did the index answer before the
+    * swap?"); a generation deleted past retention fails loudly here
+    * instead of surfacing as an empty scan.
+    */
+  def at(s: SparkSession, base: String, gen: String): String = {
+    require(Fs.exists(s, s"$base/$gen"),
+      s"generation $gen not under $base (never written, or retired past retention)")
+    s"$base/$gen"
+  }
+
   /** All generation subdirs under `base` (names matching `gen<N>`),
     * sorted by N.
     */

@@ -481,6 +481,10 @@ object Similarity extends QueryPack {
     import emb.sparkSession.implicits._
     val packed = broadcast(
       cents.agg(collect_list(struct($"cl", $"cvec")).as("cents")))
+    // input columns PASS THROUGH (tenant tags, labels — anything the
+    // caller needs downstream rides the same projection instead of a
+    // vec_id re-join); every consumer projects explicitly after, so
+    // extra columns are free. Input must not already carry cl/d2.
     emb.crossJoin(packed)
       .withColumn("best", array_min(transform($"cents", c =>
         struct(
@@ -488,8 +492,8 @@ object Similarity extends QueryPack {
             - lit(2.0) * dot(vec($"embedding"), c.getField("cvec"))
             + dot(c.getField("cvec"), c.getField("cvec"))).as("d2"),
           c.getField("cl").as("cl")))))
-      .select($"vec_id", $"embedding",
-        $"best.cl".as("cl"), $"best.d2".as("d2"))
+      .select(emb.columns.map(col) ++
+        Seq($"best.cl".as("cl"), $"best.d2".as("d2")): _*)
   }
 
   /** One Lloyd update round: new centroid = per-dimension mean of the
@@ -883,6 +887,279 @@ object Similarity extends QueryPack {
         sum(coalesce($"is_dead", lit(0L))).as("n_dead"))
       .orderBy($"cell".asc)
   }
+
+  // --- q191/q192: multi-tenant IVF serving layout + tenant purge --------------
+  /** The two dense tenants the q191/q192 oracles replay (`tb` = the
+    * embeddings' label values — the per-customer / per-collection tag
+    * a shared vector fleet shards by). All ten labels live in the
+    * layout; the oracle probes two.
+    */
+  private[graft] val IvfTenants: Seq[Long] = Seq(0L, 1L)
+
+  /** Deterministic temp root for stored-IVF oracle rows (the
+    * bm25TempIndexPath discipline on the dense side).
+    */
+  private[graft] def ivfTempRoot(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_ivfidx_${
+      java.lang.Integer.toHexString(dir.hashCode)}"
+
+  /** Persist a MULTI-TENANT serving index `partitionBy(tb, cell)` —
+    * [[ivfWrite]] with the tenant dimension first, so one physical
+    * index serves every tenant and a tenant's probe is a TWO-LEVEL
+    * statically-pruned scan (its `tb=` dir, then ≤nprobe `cell=` dirs
+    * inside it) — the dense twin of the q175 lexical layout. A
+    * tenant's offboarding reclaims exactly its own `tb=` subtree;
+    * no other tenant's files are ever rewritten.
+    */
+  def ivfWriteTenants(index: DataFrame, path: String): Unit =
+    index.write.mode("overwrite").partitionBy("tb", "cell").parquet(path)
+
+  /** Read the tenant layout back with partition-dir int32 inference
+    * undone on BOTH levels (casts sit above the scan — two-level
+    * pruning on (tb, cell) still applies).
+    */
+  def ivfReadTenants(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path)
+      .withColumn("tb", col("tb").cast("long"))
+      .withColumn("cell", col("cell").cast("long"))
+
+  /** The tenant layout's serving view: base files MINUS tombstones —
+    * [[ivfReadLive]]'s discipline (broadcast anti-join ABOVE the scan,
+    * pruning intact); tenant purges (q192) land here.
+    */
+  def ivfReadLiveTenants(s: SparkSession, path: String): DataFrame = {
+    val idx = ivfReadTenants(s, path)
+    if (!graft.core.Fs.exists(s, s"$path/_tombstones")) idx
+    else idx.join(
+      broadcast(s.read.parquet(s"$path/_tombstones").distinct()),
+      Seq("vec_id"), "left_anti")
+  }
+
+  /** Build the multi-tenant serving root: ONE corpus-wide quantizer
+    * (cell assignment is a pure per-row function of the vector, so
+    * tenant isolation is exact by construction — a tenant's probe
+    * equals an index built over its vectors alone with the same
+    * frozen centroids, the law q191's oracle hash-checks), index
+    * written `partitionBy(tb, cell)`, centroids + query payload as
+    * sidecars. Training cost is [[ivfLearned]]'s (per-round one k-row
+    * aggregation, zero-shuffle assignment); the tenant tag rides the
+    * SAME assignment projection — no vec_id re-join.
+    */
+  def ivfServingSetupTenants(s: SparkSession, dir: String, root: String,
+      k: Int = 8, iters: Int = 2): Unit = {
+    import s.implicits._
+    val emb = embCached(s, dir)
+    val (_, cents) = ivfLearned(emb, k, iters)
+    val idx = kmeansAssign(emb,
+        cents.select($"cell".as("cl"), $"centroid".as("cvec")))
+      .select($"vec_id", $"embedding",
+        $"label".cast("long").as("tb"), $"cl".as("cell"))
+    ivfWriteTenants(idx, s"$root/index")
+    cents.write.mode("overwrite").parquet(s"$root/_cents")
+    emb.filter($"vec_id" === 0)
+      .select(vec($"embedding").as("qv"))
+      .write.mode("overwrite").parquet(s"$root/_query")
+  }
+
+  /** One tenant's probe against the shared layout: nprobe cells from
+    * the broadcast k-row centroid table (cell choice is
+    * query-vs-centroid only — tenant-independent, exactly the cells
+    * an index over this tenant alone would probe), then exact cosine
+    * top-k inside `tb = tenant ∧ cell ∈ probed` — a TWO-LEVEL
+    * partition-pruned scan. Identical ranking rule and columns to
+    * [[ivfProbeStored]]; tombstones honored.
+    */
+  def ivfProbeStoredTenant(s: SparkSession, root: String, tb: Long,
+      nprobe: Int = 3, k: Int = 10,
+      excludeVecId: Option[Long] = None): DataFrame = {
+    import s.implicits._
+    val q = broadcast(s.read.parquet(s"$root/_query"))
+    val cells = s.read.parquet(s"$root/_cents").crossJoin(q)
+      .withColumn("qd2", dot($"qv", $"qv")
+        - lit(2.0) * dot($"qv", $"centroid")
+        + dot($"centroid", $"centroid"))
+      .orderBy($"qd2".asc, $"cell".asc).limit(nprobe)
+      .select($"cell").collect().map(_.getLong(0)).toSeq
+    val base = ivfReadLiveTenants(s, s"$root/index")
+      .filter($"tb" === tb && $"cell".isin(cells: _*))
+    excludeVecId.fold(base)(id => base.filter($"vec_id" =!= id))
+      .crossJoin(q)
+      .withColumn("cos", cosine(vec($"embedding"), $"qv"))
+      .select($"vec_id", $"cell", round($"cos", 6).as("cos"))
+      .orderBy(round($"cos", 6).desc, $"vec_id".asc)
+      .limit(k)
+  }
+
+  /** Purge an ENTIRE tenant from the shared layout — the dense twin
+    * of TextAnalysis.bm25PurgeTenant (offboarding / right-to-erasure):
+    * every live vector of the tenant is tombstoned in one append, so
+    * the tenant is unservable immediately; the next
+    * [[ivfCompactTenants]] rewrite drops the bytes (and the tenant's
+    * whole `tb=` subtree disappears with them). Unlike the lexical
+    * side there are NO corpus stats to repair — cosine ranking has no
+    * N/avgdl — so the purge is a single idempotent write: a re-run
+    * (crash recovery) finds zero live victims and appends nothing,
+    * and duplicate tombstone rows are harmless (readers distinct).
+    * The victim scan itself prunes to the tenant's own `tb=` dirs.
+    */
+  def ivfPurgeTenant(s: SparkSession, root: String, tb: Long): Unit = {
+    import s.implicits._
+    ivfReadLiveTenants(s, s"$root/index")
+      .filter($"tb" === tb)
+      .select($"vec_id")
+      .write.mode("append").parquet(s"$root/index/_tombstones")
+  }
+
+  /** Fold tombstones into the tenant layout's files — [[ivfCompact]]
+    * on the two-level tree: live rows rewrite `partitionBy(tb, cell)`
+    * at a NEW root (caller swaps via [[graft.core.Roots]]); a fully
+    * purged tenant's `tb=` dirs simply don't exist in the new
+    * generation.
+    */
+  def ivfCompactTenants(s: SparkSession, path: String, dest: String): Unit =
+    ivfWriteTenants(
+      ivfReadLiveTenants(s, path)
+        .select(col("vec_id"), col("embedding"), col("tb"), col("cell")),
+      dest)
+
+  /** Build + two tenants' probes as one oracle row — the dense twin
+    * of q175: each tenant's ranking from the SHARED `partitionBy(tb,
+    * cell)` layout must equal q128's probe restricted to that
+    * tenant's vectors (isolation under the hash gate — cell
+    * assignment is per-row, so a neighbor tenant's vectors can never
+    * enter the ranking).
+    *
+    * Exactness: q128's trained trajectory + rounded-cosine rule; the
+    * oracle replays it with `label` carried through and tops-10 per
+    * tenant. Scale shape: one training pass shared by all tenants;
+    * each probe reads ≤nprobe cell dirs under ONE tenant dir.
+    */
+  def q191IvfTenantProbe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = ivfTempRoot(dir) + "_tenants"
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(p)
+    ivfServingSetupTenants(s, dir, root)
+    IvfTenants.map { tb =>
+      ivfProbeStoredTenant(s, root, tb, excludeVecId = Some(0L))
+        .withColumn("tenant", lit(tb))
+    }.reduce(_ unionByName _)
+      .orderBy($"tenant".asc, $"cos".desc, $"vec_id".asc)
+  }
+
+  /** Purge-then-prove on the dense layout — the twin of q180: purge
+    * tenant `IvfTenants(1)`, probe BOTH tenants through the live
+    * view; the survivor's ranking must equal its q191 leg (isolation
+    * survives the neighbor's erasure) and the purged tenant must
+    * contribute ZERO rows — the oracle carries only survivor rows, so
+    * any leaked row fails the row-count gate. PipelineOpsSpec adds
+    * the physics: the purged tenant's live view is empty, the purge
+    * re-runs idempotently, and compaction drops its `tb=` subtree.
+    */
+  def q192IvfTenantPurge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = ivfTempRoot(dir) + "_tpurge"
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(p)
+    ivfServingSetupTenants(s, dir, root)
+    ivfPurgeTenant(s, root, IvfTenants(1))
+    IvfTenants.map { tb =>
+      ivfProbeStoredTenant(s, root, tb, excludeVecId = Some(0L))
+        .withColumn("tenant", lit(tb))
+    }.reduce(_ unionByName _)
+      .orderBy($"tenant".asc, $"cos".desc, $"vec_id".asc)
+  }
+
+  // --- q193: compressed-at-rest IVF-SQ8 serving layout -------------------------
+  /** Build the COMPRESSED serving root — q136's IVF-SQ8 composition
+    * persisted: the index stores (vec_id, scale, code[64] as BYTES,
+    * cell) `partitionBy(cell)` — the embedding column never reaches
+    * disk, cutting index bytes ~4× (64 B codes + 8 B scale vs 256 B
+    * of float32, before encoding) — plus centroid/query sidecars.
+    * This is the layout FAISS ships as IVFx,SQ8 and the actual
+    * 100 TB win: probe cost is dominated by index bytes on disk and
+    * over the wire, and those shrink 4× at unchanged file counts
+    * (ServingBench measures exactly that).
+    *
+    * Exactness: codes are q109's (round(v/scale) ∈ [−127,127] — a
+    * parquet BYTE holds them losslessly, and byte→double dequantizes
+    * to the same bits as q136's long→double).
+    */
+  def ivfServingSetupSq8(s: SparkSession, dir: String, root: String,
+      k: Int = 8, iters: Int = 2): Unit = {
+    import s.implicits._
+    val emb = embCached(s, dir)
+    val (idx, cents) = ivfLearned(emb, k, iters)
+    idx.select($"vec_id", $"cell")
+      .join(quantizeInt8(emb).select($"vec_id", $"scale",
+        transform($"code", _.cast("byte")).as("code")), "vec_id")
+      .select($"vec_id", $"scale", $"code", $"cell")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$root/index")
+    cents.write.mode("overwrite").parquet(s"$root/_cents")
+    emb.filter($"vec_id" === 0)
+      .select(vec($"embedding").as("qv"))
+      .write.mode("overwrite").parquet(s"$root/_query")
+  }
+
+  /** The probe against the compressed layout: [[ivfProbeStored]]'s
+    * cell pick, then DEQUANTIZE ONLY THE SCANNED CELLS (code·scale
+    * per member, inside the pruned scan's projection) and score
+    * exact cosine against the full-precision query. Answer is
+    * hash-identical to q136's in-query composition — compression
+    * changes the bytes read, never the ranking. Tombstones honored
+    * ([[ivfReadLive]]'s anti-join discipline).
+    */
+  def ivfProbeStoredSq8(s: SparkSession, root: String, nprobe: Int = 3,
+      k: Int = 10, excludeVecId: Option[Long] = None): DataFrame = {
+    import s.implicits._
+    val q = broadcast(s.read.parquet(s"$root/_query"))
+    val cells = s.read.parquet(s"$root/_cents").crossJoin(q)
+      .withColumn("qd2", dot($"qv", $"qv")
+        - lit(2.0) * dot($"qv", $"centroid")
+        + dot($"centroid", $"centroid"))
+      .orderBy($"qd2".asc, $"cell".asc).limit(nprobe)
+      .select($"cell").collect().map(_.getLong(0)).toSeq
+    val idx = s.read.parquet(s"$root/index")
+      .withColumn("cell", col("cell").cast("long"))
+      .filter($"cell".isin(cells: _*))
+    val live =
+      if (!graft.core.Fs.exists(s, s"$root/index/_tombstones")) idx
+      else idx.join(
+        broadcast(s.read.parquet(s"$root/index/_tombstones").distinct()),
+        Seq("vec_id"), "left_anti")
+    excludeVecId.fold(live)(id => live.filter($"vec_id" =!= id))
+      .crossJoin(q)
+      .withColumn("deq", transform($"code", c => c.cast("double") * $"scale"))
+      .withColumn("cos", cosine($"deq", $"qv"))
+      .select($"vec_id", $"cell", round($"cos", 6).as("cos"))
+      .orderBy(round($"cos", 6).desc, $"vec_id".asc)
+      .limit(k)
+  }
+
+  /** The compressed layout under the oracle gate: build, then probe
+    * through the stored bytes — must hash-equal q136 (same oracle
+    * SQL), proving at-rest quantization is invisible to answers.
+    */
+  def q193IvfSq8Stored(s: SparkSession, dir: String): DataFrame = {
+    val root = ivfTempRoot(dir) + "_sq8"
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(p)
+    ivfServingSetupSq8(s, dir, root)
+    ivfProbeStoredSq8(s, root, excludeVecId = Some(0L))
+  }
+
+  /** Point-in-time probe: [[ivfProbeStored]] pinned to generation
+    * `gen` under a [[graft.core.Roots]] base — the audit/repro read
+    * ("what did the index answer before yesterday's compaction?")
+    * that composes q184's point-in-time law with the q173 root-swap
+    * machinery. Works on any retired-but-retained generation;
+    * a generation past retention fails loudly (Roots.at).
+    */
+  def ivfProbeAt(s: SparkSession, base: String, gen: String,
+      nprobe: Int = 3, k: Int = 10,
+      excludeVecId: Option[Long] = None): DataFrame =
+    ivfProbeStored(s, graft.core.Roots.at(s, base, gen),
+      nprobe, k, excludeVecId)
 
   // --- q177: semantic train/eval contamination census -------------------------
   /** The EMBEDDING-level decontamination screen (q55 is the lexical
@@ -1693,6 +1970,9 @@ object Similarity extends QueryPack {
     "q109_quantize_int8"   -> (q109QuantizeInt8 _),
     "q139_ivf_append"      -> (q139IvfAppend _),
     "q158_ivf_delete"      -> (q158IvfDelete _),
+    "q191_ivf_tenant_probe" -> (q191IvfTenantProbe _),
+    "q192_ivf_tenant_purge" -> (q192IvfTenantPurge _),
+    "q193_ivf_sq8_stored"  -> (q193IvfSq8Stored _),
     "q147_ann_pq_adc"      -> (q147AnnPqAdc _),
     "q149_ann_ivf_pq"      -> (q149AnnIvfPq _),
     "q151_pq_sweep"        -> (q151PqSweep _),
@@ -1716,6 +1996,61 @@ object Similarity extends QueryPack {
   private val cellSql = (1 to 8).map(i =>
     s"(CASE WHEN embedding[$i] >= 0 THEN ${1 << (i - 1)} ELSE 0 END)")
     .mkString(" + ")
+
+  /** q136 AND q193 share this oracle: q128's learned-quantizer chain
+    * + q109's int8 codes — the probe replays the d2 rule, members
+    * score as cosine(code·scale, query) on bit-identical dequantized
+    * arrays. The stored layout (q193) must answer byte-identically to
+    * the in-query composition (q136): at-rest compression is
+    * invisible to ranking.
+    */
+  private lazy val sq8ProbeSql: String =
+    s"""WITH cent0 AS (SELECT vec_id AS cl, embedding AS cvec
+       |  FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+       |a1 AS (SELECT e.vec_id, e.embedding, c.cl,
+       |  ${d2Sql("e.embedding", "c.cvec")} AS d2
+       | FROM embeddings e CROSS JOIN cent0 c),
+       |asg1 AS (SELECT vec_id, embedding, cl FROM a1
+       |  QUALIFY row_number() OVER
+       |    (PARTITION BY vec_id ORDER BY d2 ASC, cl ASC) = 1),
+       |ex AS (SELECT cl, i,
+       |  CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1048576.0) AS BIGINT) AS v
+       | FROM asg1, generate_series(1, 64) g(i)),
+       |cm AS (SELECT cl, i,
+       |  CAST(SUM(v) AS DOUBLE) / (COUNT(*) * 1048576.0) AS c
+       | FROM ex GROUP BY 1, 2),
+       |cent1 AS (SELECT cl, list(c ORDER BY i) AS cvec FROM cm GROUP BY 1),
+       |a2 AS (SELECT e.vec_id, c.cl,
+       |  ${d2Sql("e.embedding", "c.cvec")} AS d2
+       | FROM embeddings e CROSS JOIN cent1 c),
+       |idx AS (SELECT vec_id, cl AS cell FROM a2
+       |  QUALIFY row_number() OVER
+       |    (PARTITION BY vec_id ORDER BY d2 ASC, cl ASC) = 1),
+       |sq AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |  list_max(list_transform(CAST(embedding AS DOUBLE[]),
+       |    x -> abs(x))) / 127.0 AS scale
+       | FROM embeddings),
+       |codes AS (SELECT vec_id, scale,
+       |  CASE WHEN scale = 0
+       |   THEN list_transform(v, x -> CAST(0 AS BIGINT))
+       |   ELSE list_transform(v, x -> CAST(ROUND(x / scale) AS BIGINT))
+       |   END AS code
+       | FROM sq),
+       |dq AS (SELECT vec_id,
+       |  list_transform(code, x -> CAST(x AS DOUBLE) * scale) AS deq
+       | FROM codes),
+       |q AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0),
+       |probe AS (SELECT c.cl AS cell FROM cent1 c CROSS JOIN q
+       |  ORDER BY ${d2Sql("q.qemb", "c.cvec")} ASC, c.cl ASC
+       |  LIMIT 3)
+       |SELECT i.vec_id, i.cell,
+       | ROUND(${cosSql("d.deq", "q.qemb")}, 6) AS cos
+       |FROM idx i JOIN probe USING (cell)
+       |JOIN dq d ON d.vec_id = i.vec_id CROSS JOIN q
+       |WHERE i.vec_id != 0
+       |ORDER BY ROUND(${cosSql("d.deq", "q.qemb")}, 6) DESC,
+       | i.vec_id ASC
+       |LIMIT 10""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
     "q77_embedding_outliers" ->
@@ -1978,10 +2313,16 @@ object Similarity extends QueryPack {
          |  OR isnan(${cosSql("c.embedding", "rv.remb")})
          |  OR ${cosSql("c.embedding", "rv.remb")} < 0.25) AS kept
          |FROM cells c JOIN rv USING (cell)""".stripMargin,
-    "q136_ann_ivf_sq8" ->
-      // q128's learned-quantizer chain + q109's int8 codes: the probe
-      // replays the d2 rule, members score as cosine(code*scale, query)
-      // on bit-identical dequantized arrays
+    "q136_ann_ivf_sq8" -> sq8ProbeSql,
+    // the stored layout answers BYTE-identically to the in-query
+    // composition (at-rest compression is invisible to ranking), so
+    // the two rows share ONE oracle verbatim
+    "q193_ivf_sq8_stored" -> sq8ProbeSql,
+    "q191_ivf_tenant_probe" ->
+      // q128's trained trajectory with label carried through; probe
+      // cells are query-vs-centroid only (tenant-independent), then
+      // per-tenant rounded-cosine top-10 among that tenant's members
+      // of the probed cells — isolation as a hash fact
       s"""WITH cent0 AS (SELECT vec_id AS cl, embedding AS cvec
          |  FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
          |a1 AS (SELECT e.vec_id, e.embedding, c.cl,
@@ -1997,37 +2338,65 @@ object Similarity extends QueryPack {
          |  CAST(SUM(v) AS DOUBLE) / (COUNT(*) * 1048576.0) AS c
          | FROM ex GROUP BY 1, 2),
          |cent1 AS (SELECT cl, list(c ORDER BY i) AS cvec FROM cm GROUP BY 1),
-         |a2 AS (SELECT e.vec_id, c.cl,
+         |a2 AS (SELECT e.vec_id, e.embedding, e.label, c.cl,
          |  ${d2Sql("e.embedding", "c.cvec")} AS d2
          | FROM embeddings e CROSS JOIN cent1 c),
-         |idx AS (SELECT vec_id, cl AS cell FROM a2
+         |idx AS (SELECT vec_id, embedding, label, cl AS cell FROM a2
          |  QUALIFY row_number() OVER
          |    (PARTITION BY vec_id ORDER BY d2 ASC, cl ASC) = 1),
-         |sq AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-         |  list_max(list_transform(CAST(embedding AS DOUBLE[]),
-         |    x -> abs(x))) / 127.0 AS scale
-         | FROM embeddings),
-         |codes AS (SELECT vec_id, scale,
-         |  CASE WHEN scale = 0
-         |   THEN list_transform(v, x -> CAST(0 AS BIGINT))
-         |   ELSE list_transform(v, x -> CAST(ROUND(x / scale) AS BIGINT))
-         |   END AS code
-         | FROM sq),
-         |dq AS (SELECT vec_id,
-         |  list_transform(code, x -> CAST(x AS DOUBLE) * scale) AS deq
-         | FROM codes),
          |q AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0),
          |probe AS (SELECT c.cl AS cell FROM cent1 c CROSS JOIN q
          |  ORDER BY ${d2Sql("q.qemb", "c.cvec")} ASC, c.cl ASC
          |  LIMIT 3)
-         |SELECT i.vec_id, i.cell,
-         | ROUND(${cosSql("d.deq", "q.qemb")}, 6) AS cos
-         |FROM idx i JOIN probe USING (cell)
-         |JOIN dq d ON d.vec_id = i.vec_id CROSS JOIN q
-         |WHERE i.vec_id != 0
-         |ORDER BY ROUND(${cosSql("d.deq", "q.qemb")}, 6) DESC,
-         | i.vec_id ASC
-         |LIMIT 10""".stripMargin,
+         |SELECT CAST(i.label AS BIGINT) AS tenant, i.vec_id, i.cell,
+         | ROUND(${cosSql("i.embedding", "q.qemb")}, 6) AS cos
+         |FROM idx i JOIN probe USING (cell) CROSS JOIN q
+         |WHERE i.vec_id != 0 AND i.label IN (0, 1)
+         |QUALIFY row_number() OVER (PARTITION BY i.label
+         |  ORDER BY ROUND(${cosSql("i.embedding", "q.qemb")}, 6) DESC,
+         |   i.vec_id ASC) <= 10
+         |ORDER BY tenant ASC,
+         | ROUND(${cosSql("i.embedding", "q.qemb")}, 6) DESC,
+         | i.vec_id ASC""".stripMargin,
+    "q192_ivf_tenant_purge" ->
+      // q191's SURVIVOR leg only: tenant 1 is purged, so the oracle
+      // carries zero rows for it — any leaked purged-tenant row fails
+      // the row-count gate
+      s"""WITH cent0 AS (SELECT vec_id AS cl, embedding AS cvec
+         |  FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+         |a1 AS (SELECT e.vec_id, e.embedding, c.cl,
+         |  ${d2Sql("e.embedding", "c.cvec")} AS d2
+         | FROM embeddings e CROSS JOIN cent0 c),
+         |asg1 AS (SELECT vec_id, embedding, cl FROM a1
+         |  QUALIFY row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY d2 ASC, cl ASC) = 1),
+         |ex AS (SELECT cl, i,
+         |  CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1048576.0) AS BIGINT) AS v
+         | FROM asg1, generate_series(1, 64) g(i)),
+         |cm AS (SELECT cl, i,
+         |  CAST(SUM(v) AS DOUBLE) / (COUNT(*) * 1048576.0) AS c
+         | FROM ex GROUP BY 1, 2),
+         |cent1 AS (SELECT cl, list(c ORDER BY i) AS cvec FROM cm GROUP BY 1),
+         |a2 AS (SELECT e.vec_id, e.embedding, e.label, c.cl,
+         |  ${d2Sql("e.embedding", "c.cvec")} AS d2
+         | FROM embeddings e CROSS JOIN cent1 c),
+         |idx AS (SELECT vec_id, embedding, label, cl AS cell FROM a2
+         |  QUALIFY row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY d2 ASC, cl ASC) = 1),
+         |q AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0),
+         |probe AS (SELECT c.cl AS cell FROM cent1 c CROSS JOIN q
+         |  ORDER BY ${d2Sql("q.qemb", "c.cvec")} ASC, c.cl ASC
+         |  LIMIT 3)
+         |SELECT CAST(i.label AS BIGINT) AS tenant, i.vec_id, i.cell,
+         | ROUND(${cosSql("i.embedding", "q.qemb")}, 6) AS cos
+         |FROM idx i JOIN probe USING (cell) CROSS JOIN q
+         |WHERE i.vec_id != 0 AND i.label IN (0)
+         |QUALIFY row_number() OVER (PARTITION BY i.label
+         |  ORDER BY ROUND(${cosSql("i.embedding", "q.qemb")}, 6) DESC,
+         |   i.vec_id ASC) <= 10
+         |ORDER BY tenant ASC,
+         | ROUND(${cosSql("i.embedding", "q.qemb")}, 6) DESC,
+         | i.vec_id ASC""".stripMargin,
     "q134_rrf_fusion" ->
       // both retrievals replayed (q130's BM25 chain, q29's brute
       // top-10), ranks from the same total orders, fusion arithmetic

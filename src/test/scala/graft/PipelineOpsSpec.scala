@@ -3214,4 +3214,174 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(byCell.map(_.getLong(2)).sum == ivfCensus.getLong(2))
     assert(ivfCensus.getLong(4) == 1L)
   }
+  test("ivfServingSetupTenants: a tenant probe is a TWO-LEVEL pruned " +
+    "scan (its tb dir, then probed cells inside it); purge empties the " +
+    "tenant's live view idempotently; compaction drops its subtree") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("ivften").toString
+    Similarity.ivfServingSetupTenants(spark, sfDir, root)
+    val idxDir = new java.io.File(s"$root/index")
+    val tbDirs = idxDir.listFiles.filter(_.getName.startsWith("tb="))
+    assert(tbDirs.length >= 3, s"expected several tenant dirs, got ${tbDirs.length}")
+    // probe tenant 0 and capture the probed cells from the same rule
+    // the probe uses (smallest query-centroid d2, cell-asc ties)
+    val q = spark.read.parquet(s"$root/_query")
+    val cells = spark.read.parquet(s"$root/_cents").crossJoin(q)
+      .withColumn("qd2",
+        expr("aggregate(zip_with(qv, qv, (a,b) -> a*b), 0d, (s,x) -> s+x)")
+        - lit(2.0) * expr("aggregate(zip_with(qv, centroid, (a,b) -> a*b), 0d, (s,x) -> s+x)")
+        + expr("aggregate(zip_with(centroid, centroid, (a,b) -> a*b), 0d, (s,x) -> s+x)"))
+      .orderBy(col("qd2").asc, col("cell").asc).limit(3)
+      .select("cell").collect().map(_.getLong(0)).toSeq
+    val probe = Similarity.ivfProbeStoredTenant(spark, root, 0L,
+      excludeVecId = Some(0L))
+    val before = probe.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(before.nonEmpty)
+    // physics: the executed scan reads ONLY tb=0's probed-cell files
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allScans(a.executedPlan)
+      case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allScans(qs.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(allScans)
+    }
+    val probed2 = Similarity.ivfProbeStoredTenant(spark, root, 0L,
+      excludeVecId = Some(0L))
+    probed2.collect()
+    val scan = allScans(probed2.queryExecution.executedPlan).find(f =>
+      f.relation.location.rootPaths.exists(_.toString.contains("ivften")))
+      .get
+    def parquets(d: java.io.File): Int =
+      if (!d.exists) 0 else d.listFiles.count(_.getName.endsWith(".parquet"))
+    val filesInProbed = cells.map(c =>
+      parquets(new java.io.File(s"$root/index/tb=0/cell=$c"))).sum
+    val filesTotal = tbDirs.flatMap(_.listFiles)
+      .filter(_.getName.startsWith("cell=")).map(parquets).sum
+    assert(scan.metrics("numFiles").value == filesInProbed.toLong,
+      s"tenant probe read ${scan.metrics("numFiles").value} files; " +
+        s"tb=0's probed cells hold $filesInProbed (of $filesTotal total)")
+    assert(filesTotal > filesInProbed,
+      "two-level pruning must exclude other tenants' and cells' files")
+    // purge tenant 1: live view empties, base files untouched
+    val t1All = Similarity.ivfReadTenants(spark, s"$root/index")
+      .filter(col("tb") === 1L).count()
+    assert(t1All > 0)
+    Similarity.ivfPurgeTenant(spark, root, 1L)
+    assert(Similarity.ivfReadLiveTenants(spark, s"$root/index")
+      .filter(col("tb") === 1L).count() == 0L,
+      "purged tenant must have an empty live view")
+    assert(Similarity.ivfReadTenants(spark, s"$root/index")
+      .filter(col("tb") === 1L).count() == t1All,
+      "purge must not rewrite base files (logical-now, physical-at-compaction)")
+    // idempotence: a re-run (crash recovery) appends zero tombstones
+    val tombs = spark.read.parquet(s"$root/index/_tombstones").count()
+    Similarity.ivfPurgeTenant(spark, root, 1L)
+    assert(spark.read.parquet(s"$root/index/_tombstones").count() == tombs,
+      "purge re-run must append nothing")
+    // survivor unaffected
+    val after = Similarity.ivfProbeStoredTenant(spark, root, 0L,
+      excludeVecId = Some(0L)).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(after == before, "survivor's ranking must survive the purge")
+    // compaction drops the purged tenant's whole subtree
+    val dest = java.nio.file.Files.createTempDirectory("ivftenc").toString
+    Similarity.ivfCompactTenants(spark, s"$root/index", dest)
+    assert(!new java.io.File(s"$dest/tb=1").exists(),
+      "a fully purged tenant must have no dirs in the compacted generation")
+    assert(new java.io.File(s"$dest/tb=0").exists())
+    assert(Similarity.ivfReadTenants(spark, dest)
+      .filter(col("tb") === 1L).count() == 0L)
+  }
+
+  test("ivfServingSetupSq8: the compressed-at-rest probe answers " +
+    "exactly q136, reads only probed cells, and the index is ~4x " +
+    "smaller on disk than the full-precision layout") {
+    val rootF = java.nio.file.Files.createTempDirectory("ivffull").toString
+    val rootQ = java.nio.file.Files.createTempDirectory("ivfsq8").toString
+    Similarity.ivfServingSetup(spark, sfDir, rootF)
+    Similarity.ivfServingSetupSq8(spark, sfDir, rootQ)
+    // ranking parity with the in-query composition (the oracle's law)
+    val got = Similarity.ivfProbeStoredSq8(spark, rootQ,
+      excludeVecId = Some(0L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val expect = Similarity.q136AnnIvfSq8(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expect, "stored-SQ8 probe must equal q136 row for row")
+    // the at-rest win: index bytes shrink ~4x (codes are 1-byte, the
+    // embedding column never reaches disk); assert a conservative 2x
+    def bytes(dir: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles.map(walk).sum
+        else if (f.getName.endsWith(".parquet")) f.length else 0L
+      walk(new java.io.File(dir))
+    }
+    val bf = bytes(s"$rootF/index"); val bq = bytes(s"$rootQ/index")
+    assert(bq * 2 < bf,
+      s"SQ8 index must be well under half the full-precision bytes " +
+        s"(got $bq vs $bf)")
+    // physics: the probe still prunes to the probed cells' files
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allScans(a.executedPlan)
+      case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allScans(qs.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(allScans)
+    }
+    val probed = Similarity.ivfProbeStoredSq8(spark, rootQ,
+      excludeVecId = Some(0L))
+    probed.collect()
+    val scan = allScans(probed.queryExecution.executedPlan).find(f =>
+      f.relation.location.rootPaths.exists(_.toString.contains("ivfsq8")))
+      .get
+    val cellDirs = new java.io.File(s"$rootQ/index").listFiles
+      .filter(_.getName.startsWith("cell="))
+    val filesTotal = cellDirs
+      .map(_.listFiles.count(_.getName.endsWith(".parquet"))).sum
+    assert(scan.metrics("numFiles").value < filesTotal.toLong,
+      "SQ8 probe must not scan the whole index")
+  }
+
+  test("ivfProbeAt: a probe pinned to a retired-but-retained generation " +
+    "answers exactly what the pre-swap probe answered; past retention " +
+    "it fails loudly") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("ivfgen").toString
+    Similarity.ivfServingSetup(spark, sfDir, s"$base/gen0")
+    graft.core.Roots.publish(spark, base, "gen0")
+    def probeCur() = Similarity.ivfProbeStored(spark,
+      graft.core.Roots.current(spark, base), excludeVecId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val preSwap = probeCur()
+    assert(preSwap.nonEmpty)
+    // next generation: same build minus the pre-swap winner (a takedown)
+    Similarity.ivfServingSetup(spark, sfDir, s"$base/gen1")
+    Similarity.ivfDelete(Seq(preSwap.head._1).toDF("vec_id"),
+      s"$base/gen1/index")
+    graft.core.Roots.publish(spark, base, "gen1")
+    // point-in-time law: the retired generation still answers the
+    // pre-swap ranking; the live pointer serves the new one
+    val atGen0 = Similarity.ivfProbeAt(spark, base, "gen0",
+      excludeVecId = Some(0L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(atGen0 == preSwap, "probe@gen0 must equal the pre-swap probe")
+    val cur = probeCur()
+    assert(cur == Similarity.ivfProbeAt(spark, base, "gen1",
+      excludeVecId = Some(0L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq)
+    assert(!cur.map(_._1).contains(preSwap.head._1),
+      "the takedown victim must be gone from the live generation")
+    // retention: keepLatest=2 keeps gen0 probe-able; 1 retires it
+    assert(graft.core.Roots.retire(spark, base, keepLatest = 2).isEmpty)
+    assert(Similarity.ivfProbeAt(spark, base, "gen0",
+      excludeVecId = Some(0L)).collect().nonEmpty)
+    assert(graft.core.Roots.retire(spark, base, keepLatest = 1) == Seq("gen0"))
+    intercept[IllegalArgumentException] {
+      Similarity.ivfProbeAt(spark, base, "gen0")
+    }
+  }
 }
