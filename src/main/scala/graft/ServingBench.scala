@@ -104,6 +104,13 @@ object ServingBench {
     val tenantRoot = s"$out/bm25_tenants"
     val buildTenants = timed(TextAnalysis.bm25IndexWriteTenants(
       graft.core.Tables.documents(spark, sfDir), tenantRoot))
+    // compressed-at-rest layout: same quantizer, 1-byte codes on disk —
+    // the bytes_read shrink is THE claim this bench exists to measure
+    val sq8Root = s"$out/ivf_sq8"
+    val buildSq8 = timed(Similarity.ivfServingSetupSq8(spark, sfDir, sq8Root))
+    val ivfTenRoot = s"$out/ivf_tenants"
+    val buildIvfTen = timed(
+      Similarity.ivfServingSetupTenants(spark, sfDir, ivfTenRoot))
 
     val queries: Seq[(String, () => DataFrame)] = Seq(
       "bm25_probe_only" -> (() =>
@@ -117,6 +124,12 @@ object ServingBench {
       "bm25_tenant_probe_only" -> (() =>
         TextAnalysis.bm25ProbeTenant(spark, tenantRoot, "en",
           TextAnalysis.Bm25Query)),
+      "ivf_sq8_probe_only" -> (() =>
+        Similarity.ivfProbeStoredSq8(spark, sq8Root,
+          excludeVecId = Some(0L))),
+      "ivf_tenant_probe_only" -> (() =>
+        Similarity.ivfProbeStoredTenant(spark, ivfTenRoot,
+          Similarity.IvfTenants.head, excludeVecId = Some(0L))),
       "inquery_q160_bm25" -> (() =>
         TextAnalysis.q160Bm25Probe(spark, sfDir)),
       "inquery_q128_ivf" -> (() =>
@@ -154,9 +167,19 @@ object ServingBench {
     val (tnFiles, tnBytes) = pruned(
       TextAnalysis.bm25TenantPostings(spark, tenantRoot, "en",
         TextAnalysis.Bm25Query), "bm25_tenants")
+    // sq8: same probed-cell file COUNT as full-precision, ~4x fewer
+    // BYTES — compression changes the wire cost, never the pruning
+    val (sqFiles, sqBytes) = pruned(
+      queries.find(_._1 == "ivf_sq8_probe_only").get._2(), "ivf_sq8/index")
+    // dense tenant: two-level (tb, cell) pruning as measured numbers
+    val (itFiles, itBytes) = pruned(
+      queries.find(_._1 == "ivf_tenant_probe_only").get._2(),
+      "ivf_tenants/index")
     val (bmTotF, bmTotB) = layoutTotals(bm25Root)
     val (ivTotF, ivTotB) = layoutTotals(s"$ivfRoot/index")
     val (tnTotF, tnTotB) = layoutTotals(tenantRoot)
+    val (sqTotF, sqTotB) = layoutTotals(s"$sq8Root/index")
+    val (itTotF, itTotB) = layoutTotals(s"$ivfTenRoot/index")
 
     val host = Bench.hostJson(loadBefore, Bench.loadAvg(),
       Runtime.getRuntime.availableProcessors)
@@ -165,11 +188,15 @@ object ServingBench {
     val qs = timedQs.map { case (n, t) => s""""$n":${r4(t)}""" }.mkString(",")
     println(s"""{"metric":"serving_probe_only","unit":"sec","sf":"$sfDir",""" +
       s""""reps":$reps,"queries":{$qs},""" +
-      s""""setup_sec":{"bm25_build":${r4(buildBm25)},"ivf_build":${r4(buildIvf)},"tenants_build":${r4(buildTenants)}},""" +
+      s""""setup_sec":{"bm25_build":${r4(buildBm25)},"ivf_build":${r4(buildIvf)},"tenants_build":${r4(buildTenants)},"ivf_sq8_build":${r4(buildSq8)},"ivf_tenants_build":${r4(buildIvfTen)}},""" +
       s""""pruning":{"bm25":{"files_read":$bmFiles,"files_total":$bmTotF,""" +
       s""""bytes_read":$bmBytes,"bytes_total":$bmTotB},""" +
       s""""ivf":{"files_read":$ivFiles,"files_total":$ivTotF,""" +
       s""""bytes_read":$ivBytes,"bytes_total":$ivTotB},""" +
+      s""""ivf_sq8":{"files_read":$sqFiles,"files_total":$sqTotF,""" +
+      s""""bytes_read":$sqBytes,"bytes_total":$sqTotB},""" +
+      s""""ivf_tenants":{"files_read":$itFiles,"files_total":$itTotF,""" +
+      s""""bytes_read":$itBytes,"bytes_total":$itTotB},""" +
       s""""bm25_tenants":{"files_read":$tnFiles,"files_total":$tnTotF,""" +
       s""""bytes_read":$tnBytes,"bytes_total":$tnTotB}},"host":$host}""")
     spark.stop()

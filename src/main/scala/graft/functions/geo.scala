@@ -37,6 +37,14 @@ object geo {
   def dot_product(a: Column, b: Column): Column =
     col(DotProductExpr(ex(a), ex(b)))
 
+  /** Codegen'd Lloyd-assignment argmin: struct(d2, cl) of the nearest
+    * centroid among a packed array<struct<cl, cvec>> column — the
+    * kernel under every dense ANN leg (replaces the interpreted
+    * array_min-over-transform form; see NearestCentroidExpr).
+    */
+  def nearest_centroid(v: Column, cents: Column): Column =
+    col(org.apache.spark.sql.graft.NearestCentroidExpr(ex(v), ex(cents)))
+
   /** Codegen'd 60-bit md5 prefix as a long — equal to
     * `conv(substring(md5(x), 1, 15), 16, 10)` without the hex render
     * (fingerprint/SimHash hot path).
@@ -148,6 +156,9 @@ object geo {
       es => HaversineKmExpr(es(0), es(1), es(2), es(3))),
     ("dot_product", classOf[DotProductExpr].getName,
       es => DotProductExpr(es(0), es(1))),
+    ("nearest_centroid",
+      classOf[org.apache.spark.sql.graft.NearestCentroidExpr].getName,
+      es => org.apache.spark.sql.graft.NearestCentroidExpr(es(0), es(1))),
     ("md5_prefix60", classOf[Md5Prefix60Expr].getName,
       es => Md5Prefix60Expr(es.head)),
     ("nfc_normalize", classOf[NfcNormalizeExpr].getName,

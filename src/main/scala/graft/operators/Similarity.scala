@@ -470,12 +470,18 @@ object Similarity extends QueryPack {
     *
     * Scale shape: ZERO-shuffle. The k centroids collapse into ONE
     * packed broadcast row and the argmin runs per-row inside a single
-    * projection — array_min over struct(d2, cl) (lexicographic struct
-    * order = min distance, then min cluster id) — so no N×k join
-    * output, no row_number window, no exchange of the embedding
-    * column. d2 = x·x − 2·x·c + c·c from the codegen'd sequential dot
-    * (bit-parity with DuckDB's list_dot_product), so both engines pick
-    * identical winners.
+    * projection — the codegen'd [[org.apache.spark.sql.graft
+    * .NearestCentroidExpr]] (k tight primitive loops per row) — so no
+    * N×k join output, no row_number window, no exchange of the
+    * embedding column. The earlier declarative spelling
+    * (array_min over a transform lambda) was measured 5.5–6.4×
+    * slower per assignment pass at gsf1/gsf10 (KmeansAssignBench):
+    * higher-order lambdas evaluate interpreted per candidate with a
+    * struct allocation each. d2 = x·x − 2·x·c + c·c from the same
+    * codegen'd sequential dot in the same IEEE operation order
+    * (bit-parity with DuckDB's list_dot_product), ties to the
+    * smallest cl — both engines pick identical winners, and the
+    * expression's struct output is field-for-field the old lambda's.
     */
   def kmeansAssign(emb: DataFrame, cents: DataFrame): DataFrame = {
     import emb.sparkSession.implicits._
@@ -486,12 +492,8 @@ object Similarity extends QueryPack {
     // vec_id re-join); every consumer projects explicitly after, so
     // extra columns are free. Input must not already carry cl/d2.
     emb.crossJoin(packed)
-      .withColumn("best", array_min(transform($"cents", c =>
-        struct(
-          (dot(vec($"embedding"), vec($"embedding"))
-            - lit(2.0) * dot(vec($"embedding"), c.getField("cvec"))
-            + dot(c.getField("cvec"), c.getField("cvec"))).as("d2"),
-          c.getField("cl").as("cl")))))
+      .withColumn("best", graft.functions.geo.nearest_centroid(
+        vec($"embedding"), $"cents"))
       .select(emb.columns.map(col) ++
         Seq($"best.cl".as("cl"), $"best.d2".as("d2")): _*)
   }
