@@ -87,20 +87,56 @@ object Bench {
       Some((f(0).toDouble, f(1).toDouble, f(2).toDouble))
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Single-core CPU reference probe: 2M MD5 digests of short strings
+    * on one thread, min of `reps` (first rep is also the JIT warmup
+    * discard when reps ≥ 2). Load average only says whether CPUS WERE
+    * BUSY; on a virtualized host the per-core THROUGHPUT itself drifts
+    * across days (frequency steps, noisy-neighbor cache/bandwidth
+    * pressure, migration to a different host class) and that drift is
+    * exactly what makes a min-wins anchor envelope unreachable on a
+    * slow day — round 15 measured a uniform 1.4–2.2× anchor ratio on
+    * a 99.8%-idle host, reproducible isolated, invariant under a
+    * harness A/B. This probe gives every artifact an ABSOLUTE
+    * host-speed number so "host drift" is a cross-round measurement,
+    * not an adjudication.
+    */
+  def cpuProbe(reps: Int = 2): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var best = Double.MaxValue
+    var acc = 0
+    (1 to reps.max(1)).foreach { _ =>
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < 2000000) {
+        val d = md.digest(String.valueOf(i).getBytes("UTF-8"))
+        acc ^= d(0)
+        i += 1
+      }
+      best = math.min(best, (System.nanoTime() - t0) / 1e9)
+    }
+    // keep `acc` observable so the loop cannot be elided
+    if (acc == Int.MinValue) System.err.println("")
+    best
+  }
+
   /** Render the host-contention block: load before/after the measured
-    * loop plus the JVM-visible processor count. Null fields (not
-    * omitted keys) when /proc/loadavg is unavailable, so the schema is
-    * stable across platforms.
+    * loop plus the JVM-visible processor count and the single-core
+    * [[cpuProbe]] seconds (negative → rendered null: not measured).
+    * Null fields (not omitted keys) when /proc/loadavg is unavailable,
+    * so the schema is stable across platforms.
     */
   def hostJson(before: Option[(Double, Double, Double)],
                after: Option[(Double, Double, Double)],
-               procs: Int, quietWaitSec: Int = 0): String = {
+               procs: Int, quietWaitSec: Int = 0,
+               cpuProbeSec: Double = -1.0): String = {
     def l(x: Option[(Double, Double, Double)]): String = x match {
       case Some((a, b, c)) => s"[${r4(a)},${r4(b)},${r4(c)}]"
       case None            => "null"
     }
+    val probe = if (cpuProbeSec < 0) "null" else r4(cpuProbeSec)
     s"""{"load_before":${l(before)},"load_after":${l(after)},""" +
-      s""""procs":$procs,"quiet_wait_sec":$quietWaitSec}"""
+      s""""procs":$procs,"quiet_wait_sec":$quietWaitSec,""" +
+      s""""cpu_probe_sec":$probe}"""
   }
 
   /** Parse the quiet-anchor file (a flat {"query": minSeconds} JSON
@@ -344,6 +380,9 @@ object Bench {
     // output must not silently include failed queries
     def measureOnce(waited: Int): (Seq[(String, Seq[Double])], String) = {
       val loadBefore = loadAvg()
+      // absolute single-core speed stamp per attempt — the denominator
+      // drift detector for the min-wins anchor envelope (see cpuProbe)
+      val probeSec = cpuProbe()
       val results: Seq[(String, Seq[Double])] = queries.map {
         case (name, fn) =>
           def once(): Double = {
@@ -356,7 +395,7 @@ object Bench {
           name -> times
       }
       (results, hostJson(loadBefore, loadAvg(),
-        Runtime.getRuntime.availableProcessors, waited))
+        Runtime.getRuntime.availableProcessors, waited, probeSec))
     }
     // QUIET GATE: the checked-in closing artifact is what future
     // rounds A/B against, so a contended full run at the graded SF

@@ -1150,6 +1150,52 @@ object Similarity extends QueryPack {
     ivfProbeStoredSq8(s, root, excludeVecId = Some(0L))
   }
 
+  // --- q194: IVF compact + atomic root swap, probed end to end ---------------
+  /** The dense twin of q173 — the generation-pointer machinery under
+    * the ORACLE gate, not just specs: build the serving root at gen0,
+    * publish, tombstone the q158 victims (vec_id ≡ 3 mod 7) in the
+    * CURRENT generation, probe THROUGH the [[graft.core.Roots]]
+    * pointer (stage `tombstoned` — the anti-join pays per query),
+    * then [[graft.streaming.IvfMaintain.compactAndSwap]] into gen1
+    * (index rewritten live-only, `_cents`/query sidecars carried —
+    * centroids do not change on compaction) and probe through the
+    * pointer again (stage `compacted` — dead rows physically gone).
+    * BOTH stages must equal a probe over the index WITHOUT the
+    * victims: the tombstone view and the compacted view are one
+    * logical index, so the swap is invisible to answers.
+    *
+    * Exactness: q128's trained trajectory (the full corpus trains the
+    * quantizer; deletion removes MEMBERS, never retrains) + the
+    * integer victim predicate; the oracle replays it once and tags
+    * both stages. Scale shape: q128's training stages + one
+    * partition-preserving compaction rewrite (the cost q172's census
+    * decides to pay); each probe reads ≤nprobe cells' files; the swap
+    * is one atomic rename.
+    */
+  def q194IvfCompactSwap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = ivfTempRoot(dir) + "_swap"
+    graft.core.Fs.deleteRecursive(s, base)
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(p)
+    ivfServingSetup(s, dir, s"$base/gen0")
+    graft.core.Roots.publish(s, base, "gen0")
+    ivfDelete(
+      embCached(s, dir).filter($"vec_id" % 7 === 3).select($"vec_id"),
+      s"${graft.core.Roots.current(s, base)}/index")
+    // EAGER checkpoint: freeze the tombstone-view answer before the
+    // swap mutates what the pointer resolves to (q173's rule)
+    val tombstoned = ivfProbeStored(s, graft.core.Roots.current(s, base),
+        excludeVecId = Some(0L))
+      .withColumn("stage", lit("tombstoned"))
+      .localCheckpoint(true)
+    graft.streaming.IvfMaintain.compactAndSwap(s, base)
+    tombstoned.unionByName(
+      ivfProbeStored(s, graft.core.Roots.current(s, base),
+        excludeVecId = Some(0L))
+        .withColumn("stage", lit("compacted")))
+  }
+
   /** Point-in-time probe: [[ivfProbeStored]] pinned to generation
     * `gen` under a [[graft.core.Roots]] base — the audit/repro read
     * ("what did the index answer before yesterday's compaction?")
@@ -1975,6 +2021,7 @@ object Similarity extends QueryPack {
     "q191_ivf_tenant_probe" -> (q191IvfTenantProbe _),
     "q192_ivf_tenant_purge" -> (q192IvfTenantPurge _),
     "q193_ivf_sq8_stored"  -> (q193IvfSq8Stored _),
+    "q194_ivf_compact_swap" -> (q194IvfCompactSwap _),
     "q147_ann_pq_adc"      -> (q147AnnPqAdc _),
     "q149_ann_ivf_pq"      -> (q149AnnIvfPq _),
     "q151_pq_sweep"        -> (q151PqSweep _),
@@ -2320,6 +2367,46 @@ object Similarity extends QueryPack {
     // composition (at-rest compression is invisible to ranking), so
     // the two rows share ONE oracle verbatim
     "q193_ivf_sq8_stored" -> sq8ProbeSql,
+    "q194_ivf_compact_swap" ->
+      // one replay of q128's trajectory minus the victims, each row
+      // tagged for both pointer stages — the tombstone view and the
+      // compacted view are the same logical index
+      s"""WITH cent0 AS (SELECT vec_id AS cl, embedding AS cvec
+         |  FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+         |a1 AS (SELECT e.vec_id, e.embedding, c.cl,
+         |  ${d2Sql("e.embedding", "c.cvec")} AS d2
+         | FROM embeddings e CROSS JOIN cent0 c),
+         |asg1 AS (SELECT vec_id, embedding, cl FROM a1
+         |  QUALIFY row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY d2 ASC, cl ASC) = 1),
+         |ex AS (SELECT cl, i,
+         |  CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1048576.0) AS BIGINT) AS v
+         | FROM asg1, generate_series(1, 64) g(i)),
+         |cm AS (SELECT cl, i,
+         |  CAST(SUM(v) AS DOUBLE) / (COUNT(*) * 1048576.0) AS c
+         | FROM ex GROUP BY 1, 2),
+         |cent1 AS (SELECT cl, list(c ORDER BY i) AS cvec FROM cm GROUP BY 1),
+         |a2 AS (SELECT e.vec_id, e.embedding, c.cl,
+         |  ${d2Sql("e.embedding", "c.cvec")} AS d2
+         | FROM embeddings e CROSS JOIN cent1 c),
+         |idx AS (SELECT vec_id, embedding, cl AS cell FROM a2
+         |  QUALIFY row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY d2 ASC, cl ASC) = 1),
+         |q AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0),
+         |probe AS (SELECT c.cl AS cell FROM cent1 c CROSS JOIN q
+         |  ORDER BY ${d2Sql("q.qemb", "c.cvec")} ASC, c.cl ASC
+         |  LIMIT 3),
+         |top AS (SELECT i.vec_id, i.cell,
+         |  ROUND(${cosSql("i.embedding", "q.qemb")}, 6) AS cos
+         | FROM idx i JOIN probe USING (cell) CROSS JOIN q
+         | WHERE i.vec_id != 0 AND i.vec_id % 7 != 3
+         | ORDER BY ROUND(${cosSql("i.embedding", "q.qemb")}, 6) DESC,
+         |  i.vec_id ASC
+         | LIMIT 10)
+         |SELECT t.vec_id, t.cell, t.cos, s.stage
+         |FROM top t CROSS JOIN (SELECT 'tombstoned' AS stage
+         |  UNION ALL SELECT 'compacted') s
+         |ORDER BY s.stage ASC, t.cos DESC, t.vec_id ASC""".stripMargin,
     "q191_ivf_tenant_probe" ->
       // q128's trained trajectory with label carried through; probe
       // cells are query-vs-centroid only (tenant-independent), then
