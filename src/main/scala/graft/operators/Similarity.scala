@@ -1150,6 +1150,82 @@ object Similarity extends QueryPack {
     ivfProbeStoredSq8(s, root, excludeVecId = Some(0L))
   }
 
+  // --- q195: multi-tenant × compressed-at-rest IVF (the full production shape) -
+  /** Build the layout a shared vector fleet actually deploys: ONE
+    * corpus-wide quantizer, the index `partitionBy(tb, cell)` with the
+    * member payload stored as q109's (scale, byte codes) — q191's
+    * tenant isolation AND q193's ~4× at-rest cut in one tree. A
+    * tenant's probe is a two-level statically-pruned scan that
+    * dequantizes only the bytes it reads; a tenant's purge is
+    * [[ivfPurgeTenant]] unchanged (it touches only `vec_id`/`tb`, so
+    * it is layout-payload-agnostic); compaction/erasure reclaims the
+    * tenant's own `tb=` subtree of 1-byte codes.
+    */
+  def ivfServingSetupTenantsSq8(s: SparkSession, dir: String,
+      root: String, k: Int = 8, iters: Int = 2): Unit = {
+    import s.implicits._
+    val emb = embCached(s, dir)
+    val (_, cents) = ivfLearned(emb, k, iters)
+    kmeansAssign(emb,
+        cents.select($"cell".as("cl"), $"centroid".as("cvec")))
+      .select($"vec_id", $"label".cast("long").as("tb"), $"cl".as("cell"))
+      .join(quantizeInt8(emb).select($"vec_id", $"scale",
+        transform($"code", _.cast("byte")).as("code")), "vec_id")
+      .select($"vec_id", $"scale", $"code", $"tb", $"cell")
+      .write.mode("overwrite").partitionBy("tb", "cell")
+      .parquet(s"$root/index")
+    cents.write.mode("overwrite").parquet(s"$root/_cents")
+    emb.filter($"vec_id" === 0)
+      .select(vec($"embedding").as("qv"))
+      .write.mode("overwrite").parquet(s"$root/_query")
+  }
+
+  /** One tenant's probe against the compressed shared layout:
+    * [[ivfProbeStoredTenant]]'s two-level pruned scan with
+    * [[ivfProbeStoredSq8]]'s scanned-cells-only dequantize. Ranking
+    * equals q136's rule restricted to the tenant's members.
+    */
+  def ivfProbeStoredTenantSq8(s: SparkSession, root: String, tb: Long,
+      nprobe: Int = 3, k: Int = 10,
+      excludeVecId: Option[Long] = None): DataFrame = {
+    import s.implicits._
+    val q = broadcast(s.read.parquet(s"$root/_query"))
+    val cells = s.read.parquet(s"$root/_cents").crossJoin(q)
+      .withColumn("qd2", dot($"qv", $"qv")
+        - lit(2.0) * dot($"qv", $"centroid")
+        + dot($"centroid", $"centroid"))
+      .orderBy($"qd2".asc, $"cell".asc).limit(nprobe)
+      .select($"cell").collect().map(_.getLong(0)).toSeq
+    val base = ivfReadLiveTenants(s, s"$root/index")
+      .filter($"tb" === tb && $"cell".isin(cells: _*))
+    excludeVecId.fold(base)(id => base.filter($"vec_id" =!= id))
+      .crossJoin(q)
+      .withColumn("deq", transform($"code", c => c.cast("double") * $"scale"))
+      .withColumn("cos", cosine($"deq", $"qv"))
+      .select($"vec_id", $"cell", round($"cos", 6).as("cos"))
+      .orderBy(round($"cos", 6).desc, $"vec_id".asc)
+      .limit(k)
+  }
+
+  /** Build + two tenants' probes over the compressed shared layout as
+    * one oracle row — q191's isolation law with q136's quantized
+    * scoring: each tenant's ranking must equal the SQ8 probe over its
+    * vectors alone (cell assignment and codes are both per-row, so
+    * neither compression nor co-tenancy can leak a neighbor's rows).
+    */
+  def q195IvfTenantSq8(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = ivfTempRoot(dir) + "_tsq8"
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(p)
+    ivfServingSetupTenantsSq8(s, dir, root)
+    IvfTenants.map { tb =>
+      ivfProbeStoredTenantSq8(s, root, tb, excludeVecId = Some(0L))
+        .withColumn("tenant", lit(tb))
+    }.reduce(_ unionByName _)
+      .orderBy($"tenant".asc, $"cos".desc, $"vec_id".asc)
+  }
+
   // --- q194: IVF compact + atomic root swap, probed end to end ---------------
   /** The dense twin of q173 — the generation-pointer machinery under
     * the ORACLE gate, not just specs: build the serving root at gen0,
@@ -2022,6 +2098,7 @@ object Similarity extends QueryPack {
     "q192_ivf_tenant_purge" -> (q192IvfTenantPurge _),
     "q193_ivf_sq8_stored"  -> (q193IvfSq8Stored _),
     "q194_ivf_compact_swap" -> (q194IvfCompactSwap _),
+    "q195_ivf_tenant_sq8"  -> (q195IvfTenantSq8 _),
     "q147_ann_pq_adc"      -> (q147AnnPqAdc _),
     "q149_ann_ivf_pq"      -> (q149AnnIvfPq _),
     "q151_pq_sweep"        -> (q151PqSweep _),
@@ -2367,6 +2444,58 @@ object Similarity extends QueryPack {
     // composition (at-rest compression is invisible to ranking), so
     // the two rows share ONE oracle verbatim
     "q193_ivf_sq8_stored" -> sq8ProbeSql,
+    "q195_ivf_tenant_sq8" ->
+      // q191's label-carried trajectory + q136's quantized scoring:
+      // per-tenant rounded-cosine top-10 on dequantized byte codes
+      s"""WITH cent0 AS (SELECT vec_id AS cl, embedding AS cvec
+         |  FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+         |a1 AS (SELECT e.vec_id, e.embedding, c.cl,
+         |  ${d2Sql("e.embedding", "c.cvec")} AS d2
+         | FROM embeddings e CROSS JOIN cent0 c),
+         |asg1 AS (SELECT vec_id, embedding, cl FROM a1
+         |  QUALIFY row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY d2 ASC, cl ASC) = 1),
+         |ex AS (SELECT cl, i,
+         |  CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1048576.0) AS BIGINT) AS v
+         | FROM asg1, generate_series(1, 64) g(i)),
+         |cm AS (SELECT cl, i,
+         |  CAST(SUM(v) AS DOUBLE) / (COUNT(*) * 1048576.0) AS c
+         | FROM ex GROUP BY 1, 2),
+         |cent1 AS (SELECT cl, list(c ORDER BY i) AS cvec FROM cm GROUP BY 1),
+         |a2 AS (SELECT e.vec_id, e.label, c.cl,
+         |  ${d2Sql("e.embedding", "c.cvec")} AS d2
+         | FROM embeddings e CROSS JOIN cent1 c),
+         |idx AS (SELECT vec_id, label, cl AS cell FROM a2
+         |  QUALIFY row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY d2 ASC, cl ASC) = 1),
+         |sq AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |  list_max(list_transform(CAST(embedding AS DOUBLE[]),
+         |    x -> abs(x))) / 127.0 AS scale
+         | FROM embeddings),
+         |codes AS (SELECT vec_id, scale,
+         |  CASE WHEN scale = 0
+         |   THEN list_transform(v, x -> CAST(0 AS BIGINT))
+         |   ELSE list_transform(v, x -> CAST(ROUND(x / scale) AS BIGINT))
+         |   END AS code
+         | FROM sq),
+         |dq AS (SELECT vec_id,
+         |  list_transform(code, x -> CAST(x AS DOUBLE) * scale) AS deq
+         | FROM codes),
+         |q AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0),
+         |probe AS (SELECT c.cl AS cell FROM cent1 c CROSS JOIN q
+         |  ORDER BY ${d2Sql("q.qemb", "c.cvec")} ASC, c.cl ASC
+         |  LIMIT 3)
+         |SELECT CAST(i.label AS BIGINT) AS tenant, i.vec_id, i.cell,
+         | ROUND(${cosSql("d.deq", "q.qemb")}, 6) AS cos
+         |FROM idx i JOIN probe USING (cell)
+         |JOIN dq d ON d.vec_id = i.vec_id CROSS JOIN q
+         |WHERE i.vec_id != 0 AND i.label IN (0, 1)
+         |QUALIFY row_number() OVER (PARTITION BY i.label
+         |  ORDER BY ROUND(${cosSql("d.deq", "q.qemb")}, 6) DESC,
+         |   i.vec_id ASC) <= 10
+         |ORDER BY tenant ASC,
+         | ROUND(${cosSql("d.deq", "q.qemb")}, 6) DESC,
+         | i.vec_id ASC""".stripMargin,
     "q194_ivf_compact_swap" ->
       // one replay of q128's trajectory minus the victims, each row
       // tagged for both pointer stages — the tombstone view and the
