@@ -435,7 +435,16 @@ object Bench {
     // Only meaningful on a full run at the graded SF.
     if (sys.env.get("SPARK_GRAFT_ANCHOR_MERGE").contains("1")
         && atGradedSf && only.isEmpty) {
-      writeLine(renderAnchor(mergedAnchor(anchor, results)).stripSuffix("\n"),
+      // the envelope also records the FASTEST host it was measured on
+      // (min cpu_probe_sec, pseudo-key "_cpu_probe_sec"): a later run
+      // whose probe reads much higher is on a slower host, and its
+      // anchor ratios are host drift, not regression — the r15
+      // adjudication (uniform 1.39 median, idle host) made mechanical.
+      // quietRatio/medianRatio never see it (no query has this name).
+      val minProbe = cpuProbe()
+      val withProbe = mergedAnchor(anchor, results).updatedWith(
+        "_cpu_probe_sec")(old => Some(old.fold(minProbe)(math.min(_, minProbe))))
+      writeLine(renderAnchor(withProbe).stripSuffix("\n"),
         anchorPath) match {
         case Some(p) => println(s"anchor merged to $p")
         case None    => println(s"anchor NOT merged to $anchorPath")

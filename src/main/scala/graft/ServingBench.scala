@@ -111,6 +111,9 @@ object ServingBench {
     val ivfTenRoot = s"$out/ivf_tenants"
     val buildIvfTen = timed(
       Similarity.ivfServingSetupTenants(spark, sfDir, ivfTenRoot))
+    val tenSq8Root = s"$out/ivf_tsq8"
+    val buildTenSq8 = timed(
+      Similarity.ivfServingSetupTenantsSq8(spark, sfDir, tenSq8Root))
 
     val queries: Seq[(String, () => DataFrame)] = Seq(
       "bm25_probe_only" -> (() =>
@@ -129,6 +132,9 @@ object ServingBench {
           excludeVecId = Some(0L))),
       "ivf_tenant_probe_only" -> (() =>
         Similarity.ivfProbeStoredTenant(spark, ivfTenRoot,
+          Similarity.IvfTenants.head, excludeVecId = Some(0L))),
+      "ivf_tenant_sq8_probe_only" -> (() =>
+        Similarity.ivfProbeStoredTenantSq8(spark, tenSq8Root,
           Similarity.IvfTenants.head, excludeVecId = Some(0L))),
       "inquery_q160_bm25" -> (() =>
         TextAnalysis.q160Bm25Probe(spark, sfDir)),
@@ -175,11 +181,16 @@ object ServingBench {
     val (itFiles, itBytes) = pruned(
       queries.find(_._1 == "ivf_tenant_probe_only").get._2(),
       "ivf_tenants/index")
+    // composed layout: tenant pruning AND the byte-code cut together
+    val (tsFiles, tsBytes) = pruned(
+      queries.find(_._1 == "ivf_tenant_sq8_probe_only").get._2(),
+      "ivf_tsq8/index")
     val (bmTotF, bmTotB) = layoutTotals(bm25Root)
     val (ivTotF, ivTotB) = layoutTotals(s"$ivfRoot/index")
     val (tnTotF, tnTotB) = layoutTotals(tenantRoot)
     val (sqTotF, sqTotB) = layoutTotals(s"$sq8Root/index")
     val (itTotF, itTotB) = layoutTotals(s"$ivfTenRoot/index")
+    val (tsTotF, tsTotB) = layoutTotals(s"$tenSq8Root/index")
 
     val host = Bench.hostJson(loadBefore, Bench.loadAvg(),
       Runtime.getRuntime.availableProcessors)
@@ -188,7 +199,7 @@ object ServingBench {
     val qs = timedQs.map { case (n, t) => s""""$n":${r4(t)}""" }.mkString(",")
     println(s"""{"metric":"serving_probe_only","unit":"sec","sf":"$sfDir",""" +
       s""""reps":$reps,"queries":{$qs},""" +
-      s""""setup_sec":{"bm25_build":${r4(buildBm25)},"ivf_build":${r4(buildIvf)},"tenants_build":${r4(buildTenants)},"ivf_sq8_build":${r4(buildSq8)},"ivf_tenants_build":${r4(buildIvfTen)}},""" +
+      s""""setup_sec":{"bm25_build":${r4(buildBm25)},"ivf_build":${r4(buildIvf)},"tenants_build":${r4(buildTenants)},"ivf_sq8_build":${r4(buildSq8)},"ivf_tenants_build":${r4(buildIvfTen)},"ivf_tenant_sq8_build":${r4(buildTenSq8)}},""" +
       s""""pruning":{"bm25":{"files_read":$bmFiles,"files_total":$bmTotF,""" +
       s""""bytes_read":$bmBytes,"bytes_total":$bmTotB},""" +
       s""""ivf":{"files_read":$ivFiles,"files_total":$ivTotF,""" +
@@ -197,6 +208,8 @@ object ServingBench {
       s""""bytes_read":$sqBytes,"bytes_total":$sqTotB},""" +
       s""""ivf_tenants":{"files_read":$itFiles,"files_total":$itTotF,""" +
       s""""bytes_read":$itBytes,"bytes_total":$itTotB},""" +
+      s""""ivf_tenant_sq8":{"files_read":$tsFiles,"files_total":$tsTotF,""" +
+      s""""bytes_read":$tsBytes,"bytes_total":$tsTotB},""" +
       s""""bm25_tenants":{"files_read":$tnFiles,"files_total":$tnTotF,""" +
       s""""bytes_read":$tnBytes,"bytes_total":$tnTotB}},"host":$host}""")
     spark.stop()
