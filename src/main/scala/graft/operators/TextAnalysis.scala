@@ -2430,8 +2430,48 @@ object TextAnalysis extends QueryPack {
       .write.mode("append").parquet(s"$path/_stats")
   }
 
+  /** [[bm25PurgeTenant]] through [[graft.streaming.IngestCommit]]'s
+    * staged publish — the NO-crash-window spelling: the tenant's
+    * tombstones and its stats delta stage together and land in the
+    * live tree in ONE batch-tagged publish, so there is no interleaved
+    * state for a crash to expose at all (the convergent two-write
+    * spelling above remains for callers without a batch-id sequence).
+    * `opId` rides the layout's single-writer id sequence
+    * ([[graft.streaming.IngestCommit.committed]] + 1 when the caller
+    * owns the layout; a purge multiplexed with a live maintenance
+    * stream must be fed through that stream instead — same contract
+    * as every other mutation). Returns false (layout untouched) on
+    * replay of an already-committed opId; a crash mid-publish
+    * re-drives scrub-first to the clean-run end state.
+    */
+  def bm25PurgeTenantAtomic(s: SparkSession, path: String, lang: String,
+      opId: Long): Boolean = {
+    import s.implicits._
+    graft.streaming.IngestCommit.applyStaged(s, path, opId,
+      Seq("tomb" -> "_tombstones", "stats" -> "_stats"), staged => {
+        val docs = s.read.parquet(s"$path/_docs").filter($"lang" === lang)
+        val live =
+          if (!graft.core.Fs.exists(s, s"$path/_tombstones")) docs
+          else docs.join(
+            broadcast(s.read.parquet(s"$path/_tombstones").distinct()),
+            Seq("doc_id"), "left_anti")
+        live.select($"doc_id")
+          .write.mode("overwrite").parquet(s"$staged/tomb")
+        // the bm25PurgeTenant delta rule: negate the tenant's net
+        // stats as the sidecar records them (1-row bounded read,
+        // strictly before the staged write)
+        val net = s.read.parquet(s"$path/_stats").filter($"lang" === lang)
+          .agg(coalesce(sum($"nd"), lit(0L)).as("nd"),
+            coalesce(sum($"tl"), lit(0L)).as("tl"))
+          .as[(Long, Long)].head()
+        s.createDataFrame(Seq((lang, -net._1, -net._2)))
+          .toDF("lang", "nd", "tl")
+          .write.mode("overwrite").parquet(s"$staged/stats")
+      })
+  }
+
   /** Purge-then-prove as one oracle row: build the shared two-tenant
-    * layout, [[bm25PurgeTenant]] the CJK tenant, then probe BOTH
+    * layout, [[bm25PurgeTenantAtomic]] the CJK tenant, then probe BOTH
     * tenants through the live view. The survivor's ranking must equal
     * q130 over its documents alone (isolation survives the neighbor's
     * erasure — the oracle is exactly q175's survivor leg), and the
@@ -2447,7 +2487,8 @@ object TextAnalysis extends QueryPack {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(p)
     bm25IndexWriteTenants(Tables.documents(s, dir), path)
-    bm25PurgeTenant(s, path, TenantLangs(1))
+    bm25PurgeTenantAtomic(s, path, TenantLangs(1),
+      graft.streaming.IngestCommit.committed(s, path) + 1L)
     TenantLangs.map { lang =>
       bm25ProbeTenant(s, path, lang, Bm25Query)
         .withColumn("tenant", lit(lang))

@@ -575,6 +575,48 @@ class PipelineOpsSpec extends SparkTestBase {
     graft.core.Fs.deleteRecursive(spark, path)
   }
 
+  test("bm25PurgeTenantAtomic: tombstones + stats land in one batch-" +
+    "tagged publish, a replayed opId refuses and leaves the layout " +
+    "untouched, and a fresh opId over a purged tenant nets zero") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val path = java.nio.file.Files.createTempDirectory("apurge").toString
+    TextAnalysis.bm25IndexWriteTenants(docs, path)
+    val survivor = TextAnalysis.TenantLangs.head
+    val purged = TextAnalysis.TenantLangs(1)
+    val preSurvivor = TextAnalysis.bm25ProbeTenant(spark, path,
+      survivor, TextAnalysis.Bm25Query).collect().toSeq
+    val opId = graft.streaming.IngestCommit.committed(spark, path) + 1L
+    assert(TextAnalysis.bm25PurgeTenantAtomic(spark, path, purged, opId))
+    def statsZh() = spark.read.parquet(s"$path/_stats")
+      .filter($"lang" === purged).agg(sum($"nd"), sum($"tl")).head()
+    def tombs() = spark.read.parquet(s"$path/_tombstones").count()
+    assert(spark.read.parquet(path).filter($"lang" === purged)
+      .join(spark.read.parquet(s"$path/_tombstones").distinct(),
+        Seq("doc_id"), "left_anti").count() == 0L)
+    assert(statsZh().getLong(0) == 0L && statsZh().getLong(1) == 0L)
+    assert(TextAnalysis.bm25ProbeTenant(spark, path, survivor,
+      TextAnalysis.Bm25Query).collect().toSeq == preSurvivor)
+    // the publish is batch-tagged: every tombstone/stats file of this
+    // purge carries the b<opId>- prefix (the scrub-on-replay handle)
+    def tagged(dir: String) = Option(new java.io.File(dir).listFiles)
+      .toSeq.flatten.filter(_.getName.endsWith(".parquet"))
+      .count(_.getName.startsWith(s"b$opId-"))
+    assert(tagged(s"$path/_tombstones") >= 1)
+    assert(tagged(s"$path/_stats") >= 1)
+    // replay of the SAME opId refuses: layout byte-state untouched
+    val t1 = tombs()
+    assert(!TextAnalysis.bm25PurgeTenantAtomic(spark, path, purged, opId))
+    assert(tombs() == t1)
+    // a FRESH opId over the already-purged tenant converges: zero new
+    // victims, a zero stats delta (the -(net) rule over net = 0)
+    assert(TextAnalysis.bm25PurgeTenantAtomic(spark, path, purged, opId + 1L))
+    assert(tombs() == t1)
+    assert(statsZh().getLong(0) == 0L && statsZh().getLong(1) == 0L)
+    graft.core.Fs.deleteRecursive(spark, path)
+  }
+
   test("q189/q190 savings laws: the band census partitions the corpus " +
     "exactly; the threshold sweep is monotone non-increasing in tau; " +
     "every exact-dup loser is removable at every tau") {
