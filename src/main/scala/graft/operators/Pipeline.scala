@@ -152,7 +152,7 @@ object Pipeline extends QueryPack {
       .agg(count(lit(1)).as("n_lex_overlaps"))
     // semantic leg — q177's rules on the shared sample
     val emb = Tables.embeddings(s, dir)
-    val vec = (c: Column) => transform(c, _.cast("double"))
+    val vec = (c: Column) => c.cast("array<double>")
     val dot = (a: Column, b: Column) => graft.functions.geo.dot_product(a, b)
     val evalV = emb.join(ids, $"vec_id" === $"eval_id")
       .select($"eval_id", vec($"embedding").as("ev"))

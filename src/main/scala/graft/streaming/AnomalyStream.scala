@@ -541,7 +541,8 @@ object AnomalyStream {
       struct(lit(cl).as("cl"),
         array(cv.map(lit(_)): _*).as("cvec"))
     }: _*)
-    val ev = transform(col("embedding"), _.cast("double"))
+    // whole-array Cast (codegen'd), not a per-element transform lambda
+    val ev = col("embedding").cast("array<double>")
     val d2 = (c: org.apache.spark.sql.Column) =>
       graft.functions.geo.dot_product(ev, ev) -
         lit(2.0) * graft.functions.geo.dot_product(ev, c) +
