@@ -2035,6 +2035,54 @@ object Similarity extends QueryPack {
       .orderBy($"query_id".asc, $"rrf".desc, $"doc_id".asc)
   }
 
+  // --- q196: RAG context packing — fused retrieval under a token budget ------
+  /** Context-budget tokens for q196 — sized so the pack keeps SOME and
+    * drops SOME of each query's fused top-10 at every SF (the
+    * interesting regime; a budget beyond the whole top-10 degenerates
+    * to q166).
+    */
+  private[graft] val ContextBudget = 256L
+
+  /** The retrieval→prompt assembly step every RAG serving path runs
+    * after fusion: for each batch query, take q166's fused ranking and
+    * GREEDILY pack documents in fused order until the context token
+    * budget is spent — the deterministic prefix-by-rank rule (greedy
+    * by rank, not knapsack: production context assembly is
+    * rank-ordered because relevance order is the contract with the
+    * generator). Emits the packed rows with their token cost and the
+    * running total, so the consumer sees both what shipped and how
+    * full the window is.
+    *
+    * Exactness: the fused ranking is q166's (hash-gated); token cost
+    * is q130's dl rule (whitespace tokens) LEFT-joined so a candidate
+    * without a document row costs 0 in both engines; the prefix test
+    * is an integer cumulative-sum comparison — no float at the
+    * boundary.
+    *
+    * Scale shape: q166's retrieval shapes + one broadcast-sized join
+    * of the 10·|queries|-row fused frame against the doc-length
+    * projection and a per-query running-sum window over ≤10 rows.
+    */
+  def q196ContextPack(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val fused = q166RrfBatchFusion(s, dir)
+      .select($"query_id", $"doc_id", $"rrf")
+    // q130's dl rule, inlined (bm25Tokenized's exact spelling)
+    val dl = Tables.documents(s, dir).select($"doc_id",
+      size(filter(split($"text", " "), t => length(t) > 0))
+        .cast("long").as("dl"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"rrf".desc, $"doc_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fused.join(dl, Seq("doc_id"), "left")
+      .withColumn("dl", coalesce($"dl", lit(0L)))
+      .withColumn("cum_tokens", sum($"dl").over(w))
+      .filter($"cum_tokens" <= ContextBudget)
+      .select($"query_id", $"doc_id", $"rrf", $"dl", $"cum_tokens")
+      .orderBy($"query_id".asc, $"cum_tokens".asc, $"doc_id".asc)
+  }
+
   // --- q109: int8 scalar quantization of the embedding column -------------
   /** Symmetric per-vector scalar quantization to int8 — the standard
     * 4× memory cut before an ANN index is sharded across a cluster
@@ -2107,6 +2155,7 @@ object Similarity extends QueryPack {
     "q193_ivf_sq8_stored"  -> (q193IvfSq8Stored _),
     "q194_ivf_compact_swap" -> (q194IvfCompactSwap _),
     "q195_ivf_tenant_sq8"  -> (q195IvfTenantSq8 _),
+    "q196_context_pack"    -> (q196ContextPack _),
     "q147_ann_pq_adc"      -> (q147AnnPqAdc _),
     "q149_ann_ivf_pq"      -> (q149AnnIvfPq _),
     "q151_pq_sweep"        -> (q151PqSweep _),
@@ -2185,6 +2234,40 @@ object Similarity extends QueryPack {
        |ORDER BY ROUND(${cosSql("d.deq", "q.qemb")}, 6) DESC,
        | i.vec_id ASC
        |LIMIT 10""".stripMargin
+
+  /** One hybrid query's fused top-10 as oracle SQL (shared by the
+    * q166 and q196 oracles): the lexical chain is bm25OracleOver's
+    * replay over the query's terms, the dense chain q29's brute
+    * device on the query's vector, fusion the rank-only Σ 1/(60+rank).
+    */
+  private def rrfPerQuerySql(qid: Long, vid: Long): String = {
+    val terms = graft.operators.TextAnalysis.Bm25Batch
+      .find(_._1 == qid).get._2
+    s"""SELECT CAST($qid AS BIGINT) AS query_id, doc_id, rrf,
+       | n_systems, bm25_rank, ann_rank FROM (
+       |WITH bm AS (SELECT doc_id, 'bm25' AS sys, row_number() OVER
+       |  (ORDER BY score DESC, doc_id ASC) AS rank
+       | FROM (${graft.operators.TextAnalysis
+                  .bm25OracleOver("TRUE", terms)})),
+       |anntop AS (SELECT e.vec_id AS doc_id,
+       |  ROUND(${cosSql("e.embedding", "q.embedding")}, 6) AS cos
+       | FROM embeddings e CROSS JOIN
+       |  (SELECT embedding FROM embeddings WHERE vec_id = $vid) q
+       | WHERE e.vec_id != $vid
+       | ORDER BY ROUND(${cosSql("e.embedding", "q.embedding")}, 6)
+       |   DESC, e.vec_id ASC LIMIT 10),
+       |ann AS (SELECT doc_id, 'ann' AS sys, row_number() OVER
+       |  (ORDER BY cos DESC, doc_id ASC) AS rank FROM anntop),
+       |u AS (SELECT * FROM bm UNION ALL SELECT * FROM ann)
+       |SELECT doc_id,
+       | ${graft.core.Exact.sqlDround(
+           "SUM(1.0 / (60.0 + CAST(rank AS DOUBLE)))", 6)} AS rrf,
+       | COUNT(*) AS n_systems,
+       | MIN(CASE WHEN sys = 'bm25' THEN rank END) AS bm25_rank,
+       | MIN(CASE WHEN sys = 'ann' THEN rank END) AS ann_rank
+       |FROM u GROUP BY 1
+       |ORDER BY rrf DESC, doc_id ASC LIMIT 10)""".stripMargin
+  }
 
   override def oracleSql: Map[String, String] = Map(
     "q77_embedding_outliers" ->
@@ -2779,37 +2862,27 @@ object Similarity extends QueryPack {
       // its own bm25OracleOver replay, its dense chain q29's brute
       // device on its own vector, fused with the identical rank-only
       // arithmetic, per-query LIMIT 10
+      HybridBatch.map((rrfPerQuerySql _).tupled)
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+          ")\nORDER BY query_id ASC, rrf DESC, doc_id ASC"),
+    "q196_context_pack" ->
+      // q166's fused ranking per query + q130's dl per candidate +
+      // an integer running sum in fused order, kept while <= budget
       {
         val perQuery = HybridBatch.map { case (qid, vid) =>
-          val terms = graft.operators.TextAnalysis.Bm25Batch
-            .find(_._1 == qid).get._2
-          s"""SELECT CAST($qid AS BIGINT) AS query_id, doc_id, rrf,
-             | n_systems, bm25_rank, ann_rank FROM (
-             |WITH bm AS (SELECT doc_id, 'bm25' AS sys, row_number() OVER
-             |  (ORDER BY score DESC, doc_id ASC) AS rank
-             | FROM (${graft.operators.TextAnalysis
-                        .bm25OracleOver("TRUE", terms)})),
-             |anntop AS (SELECT e.vec_id AS doc_id,
-             |  ROUND(${cosSql("e.embedding", "q.embedding")}, 6) AS cos
-             | FROM embeddings e CROSS JOIN
-             |  (SELECT embedding FROM embeddings WHERE vec_id = $vid) q
-             | WHERE e.vec_id != $vid
-             | ORDER BY ROUND(${cosSql("e.embedding", "q.embedding")}, 6)
-             |   DESC, e.vec_id ASC LIMIT 10),
-             |ann AS (SELECT doc_id, 'ann' AS sys, row_number() OVER
-             |  (ORDER BY cos DESC, doc_id ASC) AS rank FROM anntop),
-             |u AS (SELECT * FROM bm UNION ALL SELECT * FROM ann)
-             |SELECT doc_id,
-             | ${graft.core.Exact.sqlDround(
-                 "SUM(1.0 / (60.0 + CAST(rank AS DOUBLE)))", 6)} AS rrf,
-             | COUNT(*) AS n_systems,
-             | MIN(CASE WHEN sys = 'bm25' THEN rank END) AS bm25_rank,
-             | MIN(CASE WHEN sys = 'ann' THEN rank END) AS ann_rank
-             |FROM u GROUP BY 1
-             |ORDER BY rrf DESC, doc_id ASC LIMIT 10)""".stripMargin
+          s"""SELECT query_id, doc_id, rrf, dl, cum_tokens FROM (
+             |SELECT f.query_id, f.doc_id, f.rrf, COALESCE(d.dl, 0) AS dl,
+             |  CAST(SUM(COALESCE(d.dl, 0)) OVER (ORDER BY f.rrf DESC,
+             |    f.doc_id ASC ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             |    AS cum_tokens
+             |FROM (${rrfPerQuerySql(qid, vid)}) f
+             |LEFT JOIN (SELECT doc_id, CAST(len(list_filter(
+             |  string_split(text, ' '), t -> len(t) > 0)) AS BIGINT) AS dl
+             |  FROM documents) d USING (doc_id))
+             |WHERE cum_tokens <= $ContextBudget""".stripMargin
         }
         perQuery.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
-          ")\nORDER BY query_id ASC, rrf DESC, doc_id ASC")
+          ")\nORDER BY query_id ASC, cum_tokens ASC, doc_id ASC")
       },
     "q149_ann_ivf_pq" ->
       // q128's coarse trajectory + residuals + four q147-style subspace
