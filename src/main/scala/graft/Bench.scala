@@ -46,16 +46,21 @@ object Bench {
     * contiguous band (q155–q158 read 7–24× their quiet anchors in ALL
     * reps of BENCH_r14 while an isolated rerun of each landed exactly
     * on anchor). Safe because every rep rebuilds its DataFrame from
-    * the query lambda AND the one cross-query frame memo
-    * (Dedup.sharedClusters) is evicted first — a memoized
+    * the query lambda AND every cross-query frame memo is drained
+    * first through [[graft.core.MemoRegistry]] — a memoized
     * truncated-lineage frame whose blocks were swept would be
-    * unrecoverable for the next consumer, and evicting it also makes
-    * every query's timing standalone-honest.
+    * unrecoverable for the next consumer (CHECKPOINT_RDD_BLOCK_ID_
+    * NOT_FOUND), so memo owners register their evictors at creation
+    * and the sweep drains ALL of them without naming any (r15 advice:
+    * the previous direct Dedup.evictSharedClusters call was correct
+    * for the one memo that existed but coupled nothing at compile
+    * time). Draining also makes every query's timing
+    * standalone-honest.
     */
   def runScoped(spark: SparkSession, df: DataFrame): Unit =
     try df.write.format("noop").mode("overwrite").save()
     finally {
-      operators.Dedup.evictSharedClusters()
+      graft.core.MemoRegistry.evictAll()
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
@@ -170,7 +175,8 @@ object Bench {
   def quietRatioJson(results: Seq[(String, Seq[Double])],
                      anchor: Map[String, Double]): String = {
     val ratios = results.collect {
-      case (q, v) if v.nonEmpty && anchor.getOrElse(q, 0.0) > 0.0 =>
+      case (q, v) if q != ProbeKey && v.nonEmpty &&
+          anchor.getOrElse(q, 0.0) > 0.0 =>
         v.min / anchor(q)
     }.sorted
     if (ratios.isEmpty) "null"
@@ -208,34 +214,80 @@ object Bench {
     */
   def medianRatio(rs: Seq[(String, Seq[Double])],
       anchor: Map[String, Double]): Option[Double] = {
+    // ProbeKey excluded STRUCTURALLY (not just by "no query has this
+    // name"): the host-speed stamp must never contribute a ratio
     val ratios = rs.collect {
-      case (q, v) if v.nonEmpty && anchor.getOrElse(q, 0.0) > 0.0 =>
+      case (q, v) if q != ProbeKey && v.nonEmpty &&
+          anchor.getOrElse(q, 0.0) > 0.0 =>
         v.min / anchor(q)
     }
     if (ratios.isEmpty) None else Some(median(ratios))
   }
 
-  /** The attempt the gate EMITS: lowest quiet-ratio median (an
-    * anchor-less attempt ranks last). One attempt's raw measurements,
-    * never a min-merge across attempts - discarding a noisier
-    * re-measurement is the point; mixing attempts would fabricate a
-    * run that never happened.
+  /** The anchor pseudo-key carrying the FASTEST host's single-core
+    * probe seconds (see the ANCHOR_MERGE block in [[main]]). Never a
+    * query name, so ratio/median functions skip it structurally.
     */
-  def pickQuietest[A](attempts: Seq[(Seq[(String, Seq[Double])], A)],
-      anchor: Map[String, Double]): (Seq[(String, Seq[Double])], A) =
-    attempts.minBy(a => medianRatio(a._1, anchor)
+  val ProbeKey = "_cpu_probe_sec"
+
+  /** Host-drift factor for one attempt: this run's [[cpuProbe]]
+    * seconds over the anchor's fastest-host stamp, floored at 1.0 — a
+    * FASTER host never discounts a regression, only a slower host
+    * explains away a uniform ratio inflation. 1.0 when the anchor has
+    * no probe stamp or either probe is non-positive (the gate then
+    * judges raw ratios, the pre-r16 behavior).
+    */
+  def driftFactor(probeSec: Double, anchorProbe: Option[Double]): Double =
+    anchorProbe.filter(ap => ap > 0.0 && probeSec > 0.0)
+      .fold(1.0)(ap => math.max(1.0, probeSec / ap))
+
+  /** The gate statistic (r15 verdict #1, mechanized): the attempt's
+    * raw quiet-ratio median divided by its own [[driftFactor]] —
+    * min(run)/anchor envelopes are unreachable on a slower-per-core
+    * host (r15 measured a uniform 1.25 median on a 99.8%-idle host
+    * whose probe read 1.19× the anchor stamp; the residual 1.05 was
+    * inside the run's noise band), so the gate consumes the probe and
+    * PASSES mechanically on drift-only hosts while a real mover still
+    * fails it (a code regression inflates query ratios but not the
+    * single-core MD5 probe).
+    */
+  def normalizedMedian(rs: Seq[(String, Seq[Double])],
+      anchor: Map[String, Double], probeSec: Double): Option[Double] =
+    medianRatio(rs, anchor)
+      .map(_ / driftFactor(probeSec, anchor.get(ProbeKey)))
+
+  /** The attempt the gate EMITS: lowest drift-NORMALIZED quiet-ratio
+    * median (an anchor-less attempt ranks last). One attempt's raw
+    * measurements, never a min-merge across attempts - discarding a
+    * noisier re-measurement is the point; mixing attempts would
+    * fabricate a run that never happened. `attempts` carry
+    * (results, payload, probeSec).
+    */
+  def pickQuietest[A](attempts: Seq[(Seq[(String, Seq[Double])], A, Double)],
+      anchor: Map[String, Double]): (Seq[(String, Seq[Double])], A, Double) =
+    attempts.minBy(a => normalizedMedian(a._1, anchor, a._3)
       .getOrElse(Double.MaxValue))
 
-  /** The disclosure block: every attempt's median in measurement
-    * order, so a reader sees what the gate saw and what it discarded.
+  /** The disclosure block: every attempt's raw median, probe seconds,
+    * drift factor, and normalized median in measurement order, so a
+    * reader sees what the gate saw and what it discarded — and can
+    * re-derive the PASS/FAIL arithmetic from the artifact alone. The
+    * raw medians stay first-class: normalization is the gate's
+    * admission rule, never a correction of the official numbers.
     */
-  def quietGateJson(attemptsInOrder: Seq[Seq[(String, Seq[Double])]],
+  def quietGateJson(attemptsInOrder: Seq[(Seq[(String, Seq[Double])], Double)],
       anchor: Map[String, Double], thr: Double, passed: Boolean): String = {
-    val meds = attemptsInOrder
-      .map(a => medianRatio(a, anchor).fold("null")(r4))
-      .mkString("[", ",", "]")
+    def arr(f: ((Seq[(String, Seq[Double])], Double)) => String): String =
+      attemptsInOrder.map(f).mkString("[", ",", "]")
+    val meds = arr(a => medianRatio(a._1, anchor).fold("null")(r4))
+    val probes = arr(a => if (a._2 > 0) r4(a._2) else "null")
+    val drifts = arr(a => r4(driftFactor(a._2, anchor.get(ProbeKey))))
+    val norm = arr(a => normalizedMedian(a._1, anchor, a._2).fold("null")(r4))
+    val anchorProbe = anchor.get(ProbeKey).fold("null")(r4)
     s"""{"threshold":${r4(thr)},"attempts":${attemptsInOrder.size},""" +
-      s""""attempt_medians":$meds,"passed":$passed}"""
+      s""""attempt_medians":$meds,"attempt_probe_sec":$probes,""" +
+      s""""anchor_probe_sec":$anchorProbe,"drift_factors":$drifts,""" +
+      s""""attempt_medians_normalized":$norm,"passed":$passed}"""
   }
 
   /** Serialize an anchor map back to the flat one-entry-per-line JSON
@@ -378,10 +430,13 @@ object Bench {
     // one full measured pass; a query that throws records an empty rep
     // list (rendered as the -1.0 sentinel), never a wall time — bench
     // output must not silently include failed queries
-    def measureOnce(waited: Int): (Seq[(String, Seq[Double])], String) = {
+    def measureOnce(waited: Int)
+        : (Seq[(String, Seq[Double])], String, Double) = {
       val loadBefore = loadAvg()
       // absolute single-core speed stamp per attempt — the denominator
-      // drift detector for the min-wins anchor envelope (see cpuProbe)
+      // drift detector for the min-wins anchor envelope (see cpuProbe);
+      // the quiet gate divides each attempt's median ratio by its OWN
+      // probe's drift factor (see normalizedMedian)
       val probeSec = cpuProbe()
       val results: Seq[(String, Seq[Double])] = queries.map {
         case (name, fn) =>
@@ -395,7 +450,7 @@ object Bench {
           name -> times
       }
       (results, hostJson(loadBefore, loadAvg(),
-        Runtime.getRuntime.availableProcessors, waited, probeSec))
+        Runtime.getRuntime.availableProcessors, waited, probeSec), probeSec)
     }
     // QUIET GATE: the checked-in closing artifact is what future
     // rounds A/B against, so a contended full run at the graded SF
@@ -414,19 +469,27 @@ object Bench {
       .toInt
     val gateActive = gateThr > 0.0 && atGradedSf && only.isEmpty
     var attempts = List(measureOnce(waitedSec))
+    // the gate judges the drift-NORMALIZED median (raw median over the
+    // attempt's own cpuProbe drift factor) — a slower-per-core host
+    // day passes mechanically, a real regression still fails
     while (gateActive && attempts.size <= gateRetries &&
-        medianRatio(attempts.head._1, anchor).exists(_ > gateThr)) {
-      System.err.println(s"[bench] quiet-ratio median " +
-        f"${medianRatio(attempts.head._1, anchor).get}%.3f > $gateThr%.2f " +
-        s"- host contended; re-measuring (attempt ${attempts.size + 1})")
+        normalizedMedian(attempts.head._1, anchor, attempts.head._3)
+          .exists(_ > gateThr)) {
+      System.err.println(s"[bench] normalized quiet-ratio median " +
+        f"${normalizedMedian(attempts.head._1, anchor, attempts.head._3).get}%.3f" +
+        f" (raw ${medianRatio(attempts.head._1, anchor).get}%.3f, drift " +
+        f"${driftFactor(attempts.head._3, anchor.get(ProbeKey))}%.3f)" +
+        f" > $gateThr%.2f - host contended; re-measuring " +
+        s"(attempt ${attempts.size + 1})")
       val w = if (quietCap > 0) waitQuiet(1.0, quietCap) else 0
       attempts ::= measureOnce(w)
     }
-    val (results, host) = pickQuietest(attempts, anchor)
+    val (results, host, probeSec) = pickQuietest(attempts, anchor)
     val gateJson =
       if (!gateActive) "null"
-      else quietGateJson(attempts.reverse.map(_._1), anchor, gateThr,
-        medianRatio(results, anchor).forall(_ <= gateThr))
+      else quietGateJson(attempts.reverse.map(a => (a._1, a._3)), anchor,
+        gateThr,
+        normalizedMedian(results, anchor, probeSec).forall(_ <= gateThr))
     val line = renderJson(results, sfDir, reps, host,
       quietRatioJson(results, anchor), gateJson)
     // SPARK_GRAFT_ANCHOR_MERGE=1: fold this run's per-query mins back
@@ -436,14 +499,16 @@ object Bench {
     if (sys.env.get("SPARK_GRAFT_ANCHOR_MERGE").contains("1")
         && atGradedSf && only.isEmpty) {
       // the envelope also records the FASTEST host it was measured on
-      // (min cpu_probe_sec, pseudo-key "_cpu_probe_sec"): a later run
-      // whose probe reads much higher is on a slower host, and its
-      // anchor ratios are host drift, not regression — the r15
-      // adjudication (uniform 1.39 median, idle host) made mechanical.
-      // quietRatio/medianRatio never see it (no query has this name).
-      val minProbe = cpuProbe()
+      // (min cpu_probe_sec, pseudo-key ProbeKey): a later run whose
+      // probe reads much higher is on a slower host, and its anchor
+      // ratios are host drift, not regression — the gate consumes this
+      // stamp via driftFactor. quietRatio/medianRatio never see it
+      // (no query has this name). min over every attempt's probe plus
+      // one fresh post-suite probe (warmest JIT) — the same min-wins
+      // rule as the per-query anchors.
+      val minProbe = (attempts.map(_._3).filter(_ > 0) :+ cpuProbe()).min
       val withProbe = mergedAnchor(anchor, results).updatedWith(
-        "_cpu_probe_sec")(old => Some(old.fold(minProbe)(math.min(_, minProbe))))
+        ProbeKey)(old => Some(old.fold(minProbe)(math.min(_, minProbe))))
       writeLine(renderAnchor(withProbe).stripSuffix("\n"),
         anchorPath) match {
         case Some(p) => println(s"anchor merged to $p")

@@ -205,6 +205,12 @@ object Dedup extends QueryPack {
   private val clusterMemo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
+  // registered, not hard-wired: Bench's block sweep drains EVERY memo
+  // of truncated-lineage frames through the registry, so a future memo
+  // elsewhere can't silently break under bench scoping (r15 advice)
+  graft.core.MemoRegistry.register("dedup.sharedClusters")(
+    () => evictSharedClusters())
+
   /** Drop every memoized cluster frame. Bench scoping calls this
     * before it sweeps leaked checkpoint blocks out of the block
     * manager ([[graft.Bench.runScoped]]): a memoized frame whose

@@ -44,10 +44,17 @@ object Relational extends QueryPack {
   }
 
   // --- q2: filter + projection (pushdown surface) -------------------------
+  /** Predicate values live in the SYNTHETIC generator's domain
+    * (p_type ∈ {PROMO, ECONOMY, MEDIUM, STANDARD, LARGE, ...}) — the
+    * original TPC-H-flavored "BRASS" matched nothing at any SF, which
+    * made the oracle hash gate trivially green on an empty frame
+    * (r15 verdict #2). Non-vacuous at sf0.001/0.01/0.1 (verified:
+    * 27/270/2,754 rows).
+    */
   def q2FilterProject(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.part(s, dir)
-      .filter($"p_size" >= 10 && $"p_type".contains("BRASS"))
+      .filter($"p_size" >= 10 && $"p_type".contains("PROMO"))
       .select($"p_partkey", $"p_name", $"p_size",
         round($"p_retailprice".cast(DecimalType(18, 4)) * lit(BigDecimal("1.1")), 2)
           .cast("double").as("marked_up"))
@@ -1853,7 +1860,7 @@ object Relational extends QueryPack {
     "q2_filter_project" ->
       """SELECT p_partkey, p_name, p_size,
         | CAST(ROUND(CAST(p_retailprice AS DECIMAL(18,4)) * CAST(1.1 AS DECIMAL(18,4)), 2) AS DOUBLE) AS marked_up
-        |FROM part WHERE p_size >= 10 AND p_type LIKE '%BRASS%'""".stripMargin,
+        |FROM part WHERE p_size >= 10 AND p_type LIKE '%PROMO%'""".stripMargin,
     "q3_join" ->
       """SELECT n_name,
         | CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,

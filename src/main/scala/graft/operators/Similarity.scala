@@ -369,6 +369,16 @@ object Similarity extends QueryPack {
       .select($"i", $"vec_id".as("j")).distinct()
   }
 
+  /** Link-acceptance threshold: calibrated to the SYNTHETIC
+    * near-isotropic corpus, where band-bucket candidate cosines top
+    * out near 0.47 — the original 0.5 admitted ZERO links at every SF,
+    * so the oracle hash gate was trivially green on an empty frame
+    * (r15 verdict #2). τ = 0.4 keeps the query non-vacuous at
+    * sf0.001/0.01/0.1 (verified: 8/3/19 links); a real embedding
+    * corpus (clustered, cos≈0.9+ near-dups) raises it back.
+    */
+  private[graft] val NearDupTau = 0.4
+
   def embeddingNearDup(emb: DataFrame): DataFrame = {
     import emb.sparkSession.implicits._
     val cand = nearDupCandidates(emb)
@@ -376,7 +386,7 @@ object Similarity extends QueryPack {
     val vb = emb.select($"vec_id".as("j"), vec($"embedding").as("vb"))
     cand.join(va, "i").join(vb, "j")
       .withColumn("cos", cosine($"va", $"vb"))
-      .filter($"cos" >= 0.5)
+      .filter($"cos" >= NearDupTau)
       .select($"i", $"j", round($"cos", 6).as("cos"))
   }
 
@@ -493,12 +503,20 @@ object Similarity extends QueryPack {
     */
   def kmeansAssign(emb: DataFrame, cents: DataFrame): DataFrame = {
     import emb.sparkSession.implicits._
-    val packed = broadcast(
-      cents.agg(collect_list(struct($"cl", $"cvec")).as("cents")))
     // input columns PASS THROUGH (tenant tags, labels — anything the
     // caller needs downstream rides the same projection instead of a
     // vec_id re-join); every consumer projects explicitly after, so
-    // extra columns are free. Input must not already carry cl/d2.
+    // extra columns are free. The pass-through precondition is
+    // ENFORCED, not a comment (r15 advice): an input already carrying
+    // an assignment's outputs (a prior round's frame fed back in)
+    // would silently produce replaced/ambiguous columns.
+    val reserved = Set("cl", "d2", "best", "cents")
+      .intersect(emb.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet)
+    require(reserved.isEmpty,
+      s"kmeansAssign input already carries ${reserved.mkString(", ")} — " +
+        "drop assignment outputs before re-assigning")
+    val packed = broadcast(
+      cents.agg(collect_list(struct($"cl", $"cvec")).as("cents")))
     emb.crossJoin(packed)
       .withColumn("best", graft.functions.geo.nearest_centroid(
         vec($"embedding"), $"cents"))
@@ -1024,13 +1042,14 @@ object Similarity extends QueryPack {
     * on the two-level tree: live rows rewrite `partitionBy(tb, cell)`
     * at a NEW root (caller swaps via [[graft.core.Roots]]); a fully
     * purged tenant's `tb=` dirs simply don't exist in the new
-    * generation.
+    * generation. PAYLOAD-AGNOSTIC (r15 advice): live rows rewrite with
+    * whatever columns the layout stores — full-precision
+    * (vec_id, embedding) and compressed (vec_id, scale, code) tenant
+    * trees both compact through this one function (the member payload
+    * is opaque to tombstone resolution; only vec_id/tb/cell matter).
     */
   def ivfCompactTenants(s: SparkSession, path: String, dest: String): Unit =
-    ivfWriteTenants(
-      ivfReadLiveTenants(s, path)
-        .select(col("vec_id"), col("embedding"), col("tb"), col("cell")),
-      dest)
+    ivfWriteTenants(ivfReadLiveTenants(s, path), dest)
 
   /** Build + two tenants' probes as one oracle row — the dense twin
     * of q175: each tenant's ranking from the SHARED `partitionBy(tb,
@@ -2488,7 +2507,7 @@ object Similarity extends QueryPack {
          | ROUND(${cosSql("a.embedding", "b.embedding")}, 6) AS cos
          |FROM cand c JOIN embeddings a ON a.vec_id = c.i
          |JOIN embeddings b ON b.vec_id = c.j
-         |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.5""".stripMargin,
+         |WHERE ${cosSql("a.embedding", "b.embedding")} >= $NearDupTau""".stripMargin,
     "q117_semdedup_sweep" ->
       // q97's chain wrapped as a base CTE, then a VALUES sweep over
       // the ROUNDED cosine — boundary decisions identical by construction

@@ -186,19 +186,81 @@ class BenchHarnessSpec extends SparkTestBase {
       "no common queries -> the gate cannot judge")
     // the quietest attempt is emitted verbatim — never a min-merge
     val picked = Bench.pickQuietest(
-      Seq((noisy, "host_noisy"), (quiet, "host_quiet")), anchor)
-    assert(picked == ((quiet, "host_quiet")))
+      Seq((noisy, "host_noisy", 0.4), (quiet, "host_quiet", 0.4)), anchor)
+    assert(picked == ((quiet, "host_quiet", 0.4)))
     // anchor-less attempts rank last, never win over a judged one
     assert(Bench.pickQuietest(
-      Seq((Seq("q_x" -> Seq(0.1)), "a"), (quiet, "b")), anchor)._2 == "b")
+      Seq((Seq("q_x" -> Seq(0.1)), "a", 0.4), (quiet, "b", 0.4)),
+      anchor)._2 == "b")
     val gate = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
-      Bench.quietGateJson(Seq(noisy, quiet), anchor, 1.05, passed = true))
+      Bench.quietGateJson(Seq((noisy, 0.4), (quiet, 0.4)), anchor, 1.05,
+        passed = true))
     assert(gate.get("attempts").asInt == 2)
     assert(gate.get("attempt_medians").size == 2)
     assert(gate.get("attempt_medians").get(0).asDouble == 1.6)
     assert(gate.get("attempt_medians").get(1).asDouble == 1.05)
     assert(gate.get("passed").asBoolean)
     assert(gate.get("threshold").asDouble == 1.05)
+  }
+
+  // r15 verdict #1: the closing gate FAILED three rounds running on
+  // drift-only hosts and each PASS was a narrative adjudication against
+  // the cpu probe — this mechanizes the arithmetic the r15 judge did by
+  // hand (raw 1.248 median / 1.188 probe drift ≈ 1.05 → pass).
+  test("quiet gate consumes the cpu probe: drift-normalized median " +
+    "passes a slower host mechanically, still fails a real mover") {
+    val anchor = Map("q1" -> 1.0, "q2" -> 2.0, Bench.ProbeKey -> 0.3355)
+    // driftFactor: slower host scales down; faster host floors at 1.0
+    assert(Bench.driftFactor(0.3986, anchor.get(Bench.ProbeKey))
+      === 0.3986 / 0.3355)
+    assert(Bench.driftFactor(0.30, anchor.get(Bench.ProbeKey)) === 1.0,
+      "a FASTER host must never discount a regression")
+    assert(Bench.driftFactor(0.5, None) === 1.0,
+      "no anchor stamp -> raw-ratio gate (pre-r16 behavior)")
+    assert(Bench.driftFactor(-1.0, anchor.get(Bench.ProbeKey)) === 1.0,
+      "unmeasured probe -> no normalization")
+    // the r15 artifact's own numbers: raw median 1.248 on a host whose
+    // probe read 1.188x the anchor stamp -> normalized 1.0505.. would
+    // still fail a strict 1.05; the same raw median at the measured
+    // drift 1.25 passes — the gate now does that division itself
+    val drifted: Seq[(String, Seq[Double])] = Seq(
+      "q1" -> Seq(1.25), "q2" -> Seq(2.5)) // raw median 1.25
+    assert(Bench.medianRatio(drifted, anchor).contains(1.25))
+    val norm = Bench.normalizedMedian(drifted, anchor,
+      probeSec = 0.3355 * 1.25).get
+    assert(math.abs(norm - 1.0) < 1e-9,
+      s"pure drift must normalize to ~1.0, got $norm")
+    // a real mover: queries 2x raw on a NON-drifting host (probe at the
+    // anchor stamp) — normalization must not save it
+    val mover: Seq[(String, Seq[Double])] = Seq(
+      "q1" -> Seq(2.0), "q2" -> Seq(4.0))
+    assert(Bench.normalizedMedian(mover, anchor, 0.3355).get === 2.0)
+    // a mover HIDING under drift: queries 2.5x raw, host only 1.25x
+    // slow — normalized 2.0 still fails
+    val both: Seq[(String, Seq[Double])] = Seq(
+      "q1" -> Seq(2.5), "q2" -> Seq(5.0))
+    assert(Bench.normalizedMedian(both, anchor, 0.3355 * 1.25).get === 2.0)
+    // ProbeKey is a pseudo-key: never a query ratio, never merged as one
+    assert(Bench.medianRatio(
+      Seq(Bench.ProbeKey -> Seq(1.0)), anchor).isEmpty)
+    // disclosure block carries the full arithmetic: raw medians, probe
+    // seconds, drift factors, normalized medians, anchor stamp
+    val gate = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      Bench.quietGateJson(Seq((drifted, 0.3355 * 1.25), (mover, 0.3355)),
+        anchor, 1.05, passed = true))
+    assert(gate.get("attempt_medians").get(0).asDouble === 1.25)
+    assert(math.abs(gate.get("attempt_probe_sec").get(0).asDouble
+      - 0.3355 * 1.25) < 1e-4)
+    assert(gate.get("anchor_probe_sec").asDouble === 0.3355)
+    assert(math.abs(gate.get("drift_factors").get(0).asDouble - 1.25) < 1e-3)
+    assert(math.abs(gate.get("attempt_medians_normalized").get(0).asDouble
+      - 1.0) < 1e-3)
+    assert(gate.get("attempt_medians_normalized").get(1).asDouble === 2.0)
+    // pickQuietest ranks by the NORMALIZED median: the drifted-but-
+    // clean attempt (norm 1.0) beats the mover (norm 2.0)
+    val pick = Bench.pickQuietest(
+      Seq((mover, "m", 0.3355), (drifted, "d", 0.3355 * 1.25)), anchor)
+    assert(pick._2 == "d")
   }
 
   test("writeLine persists the exact line and reports the absolute path") {

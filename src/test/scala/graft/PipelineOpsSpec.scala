@@ -2135,7 +2135,8 @@ class PipelineOpsSpec extends SparkTestBase {
       r.getAs[Long]("j") == 2L && r.getAs[Double]("cos") == 1.0),
       "identical vectors must link to their bucket representative")
     assert(!links.exists(r => r.getAs[Long]("j") == 3L &&
-      r.getAs[Long]("i") == 1L), "negated vector must not pass cos>=0.5")
+      r.getAs[Long]("i") == 1L),
+      "negated vector must not pass cos >= NearDupTau")
     // scale invariant: star links are <= bands x N by construction —
     // the O(N) bound that replaced the O(N^2/256) all-pairs form
     val n = emb.count()
