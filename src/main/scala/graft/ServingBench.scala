@@ -114,6 +114,11 @@ object ServingBench {
     val tenSq8Root = s"$out/ivf_tsq8"
     val buildTenSq8 = timed(
       Similarity.ivfServingSetupTenantsSq8(spark, sfDir, tenSq8Root))
+    // stored product quantization: 4-byte codes at rest — the step
+    // past SQ8's 4x cut (r15 verdict #3); same probed-cell file count,
+    // far fewer bytes
+    val pqRoot = s"$out/ivf_pq"
+    val buildPq = timed(Similarity.ivfServingSetupPq(spark, sfDir, pqRoot))
 
     val queries: Seq[(String, () => DataFrame)] = Seq(
       "bm25_probe_only" -> (() =>
@@ -136,6 +141,9 @@ object ServingBench {
       "ivf_tenant_sq8_probe_only" -> (() =>
         Similarity.ivfProbeStoredTenantSq8(spark, tenSq8Root,
           Similarity.IvfTenants.head, excludeVecId = Some(0L))),
+      "ivf_pq_probe_only" -> (() =>
+        Similarity.ivfProbeStoredPq(spark, pqRoot,
+          excludeVecId = Some(0L))),
       "inquery_q160_bm25" -> (() =>
         TextAnalysis.q160Bm25Probe(spark, sfDir)),
       "inquery_q128_ivf" -> (() =>
@@ -185,12 +193,16 @@ object ServingBench {
     val (tsFiles, tsBytes) = pruned(
       queries.find(_._1 == "ivf_tenant_sq8_probe_only").get._2(),
       "ivf_tsq8/index")
+    // stored PQ: unchanged probed-cell file count, 4-byte member rows
+    val (pqFiles, pqBytes) = pruned(
+      queries.find(_._1 == "ivf_pq_probe_only").get._2(), "ivf_pq/index")
     val (bmTotF, bmTotB) = layoutTotals(bm25Root)
     val (ivTotF, ivTotB) = layoutTotals(s"$ivfRoot/index")
     val (tnTotF, tnTotB) = layoutTotals(tenantRoot)
     val (sqTotF, sqTotB) = layoutTotals(s"$sq8Root/index")
     val (itTotF, itTotB) = layoutTotals(s"$ivfTenRoot/index")
     val (tsTotF, tsTotB) = layoutTotals(s"$tenSq8Root/index")
+    val (pqTotF, pqTotB) = layoutTotals(s"$pqRoot/index")
 
     val host = Bench.hostJson(loadBefore, Bench.loadAvg(),
       Runtime.getRuntime.availableProcessors)
@@ -199,7 +211,7 @@ object ServingBench {
     val qs = timedQs.map { case (n, t) => s""""$n":${r4(t)}""" }.mkString(",")
     println(s"""{"metric":"serving_probe_only","unit":"sec","sf":"$sfDir",""" +
       s""""reps":$reps,"queries":{$qs},""" +
-      s""""setup_sec":{"bm25_build":${r4(buildBm25)},"ivf_build":${r4(buildIvf)},"tenants_build":${r4(buildTenants)},"ivf_sq8_build":${r4(buildSq8)},"ivf_tenants_build":${r4(buildIvfTen)},"ivf_tenant_sq8_build":${r4(buildTenSq8)}},""" +
+      s""""setup_sec":{"bm25_build":${r4(buildBm25)},"ivf_build":${r4(buildIvf)},"tenants_build":${r4(buildTenants)},"ivf_sq8_build":${r4(buildSq8)},"ivf_tenants_build":${r4(buildIvfTen)},"ivf_tenant_sq8_build":${r4(buildTenSq8)},"ivf_pq_build":${r4(buildPq)}},""" +
       s""""pruning":{"bm25":{"files_read":$bmFiles,"files_total":$bmTotF,""" +
       s""""bytes_read":$bmBytes,"bytes_total":$bmTotB},""" +
       s""""ivf":{"files_read":$ivFiles,"files_total":$ivTotF,""" +
@@ -210,6 +222,8 @@ object ServingBench {
       s""""bytes_read":$itBytes,"bytes_total":$itTotB},""" +
       s""""ivf_tenant_sq8":{"files_read":$tsFiles,"files_total":$tsTotF,""" +
       s""""bytes_read":$tsBytes,"bytes_total":$tsTotB},""" +
+      s""""ivf_pq":{"files_read":$pqFiles,"files_total":$pqTotF,""" +
+      s""""bytes_read":$pqBytes,"bytes_total":$pqTotB},""" +
       s""""bm25_tenants":{"files_read":$tnFiles,"files_total":$tnTotF,""" +
       s""""bytes_read":$tnBytes,"bytes_total":$tnTotB}},"host":$host}""")
     spark.stop()

@@ -1917,6 +1917,153 @@ object Similarity extends QueryPack {
       .limit(10)
   }
 
+  // --- q197: stored IVF-PQ serving layout — PQ codes at rest, ADC off disk ---
+  /** PQ geometry shared by q147/q149/q197: M subspaces of SubDim dims,
+    * K codewords each (4 × 16 × 16 over the 64-dim corpus — 4 stored
+    * bytes per vector).
+    */
+  private[graft] val PqM = 4
+  private[graft] val PqSubDim = 16
+  private[graft] val PqK = 16
+
+  /** Build the FAISS-IVFx,PQy layout AT REST (r15 verdict #3 — the
+    * remaining at-rest parity term past q193's SQ8): the index stores
+    * (vec_id, code[4] as BYTES, cell) `partitionBy(cell)` — 4 bytes of
+    * member payload against SQ8's 72 (64 codes + scale) and
+    * full-precision's 256+, the 8–64× index-bytes win PQ exists for —
+    * plus sidecars: coarse centroids (`_cents`), the four residual
+    * codebooks (`_books`: m, cl, cvec — 64 rows total), and the query
+    * payload. Training replays q149's exact trajectory (q128's coarse
+    * chain, residuals, four q102-rule subspace trajectories on
+    * residual slices); the one-time ENCODE runs the codegen'd
+    * [[org.apache.spark.sql.graft.NearestCentroidExpr]] per subspace —
+    * bit-parity with q149's argmin rule (same composed-dot d2, same
+    * smallest-cl ties), so the stored codes are byte-identical to the
+    * ones q149 derives in-query.
+    *
+    * Scale shape: training is k-row stages; the encode is ONE
+    * zero-shuffle projection per vector against four broadcast packed
+    * codebook rows; the write is the ivfWrite partition layout.
+    */
+  def ivfServingSetupPq(s: SparkSession, dir: String, root: String): Unit = {
+    import s.implicits._
+    def sl(c: Column, m: Int): Column = slice(c, m * PqSubDim + 1, PqSubDim)
+    val emb = embCached(s, dir)
+    val cent0 = emb.filter($"vec_id".between(1L, 8L))
+      .select($"vec_id".as("cl"), vec($"embedding").as("cvec"))
+    val centsK = kmeansUpdate(kmeansAssign(emb, cent0)).localCheckpoint()
+    val idx = kmeansAssign(emb, centsK)
+      .select($"vec_id", $"embedding", $"cl".as("cell"))
+    val cents = centsK.select($"cl".as("cell"), $"cvec".as("centroid"))
+    val withRes = idx
+      .join(broadcast(cents), "cell")
+      .withColumn("res",
+        zip_with(vec($"embedding"), $"centroid", (a, c) => a - c))
+      .select($"vec_id", $"cell", $"res")
+      .localCheckpoint()
+    val books = (0 until PqM).map { m =>
+      val sv = withRes.select($"vec_id", sl($"res", m).as("embedding"))
+      val cent0m = sv.filter($"vec_id".between(1L, PqK.toLong))
+        .select($"vec_id".as("cl"), vec($"embedding").as("cvec"))
+      kmeansUpdate(kmeansAssign(sv, cent0m), PqSubDim).localCheckpoint()
+    }
+    // encode: per-subspace nearest codeword of the residual slice —
+    // four broadcast ≤16-row packed codebooks, one projection, 4
+    // bytes out per vector (cl ∈ 1..16 holds losslessly in a byte)
+    val packs = books.zipWithIndex.map { case (cb, m) =>
+      broadcast(cb.agg(collect_list(struct($"cl", $"cvec")).as(s"cb$m")))
+    }
+    packs.foldLeft(withRes)((df, p) => df.crossJoin(p))
+      .select($"vec_id", $"cell",
+        array((0 until PqM).map(m =>
+          graft.functions.geo.nearest_centroid(sl($"res", m), col(s"cb$m"))
+            .getField("cl").cast("byte")): _*).as("code"))
+      .select($"vec_id", $"code", $"cell")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$root/index")
+    cents.write.mode("overwrite").parquet(s"$root/_cents")
+    books.zipWithIndex.map { case (cb, m) =>
+      cb.select(lit(m).as("m"), $"cl", $"cvec")
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$root/_books")
+    emb.filter($"vec_id" === 0)
+      .select(vec($"embedding").as("qv"))
+      .write.mode("overwrite").parquet(s"$root/_query")
+  }
+
+  /** The probe against the stored-PQ layout: [[ivfProbeStored]]'s cell
+    * pick from the broadcast coarse centroids, then per-(cell, m,
+    * codeword) ADC tables built from the `_books` sidecar and the
+    * query's PER-CELL residual (q149's tabs arithmetic verbatim —
+    * ≤ nprobe·4·16 broadcast entries), and each stored candidate's
+    * distance is the fixed-order 4-term table-lookup sum keyed by its
+    * stored bytes — the scanned cells' 4-byte codes are the ONLY
+    * member data read from disk; no vector arithmetic per candidate at
+    * all. Ranking is byte-identical to q149's in-query composition
+    * (same oracle SQL): at-rest product quantization is invisible to
+    * answers. Tombstones honored ([[ivfReadLive]]'s anti-join
+    * discipline).
+    */
+  def ivfProbeStoredPq(s: SparkSession, root: String, nprobe: Int = 3,
+      k: Int = 10, excludeVecId: Option[Long] = None): DataFrame = {
+    import s.implicits._
+    val q = broadcast(s.read.parquet(s"$root/_query"))
+    val cellsDf = s.read.parquet(s"$root/_cents").crossJoin(q)
+      .withColumn("qd2", dot($"qv", $"qv")
+        - lit(2.0) * dot($"qv", $"centroid")
+        + dot($"centroid", $"centroid"))
+      .orderBy($"qd2".asc, $"cell".asc).limit(nprobe)
+      .select($"cell", $"centroid")
+    // bounded driver list (the hotKeys class): literal cell filter so
+    // the partitioned scan prunes statically
+    val cells = cellsDf.select($"cell").collect().map(_.getLong(0)).toSeq
+    // per-(cell, m, cl) ADC entries packed to one map per cell, keyed
+    // m·1000+cl — the query's residual differs per cell (q149's rule)
+    val mSlice = slice($"qres", $"m" * PqSubDim + 1, lit(PqSubDim))
+    val tabs = broadcast(cellsDf.crossJoin(q)
+      .withColumn("qres", zip_with($"qv", $"centroid", (a, c) => a - c))
+      .crossJoin(s.read.parquet(s"$root/_books"))
+      .select($"cell",
+        ($"m".cast("long") * lit(1000L) + $"cl").as("mk"),
+        (dot(mSlice, mSlice)
+          - lit(2.0) * dot(mSlice, $"cvec")
+          + dot($"cvec", $"cvec")).as("qd2"))
+      .groupBy($"cell")
+      .agg(map_from_entries(collect_list(struct($"mk", $"qd2"))).as("tab")))
+    val idx = s.read.parquet(s"$root/index")
+      .withColumn("cell", col("cell").cast("long"))
+      .filter($"cell".isin(cells: _*))
+    val live =
+      if (!graft.core.Fs.exists(s, s"$root/index/_tombstones")) idx
+      else idx.join(
+        broadcast(s.read.parquet(s"$root/index/_tombstones").distinct()),
+        Seq("vec_id"), "left_anti")
+    def cw(m: Int): Column = element_at($"code", m + 1).cast("long")
+    def look(m: Int): Column =
+      element_at($"tab", lit(m.toLong * 1000L) + cw(m))
+    excludeVecId.fold(live)(id => live.filter($"vec_id" =!= id))
+      .join(tabs, "cell")
+      // fixed-order 4-term sum — q149's b0+b1+b2+b3 spelling
+      .withColumn("adc_d2", look(0) + look(1) + look(2) + look(3))
+      .select($"vec_id", $"cell",
+        concat_ws("-", cw(0), cw(1), cw(2), cw(3)).as("code"),
+        graft.core.Exact.dround($"adc_d2", 6).as("adc_d2"))
+      .orderBy(graft.core.Exact.dround($"adc_d2", 6).asc, $"vec_id".asc)
+      .limit(k)
+  }
+
+  /** The stored-PQ layout under the oracle gate: build, then probe
+    * through the stored 4-byte codes — must hash-equal q149 (same
+    * oracle SQL), proving at-rest product quantization is invisible
+    * to ranking, the q193 discipline at the PQ compression point.
+    */
+  def q197IvfPqStored(s: SparkSession, dir: String): DataFrame = {
+    val root = ivfTempRoot(dir) + "_pq"
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(p)
+    ivfServingSetupPq(s, dir, root)
+    ivfProbeStoredPq(s, root, excludeVecId = Some(0L))
+  }
+
   // --- q151: PQ code-budget sweep -------------------------------------------
   /** The sweep a production PQ deployment runs before fixing a code
     * budget: quantize the corpus at M ∈ {2, 4, 8} subspaces (= bytes
@@ -2177,6 +2324,7 @@ object Similarity extends QueryPack {
     "q196_context_pack"    -> (q196ContextPack _),
     "q147_ann_pq_adc"      -> (q147AnnPqAdc _),
     "q149_ann_ivf_pq"      -> (q149AnnIvfPq _),
+    "q197_ivf_pq_stored"   -> (q197IvfPqStored _),
     "q151_pq_sweep"        -> (q151PqSweep _),
   )
 
@@ -2206,6 +2354,94 @@ object Similarity extends QueryPack {
     * the in-query composition (q136): at-rest compression is
     * invisible to ranking.
     */
+
+  /** q149 AND q197 share this oracle: the full IVF-PQ
+    * composition — q128's coarse trajectory + residuals + four
+    * q147-style subspace trajectories ON RESIDUAL SLICES +
+    * per-probed-cell ADC tables (the query's residual differs per
+    * cell); fixed-order ADC sum. The stored layout (q197) must
+    * answer byte-identically to the in-query composition (q149):
+    * at-rest product quantization is invisible to ranking.
+    */
+  private lazy val ivfPqSql: String = {
+        def fd2m(m: Int): String = {
+          val lo = m * 16 + 1; val hi = lo + 15
+          s"""cent0_$m AS (SELECT vec_id AS cl, res[$lo:$hi] AS cvec
+             |  FROM res WHERE vec_id BETWEEN 1 AND 16),
+             |a1_$m AS (SELECT r.vec_id, r.res[$lo:$hi] AS sv, c.cl,
+             |  ${d2Sql(s"r.res[$lo:$hi]", "c.cvec")} AS d2
+             | FROM res r CROSS JOIN cent0_$m c),
+             |asg1_$m AS (SELECT vec_id, sv, cl FROM a1_$m
+             |  QUALIFY row_number() OVER
+             |    (PARTITION BY vec_id ORDER BY d2 ASC, cl ASC) = 1),
+             |ex_$m AS (SELECT cl, i,
+             |  CAST(ROUND(CAST(sv[i] AS DOUBLE) * 1048576.0) AS BIGINT) AS v
+             | FROM asg1_$m, generate_series(1, 16) g(i)),
+             |cm_$m AS (SELECT cl, i,
+             |  CAST(SUM(v) AS DOUBLE) / (COUNT(*) * 1048576.0) AS c
+             | FROM ex_$m GROUP BY 1, 2),
+             |cent1_$m AS (SELECT cl, list(c ORDER BY i) AS cvec
+             |  FROM cm_$m GROUP BY 1),
+             |enc_$m AS (SELECT r.vec_id, r.cell, c.cl,
+             |  ${d2Sql(s"r.res[$lo:$hi]", "c.cvec")} AS d2
+             | FROM res r CROSS JOIN cent1_$m c
+             | QUALIFY row_number() OVER
+             |    (PARTITION BY r.vec_id ORDER BY d2 ASC, c.cl ASC) = 1),
+             |tab_$m AS (SELECT t.cell, c.cl,
+             |  ${d2Sql(s"t.qres[$lo:$hi]", "c.cvec")} AS qd2
+             | FROM qres t CROSS JOIN cent1_$m c),
+             |encq_$m AS (SELECT e.vec_id, e.cell, e.cl, t.qd2
+             |  FROM enc_$m e JOIN tab_$m t
+             |   ON t.cell = e.cell AND t.cl = e.cl)""".stripMargin
+        }
+        val adc = "e0.qd2 + e1.qd2 + e2.qd2 + e3.qd2"
+        s"""WITH cent0 AS (SELECT vec_id AS cl, embedding AS cvec
+           |  FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+           |a1 AS (SELECT e.vec_id, e.embedding, c.cl,
+           |  ${d2Sql("e.embedding", "c.cvec")} AS d2
+           | FROM embeddings e CROSS JOIN cent0 c),
+           |asg1 AS (SELECT vec_id, embedding, cl FROM a1
+           |  QUALIFY row_number() OVER
+           |    (PARTITION BY vec_id ORDER BY d2 ASC, cl ASC) = 1),
+           |ex AS (SELECT cl, i,
+           |  CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1048576.0) AS BIGINT) AS v
+           | FROM asg1, generate_series(1, 64) g(i)),
+           |cm AS (SELECT cl, i,
+           |  CAST(SUM(v) AS DOUBLE) / (COUNT(*) * 1048576.0) AS c
+           | FROM ex GROUP BY 1, 2),
+           |cent1 AS (SELECT cl, list(c ORDER BY i) AS cvec FROM cm GROUP BY 1),
+           |a2 AS (SELECT e.vec_id, e.embedding, c.cl,
+           |  ${d2Sql("e.embedding", "c.cvec")} AS d2
+           | FROM embeddings e CROSS JOIN cent1 c),
+           |idx AS (SELECT vec_id, embedding, cl AS cell FROM a2
+           |  QUALIFY row_number() OVER
+           |    (PARTITION BY vec_id ORDER BY d2 ASC, cl ASC) = 1),
+           |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+           |  WHERE vec_id = 0),
+           |probe AS (SELECT c.cl AS cell, c.cvec AS centroid
+           |  FROM cent1 c CROSS JOIN q
+           |  ORDER BY ${d2Sql("q.qv", "c.cvec")} ASC, c.cl ASC LIMIT 3),
+           |rex AS (SELECT i.vec_id, i.cell, g.i,
+           |  CAST(i.embedding[g.i] AS DOUBLE) - c.cvec[g.i] AS v
+           | FROM idx i JOIN cent1 c ON c.cl = i.cell,
+           |  generate_series(1, 64) g(i)),
+           |res AS (SELECT vec_id, cell, list(v ORDER BY i) AS res
+           |  FROM rex GROUP BY 1, 2),
+           |qrx AS (SELECT p.cell, g.i, q.qv[g.i] - p.centroid[g.i] AS v
+           |  FROM probe p CROSS JOIN q, generate_series(1, 64) g(i)),
+           |qres AS (SELECT cell, list(v ORDER BY i) AS qres
+           |  FROM qrx GROUP BY 1),
+           |${(0 until 4).map(fd2m).mkString(",\n")}
+           |SELECT e0.vec_id, e0.cell,
+           | CONCAT_WS('-', e0.cl, e1.cl, e2.cl, e3.cl) AS code,
+           | ${graft.core.Exact.sqlDround(adc, 6)} AS adc_d2
+           |FROM encq_0 e0 JOIN encq_1 e1 USING (vec_id)
+           | JOIN encq_2 e2 USING (vec_id) JOIN encq_3 e3 USING (vec_id)
+           |WHERE e0.vec_id != 0
+           |ORDER BY ${graft.core.Exact.sqlDround(adc, 6)} ASC,
+           | e0.vec_id ASC LIMIT 10""".stripMargin
+  }
+
   private lazy val sq8ProbeSql: String =
     s"""WITH cent0 AS (SELECT vec_id AS cl, embedding AS cvec
        |  FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
@@ -2903,88 +3139,10 @@ object Similarity extends QueryPack {
         perQuery.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
           ")\nORDER BY query_id ASC, cum_tokens ASC, doc_id ASC")
       },
-    "q149_ann_ivf_pq" ->
-      // q128's coarse trajectory + residuals + four q147-style subspace
-      // trajectories ON RESIDUAL SLICES + per-probed-cell ADC tables
-      // (the query's residual differs per cell); fixed-order ADC sum
-      {
-        def fd2m(m: Int): String = {
-          val lo = m * 16 + 1; val hi = lo + 15
-          s"""cent0_$m AS (SELECT vec_id AS cl, res[$lo:$hi] AS cvec
-             |  FROM res WHERE vec_id BETWEEN 1 AND 16),
-             |a1_$m AS (SELECT r.vec_id, r.res[$lo:$hi] AS sv, c.cl,
-             |  ${d2Sql(s"r.res[$lo:$hi]", "c.cvec")} AS d2
-             | FROM res r CROSS JOIN cent0_$m c),
-             |asg1_$m AS (SELECT vec_id, sv, cl FROM a1_$m
-             |  QUALIFY row_number() OVER
-             |    (PARTITION BY vec_id ORDER BY d2 ASC, cl ASC) = 1),
-             |ex_$m AS (SELECT cl, i,
-             |  CAST(ROUND(CAST(sv[i] AS DOUBLE) * 1048576.0) AS BIGINT) AS v
-             | FROM asg1_$m, generate_series(1, 16) g(i)),
-             |cm_$m AS (SELECT cl, i,
-             |  CAST(SUM(v) AS DOUBLE) / (COUNT(*) * 1048576.0) AS c
-             | FROM ex_$m GROUP BY 1, 2),
-             |cent1_$m AS (SELECT cl, list(c ORDER BY i) AS cvec
-             |  FROM cm_$m GROUP BY 1),
-             |enc_$m AS (SELECT r.vec_id, r.cell, c.cl,
-             |  ${d2Sql(s"r.res[$lo:$hi]", "c.cvec")} AS d2
-             | FROM res r CROSS JOIN cent1_$m c
-             | QUALIFY row_number() OVER
-             |    (PARTITION BY r.vec_id ORDER BY d2 ASC, c.cl ASC) = 1),
-             |tab_$m AS (SELECT t.cell, c.cl,
-             |  ${d2Sql(s"t.qres[$lo:$hi]", "c.cvec")} AS qd2
-             | FROM qres t CROSS JOIN cent1_$m c),
-             |encq_$m AS (SELECT e.vec_id, e.cell, e.cl, t.qd2
-             |  FROM enc_$m e JOIN tab_$m t
-             |   ON t.cell = e.cell AND t.cl = e.cl)""".stripMargin
-        }
-        val adc = "e0.qd2 + e1.qd2 + e2.qd2 + e3.qd2"
-        s"""WITH cent0 AS (SELECT vec_id AS cl, embedding AS cvec
-           |  FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
-           |a1 AS (SELECT e.vec_id, e.embedding, c.cl,
-           |  ${d2Sql("e.embedding", "c.cvec")} AS d2
-           | FROM embeddings e CROSS JOIN cent0 c),
-           |asg1 AS (SELECT vec_id, embedding, cl FROM a1
-           |  QUALIFY row_number() OVER
-           |    (PARTITION BY vec_id ORDER BY d2 ASC, cl ASC) = 1),
-           |ex AS (SELECT cl, i,
-           |  CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1048576.0) AS BIGINT) AS v
-           | FROM asg1, generate_series(1, 64) g(i)),
-           |cm AS (SELECT cl, i,
-           |  CAST(SUM(v) AS DOUBLE) / (COUNT(*) * 1048576.0) AS c
-           | FROM ex GROUP BY 1, 2),
-           |cent1 AS (SELECT cl, list(c ORDER BY i) AS cvec FROM cm GROUP BY 1),
-           |a2 AS (SELECT e.vec_id, e.embedding, c.cl,
-           |  ${d2Sql("e.embedding", "c.cvec")} AS d2
-           | FROM embeddings e CROSS JOIN cent1 c),
-           |idx AS (SELECT vec_id, embedding, cl AS cell FROM a2
-           |  QUALIFY row_number() OVER
-           |    (PARTITION BY vec_id ORDER BY d2 ASC, cl ASC) = 1),
-           |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
-           |  WHERE vec_id = 0),
-           |probe AS (SELECT c.cl AS cell, c.cvec AS centroid
-           |  FROM cent1 c CROSS JOIN q
-           |  ORDER BY ${d2Sql("q.qv", "c.cvec")} ASC, c.cl ASC LIMIT 3),
-           |rex AS (SELECT i.vec_id, i.cell, g.i,
-           |  CAST(i.embedding[g.i] AS DOUBLE) - c.cvec[g.i] AS v
-           | FROM idx i JOIN cent1 c ON c.cl = i.cell,
-           |  generate_series(1, 64) g(i)),
-           |res AS (SELECT vec_id, cell, list(v ORDER BY i) AS res
-           |  FROM rex GROUP BY 1, 2),
-           |qrx AS (SELECT p.cell, g.i, q.qv[g.i] - p.centroid[g.i] AS v
-           |  FROM probe p CROSS JOIN q, generate_series(1, 64) g(i)),
-           |qres AS (SELECT cell, list(v ORDER BY i) AS qres
-           |  FROM qrx GROUP BY 1),
-           |${(0 until 4).map(fd2m).mkString(",\n")}
-           |SELECT e0.vec_id, e0.cell,
-           | CONCAT_WS('-', e0.cl, e1.cl, e2.cl, e3.cl) AS code,
-           | ${graft.core.Exact.sqlDround(adc, 6)} AS adc_d2
-           |FROM encq_0 e0 JOIN encq_1 e1 USING (vec_id)
-           | JOIN encq_2 e2 USING (vec_id) JOIN encq_3 e3 USING (vec_id)
-           |WHERE e0.vec_id != 0
-           |ORDER BY ${graft.core.Exact.sqlDround(adc, 6)} ASC,
-           | e0.vec_id ASC LIMIT 10""".stripMargin
-      },
+    "q149_ann_ivf_pq" -> ivfPqSql,
+    // the stored layout must answer byte-identically to the in-query
+    // composition — same oracle verbatim (the q136/q193 discipline)
+    "q197_ivf_pq_stored" -> ivfPqSql,
     "q151_pq_sweep" ->
       // 14 independent subspace trajectories (budgets 2+4+8), each the
       // q102 chain on its slice; per-vector min-d2 snapped to ints

@@ -2541,6 +2541,20 @@ object TextAnalysis extends QueryPack {
         .withColumn("stage", lit("compacted")))
   }
 
+  /** Point-in-time probe: [[bm25Probe]] pinned to generation `gen`
+    * under a [[graft.core.Roots]] base — the lexical twin of
+    * [[graft.operators.Similarity.ivfProbeAt]] (r15 verdict #5): the
+    * audit/repro read ("what did the index answer before yesterday's
+    * compaction?") against any retired-but-retained generation.
+    * Generations are immutable dirs, so the pinned probe replays the
+    * exact pre-swap answer — including its `_stats` sidecar state and
+    * tombstone view at that generation; a generation deleted past
+    * retention fails loudly (Roots.at), never an empty scan.
+    */
+  def bm25ProbeAt(s: SparkSession, base: String, gen: String,
+      terms: Seq[String], k: Int = 10, buckets: Int = 64): DataFrame =
+    bm25Probe(s, graft.core.Roots.at(s, base, gen), terms, k, buckets)
+
   /** One DETERMINISTIC temp root per corpus dir: every invocation
     * (3+ bench reps per round) overwrites the same layout instead of
     * leaking a fresh corpus-sized index per rep, and the Hadoop

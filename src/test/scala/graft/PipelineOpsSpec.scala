@@ -3389,6 +3389,73 @@ class PipelineOpsSpec extends SparkTestBase {
       "SQ8 probe must not scan the whole index")
   }
 
+  test("ivfServingSetupPq: the stored-PQ probe answers exactly q149, " +
+    "reads only probed cells, and the index is far smaller at rest " +
+    "than both the SQ8 and full-precision layouts") {
+    val rootF = java.nio.file.Files.createTempDirectory("pqfull").toString
+    val rootS = java.nio.file.Files.createTempDirectory("pqsq8").toString
+    val rootP = java.nio.file.Files.createTempDirectory("pqpq").toString
+    Similarity.ivfServingSetup(spark, sfDir, rootF)
+    Similarity.ivfServingSetupSq8(spark, sfDir, rootS)
+    Similarity.ivfServingSetupPq(spark, sfDir, rootP)
+    // ranking parity with the in-query composition (the oracle's law):
+    // code string AND rounded ADC distance, row for row in order
+    val got = Similarity.ivfProbeStoredPq(spark, rootP,
+      excludeVecId = Some(0L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3))).toSeq
+    val expect = Similarity.q149AnnIvfPq(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3))).toSeq
+    assert(got == expect, "stored-PQ probe must equal q149 row for row")
+    // the at-rest win: 4 bytes of member payload vs SQ8's 72 vs
+    // full-precision's 256+ — assert conservative factors (parquet
+    // framing overhead narrows the raw ratios)
+    def bytes(dir: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles.map(walk).sum
+        else if (f.getName.endsWith(".parquet")) f.length else 0L
+      walk(new java.io.File(dir))
+    }
+    val bf = bytes(s"$rootF/index"); val bs = bytes(s"$rootS/index")
+    val bp = bytes(s"$rootP/index")
+    assert(bp * 2 < bs,
+      s"PQ index must be well under half the SQ8 bytes (got $bp vs $bs)")
+    assert(bp * 8 < bf,
+      s"PQ index must be under an eighth of full precision ($bp vs $bf)")
+    // physics: the probe still prunes to the probed cells' files
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allScans(a.executedPlan)
+      case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allScans(qs.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(allScans)
+    }
+    val probed = Similarity.ivfProbeStoredPq(spark, rootP,
+      excludeVecId = Some(0L))
+    probed.collect()
+    val scan = allScans(probed.queryExecution.executedPlan).find(f =>
+      f.relation.location.rootPaths.exists(_.toString.contains("pqpq")))
+      .get
+    val filesTotal = new java.io.File(s"$rootP/index").listFiles
+      .filter(_.getName.startsWith("cell="))
+      .map(_.listFiles.count(_.getName.endsWith(".parquet"))).sum
+    assert(scan.metrics("numFiles").value < filesTotal.toLong,
+      "PQ probe must not scan the whole index")
+    // tombstones honored: delete the top hit, re-probe through the
+    // live view — the victim is gone, the rest of the ranking holds
+    import spark.implicits._
+    Similarity.ivfDelete(Seq(expect.head._1).toDF("vec_id"),
+      s"$rootP/index")
+    val after = Similarity.ivfProbeStoredPq(spark, rootP,
+      excludeVecId = Some(0L)).collect().map(_.getLong(0)).toSeq
+    assert(!after.contains(expect.head._1))
+    assert(after.take(5) == expect.map(_._1).filterNot(_ == expect.head._1)
+      .take(5), "surviving ranking prefix must be unchanged")
+  }
+
   test("ivfProbeAt: a probe pinned to a retired-but-retained generation " +
     "answers exactly what the pre-swap probe answered; past retention " +
     "it fails loudly") {
@@ -3425,6 +3492,51 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(graft.core.Roots.retire(spark, base, keepLatest = 1) == Seq("gen0"))
     intercept[IllegalArgumentException] {
       Similarity.ivfProbeAt(spark, base, "gen0")
+    }
+  }
+
+  test("bm25ProbeAt: the lexical point-in-time probe answers exactly " +
+    "what the pre-swap probe answered; the live pointer serves the " +
+    "compacted generation; past retention it fails loudly") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val base = java.nio.file.Files.createTempDirectory("bm25gen").toString
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    TextAnalysis.bm25IndexWrite(docs, s"$base/gen0")
+    graft.core.Roots.publish(spark, base, "gen0")
+    // tombstone some victims in gen0, freeze the pre-swap answer
+    TextAnalysis.bm25Delete(
+      docs.filter($"doc_id" % 7 === 3).select($"doc_id"),
+      graft.core.Roots.current(spark, base))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSeq
+    val preSwap = rows(TextAnalysis.bm25Probe(spark,
+      graft.core.Roots.current(spark, base), TextAnalysis.Bm25Query))
+    assert(preSwap.nonEmpty)
+    // compact into gen1 and swap — the q173 lifecycle
+    TextAnalysis.bm25Compact(spark, s"$base/gen0", s"$base/gen1")
+    graft.core.Roots.publish(spark, base, "gen1")
+    // point-in-time law (the PipelineOpsSpec ivfProbeAt law, lexical
+    // side): probe@gen0 == the pre-swap probe, byte for byte — gen0's
+    // postings, _stats rows, AND tombstone view are all immutable
+    assert(rows(TextAnalysis.bm25ProbeAt(spark, base, "gen0",
+      TextAnalysis.Bm25Query)) == preSwap,
+      "probe@gen0 must equal the pre-swap probe")
+    // the live pointer serves the compacted generation — same logical
+    // index (tombstone view == compacted view), so same answer too
+    assert(rows(TextAnalysis.bm25Probe(spark,
+      graft.core.Roots.current(spark, base), TextAnalysis.Bm25Query))
+      == preSwap)
+    assert(rows(TextAnalysis.bm25ProbeAt(spark, base, "gen1",
+      TextAnalysis.Bm25Query)) == preSwap)
+    // retention: keepLatest=2 keeps gen0 probe-able; 1 retires it
+    assert(graft.core.Roots.retire(spark, base, keepLatest = 2).isEmpty)
+    assert(rows(TextAnalysis.bm25ProbeAt(spark, base, "gen0",
+      TextAnalysis.Bm25Query)).nonEmpty)
+    assert(graft.core.Roots.retire(spark, base, keepLatest = 1)
+      == Seq("gen0"))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25ProbeAt(spark, base, "gen0", TextAnalysis.Bm25Query)
     }
   }
 }
