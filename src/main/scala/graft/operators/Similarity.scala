@@ -727,6 +727,20 @@ object Similarity extends QueryPack {
       cents.select(col("cell").as("cl"), col("centroid").as("cvec")))
       .select(col("vec_id"), col("embedding"), col("cl").as("cell"))
 
+  /** [[ivfAssignNew]] with the tenant tag carried through — the
+    * assignment projection passes `tb` along (kmeansAssign's
+    * pass-through contract), so a multi-tenant CRUD batch lands in
+    * its `(tb, cell)` dirs without a vec_id re-join. Cell choice is
+    * tenant-independent (pure function of the vector against frozen
+    * centroids) — the q191 isolation law holds for streamed rows by
+    * construction.
+    */
+  def ivfAssignNewTenants(newEmb: DataFrame, cents: DataFrame): DataFrame =
+    kmeansAssign(newEmb,
+      cents.select(col("cell").as("cl"), col("centroid").as("cvec")))
+      .select(col("vec_id"), col("embedding"), col("tb"),
+        col("cl").as("cell"))
+
   /** Incremental IVF maintenance — the ANN analogue of q61's
     * incremental dedup (reference analogue: the pretrained-model
     * serving surface, Week#6_assignment.ipynb:443-499): append a new
@@ -1092,6 +1106,53 @@ object Similarity extends QueryPack {
     p.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(p)
     ivfServingSetupTenants(s, dir, root)
     ivfPurgeTenant(s, root, IvfTenants(1))
+    IvfTenants.map { tb =>
+      ivfProbeStoredTenant(s, root, tb, excludeVecId = Some(0L))
+        .withColumn("tenant", lit(tb))
+    }.reduce(_ unionByName _)
+      .orderBy($"tenant".asc, $"cos".desc, $"vec_id".asc)
+  }
+
+  // --- q198: tenant layout built by the MAINTENANCE STREAM ---------------------
+  /** The tenant layout's streaming-ingest leg under the oracle gate
+    * (r15 verdict #4 — before this, a multi-tenant deployment had to
+    * rebuild batch-side): train the corpus-wide quantizer once, then
+    * let the WHOLE corpus arrive as two CRUD micro-batches through
+    * [[graft.streaming.IvfMaintain.applyBatchTenants]] (the staged
+    * exactly-once publish, `partitionBy(tb, cell)`), and probe both
+    * tenants off the stream-built layout. The answer must equal
+    * q191's batch-built layout (same oracle SQL): frozen-centroid
+    * assignment is a pure per-row function, so arrival order and
+    * batch boundaries are invisible to probes — the law that makes
+    * streaming ingest SAFE for a serving fleet.
+    *
+    * Scale shape: per batch one zero-shuffle assignment projection
+    * (k-row centroid broadcast) + a staged write touching only the
+    * batch's (tenant, cell) dirs; probes stay two-level pruned.
+    * StreamingSpec adds the live-stream twin (MemoryStream feed,
+    * stream==batch parity, purge-del rows, replay refusal).
+    */
+  def q198IvfTenantMaintain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = ivfTempRoot(dir) + "_tmaint"
+    graft.core.Fs.deleteRecursive(s, root)
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(p)
+    val emb = embCached(s, dir)
+    val (_, cents) = ivfLearned(emb, k = 8, iters = 2)
+    cents.write.mode("overwrite").parquet(s"$root/_cents")
+    emb.filter($"vec_id" === 0)
+      .select(vec($"embedding").as("qv"))
+      .write.mode("overwrite").parquet(s"$root/_query")
+    val half = broadcast(
+      emb.agg(floor(max($"vec_id") / 2).cast("long").as("split")))
+    val feed = emb.crossJoin(half)
+      .select(lit("add").as("op"), $"vec_id", $"embedding",
+        $"label".cast("long").as("tb"), $"split")
+    graft.streaming.IvfMaintain.applyBatchTenants(
+      feed.filter($"vec_id" <= $"split").drop("split"), 0L, root)
+    graft.streaming.IvfMaintain.applyBatchTenants(
+      feed.filter($"vec_id" > $"split").drop("split"), 1L, root)
     IvfTenants.map { tb =>
       ivfProbeStoredTenant(s, root, tb, excludeVecId = Some(0L))
         .withColumn("tenant", lit(tb))
@@ -2317,6 +2378,7 @@ object Similarity extends QueryPack {
     "q139_ivf_append"      -> (q139IvfAppend _),
     "q158_ivf_delete"      -> (q158IvfDelete _),
     "q191_ivf_tenant_probe" -> (q191IvfTenantProbe _),
+    "q198_ivf_tenant_maintain" -> (q198IvfTenantMaintain _),
     "q192_ivf_tenant_purge" -> (q192IvfTenantPurge _),
     "q193_ivf_sq8_stored"  -> (q193IvfSq8Stored _),
     "q194_ivf_compact_swap" -> (q194IvfCompactSwap _),
@@ -2441,6 +2503,54 @@ object Similarity extends QueryPack {
            |ORDER BY ${graft.core.Exact.sqlDround(adc, 6)} ASC,
            | e0.vec_id ASC LIMIT 10""".stripMargin
   }
+
+
+  /** q191 AND q198 share this oracle: q128's trained trajectory
+    * with label carried through; probe cells are query-vs-centroid
+    * only (tenant-independent), then per-tenant rounded-cosine
+    * top-10 among that tenant's members of the probed cells —
+    * isolation as a hash fact. The stream-built layout (q198) must
+    * answer identically to the batch-built one (q191): frozen-
+    * centroid assignment is a pure per-row function, so HOW rows
+    * arrived (one batch write vs staged micro-batches) is invisible
+    * to probes.
+    */
+  private lazy val ivfTenantProbeSql: String =
+      s"""WITH cent0 AS (SELECT vec_id AS cl, embedding AS cvec
+         |  FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+         |a1 AS (SELECT e.vec_id, e.embedding, c.cl,
+         |  ${d2Sql("e.embedding", "c.cvec")} AS d2
+         | FROM embeddings e CROSS JOIN cent0 c),
+         |asg1 AS (SELECT vec_id, embedding, cl FROM a1
+         |  QUALIFY row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY d2 ASC, cl ASC) = 1),
+         |ex AS (SELECT cl, i,
+         |  CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1048576.0) AS BIGINT) AS v
+         | FROM asg1, generate_series(1, 64) g(i)),
+         |cm AS (SELECT cl, i,
+         |  CAST(SUM(v) AS DOUBLE) / (COUNT(*) * 1048576.0) AS c
+         | FROM ex GROUP BY 1, 2),
+         |cent1 AS (SELECT cl, list(c ORDER BY i) AS cvec FROM cm GROUP BY 1),
+         |a2 AS (SELECT e.vec_id, e.embedding, e.label, c.cl,
+         |  ${d2Sql("e.embedding", "c.cvec")} AS d2
+         | FROM embeddings e CROSS JOIN cent1 c),
+         |idx AS (SELECT vec_id, embedding, label, cl AS cell FROM a2
+         |  QUALIFY row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY d2 ASC, cl ASC) = 1),
+         |q AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0),
+         |probe AS (SELECT c.cl AS cell FROM cent1 c CROSS JOIN q
+         |  ORDER BY ${d2Sql("q.qemb", "c.cvec")} ASC, c.cl ASC
+         |  LIMIT 3)
+         |SELECT CAST(i.label AS BIGINT) AS tenant, i.vec_id, i.cell,
+         | ROUND(${cosSql("i.embedding", "q.qemb")}, 6) AS cos
+         |FROM idx i JOIN probe USING (cell) CROSS JOIN q
+         |WHERE i.vec_id != 0 AND i.label IN (0, 1)
+         |QUALIFY row_number() OVER (PARTITION BY i.label
+         |  ORDER BY ROUND(${cosSql("i.embedding", "q.qemb")}, 6) DESC,
+         |   i.vec_id ASC) <= 10
+         |ORDER BY tenant ASC,
+         | ROUND(${cosSql("i.embedding", "q.qemb")}, 6) DESC,
+         | i.vec_id ASC""".stripMargin
 
   private lazy val sq8ProbeSql: String =
     s"""WITH cent0 AS (SELECT vec_id AS cl, embedding AS cvec
@@ -2882,46 +2992,8 @@ object Similarity extends QueryPack {
          |FROM top t CROSS JOIN (SELECT 'tombstoned' AS stage
          |  UNION ALL SELECT 'compacted') s
          |ORDER BY s.stage ASC, t.cos DESC, t.vec_id ASC""".stripMargin,
-    "q191_ivf_tenant_probe" ->
-      // q128's trained trajectory with label carried through; probe
-      // cells are query-vs-centroid only (tenant-independent), then
-      // per-tenant rounded-cosine top-10 among that tenant's members
-      // of the probed cells — isolation as a hash fact
-      s"""WITH cent0 AS (SELECT vec_id AS cl, embedding AS cvec
-         |  FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
-         |a1 AS (SELECT e.vec_id, e.embedding, c.cl,
-         |  ${d2Sql("e.embedding", "c.cvec")} AS d2
-         | FROM embeddings e CROSS JOIN cent0 c),
-         |asg1 AS (SELECT vec_id, embedding, cl FROM a1
-         |  QUALIFY row_number() OVER
-         |    (PARTITION BY vec_id ORDER BY d2 ASC, cl ASC) = 1),
-         |ex AS (SELECT cl, i,
-         |  CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1048576.0) AS BIGINT) AS v
-         | FROM asg1, generate_series(1, 64) g(i)),
-         |cm AS (SELECT cl, i,
-         |  CAST(SUM(v) AS DOUBLE) / (COUNT(*) * 1048576.0) AS c
-         | FROM ex GROUP BY 1, 2),
-         |cent1 AS (SELECT cl, list(c ORDER BY i) AS cvec FROM cm GROUP BY 1),
-         |a2 AS (SELECT e.vec_id, e.embedding, e.label, c.cl,
-         |  ${d2Sql("e.embedding", "c.cvec")} AS d2
-         | FROM embeddings e CROSS JOIN cent1 c),
-         |idx AS (SELECT vec_id, embedding, label, cl AS cell FROM a2
-         |  QUALIFY row_number() OVER
-         |    (PARTITION BY vec_id ORDER BY d2 ASC, cl ASC) = 1),
-         |q AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0),
-         |probe AS (SELECT c.cl AS cell FROM cent1 c CROSS JOIN q
-         |  ORDER BY ${d2Sql("q.qemb", "c.cvec")} ASC, c.cl ASC
-         |  LIMIT 3)
-         |SELECT CAST(i.label AS BIGINT) AS tenant, i.vec_id, i.cell,
-         | ROUND(${cosSql("i.embedding", "q.qemb")}, 6) AS cos
-         |FROM idx i JOIN probe USING (cell) CROSS JOIN q
-         |WHERE i.vec_id != 0 AND i.label IN (0, 1)
-         |QUALIFY row_number() OVER (PARTITION BY i.label
-         |  ORDER BY ROUND(${cosSql("i.embedding", "q.qemb")}, 6) DESC,
-         |   i.vec_id ASC) <= 10
-         |ORDER BY tenant ASC,
-         | ROUND(${cosSql("i.embedding", "q.qemb")}, 6) DESC,
-         | i.vec_id ASC""".stripMargin,
+    "q191_ivf_tenant_probe" -> ivfTenantProbeSql,
+    "q198_ivf_tenant_maintain" -> ivfTenantProbeSql,
     "q192_ivf_tenant_purge" ->
       // q191's SURVIVOR leg only: tenant 1 is purged, so the oracle
       // carries zero rows for it — any leaked purged-tenant row fails

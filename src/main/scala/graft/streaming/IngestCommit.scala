@@ -45,10 +45,9 @@ import graft.core.Fs
   * converges (missing pointer reads as "nothing committed" and the
   * scrub re-cleans), but rename-atomic stores give the hard guarantee.
   *
-  * Scrub globs cover the flat and one-level-partitioned trees both
-  * layouts use (tag-prefixed files directly under the dest dir, and
-  * under its first-level partition dirs); a deeper `partitionBy` tree
-  * would need its globs listed here.
+  * Scrub globs cover the flat, one-level (cell=), and two-level
+  * (tb=/cell= — the tenant layouts) partitioned trees the layouts
+  * use; a deeper `partitionBy` tree would need its glob listed here.
   *
   * SINGLE-WRITER contract: one maintenance stream per layout. The
   * pointer records one monotone batch-id sequence — two concurrent
@@ -92,6 +91,8 @@ object IngestCommit {
       val dest = if (destSub.isEmpty) layout else s"$layout/$destSub"
       Fs.deleteGlob(s, s"$dest/$t-*.parquet")
       Fs.deleteGlob(s, s"$dest/*=*/$t-*.parquet")
+      // two-level partitionBy trees (the tenant layouts' tb=/cell=)
+      Fs.deleteGlob(s, s"$dest/*=*/*=*/$t-*.parquet")
     }
     val staged = stagingDir(layout, batchId)
     Fs.deleteRecursive(s, staged)

@@ -70,6 +70,52 @@ object IvfMaintain {
       }
       .start()
 
+  /** [[applyBatch]] for the MULTI-TENANT layout (r15 verdict #4 —
+    * the tenant layouts previously had no streaming CRUD leg, forcing
+    * batch-side rebuilds): one (op, vec_id, embedding, tb) micro-batch
+    * where adds carry their tenant tag through the assignment
+    * projection ([[graft.operators.Similarity.ivfAssignNewTenants]])
+    * and stage `partitionBy(tb, cell)` — published files land only
+    * under the batch's own (tenant, cell) dirs, so co-tenants' files
+    * are never rewritten by a neighbor's ingest. Dels are vec_id
+    * tombstones exactly as single-tenant (the live view's anti-join is
+    * tenant-agnostic); a whole-tenant purge rides the same feed as
+    * that tenant's del rows. Same staged-publish exactly-once and
+    * no-id-reuse contracts.
+    */
+  def applyBatchTenants(batch: DataFrame, batchId: Long,
+      root: String): Boolean = {
+    val s = batch.sparkSession
+    val b = batch.localCheckpoint(false)
+    IngestCommit.applyStaged(s, index(root), batchId, Artifacts, staged => {
+      graft.operators.Similarity
+        .ivfAssignNewTenants(
+          b.filter(col("op") === "add")
+            .select(col("vec_id"), col("embedding"),
+              col("tb").cast("long").as("tb")),
+          s.read.parquet(s"$root/_cents"))
+        .write.mode("overwrite").partitionBy("tb", "cell")
+        .parquet(s"$staged/post")
+      b.filter(col("op") === "del")
+        .select(col("vec_id").cast("long"))
+        .write.mode("overwrite").parquet(s"$staged/tomb")
+    })
+  }
+
+  /** The tenant maintenance loop — one stream serving every tenant of
+    * the shared `partitionBy(tb, cell)` layout (the single-writer
+    * contract is per LAYOUT, so multi-tenant CRUD multiplexes into
+    * this one feed rather than a stream per tenant).
+    */
+  def ivfMaintainStreamTenants(feed: DataFrame, root: String,
+      checkpoint: String): StreamingQuery =
+    feed.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatchTenants(batch, batchId, root); ()
+      }
+      .start()
+
   /** Cheap compaction trigger: distinct tombstone ids over index row
     * count — an UPPER BOUND on the true dead fraction (a tombstoned id
     * absent from the index inflates it; deletes normally target known
@@ -92,12 +138,33 @@ object IvfMaintain {
     * table and query payloads copy forward — centroids do not change
     * on compaction (that would be a retrain, a different operation).
     */
-  def compactAndSwap(s: SparkSession, base: String): String = {
+  def compactAndSwap(s: SparkSession, base: String): String =
+    swapWith(s, base)(graft.operators.Similarity.ivfCompact(s, _, _))
+
+  /** [[compactAndSwap]] for the tenant layout: the rewrite goes
+    * through the payload-agnostic [[graft.operators.Similarity
+    * .ivfCompactTenants]], so a fully purged tenant's `tb=` subtree
+    * simply does not exist in the next generation — erasure's bytes
+    * reclaimed by the same swap machinery, full-precision and SQ8
+    * payloads alike.
+    */
+  def compactAndSwapTenants(s: SparkSession, base: String): String =
+    swapWith(s, base)(
+      graft.operators.Similarity.ivfCompactTenants(s, _, _))
+
+  /** The shared generation-flip: compact the CURRENT generation's
+    * index into the next via `compact(srcIndex, destIndex)`, carry the
+    * replay pointer ([[Bm25Maintain.compactAndSwap]]'s rule) AND the
+    * serving sidecars (an IVF generation is the whole root — frozen
+    * `_cents` + query payloads copy forward; centroids do not change
+    * on compaction, that would be a retrain), then publish.
+    */
+  private def swapWith(s: SparkSession, base: String)(
+      compact: (String, String) => Unit): String = {
     val curGen = graft.core.Roots.currentGen(s, base)
     val next = "gen" + (curGen.stripPrefix("gen").toLong + 1L)
     graft.core.Fs.deleteRecursive(s, s"$base/$next")
-    graft.operators.Similarity.ivfCompact(
-      s, s"$base/$curGen/index", s"$base/$next/index")
+    compact(s"$base/$curGen/index", s"$base/$next/index")
     Seq("_cents", "_query", "_queries").foreach { side =>
       if (graft.core.Fs.exists(s, s"$base/$curGen/$side"))
         s.read.parquet(s"$base/$curGen/$side")
@@ -129,6 +196,26 @@ object IvfMaintain {
         if (applyBatch(batch, batchId, cur) &&
             deadVecFrac(s, cur) >= compactAt) {
           compactAndSwap(s, base); ()
+        }
+      }
+      .start()
+
+  /** [[ivfMaintainStreamManaged]] on the tenant layout: CRUD feed
+    * (op, vec_id, embedding, tb) applied exactly-once against the
+    * generation the Roots pointer names, per-batch dead-vector
+    * trigger, offline [[compactAndSwapTenants]] into the next
+    * generation — purged tenants' `tb=` subtrees drop with it.
+    */
+  def ivfMaintainStreamManagedTenants(feed: DataFrame, base: String,
+      checkpoint: String, compactAt: Double = 0.2): StreamingQuery =
+    feed.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val cur = graft.core.Roots.current(s, base)
+        if (applyBatchTenants(batch, batchId, cur) &&
+            deadVecFrac(s, cur) >= compactAt) {
+          compactAndSwapTenants(s, base); ()
         }
       }
       .start()

@@ -1936,6 +1936,84 @@ class StreamingSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("tenant ivf maintenance stream: the stream-built tenant layout " +
+    "answers exactly the batch-built one; a tenant purge rides the " +
+    "feed as del rows; managed compaction drops the purged tenant's " +
+    "tb= subtree; replay refused untouched") {
+    import spark.implicits._
+    import graft.core.Roots
+    import graft.operators.Similarity
+    import graft.streaming.IvfMaintain
+    implicit val sc = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("ivftmnt").toString
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    // gen0 starts EMPTY of members: frozen quantizer + query sidecars
+    // only — the whole corpus arrives through the stream
+    val (_, cents) = Similarity.ivfLearned(emb, k = 8, iters = 2)
+    cents.write.mode("overwrite").parquet(s"$base/gen0/_cents")
+    emb.filter($"vec_id" === 0)
+      .selectExpr("cast(embedding as array<double>) as qv")
+      .write.mode("overwrite").parquet(s"$base/gen0/_query")
+    Roots.publish(spark, base, "gen0")
+    val purged = Similarity.IvfTenants(1)
+    val adds = emb
+      .select($"vec_id", $"embedding", $"label".cast("long").as("tb"))
+      .as[(Long, Seq[Float], Long)].collect().toSeq
+      .map { case (id, e, tb) => ("add", id, e, tb) }
+    // the purge is just that tenant's del rows multiplexed into the
+    // same feed (single-writer contract) — tb on a del is ignored
+    val purgeDels = adds.filter(_._4 == purged)
+      .map { case (_, id, _, tb) => ("del", id, Seq.empty[Float], tb) }
+    val ckpt = java.nio.file.Files.createTempDirectory("ivftmnt_ck").toString
+    val input = MemoryStream[(String, Long, Seq[Float], Long)]
+    val q = IvfMaintain.ivfMaintainStreamManagedTenants(
+      input.toDF().toDF("op", "vec_id", "embedding", "tb"), base, ckpt,
+      compactAt = 0.05)
+    val feed = adds.grouped(adds.size / 3 + 1).toSeq :+ purgeDels
+    try feed.foreach { s => input.addData(s); q.processAllAvailable() }
+    finally q.stop()
+    // the purge pushed the dead fraction past the trigger
+    assert(Roots.currentGen(spark, base) != "gen0",
+      "auto-compaction never fired")
+    val cur = Roots.current(spark, base)
+    // erasure physics: the purged tenant's tb= subtree does not exist
+    // in the compacted generation, the survivor's does
+    val tbDirs = new java.io.File(s"$cur/index").listFiles
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(!tbDirs.contains(s"tb=$purged"),
+      s"purged tenant's subtree survived compaction: $tbDirs")
+    assert(tbDirs.contains(s"tb=${Similarity.IvfTenants.head}"))
+    // batch control: the one-shot tenant layout, same purge batch-side
+    val ctrl = java.nio.file.Files.createTempDirectory("ivftmntc").toString
+    Similarity.ivfServingSetupTenants(spark, sfDir, ctrl)
+    Similarity.ivfPurgeTenant(spark, ctrl, purged)
+    def probe(root: String, tb: Long) =
+      Similarity.ivfProbeStoredTenant(spark, root, tb,
+        excludeVecId = Some(0L)).collect().toSeq
+    Similarity.IvfTenants.foreach { tb =>
+      assert(probe(cur, tb) == probe(ctrl, tb),
+        s"tenant $tb: stream-built layout diverges from batch control")
+    }
+    assert(probe(cur, purged).isEmpty,
+      "purged tenant must be unservable from the stream-built layout")
+    // replay refused: re-applying the last committed batch id leaves
+    // the layout untouched
+    val committed = IvfMaintain.committedBatch(spark, cur)
+    assert(committed == feed.size - 1L)
+    val before = Similarity.ivfReadLiveTenants(spark, s"$cur/index")
+      .groupBy($"tb").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(!IvfMaintain.applyBatchTenants(
+      Seq(("add", 999999L, Seq.fill(64)(0.5f), 0L))
+        .toDF("op", "vec_id", "embedding", "tb"),
+      committed, cur), "replay must be refused")
+    assert(Similarity.ivfReadLiveTenants(spark, s"$cur/index")
+      .groupBy($"tb").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      == before)
+    spark.catalog.clearCache()
+  }
+
   test("ingest commit protocol: a crash mid-publish (postings renamed " +
     "in, sidecars and pointer missing) converges to the clean-run end " +
     "state on redelivery — driven through an explicit file: scheme so " +
