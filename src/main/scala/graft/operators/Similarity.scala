@@ -2310,6 +2310,102 @@ object Similarity extends QueryPack {
       .orderBy($"query_id".asc, $"cum_tokens".asc, $"doc_id".asc)
   }
 
+  // --- q199: approximate RAG context packing — fused over the stored IVF probe
+  /** q196's context assembly with the dense leg swapped from the
+    * exact brute scan to the STORED IVF batch probe (r15 verdict #6 —
+    * the recall-vs-cost point of the RAG path): the lexical leg is
+    * unchanged (q164's pruned batch probe), the dense leg reads
+    * ≤nprobe cells per query off the persisted [[ivfServingSetup]]
+    * layout instead of scanning the whole corpus, and fusion/packing
+    * replay q166/q196's arithmetic verbatim. At 100 TB this is the
+    * production shape — the exact dense leg is a full-corpus scan per
+    * batch, the IVF leg is a partition-pruned read whose cost tracks
+    * nprobe, and [[contextPackOverlap]] censuses what the
+    * approximation changed in the SHIPPED context.
+    *
+    * Exactness: the IVF ranking is q165's (hash-gated trajectory);
+    * rank fusion and the integer prefix rule are q166/q196's spellings
+    * on those ranks — the whole approximate path sits under its own
+    * hash gate, so "approximate" means a DIFFERENT deterministic
+    * answer, never a loose one.
+    */
+  def q199ContextPackApprox(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val root = ivfTempRoot(dir) + "_ctx"
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(p)
+    ivfServingSetup(s, dir, root)
+    val wB = Window.partitionBy($"query_id")
+      .orderBy($"score".desc, $"doc_id".asc)
+    val bm = graft.operators.TextAnalysis.q164Bm25BatchProbe(s, dir)
+      .select($"query_id", $"doc_id", $"score")
+      .withColumn("rank", row_number().over(wB).cast("long"))
+      .select($"query_id", $"doc_id", lit("bm25").as("sys"), $"rank")
+    // dense leg: the persisted layout's batch probe (q165's ranking),
+    // re-keyed to the hybrid query ids
+    val pairs = broadcast(HybridBatch.toDF("qid", "qvid"))
+    val wA = Window.partitionBy($"query_id")
+      .orderBy($"cos".desc, $"doc_id".asc)
+    val ann = ivfProbeStoredBatch(s, root)
+      .join(pairs, $"query_id" === $"qvid")
+      .select($"qid".as("query_id"), $"vec_id".as("doc_id"), $"cos")
+      .withColumn("rank", row_number().over(wA).cast("long"))
+      .select($"query_id", $"doc_id", lit("ann").as("sys"), $"rank")
+    val fuseW = Window.partitionBy($"query_id")
+      .orderBy($"rrf".desc, $"doc_id".asc)
+    val fused = bm.unionByName(ann)
+      .groupBy($"query_id", $"doc_id")
+      .agg(graft.core.Exact.dround(
+        sum(lit(1.0) / (lit(60.0) + $"rank".cast("double"))), 6).as("rrf"))
+      .withColumn("rk", row_number().over(fuseW))
+      .filter($"rk" <= 10).drop("rk")
+    // q196's packing verbatim: q130's dl rule, integer running sum in
+    // fused order, keep the prefix within the budget
+    val dl = Tables.documents(s, dir).select($"doc_id",
+      size(filter(split($"text", " "), t => length(t) > 0))
+        .cast("long").as("dl"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"rrf".desc, $"doc_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fused.join(dl, Seq("doc_id"), "left")
+      .withColumn("dl", coalesce($"dl", lit(0L)))
+      .withColumn("cum_tokens", sum($"dl").over(w))
+      .filter($"cum_tokens" <= ContextBudget)
+      .select($"query_id", $"doc_id", $"rrf", $"dl", $"cum_tokens")
+      .orderBy($"query_id".asc, $"cum_tokens".asc, $"doc_id".asc)
+  }
+
+  /** The recall-vs-cost census between the exact (q196) and
+    * approximate (q199) packed contexts: per query, how many docs each
+    * shipped, how many they share, and the overlap fraction vs the
+    * exact pack — the number a deployment reads before trading the
+    * full-corpus dense scan for the pruned IVF probe.
+    * PipelineOpsSpec pins it against independently recomputed sets.
+    */
+  def contextPackOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // EAGER checkpoints: both packs rebuild the SAME deterministic
+    // temp BM25 layout (bm25TempIndexPath) for their lexical leg — a
+    // lazy composition would let the second build overwrite files the
+    // first plan had already listed (FAILED_READ_FILE on collect).
+    // Each side freezes its answer before the other builds.
+    val exact = q196ContextPack(s, dir).localCheckpoint(true)
+      .select($"query_id", $"doc_id").withColumn("in_exact", lit(1L))
+    val approx = q199ContextPackApprox(s, dir).localCheckpoint(true)
+      .select($"query_id", $"doc_id").withColumn("in_approx", lit(1L))
+    exact.join(approx, Seq("query_id", "doc_id"), "full_outer")
+      .groupBy($"query_id")
+      .agg(sum(coalesce($"in_exact", lit(0L))).as("n_exact"),
+        sum(coalesce($"in_approx", lit(0L))).as("n_approx"),
+        sum(when($"in_exact".isNotNull && $"in_approx".isNotNull, 1L)
+          .otherwise(0L)).as("n_common"))
+      .withColumn("overlap", graft.core.Exact.dround(
+        $"n_common".cast("double") /
+          greatest($"n_exact".cast("double"), lit(1.0)), 4))
+      .orderBy($"query_id".asc)
+  }
+
   // --- q109: int8 scalar quantization of the embedding column -------------
   /** Symmetric per-vector scalar quantization to int8 — the standard
     * 4× memory cut before an ANN index is sharded across a cluster
@@ -2384,6 +2480,7 @@ object Similarity extends QueryPack {
     "q194_ivf_compact_swap" -> (q194IvfCompactSwap _),
     "q195_ivf_tenant_sq8"  -> (q195IvfTenantSq8 _),
     "q196_context_pack"    -> (q196ContextPack _),
+    "q199_context_pack_approx" -> (q199ContextPackApprox _),
     "q147_ann_pq_adc"      -> (q147AnnPqAdc _),
     "q149_ann_ivf_pq"      -> (q149AnnIvfPq _),
     "q197_ivf_pq_stored"   -> (q197IvfPqStored _),
@@ -3210,6 +3307,89 @@ object Similarity extends QueryPack {
         }
         perQuery.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
           ")\nORDER BY query_id ASC, cum_tokens ASC, doc_id ASC")
+      },
+    "q199_context_pack_approx" ->
+      // q196's packing with the dense leg swapped to q165's IVF
+      // ranking: ONE training-trajectory block (q165's oracle CTEs),
+      // per-query probe/top-10 via windows, each query's lexical chain
+      // its own bm25OracleOver replay, q166's fusion arithmetic,
+      // q196's integer prefix rule
+      {
+        val qmap = HybridBatch
+          .map { case (qid, vid) =>
+            s"(CAST($qid AS BIGINT), CAST($vid AS BIGINT))" }
+          .mkString(", ")
+        val vids = AnnBatchIds.mkString(", ")
+        val bmLegs = HybridBatch.map { case (qid, _) =>
+          val terms = graft.operators.TextAnalysis.Bm25Batch
+            .find(_._1 == qid).get._2
+          s"""SELECT CAST($qid AS BIGINT) AS query_id, doc_id,
+             | 'bm25' AS sys,
+             | row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+             |FROM (${graft.operators.TextAnalysis
+                        .bm25OracleOver("TRUE", terms)})""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH cent0 AS (SELECT vec_id AS cl, embedding AS cvec
+           |  FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+           |a1 AS (SELECT e.vec_id, e.embedding, c.cl,
+           |  ${d2Sql("e.embedding", "c.cvec")} AS d2
+           | FROM embeddings e CROSS JOIN cent0 c),
+           |asg1 AS (SELECT vec_id, embedding, cl FROM a1
+           |  QUALIFY row_number() OVER
+           |    (PARTITION BY vec_id ORDER BY d2 ASC, cl ASC) = 1),
+           |ex AS (SELECT cl, i,
+           |  CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1048576.0) AS BIGINT) AS v
+           | FROM asg1, generate_series(1, 64) g(i)),
+           |cm AS (SELECT cl, i,
+           |  CAST(SUM(v) AS DOUBLE) / (COUNT(*) * 1048576.0) AS c
+           | FROM ex GROUP BY 1, 2),
+           |cent1 AS (SELECT cl, list(c ORDER BY i) AS cvec FROM cm GROUP BY 1),
+           |a2 AS (SELECT e.vec_id, e.embedding, c.cl,
+           |  ${d2Sql("e.embedding", "c.cvec")} AS d2
+           | FROM embeddings e CROSS JOIN cent1 c),
+           |idx AS (SELECT vec_id, embedding, cl AS cell FROM a2
+           |  QUALIFY row_number() OVER
+           |    (PARTITION BY vec_id ORDER BY d2 ASC, cl ASC) = 1),
+           |qv AS (SELECT vec_id AS qvid, embedding AS qemb
+           |  FROM embeddings WHERE vec_id IN ($vids)),
+           |probe AS (SELECT q.qvid, c.cl AS cell, q.qemb
+           |  FROM cent1 c CROSS JOIN qv q
+           |  QUALIFY row_number() OVER (PARTITION BY q.qvid
+           |    ORDER BY ${d2Sql("q.qemb", "c.cvec")} ASC, c.cl ASC) <= 3),
+           |sc AS (SELECT p.qvid, i.vec_id AS doc_id,
+           |  ROUND(${cosSql("i.embedding", "p.qemb")}, 6) AS cos
+           | FROM idx i JOIN probe p USING (cell)
+           | WHERE i.vec_id NOT IN ($vids)),
+           |anntop AS (SELECT qvid, doc_id, cos FROM sc
+           |  QUALIFY row_number() OVER (PARTITION BY qvid
+           |    ORDER BY cos DESC, doc_id ASC) <= 10),
+           |qmap(query_id, qvid) AS (VALUES $qmap),
+           |ann AS (SELECT m.query_id, a.doc_id, 'ann' AS sys,
+           |  row_number() OVER (PARTITION BY a.qvid
+           |    ORDER BY a.cos DESC, a.doc_id ASC) AS rank
+           | FROM anntop a JOIN qmap m USING (qvid)),
+           |u AS (SELECT query_id, doc_id, sys, rank FROM ann
+           | UNION ALL
+           | $bmLegs),
+           |fagg AS (SELECT query_id, doc_id,
+           |  ${graft.core.Exact.sqlDround(
+                 "SUM(1.0 / (60.0 + CAST(rank AS DOUBLE)))", 6)} AS rrf
+           | FROM u GROUP BY 1, 2),
+           |f AS (SELECT * FROM fagg
+           |  QUALIFY row_number() OVER (PARTITION BY query_id
+           |    ORDER BY rrf DESC, doc_id ASC) <= 10),
+           |dlt AS (SELECT doc_id, CAST(len(list_filter(
+           |  string_split(text, ' '), t -> len(t) > 0)) AS BIGINT) AS dl
+           | FROM documents),
+           |pk AS (SELECT f.query_id, f.doc_id, f.rrf,
+           |  COALESCE(d.dl, 0) AS dl,
+           |  CAST(SUM(COALESCE(d.dl, 0)) OVER (PARTITION BY f.query_id
+           |    ORDER BY f.rrf DESC, f.doc_id ASC
+           |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+           | FROM f LEFT JOIN dlt d USING (doc_id))
+           |SELECT query_id, doc_id, rrf, dl, cum_tokens FROM pk
+           |WHERE cum_tokens <= $ContextBudget
+           |ORDER BY query_id ASC, cum_tokens ASC, doc_id ASC""".stripMargin
       },
     "q149_ann_ivf_pq" -> ivfPqSql,
     // the stored layout must answer byte-identically to the in-query

@@ -3495,6 +3495,59 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("contextPackOverlap: the recall-vs-cost census matches sets " +
+    "recomputed independently from the two packs, and both packs obey " +
+    "the integer budget prefix rule") {
+    def packSets(df: org.apache.spark.sql.DataFrame)
+        : Map[Long, Set[Long]] = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id")))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    // materialize each pack fully before the other runs (they rebuild
+    // the same temp lexical layout)
+    val exact = packSets(Similarity.q196ContextPack(spark, sfDir))
+    val approx = packSets(Similarity.q199ContextPackApprox(spark, sfDir))
+    assert(exact.nonEmpty && approx.keySet == exact.keySet,
+      "both packs must ship context for every batch query")
+    val census = Similarity.contextPackOverlap(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Long]("n_exact"), r.getAs[Long]("n_approx"),
+          r.getAs[Long]("n_common"), r.getAs[Double]("overlap"))).toMap
+    assert(census.keySet == exact.keySet)
+    exact.keySet.foreach { q =>
+      val (ne, na, nc, ov) = census(q)
+      assert(ne == exact(q).size && na == approx(q).size,
+        s"query $q: census set sizes diverge from the packs")
+      assert(nc == (exact(q) & approx(q)).size,
+        s"query $q: census intersection diverges")
+      val want = math.floor(nc.toDouble / math.max(ne, 1L).toDouble
+        * 10000.0 + 0.5) / 10000.0
+      assert(math.abs(ov - want) < 1e-9, s"query $q: overlap arithmetic")
+      assert(ov >= 0.0 && ov <= 1.0)
+    }
+    // the approximation changes WHICH docs ship, never the budget law:
+    // cum_tokens is the running dl sum in fused order and never
+    // exceeds the budget (prefix rule — no skip-and-fill knapsack).
+    // THUNKED: each pack must construct AND collect before the other
+    // constructs — both rebuild the same temp lexical layout, so an
+    // eagerly-built Seq of frames would leave the first one reading
+    // files the second build deleted.
+    Seq(() => Similarity.q196ContextPack(spark, sfDir),
+        () => Similarity.q199ContextPackApprox(spark, sfDir)).foreach { mk =>
+      val rows = mk().collect()
+      assert(rows.nonEmpty)
+      rows.groupBy(_.getAs[Long]("query_id")).values.foreach { qr =>
+        val inOrder = qr.sortBy(_.getAs[Long]("cum_tokens"))
+        var run = 0L
+        inOrder.foreach { r =>
+          run += r.getAs[Long]("dl")
+          assert(r.getAs[Long]("cum_tokens") == run,
+            "cum_tokens must be the exact running dl sum")
+        }
+        assert(run <= Similarity.ContextBudget)
+      }
+    }
+  }
+
   test("bm25ProbeAt: the lexical point-in-time probe answers exactly " +
     "what the pre-swap probe answered; the live pointer serves the " +
     "compacted generation; past retention it fails loudly") {
