@@ -268,7 +268,8 @@ object Bench {
     attempts.minBy(a => normalizedMedian(a._1, anchor, a._3)
       .getOrElse(Double.MaxValue))
 
-  /** The disclosure block: every attempt's raw median, probe seconds,
+  /** The disclosure block: every attempt's raw median, probe seconds
+    * (the SLOWER of the attempt's pre/post samples — see measureOnce),
     * drift factor, and normalized median in measurement order, so a
     * reader sees what the gate saw and what it discarded — and can
     * re-derive the PASS/FAIL arithmetic from the artifact alone. The
@@ -436,8 +437,16 @@ object Bench {
       // absolute single-core speed stamp per attempt — the denominator
       // drift detector for the min-wins anchor envelope (see cpuProbe);
       // the quiet gate divides each attempt's median ratio by its OWN
-      // probe's drift factor (see normalizedMedian)
-      val probeSec = cpuProbe()
+      // probe's drift factor (see normalizedMedian). Sampled BEFORE
+      // and AFTER the measured loop and gated on the SLOWER of the
+      // two: the r16 closing run measured the probe swinging
+      // 0.32–0.42 s within minutes on an otherwise-idle VM, so a
+      // single pre-attempt sample can read fast while the attempt
+      // itself ran on a slowed host (attempt 1 probed 0.3245 — under
+      // the 0.3355 anchor floor — while its queries read a uniform
+      // 1.27×, and an order-reversed r15-vs-r16 A/B showed the code
+      // flat). The host block's official field stays the PRE sample.
+      val probePre = cpuProbe()
       val results: Seq[(String, Seq[Double])] = queries.map {
         case (name, fn) =>
           def once(): Double = {
@@ -449,8 +458,11 @@ object Bench {
                       catch { case _: Throwable => Seq.empty[Double] }
           name -> times
       }
-      (results, hostJson(loadBefore, loadAvg(),
-        Runtime.getRuntime.availableProcessors, waited, probeSec), probeSec)
+      val loadAfter = loadAvg()
+      val probePost = cpuProbe()
+      (results, hostJson(loadBefore, loadAfter,
+        Runtime.getRuntime.availableProcessors, waited, probePre),
+        math.max(probePre, probePost))
     }
     // QUIET GATE: the checked-in closing artifact is what future
     // rounds A/B against, so a contended full run at the graded SF
