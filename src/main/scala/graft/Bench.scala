@@ -124,24 +124,59 @@ object Bench {
     best
   }
 
+  /** ALL-CORES throughput probe: every JVM-visible processor runs
+    * [[cpuProbe]]'s 2M-MD5 loop concurrently; returns the WALL seconds
+    * for the whole fleet (min of `reps`). The single-core probe is
+    * blind to aggregate-throughput caps — hypervisor CPU quotas,
+    * noisy-neighbor memory-bandwidth pressure — which is exactly the
+    * class the r16 closing runs exhibited (single probe at/below the
+    * anchor floor while 196 queries read a uniform 1.26–1.37× on an
+    * idle host, r15-vs-r16 A/B flat). On a healthy host this reads
+    * ≈ the single-core probe (perfect scaling of an embarrassingly
+    * parallel loop); a reading well ABOVE it = the fleet is being
+    * throttled collectively. Disclosed in the host block and stamped
+    * into the anchor (`_cpu_probe_mt_sec`) so the next rounds can
+    * judge multi-core drift mechanically too.
+    */
+  def cpuProbeMt(reps: Int = 2,
+      threads: Int = Runtime.getRuntime.availableProcessors): Double = {
+    var best = Double.MaxValue
+    (1 to reps.max(1)).foreach { _ =>
+      val t0 = System.nanoTime()
+      val ts = (1 to threads.max(1)).map { _ =>
+        val t = new Thread(() => { cpuProbe(reps = 1); () })
+        t.start(); t
+      }
+      ts.foreach(_.join())
+      best = math.min(best, (System.nanoTime() - t0) / 1e9)
+    }
+    best
+  }
+
+  /** The anchor pseudo-key for the all-cores probe floor. */
+  val ProbeMtKey = "_cpu_probe_mt_sec"
+
   /** Render the host-contention block: load before/after the measured
-    * loop plus the JVM-visible processor count and the single-core
-    * [[cpuProbe]] seconds (negative → rendered null: not measured).
-    * Null fields (not omitted keys) when /proc/loadavg is unavailable,
-    * so the schema is stable across platforms.
+    * loop plus the JVM-visible processor count, the single-core
+    * [[cpuProbe]] seconds, and the all-cores [[cpuProbeMt]] seconds
+    * (negative → rendered null: not measured). Null fields (not
+    * omitted keys) when /proc/loadavg is unavailable, so the schema is
+    * stable across platforms.
     */
   def hostJson(before: Option[(Double, Double, Double)],
                after: Option[(Double, Double, Double)],
                procs: Int, quietWaitSec: Int = 0,
-               cpuProbeSec: Double = -1.0): String = {
+               cpuProbeSec: Double = -1.0,
+               cpuProbeMtSec: Double = -1.0): String = {
     def l(x: Option[(Double, Double, Double)]): String = x match {
       case Some((a, b, c)) => s"[${r4(a)},${r4(b)},${r4(c)}]"
       case None            => "null"
     }
     val probe = if (cpuProbeSec < 0) "null" else r4(cpuProbeSec)
+    val probeMt = if (cpuProbeMtSec < 0) "null" else r4(cpuProbeMtSec)
     s"""{"load_before":${l(before)},"load_after":${l(after)},""" +
       s""""procs":$procs,"quiet_wait_sec":$quietWaitSec,""" +
-      s""""cpu_probe_sec":$probe}"""
+      s""""cpu_probe_sec":$probe,"cpu_probe_mt_sec":$probeMt}"""
   }
 
   /** Parse the quiet-anchor file (a flat {"query": minSeconds} JSON
@@ -175,7 +210,7 @@ object Bench {
   def quietRatioJson(results: Seq[(String, Seq[Double])],
                      anchor: Map[String, Double]): String = {
     val ratios = results.collect {
-      case (q, v) if q != ProbeKey && v.nonEmpty &&
+      case (q, v) if !q.startsWith("_") && v.nonEmpty &&
           anchor.getOrElse(q, 0.0) > 0.0 =>
         v.min / anchor(q)
     }.sorted
@@ -214,10 +249,11 @@ object Bench {
     */
   def medianRatio(rs: Seq[(String, Seq[Double])],
       anchor: Map[String, Double]): Option[Double] = {
-    // ProbeKey excluded STRUCTURALLY (not just by "no query has this
-    // name"): the host-speed stamp must never contribute a ratio
+    // underscore pseudo-keys (ProbeKey, ProbeMtKey) excluded
+    // STRUCTURALLY (not just by "no query has this name"): host-speed
+    // stamps must never contribute a ratio
     val ratios = rs.collect {
-      case (q, v) if q != ProbeKey && v.nonEmpty &&
+      case (q, v) if !q.startsWith("_") && v.nonEmpty &&
           anchor.getOrElse(q, 0.0) > 0.0 =>
         v.min / anchor(q)
     }
@@ -460,8 +496,9 @@ object Bench {
       }
       val loadAfter = loadAvg()
       val probePost = cpuProbe()
+      val probeMt = cpuProbeMt()
       (results, hostJson(loadBefore, loadAfter,
-        Runtime.getRuntime.availableProcessors, waited, probePre),
+        Runtime.getRuntime.availableProcessors, waited, probePre, probeMt),
         math.max(probePre, probePost))
     }
     // QUIET GATE: the checked-in closing artifact is what future
@@ -519,8 +556,12 @@ object Bench {
       // one fresh post-suite probe (warmest JIT) — the same min-wins
       // rule as the per-query anchors.
       val minProbe = (attempts.map(_._3).filter(_ > 0) :+ cpuProbe()).min
-      val withProbe = mergedAnchor(anchor, results).updatedWith(
-        ProbeKey)(old => Some(old.fold(minProbe)(math.min(_, minProbe))))
+      val minProbeMt = cpuProbeMt()
+      val withProbe = mergedAnchor(anchor, results)
+        .updatedWith(ProbeKey)(old =>
+          Some(old.fold(minProbe)(math.min(_, minProbe))))
+        .updatedWith(ProbeMtKey)(old =>
+          Some(old.fold(minProbeMt)(math.min(_, minProbeMt))))
       writeLine(renderAnchor(withProbe).stripSuffix("\n"),
         anchorPath) match {
         case Some(p) => println(s"anchor merged to $p")

@@ -80,6 +80,18 @@ class BenchHarnessSpec extends SparkTestBase {
       Bench.hostJson(None, None, 8))
     val h2 = mapper.readTree(none).get("host")
     assert(h2.get("load_before").isNull && h2.get("procs").asInt() === 8)
+    // unmeasured probes render null, measured ones render their value
+    assert(h2.get("cpu_probe_sec").isNull &&
+      h2.get("cpu_probe_mt_sec").isNull)
+    val hm = mapper.readTree(Bench.renderJson(Seq("q1" -> Seq(1.0)),
+      "/tmp/sfX", 1, Bench.hostJson(None, None, 8, 0, 0.33, 0.41)))
+      .get("host")
+    assert(hm.get("cpu_probe_sec").asDouble() === 0.33 &&
+      hm.get("cpu_probe_mt_sec").asDouble() === 0.41)
+    // the all-cores probe measures something real and, like the
+    // single-core one, can never be elided to ~0
+    val mt = Bench.cpuProbeMt(reps = 1, threads = 2)
+    assert(mt > 0.01 && mt < 60.0)
     // this host is Linux: the live read must produce three load fields
     val live = Bench.loadAvg()
     assert(live.nonEmpty && live.get._1 >= 0.0)
