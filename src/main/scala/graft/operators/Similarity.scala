@@ -2006,31 +2006,30 @@ object Similarity extends QueryPack {
     * zero-shuffle projection per vector against four broadcast packed
     * codebook rows; the write is the ivfWrite partition layout.
     */
-  def ivfServingSetupPq(s: SparkSession, dir: String, root: String): Unit = {
-    import s.implicits._
-    def sl(c: Column, m: Int): Column = slice(c, m * PqSubDim + 1, PqSubDim)
-    val emb = embCached(s, dir)
-    val cent0 = emb.filter($"vec_id".between(1L, 8L))
-      .select($"vec_id".as("cl"), vec($"embedding").as("cvec"))
-    val centsK = kmeansUpdate(kmeansAssign(emb, cent0)).localCheckpoint()
-    val idx = kmeansAssign(emb, centsK)
-      .select($"vec_id", $"embedding", $"cl".as("cell"))
-    val cents = centsK.select($"cl".as("cell"), $"cvec".as("centroid"))
-    val withRes = idx
-      .join(broadcast(cents), "cell")
+  /** Residuals of an assigned frame against its cells' centroids —
+    * (vec_id, cell, res) from (vec_id, embedding, cell) × (cell,
+    * centroid). One broadcast join + a zero-shuffle projection.
+    */
+  private def pqResiduals(asg: DataFrame, cents: DataFrame): DataFrame = {
+    import asg.sparkSession.implicits._
+    asg.join(broadcast(cents), "cell")
       .withColumn("res",
         zip_with(vec($"embedding"), $"centroid", (a, c) => a - c))
       .select($"vec_id", $"cell", $"res")
-      .localCheckpoint()
-    val books = (0 until PqM).map { m =>
-      val sv = withRes.select($"vec_id", sl($"res", m).as("embedding"))
-      val cent0m = sv.filter($"vec_id".between(1L, PqK.toLong))
-        .select($"vec_id".as("cl"), vec($"embedding").as("cvec"))
-      kmeansUpdate(kmeansAssign(sv, cent0m), PqSubDim).localCheckpoint()
-    }
-    // encode: per-subspace nearest codeword of the residual slice —
-    // four broadcast ≤16-row packed codebooks, one projection, 4
-    // bytes out per vector (cl ∈ 1..16 holds losslessly in a byte)
+  }
+
+  /** Encode residuals against the four FROZEN codebooks: per-subspace
+    * nearest codeword via the codegen'd NearestCentroidExpr — four
+    * broadcast ≤16-row packed codebooks, one projection, 4 bytes out
+    * per vector (cl ∈ 1..16 holds losslessly in a byte). `books` are
+    * the per-subspace (cl, cvec) frames in m-order. Encoding is a pure
+    * per-row function of (vector, frozen quantizers) — the property
+    * that makes retrain-free append ([[ivfAppendPq]]) exact.
+    */
+  private def pqEncode(withRes: DataFrame,
+      books: Seq[DataFrame]): DataFrame = {
+    import withRes.sparkSession.implicits._
+    def sl(c: Column, m: Int): Column = slice(c, m * PqSubDim + 1, PqSubDim)
     val packs = books.zipWithIndex.map { case (cb, m) =>
       broadcast(cb.agg(collect_list(struct($"cl", $"cvec")).as(s"cb$m")))
     }
@@ -2040,6 +2039,32 @@ object Similarity extends QueryPack {
           graft.functions.geo.nearest_centroid(sl($"res", m), col(s"cb$m"))
             .getField("cl").cast("byte")): _*).as("code"))
       .select($"vec_id", $"code", $"cell")
+  }
+
+  /** `memberFilter` restricts which vectors' CODES land in the stored
+    * index (default: all) — training always sees the full corpus, so
+    * a layout built over a subset and [[ivfAppendPq]]-completed equals
+    * the full build (the q198 frozen-quantizer arrival law, PQ side).
+    */
+  def ivfServingSetupPq(s: SparkSession, dir: String, root: String,
+      memberFilter: Column = lit(true)): Unit = {
+    import s.implicits._
+    def sl(c: Column, m: Int): Column = slice(c, m * PqSubDim + 1, PqSubDim)
+    val emb = embCached(s, dir)
+    val cent0 = emb.filter($"vec_id".between(1L, 8L))
+      .select($"vec_id".as("cl"), vec($"embedding").as("cvec"))
+    val centsK = kmeansUpdate(kmeansAssign(emb, cent0)).localCheckpoint()
+    val idx = kmeansAssign(emb, centsK)
+      .select($"vec_id", $"embedding", $"cl".as("cell"))
+    val cents = centsK.select($"cl".as("cell"), $"cvec".as("centroid"))
+    val withRes = pqResiduals(idx, cents).localCheckpoint()
+    val books = (0 until PqM).map { m =>
+      val sv = withRes.select($"vec_id", sl($"res", m).as("embedding"))
+      val cent0m = sv.filter($"vec_id".between(1L, PqK.toLong))
+        .select($"vec_id".as("cl"), vec($"embedding").as("cvec"))
+      kmeansUpdate(kmeansAssign(sv, cent0m), PqSubDim).localCheckpoint()
+    }
+    pqEncode(withRes.filter(memberFilter), books)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$root/index")
     cents.write.mode("overwrite").parquet(s"$root/_cents")
     books.zipWithIndex.map { case (cb, m) =>
@@ -2049,6 +2074,54 @@ object Similarity extends QueryPack {
     emb.filter($"vec_id" === 0)
       .select(vec($"embedding").as("qv"))
       .write.mode("overwrite").parquet(s"$root/_query")
+  }
+
+  /** Retrain-free APPEND into the stored-PQ layout — FAISS's `add` on
+    * the at-rest form (the CRUD leg q139 gives the full-precision
+    * layout, for PQ): each new vector is assigned to its nearest
+    * FROZEN coarse centroid and its residual encoded against the
+    * FROZEN `_books` codebooks, then appended `partitionBy(cell)` —
+    * files created only under touched cells, probes stay pruned, and
+    * because both steps are pure per-row functions of the frozen
+    * quantizers, an appended layout is BYTE-IDENTICAL to a full
+    * rebuild over the union (q200's oracle law). Quantizer drift under
+    * sustained appends is the documented retrain trigger, exactly as
+    * [[ivfAppend]].
+    */
+  def ivfAppendPq(s: SparkSession, newEmb: DataFrame, root: String): Unit = {
+    import s.implicits._
+    val cents = s.read.parquet(s"$root/_cents")
+    val booksAll = s.read.parquet(s"$root/_books")
+    val books = (0 until PqM).map(m =>
+      booksAll.filter($"m" === m).select($"cl", $"cvec"))
+    val asg = ivfAssignNew(newEmb, cents)
+    pqEncode(pqResiduals(asg, cents), books)
+      .write.mode("append").partitionBy("cell").parquet(s"$root/index")
+  }
+
+  /** Arrival-invariance of the stored-PQ layout under the oracle gate:
+    * build the layout with only the FIRST half of the corpus as
+    * members (quantizers trained on the full corpus — the frozen-
+    * quantizer contract every retrain-free maintenance leg in this
+    * pack shares), [[ivfAppendPq]] the second half, probe — the answer
+    * must hash-equal q149/q197 (same oracle SQL verbatim): append is
+    * invisible to ranking because assignment and encoding are pure
+    * per-row functions of the frozen quantizers.
+    */
+  def q200IvfPqAppend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = ivfTempRoot(dir) + "_pqapp"
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(p)
+    val emb = embCached(s, dir)
+    // a 1-row bounded driver read (the setup's overwrite resets the
+    // index, so bench reps never append-on-append)
+    val splitV = emb.agg(floor(max($"vec_id") / 2).cast("long"))
+      .as[Long].head()
+    ivfServingSetupPq(s, dir, root, memberFilter = col("vec_id") <= splitV)
+    ivfAppendPq(s,
+      emb.filter($"vec_id" > splitV).select($"vec_id", $"embedding"), root)
+    ivfProbeStoredPq(s, root, excludeVecId = Some(0L))
   }
 
   /** The probe against the stored-PQ layout: [[ivfProbeStored]]'s cell
@@ -2484,6 +2557,7 @@ object Similarity extends QueryPack {
     "q147_ann_pq_adc"      -> (q147AnnPqAdc _),
     "q149_ann_ivf_pq"      -> (q149AnnIvfPq _),
     "q197_ivf_pq_stored"   -> (q197IvfPqStored _),
+    "q200_ivf_pq_append"   -> (q200IvfPqAppend _),
     "q151_pq_sweep"        -> (q151PqSweep _),
   )
 
@@ -3395,6 +3469,8 @@ object Similarity extends QueryPack {
     // the stored layout must answer byte-identically to the in-query
     // composition — same oracle verbatim (the q136/q193 discipline)
     "q197_ivf_pq_stored" -> ivfPqSql,
+    // append is invisible to ranking (frozen-quantizer arrival law)
+    "q200_ivf_pq_append" -> ivfPqSql,
     "q151_pq_sweep" ->
       // 14 independent subspace trajectories (budgets 2+4+8), each the
       // q102 chain on its slice; per-vector min-d2 snapped to ints

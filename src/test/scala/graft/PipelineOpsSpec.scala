@@ -3456,6 +3456,29 @@ class PipelineOpsSpec extends SparkTestBase {
       .take(5), "surviving ranking prefix must be unchanged")
   }
 
+  test("ivfAppendPq: a half-built-then-appended PQ layout is " +
+    "byte-identical to the full build — every vec_id's stored code " +
+    "and cell agree") {
+    import spark.implicits._
+    val rootA = java.nio.file.Files.createTempDirectory("pqfullb").toString
+    val rootB = java.nio.file.Files.createTempDirectory("pqapp").toString
+    Similarity.ivfServingSetupPq(spark, sfDir, rootA)
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val splitV = emb.agg(floor(max($"vec_id") / 2).cast("long"))
+      .as[Long].head()
+    Similarity.ivfServingSetupPq(spark, sfDir, rootB,
+      memberFilter = col("vec_id") <= splitV)
+    Similarity.ivfAppendPq(spark,
+      emb.filter($"vec_id" > splitV).select($"vec_id", $"embedding"), rootB)
+    def layout(root: String) = spark.read.parquet(s"$root/index")
+      .select($"vec_id", concat_ws("-", $"code"), $"cell".cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val a = layout(rootA); val b = layout(rootB)
+    assert(a.nonEmpty && a == b,
+      "appended layout diverges from the full build")
+  }
+
   test("ivfProbeAt: a probe pinned to a retired-but-retained generation " +
     "answers exactly what the pre-swap probe answered; past retention " +
     "it fails loudly") {
