@@ -119,6 +119,10 @@ object ServingBench {
     // far fewer bytes
     val pqRoot = s"$out/ivf_pq"
     val buildPq = timed(Similarity.ivfServingSetupPq(spark, sfDir, pqRoot))
+    // the full composition: tenant pruning x 4-byte codes
+    val tenPqRoot = s"$out/ivf_tpq"
+    val buildTenPq = timed(
+      Similarity.ivfServingSetupTenantsPq(spark, sfDir, tenPqRoot))
 
     val queries: Seq[(String, () => DataFrame)] = Seq(
       "bm25_probe_only" -> (() =>
@@ -144,6 +148,9 @@ object ServingBench {
       "ivf_pq_probe_only" -> (() =>
         Similarity.ivfProbeStoredPq(spark, pqRoot,
           excludeVecId = Some(0L))),
+      "ivf_tenant_pq_probe_only" -> (() =>
+        Similarity.ivfProbeStoredTenantPq(spark, tenPqRoot,
+          Similarity.IvfTenants.head, excludeVecId = Some(0L))),
       "inquery_q160_bm25" -> (() =>
         TextAnalysis.q160Bm25Probe(spark, sfDir)),
       "inquery_q128_ivf" -> (() =>
@@ -196,6 +203,10 @@ object ServingBench {
     // stored PQ: unchanged probed-cell file count, 4-byte member rows
     val (pqFiles, pqBytes) = pruned(
       queries.find(_._1 == "ivf_pq_probe_only").get._2(), "ivf_pq/index")
+    // tenant x PQ: two-level pruning AND the 4-byte cut together
+    val (tpFiles, tpBytes) = pruned(
+      queries.find(_._1 == "ivf_tenant_pq_probe_only").get._2(),
+      "ivf_tpq/index")
     val (bmTotF, bmTotB) = layoutTotals(bm25Root)
     val (ivTotF, ivTotB) = layoutTotals(s"$ivfRoot/index")
     val (tnTotF, tnTotB) = layoutTotals(tenantRoot)
@@ -203,6 +214,7 @@ object ServingBench {
     val (itTotF, itTotB) = layoutTotals(s"$ivfTenRoot/index")
     val (tsTotF, tsTotB) = layoutTotals(s"$tenSq8Root/index")
     val (pqTotF, pqTotB) = layoutTotals(s"$pqRoot/index")
+    val (tpTotF, tpTotB) = layoutTotals(s"$tenPqRoot/index")
 
     val host = Bench.hostJson(loadBefore, Bench.loadAvg(),
       Runtime.getRuntime.availableProcessors)
@@ -211,7 +223,7 @@ object ServingBench {
     val qs = timedQs.map { case (n, t) => s""""$n":${r4(t)}""" }.mkString(",")
     println(s"""{"metric":"serving_probe_only","unit":"sec","sf":"$sfDir",""" +
       s""""reps":$reps,"queries":{$qs},""" +
-      s""""setup_sec":{"bm25_build":${r4(buildBm25)},"ivf_build":${r4(buildIvf)},"tenants_build":${r4(buildTenants)},"ivf_sq8_build":${r4(buildSq8)},"ivf_tenants_build":${r4(buildIvfTen)},"ivf_tenant_sq8_build":${r4(buildTenSq8)},"ivf_pq_build":${r4(buildPq)}},""" +
+      s""""setup_sec":{"bm25_build":${r4(buildBm25)},"ivf_build":${r4(buildIvf)},"tenants_build":${r4(buildTenants)},"ivf_sq8_build":${r4(buildSq8)},"ivf_tenants_build":${r4(buildIvfTen)},"ivf_tenant_sq8_build":${r4(buildTenSq8)},"ivf_pq_build":${r4(buildPq)},"ivf_tenant_pq_build":${r4(buildTenPq)}},""" +
       s""""pruning":{"bm25":{"files_read":$bmFiles,"files_total":$bmTotF,""" +
       s""""bytes_read":$bmBytes,"bytes_total":$bmTotB},""" +
       s""""ivf":{"files_read":$ivFiles,"files_total":$ivTotF,""" +
@@ -224,6 +236,8 @@ object ServingBench {
       s""""bytes_read":$tsBytes,"bytes_total":$tsTotB},""" +
       s""""ivf_pq":{"files_read":$pqFiles,"files_total":$pqTotF,""" +
       s""""bytes_read":$pqBytes,"bytes_total":$pqTotB},""" +
+      s""""ivf_tenant_pq":{"files_read":$tpFiles,"files_total":$tpTotF,""" +
+      s""""bytes_read":$tpBytes,"bytes_total":$tpTotB},""" +
       s""""bm25_tenants":{"files_read":$tnFiles,"files_total":$tnTotF,""" +
       s""""bytes_read":$tnBytes,"bytes_total":$tnTotB}},"host":$host}""")
     spark.stop()

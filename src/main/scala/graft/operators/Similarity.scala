@@ -2010,12 +2010,13 @@ object Similarity extends QueryPack {
     * (vec_id, cell, res) from (vec_id, embedding, cell) × (cell,
     * centroid). One broadcast join + a zero-shuffle projection.
     */
-  private def pqResiduals(asg: DataFrame, cents: DataFrame): DataFrame = {
+  private def pqResiduals(asg: DataFrame, cents: DataFrame,
+      extra: Seq[String] = Nil): DataFrame = {
     import asg.sparkSession.implicits._
     asg.join(broadcast(cents), "cell")
       .withColumn("res",
         zip_with(vec($"embedding"), $"centroid", (a, c) => a - c))
-      .select($"vec_id", $"cell", $"res")
+      .select(($"vec_id" +: $"cell" +: $"res" +: extra.map(col)): _*)
   }
 
   /** Encode residuals against the four FROZEN codebooks: per-subspace
@@ -2026,19 +2027,20 @@ object Similarity extends QueryPack {
     * per-row function of (vector, frozen quantizers) — the property
     * that makes retrain-free append ([[ivfAppendPq]]) exact.
     */
-  private def pqEncode(withRes: DataFrame,
-      books: Seq[DataFrame]): DataFrame = {
+  private def pqEncode(withRes: DataFrame, books: Seq[DataFrame],
+      extra: Seq[String] = Nil): DataFrame = {
     import withRes.sparkSession.implicits._
     def sl(c: Column, m: Int): Column = slice(c, m * PqSubDim + 1, PqSubDim)
     val packs = books.zipWithIndex.map { case (cb, m) =>
       broadcast(cb.agg(collect_list(struct($"cl", $"cvec")).as(s"cb$m")))
     }
     packs.foldLeft(withRes)((df, p) => df.crossJoin(p))
-      .select($"vec_id", $"cell",
+      .select(($"vec_id" +: $"cell" +:
         array((0 until PqM).map(m =>
           graft.functions.geo.nearest_centroid(sl($"res", m), col(s"cb$m"))
-            .getField("cl").cast("byte")): _*).as("code"))
-      .select($"vec_id", $"code", $"cell")
+            .getField("cl").cast("byte")): _*).as("code") +:
+        extra.map(col)): _*)
+      .select(($"vec_id" +: $"code" +: extra.map(col) :+ $"cell"): _*)
   }
 
   /** `memberFilter` restricts which vectors' CODES land in the stored
@@ -2097,6 +2099,118 @@ object Similarity extends QueryPack {
     val asg = ivfAssignNew(newEmb, cents)
     pqEncode(pqResiduals(asg, cents), books)
       .write.mode("append").partitionBy("cell").parquet(s"$root/index")
+  }
+
+  // --- q201: multi-tenant × stored-PQ IVF (the composition matrix closed) ----
+  /** The tenant layout at the PQ compression point — completes the
+    * tenant × {full precision (q191), SQ8 (q195), PQ} matrix: one
+    * corpus-wide coarse quantizer and one set of residual codebooks,
+    * the index stored `partitionBy(tb, cell)` with 4-BYTE member
+    * payloads. A tenant's probe is a two-level statically-pruned scan
+    * whose per-candidate work is 4 table lookups; a tenant's purge is
+    * [[ivfPurgeTenant]] unchanged (payload-agnostic); compaction
+    * through the payload-agnostic [[ivfCompactTenants]] reclaims the
+    * tenant's `tb=` subtree of 4-byte codes. This is the smallest
+    * at-rest footprint a shared vector fleet can serve exact-ADC
+    * rankings from.
+    */
+  def ivfServingSetupTenantsPq(s: SparkSession, dir: String,
+      root: String): Unit = {
+    import s.implicits._
+    def sl(c: Column, m: Int): Column = slice(c, m * PqSubDim + 1, PqSubDim)
+    val emb = embCached(s, dir)
+    val cent0 = emb.filter($"vec_id".between(1L, 8L))
+      .select($"vec_id".as("cl"), vec($"embedding").as("cvec"))
+    val centsK = kmeansUpdate(kmeansAssign(emb, cent0)).localCheckpoint()
+    val idx = kmeansAssign(emb, centsK)
+      .select($"vec_id", $"embedding",
+        $"label".cast("long").as("tb"), $"cl".as("cell"))
+    val cents = centsK.select($"cl".as("cell"), $"cvec".as("centroid"))
+    val withRes = pqResiduals(idx, cents, extra = Seq("tb"))
+      .localCheckpoint()
+    val books = (0 until PqM).map { m =>
+      val sv = withRes.select($"vec_id", sl($"res", m).as("embedding"))
+      val cent0m = sv.filter($"vec_id".between(1L, PqK.toLong))
+        .select($"vec_id".as("cl"), vec($"embedding").as("cvec"))
+      kmeansUpdate(kmeansAssign(sv, cent0m), PqSubDim).localCheckpoint()
+    }
+    pqEncode(withRes, books, extra = Seq("tb"))
+      .write.mode("overwrite").partitionBy("tb", "cell")
+      .parquet(s"$root/index")
+    cents.write.mode("overwrite").parquet(s"$root/_cents")
+    books.zipWithIndex.map { case (cb, m) =>
+      cb.select(lit(m).as("m"), $"cl", $"cvec")
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$root/_books")
+    emb.filter($"vec_id" === 0)
+      .select(vec($"embedding").as("qv"))
+      .write.mode("overwrite").parquet(s"$root/_query")
+  }
+
+  /** One tenant's probe against the compressed-shared layout:
+    * [[ivfProbeStoredPq]]'s cell pick + per-cell ADC tables, the
+    * candidate scan pruned to `tb = tenant ∧ cell ∈ probed` (two
+    * levels), ranking by the fixed-order 4-term lookup sum — q149's
+    * rule restricted to the tenant's members. Tombstones honored
+    * through the payload-agnostic tenant live view.
+    */
+  def ivfProbeStoredTenantPq(s: SparkSession, root: String, tb: Long,
+      nprobe: Int = 3, k: Int = 10,
+      excludeVecId: Option[Long] = None): DataFrame = {
+    import s.implicits._
+    val q = broadcast(s.read.parquet(s"$root/_query"))
+    val cellsDf = s.read.parquet(s"$root/_cents").crossJoin(q)
+      .withColumn("qd2", dot($"qv", $"qv")
+        - lit(2.0) * dot($"qv", $"centroid")
+        + dot($"centroid", $"centroid"))
+      .orderBy($"qd2".asc, $"cell".asc).limit(nprobe)
+      .select($"cell", $"centroid")
+    val cells = cellsDf.select($"cell").collect().map(_.getLong(0)).toSeq
+    val mSlice = slice($"qres", $"m" * PqSubDim + 1, lit(PqSubDim))
+    val tabs = broadcast(cellsDf.crossJoin(q)
+      .withColumn("qres", zip_with($"qv", $"centroid", (a, c) => a - c))
+      .crossJoin(s.read.parquet(s"$root/_books"))
+      .select($"cell",
+        ($"m".cast("long") * lit(1000L) + $"cl").as("mk"),
+        (dot(mSlice, mSlice)
+          - lit(2.0) * dot(mSlice, $"cvec")
+          + dot($"cvec", $"cvec")).as("qd2"))
+      .groupBy($"cell")
+      .agg(map_from_entries(collect_list(struct($"mk", $"qd2"))).as("tab")))
+    val base = ivfReadLiveTenants(s, s"$root/index")
+      .filter($"tb" === tb && $"cell".isin(cells: _*))
+    def cw(m: Int): Column = element_at($"code", m + 1).cast("long")
+    def look(m: Int): Column =
+      element_at($"tab", lit(m.toLong * 1000L) + cw(m))
+    excludeVecId.fold(base)(id => base.filter($"vec_id" =!= id))
+      .join(tabs, "cell")
+      .withColumn("adc_d2", look(0) + look(1) + look(2) + look(3))
+      .select($"vec_id", $"cell",
+        concat_ws("-", cw(0), cw(1), cw(2), cw(3)).as("code"),
+        graft.core.Exact.dround($"adc_d2", 6).as("adc_d2"))
+      .orderBy(graft.core.Exact.dround($"adc_d2", 6).asc, $"vec_id".asc)
+      .limit(k)
+  }
+
+  /** Build + two tenants' probes over the compressed-shared PQ layout
+    * as one oracle row — q191's isolation law at the 4-byte
+    * compression point: each tenant's ADC ranking must equal q149's
+    * rule over its members alone (cell assignment AND codes are
+    * per-row functions, so neither product quantization nor co-tenancy
+    * can leak a neighbor's rows).
+    */
+  def q201IvfTenantPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = ivfTempRoot(dir) + "_tpq"
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(p)
+    ivfServingSetupTenantsPq(s, dir, root)
+    IvfTenants.map { tb =>
+      ivfProbeStoredTenantPq(s, root, tb, excludeVecId = Some(0L))
+        .withColumn("tenant", lit(tb))
+    }.reduce(_ unionByName _)
+      .orderBy($"tenant".asc,
+        graft.core.Exact.dround($"adc_d2", 6).asc, $"vec_id".asc)
   }
 
   /** Arrival-invariance of the stored-PQ layout under the oracle gate:
@@ -2558,6 +2672,7 @@ object Similarity extends QueryPack {
     "q149_ann_ivf_pq"      -> (q149AnnIvfPq _),
     "q197_ivf_pq_stored"   -> (q197IvfPqStored _),
     "q200_ivf_pq_append"   -> (q200IvfPqAppend _),
+    "q201_ivf_tenant_pq"   -> (q201IvfTenantPq _),
     "q151_pq_sweep"        -> (q151PqSweep _),
   )
 
@@ -2673,6 +2788,30 @@ object Similarity extends QueryPack {
            |WHERE e0.vec_id != 0
            |ORDER BY ${graft.core.Exact.sqlDround(adc, 6)} ASC,
            | e0.vec_id ASC LIMIT 10""".stripMargin
+  }
+
+  /** The q201 oracle: the SAME PQ chain with the final per-corpus
+    * top-10 swapped for per-tenant top-10s (label joined back from
+    * embeddings — codes and cells are per-row, so the tenant split is
+    * a pure partition of the q149 candidate set). Mirrors how
+    * ivfTenantProbeSql relates to the q128 chain.
+    */
+  private lazy val ivfTenantPqSql: String = {
+    val i = ivfPqSql.lastIndexOf("SELECT e0.vec_id")
+    val adc = "e0.qd2 + e1.qd2 + e2.qd2 + e3.qd2"
+    ivfPqSql.substring(0, i) +
+      s"""SELECT CAST(x.label AS BIGINT) AS tenant, e0.vec_id, e0.cell,
+         | CONCAT_WS('-', e0.cl, e1.cl, e2.cl, e3.cl) AS code,
+         | ${graft.core.Exact.sqlDround(adc, 6)} AS adc_d2
+         |FROM encq_0 e0 JOIN encq_1 e1 USING (vec_id)
+         | JOIN encq_2 e2 USING (vec_id) JOIN encq_3 e3 USING (vec_id)
+         | JOIN embeddings x ON x.vec_id = e0.vec_id
+         |WHERE e0.vec_id != 0 AND x.label IN (0, 1)
+         |QUALIFY row_number() OVER (PARTITION BY x.label
+         |  ORDER BY ${graft.core.Exact.sqlDround(adc, 6)} ASC,
+         |   e0.vec_id ASC) <= 10
+         |ORDER BY tenant ASC, ${graft.core.Exact.sqlDround(adc, 6)} ASC,
+         | e0.vec_id ASC""".stripMargin
   }
 
 
@@ -3471,6 +3610,9 @@ object Similarity extends QueryPack {
     "q197_ivf_pq_stored" -> ivfPqSql,
     // append is invisible to ranking (frozen-quantizer arrival law)
     "q200_ivf_pq_append" -> ivfPqSql,
+    // q149's chain, per-tenant top-10s — tenant isolation at the
+    // 4-byte compression point as a hash fact
+    "q201_ivf_tenant_pq" -> ivfTenantPqSql,
     "q151_pq_sweep" ->
       // 14 independent subspace trajectories (budgets 2+4+8), each the
       // q102 chain on its slice; per-vector min-d2 snapped to ints

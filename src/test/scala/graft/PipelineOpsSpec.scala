@@ -3456,6 +3456,41 @@ class PipelineOpsSpec extends SparkTestBase {
       .take(5), "surviving ranking prefix must be unchanged")
   }
 
+  test("tenant-PQ layout: purge + payload-agnostic compaction work on " +
+    "4-byte codes — survivor ranking invariant, purged tenant " +
+    "unservable, its tb= subtree gone after the rewrite") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("tpq").toString
+    Similarity.ivfServingSetupTenantsPq(spark, sfDir, root)
+    val survivor = Similarity.IvfTenants.head
+    val purged = Similarity.IvfTenants(1)
+    def probe(r: String, tb: Long) =
+      Similarity.ivfProbeStoredTenantPq(spark, r, tb,
+        excludeVecId = Some(0L)).collect()
+        .map(x => (x.getLong(0), x.getString(2), x.getDouble(3))).toSeq
+    val before = probe(root, survivor)
+    assert(before.nonEmpty)
+    Similarity.ivfPurgeTenant(spark, root, purged)
+    assert(probe(root, purged).isEmpty,
+      "purged tenant must be unservable immediately")
+    assert(probe(root, survivor) == before,
+      "survivor ranking must not move on a neighbor's purge")
+    // the r15-advice fix under test: compaction of a NON-embedding
+    // payload (4-byte codes) through the payload-agnostic rewrite
+    val dest = java.nio.file.Files.createTempDirectory("tpq2").toString
+    Similarity.ivfCompactTenants(spark, s"$root/index", s"$dest/index")
+    Seq("_cents", "_books", "_query").foreach { side =>
+      spark.read.parquet(s"$root/$side")
+        .write.mode("overwrite").parquet(s"$dest/$side")
+    }
+    val tbDirs = new java.io.File(s"$dest/index").listFiles
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(!tbDirs.contains(s"tb=$purged"),
+      s"purged tenant's subtree survived compaction: $tbDirs")
+    assert(probe(dest, survivor) == before,
+      "compaction must be invisible to the survivor's ranking")
+  }
+
   test("ivfAppendPq: a half-built-then-appended PQ layout is " +
     "byte-identical to the full build — every vec_id's stored code " +
     "and cell agree") {
