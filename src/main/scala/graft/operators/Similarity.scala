@@ -2159,15 +2159,16 @@ object Similarity extends QueryPack {
       excludeVecId: Option[Long] = None): DataFrame = {
     import s.implicits._
     val q = broadcast(s.read.parquet(s"$root/_query"))
+    // qv rides cellsDf — ONE _query scan per probe (scan-count gate)
     val cellsDf = s.read.parquet(s"$root/_cents").crossJoin(q)
       .withColumn("qd2", dot($"qv", $"qv")
         - lit(2.0) * dot($"qv", $"centroid")
         + dot($"centroid", $"centroid"))
       .orderBy($"qd2".asc, $"cell".asc).limit(nprobe)
-      .select($"cell", $"centroid")
+      .select($"cell", $"centroid", $"qv")
     val cells = cellsDf.select($"cell").collect().map(_.getLong(0)).toSeq
     val mSlice = slice($"qres", $"m" * PqSubDim + 1, lit(PqSubDim))
-    val tabs = broadcast(cellsDf.crossJoin(q)
+    val tabs = broadcast(cellsDf
       .withColumn("qres", zip_with($"qv", $"centroid", (a, c) => a - c))
       .crossJoin(s.read.parquet(s"$root/_books"))
       .select($"cell",
@@ -2255,19 +2256,22 @@ object Similarity extends QueryPack {
       k: Int = 10, excludeVecId: Option[Long] = None): DataFrame = {
     import s.implicits._
     val q = broadcast(s.read.parquet(s"$root/_query"))
+    // qv RIDES cellsDf (nprobe bounded rows) so the ADC-table build
+    // below never re-scans the _query sidecar — one scan per probe
+    // (the PlanSpec scan-count gate; q201 runs two probes per row)
     val cellsDf = s.read.parquet(s"$root/_cents").crossJoin(q)
       .withColumn("qd2", dot($"qv", $"qv")
         - lit(2.0) * dot($"qv", $"centroid")
         + dot($"centroid", $"centroid"))
       .orderBy($"qd2".asc, $"cell".asc).limit(nprobe)
-      .select($"cell", $"centroid")
+      .select($"cell", $"centroid", $"qv")
     // bounded driver list (the hotKeys class): literal cell filter so
     // the partitioned scan prunes statically
     val cells = cellsDf.select($"cell").collect().map(_.getLong(0)).toSeq
     // per-(cell, m, cl) ADC entries packed to one map per cell, keyed
     // m·1000+cl — the query's residual differs per cell (q149's rule)
     val mSlice = slice($"qres", $"m" * PqSubDim + 1, lit(PqSubDim))
-    val tabs = broadcast(cellsDf.crossJoin(q)
+    val tabs = broadcast(cellsDf
       .withColumn("qres", zip_with($"qv", $"centroid", (a, c) => a - c))
       .crossJoin(s.read.parquet(s"$root/_books"))
       .select($"cell",
