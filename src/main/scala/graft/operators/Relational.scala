@@ -94,10 +94,19 @@ object Relational extends QueryPack {
       .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"))
   }
 
-  // --- q5: anti join (customers with no orders) ---------------------------
+  // --- q5: anti join (customers with no high-value orders) ----------------
+  // The anti side is predicated (o_totalprice > 350000) so the result
+  // is NON-EMPTY at every test SF (r16 verdict #3: the unpredicated
+  // "customers with no orders at all" form is 0 rows at sf0.001/0.01
+  // and 1 at sf0.1 — a vacuous hash gate at the correctness SF).
+  // 8 / 68 / 762 customers qualify at the three SFs. The filter also
+  // pushes to the orders scan — the anti build side shrinks ~50×
+  // before its exchange, the shape a 100 TB anti join wants anyway.
   def q5Anti(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val o = Tables.orders(s, dir).select($"o_custkey")
+    val o = Tables.orders(s, dir)
+      .filter($"o_totalprice" > 350000.0)
+      .select($"o_custkey")
     Tables.customer(s, dir)
       .join(o, $"c_custkey" === o("o_custkey"), "left_anti")
       .groupBy($"c_mktsegment")
@@ -985,7 +994,13 @@ object Relational extends QueryPack {
   // --- q185: TPC-H Q22 shape — decorrelated anti-join opportunity census ----
   /** TPC-H Q22 ("global sales opportunity") restated on this schema:
     * customers whose balance beats the average POSITIVE balance but
-    * who have never ordered, censused by nation — the classic
+    * who have never placed a HIGH-VALUE order (o_totalprice >
+    * 300,000 — the predicate keeps the census non-empty at every test
+    * SF: the synthetic corpus gives nearly every customer at least
+    * one order, so the unpredicated "never ordered" form was 0 rows
+    * at sf0.001/0.01, a vacuous hash gate — r16 verdict, same class
+    * as q2/q31/q5; 1 / 14 / 132 customers qualify at the three SFs),
+    * censused by nation — the classic
     * correlated-scalar-subquery + NOT EXISTS pair, decorrelated the
     * way a 100 TB plan must be: the scalar subquery becomes ONE
     * broadcast (Σ positive cents, n positive) row and the threshold
@@ -1008,7 +1023,9 @@ object Relational extends QueryPack {
       .agg(sum($"cents").as("sp"), count(lit(1)).as("np")))
     cust.crossJoin(thr)
       .filter($"cents" * $"np" > $"sp")
-      .join(Tables.orders(s, dir).select($"o_custkey".as("c_custkey")),
+      .join(Tables.orders(s, dir)
+        .filter($"o_totalprice" > 300000.0)
+        .select($"o_custkey".as("c_custkey")),
         Seq("c_custkey"), "left_anti")
       .groupBy($"c_nationkey")
       .agg(count(lit(1)).as("numcust"), sum($"cents").as("tot_cents"))
@@ -1588,7 +1605,8 @@ object Relational extends QueryPack {
         |FROM c CROSS JOIN t
         |WHERE cents * np > sp
         | AND NOT EXISTS (SELECT 1 FROM orders o
-        |   WHERE o.o_custkey = c.c_custkey)
+        |   WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_totalprice > 300000)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q150_waiting_suppliers" ->
       // the decorrelated algebra verbatim: the two existentials are
@@ -1883,10 +1901,13 @@ object Relational extends QueryPack {
         |  SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
         |GROUP BY o_orderstatus""".stripMargin,
     "q5_anti_join" ->
+      // the o_totalprice predicate keeps the anti side non-empty at
+      // every SF (r16 verdict #3 — de-vacuated like q2/q31)
       """SELECT c_mktsegment, COUNT(*) AS n_cust,
         | CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS bal
         |FROM customer WHERE NOT EXISTS (
-        |  SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |  SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |   AND o_totalprice > 350000)
         |GROUP BY c_mktsegment""".stripMargin,
     "q6_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority

@@ -1624,6 +1624,123 @@ object Similarity extends QueryPack {
       .orderBy($"nprobe".asc)
   }
 
+  // --- q204: recall census over the STORED serving layouts ---------------------
+  /** The serving-recall surface ServingBench prices only in bytes
+    * (r16 verdict #6): recall@10 vs the exact brute answer for each
+    * STORED layout — full-precision (q165's), SQ8 (q193's), PQ
+    * (q197's) — swept over nprobe = 1..8, every ranking computed off
+    * the layout's OWN at-rest bytes (full: stored embeddings; SQ8:
+    * dequantized stored codes; PQ: the 4-lookup ADC sum over stored
+    * 4-byte codes). q179's curve prices nprobe on the in-query
+    * full-precision index; this row closes the matrix a deployment
+    * actually tunes — nprobe × code budget → recall — so the 26×
+    * at-rest byte cut (191→7.3 KB at nprobe 3, ServingBench) has its
+    * accuracy price on the same artifact.
+    *
+    * Exactness: all three coarse chains are the SAME trained
+    * trajectory (ivfLearned(8, 2) ≡ the PQ build's coarse chain), so
+    * prk is shared arithmetic; full/SQ8 rank by round(cos, 6) desc
+    * (q128/q136's rules), PQ by dround(adc, 6) asc (q149's); recall
+    * is an integer count over 10.
+    *
+    * Scale shape: ONE pass per layout folds into per-cell top-10s
+    * (≤ 10·k rows — the q179 device: any cell-subset's top-10 lives
+    * inside the union of per-cell top-10s), and the 8-point sweep is
+    * windows over that bounded frame; the exact baseline scans the
+    * corpus once and checkpoints. Builds are the one-off serving
+    * setups the oracle discipline prices in-query.
+    */
+  def q204StoredRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val base = ivfTempRoot(dir) + "_rc"
+    Seq("f", "s", "p").foreach { sfx =>
+      val p = new org.apache.hadoop.fs.Path(base + sfx)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(p)
+    }
+    ivfServingSetup(s, dir, base + "f")
+    ivfServingSetupSq8(s, dir, base + "s")
+    ivfServingSetupPq(s, dir, base + "p")
+    val emb = embCached(s, dir)
+    val q0 = broadcast(emb.filter($"vec_id" === 0)
+      .select(vec($"embedding").as("qv0")))
+    // exact baseline consumed by all three sweeps — one corpus scan
+    val exact = broadcast(emb.filter($"vec_id" =!= 0).crossJoin(q0)
+      .select($"vec_id", round(cosine(vec($"embedding"), $"qv0"), 6).as("c"))
+      .orderBy($"c".desc, $"vec_id".asc).limit(10)
+      .select($"vec_id", lit(1L).as("is_exact"))
+      .localCheckpoint(false))
+    // each layout's cell ranking off its OWN sidecars; qv rides the
+    // k-row frame so `_query` scans once per layout (scan-count gate)
+    def prkOf(root: String): DataFrame =
+      broadcast(s.read.parquet(s"$root/_cents")
+        .crossJoin(broadcast(s.read.parquet(s"$root/_query")))
+        .withColumn("qd2", dot($"qv", $"qv")
+          - lit(2.0) * dot($"qv", $"centroid")
+          + dot($"centroid", $"centroid"))
+        .withColumn("prk", row_number().over(
+          Window.orderBy($"qd2".asc, $"cell".asc)))
+        .select($"cell", $"prk", $"centroid", $"qv"))
+    val spine = s.range(1, 9).select($"id".as("nprobe"))
+    def sweep(scored: DataFrame, asc: Boolean, layout: String): DataFrame = {
+      def ord = if (asc) Seq($"sc".asc, $"vec_id".asc)
+                else Seq($"sc".desc, $"vec_id".asc)
+      val perCell = scored
+        .withColumn("crk", row_number().over(
+          Window.partitionBy($"cell").orderBy(ord: _*)))
+        .filter($"crk" <= 10)
+        .select($"vec_id", $"sc", $"prk")
+      perCell.join(spine, $"prk" <= $"nprobe")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"nprobe").orderBy(ord: _*)))
+        .filter($"rk" <= 10)
+        .join(exact, Seq("vec_id"), "left")
+        .groupBy($"nprobe")
+        .agg(coalesce(sum($"is_exact"), lit(0L)).as("n_hits"))
+        .select(lit(layout).as("layout"), $"nprobe", $"n_hits",
+          graft.core.Exact.dround(
+            $"n_hits".cast("double") / lit(10.0), 6).as("recall"))
+    }
+    val pf = prkOf(base + "f")
+    val scoredF = ivfRead(s, s"${base}f/index").filter($"vec_id" =!= 0)
+      .join(pf, "cell")
+      .select($"vec_id", $"cell", $"prk",
+        round(cosine(vec($"embedding"), $"qv"), 6).as("sc"))
+    val ps = prkOf(base + "s")
+    val scoredS = ivfRead(s, s"${base}s/index").filter($"vec_id" =!= 0)
+      .join(ps, "cell")
+      .withColumn("deq", transform($"code", c => c.cast("double") * $"scale"))
+      .select($"vec_id", $"cell", $"prk",
+        round(cosine($"deq", $"qv"), 6).as("sc"))
+    // PQ: per-cell ADC tables for ALL cells (the sweep reaches
+    // nprobe = k), prk riding the table frame — pqStoredProbeCtx's
+    // arithmetic with the rank kept
+    val pp = prkOf(base + "p")
+    val mSlice = slice($"qres", $"m" * PqSubDim + 1, lit(PqSubDim))
+    val tabsP = broadcast(pp
+      .withColumn("qres", zip_with($"qv", $"centroid", (a, c) => a - c))
+      .crossJoin(s.read.parquet(s"${base}p/_books"))
+      .select($"cell", $"prk",
+        ($"m".cast("long") * lit(1000L) + $"cl").as("mk"),
+        (dot(mSlice, mSlice)
+          - lit(2.0) * dot(mSlice, $"cvec")
+          + dot($"cvec", $"cvec")).as("qd2"))
+      .groupBy($"cell", $"prk")
+      .agg(map_from_entries(collect_list(struct($"mk", $"qd2"))).as("tab")))
+    def cw(m: Int): Column = element_at($"code", m + 1).cast("long")
+    def look(m: Int): Column =
+      element_at($"tab", lit(m.toLong * 1000L) + cw(m))
+    val scoredP = ivfRead(s, s"${base}p/index").filter($"vec_id" =!= 0)
+      .join(tabsP, "cell")
+      .select($"vec_id", $"cell", $"prk",
+        graft.core.Exact.dround(
+          look(0) + look(1) + look(2) + look(3), 6).as("sc"))
+    sweep(scoredF, asc = false, "full")
+      .unionByName(sweep(scoredS, asc = false, "sq8"))
+      .unionByName(sweep(scoredP, asc = true, "pq"))
+      .orderBy($"layout".asc, $"nprobe".asc)
+  }
+
   // --- q187: Matryoshka dimension-truncation recall curve ----------------------
   /** The MRL serving decision (Kusupati et al. 2022 — matryoshka
     * representations): how much recall does each PREFIX of the
@@ -2049,25 +2166,43 @@ object Similarity extends QueryPack {
     * the full build (the q198 frozen-quantizer arrival law, PQ side).
     */
   def ivfServingSetupPq(s: SparkSession, dir: String, root: String,
-      memberFilter: Column = lit(true)): Unit = {
+      memberFilter: Column = lit(true)): Unit =
+    ivfBuildPq(s, dir, root, withTenants = false, memberFilter)
+
+  /** The one PQ layout builder BOTH setups thread through (r16 advice:
+    * the tenant setup previously duplicated the full train/encode/
+    * sidecar chain except for the tb column): train the corpus-wide
+    * coarse quantizer + four residual codebooks, encode the member
+    * rows, write index + `_cents`/`_books`/`_query` sidecars. The
+    * tenant form carries `tb` (from `label`) through residuals/encode
+    * via their `extra` parameter — exactly how ivfAssignNewTenants
+    * extends ivfAssignNew — and partitions two-level `(tb, cell)`.
+    */
+  private def ivfBuildPq(s: SparkSession, dir: String, root: String,
+      withTenants: Boolean, memberFilter: Column = lit(true)): Unit = {
     import s.implicits._
     def sl(c: Column, m: Int): Column = slice(c, m * PqSubDim + 1, PqSubDim)
+    val extra = if (withTenants) Seq("tb") else Nil
     val emb = embCached(s, dir)
     val cent0 = emb.filter($"vec_id".between(1L, 8L))
       .select($"vec_id".as("cl"), vec($"embedding").as("cvec"))
     val centsK = kmeansUpdate(kmeansAssign(emb, cent0)).localCheckpoint()
-    val idx = kmeansAssign(emb, centsK)
-      .select($"vec_id", $"embedding", $"cl".as("cell"))
+    val asg = kmeansAssign(emb, centsK)
+    val idx =
+      if (withTenants) asg.select($"vec_id", $"embedding",
+        $"label".cast("long").as("tb"), $"cl".as("cell"))
+      else asg.select($"vec_id", $"embedding", $"cl".as("cell"))
     val cents = centsK.select($"cl".as("cell"), $"cvec".as("centroid"))
-    val withRes = pqResiduals(idx, cents).localCheckpoint()
+    val withRes = pqResiduals(idx, cents, extra).localCheckpoint()
     val books = (0 until PqM).map { m =>
       val sv = withRes.select($"vec_id", sl($"res", m).as("embedding"))
       val cent0m = sv.filter($"vec_id".between(1L, PqK.toLong))
         .select($"vec_id".as("cl"), vec($"embedding").as("cvec"))
       kmeansUpdate(kmeansAssign(sv, cent0m), PqSubDim).localCheckpoint()
     }
-    pqEncode(withRes.filter(memberFilter), books)
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$root/index")
+    pqEncode(withRes.filter(memberFilter), books, extra)
+      .write.mode("overwrite").partitionBy(extra :+ "cell": _*)
+      .parquet(s"$root/index")
     cents.write.mode("overwrite").parquet(s"$root/_cents")
     books.zipWithIndex.map { case (cb, m) =>
       cb.select(lit(m).as("m"), $"cl", $"cvec")
@@ -2090,15 +2225,26 @@ object Similarity extends QueryPack {
     * sustained appends is the documented retrain trigger, exactly as
     * [[ivfAppend]].
     */
-  def ivfAppendPq(s: SparkSession, newEmb: DataFrame, root: String): Unit = {
+  def ivfAppendPq(s: SparkSession, newEmb: DataFrame, root: String): Unit =
+    ivfAssignEncodePq(s, newEmb, root)
+      .write.mode("append").partitionBy("cell").parquet(s"$root/index")
+
+  /** Assign + encode NEW vectors against the layout's FROZEN
+    * quantizers — (vec_id, code, cell) from (vec_id, embedding): one
+    * broadcast of the k-row `_cents` + four ≤16-row `_books` packs,
+    * one zero-shuffle projection. The pure per-row kernel both the
+    * batch append ([[ivfAppendPq]]) and the streaming CRUD leg
+    * ([[graft.streaming.IvfMaintain.applyBatchPq]]) write — shared so
+    * a stored code is byte-identical whichever path landed it.
+    */
+  private[graft] def ivfAssignEncodePq(s: SparkSession, newEmb: DataFrame,
+      root: String): DataFrame = {
     import s.implicits._
     val cents = s.read.parquet(s"$root/_cents")
     val booksAll = s.read.parquet(s"$root/_books")
     val books = (0 until PqM).map(m =>
       booksAll.filter($"m" === m).select($"cl", $"cvec"))
-    val asg = ivfAssignNew(newEmb, cents)
-    pqEncode(pqResiduals(asg, cents), books)
-      .write.mode("append").partitionBy("cell").parquet(s"$root/index")
+    pqEncode(pqResiduals(ivfAssignNew(newEmb, cents), cents), books)
   }
 
   // --- q201: multi-tenant × stored-PQ IVF (the composition matrix closed) ----
@@ -2115,37 +2261,8 @@ object Similarity extends QueryPack {
     * rankings from.
     */
   def ivfServingSetupTenantsPq(s: SparkSession, dir: String,
-      root: String): Unit = {
-    import s.implicits._
-    def sl(c: Column, m: Int): Column = slice(c, m * PqSubDim + 1, PqSubDim)
-    val emb = embCached(s, dir)
-    val cent0 = emb.filter($"vec_id".between(1L, 8L))
-      .select($"vec_id".as("cl"), vec($"embedding").as("cvec"))
-    val centsK = kmeansUpdate(kmeansAssign(emb, cent0)).localCheckpoint()
-    val idx = kmeansAssign(emb, centsK)
-      .select($"vec_id", $"embedding",
-        $"label".cast("long").as("tb"), $"cl".as("cell"))
-    val cents = centsK.select($"cl".as("cell"), $"cvec".as("centroid"))
-    val withRes = pqResiduals(idx, cents, extra = Seq("tb"))
-      .localCheckpoint()
-    val books = (0 until PqM).map { m =>
-      val sv = withRes.select($"vec_id", sl($"res", m).as("embedding"))
-      val cent0m = sv.filter($"vec_id".between(1L, PqK.toLong))
-        .select($"vec_id".as("cl"), vec($"embedding").as("cvec"))
-      kmeansUpdate(kmeansAssign(sv, cent0m), PqSubDim).localCheckpoint()
-    }
-    pqEncode(withRes, books, extra = Seq("tb"))
-      .write.mode("overwrite").partitionBy("tb", "cell")
-      .parquet(s"$root/index")
-    cents.write.mode("overwrite").parquet(s"$root/_cents")
-    books.zipWithIndex.map { case (cb, m) =>
-      cb.select(lit(m).as("m"), $"cl", $"cvec")
-    }.reduce(_ unionByName _)
-      .write.mode("overwrite").parquet(s"$root/_books")
-    emb.filter($"vec_id" === 0)
-      .select(vec($"embedding").as("qv"))
-      .write.mode("overwrite").parquet(s"$root/_query")
-  }
+      root: String): Unit =
+    ivfBuildPq(s, dir, root, withTenants = true)
 
   /** One tenant's probe against the compressed-shared layout:
     * [[ivfProbeStoredPq]]'s cell pick + per-cell ADC tables, the
@@ -2158,8 +2275,25 @@ object Similarity extends QueryPack {
       nprobe: Int = 3, k: Int = 10,
       excludeVecId: Option[Long] = None): DataFrame = {
     import s.implicits._
+    val (cells, tabs) = pqStoredProbeCtx(s, root, nprobe)
+    val base = ivfReadLiveTenants(s, s"$root/index")
+      .filter($"tb" === tb && $"cell".isin(cells: _*))
+    pqAdcRank(base, tabs, k, excludeVecId)
+  }
+
+  /** The stored-PQ probe CONTEXT — cell pick + per-cell ADC tables off
+    * the layout's sidecars, shared verbatim by the single-tenant and
+    * tenant probes (r16 advice: the ~25 duplicated lines could drift,
+    * e.g. a fix to the `mk` keying applied to one copy). Returns the
+    * bounded probed-cell list (the hotKeys class — a literal filter
+    * the partitioned scan prunes statically) and the broadcast
+    * ≤ nprobe·PqM·PqK-entry table frame. qv rides cellsDf so the
+    * `_query` sidecar is scanned ONCE per probe (scan-count gate).
+    */
+  private def pqStoredProbeCtx(s: SparkSession, root: String,
+      nprobe: Int): (Seq[Long], DataFrame) = {
+    import s.implicits._
     val q = broadcast(s.read.parquet(s"$root/_query"))
-    // qv rides cellsDf — ONE _query scan per probe (scan-count gate)
     val cellsDf = s.read.parquet(s"$root/_cents").crossJoin(q)
       .withColumn("qd2", dot($"qv", $"qv")
         - lit(2.0) * dot($"qv", $"centroid")
@@ -2178,8 +2312,17 @@ object Similarity extends QueryPack {
           + dot($"cvec", $"cvec")).as("qd2"))
       .groupBy($"cell")
       .agg(map_from_entries(collect_list(struct($"mk", $"qd2"))).as("tab")))
-    val base = ivfReadLiveTenants(s, s"$root/index")
-      .filter($"tb" === tb && $"cell".isin(cells: _*))
+    (cells, tabs)
+  }
+
+  /** Rank stored-code candidates by the fixed-order 4-term ADC lookup
+    * sum (q149's b0+b1+b2+b3 spelling) — the shared tail of both
+    * stored-PQ probes: 4 map lookups per candidate, zero per-candidate
+    * vector arithmetic.
+    */
+  private def pqAdcRank(base: DataFrame, tabs: DataFrame, k: Int,
+      excludeVecId: Option[Long]): DataFrame = {
+    import base.sparkSession.implicits._
     def cw(m: Int): Column = element_at($"code", m + 1).cast("long")
     def look(m: Int): Column =
       element_at($"tab", lit(m.toLong * 1000L) + cw(m))
@@ -2239,6 +2382,51 @@ object Similarity extends QueryPack {
     ivfProbeStoredPq(s, root, excludeVecId = Some(0L))
   }
 
+  // --- q202: stored-PQ layout built by the MAINTENANCE STREAM ------------------
+  /** The stored-PQ layout's streaming-CRUD leg under the oracle gate
+    * (r16 verdict #4 — the SQ8/PQ at-rest layouts had batch build +
+    * append but no streaming maintenance): train the coarse quantizer
+    * and residual codebooks once (sidecars written, index EMPTY), then
+    * let the whole corpus arrive as two CRUD micro-batches through
+    * [[graft.streaming.IvfMaintain.applyBatchPq]] — each batch one
+    * frozen-quantizer assign+encode projection staged and published
+    * exactly-once under [[graft.streaming.IngestCommit]] — and probe
+    * the stored 4-byte codes. The answer must hash-equal q149/q197
+    * (same oracle SQL verbatim): assignment AND encoding are pure
+    * per-row functions of the frozen quantizers, so arrival order,
+    * batch boundaries, and the staged-rename publish are all invisible
+    * to ADC rankings — the q198 arrival law at the 4-byte compression
+    * point.
+    *
+    * Scale shape: per batch one zero-shuffle assign+encode projection
+    * (k-row `_cents` + 64-row `_books` broadcasts) + a staged write
+    * touching only the batch's cells, ≤|touched cells|+1 renames;
+    * probes stay nprobe-pruned scans of 4-byte codes. StreamingSpec
+    * adds the live twin (MemoryStream feed, stream == batch-built
+    * parity, tombstone dels, replay refusal).
+    */
+  def q202IvfPqMaintain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = ivfTempRoot(dir) + "_pqmaint"
+    // reset the committed pointer: a bench rep re-running this query
+    // must not have its batches refused as replays
+    graft.core.Fs.deleteRecursive(s, root)
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(p)
+    ivfBuildPq(s, dir, root, withTenants = false,
+      memberFilter = lit(false))
+    val emb = embCached(s, dir)
+    val half = broadcast(
+      emb.agg(floor(max($"vec_id") / 2).cast("long").as("split")))
+    val feed = emb.crossJoin(half)
+      .select(lit("add").as("op"), $"vec_id", $"embedding", $"split")
+    graft.streaming.IvfMaintain.applyBatchPq(
+      feed.filter($"vec_id" <= $"split").drop("split"), 0L, root)
+    graft.streaming.IvfMaintain.applyBatchPq(
+      feed.filter($"vec_id" > $"split").drop("split"), 1L, root)
+    ivfProbeStoredPq(s, root, excludeVecId = Some(0L))
+  }
+
   /** The probe against the stored-PQ layout: [[ivfProbeStored]]'s cell
     * pick from the broadcast coarse centroids, then per-(cell, m,
     * codeword) ADC tables built from the `_books` sidecar and the
@@ -2255,32 +2443,7 @@ object Similarity extends QueryPack {
   def ivfProbeStoredPq(s: SparkSession, root: String, nprobe: Int = 3,
       k: Int = 10, excludeVecId: Option[Long] = None): DataFrame = {
     import s.implicits._
-    val q = broadcast(s.read.parquet(s"$root/_query"))
-    // qv RIDES cellsDf (nprobe bounded rows) so the ADC-table build
-    // below never re-scans the _query sidecar — one scan per probe
-    // (the PlanSpec scan-count gate; q201 runs two probes per row)
-    val cellsDf = s.read.parquet(s"$root/_cents").crossJoin(q)
-      .withColumn("qd2", dot($"qv", $"qv")
-        - lit(2.0) * dot($"qv", $"centroid")
-        + dot($"centroid", $"centroid"))
-      .orderBy($"qd2".asc, $"cell".asc).limit(nprobe)
-      .select($"cell", $"centroid", $"qv")
-    // bounded driver list (the hotKeys class): literal cell filter so
-    // the partitioned scan prunes statically
-    val cells = cellsDf.select($"cell").collect().map(_.getLong(0)).toSeq
-    // per-(cell, m, cl) ADC entries packed to one map per cell, keyed
-    // m·1000+cl — the query's residual differs per cell (q149's rule)
-    val mSlice = slice($"qres", $"m" * PqSubDim + 1, lit(PqSubDim))
-    val tabs = broadcast(cellsDf
-      .withColumn("qres", zip_with($"qv", $"centroid", (a, c) => a - c))
-      .crossJoin(s.read.parquet(s"$root/_books"))
-      .select($"cell",
-        ($"m".cast("long") * lit(1000L) + $"cl").as("mk"),
-        (dot(mSlice, mSlice)
-          - lit(2.0) * dot(mSlice, $"cvec")
-          + dot($"cvec", $"cvec")).as("qd2"))
-      .groupBy($"cell")
-      .agg(map_from_entries(collect_list(struct($"mk", $"qd2"))).as("tab")))
+    val (cells, tabs) = pqStoredProbeCtx(s, root, nprobe)
     val idx = s.read.parquet(s"$root/index")
       .withColumn("cell", col("cell").cast("long"))
       .filter($"cell".isin(cells: _*))
@@ -2289,18 +2452,7 @@ object Similarity extends QueryPack {
       else idx.join(
         broadcast(s.read.parquet(s"$root/index/_tombstones").distinct()),
         Seq("vec_id"), "left_anti")
-    def cw(m: Int): Column = element_at($"code", m + 1).cast("long")
-    def look(m: Int): Column =
-      element_at($"tab", lit(m.toLong * 1000L) + cw(m))
-    excludeVecId.fold(live)(id => live.filter($"vec_id" =!= id))
-      .join(tabs, "cell")
-      // fixed-order 4-term sum — q149's b0+b1+b2+b3 spelling
-      .withColumn("adc_d2", look(0) + look(1) + look(2) + look(3))
-      .select($"vec_id", $"cell",
-        concat_ws("-", cw(0), cw(1), cw(2), cw(3)).as("code"),
-        graft.core.Exact.dround($"adc_d2", 6).as("adc_d2"))
-      .orderBy(graft.core.Exact.dround($"adc_d2", 6).asc, $"vec_id".asc)
-      .limit(k)
+    pqAdcRank(live, tabs, k, excludeVecId)
   }
 
   /** The stored-PQ layout under the oracle gate: build, then probe
@@ -2677,6 +2829,8 @@ object Similarity extends QueryPack {
     "q197_ivf_pq_stored"   -> (q197IvfPqStored _),
     "q200_ivf_pq_append"   -> (q200IvfPqAppend _),
     "q201_ivf_tenant_pq"   -> (q201IvfTenantPq _),
+    "q202_ivf_pq_maintain" -> (q202IvfPqMaintain _),
+    "q204_stored_recall"   -> (q204StoredRecall _),
     "q151_pq_sweep"        -> (q151PqSweep _),
   )
 
@@ -2715,7 +2869,17 @@ object Similarity extends QueryPack {
     * answer byte-identically to the in-query composition (q149):
     * at-rest product quantization is invisible to ranking.
     */
-  private lazy val ivfPqSql: String = {
+  /** The shared WITH-prefix of every PQ oracle (r16 advice: the q201
+    * oracle previously derived itself by substring surgery on
+    * [[ivfPqSql]], which any edit to the final SELECT would silently
+    * corrupt): coarse chain → residuals → four subspace trajectories →
+    * per-probed-cell ADC tables, ending at the `encq_m` CTEs the
+    * final SELECTs join. Every PQ oracle composes this with its own
+    * explicit final SELECT. `nprobe` bounds the `probe` CTE (3 = the
+    * serving default; q204's recall sweep takes all 8 cells so every
+    * cell's ADC table exists for the windows to rank under).
+    */
+  private def ivfPqWithPrefix(nprobe: Int = 3): String = {
         def fd2m(m: Int): String = {
           val lo = m * 16 + 1; val hi = lo + 15
           s"""cent0_$m AS (SELECT vec_id AS cl, res[$lo:$hi] AS cvec
@@ -2746,7 +2910,6 @@ object Similarity extends QueryPack {
              |  FROM enc_$m e JOIN tab_$m t
              |   ON t.cell = e.cell AND t.cl = e.cl)""".stripMargin
         }
-        val adc = "e0.qd2 + e1.qd2 + e2.qd2 + e3.qd2"
         s"""WITH cent0 AS (SELECT vec_id AS cl, embedding AS cvec
            |  FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
            |a1 AS (SELECT e.vec_id, e.embedding, c.cl,
@@ -2772,7 +2935,8 @@ object Similarity extends QueryPack {
            |  WHERE vec_id = 0),
            |probe AS (SELECT c.cl AS cell, c.cvec AS centroid
            |  FROM cent1 c CROSS JOIN q
-           |  ORDER BY ${d2Sql("q.qv", "c.cvec")} ASC, c.cl ASC LIMIT 3),
+           |  ORDER BY ${d2Sql("q.qv", "c.cvec")} ASC, c.cl ASC
+           |  LIMIT $nprobe),
            |rex AS (SELECT i.vec_id, i.cell, g.i,
            |  CAST(i.embedding[g.i] AS DOUBLE) - c.cvec[g.i] AS v
            | FROM idx i JOIN cent1 c ON c.cl = i.cell,
@@ -2784,26 +2948,33 @@ object Similarity extends QueryPack {
            |qres AS (SELECT cell, list(v ORDER BY i) AS qres
            |  FROM qrx GROUP BY 1),
            |${(0 until 4).map(fd2m).mkString(",\n")}
-           |SELECT e0.vec_id, e0.cell,
-           | CONCAT_WS('-', e0.cl, e1.cl, e2.cl, e3.cl) AS code,
-           | ${graft.core.Exact.sqlDround(adc, 6)} AS adc_d2
-           |FROM encq_0 e0 JOIN encq_1 e1 USING (vec_id)
-           | JOIN encq_2 e2 USING (vec_id) JOIN encq_3 e3 USING (vec_id)
-           |WHERE e0.vec_id != 0
-           |ORDER BY ${graft.core.Exact.sqlDround(adc, 6)} ASC,
-           | e0.vec_id ASC LIMIT 10""".stripMargin
+           |""".stripMargin
   }
 
-  /** The q201 oracle: the SAME PQ chain with the final per-corpus
-    * top-10 swapped for per-tenant top-10s (label joined back from
-    * embeddings — codes and cells are per-row, so the tenant split is
-    * a pure partition of the q149 candidate set). Mirrors how
-    * ivfTenantProbeSql relates to the q128 chain.
+  private val pqAdcSql = "e0.qd2 + e1.qd2 + e2.qd2 + e3.qd2"
+
+  private lazy val ivfPqSql: String = {
+    val adc = pqAdcSql
+    ivfPqWithPrefix() +
+      s"""SELECT e0.vec_id, e0.cell,
+         | CONCAT_WS('-', e0.cl, e1.cl, e2.cl, e3.cl) AS code,
+         | ${graft.core.Exact.sqlDround(adc, 6)} AS adc_d2
+         |FROM encq_0 e0 JOIN encq_1 e1 USING (vec_id)
+         | JOIN encq_2 e2 USING (vec_id) JOIN encq_3 e3 USING (vec_id)
+         |WHERE e0.vec_id != 0
+         |ORDER BY ${graft.core.Exact.sqlDround(adc, 6)} ASC,
+         | e0.vec_id ASC LIMIT 10""".stripMargin
+  }
+
+  /** The q201 oracle: the SAME PQ chain ([[ivfPqWithPrefix]]) with the
+    * final per-corpus top-10 swapped for per-tenant top-10s (label
+    * joined back from embeddings — codes and cells are per-row, so
+    * the tenant split is a pure partition of the q149 candidate set).
+    * Mirrors how ivfTenantProbeSql relates to the q128 chain.
     */
   private lazy val ivfTenantPqSql: String = {
-    val i = ivfPqSql.lastIndexOf("SELECT e0.vec_id")
-    val adc = "e0.qd2 + e1.qd2 + e2.qd2 + e3.qd2"
-    ivfPqSql.substring(0, i) +
+    val adc = pqAdcSql
+    ivfPqWithPrefix() +
       s"""SELECT CAST(x.label AS BIGINT) AS tenant, e0.vec_id, e0.cell,
          | CONCAT_WS('-', e0.cl, e1.cl, e2.cl, e3.cl) AS code,
          | ${graft.core.Exact.sqlDround(adc, 6)} AS adc_d2
@@ -3614,6 +3785,99 @@ object Similarity extends QueryPack {
     "q197_ivf_pq_stored" -> ivfPqSql,
     // append is invisible to ranking (frozen-quantizer arrival law)
     "q200_ivf_pq_append" -> ivfPqSql,
+    // the stream-built layout answers identically to the batch build —
+    // the q198 arrival law at the 4-byte point (same oracle verbatim)
+    "q202_ivf_pq_maintain" -> ivfPqSql,
+    "q204_stored_recall" -> {
+      // the PQ prefix at nprobe=8 (every cell's ADC table exists),
+      // then three per-cell-top-10 folds — full/SQ8 ranked by
+      // ROUND(cos,6) DESC, PQ by the rounded ADC sum ASC — swept by
+      // windows exactly as q179; the exact baseline is q29's brute
+      // rule. The SQ8 chain is sq8ProbeSql's quantize/dequantize
+      // verbatim; all three layouts share the prefix's coarse idx.
+      val adc = graft.core.Exact.sqlDround(pqAdcSql, 6)
+      ivfPqWithPrefix(nprobe = 8) +
+        s""",crk AS (SELECT c.cl AS cell, row_number() OVER
+           |   (ORDER BY ${d2Sql("q.qv", "c.cvec")} ASC, c.cl ASC) AS prk
+           |  FROM cent1 c CROSS JOIN q),
+           |exact AS (SELECT e.vec_id FROM embeddings e CROSS JOIN q
+           |  WHERE e.vec_id != 0
+           |  QUALIFY row_number() OVER
+           |    (ORDER BY ROUND(${cosSql("e.embedding", "q.qv")}, 6) DESC,
+           |     e.vec_id ASC) <= 10),
+           |spn AS (SELECT CAST(g AS BIGINT) AS nprobe
+           |  FROM generate_series(1, 8) t(g)),
+           |pcf AS (SELECT vec_id, sc, prk FROM (
+           |   SELECT i.vec_id, i.cell, k.prk,
+           |    ROUND(${cosSql("i.embedding", "q.qv")}, 6) AS sc
+           |   FROM idx i JOIN crk k ON k.cell = i.cell CROSS JOIN q
+           |   WHERE i.vec_id != 0)
+           |  QUALIFY row_number() OVER
+           |    (PARTITION BY cell ORDER BY sc DESC, vec_id ASC) <= 10),
+           |sq AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           |  list_max(list_transform(CAST(embedding AS DOUBLE[]),
+           |    x -> abs(x))) / 127.0 AS scale
+           | FROM embeddings),
+           |codes AS (SELECT vec_id, scale,
+           |  CASE WHEN scale = 0
+           |   THEN list_transform(v, x -> CAST(0 AS BIGINT))
+           |   ELSE list_transform(v, x -> CAST(ROUND(x / scale) AS BIGINT))
+           |   END AS code
+           | FROM sq),
+           |dq AS (SELECT vec_id,
+           |  list_transform(code, x -> CAST(x AS DOUBLE) * scale) AS deq
+           | FROM codes),
+           |pcs AS (SELECT vec_id, sc, prk FROM (
+           |   SELECT i.vec_id, i.cell, k.prk,
+           |    ROUND(${cosSql("d.deq", "q.qv")}, 6) AS sc
+           |   FROM idx i JOIN crk k ON k.cell = i.cell
+           |   JOIN dq d ON d.vec_id = i.vec_id CROSS JOIN q
+           |   WHERE i.vec_id != 0)
+           |  QUALIFY row_number() OVER
+           |    (PARTITION BY cell ORDER BY sc DESC, vec_id ASC) <= 10),
+           |pcp AS (SELECT vec_id, sc, prk FROM (
+           |   SELECT e0.vec_id, e0.cell, k.prk, $adc AS sc
+           |   FROM encq_0 e0 JOIN encq_1 e1 USING (vec_id)
+           |    JOIN encq_2 e2 USING (vec_id) JOIN encq_3 e3 USING (vec_id)
+           |    JOIN crk k ON k.cell = e0.cell
+           |   WHERE e0.vec_id != 0)
+           |  QUALIFY row_number() OVER
+           |    (PARTITION BY cell ORDER BY sc ASC, vec_id ASC) <= 10),
+           |prf AS (SELECT nprobe, vec_id FROM (
+           |   SELECT n.nprobe, p.vec_id, p.sc
+           |   FROM spn n JOIN pcf p ON p.prk <= n.nprobe)
+           |  QUALIFY row_number() OVER
+           |    (PARTITION BY nprobe ORDER BY sc DESC, vec_id ASC) <= 10),
+           |prs AS (SELECT nprobe, vec_id FROM (
+           |   SELECT n.nprobe, p.vec_id, p.sc
+           |   FROM spn n JOIN pcs p ON p.prk <= n.nprobe)
+           |  QUALIFY row_number() OVER
+           |    (PARTITION BY nprobe ORDER BY sc DESC, vec_id ASC) <= 10),
+           |prp AS (SELECT nprobe, vec_id FROM (
+           |   SELECT n.nprobe, p.vec_id, p.sc
+           |   FROM spn n JOIN pcp p ON p.prk <= n.nprobe)
+           |  QUALIFY row_number() OVER
+           |    (PARTITION BY nprobe ORDER BY sc ASC, vec_id ASC) <= 10),
+           |hf AS (SELECT nprobe, CAST(COUNT(e.vec_id) AS BIGINT) AS n_hits
+           |  FROM prf LEFT JOIN exact e USING (vec_id) GROUP BY 1),
+           |hs AS (SELECT nprobe, CAST(COUNT(e.vec_id) AS BIGINT) AS n_hits
+           |  FROM prs LEFT JOIN exact e USING (vec_id) GROUP BY 1),
+           |hp AS (SELECT nprobe, CAST(COUNT(e.vec_id) AS BIGINT) AS n_hits
+           |  FROM prp LEFT JOIN exact e USING (vec_id) GROUP BY 1)
+           |SELECT * FROM (
+           | SELECT 'full' AS layout, nprobe, n_hits,
+           |  ${graft.core.Exact.sqlDround(
+                "CAST(n_hits AS DOUBLE) / 10.0", 6)} AS recall FROM hf
+           | UNION ALL
+           | SELECT 'sq8' AS layout, nprobe, n_hits,
+           |  ${graft.core.Exact.sqlDround(
+                "CAST(n_hits AS DOUBLE) / 10.0", 6)} AS recall FROM hs
+           | UNION ALL
+           | SELECT 'pq' AS layout, nprobe, n_hits,
+           |  ${graft.core.Exact.sqlDround(
+                "CAST(n_hits AS DOUBLE) / 10.0", 6)} AS recall FROM hp)
+           |ORDER BY layout ASC, nprobe ASC""".stripMargin
+    },
     // q149's chain, per-tenant top-10s — tenant isolation at the
     // 4-byte compression point as a hash fact
     "q201_ivf_tenant_pq" -> ivfTenantPqSql,

@@ -1749,6 +1749,62 @@ object TextAnalysis extends QueryPack {
       .write.mode("overwrite").parquet(s"$stagingRoot/stats")
   }
 
+  /** [[bm25MaintainStage]] for the MULTI-TENANT layout (r16 verdict
+    * #5 — q198 gave the IVF tenant layout its stream leg while q175's
+    * lexical layout was batch-built only): one (op, doc_id, lang,
+    * text) micro-batch where adds stage postings under the
+    * `partitionBy(lang, tb)` tree — published files land only under
+    * the batch's own (tenant, bucket) dirs, so co-tenants' files are
+    * never rewritten by a neighbor's crawl — the `_docs` sidecar rows
+    * carry lang (the tenant layout's grain), and the ONE staged stats
+    * subtree holds PER-TENANT delta rows (+nd,+tl per add lang;
+    * −nd,−tl per del lang), matching [[bm25IndexWriteTenants]]'s
+    * (lang, nd, tl) schema that [[bm25ProbeTenant]] sums per tenant.
+    * Dels are doc_id tombstones priced against the live view AS OF
+    * THIS BATCH (prior `_docs` minus tombstones plus this batch's own
+    * adds — add-then-delete of one doc nets to a correctly-priced
+    * tombstone, the single-tenant law); a whole-tenant PURGE is just
+    * that tenant's del rows riding the same feed. `path` may be a
+    * FRESH root (no `_docs` yet): the live view starts empty, so a
+    * layout built purely by streamed batches equals the batch build —
+    * q203's oracle law.
+    */
+  def bm25MaintainStageTenants(adds: DataFrame, dels: DataFrame,
+      path: String, stagingRoot: String, buckets: Int = 64): Unit = {
+    val s = adds.sparkSession
+    import s.implicits._
+    val tokenized = bm25Tokenized(adds)
+    bm25Postings(tokenized, buckets)
+      .write.mode("overwrite").partitionBy("lang", "tb")
+      .parquet(s"$stagingRoot/post")
+    val addLens = tokenized.select($"doc_id", $"lang", $"dl")
+    addLens.write.mode("overwrite").parquet(s"$stagingRoot/docs")
+    val liveNow = {
+      val prior =
+        if (!graft.core.Fs.exists(s, s"$path/_docs")) addLens.limit(0)
+        else s.read.parquet(s"$path/_docs")
+      val all =
+        if (!graft.core.Fs.exists(s, s"$path/_tombstones")) prior
+        else prior.join(
+          broadcast(s.read.parquet(s"$path/_tombstones").distinct()),
+          Seq("doc_id"), "left_anti")
+      all.unionByName(addLens)
+    }
+    // consumed twice (tombstone rows + per-tenant stats deltas)
+    val victims = liveNow
+      .join(dels.select($"doc_id".cast("long")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .localCheckpoint(false)
+    victims.select($"doc_id")
+      .write.mode("overwrite").parquet(s"$stagingRoot/tomb")
+    addLens.groupBy($"lang")
+      .agg(count(lit(1)).as("nd"), sum($"dl").as("tl"))
+      .unionByName(victims.groupBy($"lang")
+        .agg((lit(0L) - count(lit(1))).as("nd"),
+          (lit(0L) - coalesce(sum($"dl"), lit(0L))).as("tl")))
+      .write.mode("overwrite").parquet(s"$stagingRoot/stats")
+  }
+
   /** Tombstone DELETE — ivfDelete's LSM marker on the lexical layout:
     * deleted doc ids append to `_tombstones/` (underscore-hidden from
     * the base listing), probes filter live rows, and `_stats` gains
@@ -1802,6 +1858,35 @@ object TextAnalysis extends QueryPack {
     live(s.read.parquet(s"$path/_docs"))
       .write.mode("overwrite").parquet(s"$dest/_docs")
     s.read.parquet(s"$dest/_docs")
+      .agg(count(lit(1)).as("nd"), sum($"dl").as("tl"))
+      .write.mode("overwrite").parquet(s"$dest/_stats")
+  }
+
+  /** [[bm25Compact]] for the MULTI-TENANT layout: rewrite the live
+    * postings under the `partitionBy(lang, tb)` tree, prune `_docs`,
+    * collapse `_stats` to one exact row PER TENANT. A fully purged
+    * tenant has no live rows, so its `lang=` subtree simply does not
+    * exist in the compacted layout — erasure's bytes reclaimed, the
+    * lexical twin of ivfCompactTenants' rule (its stats rows vanish
+    * with it; a probe of a vanished tenant is the empty frame, q180's
+    * contract).
+    */
+  def bm25CompactTenants(s: SparkSession, path: String, dest: String,
+      buckets: Int = 64): Unit = {
+    import s.implicits._
+    graft.core.Fs.deleteRecursive(s, dest)
+    val tomb =
+      if (!graft.core.Fs.exists(s, s"$path/_tombstones")) None
+      else Some(broadcast(s.read.parquet(s"$path/_tombstones").distinct()))
+    def live(df: DataFrame): DataFrame =
+      tomb.fold(df)(t => df.join(t, Seq("doc_id"), "left_anti"))
+    live(s.read.parquet(path))
+      .withColumn("tb", col("tb").cast("long"))
+      .write.mode("overwrite").partitionBy("lang", "tb").parquet(dest)
+    live(s.read.parquet(s"$path/_docs"))
+      .write.mode("overwrite").parquet(s"$dest/_docs")
+    s.read.parquet(s"$dest/_docs")
+      .groupBy($"lang")
       .agg(count(lit(1)).as("nd"), sum($"dl").as("tl"))
       .write.mode("overwrite").parquet(s"$dest/_stats")
   }
@@ -2379,6 +2464,63 @@ object TextAnalysis extends QueryPack {
     */
   private[graft] val TenantLangs: Seq[String] = Seq("en", "zh")
 
+  /** q175 AND q203 share this oracle: tenant isolation — each
+    * tenant's ranking from the SHARED layout equals q130's pipeline
+    * over that tenant's documents alone; the stream-built layout
+    * (q203) must answer identically to the batch-built one (q175).
+    */
+  private lazy val tenantProbeOracleSql: String =
+    s"""SELECT * FROM (${TenantLangs.map { lang =>
+          s"""SELECT doc_id, lang, dl, score, n_terms,
+             |  '$lang' AS tenant
+             |FROM (${bm25OracleOver(s"lang = '$lang'")})""".stripMargin
+        }.mkString("\nUNION ALL\n")})
+       |ORDER BY tenant ASC, score DESC, doc_id ASC""".stripMargin
+
+  // --- q203: tenant BM25 layout built by the MAINTENANCE STREAM ----------------
+  /** The lexical twin of q198 (r16 verdict #5): the whole corpus
+    * arrives as two CRUD micro-batches through
+    * [[graft.streaming.Bm25Maintain.applyBatchTenants]] — per-batch
+    * tokenize, postings staged under the batch's own `(lang, tb)`
+    * dirs, per-tenant stats deltas, one exactly-once publish each —
+    * and both tenants probe the stream-built layout. The answer must
+    * equal q175's batch-built layout (same oracle SQL): postings and
+    * doc lengths are per-document functions and the probe SUMS the
+    * stats deltas, so batch boundaries and arrival order are
+    * invisible to rankings — streaming ingest is safe for the
+    * multi-tenant lexical fleet exactly as q198 proved for the dense
+    * one.
+    *
+    * Scale shape: per batch one tokenize + a staged write touching
+    * only the batch terms' (tenant, bucket) dirs, ≤|touched|+3
+    * renames; probes stay (lang, tb)-pruned two-level scans.
+    * StreamingSpec adds the live twin (MemoryStream feed, stream ==
+    * batch parity, tenant purge-as-dels, replay refusal).
+    */
+  def q203Bm25TenantMaintain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = bm25TempIndexPath(dir) + "_tmaint"
+    // reset the committed pointer: a bench rep re-running this query
+    // must not have its batches refused as replays
+    graft.core.Fs.deleteRecursive(s, path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(p)
+    val docs = Tables.documents(s, dir)
+    val half = broadcast(
+      docs.agg(floor(max($"doc_id") / 2).cast("long").as("split")))
+    val feed = docs.crossJoin(half)
+      .select(lit("add").as("op"), $"doc_id", $"lang", $"text", $"split")
+    graft.streaming.Bm25Maintain.applyBatchTenants(
+      feed.filter($"doc_id" <= $"split").drop("split"), 0L, path)
+    graft.streaming.Bm25Maintain.applyBatchTenants(
+      feed.filter($"doc_id" > $"split").drop("split"), 1L, path)
+    TenantLangs.map { lang =>
+      bm25ProbeTenant(s, path, lang, Bm25Query)
+        .withColumn("tenant", lit(lang))
+    }.reduce(_ unionByName _)
+      .orderBy($"tenant".asc, $"score".desc, $"doc_id".asc)
+  }
+
   // --- q180: tenant purge — offboarding / right-to-erasure ---------------------
   /** Purge an ENTIRE tenant from the shared [[bm25IndexWriteTenants]]
     * layout: every live doc of `lang` is tombstoned and the tenant's
@@ -2651,6 +2793,7 @@ object TextAnalysis extends QueryPack {
     "q172_compaction_census" -> (q172CompactionCensus _),
     "q173_compact_swap"      -> (q173CompactSwap _),
     "q175_tenant_probe"      -> (q175TenantProbe _),
+    "q203_bm25_tenant_maintain" -> (q203Bm25TenantMaintain _),
     "q180_tenant_purge"      -> (q180TenantPurge _),
     "q182_index_freshness"   -> (q182IndexFreshness _),
     "q188_hard_negatives"    -> (q188HardNegatives _),
@@ -2868,15 +3011,10 @@ object TextAnalysis extends QueryPack {
          |  '${TenantLangs.head}' AS tenant
          |FROM (${bm25OracleOver(s"lang = '${TenantLangs.head}'")})
          |ORDER BY tenant ASC, score DESC, doc_id ASC""".stripMargin,
-    "q175_tenant_probe" ->
-      // tenant isolation: each tenant's ranking from the SHARED layout
-      // equals q130's pipeline over that tenant's documents alone
-      s"""SELECT * FROM (${TenantLangs.map { lang =>
-            s"""SELECT doc_id, lang, dl, score, n_terms,
-               |  '$lang' AS tenant
-               |FROM (${bm25OracleOver(s"lang = '$lang'")})""".stripMargin
-          }.mkString("\nUNION ALL\n")})
-         |ORDER BY tenant ASC, score DESC, doc_id ASC""".stripMargin,
+    "q175_tenant_probe" -> tenantProbeOracleSql,
+    // the stream-built tenant layout answers identically to the batch
+    // build — q198's arrival law on the lexical side (same oracle)
+    "q203_bm25_tenant_maintain" -> tenantProbeOracleSql,
     "q173_compact_swap" ->
       // both stages equal a rebuild WITHOUT the victims — the
       // tombstone view and the compacted view are one logical index

@@ -68,6 +68,41 @@ object Bm25Maintain {
       }
       .start()
 
+  /** [[applyBatch]] for the MULTI-TENANT layout (r16 verdict #5 — the
+    * lexical twin of [[IvfMaintain.applyBatchTenants]]): one
+    * (op, doc_id, lang, text) micro-batch against the shared
+    * `partitionBy(lang, tb)` layout — adds stage under the batch's own
+    * (tenant, bucket) dirs with per-tenant stats deltas, dels are
+    * doc_id tombstones priced per tenant, and a whole-tenant purge is
+    * that tenant's del rows riding this same feed. Works against a
+    * FRESH root too (stream-built layout == q175's batch build, the
+    * q203 law). Same staged-publish exactly-once and no-id-reuse
+    * contracts.
+    */
+  def applyBatchTenants(batch: DataFrame, batchId: Long,
+      path: String): Boolean = {
+    val s = batch.sparkSession
+    val b = batch.localCheckpoint(false)
+    IngestCommit.applyStaged(s, path, batchId, Artifacts, staged =>
+      graft.operators.TextAnalysis.bm25MaintainStageTenants(
+        b.filter(col("op") === "add").select("doc_id", "lang", "text"),
+        b.filter(col("op") === "del").select("doc_id"),
+        path, staged))
+  }
+
+  /** The tenant maintenance loop — one stream serving every tenant of
+    * the shared layout ([[IvfMaintain.ivfMaintainStreamTenants]]'s
+    * single-writer rule on the lexical side).
+    */
+  def bm25MaintainStreamTenants(feed: DataFrame, path: String,
+      checkpoint: String): StreamingQuery =
+    feed.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatchTenants(batch, batchId, path); ()
+      }
+      .start()
+
   /** The cheap compaction TRIGGER for the managed stream: fraction of
     * tombstoned docs over all indexed docs — two doc-cardinality
     * counts off the sidecars, never a postings scan. A doc-count
@@ -137,6 +172,49 @@ object Bm25Maintain {
         if (applyBatch(batch, batchId, cur) &&
             deadDocFrac(s, cur) >= compactAt) {
           compactAndSwap(s, base, buckets); ()
+        }
+      }
+      .start()
+
+  /** [[compactAndSwap]] through the TENANT rewrite
+    * ([[graft.operators.TextAnalysis.bm25CompactTenants]]): a fully
+    * purged tenant's `lang=` subtree and stats rows vanish with the
+    * generation flip — erasure's bytes reclaimed by the same swap
+    * machinery, the lexical twin of
+    * [[IvfMaintain.compactAndSwapTenants]]. Pointer carried so replay
+    * protection survives the flip.
+    */
+  def compactAndSwapTenants(s: SparkSession, base: String,
+      buckets: Int = 64): String = {
+    val curGen = graft.core.Roots.currentGen(s, base)
+    val next = "gen" + (curGen.stripPrefix("gen").toLong + 1L)
+    graft.operators.TextAnalysis.bm25CompactTenants(
+      s, s"$base/$curGen", s"$base/$next", buckets)
+    val committed = IngestCommit.committed(s, s"$base/$curGen")
+    if (committed >= 0L)
+      graft.core.Fs.writeUtf8Atomic(s,
+        s"$base/$next/_INGEST_COMMIT", committed.toString)
+    graft.core.Roots.publish(s, base, next)
+    next
+  }
+
+  /** [[bm25MaintainStreamManaged]] on the tenant layout: CRUD feed
+    * applied exactly-once against the generation the Roots pointer
+    * names, per-batch dead-doc trigger, offline
+    * [[compactAndSwapTenants]] — purged tenants' subtrees drop with
+    * the flip.
+    */
+  def bm25MaintainStreamManagedTenants(feed: DataFrame, base: String,
+      checkpoint: String, compactAt: Double = 0.2,
+      buckets: Int = 64): StreamingQuery =
+    feed.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val cur = graft.core.Roots.current(s, base)
+        if (applyBatchTenants(batch, batchId, cur) &&
+            deadDocFrac(s, cur) >= compactAt) {
+          compactAndSwapTenants(s, base, buckets); ()
         }
       }
       .start()

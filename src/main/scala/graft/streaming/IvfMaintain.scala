@@ -116,6 +116,48 @@ object IvfMaintain {
       }
       .start()
 
+  /** [[applyBatch]] for the STORED-PQ layout (r16 verdict #4 — the
+    * compressed-at-rest layouts had batch build + append but no
+    * streaming CRUD leg): adds run the frozen-quantizer assign+encode
+    * projection ([[graft.operators.Similarity.ivfAssignEncodePq]] —
+    * the exact per-row kernel ivfAppendPq writes, so a streamed code
+    * is byte-identical to a batch-appended one) and stage 4-byte
+    * codes `partitionBy(cell)`; dels are vec_id tombstones exactly as
+    * single-tenant (the live view's anti-join never touches the
+    * payload). Same staged-publish exactly-once and no-id-reuse
+    * contracts; managed compaction re-encodes NOTHING (codes are
+    * frozen-quantizer pure — a rewrite moves bytes, never recomputes
+    * them).
+    */
+  def applyBatchPq(batch: DataFrame, batchId: Long,
+      root: String): Boolean = {
+    val s = batch.sparkSession
+    val b = batch.localCheckpoint(false)
+    IngestCommit.applyStaged(s, index(root), batchId, Artifacts, staged => {
+      graft.operators.Similarity
+        .ivfAssignEncodePq(s,
+          b.filter(col("op") === "add").select("vec_id", "embedding"), root)
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$staged/post")
+      b.filter(col("op") === "del")
+        .select(col("vec_id").cast("long"))
+        .write.mode("overwrite").parquet(s"$staged/tomb")
+    })
+  }
+
+  /** The stored-PQ maintenance loop over a streaming (op, vec_id,
+    * embedding) feed against the layout at `root` (built by
+    * ivfServingSetupPq). Caller supplies the checkpoint dir.
+    */
+  def ivfMaintainStreamPq(feed: DataFrame, root: String,
+      checkpoint: String): StreamingQuery =
+    feed.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatchPq(batch, batchId, root); ()
+      }
+      .start()
+
   /** Cheap compaction trigger: distinct tombstone ids over index row
     * count — an UPPER BOUND on the true dead fraction (a tombstoned id
     * absent from the index inflates it; deletes normally target known
@@ -165,7 +207,9 @@ object IvfMaintain {
     val next = "gen" + (curGen.stripPrefix("gen").toLong + 1L)
     graft.core.Fs.deleteRecursive(s, s"$base/$next")
     compact(s"$base/$curGen/index", s"$base/$next/index")
-    Seq("_cents", "_query", "_queries").foreach { side =>
+    // `_books` rides along for PQ generations: codebooks are frozen
+    // exactly like centroids (re-deriving them would be a retrain)
+    Seq("_cents", "_query", "_queries", "_books").foreach { side =>
       if (graft.core.Fs.exists(s, s"$base/$curGen/$side"))
         s.read.parquet(s"$base/$curGen/$side")
           .write.mode("overwrite").parquet(s"$base/$next/$side")
@@ -216,6 +260,28 @@ object IvfMaintain {
         if (applyBatchTenants(batch, batchId, cur) &&
             deadVecFrac(s, cur) >= compactAt) {
           compactAndSwapTenants(s, base); ()
+        }
+      }
+      .start()
+
+  /** [[ivfMaintainStreamManaged]] on the stored-PQ layout: CRUD feed
+    * applied exactly-once against the generation the Roots pointer
+    * names, per-batch dead-vector trigger, offline compaction through
+    * the payload-agnostic [[graft.operators.Similarity.ivfCompact]]
+    * (tombstoned codes drop; surviving 4-byte codes move untouched —
+    * no re-encode) with `_books` carried beside `_cents` into the
+    * next generation by [[swapWith]].
+    */
+  def ivfMaintainStreamManagedPq(feed: DataFrame, base: String,
+      checkpoint: String, compactAt: Double = 0.2): StreamingQuery =
+    feed.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val cur = graft.core.Roots.current(s, base)
+        if (applyBatchPq(batch, batchId, cur) &&
+            deadVecFrac(s, cur) >= compactAt) {
+          compactAndSwap(s, base); ()
         }
       }
       .start()

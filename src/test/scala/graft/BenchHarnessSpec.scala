@@ -205,14 +205,15 @@ class BenchHarnessSpec extends SparkTestBase {
       Seq((Seq("q_x" -> Seq(0.1)), "a", 0.4), (quiet, "b", 0.4)),
       anchor)._2 == "b")
     val gate = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
-      Bench.quietGateJson(Seq((noisy, 0.4), (quiet, 0.4)), anchor, 1.05,
-        passed = true))
+      Bench.quietGateJson(Seq((noisy, 0.4, 0.4), (quiet, 0.4, 0.4)),
+        anchor, 1.05, 1.6, passed = true))
     assert(gate.get("attempts").asInt == 2)
     assert(gate.get("attempt_medians").size == 2)
     assert(gate.get("attempt_medians").get(0).asDouble == 1.6)
     assert(gate.get("attempt_medians").get(1).asDouble == 1.05)
     assert(gate.get("passed").asBoolean)
     assert(gate.get("threshold").asDouble == 1.05)
+    assert(gate.get("p90_threshold").asDouble == 1.6)
   }
 
   // r15 verdict #1: the closing gate FAILED three rounds running on
@@ -258,8 +259,9 @@ class BenchHarnessSpec extends SparkTestBase {
     // disclosure block carries the full arithmetic: raw medians, probe
     // seconds, drift factors, normalized medians, anchor stamp
     val gate = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
-      Bench.quietGateJson(Seq((drifted, 0.3355 * 1.25), (mover, 0.3355)),
-        anchor, 1.05, passed = true))
+      Bench.quietGateJson(
+        Seq((drifted, 0.3355 * 1.25, 0.3355 * 1.25), (mover, 0.3355, 0.3355)),
+        anchor, 1.05, 1.6, passed = true))
     assert(gate.get("attempt_medians").get(0).asDouble === 1.25)
     assert(math.abs(gate.get("attempt_probe_sec").get(0).asDouble
       - 0.3355 * 1.25) < 1e-4)
@@ -273,6 +275,60 @@ class BenchHarnessSpec extends SparkTestBase {
     val pick = Bench.pickQuietest(
       Seq((mover, "m", 0.3355), (drifted, "d", 0.3355 * 1.25)), anchor)
     assert(pick._2 == "d")
+  }
+
+  // r16 verdict #2 + advice: the gate's drift discount now divides by
+  // the STRICTER min(pre,post) probe, a forgiving normalization below
+  // 0.9 is "over-corrected - re-run" instead of a pass with headroom,
+  // and the min-probe-normalized p90 must clear its own threshold so a
+  // tail of >2x movers can't hide under a clean median.
+  test("r17 gate rule: min-probe normalization, over-correction floor, " +
+    "p90 tail threshold") {
+    val anchor = Map("q1" -> 1.0, "q2" -> 2.0, "q3" -> 1.0, "q4" -> 1.0,
+      "q5" -> 1.0, "q6" -> 1.0, "q7" -> 1.0, "q8" -> 1.0, "q9" -> 1.0,
+      "q10" -> 1.0, Bench.ProbeKey -> 0.3355)
+    def flat(r: Double): Seq[(String, Seq[Double])] =
+      anchor.keys.filterNot(_.startsWith("_")).toSeq.sorted
+        .map(q => q -> Seq(anchor(q) * r))
+    // raw median under threshold passes with no normalization at all
+    assert(Bench.attemptPasses(flat(1.0), anchor, 0.5, 0.5, 1.05, 1.6))
+    // genuine drift: both probes read 1.25x the stamp -> strict
+    // normalization 1.25/1.25 = 1.0 passes, no over-correction
+    assert(Bench.attemptPasses(flat(1.25), anchor,
+      0.3355 * 1.25, 0.3355 * 1.25, 1.05, 1.6))
+    // probe-noise drift: only the POST sample spiked (min probe at the
+    // stamp) -> the r16 max-probe gate would pass 1.25/1.25 = 1.0; the
+    // strict gate divides by min-probe drift 1.0 and FAILS
+    assert(!Bench.attemptPasses(flat(1.25), anchor,
+      0.3355 * 1.25, 0.3355, 1.05, 1.6))
+    // over-correction: raw 1.27 with a 1.56x forgiving drift factor
+    // normalizes to 0.81 < 0.9 -> re-run, never a pass (the r16
+    // driver artifact's exact shape; min probe also high so the
+    // strict quotient is under threshold)
+    assert(!Bench.attemptPasses(flat(1.27), anchor,
+      0.3355 * 1.56, 0.3355 * 1.50, 1.05, 1.6))
+    // p90 tail: clean median but two >2x movers in ten queries ->
+    // nearest-rank p90 picks the tail and fails its threshold
+    val tail = flat(1.0).map {
+      case (q, v) if q == "q8" || q == "q9" => q -> v.map(_ * 2.4)
+      case kv => kv
+    }
+    assert(Bench.p90Ratio(tail, anchor).exists(r => math.abs(r - 2.4) < 1e-9))
+    assert(!Bench.attemptPasses(tail, anchor, 0.3355, 0.3355, 1.05, 1.6))
+    assert(Bench.attemptPasses(tail, anchor, 0.3355, 0.3355, 1.05, 0.0),
+      "p90Thr <= 0 disables the tail check")
+    // disclosure: over_corrected flag and the min-probe fields render
+    val gate = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      Bench.quietGateJson(
+        Seq((flat(1.27), 0.3355 * 1.56, 0.3355 * 1.50)),
+        anchor, 1.05, 1.6, passed = false))
+    assert(gate.get("over_corrected").get(0).asBoolean)
+    assert(math.abs(gate.get("drift_factors_min").get(0).asDouble - 1.50)
+      < 1e-3)
+    assert(math.abs(gate.get("attempt_medians_normalized_min").get(0)
+      .asDouble - 1.27 / 1.50) < 1e-3)
+    assert(gate.get("attempt_p90s_normalized_min").get(0).isNumber)
+    assert(!gate.get("passed").asBoolean)
   }
 
   test("writeLine persists the exact line and reports the absolute path") {

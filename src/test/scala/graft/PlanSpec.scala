@@ -43,7 +43,12 @@ class PlanSpec extends SparkTestBase {
       "q55_contamination" -> 3, // corpus + synthetic benchmark suite
       "q57_corpus_recipe" -> 3, // multi-op recipe (r11 audit)
       "q111_snapshot_diff" -> 3, // snapshot B derived from A
-      "q125_merge_apply" -> 4) // 3-branch synthetic delta feed + snap
+      "q125_merge_apply" -> 4, // 3-branch synthetic delta feed + snap
+      // THREE independent stored layouts (full/SQ8/PQ), each scanned
+      // ONCE per sweep — their roots' subdirs share basenames
+      // (index/_cents/_query), so the name-keyed census reads 3
+      // distinct tables as 3 scans of one
+      "q204_stored_recall" -> 3)
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

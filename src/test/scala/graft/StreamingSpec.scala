@@ -2014,6 +2014,140 @@ class StreamingSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("stored-PQ maintenance stream: a mixed add/del feed in slices " +
+    "equals the batch build + batch delete of the same rows; managed " +
+    "compaction folds tombstones without re-encoding and carries " +
+    "_books; replay refused untouched") {
+    import spark.implicits._
+    import graft.core.Roots
+    import graft.operators.Similarity
+    import graft.streaming.IvfMaintain
+    implicit val sc = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("ivfpqmnt").toString
+    // gen0: frozen quantizers + sidecars only, EMPTY index — the
+    // whole corpus arrives through the stream
+    Similarity.ivfServingSetupPq(spark, sfDir, s"$base/gen0",
+      memberFilter = lit(false))
+    Roots.publish(spark, base, "gen0")
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val adds = emb.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect().toSeq
+      .map { case (id, e) => ("add", id, e) }
+    val victims = adds.collect { case (_, id, _) if id % 7 == 3 => id }
+    val dels = victims.map(id => ("del", id, Seq.empty[Float]))
+    val ckpt = java.nio.file.Files.createTempDirectory("ivfpq_ck").toString
+    val input = MemoryStream[(String, Long, Seq[Float])]
+    val q = IvfMaintain.ivfMaintainStreamManagedPq(
+      input.toDF().toDF("op", "vec_id", "embedding"), base, ckpt,
+      compactAt = 0.05)
+    val feed = adds.grouped(adds.size / 3 + 1).toSeq :+ dels
+    try feed.foreach { s => input.addData(s); q.processAllAvailable() }
+    finally q.stop()
+    assert(Roots.currentGen(spark, base) != "gen0",
+      "auto-compaction never fired")
+    val cur = Roots.current(spark, base)
+    // the compacted generation carries the frozen codebooks — without
+    // the _books carry every later probe would die
+    assert(graft.core.Fs.exists(spark, s"$cur/_books"),
+      "_books sidecar lost in the generation flip")
+    assert(!graft.core.Fs.exists(spark, s"$cur/index/_tombstones"),
+      "compaction must fold tombstones away")
+    // batch control: full build, then the same victims batch-deleted
+    val ctrl = java.nio.file.Files.createTempDirectory("ivfpqmc").toString
+    Similarity.ivfServingSetupPq(spark, sfDir, ctrl)
+    Similarity.ivfDelete(victims.toDF("vec_id"), s"$ctrl/index")
+    def probe(root: String) =
+      Similarity.ivfProbeStoredPq(spark, root,
+        excludeVecId = Some(0L)).collect().toSeq
+    assert(probe(cur) == probe(ctrl),
+      "stream-built PQ layout diverges from the batch control")
+    // byte-identity of the STORED codes: compaction moved, never
+    // re-encoded (frozen-quantizer purity)
+    def codes(root: String) = spark.read.parquet(s"$root/index")
+      .select($"vec_id", $"code", $"cell".cast("long").as("cell"))
+      .as[(Long, Seq[Byte], Long)].collect().sortBy(_._1).toSeq
+    val ctrlLive = codes(ctrl).filterNot(c => victims.contains(c._1))
+    assert(codes(cur) == ctrlLive,
+      "stored codes diverge from a batch rebuild over the survivors")
+    // replay refused: re-applying the last committed batch id leaves
+    // the layout untouched
+    val committed = IvfMaintain.committedBatch(spark, cur)
+    assert(committed == feed.size - 1L)
+    val before = spark.read.parquet(s"$cur/index").count()
+    assert(!IvfMaintain.applyBatchPq(
+      Seq(("add", 999999L, Seq.fill(64)(0.5f)))
+        .toDF("op", "vec_id", "embedding"),
+      committed, cur), "replay must be refused")
+    assert(spark.read.parquet(s"$cur/index").count() == before)
+    spark.catalog.clearCache()
+  }
+
+  test("tenant bm25 maintenance stream: the stream-built tenant layout " +
+    "answers exactly the batch-built one; a tenant purge rides the " +
+    "feed as del rows; managed compaction drops the purged tenant's " +
+    "lang= subtree; replay refused untouched") {
+    import spark.implicits._
+    import graft.core.Roots
+    import graft.operators.TextAnalysis
+    import graft.streaming.Bm25Maintain
+    implicit val sc = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("bmtmnt").toString
+    // gen0 starts EMPTY — the whole corpus arrives through the stream
+    // (bm25MaintainStageTenants' fresh-root contract)
+    new java.io.File(s"$base/gen0").mkdirs()
+    Roots.publish(spark, base, "gen0")
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"lang", $"text")
+      .as[(Long, String, String)].collect().toSeq
+    val purged = TextAnalysis.TenantLangs(1)
+    val adds = docs.map { case (id, l, t) => ("add", id, l, t) }
+    val purgeDels = docs.collect { case (id, l, _) if l == purged =>
+      ("del", id, l, "") }
+    val ckpt = java.nio.file.Files.createTempDirectory("bmtmnt_ck").toString
+    val input = MemoryStream[(String, Long, String, String)]
+    val q = Bm25Maintain.bm25MaintainStreamManagedTenants(
+      input.toDF().toDF("op", "doc_id", "lang", "text"), base, ckpt,
+      compactAt = 0.02)
+    val feed = adds.grouped(adds.size / 3 + 1).toSeq :+ purgeDels
+    try feed.foreach { s => input.addData(s); q.processAllAvailable() }
+    finally q.stop()
+    assert(Roots.currentGen(spark, base) != "gen0",
+      "auto-compaction never fired")
+    val cur = Roots.current(spark, base)
+    // erasure physics: the purged tenant's lang= subtree is gone, the
+    // survivor's remains
+    val langDirs = new java.io.File(cur).listFiles
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(!langDirs.contains(s"lang=$purged"),
+      s"purged tenant's subtree survived compaction: $langDirs")
+    assert(langDirs.contains(s"lang=${TextAnalysis.TenantLangs.head}"))
+    // batch control: one-shot tenant layout, same purge batch-side
+    val ctrl = java.nio.file.Files.createTempDirectory("bmtmntc").toString
+    TextAnalysis.bm25IndexWriteTenants(
+      graft.core.Tables.documents(spark, sfDir), ctrl)
+    TextAnalysis.bm25PurgeTenantAtomic(spark, ctrl, purged,
+      graft.streaming.IngestCommit.committed(spark, ctrl) + 1L)
+    def probe(root: String, lang: String) =
+      TextAnalysis.bm25ProbeTenant(spark, root, lang,
+        TextAnalysis.Bm25Query).collect().toSeq
+    TextAnalysis.TenantLangs.foreach { lang =>
+      assert(probe(cur, lang) == probe(ctrl, lang),
+        s"tenant $lang: stream-built layout diverges from batch control")
+    }
+    assert(probe(cur, purged).isEmpty,
+      "purged tenant must be unservable from the stream-built layout")
+    // replay refused untouched
+    val committed = Bm25Maintain.committedBatch(spark, cur)
+    assert(committed == feed.size - 1L)
+    val before = spark.read.parquet(s"$cur/_docs").count()
+    assert(!Bm25Maintain.applyBatchTenants(
+      Seq(("add", 999999L, "en", "new doc text"))
+        .toDF("op", "doc_id", "lang", "text"),
+      committed, cur), "replay must be refused")
+    assert(spark.read.parquet(s"$cur/_docs").count() == before)
+    spark.catalog.clearCache()
+  }
+
   test("ingest commit protocol: a crash mid-publish (postings renamed " +
     "in, sidecars and pointer missing) converges to the clean-run end " +
     "state on redelivery — driven through an explicit file: scheme so " +
