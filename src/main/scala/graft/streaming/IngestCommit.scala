@@ -45,9 +45,9 @@ import graft.core.Fs
   * converges (missing pointer reads as "nothing committed" and the
   * scrub re-cleans), but rename-atomic stores give the hard guarantee.
   *
-  * Scrub globs cover the flat, one-level (cell=), and two-level
-  * (tb=/cell= — the tenant layouts) partitioned trees the layouts
-  * use; a deeper `partitionBy` tree would need its glob listed here.
+  * The scrub is one recursive walk of the layout root deleting this
+  * batch's `b<id>-*.parquet` files at any partition depth — no
+  * per-layout glob list to maintain.
   *
   * SINGLE-WRITER contract: one maintenance stream per layout. The
   * pointer records one monotone batch-id sequence — two concurrent
@@ -87,13 +87,11 @@ object IngestCommit {
       destSubdirs: Seq[(String, String)], stage: String => Unit): Boolean = {
     if (batchId <= committed(s, layout)) return false
     val t = tag(batchId)
-    destSubdirs.foreach { case (_, destSub) =>
-      val dest = if (destSub.isEmpty) layout else s"$layout/$destSub"
-      Fs.deleteGlob(s, s"$dest/$t-*.parquet")
-      Fs.deleteGlob(s, s"$dest/*=*/$t-*.parquet")
-      // two-level partitionBy trees (the tenant layouts' tb=/cell=)
-      Fs.deleteGlob(s, s"$dest/*=*/*=*/$t-*.parquet")
-    }
+    // every dest subtree lives under the layout root, so ONE recursive
+    // walk scrubs this batch's tagged files at ANY partition depth —
+    // the pre-r17 spelling ran three glob tree-walks per dest subtree
+    // and was still blind past two partitionBy levels (its own caveat)
+    Fs.deleteTagged(s, layout, t)
     val staged = stagingDir(layout, batchId)
     Fs.deleteRecursive(s, staged)
     stage(staged)
