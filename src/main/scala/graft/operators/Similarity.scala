@@ -805,11 +805,28 @@ object Similarity extends QueryPack {
     * [[ivfProbeStored]] then reads ≤nprobe cells' files per query
     * however large the corpus.
     */
+  /** [[ivfLearned]] unless the caller already trained the SAME
+    * trajectory's centroids (`centsPre` in (cell, centroid) form) —
+    * q204 builds three layouts over one corpus and was re-running the
+    * identical coarse training three times (r17); assignment against
+    * the precomputed table is the frozen-centroid projection.
+    */
+  private def ivfLearnedOr(emb: DataFrame, k: Int, iters: Int,
+      centsPre: Option[DataFrame]): (DataFrame, DataFrame) =
+    centsPre match {
+      case Some(c) =>
+        (kmeansAssign(emb,
+          c.select(col("cell").as("cl"), col("centroid").as("cvec")))
+          .select(col("vec_id"), col("embedding"), col("cl").as("cell")), c)
+      case None => ivfLearned(emb, k, iters)
+    }
+
   def ivfServingSetup(s: SparkSession, dir: String, root: String,
-      k: Int = 8, iters: Int = 2): Unit = {
+      k: Int = 8, iters: Int = 2,
+      centsPre: Option[DataFrame] = None): Unit = {
     import s.implicits._
     val emb = embCached(s, dir)
-    val (idx, cents) = ivfLearned(emb, k, iters)
+    val (idx, cents) = ivfLearnedOr(emb, k, iters, centsPre)
     ivfWrite(idx, s"$root/index")
     cents.write.mode("overwrite").parquet(s"$root/_cents")
     emb.filter($"vec_id" === 0)
@@ -1176,10 +1193,11 @@ object Similarity extends QueryPack {
     * to the same bits as q136's long→double).
     */
   def ivfServingSetupSq8(s: SparkSession, dir: String, root: String,
-      k: Int = 8, iters: Int = 2): Unit = {
+      k: Int = 8, iters: Int = 2,
+      centsPre: Option[DataFrame] = None): Unit = {
     import s.implicits._
     val emb = embCached(s, dir)
-    val (idx, cents) = ivfLearned(emb, k, iters)
+    val (idx, cents) = ivfLearnedOr(emb, k, iters, centsPre)
     idx.select($"vec_id", $"cell")
       .join(quantizeInt8(emb).select($"vec_id", $"scale",
         transform($"code", _.cast("byte")).as("code")), "vec_id")
@@ -1658,10 +1676,20 @@ object Similarity extends QueryPack {
       val p = new org.apache.hadoop.fs.Path(base + sfx)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(p)
     }
-    ivfServingSetup(s, dir, base + "f")
-    ivfServingSetupSq8(s, dir, base + "s")
-    ivfServingSetupPq(s, dir, base + "p")
+    // ONE coarse training for all three layouts (r17): they deploy
+    // the SAME trajectory's quantizer (ivfLearned k=8 iters=2 — one
+    // update round off the vec_id-1..8 seeds), so training it three
+    // times produced three bit-identical centroid tables for 3× the
+    // cost. Sharing changes no stored byte.
     val emb = embCached(s, dir)
+    val cent00 = emb.filter($"vec_id".between(1L, 8L))
+      .select($"vec_id".as("cl"), vec($"embedding").as("cvec"))
+    val centsShared = kmeansUpdate(kmeansAssign(emb, cent00))
+      .localCheckpoint()
+      .select($"cl".as("cell"), $"cvec".as("centroid"))
+    ivfServingSetup(s, dir, base + "f", centsPre = Some(centsShared))
+    ivfServingSetupSq8(s, dir, base + "s", centsPre = Some(centsShared))
+    ivfServingSetupPq(s, dir, base + "p", centsPre = Some(centsShared))
     val q0 = broadcast(emb.filter($"vec_id" === 0)
       .select(vec($"embedding").as("qv0")))
     // exact baseline consumed by all three sweeps — one corpus scan
@@ -1941,56 +1969,49 @@ object Similarity extends QueryPack {
   def pqAdc(emb0: DataFrame): DataFrame = {
     import emb0.sparkSession.implicits._
     // lazy localCheckpoint of the TRAINING SET (the q151 footnote made
-    // code): four subspace trajectories + encode + truth each re-scan
+    // code): the subspace trajectories + encode + truth each re-scan
     // the embedding source otherwise — ScanAudit read 14 scans for
     // this one query. Caching the train set is what every iterative
     // quantizer deployment does while the frame fits cluster storage;
     // past that, drop this line and pay the columnar re-scans.
     val emb = emb0.localCheckpoint(false)
-    val M = 4; val SubDim = 16; val K = 16
+    val M = PqM; val SubDim = PqSubDim
     def sub(c: Column, m: Int): Column = slice(vec(c), m * SubDim + 1, SubDim)
     val q = emb.filter($"vec_id" === 0).select(vec($"embedding").as("qv"))
-    // per-subspace codebooks, each carrying its ADC table entry qd2
-    val packed = broadcast(
-      (0 until M).map { m =>
-        val sv = emb.select($"vec_id", sub($"embedding", m).as("embedding"))
-        val cent0 = sv.filter($"vec_id".between(1L, K.toLong))
-          .select($"vec_id".as("cl"), vec($"embedding").as("cvec"))
-        kmeansUpdate(kmeansAssign(sv, cent0), SubDim)
-          .crossJoin(q)
-          // cc = c·c rides the broadcast so the per-row scan never
-          // recomputes a constant; qd2 is the ADC table entry
-          .select(lit(m).as("m"), struct($"cl", $"cvec",
-            (dot(slice($"qv", m * SubDim + 1, SubDim),
-              slice($"qv", m * SubDim + 1, SubDim))
-              - lit(2.0) * dot(slice($"qv", m * SubDim + 1, SubDim), $"cvec")
-              + dot($"cvec", $"cvec")).as("qd2"),
-            dot($"cvec", $"cvec").as("cc")).as("cw"))
-      }.reduce(_ unionByName _)
-        .groupBy($"m").agg(collect_list($"cw").as("cb"))
-        .agg(sort_array(collect_list(struct($"m", $"cb"))).as("books")))
-    // hoist each subvector and its self-dot to ONE materialization per
-    // row — inside the argmin lambda they'd rebuild per codeword (64
-    // slice+cast array builds per row, measured 2× the whole query)
-    def best(m: Int): Column = array_min(transform(
-      element_at($"books", m + 1).getField("cb"), c =>
-        struct(
-          (col(s"xx$m")
-            - lit(2.0) * dot(col(s"s$m"), c.getField("cvec"))
-            + c.getField("cc")).as("d2"),
-          c.getField("cl").as("cl"),
-          c.getField("qd2").as("qd2")))).as(s"b$m")
+    // one exploded pass trains all four codebooks (pqTrainBooks —
+    // r17; was four independent assign/update chains)
+    val booksAll =
+      pqTrainBooks(emb.select($"vec_id", vec($"embedding").as("res")))
+    // ONE broadcast row: the packed per-subspace codebooks (the
+    // codegen'd argmin's input) and the per-(m, codeword) ADC table
+    // (query-distance lookups keyed m·1000+cl — the stored probes'
+    // pqAdcRank rule applied in-query, r16 verdict #7: the HOF
+    // argmin `array_min(transform(...))` evaluated interpreted per
+    // candidate; NearestCentroidExpr runs the same composed-dot d2
+    // and (d2 asc, cl asc) ties compiled)
+    val mSlice = slice($"qv", $"m" * SubDim + 1, lit(SubDim))
+    val packed = broadcast(booksAll.crossJoin(q)
+      .select($"m", $"cl", $"cvec",
+        (dot(mSlice, mSlice) - lit(2.0) * dot(mSlice, $"cvec")
+          + dot($"cvec", $"cvec")).as("qd2"))
+      .groupBy($"m")
+      .agg(collect_list(struct($"cl", $"cvec")).as("cb"),
+        collect_list(struct(
+          ($"m".cast("long") * lit(1000L) + $"cl").as("mk"),
+          $"qd2")).as("tabm"))
+      .agg(sort_array(collect_list(struct($"m", $"cb"))).as("cbs"),
+        map_from_entries(flatten(collect_list($"tabm"))).as("tab")))
+    def cl(m: Int): Column = col(s"c$m")
+    def look(m: Int): Column =
+      element_at($"tab", lit(m.toLong * 1000L) + cl(m))
     emb.filter($"vec_id" =!= 0).crossJoin(packed)
-      .withColumns((0 until M).map(m => s"s$m" -> sub($"embedding", m)).toMap)
-      .withColumns((0 until M).map(m =>
-        s"xx$m" -> dot(col(s"s$m"), col(s"s$m"))).toMap)
-      .select(($"vec_id" +: $"embedding" +:
-        (0 until M).map(best)): _*)
-      .withColumn("adc_d2",
-        $"b0.qd2" + $"b1.qd2" + $"b2.qd2" + $"b3.qd2")
+      .withColumns((0 until M).map(m => s"c$m" ->
+        graft.functions.geo.nearest_centroid(sub($"embedding", m),
+          element_at($"cbs", m + 1).getField("cb")).getField("cl")).toMap)
+      .withColumn("adc_d2", look(0) + look(1) + look(2) + look(3))
       .crossJoin(broadcast(q))
       .select($"vec_id",
-        concat_ws("-", $"b0.cl", $"b1.cl", $"b2.cl", $"b3.cl").as("code"),
+        concat_ws("-", cl(0), cl(1), cl(2), cl(3)).as("code"),
         graft.core.Exact.dround($"adc_d2", 6).as("adc_d2"),
         graft.core.Exact.dround(cosine(vec($"embedding"), $"qv"), 6)
           .as("cos_true"))
@@ -2024,8 +2045,7 @@ object Similarity extends QueryPack {
   def q149AnnIvfPq(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = embCached(s, dir)
-    val M = 4; val SubDim = 16; val K = 16
-    def sl(c: Column, m: Int): Column = slice(c, m * SubDim + 1, SubDim)
+    val SubDim = PqSubDim
     // q128's trajectory inlined so the trained centroids can be
     // lineage-truncated: cents/books/withRes each feed 4-5 downstream
     // branches, and without checkpoints every branch re-executes the
@@ -2044,12 +2064,12 @@ object Similarity extends QueryPack {
         zip_with(vec($"embedding"), $"centroid", (a, c) => a - c))
       .select($"vec_id", $"cell", $"res")
       .localCheckpoint()
-    val books = (0 until M).map { m =>
-      val sv = withRes.select($"vec_id", sl($"res", m).as("embedding"))
-      val cent0m = sv.filter($"vec_id".between(1L, K.toLong))
-        .select($"vec_id".as("cl"), vec($"embedding").as("cvec"))
-      kmeansUpdate(kmeansAssign(sv, cent0m), SubDim).localCheckpoint()
-    }
+    // one exploded pass trains all four residual codebooks
+    // (pqTrainBooks — r17; was four independent chains, each its own
+    // aggregation + eager checkpoint)
+    val booksAll = pqTrainBooks(withRes).localCheckpoint()
+    val books = (0 until PqM).map(m =>
+      booksAll.filter($"m" === m).select($"cl", $"cvec"))
     val q = broadcast(emb.filter($"vec_id" === 0)
       .select(vec($"embedding").as("qv")))
     val probe = cents.crossJoin(q)
@@ -2058,41 +2078,28 @@ object Similarity extends QueryPack {
         + dot($"centroid", $"centroid"))
       .orderBy($"qd2".asc, $"cell".asc).limit(3)
       .select($"cell", $"centroid")
-    // per-(cell, m) ADC tables: the query's residual differs per cell
-    val tabs = broadcast(books.zipWithIndex.map { case (cb, m) =>
-      probe.crossJoin(q)
-        .withColumn("qres", zip_with($"qv", $"centroid", (a, c) => a - c))
-        .crossJoin(cb)
-        .select($"cell", lit(m).as("m"), struct($"cl", $"cvec",
-          (dot(sl($"qres", m), sl($"qres", m))
-            - lit(2.0) * dot(sl($"qres", m), $"cvec")
-            + dot($"cvec", $"cvec")).as("qd2"),
-          dot($"cvec", $"cvec").as("cc")).as("cw"))
-    }.reduce(_ unionByName _)
-      .groupBy($"cell", $"m").agg(collect_list($"cw").as("cb"))
+    // per-(cell, m, codeword) ADC tables keyed m·1000+cl — the query's
+    // residual differs per cell; pqStoredProbeCtx's arithmetic in-query
+    val mSlice = slice($"qres", $"m" * SubDim + 1, lit(SubDim))
+    val tabs = broadcast(probe.crossJoin(q)
+      .withColumn("qres", zip_with($"qv", $"centroid", (a, c) => a - c))
+      .crossJoin(booksAll)
+      .select($"cell",
+        ($"m".cast("long") * lit(1000L) + $"cl").as("mk"),
+        (dot(mSlice, mSlice)
+          - lit(2.0) * dot(mSlice, $"cvec")
+          + dot($"cvec", $"cvec")).as("qd2"))
       .groupBy($"cell")
-      .agg(sort_array(collect_list(struct($"m", $"cb"))).as("books")))
-    def best(m: Int): Column = array_min(transform(
-      element_at($"books", m + 1).getField("cb"), c =>
-        struct(
-          (col(s"xx$m")
-            - lit(2.0) * dot(col(s"s$m"), c.getField("cvec"))
-            + c.getField("cc")).as("d2"),
-          c.getField("cl").as("cl"),
-          c.getField("qd2").as("qd2")))).as(s"b$m")
-    withRes.filter($"vec_id" =!= 0)
-      .join(tabs, "cell")
-      .withColumns((0 until M).map(m => s"s$m" -> sl($"res", m)).toMap)
-      .withColumns((0 until M).map(m =>
-        s"xx$m" -> dot(col(s"s$m"), col(s"s$m"))).toMap)
-      .select(($"vec_id" +: $"cell" +: (0 until M).map(best)): _*)
-      .withColumn("adc_d2",
-        $"b0.qd2" + $"b1.qd2" + $"b2.qd2" + $"b3.qd2")
-      .select($"vec_id", $"cell",
-        concat_ws("-", $"b0.cl", $"b1.cl", $"b2.cl", $"b3.cl").as("code"),
-        graft.core.Exact.dround($"adc_d2", 6).as("adc_d2"))
-      .orderBy(graft.core.Exact.dround($"adc_d2", 6).asc, $"vec_id".asc)
-      .limit(10)
+      .agg(map_from_entries(collect_list(struct($"mk", $"qd2"))).as("tab")))
+    // candidates = probed cells' members only (3-row broadcast join);
+    // encode with the codegen'd per-subspace argmin and rank by the
+    // fixed-order 4-term lookup sum — q197's stored-probe kernel
+    // applied in-query (r16 verdict #7: the HOF argmin evaluated
+    // interpreted per candidate; same composed-dot d2, same (d2 asc,
+    // cl asc) ties, so codes and rankings are bit-identical)
+    val base = withRes.filter($"vec_id" =!= 0)
+      .join(broadcast(tabs.select($"cell")), "cell")
+    pqAdcRank(pqEncode(base, books), tabs, 10, None)
   }
 
   // --- q197: stored IVF-PQ serving layout — PQ codes at rest, ADC off disk ---
@@ -2136,28 +2143,72 @@ object Similarity extends QueryPack {
       .select(($"vec_id" +: $"cell" +: $"res" +: extra.map(col)): _*)
   }
 
+  /** Train `mSub` subspace codebooks (k codewords of `subDim` dims
+    * each) over a (vec_id, res) frame in ONE pass — returns
+    * (m, cl, cvec). The pre-r17 spelling ran mSub independent
+    * kmeansAssign→kmeansUpdate chains (one aggregation shuffle + one
+    * eager checkpoint EACH — 4 training jobs per PQ build, 14 across
+    * q151's sweep); this explodes each row into its mSub subvector
+    * slices once and trains every codebook in one assignment
+    * projection + ONE (m, cl) aggregation. Bit-identical trajectories:
+    * the per-(m, cl) integer-snapped sums (round(v·2^20), q77's rule)
+    * are associative, so regrouping by (m, cl) instead of per-m frames
+    * changes nothing, and the assignment argmin is the same codegen'd
+    * [[org.apache.spark.sql.graft.NearestCentroidExpr]] rule (composed
+    * -dot d2, (d2 asc, cl asc) ties) kmeansAssign runs. Seeds are the
+    * q147 rule per subspace: vec_id 1..k's slices, cl = vec_id.
+    */
+  private def pqTrainBooks(withRes: DataFrame, mSub: Int = PqM,
+      subDim: Int = PqSubDim, k: Int = PqK): DataFrame = {
+    import withRes.sparkSession.implicits._
+    val subs = withRes.select($"vec_id",
+      explode(array((0 until mSub).map(m =>
+        struct(lit(m).as("m"),
+          slice($"res", m * subDim + 1, subDim).as("sub"))): _*)).as("e"))
+      .select($"vec_id", $"e.m".as("m"), $"e.sub".as("sub"))
+    val packs = broadcast(subs.filter($"vec_id".between(1L, k.toLong))
+      .groupBy($"m")
+      .agg(collect_list(struct($"vec_id".as("cl"), $"sub".as("cvec")))
+        .as("cb")))
+    val asg = subs.join(packs, "m")
+      .select($"m", $"sub", graft.functions.geo
+        .nearest_centroid($"sub", $"cb").getField("cl").as("cl"))
+    val sums = (1 to subDim).map(i =>
+      sum(element_at($"snapped", i)).as(s"s$i"))
+    asg
+      .withColumn("snapped",
+        transform($"sub", v => round(v * 1048576.0).cast("long")))
+      .groupBy($"m", $"cl")
+      .agg(count(lit(1)).as("n"), sums: _*)
+      .select($"m", $"cl", array((1 to subDim).map(i =>
+        col(s"s$i").cast("double") / ($"n" * 1048576.0)): _*).as("cvec"))
+  }
+
   /** Encode residuals against the four FROZEN codebooks: per-subspace
-    * nearest codeword via the codegen'd NearestCentroidExpr — four
-    * broadcast ≤16-row packed codebooks, one projection, 4 bytes out
-    * per vector (cl ∈ 1..16 holds losslessly in a byte). `books` are
-    * the per-subspace (cl, cvec) frames in m-order. Encoding is a pure
-    * per-row function of (vector, frozen quantizers) — the property
-    * that makes retrain-free append ([[ivfAppendPq]]) exact.
+    * nearest codeword via the codegen'd NearestCentroidExpr — ONE
+    * broadcast carrying all four packed ≤16-row codebooks (pre-r17:
+    * four separate broadcasts, each a job), one projection, 4 bytes
+    * out per vector (cl ∈ 1..16 holds losslessly in a byte). `books`
+    * are the per-subspace (cl, cvec) frames in m-order. Encoding is a
+    * pure per-row function of (vector, frozen quantizers) — the
+    * property that makes retrain-free append ([[ivfAppendPq]]) exact.
     */
   private def pqEncode(withRes: DataFrame, books: Seq[DataFrame],
       extra: Seq[String] = Nil): DataFrame = {
     import withRes.sparkSession.implicits._
     def sl(c: Column, m: Int): Column = slice(c, m * PqSubDim + 1, PqSubDim)
-    val packs = books.zipWithIndex.map { case (cb, m) =>
-      broadcast(cb.agg(collect_list(struct($"cl", $"cvec")).as(s"cb$m")))
-    }
-    packs.foldLeft(withRes)((df, p) => df.crossJoin(p))
-      .select(($"vec_id" +: $"cell" +:
+    val packed = broadcast(books.zipWithIndex.map { case (cb, m) =>
+      cb.select(lit(m).as("m"), struct($"cl", $"cvec").as("cw"))
+    }.reduce(_ unionByName _)
+      .groupBy($"m").agg(collect_list($"cw").as("cb"))
+      .agg(sort_array(collect_list(struct($"m", $"cb"))).as("cbs")))
+    withRes.crossJoin(packed)
+      .select(($"vec_id" +:
         array((0 until PqM).map(m =>
-          graft.functions.geo.nearest_centroid(sl($"res", m), col(s"cb$m"))
+          graft.functions.geo.nearest_centroid(sl($"res", m),
+            element_at($"cbs", m + 1).getField("cb"))
             .getField("cl").cast("byte")): _*).as("code") +:
-        extra.map(col)): _*)
-      .select(($"vec_id" +: $"code" +: extra.map(col) :+ $"cell"): _*)
+        extra.map(col) :+ $"cell"): _*)
   }
 
   /** `memberFilter` restricts which vectors' CODES land in the stored
@@ -2166,8 +2217,9 @@ object Similarity extends QueryPack {
     * the full build (the q198 frozen-quantizer arrival law, PQ side).
     */
   def ivfServingSetupPq(s: SparkSession, dir: String, root: String,
-      memberFilter: Column = lit(true)): Unit =
-    ivfBuildPq(s, dir, root, withTenants = false, memberFilter)
+      memberFilter: Column = lit(true),
+      centsPre: Option[DataFrame] = None): Unit =
+    ivfBuildPq(s, dir, root, withTenants = false, memberFilter, centsPre)
 
   /** The one PQ layout builder BOTH setups thread through (r16 advice:
     * the tenant setup previously duplicated the full train/encode/
@@ -2179,14 +2231,18 @@ object Similarity extends QueryPack {
     * extends ivfAssignNew — and partitions two-level `(tb, cell)`.
     */
   private def ivfBuildPq(s: SparkSession, dir: String, root: String,
-      withTenants: Boolean, memberFilter: Column = lit(true)): Unit = {
+      withTenants: Boolean, memberFilter: Column = lit(true),
+      centsPre: Option[DataFrame] = None): Unit = {
     import s.implicits._
-    def sl(c: Column, m: Int): Column = slice(c, m * PqSubDim + 1, PqSubDim)
     val extra = if (withTenants) Seq("tb") else Nil
     val emb = embCached(s, dir)
-    val cent0 = emb.filter($"vec_id".between(1L, 8L))
-      .select($"vec_id".as("cl"), vec($"embedding").as("cvec"))
-    val centsK = kmeansUpdate(kmeansAssign(emb, cent0)).localCheckpoint()
+    val centsK = centsPre match {
+      case Some(c) => c.select($"cell".as("cl"), $"centroid".as("cvec"))
+      case None =>
+        val cent0 = emb.filter($"vec_id".between(1L, 8L))
+          .select($"vec_id".as("cl"), vec($"embedding").as("cvec"))
+        kmeansUpdate(kmeansAssign(emb, cent0)).localCheckpoint()
+    }
     val asg = kmeansAssign(emb, centsK)
     val idx =
       if (withTenants) asg.select($"vec_id", $"embedding",
@@ -2194,19 +2250,16 @@ object Similarity extends QueryPack {
       else asg.select($"vec_id", $"embedding", $"cl".as("cell"))
     val cents = centsK.select($"cl".as("cell"), $"cvec".as("centroid"))
     val withRes = pqResiduals(idx, cents, extra).localCheckpoint()
-    val books = (0 until PqM).map { m =>
-      val sv = withRes.select($"vec_id", sl($"res", m).as("embedding"))
-      val cent0m = sv.filter($"vec_id".between(1L, PqK.toLong))
-        .select($"vec_id".as("cl"), vec($"embedding").as("cvec"))
-      kmeansUpdate(kmeansAssign(sv, cent0m), PqSubDim).localCheckpoint()
-    }
+    // ONE exploded-subspace pass trains all four codebooks (r17 — was
+    // four chains, each its own aggregation + eager checkpoint)
+    val booksAll = pqTrainBooks(withRes).localCheckpoint()
+    val books = (0 until PqM).map(m =>
+      booksAll.filter($"m" === m).select($"cl", $"cvec"))
     pqEncode(withRes.filter(memberFilter), books, extra)
       .write.mode("overwrite").partitionBy(extra :+ "cell": _*)
       .parquet(s"$root/index")
     cents.write.mode("overwrite").parquet(s"$root/_cents")
-    books.zipWithIndex.map { case (cb, m) =>
-      cb.select(lit(m).as("m"), $"cl", $"cvec")
-    }.reduce(_ unionByName _)
+    booksAll.select($"m", $"cl", $"cvec")
       .write.mode("overwrite").parquet(s"$root/_books")
     emb.filter($"vec_id" === 0)
       .select(vec($"embedding").as("qv"))
@@ -2489,17 +2542,26 @@ object Similarity extends QueryPack {
     import s.implicits._
     val emb = embCached(s, dir)
     val n = broadcast(emb.agg(count(lit(1)).as("n")))
+    // r17: each budget trains its mSub codebooks in ONE exploded pass
+    // (pqTrainBooks) and scores the final assignment's d2 in ONE more
+    // — the pre-r17 plan carried 14 independent assign/update subtrees
+    // (2+4+8 chains). Bit-identical: same per-(m, cl) integer-snapped
+    // sums, same codegen'd argmin, and the error census sums the same
+    // round(d2·2^20) integers (associative) over the same rows.
     Seq(2, 4, 8).map { mSub =>
       val subDim = EmbDim / mSub
-      val errs = (0 until mSub).map { m =>
-        val sv = emb.select($"vec_id",
-          slice(vec($"embedding"), m * subDim + 1, subDim).as("embedding"))
-        val cent0 = sv.filter($"vec_id".between(1L, 16L))
-          .select($"vec_id".as("cl"), vec($"embedding").as("cvec"))
-        val cents = kmeansUpdate(kmeansAssign(sv, cent0), subDim)
-        kmeansAssign(sv, cents)
-          .select(round($"d2" * 1048576.0).cast("long").as("q"))
-      }.reduce(_ unionByName _)
+      val res = emb.select($"vec_id", vec($"embedding").as("res"))
+      val packs = broadcast(pqTrainBooks(res, mSub, subDim, 16)
+        .groupBy($"m")
+        .agg(collect_list(struct($"cl", $"cvec")).as("cb")))
+      val subs = res.select($"vec_id",
+        explode(array((0 until mSub).map(m =>
+          struct(lit(m).as("m"),
+            slice($"res", m * subDim + 1, subDim).as("sub"))): _*)).as("e"))
+        .select($"e.m".as("m"), $"e.sub".as("sub"))
+      val errs = subs.join(packs, "m")
+        .select(round(graft.functions.geo.nearest_centroid($"sub", $"cb")
+          .getField("d2") * 1048576.0).cast("long").as("q"))
       errs.agg(sum($"q").as("sq")).crossJoin(n)
         .select(lit(mSub.toLong).as("bytes_per_vec"),
           graft.core.Exact.dround(

@@ -1619,7 +1619,24 @@ object TextAnalysis extends QueryPack {
       .groupBy($"tok", $"doc_id", $"lang", $"dl")
       .agg(count(lit(1)).as("tf"))
       .withColumn("tb", pmod(xxhash64($"tok"), lit(buckets.toLong)))
+      .transform(byBuckets)
   }
+
+  /** Hash-distribute a postings frame by its bucket column before its
+    * `partitionBy` write — the write.distribution-mode=hash discipline
+    * (guide §6): every `tb=` (or `lang=/tb=` — lang is functionally
+    * tied to the rows within a bucket's task) dir receives exactly ONE
+    * file per write instead of one per (task × dir), and file CREATION
+    * parallelizes across tasks instead of serializing in whichever
+    * single post-AQE partition the aggregation coalesced to (measured:
+    * the staged q203 postings write spent ~1.5 s of its 2 s creating
+    * ~110 files from one task at sf0.1). Explicit partition count
+    * (defaultParallelism — cluster-wide cores, scale-adaptive) keeps
+    * AQE from re-coalescing the exchange to one task.
+    */
+  private def byBuckets(post: DataFrame): DataFrame =
+    post.repartition(
+      post.sparkSession.sparkContext.defaultParallelism, col("tb"))
 
   /** One (doc_id, dl) row per doc in the batch — the `_docs` sidecar's
     * grain (the forward doc-length table every BM25 layout keeps).
@@ -1854,6 +1871,7 @@ object TextAnalysis extends QueryPack {
       // partition-dir inference types tb int32; restore the long the
       // write path hashes to, so compaction round-trips the layout
       .withColumn("tb", col("tb").cast("long"))
+      .transform(byBuckets)
       .write.mode("overwrite").partitionBy("tb").parquet(dest)
     live(s.read.parquet(s"$path/_docs"))
       .write.mode("overwrite").parquet(s"$dest/_docs")
@@ -1882,6 +1900,7 @@ object TextAnalysis extends QueryPack {
       tomb.fold(df)(t => df.join(t, Seq("doc_id"), "left_anti"))
     live(s.read.parquet(path))
       .withColumn("tb", col("tb").cast("long"))
+      .transform(byBuckets)
       .write.mode("overwrite").partitionBy("lang", "tb").parquet(dest)
     live(s.read.parquet(s"$path/_docs"))
       .write.mode("overwrite").parquet(s"$dest/_docs")
