@@ -277,8 +277,16 @@ object Dedup extends QueryPack {
     val s = links.sparkSession
     import s.implicits._
     graft.core.Ckpt.init(links, checkpointDir)
+    // symmetric edge list from ONE scan of the link frame (an in-row
+    // 2-way explode) — the union spelling scanned links twice and its
+    // cache held 2× the partitions, so every round's 2 edge scans ran
+    // twice the task count on the same rows (r18; the cached bytes are
+    // identical either way)
     val edges = links.toDF("i", "j")
-      .unionByName(links.toDF("j", "i").select($"i", $"j"))
+      .select(explode(array(
+        struct($"i", $"j"),
+        struct($"j".as("i"), $"i".as("j")))).as("e"))
+      .select($"e.i".as("i"), $"e.j".as("j"))
       .cache()
     // init = hop 1 fused into node-set construction: every node appears
     // on the i side of the symmetric edge list, so one aggregation
@@ -287,19 +295,31 @@ object Dedup extends QueryPack {
     // link graphs still need one change round + one confirmation round
     // with or without it — round floor is diameter-bound, and the extra
     // self-join exchange bought nothing.)
+    // LAZY truncate (r18): the eager spelling paid a dedicated job for
+    // the init labels; lazily marked, round 1's convergence count
+    // materializes them once inside its own job and later references
+    // read the checkpoint blocks.
     var labels = graft.core.Ckpt.truncate(
       edges.groupBy($"i").agg(min($"j").as("mj"))
         .select($"i".as("node"), least($"i", $"mj").as("lab")),
-      eager = true, checkpointDir)
+      eager = false, checkpointDir)
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
       // hop: take the min label among self + neighbors (one edge step)
       val nbrMin = edges.join(labels, edges("j") === labels("node"))
         .groupBy(edges("i").as("node")).agg(min($"lab").as("nlab"))
-      val hop = labels.join(nbrMin, Seq("node"), "left")
-        .select($"node", $"lab".as("old"),
-          least($"lab", coalesce($"nlab", $"lab")).as("lab1"))
+      // lazily checkpointed (r18): the jump self-join references hop
+      // TWICE — unchecked, each round evaluated the whole
+      // edges⋈labels→agg→join subtree two times inside the round job;
+      // marked, the round's count materializes hop once and the second
+      // reference reads its blocks. (Lineage also stays one round deep
+      // on the a-side, same as before.)
+      val hop = graft.core.Ckpt.truncate(
+        labels.join(nbrMin, Seq("node"), "left")
+          .select($"node", $"lab".as("old"),
+            least($"lab", coalesce($"nlab", $"lab")).as("lab1")),
+        eager = false, checkpointDir)
       // jump: pointer-double through the label's OWN label —
       // lab(lab(x)) — collapsing chains exponentially, so rounds are
       // O(log diameter) instead of O(diameter). Every label is itself
