@@ -43,7 +43,13 @@ object ProfileQuery {
     val lastEnd = new java.util.concurrent.atomic.AtomicLong(0L)
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
-        val site = js.stageInfos.lastOption.map(_.name).getOrElse("?")
+        // all stage callsites (deduped, with task counts) — the future
+        // callsite alone ("withThreadLocalCaptured") attributes nothing
+        val site = js.stageInfos
+          .map(si => s"${si.name}×${si.numTasks}")
+          .groupBy(identity).toSeq
+          .map { case (n, g) => if (g.size > 1) s"$n(*${g.size})" else n }
+          .sorted.mkString(" | ")
         val prev = lastEnd.get()
         val gap = if (prev == 0L) 0.0 else (js.time - prev) / 1e3
         if (gap > 0.05)

@@ -1043,8 +1043,11 @@ object TextAnalysis extends QueryPack {
           |  '|' || a2 || '||' || b2 || '|', '|' || a2 || b2 || '|'),
           |  '|' || a3 || '||' || b3 || '|', '|' || a3 || b3 || '|')"""
           .stripMargin))
+      // ns by length arithmetic — q120's rule (ns = (length − nc)/2),
+      // replacing the per-word regex split (r18)
       .select($"lang", length($"w").as("nc"),
-        size(split(trim($"applied", "|"), "\\|\\|")).cast("long").as("ns"))
+        ((length($"applied").cast("long") - length($"w")) / 2L)
+          .cast("long").as("ns"))
       .groupBy($"lang")
       .agg(count(lit(1)).as("n_words"),
         sum($"nc").as("n_chars"),
@@ -1398,14 +1401,20 @@ object TextAnalysis extends QueryPack {
         "replace(r1, '|' || a2 || '||' || b2 || '|', '|' || a2 || b2 || '|')"))
       .withColumn("r3", expr(
         "replace(r2, '|' || a3 || '||' || b3 || '|', '|' || a3 || b3 || '|')"))
+      // symbol count by LENGTH ARITHMETIC, not a regex split per sweep
+      // point (r18, guide §1.2 per-task work): a rendering of ns
+      // symbols over an nc-char word is exactly nc + 2·ns chars long
+      // (each symbol wrapped in `|`s, every merge deletes one `||`),
+      // so ns = (length − nc) / 2 — the same integer the split
+      // computed, minus 3 regex evaluations per word occurrence
       .select(length($"w").cast("long").as("nc"), explode(array(
         struct(lit(0).as("k"), length($"w").cast("long").as("ns")),
-        struct(lit(1).as("k"),
-          size(split(trim($"r1", "|"), "\\|\\|")).cast("long").as("ns")),
-        struct(lit(2).as("k"),
-          size(split(trim($"r2", "|"), "\\|\\|")).cast("long").as("ns")),
-        struct(lit(3).as("k"),
-          size(split(trim($"r3", "|"), "\\|\\|")).cast("long").as("ns"))
+        struct(lit(1).as("k"), ((length($"r1").cast("long")
+          - length($"w")) / 2L).cast("long").as("ns")),
+        struct(lit(2).as("k"), ((length($"r2").cast("long")
+          - length($"w")) / 2L).cast("long").as("ns")),
+        struct(lit(3).as("k"), ((length($"r3").cast("long")
+          - length($"w")) / 2L).cast("long").as("ns"))
       )).as("c"))
       .groupBy($"c.k")
       .agg(count(lit(1)).as("n_words"), sum($"nc").as("n_chars"),
