@@ -752,6 +752,21 @@ object Similarity extends QueryPack {
       index.sparkSession.sparkContext.defaultParallelism,
       cols.map(col): _*)
 
+  /** Run independent write pipelines from a small thread pool (guide
+    * §2.6): a serving setup's index + sidecar writes land on DISJOINT
+    * paths (`index/`, `_cents`, `_query`, ...), so serializing them
+    * paid one driver-side plan/commit gap per artifact with the
+    * cluster idle in between. Callers must ensure disjoint
+    * destinations (a static overwrite truncates its own root).
+    */
+  private def inPar(fs: Seq[() => Unit]): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(fs.size)
+    try fs.map(f => pool.submit(new java.util.concurrent.Callable[Unit] {
+      override def call(): Unit = f()
+    })).foreach(_.get())
+    finally pool.shutdown()
+  }
+
   /** Persist a serving index `partitionBy("cell")` — the layout every
     * IVF query in this pack documents: a probe of nprobe cells becomes
     * a PARTITION-PRUNED scan reading only those cells' files
@@ -879,14 +894,15 @@ object Similarity extends QueryPack {
     import s.implicits._
     val emb = embCached(s, dir)
     val (idx, cents) = ivfLearnedOr(emb, k, iters, centsPre)
-    ivfWrite(idx, s"$root/index")
-    cents.write.mode("overwrite").parquet(s"$root/_cents")
-    emb.filter($"vec_id" === 0)
-      .select(vec($"embedding").as("qv"))
-      .write.mode("overwrite").parquet(s"$root/_query")
-    emb.filter($"vec_id".isin(AnnBatchIds: _*))
-      .select($"vec_id".as("query_id"), vec($"embedding").as("qv"))
-      .write.mode("overwrite").parquet(s"$root/_queries")
+    inPar(Seq(
+      () => ivfWrite(idx, s"$root/index"),
+      () => cents.write.mode("overwrite").parquet(s"$root/_cents"),
+      () => emb.filter($"vec_id" === 0)
+        .select(vec($"embedding").as("qv"))
+        .write.mode("overwrite").parquet(s"$root/_query"),
+      () => emb.filter($"vec_id".isin(AnnBatchIds: _*))
+        .select($"vec_id".as("query_id"), vec($"embedding").as("qv"))
+        .write.mode("overwrite").parquet(s"$root/_queries")))
   }
 
   /** [[ivfProbeStored]] for a QUERY BATCH against the persisted
@@ -1066,11 +1082,12 @@ object Similarity extends QueryPack {
         cents.select($"cell".as("cl"), $"centroid".as("cvec")))
       .select($"vec_id", $"embedding",
         $"label".cast("long").as("tb"), $"cl".as("cell"))
-    ivfWriteTenants(idx, s"$root/index")
-    cents.write.mode("overwrite").parquet(s"$root/_cents")
-    emb.filter($"vec_id" === 0)
-      .select(vec($"embedding").as("qv"))
-      .write.mode("overwrite").parquet(s"$root/_query")
+    inPar(Seq(
+      () => ivfWriteTenants(idx, s"$root/index"),
+      () => cents.write.mode("overwrite").parquet(s"$root/_cents"),
+      () => emb.filter($"vec_id" === 0)
+        .select(vec($"embedding").as("qv"))
+        .write.mode("overwrite").parquet(s"$root/_query")))
   }
 
   /** One tenant's probe against the shared layout: nprobe cells from
@@ -1210,10 +1227,11 @@ object Similarity extends QueryPack {
     p.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(p)
     val emb = embCached(s, dir)
     val (_, cents) = ivfLearned(emb, k = 8, iters = 2)
-    cents.write.mode("overwrite").parquet(s"$root/_cents")
-    emb.filter($"vec_id" === 0)
-      .select(vec($"embedding").as("qv"))
-      .write.mode("overwrite").parquet(s"$root/_query")
+    inPar(Seq(
+      () => cents.write.mode("overwrite").parquet(s"$root/_cents"),
+      () => emb.filter($"vec_id" === 0)
+        .select(vec($"embedding").as("qv"))
+        .write.mode("overwrite").parquet(s"$root/_query")))
     val half = broadcast(
       emb.agg(floor(max($"vec_id") / 2).cast("long").as("split")))
     val feed = emb.crossJoin(half)
@@ -1251,15 +1269,17 @@ object Similarity extends QueryPack {
     import s.implicits._
     val emb = embCached(s, dir)
     val (idx, cents) = ivfLearnedOr(emb, k, iters, centsPre)
-    idx.select($"vec_id", $"cell")
-      .join(quantizeInt8(emb).select($"vec_id", $"scale",
-        transform($"code", _.cast("byte")).as("code")), "vec_id")
-      .select($"vec_id", $"scale", $"code", $"cell")
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$root/index")
-    cents.write.mode("overwrite").parquet(s"$root/_cents")
-    emb.filter($"vec_id" === 0)
-      .select(vec($"embedding").as("qv"))
-      .write.mode("overwrite").parquet(s"$root/_query")
+    inPar(Seq(
+      () => idx.select($"vec_id", $"cell")
+        .join(quantizeInt8(emb).select($"vec_id", $"scale",
+          transform($"code", _.cast("byte")).as("code")), "vec_id")
+        .select($"vec_id", $"scale", $"code", $"cell")
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$root/index"),
+      () => cents.write.mode("overwrite").parquet(s"$root/_cents"),
+      () => emb.filter($"vec_id" === 0)
+        .select(vec($"embedding").as("qv"))
+        .write.mode("overwrite").parquet(s"$root/_query")))
   }
 
   /** The probe against the compressed layout: [[ivfProbeStored]]'s
@@ -1325,19 +1345,21 @@ object Similarity extends QueryPack {
     import s.implicits._
     val emb = embCached(s, dir)
     val (_, cents) = ivfLearned(emb, k, iters)
-    kmeansAssign(emb,
-        cents.select($"cell".as("cl"), $"centroid".as("cvec")))
-      .select($"vec_id", $"label".cast("long").as("tb"), $"cl".as("cell"))
-      .join(quantizeInt8(emb).select($"vec_id", $"scale",
-        transform($"code", _.cast("byte")).as("code")), "vec_id")
-      .select($"vec_id", $"scale", $"code", $"tb", $"cell")
-      .transform(byParts(_, "tb", "cell"))
-      .write.mode("overwrite").partitionBy("tb", "cell")
-      .parquet(s"$root/index")
-    cents.write.mode("overwrite").parquet(s"$root/_cents")
-    emb.filter($"vec_id" === 0)
-      .select(vec($"embedding").as("qv"))
-      .write.mode("overwrite").parquet(s"$root/_query")
+    inPar(Seq(
+      () => kmeansAssign(emb,
+          cents.select($"cell".as("cl"), $"centroid".as("cvec")))
+        .select($"vec_id", $"label".cast("long").as("tb"),
+          $"cl".as("cell"))
+        .join(quantizeInt8(emb).select($"vec_id", $"scale",
+          transform($"code", _.cast("byte")).as("code")), "vec_id")
+        .select($"vec_id", $"scale", $"code", $"tb", $"cell")
+        .transform(byParts(_, "tb", "cell"))
+        .write.mode("overwrite").partitionBy("tb", "cell")
+        .parquet(s"$root/index"),
+      () => cents.write.mode("overwrite").parquet(s"$root/_cents"),
+      () => emb.filter($"vec_id" === 0)
+        .select(vec($"embedding").as("qv"))
+        .write.mode("overwrite").parquet(s"$root/_query")))
   }
 
   /** One tenant's probe against the compressed shared layout:
@@ -2327,16 +2349,18 @@ object Similarity extends QueryPack {
       booksAll.filter($"m" === m).select($"cl", $"cvec"))
     // two-level tenant trees hash-distribute (byParts scaladoc);
     // single-level k=8 trees write direct — measured both ways
-    pqEncode(withRes.filter(memberFilter), books, extra)
-      .transform(d => if (withTenants) byParts(d, extra :+ "cell": _*) else d)
-      .write.mode("overwrite").partitionBy(extra :+ "cell": _*)
-      .parquet(s"$root/index")
-    cents.write.mode("overwrite").parquet(s"$root/_cents")
-    booksAll.select($"m", $"cl", $"cvec")
-      .write.mode("overwrite").parquet(s"$root/_books")
-    emb.filter($"vec_id" === 0)
-      .select(vec($"embedding").as("qv"))
-      .write.mode("overwrite").parquet(s"$root/_query")
+    inPar(Seq(
+      () => pqEncode(withRes.filter(memberFilter), books, extra)
+        .transform(d =>
+          if (withTenants) byParts(d, extra :+ "cell": _*) else d)
+        .write.mode("overwrite").partitionBy(extra :+ "cell": _*)
+        .parquet(s"$root/index"),
+      () => cents.write.mode("overwrite").parquet(s"$root/_cents"),
+      () => booksAll.select($"m", $"cl", $"cvec")
+        .write.mode("overwrite").parquet(s"$root/_books"),
+      () => emb.filter($"vec_id" === 0)
+        .select(vec($"embedding").as("qv"))
+        .write.mode("overwrite").parquet(s"$root/_query")))
   }
 
   /** Retrain-free APPEND into the stored-PQ layout — FAISS's `add` on
@@ -2813,10 +2837,30 @@ object Similarity extends QueryPack {
     val root = ivfTempRoot(dir) + "_ctx"
     val p = new org.apache.hadoop.fs.Path(root)
     p.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(p)
-    ivfServingSetup(s, dir, root)
+    // the two index BUILDS (IVF serving layout, q164's BM25 temp
+    // layout) are independent one-off write pipelines — overlap them
+    // from a 2-thread pool (guide §2.6) so one build's driver-side
+    // commit gaps back-fill with the other's tasks; the probes after
+    // the barrier are exactly q164's batch probe + the stored IVF
+    // batch probe, unchanged
+    val bmPath = graft.operators.TextAnalysis.bm25TempIndexPath(dir)
+    val bp = new org.apache.hadoop.fs.Path(bmPath)
+    bp.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(bp)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      Seq[() => Unit](
+        () => ivfServingSetup(s, dir, root),
+        () => graft.operators.TextAnalysis.bm25IndexWrite(
+          Tables.documents(s, dir), bmPath))
+        .map(f => pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = f()
+        }))
+        .foreach(_.get())
+    } finally pool.shutdown()
     val wB = Window.partitionBy($"query_id")
       .orderBy($"score".desc, $"doc_id".asc)
-    val bm = graft.operators.TextAnalysis.q164Bm25BatchProbe(s, dir)
+    val bm = graft.operators.TextAnalysis.bm25ProbeBatch(s, bmPath,
+        graft.operators.TextAnalysis.Bm25Batch)
       .select($"query_id", $"doc_id", $"score")
       .withColumn("rank", row_number().over(wB).cast("long"))
       .select($"query_id", $"doc_id", lit("bm25").as("sys"), $"rank")

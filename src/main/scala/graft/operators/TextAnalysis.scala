@@ -1643,8 +1643,16 @@ object TextAnalysis extends QueryPack {
     * (defaultParallelism — cluster-wide cores, scale-adaptive) keeps
     * AQE from re-coalescing the exchange to one task.
     */
+  /** `spark.graft.bm25.writeDistribution=false` (SparkConf / -D system
+    * property) disables the repartition — the A/B knob the r17 verdict
+    * asked for on q162/q164 (measured this round: see
+    * OPTIMIZATION_r18.md; the distribution stays ON by default).
+    */
   private def byBuckets(post: DataFrame): DataFrame =
-    post.repartition(
+    if (!post.sparkSession.sparkContext.getConf
+        .getBoolean("spark.graft.bm25.writeDistribution", defaultValue = true))
+      post
+    else post.repartition(
       post.sparkSession.sparkContext.defaultParallelism, col("tb"))
 
   /** One (doc_id, dl) row per doc in the batch — the `_docs` sidecar's
@@ -1667,16 +1675,35 @@ object TextAnalysis extends QueryPack {
     // explicitly — partitioned overwrite only replaces partition dirs
     graft.core.Fs.deleteRecursive(s, path)
     val tokenized = bm25Tokenized(docs)
+    // postings go FIRST and alone: a static-mode overwrite truncates
+    // the whole root, so a sidecar landing earlier would be deleted
     bm25Postings(tokenized, buckets)
       .write.mode("overwrite").partitionBy("tb").parquet(path)
-    bm25DocLens(tokenized).write.mode("overwrite").parquet(s"$path/_docs")
-    // corpus stats derive from the just-written doc-length sidecar
-    // (tiny read-back) — `_stats` is APPEND-delta structured: probes
-    // SUM the rows, so append/delete maintenance adjusts stats by
-    // appending a delta row instead of rewriting
-    s.read.parquet(s"$path/_docs")
-      .agg(count(lit(1)).as("nd"), sum($"dl").as("tl"))
-      .write.mode("overwrite").parquet(s"$path/_stats")
+    // `_stats` is APPEND-delta structured: probes SUM the rows, so
+    // append/delete maintenance adjusts stats by appending a delta row
+    // instead of rewriting. Both sidecars derive from the SAME
+    // checkpointed doc-length frame (the old spelling read `_docs`
+    // back off disk — an extra scan job and a false dependency), so
+    // they are independent writes — overlapped (guide §2.6)
+    val lens = bm25DocLens(tokenized)
+    inPar(Seq(
+      () => lens.write.mode("overwrite").parquet(s"$path/_docs"),
+      () => lens.agg(count(lit(1)).as("nd"), sum($"dl").as("tl"))
+        .write.mode("overwrite").parquet(s"$path/_stats")))
+  }
+
+  /** Run independent write pipelines from a small thread pool (guide
+    * §2.6 — one job's driver-side commit gaps back-fill with the
+    * other's tasks). Callers must ensure the legs touch disjoint
+    * paths (and that no leg's static overwrite truncates another's
+    * root).
+    */
+  private def inPar(fs: Seq[() => Unit]): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(fs.size)
+    try fs.map(f => pool.submit(new java.util.concurrent.Callable[Unit] {
+      override def call(): Unit = f()
+    })).foreach(_.get())
+    finally pool.shutdown()
   }
 
   /** Incremental postings APPEND — the ivfAppend story
@@ -2393,14 +2420,17 @@ object TextAnalysis extends QueryPack {
     val s = docs.sparkSession
     graft.core.Fs.deleteRecursive(s, path)
     val tokenized = bm25Tokenized(docs)
+    // postings first and alone — static overwrite truncates the root
+    // (see bm25IndexWrite); the two sidecars then derive from the same
+    // checkpointed frame (no `_docs` read-back) and overlap (§2.6)
     bm25Postings(tokenized, buckets)
       .write.mode("overwrite").partitionBy("lang", "tb").parquet(path)
-    tokenized.select($"doc_id", $"lang", $"dl")
-      .write.mode("overwrite").parquet(s"$path/_docs")
-    s.read.parquet(s"$path/_docs")
-      .groupBy($"lang")
-      .agg(count(lit(1)).as("nd"), sum($"dl").as("tl"))
-      .write.mode("overwrite").parquet(s"$path/_stats")
+    val lens = tokenized.select($"doc_id", $"lang", $"dl")
+    inPar(Seq(
+      () => lens.write.mode("overwrite").parquet(s"$path/_docs"),
+      () => lens.groupBy($"lang")
+        .agg(count(lit(1)).as("nd"), sum($"dl").as("tl"))
+        .write.mode("overwrite").parquet(s"$path/_stats")))
   }
 
   /** One tenant's probe against the shared layout: the tenant's own
